@@ -1,0 +1,125 @@
+"""Versioned per-tile primary-key snapshot store.
+
+The reference persists each tile's PK set as an Apache Iceberg table
+(one Glue-Catalog table per tile, name scheme
+``{catalog}.{ks}_db.{tbl}_tile_{n}_pk_snapshots`` — CQLReplicator.scala
+K:1220-1272) and time-travels between snapshot ids (K:1340-1349), with
+``expire_snapshots(retain_last=2)`` housekeeping (K:1278-1289).
+
+This container has no Iceberg/Delta jars, so we implement the same
+contract on plain Parquet: each snapshot is an immutable directory
+``{root}/{ks}/{table}/tile={n}/snap-{id:08d}/`` plus a JSON manifest per
+tile recording (id, committed_at, count). The API mirrors Iceberg's:
+write-overwrite (new snapshot), current_snapshot_id, read at snapshot
+(time travel), expire. On a production cluster, swap `SnapshotStore`
+for `df.writeTo(tbl).overwritePartitions()` + `option("snapshot-id")` —
+the engine only touches this interface.
+
+Scale note: snapshots are written ``repartition(k, pk_cols)`` so each
+tile's snapshot has a bounded file count regardless of upstream
+parallelism, and reads of a single tile never list other tiles' files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SnapshotInfo:
+    id: int
+    committed_at: float
+    count: int
+    path: str
+
+
+class SnapshotStore:
+    def __init__(self, root: str, keyspace: str, table: str):
+        self.root = root
+        self.keyspace = keyspace
+        self.table = table
+
+    # -- layout ---------------------------------------------------------
+    def _tile_dir(self, tile: int) -> str:
+        return os.path.join(self.root, self.keyspace, self.table, f"tile={tile}")
+
+    def _manifest_path(self, tile: int) -> str:
+        return os.path.join(self._tile_dir(tile), "manifest.json")
+
+    def _read_manifest(self, tile: int) -> list[dict]:
+        p = self._manifest_path(tile)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, tile: int, entries: list[dict]) -> None:
+        p = self._manifest_path(tile)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.replace(tmp, p)  # atomic commit, like Iceberg's metadata swap
+
+    # -- API ------------------------------------------------------------
+    def write_snapshot(self, df: DataFrame, tile: int, files_per_snapshot: int = 1) -> int:
+        """Persist df as the tile's next snapshot; returns new snapshot id.
+
+        Mirrors writeIcebergTileSnapshot (K:1328-1334). Coalesce keeps the
+        per-tile file count bounded (per-tile snapshots are small relative
+        to the table: PKs + ts only).
+        """
+        entries = self._read_manifest(tile)
+        new_id = (max(e["id"] for e in entries) + 1) if entries else 1
+        path = os.path.join(self._tile_dir(tile), f"snap-{new_id:08d}")
+        df.coalesce(files_per_snapshot).write.mode("overwrite").parquet(path)
+        count = df.sparkSession.read.parquet(path).count()
+        entries.append(
+            {"id": new_id, "committed_at": time.time(), "count": count, "path": path}
+        )
+        self._write_manifest(tile, entries)
+        return new_id
+
+    def current_snapshot_id(self, tile: int) -> int | None:
+        """Latest committed snapshot (ORDER BY committed_at DESC LIMIT 1 — K:1297)."""
+        entries = self._read_manifest(tile)
+        return entries[-1]["id"] if entries else None
+
+    def snapshot_exists(self, tile: int, snapshot_id: int) -> bool:
+        return any(e["id"] == snapshot_id for e in self._read_manifest(tile))
+
+    def read_snapshot(self, spark: SparkSession, tile: int, snapshot_id: int) -> DataFrame:
+        """Time-travel read (readIcebergAtSnapshot — K:1340-1349)."""
+        for e in self._read_manifest(tile):
+            if e["id"] == snapshot_id:
+                return spark.read.parquet(e["path"])
+        raise ValueError(
+            f"snapshot {snapshot_id} not found for {self.keyspace}.{self.table} tile {tile}"
+        )
+
+    def read_current(self, spark: SparkSession, tile: int) -> DataFrame:
+        sid = self.current_snapshot_id(tile)
+        if sid is None:
+            raise ValueError(f"no snapshots for tile {tile}")
+        return self.read_snapshot(spark, tile, sid)
+
+    def expire_snapshots(self, tile: int, retain_last: int = 2) -> int:
+        """Drop all but the newest N snapshots (K:1278-1289). Returns #expired."""
+        entries = self._read_manifest(tile)
+        if len(entries) <= retain_last:
+            return 0
+        keep = entries[-retain_last:]
+        expired = entries[:-retain_last]
+        for e in expired:
+            shutil.rmtree(e["path"], ignore_errors=True)
+        self._write_manifest(tile, keep)
+        return len(expired)
+
+    def snapshots(self, tile: int) -> list[SnapshotInfo]:
+        return [SnapshotInfo(**e) for e in self._read_manifest(tile)]

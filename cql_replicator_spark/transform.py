@@ -1,0 +1,141 @@
+"""Row/column transforms driven by the JSON_MAPPING config.
+
+Covers SURVEY §2.3 + §2.8's DataFrame-side surface:
+  * arbitrary Spark-SQL filterExpression (K:1849-1853, validated like
+    R:460-477 by forcing analysis before execution)
+  * column-subset replication (K:570-573, K:595-621)
+  * point-in-time predicate (K:1789-1797, P:1511-1523)
+  * hash/anonymization transforms with alias + keepSource semantics
+    (PKTransformDispatcher R:51-74; valueTransformer K:898-924)
+  * UDT -> JSON text (convertUDTtoText K:187-196)
+  * multi-writetime change column via greatest() (K:381-384)
+  * TTL predicate (P:561-573, P:818-831)
+
+Everything stays a Catalyst expression — no Python UDFs — so filters
+push down to the parquet scan and the whole pipeline codegens.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from .config import PointInTime, Transformation
+
+# Rule -> Spark builtin (R:51-74). 'murmur' is Spark's hash() —
+# standardizing away from Scala MurmurHash3.stringHash like R:66 does.
+HASH_DISPATCH: dict[str, Callable[[Column], Column]] = {
+    "md5": F.md5,
+    "sha1": F.sha1,
+    "sha256": lambda c: F.sha2(c, 256),
+    "murmur": lambda c: F.hash(c).cast("long"),
+    "xxhash64": F.xxhash64,
+}
+
+
+def apply_filter_expression(df: DataFrame, expr_str: str | None) -> DataFrame:
+    """User filterExpression, validated before use (R:460-477 validates via
+    queryExecution.analyzed; here the filter() call itself analyzes)."""
+    if not expr_str:
+        return df
+    try:
+        out = df.filter(expr_str)
+        out.schema  # force analysis -> raises on bad expression now, not at action
+        return out
+    except AnalysisException as e:
+        raise ValueError(f"invalid filterExpression {expr_str!r}: {e}") from e
+
+
+def select_replicated_columns(
+    df: DataFrame, all_columns: bool, columns: list[str]
+) -> DataFrame:
+    """allColumns:false + columns:[...] -> SELECT subset (K:570-573)."""
+    return df if all_columns else df.select(*columns)
+
+
+def add_non_pk_filter_columns(
+    df: DataFrame, pk_cols: list[str], filter_cols: list[str]
+) -> DataFrame:
+    """Project PKs + just the columns a filter needs (K:1799-1802, R:377-385).
+    Keeps the scan narrow: ReadSchema stays PKs+filter cols."""
+    keep = list(dict.fromkeys(pk_cols + filter_cols))
+    return df.select(*keep)
+
+
+def point_in_time_predicate(ts_col: str, pit: PointInTime) -> Column:
+    """ts {>,<,==} pit with isNotNull guard (K:1789-1797, P:1511-1523)."""
+    c = F.col(ts_col)
+    ops = {
+        "greaterThan": c > F.lit(pit.timestamp),
+        "lessThan": c < F.lit(pit.timestamp),
+        "equal": c == F.lit(pit.timestamp),
+    }
+    if pit.predicateOp not in ops:
+        raise ValueError(f"unknown pointInTime predicateOp {pit.predicateOp!r}")
+    return c.isNotNull() & ops[pit.predicateOp]
+
+
+def apply_point_in_time(df: DataFrame, ts_col: str, pit: PointInTime) -> DataFrame:
+    return df.filter(point_in_time_predicate(ts_col, pit)) if pit.enabled else df
+
+
+def apply_transformations(df: DataFrame, transforms: list[Transformation]) -> DataFrame:
+    """Hash transforms with alias/keepSource (K:879-924, R:51-74).
+
+    - no alias: column replaced in place
+    - alias, keepSource=false: column renamed+hashed
+    - alias, keepSource=true: original kept, hashed copy added
+    """
+    out = df
+    for t in transforms:
+        fn = HASH_DISPATCH[t.rule]
+        hashed = fn(F.col(t.column).cast("string"))
+        if t.alias is None:
+            out = out.withColumn(t.column, hashed)
+        elif t.keepSource:
+            out = out.withColumn(t.alias, hashed)
+        else:
+            out = out.withColumn(t.alias, hashed).drop(t.column)
+    return out
+
+
+def udt_to_json(df: DataFrame, udt_cols: list[str]) -> DataFrame:
+    """Struct (Cassandra UDT) columns -> JSON text (K:187-196)."""
+    out = df
+    for c in udt_cols:
+        out = out.withColumn(c, F.to_json(F.col(c)))
+    return out
+
+
+def greatest_writetime(cols: list[str], alias: str = "ts") -> Column:
+    """Multi-writetime change column: greatest(ts1, ts2, ...) with
+    null-excluding max semantics (buildWritetimeExpression K:381-384;
+    docs/keyspaces/README.MD:179-182). With a Cassandra source these are
+    writetime(col) projections pushed to the server; with a generic
+    source they're regular timestamp columns."""
+    if not cols:
+        return F.lit(0).alias(alias)
+    if len(cols) == 1:
+        return F.col(cols[0]).alias(alias)
+    return F.greatest(*[F.col(c) for c in cols]).alias(alias)
+
+
+def apply_ttl_filter(df: DataFrame, ttl_col: str, op: str, value: int) -> DataFrame:
+    """TTL predicate: keep rows whose ttl {==,>,<} const (P:561-573, bulk
+    DataFrame form P:818-831)."""
+    c = F.col(ttl_col)
+    ops = {"equal": c == value, "greaterThan": c > value, "lessThan": c < value}
+    if op not in ops:
+        raise ValueError(f"unknown ttl predicate op {op!r}")
+    return df.filter(ops[op])
+
+
+def fingerprint_schema(schema) -> str:
+    """SHA-256 over 'name:type|name:type...' (R:1734-1744)."""
+    import hashlib
+
+    canon = "|".join(f"{f.name}:{f.dataType.simpleString()}" for f in schema.fields)
+    return hashlib.sha256(canon.encode()).hexdigest()

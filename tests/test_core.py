@@ -1,0 +1,219 @@
+"""Unit tests: tiling, diff, snapshot store, ledger, config, transforms, stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cql_replicator_spark import config as cfg
+from cql_replicator_spark import stats, tiling, transform
+from cql_replicator_spark.diff import compute_changes
+from cql_replicator_spark.ledger import SUCCESS, Ledger
+from cql_replicator_spark.snapshot import SnapshotStore
+
+
+# -- tiling ---------------------------------------------------------------
+
+def test_tile_assignment_range_and_stability(tables):
+    orders = tables["orders"]
+    df = tiling.assign_tiles(orders, ["o_orderkey"], 8)
+    tiles = [r.tile for r in df.select("tile").distinct().collect()]
+    assert all(0 <= t < 8 for t in tiles)
+    # deterministic: same assignment twice
+    a = df.select("o_orderkey", "tile").collect()
+    b = tiling.assign_tiles(orders, ["o_orderkey"], 8).select("o_orderkey", "tile").collect()
+    assert sorted(a) == sorted(b)
+
+
+def test_tile_distribution_roughly_uniform(tables):
+    hist = tiling.tile_histogram(tables["orders"], ["o_orderkey"], 4).collect()
+    counts = [r["count"] for r in hist]
+    assert len(counts) == 4
+    total = sum(counts)
+    for c in counts:
+        assert abs(c - total / 4) < total * 0.2  # xxhash64 should spread well
+
+
+def test_resize_preserves_distinct_count(tables):
+    orders = tables["orders"]
+    t4 = tiling.assign_tiles(orders.select("o_orderkey"), ["o_orderkey"], 4)
+    parts = [t4.filter(F.col("tile") == i) for i in range(4)]
+    resized = tiling.resize_tiles(parts, ["o_orderkey"], 8)
+    assert resized.count() == orders.select("o_orderkey").distinct().count()
+    assert resized.select("tile").distinct().count() == 8
+
+
+# -- diff -----------------------------------------------------------------
+
+def test_compute_changes_golden(spark):
+    prev = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300), (4, None), (5, 500)],
+        "pk int, ts long",
+    )
+    curr = spark.createDataFrame(
+        # pk2 deleted; pk6 inserted; pk3 ts changed; pk4 null->400; pk5 500->None
+        [(1, 100), (3, 301), (4, 400), (5, None), (6, 600)],
+        "pk int, ts long",
+    )
+    cs = compute_changes(curr, prev, ["pk"])
+    assert {r.pk for r in cs.inserts.collect()} == {6}
+    assert {r.pk for r in cs.deletes.collect()} == {2}
+    # null-safe compare: both null->value and value->null are updates (K:1369-1381)
+    assert {r.pk for r in cs.updates.collect()} == {3, 4, 5}
+
+
+def test_compute_changes_no_ts(spark):
+    prev = spark.createDataFrame([(1,), (2,)], "pk int")
+    curr = spark.createDataFrame([(2,), (3,)], "pk int")
+    cs = compute_changes(curr, prev, ["pk"], has_ts=False)
+    assert {r.pk for r in cs.inserts.collect()} == {3}
+    assert {r.pk for r in cs.deletes.collect()} == {1}
+    assert cs.updates.count() == 0
+
+
+def test_tagged_union(spark):
+    prev = spark.createDataFrame([(1, 10), (2, 20)], "pk int, ts long")
+    curr = spark.createDataFrame([(2, 21), (3, 30)], "pk int, ts long")
+    tagged = compute_changes(curr, prev, ["pk"]).tagged_union()
+    rows = {(r.pk, r.op) for r in tagged.collect()}
+    assert rows == {(3, "insert"), (1, "delete"), (2, "update")}
+
+
+# -- snapshot store ---------------------------------------------------------
+
+def test_snapshot_store_roundtrip(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path), "ks", "tbl")
+    df1 = spark.createDataFrame([(1, 10), (2, 20)], "pk int, ts long")
+    df2 = spark.createDataFrame([(2, 21), (3, 30)], "pk int, ts long")
+    s1 = store.write_snapshot(df1, tile=0)
+    s2 = store.write_snapshot(df2, tile=0)
+    assert (s1, s2) == (1, 2)
+    assert store.current_snapshot_id(0) == 2
+    # time travel
+    back = store.read_snapshot(spark, 0, s1)
+    assert {(r.pk, r.ts) for r in back.collect()} == {(1, 10), (2, 20)}
+    # expire keeps newest 1
+    assert store.expire_snapshots(0, retain_last=1) == 1
+    assert not store.snapshot_exists(0, s1)
+    assert store.snapshot_exists(0, s2)
+    with pytest.raises(ValueError):
+        store.read_snapshot(spark, 0, s1)
+
+
+# -- ledger ------------------------------------------------------------------
+
+def test_ledger_state_machine(tmp_path):
+    led = Ledger(str(tmp_path / "ledger.json"))
+    ks, tbl, tile = "ks", "t", 0
+    assert led.can_discover(ks, tbl, tile)
+    assert led.replication_plan(ks, tbl, tile) is None
+
+    led.record_discovery(ks, tbl, tile, snapshot_id=1)
+    # unconsumed snapshot -> discovery must skip (K:2263-2271)
+    assert not led.can_discover(ks, tbl, tile)
+    with pytest.raises(RuntimeError):
+        led.record_discovery(ks, tbl, tile, snapshot_id=2)
+
+    plan = led.replication_plan(ks, tbl, tile)
+    assert plan == {"mode": "historical", "curr": 1}
+    led.mark_replication_complete(ks, tbl, tile)
+    assert led.replication_plan(ks, tbl, tile) is None
+    assert led.can_discover(ks, tbl, tile)
+
+    led.record_discovery(ks, tbl, tile, snapshot_id=2)
+    # rotation preserved prev's load_status (K:1402-1416)
+    prev = led.get(ks, tbl, tile, "prev")
+    assert prev.location == "1" and prev.load_status == SUCCESS
+    assert led.replication_plan(ks, tbl, tile) == {"mode": "delta", "curr": 2, "prev": 1}
+
+
+def test_ledger_persistence(tmp_path):
+    p = str(tmp_path / "ledger.json")
+    led = Ledger(p)
+    led.record_discovery("ks", "t", 3, snapshot_id=7)
+    led2 = Ledger(p)
+    assert led2.get("ks", "t", 3, "curr").location == "7"
+
+
+# -- config -------------------------------------------------------------------
+
+def test_config_resolve_valid():
+    m = cfg.resolve({
+        "replication": {
+            "allColumns": False,
+            "columns": ["key", "col0"],
+            "transformations": [
+                {"column": "col7", "rule": "sha256", "alias": "col7_h", "keepSource": True}
+            ],
+        },
+        "compression": {"enabled": True, "compressNonPrimaryColumns": ["payload"]},
+    })
+    assert m.replication.columns == ["key", "col0"]
+    assert m.write.maxStatementsPerBatch == 29  # reference default K:74
+
+
+@pytest.mark.parametrize("bad", [
+    {"replication": {"transformations": [{"column": "c", "rule": "crc32"}]}},
+    {"replication": {"transformations": [{"column": "c", "rule": "md5", "keepSource": True}]}},
+    {"replication": {"transformations": [
+        {"column": "a", "rule": "md5", "alias": "x"},
+        {"column": "b", "rule": "md5", "alias": "x"}]}},
+    {"replication": {"allColumns": False, "columns": []}},
+])
+def test_config_resolve_invalid(bad):
+    with pytest.raises(cfg.ConfigError):
+        cfg.resolve(bad)
+
+
+def test_effective_pk():
+    ts = [cfg.Transformation(column="key", rule="xxhash64", alias="key_h")]
+    assert cfg.effective_pk(["key", "col0"], ts) == ["key_h", "col0"]
+
+
+# -- transforms ----------------------------------------------------------------
+
+def test_filter_expression_valid_and_invalid(tables):
+    orders = tables["orders"]
+    n = transform.apply_filter_expression(orders, "o_orderstatus = 'F'").count()
+    assert 0 < n < orders.count()
+    with pytest.raises(ValueError):
+        transform.apply_filter_expression(orders, "no_such_col > 1")
+
+
+def test_hash_transforms(spark):
+    df = spark.createDataFrame([("alice",), ("bob",)], "name string")
+    out = transform.apply_transformations(
+        df, [cfg.Transformation(column="name", rule="md5", alias="name_h", keepSource=True)]
+    )
+    rows = {r.name: r.name_h for r in out.collect()}
+    import hashlib
+    assert rows["alice"] == hashlib.md5(b"alice").hexdigest()
+
+
+def test_point_in_time(spark):
+    df = spark.createDataFrame([(1, 100), (2, 200), (3, None)], "pk int, ts long")
+    pit = cfg.PointInTime(enabled=True, predicateOp="greaterThan", timestamp=150)
+    out = transform.apply_point_in_time(df, "ts", pit)
+    assert {r.pk for r in out.collect()} == {2}  # null guarded out
+
+
+def test_udt_to_json(spark):
+    df = spark.createDataFrame([((1, "a"),)], "u struct<x:int,y:string>")
+    out = transform.udt_to_json(df, ["u"]).collect()[0]
+    assert out.u == '{"x":1,"y":"a"}'
+
+
+# -- stats ---------------------------------------------------------------------
+
+def test_column_stats_and_totals(tables):
+    orders = tables["orders"]
+    st = stats.add_total_columns(stats.column_stats(orders))
+    row = st.collect()[0]
+    assert row["o_orderkey_min"] >= 0.0 and row["o_orderkey_max"] > 0.0
+    assert row["o_orderdate_min"] == 8.0  # timestamp fixed size
+    assert row["row_avg_total"] > 0
+    # string column measured by length
+    assert row["o_orderstatus_max"] >= 1.0
+
+
+def test_estimate_partitions():
+    assert stats.estimate_partitions_for_write(100.0, 0) == 1
+    assert stats.estimate_partitions_for_write(1024.0, 1024 * 1024, target_mb=32) == 32
