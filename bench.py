@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced with a cheap count() action (results are not
+collected to the driver; the engine's job is the plan, not the fetch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: CDC core + analytic joins/aggs. Keep in sync with
+# cql_replicator_spark/queries.py REGISTRY (subset chosen for signal).
+HEADLINE = [
+    "cdc_changes",
+    "cdc_hydrate_inserts",
+    "cdc_union_distinct",
+    "reconcile_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "tile_histogram_xxhash64",
+    "column_stats_orders",
+    "events_windowed_agg",
+]
+
+
+def main() -> None:
+    from cql_replicator_spark.queries import REGISTRY
+    from cql_replicator_spark.session import get_spark
+
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        },
+    )
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # engine, not session bring-up
+    from cql_replicator_spark.session import load_tables
+    load_tables(spark, SF_DIR)
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].build(spark, SF_DIR)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

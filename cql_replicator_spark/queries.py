@@ -1,0 +1,459 @@
+"""Named query registry — the engine's operator surface, oracle-checked.
+
+Each entry pairs a DataFrame-API builder (the engine under test) with an
+equivalent DuckDB SQL string (the oracle). The driver runs both at
+sf=0.01 and compares row-count + schema + order-insensitive value hash,
+so these conventions keep the two sides bit-identical:
+
+  * every computed column is aliased identically on both sides;
+  * float aggregations are computed in exact DECIMAL arithmetic, then
+    round(k) and cast to DOUBLE — summation order can't perturb bits;
+  * min/max of doubles are safe raw (they select, not accumulate);
+  * synthetic CDC fixtures (T0/T1 snapshots, divergent replica) are
+    derived from the shared tables with pure modular arithmetic so both
+    engines construct the same fixture independently.
+
+Queries whose Spark implementation has no SQL equivalent (xxhash64
+tiling, LSH internals) carry oracle=None -> driver does rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .diff import compute_changes
+from .session import load_tables
+from .tiling import assign_tiles
+
+
+@dataclass
+class QuerySpec:
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(build=fn, oracle=oracle, doc=doc)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, list(names))
+
+
+# ---------------------------------------------------------------------------
+# CDC fixture: two PK+ts snapshots derived from orders by modular rules.
+#   ts      = yyyymmdd of o_orderdate (tz-free integer "writetime")
+#   T0      = keys with pk % 10 != 0
+#   T1      = keys with pk % 7  != 0, ts+1 for pk % 5 == 0 (the "updates")
+# ---------------------------------------------------------------------------
+
+_CDC_BASE_SQL = """
+base AS (
+  SELECT o_orderkey AS pk,
+         CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS BIGINT) AS ts
+  FROM orders
+),
+t0 AS (SELECT pk, ts FROM base WHERE pk % 10 <> 0),
+t1 AS (SELECT pk, CASE WHEN pk % 5 = 0 THEN ts + 1 ELSE ts END AS ts
+       FROM base WHERE pk % 7 <> 0)
+"""
+
+
+def _cdc_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    ymd = (F.year("o_orderdate") * 10000 + F.month("o_orderdate") * 100
+           + F.dayofmonth("o_orderdate")).cast("long")
+    base = orders.select(F.col("o_orderkey").alias("pk"), ymd.alias("ts"))
+    t0 = base.filter(F.col("pk") % 10 != 0)
+    t1 = base.filter(F.col("pk") % 7 != 0).withColumn(
+        "ts", F.when(F.col("pk") % 5 == 0, F.col("ts") + 1).otherwise(F.col("ts")))
+    return t0, t1
+
+
+@register(
+    "cdc_changes",
+    oracle=f"""
+WITH {_CDC_BASE_SQL}
+SELECT 'insert' AS op, pk, ts FROM t1 WHERE pk NOT IN (SELECT pk FROM t0)
+UNION ALL
+SELECT 'delete' AS op, pk, ts FROM t0 WHERE pk NOT IN (SELECT pk FROM t1)
+UNION ALL
+SELECT 'update' AS op, t1.pk AS pk, t1.ts AS ts
+FROM t1 JOIN t0 USING (pk)
+WHERE t1.ts IS DISTINCT FROM t0.ts
+""",
+    doc="Snapshot diff (computeIcebergChanges K:1355-1384): insert/delete/update sets",
+)
+def cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+    return compute_changes(curr=t1, prev=t0, pk_cols=["pk"]).tagged_union().select(
+        "op", "pk", "ts")
+
+
+@register(
+    "cdc_hydrate_inserts",
+    oracle=f"""
+WITH {_CDC_BASE_SQL}
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderdate, o.o_orderpriority
+FROM orders o
+JOIN (SELECT pk FROM t1 WHERE pk NOT IN (SELECT pk FROM t0)) ins
+  ON o.o_orderkey = ins.pk
+""",
+    doc="Bulk hydration: changed PKs broadcast-joined back to source rows (P:792-857)",
+)
+def cdc_hydrate_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+    cs = compute_changes(curr=t1, prev=t0, pk_cols=["pk"])
+    ins = F.broadcast(cs.inserts.select(F.col("pk").alias("o_orderkey")))
+    return orders.join(ins, "o_orderkey", "inner").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+
+
+@register(
+    "cdc_union_distinct",
+    oracle=f"""
+WITH {_CDC_BASE_SQL}
+SELECT pk FROM t0 UNION SELECT pk FROM t1
+""",
+    doc="Set union + distinct over snapshots (resize path K:2097-2100)",
+)
+def cdc_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+    return t0.select("pk").unionByName(t1.select("pk")).distinct()
+
+
+@register(
+    "reconcile_counts",
+    oracle="""
+WITH src AS (SELECT o_orderkey AS pk FROM orders),
+trg AS (
+  SELECT pk FROM src WHERE pk % 11 <> 0
+  UNION ALL
+  SELECT pk + 10000000 AS pk FROM src WHERE pk % 13 = 0
+)
+SELECT
+  (SELECT count(DISTINCT pk) FROM src) AS source_count,
+  (SELECT count(DISTINCT pk) FROM trg) AS target_count,
+  (SELECT count(*) FROM (SELECT DISTINCT s.pk FROM src s JOIN trg t ON s.pk = t.pk)) AS intersection_count,
+  (SELECT count(*) FROM (SELECT DISTINCT s.pk FROM src s WHERE s.pk NOT IN (SELECT pk FROM trg))) AS source_minus_target,
+  (SELECT count(*) FROM (SELECT DISTINCT t.pk FROM trg t WHERE t.pk NOT IN (SELECT pk FROM src))) AS target_minus_source
+""",
+    doc="PK reconciliation counts (DiffEngine.compute R:793-850): |A|,|B|,|A∩B|,A∖B,B∖A",
+)
+def reconcile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    src = orders.select(F.col("o_orderkey").alias("pk"))
+    trg = src.filter(F.col("pk") % 11 != 0).unionByName(
+        src.filter(F.col("pk") % 13 == 0).select((F.col("pk") + 10000000).alias("pk")))
+    sd, td = src.distinct(), trg.distinct()
+    inter = sd.join(td, "pk", "inner")
+    a_min_b = sd.join(td, "pk", "left_anti")
+    b_min_a = td.join(sd, "pk", "left_anti")
+    return (
+        sd.agg(F.count("*").alias("source_count"))
+        .crossJoin(td.agg(F.count("*").alias("target_count")))
+        .crossJoin(inter.agg(F.count("*").alias("intersection_count")))
+        .crossJoin(a_min_b.agg(F.count("*").alias("source_minus_target")))
+        .crossJoin(b_min_a.agg(F.count("*").alias("target_minus_source")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic surface (aggregations / joins / sorts, TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="Wide aggregation with exact-decimal accumulation (TPC-H Q1 shape)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    tax = F.col("l_tax").cast(_DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '2020-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="3-way join + agg + top-k (broadcast dim, shuffle fact)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .filter((F.col("o_orderdate") < F.lit("2020-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+    doc="6-way star join; all dims broadcast, single fact shuffle",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-operator queries (projections, filters, transforms, stats)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pk_hash_transforms",
+    oracle="""
+SELECT o_orderkey,
+       md5(CAST(o_orderkey AS VARCHAR)) AS key_md5,
+       sha256(CAST(o_orderkey AS VARCHAR)) AS key_sha256
+FROM orders
+""",
+    doc="PK anonymization transforms (PKTransformDispatcher R:51-74)",
+)
+def pk_hash_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    s = F.col("o_orderkey").cast("string")
+    return orders.select(
+        "o_orderkey", F.md5(s).alias("key_md5"), F.sha2(s, 256).alias("key_sha256"))
+
+
+@register(
+    "tile_histogram_mod",
+    oracle="""
+SELECT o_orderkey % 8 AS tile, count(*) AS count
+FROM orders GROUP BY o_orderkey % 8 ORDER BY tile
+""",
+    doc="Tile histogram with portable (mod) tiling; xxhash64 variant is rows-only",
+)
+def tile_histogram_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return (orders.withColumn("tile", F.col("o_orderkey") % 8)
+            .groupBy("tile").agg(F.count("*").alias("count")).orderBy("tile"))
+
+
+@register(
+    "tile_histogram_xxhash64",
+    oracle=None,  # DuckDB has no xxhash64; driver does rows-only check
+    doc="Production tiling: abs(xxhash64(pks)) % n (K:1832-1843); verified by pytest invariants",
+)
+def tile_histogram_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    from .tiling import tile_histogram
+    return tile_histogram(orders, ["o_orderkey"], 8)
+
+
+@register(
+    "filter_expression_subset",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+""",
+    doc="User filterExpression + column-subset replication (K:1849-1853, K:570-573)",
+)
+def filter_expression_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .transform import apply_filter_expression, select_replicated_columns
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    filtered = apply_filter_expression(orders, "o_orderstatus = 'F' AND o_totalprice > 50000")
+    return select_replicated_columns(
+        filtered, all_columns=False, columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
+@register(
+    "pit_filter_events",
+    oracle="""
+SELECT event_id, ts, event_type
+FROM events
+WHERE ts IS NOT NULL AND ts > TIMESTAMP '2024-01-15 00:00:00'
+""",
+    doc="Point-in-time predicate with isNotNull guard (K:1789-1797)",
+)
+def pit_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")["events"]
+    pit = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    return (events.filter(F.col("ts").isNotNull() & (F.col("ts") > pit))
+            .select("event_id", "ts", "event_type"))
+
+
+@register(
+    "writetime_greatest",
+    oracle="""
+SELECT o_orderkey,
+       greatest(CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS BIGINT),
+                CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                     ELSE CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS BIGINT) + o_orderkey % 3 END
+       ) AS ts
+FROM orders
+""",
+    doc="Multi-writetime change column: greatest() with null-excluding semantics (K:381-384)",
+)
+def writetime_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    ymd = (F.year("o_orderdate") * 10000 + F.month("o_orderdate") * 100
+           + F.dayofmonth("o_orderdate")).cast("long")
+    ts2 = F.when(F.col("o_orderkey") % 4 == 0, F.lit(None).cast("long")).otherwise(
+        ymd + F.col("o_orderkey") % 3)
+    return orders.select("o_orderkey", F.greatest(ymd, ts2).alias("ts"))
+
+
+@register(
+    "column_stats_orders",
+    oracle="""
+SELECT
+  CAST(min(o_totalprice) AS DOUBLE) AS o_totalprice_min,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS o_totalprice_avg,
+  CAST(max(o_totalprice) AS DOUBLE) AS o_totalprice_max,
+  CAST(min(length(o_orderstatus)) AS DOUBLE) AS o_orderstatus_min,
+  round(CAST(sum(length(o_orderstatus)) AS DOUBLE) / count(*), 4) AS o_orderstatus_avg,
+  CAST(max(length(o_orderstatus)) AS DOUBLE) AS o_orderstatus_max,
+  CAST(8 AS DOUBLE) AS o_orderdate_min,
+  CAST(8 AS DOUBLE) AS o_orderdate_avg,
+  CAST(8 AS DOUBLE) AS o_orderdate_max
+FROM orders
+""",
+    doc="Sampler column stats, type-dispatched min/avg/max (getColumnStats K:1719-1748)",
+)
+def column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    price_dec = F.col("o_totalprice").cast(_DEC)
+    slen = F.length("o_orderstatus")
+    return orders.agg(
+        F.min("o_totalprice").cast("double").alias("o_totalprice_min"),
+        F.round(F.sum(price_dec).cast("double") / F.count("*"), 4).alias("o_totalprice_avg"),
+        F.max("o_totalprice").cast("double").alias("o_totalprice_max"),
+        F.min(slen).cast("double").alias("o_orderstatus_min"),
+        F.round(F.sum(slen).cast("double") / F.count("*"), 4).alias("o_orderstatus_avg"),
+        F.max(slen).cast("double").alias("o_orderstatus_max"),
+        F.lit(8.0).alias("o_orderdate_min"),
+        F.lit(8.0).alias("o_orderdate_avg"),
+        F.lit(8.0).alias("o_orderdate_max"),
+    )
+
+
+@register(
+    "events_windowed_agg",
+    oracle="""
+SELECT date_trunc('day', ts) AS wstart, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+ORDER BY wstart, event_type
+""",
+    doc="Tumbling-window aggregation over the event stream table (batch form)",
+)
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")["events"]
+    return (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("wstart"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"))
+        .orderBy("wstart", "event_type")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.build for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

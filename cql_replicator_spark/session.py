@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 # Conf shared by local tests and cluster deployment. At 100 TB the two
 # knobs that matter most are AQE (runtime shuffle-partition coalescing +
@@ -31,9 +31,10 @@ SCALE_CONF: dict[str, str] = {
     # Arrow for the few pandas-UDF paths (multimodal, ANN rerank).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "64",
-    # The synthetic testdata was written with nanosecond parquet
-    # timestamps; this lets Spark 4 read them (as timestamp_ntz).
+    # The synthetic testdata has nanosecond parquet timestamps; this
+    # lets Spark 4 read them (as BIGINT nanos, converted in load_tables).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
 }
 
 
@@ -73,9 +74,29 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     # Runtime-settable; needed when the caller's session (e.g. the
     # verify driver's) wasn't built by get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        path = f"{sf_dir}/{n}.parquet"
+        df = spark.read.parquet(path)
+        for c in _nano_ts_columns(path):
+            # nanosAsLong surfaces timestamp[ns] as BIGINT nanos; restore a
+            # naive (ntz) timestamp at micro precision, truncating like
+            # DuckDB/pandas do.
+            df = df.withColumn(
+                c,
+                # integer division: float division would lose precision on
+                # 19-digit nano epochs
+                F.expr(f"CAST(timestamp_micros({c} DIV 1000) AS TIMESTAMP_NTZ)"),
+            )
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (footer metadata only)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]

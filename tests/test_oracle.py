@@ -1,0 +1,75 @@
+"""Local replica of the driver's correctness gate: run every registered
+query through Spark AND its DuckDB oracle SQL, compare row count, column
+names, and (order-insensitively) every value."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from cql_replicator_spark.queries import REGISTRY
+
+from conftest import SF_DIR
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _assert_frames_equal(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}")
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}")
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                assert x == y, f"{name}.{c}[{i}]: {x!r} != {y!r} (exact float mismatch)"
+            else:
+                assert x == y, f"{name}.{c}[{i}]: {x!r} != {y!r}"
+
+
+@pytest.mark.parametrize("name", [n for n, s in REGISTRY.items() if s.oracle])
+def test_query_matches_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    spark_pdf = spec.build(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(spec.oracle).df()
+    _assert_frames_equal(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", [n for n, s in REGISTRY.items() if not s.oracle])
+def test_rows_only_queries_run(spark, name):
+    df = REGISTRY[name].build(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()).issubset(set(e.queries()))
