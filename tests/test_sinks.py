@@ -1,0 +1,243 @@
+"""Sink layer: batching/retry/DLQ, CQL statements, DynamoDB mapping,
+parquet bulk path, large objects, codec."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cql_replicator_spark import codec, largeobject
+from cql_replicator_spark.config import LargeObjects, Transformation, WriteConfig
+from cql_replicator_spark.sinks.batching import FlushingBatch
+from cql_replicator_spark.sinks.cql_sink import (
+    CqlWriterConfig, counter_update_statement, delete_statement,
+    insert_json_statement, salted_shuffle, write_inserts,
+)
+from cql_replicator_spark.sinks.dlq import DeadLetterQueue
+from cql_replicator_spark.sinks.dynamodb_sink import (
+    DynamoBatchWriter, composite_key, create_attribute_value,
+    map_cassandra_type_to_ddb, row_to_item,
+)
+from cql_replicator_spark.sinks.parquet_sink import (
+    bulk_replicate_to_parquet, hydrate_changes,
+)
+
+
+# -- batching ---------------------------------------------------------------
+
+def test_batch_flush_on_count():
+    executed = []
+    b = FlushingBatch(lambda batch: executed.append(list(batch)),
+                      WriteConfig(maxStatementsPerBatch=3))
+    for i in range(7):
+        b.add(f"stmt-{i}")
+    b.close()
+    assert [len(x) for x in executed] == [3, 3, 1]
+
+
+def test_batch_flush_on_bytes():
+    executed = []
+    b = FlushingBatch(lambda batch: executed.append(list(batch)),
+                      WriteConfig(maxStatementsPerBatch=100, maxBatchBytes=25))
+    for i in range(5):
+        b.add("x" * 10)
+    b.close()
+    assert [len(x) for x in executed] == [2, 2, 1]
+
+
+def test_batch_retry_then_success():
+    calls = {"n": 0}
+
+    def flaky(batch):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+
+    b = FlushingBatch(flaky, WriteConfig(maxRetries=5, backoffMS=0), sleep=lambda s: None)
+    b.add("a")
+    b.close()
+    assert calls["n"] == 3
+    assert b.stats.items_ok == 1 and b.stats.retries == 2
+
+
+def test_batch_per_item_fallback_and_dlq():
+    dead = []
+
+    def poison(batch):
+        if any("bad" in s for s in batch):
+            raise ValueError("poison statement")
+
+    b = FlushingBatch(poison, WriteConfig(maxRetries=2, backoffMS=0),
+                      on_dead_letter=lambda item, e: dead.append(item),
+                      sleep=lambda s: None)
+    for s in ["ok-1", "bad-2", "ok-3"]:
+        b.add(s)
+    b.close()
+    assert dead == ["bad-2"]
+    assert b.stats.items_ok == 2 and b.stats.items_failed == 1
+
+
+# -- DLQ ----------------------------------------------------------------------
+
+def test_dlq_persist_replay_idempotent(tmp_path):
+    dlq = DeadLetterQueue(str(tmp_path), "ks", "t")
+    dlq.persist(0, "insert", [{"stmt": "INSERT ...", "k": 1}, {"stmt": "INSERT ...", "k": 2}])
+    seen = []
+    n = dlq.replay(0, "insert", lambda p: seen.append(p["k"]))
+    assert n == 2 and sorted(seen) == [1, 2]
+    # replay after delete -> nothing left (idempotence belongs to executor)
+    assert dlq.replay(0, "insert", lambda p: seen.append(p["k"])) == 0
+
+
+# -- CQL statements --------------------------------------------------------------
+
+def test_insert_json_statement_full():
+    stmt = insert_json_statement("ks.t", {"key": "a'b", "v": 1},
+                                 timestamp=123, ttl=60, if_not_exists=True)
+    assert stmt.startswith("INSERT INTO ks.t JSON '")
+    assert "''" in stmt            # quote escaped
+    assert "IF NOT EXISTS" in stmt
+    assert "USING TIMESTAMP 123 AND TTL 60" in stmt
+
+
+def test_counter_update_statement():
+    stmt = counter_update_statement("ks.t", {"c": 5}, {"key": ("k1", "text")})
+    assert stmt == "UPDATE ks.t SET c = c + 5 WHERE key = 'k1'"
+
+
+def test_delete_statement_plain_and_transformed():
+    import hashlib
+    plain = delete_statement("ks.t", {"key": ("k1", "text"), "n": (3, "int")})
+    assert plain == "DELETE FROM ks.t WHERE key = 'k1' AND n = 3"
+    h = delete_statement(
+        "ks.t", {"key": ("k1", "text")},
+        transforms=[Transformation(column="key", rule="md5", alias="key_h")])
+    assert hashlib.md5(b"k1").hexdigest() in h and "key_h =" in h
+
+
+def test_write_inserts_through_fake_target(spark, tmp_path):
+    """End-to-end foreachPartition write into a file-backed fake CQL target."""
+    out_dir = str(tmp_path / "target")
+    os.makedirs(out_dir)
+    df = spark.createDataFrame([(i, f"name-{i}", 1000 + i) for i in range(50)],
+                               "pk int, name string, ts long")
+
+    def executor_factory():
+        import os as _os
+        import uuid as _uuid
+
+        def execute(batch):
+            path = os.path.join(out_dir, f"batch-{_os.getpid()}-{_uuid.uuid4().hex[:8]}")
+            with open(path, "w") as f:
+                for stmt in batch:
+                    f.write(stmt + "\n")
+        return execute
+
+    cfg = CqlWriterConfig(target="ks.t", write=WriteConfig(maxStatementsPerBatch=10))
+    write_inserts(df, cfg, executor_factory, ts_col="ts")
+    stmts = []
+    for fn in os.listdir(out_dir):
+        with open(os.path.join(out_dir, fn)) as f:
+            stmts += [line.strip() for line in f if line.strip()]
+    assert len(stmts) == 50
+    assert all(s.startswith("INSERT INTO ks.t JSON '") for s in stmts)
+    assert all("USING TIMESTAMP 10" in s for s in stmts)
+    # ts column went to USING TIMESTAMP, not the JSON payload
+    doc = json.loads(stmts[0].split("JSON '", 1)[1].rsplit("' USING", 1)[0].replace("''", "'"))
+    assert set(doc) == {"pk", "name"}
+
+
+def test_salted_shuffle_preserves_rows(spark):
+    df = spark.range(100).withColumn("k", F.lit("hot"))
+    out = salted_shuffle(df, 8)
+    assert out.count() == 100 and set(out.columns) == {"id", "k"}
+
+
+# -- DynamoDB -----------------------------------------------------------------
+
+def test_ddb_type_buckets():
+    assert map_cassandra_type_to_ddb("bigint") == "numeric"
+    assert map_cassandra_type_to_ddb("text") == "string"
+    assert map_cassandra_type_to_ddb("blob") == "binary"
+    assert map_cassandra_type_to_ddb("list<int>") == "arrayofnumerical"
+    assert map_cassandra_type_to_ddb("list<text>") == "arrayofstrings"
+    assert map_cassandra_type_to_ddb("map<text,int>") == "map"
+
+
+def test_ddb_attribute_values():
+    assert create_attribute_value(5, "int") == {"N": "5"}
+    assert create_attribute_value("x", "text") == {"S": "x"}
+    assert create_attribute_value(True, "boolean") == {"BOOL": True}
+    assert create_attribute_value(None, "int") == {"NULL": True}
+    assert create_attribute_value([1, 2], "list<int>") == {"NS": ["1", "2"]}
+    assert create_attribute_value({"a": 1}, "map<text,int>") == {"M": {"a": {"N": "1"}}}
+    assert composite_key(["a", 1]) == "a:1"
+
+
+def test_ddb_batch_writer_with_unprocessed_retry():
+    class FakeClient:
+        def __init__(self):
+            self.calls = 0
+            self.written = []
+
+        def batch_write_item(self, RequestItems):
+            self.calls += 1
+            items = RequestItems["tbl"]
+            if self.calls == 1:  # first call leaves 2 unprocessed
+                self.written += items[:-2]
+                return {"UnprocessedItems": {"tbl": items[-2:]}}
+            self.written += items
+            return {"UnprocessedItems": {}}
+
+    client = FakeClient()
+    w = DynamoBatchWriter(client, "tbl", WriteConfig(maxStatementsPerBatch=24, backoffMS=0))
+    for i in range(10):
+        w.put(row_to_item({"pk": i, "v": f"x{i}"}, {"pk": "int", "v": "text"}))
+    w.close()
+    assert len(client.written) == 10
+    assert client.calls >= 2
+
+
+# -- parquet bulk path ------------------------------------------------------------
+
+def test_hydrate_changes_broadcast_plan(tables, spark):
+    orders = tables["orders"]
+    pks = orders.select("o_orderkey").filter(F.col("o_orderkey") % 9 == 0)
+    hydrated = hydrate_changes(orders, pks, ["o_orderkey"])
+    plan = hydrated._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, f"expected broadcast join, got:\n{plan[:500]}"
+    assert hydrated.count() == pks.count()
+
+
+def test_bulk_replicate_to_parquet(tables, spark, tmp_path):
+    orders = tables["orders"]
+    pks = orders.select("o_orderkey").filter(F.col("o_orderkey") % 9 == 0)
+    out = bulk_replicate_to_parquet(
+        orders, pks, ["o_orderkey"], str(tmp_path), "tpch", "orders",
+        tile=0, op="insert", batch_id="b1", avg_row_bytes=64.0)
+    back = spark.read.parquet(out)
+    assert back.count() == pks.count()
+    assert set(back.columns) == set(orders.columns)
+
+
+# -- large objects + codec ----------------------------------------------------------
+
+def test_codec_roundtrip():
+    data = b"payload " * 1000
+    blob = codec.compress(data)
+    assert len(blob) < len(data)
+    assert codec.decompress(blob) == data
+
+
+def test_large_object_offload_restore_delete(tmp_path):
+    store = largeobject.local_dir_store(str(tmp_path))
+    cfg = LargeObjects(enabled=True, column="payload", compressionEnabled=True)
+    row = {"key": "k1", "col0": "c1", "payload": b"X" * 5000}
+    off = largeobject.offload_column(row, "payload", cfg, store, ["k1", "c1"])
+    assert off["payload"].startswith("largeobjects/key=k1:c1")
+    restored = largeobject.restore_column(off, "payload", cfg, store)
+    assert restored["payload"] == b"X" * 5000
+    largeobject.delete_offloaded(off, "payload", store)
+    with pytest.raises(FileNotFoundError):
+        store.get(off["payload"])
