@@ -1,0 +1,178 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these):
+  * exact dedup       — one hash-shuffle on the fingerprint. O(n).
+  * MinHash + LSH     — the near-dup scale path: shingle -> k minhashes
+    (one groupBy) -> band buckets -> candidate pairs only from shared
+    buckets. Never materializes O(n²) pairs; a band bucket with B docs
+    yields B(B-1)/2 candidates, and uniform hashing keeps B tiny.
+  * n-gram Jaccard    — exact pair scoring; at scale it runs AFTER LSH
+    (verify candidates), standalone it's the small-corpus baseline.
+  * SimHash           — per-doc 32-bit signature in one explode+groupBy;
+    near-dup = small Hamming distance (bucketable by signature prefix).
+
+Everything is hash-portable: the signature hash is the first 8 hex
+chars of md5 as a bigint (``md5h32``), expressible identically in
+DuckDB for the oracle checks — no dependence on Spark-private hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5h32(c: Column) -> Column:
+    """Portable 32-bit hash: first 8 md5 hex chars as bigint."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def normalized(text_col: str) -> Column:
+    return F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+
+
+# -- exact -------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Duplicate groups by content fingerprint: (fingerprint, n_docs,
+    keeper_id). One shuffle on the 32-hex key; survivors = min id
+    (deterministic keeper policy)."""
+    return (
+        df.select(F.md5(normalized(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct content (the min-id keeper)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# -- shingling ----------------------------------------------------------------
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-grams per doc: (id, gram). Docs shorter than n
+    words produce no shingles (filtered, same as the oracle)."""
+    words = F.split(normalized(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(split(lower(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(split(lower(regexp_replace({text_col}, '\\\\s+', ' ')), ' '), i, {n})))"
+    )
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def shingle_counts(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return sh.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+
+
+# -- n-gram Jaccard ---------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold_num: int = 1, threshold_den: int = 2) -> DataFrame:
+    """Pairs with Jaccard(gram sets) >= threshold_num/threshold_den.
+
+    Integer-exact: emits (id_a, id_b, common, size_a, size_b) and the
+    threshold test is cross-multiplied, so no float enters the result.
+    Standalone this self-joins on gram (fine when gram frequencies are
+    bounded); at 100 TB run it on LSH candidates instead.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = shingle_counts(sh, id_col)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("size_b"))
+    joined = common.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
+    # common/(size_a+size_b-common) >= num/den  <=>  den*common >= num*(union)
+    keep = (F.lit(threshold_den) * F.col("common")
+            >= F.lit(threshold_num) * (F.col("size_a") + F.col("size_b") - F.col("common")))
+    return joined.filter(keep).select("id_a", "id_b", "common", "size_a", "size_b")
+
+
+# -- MinHash + LSH -----------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3, num_hashes: int = 16) -> DataFrame:
+    """k-minhash signature per doc: mh_j = min over grams of
+    md5h32(gram || '#j'). One groupBy with k min-aggregates — the k
+    hashes are projections of the same shingle rows, not k passes."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(md5h32(F.concat(F.col("gram"), F.lit(f"#{j}")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """Banding: docs sharing any band's signature are candidates.
+    (id_a, id_b) distinct, id_a < id_b. The band bucket join replaces
+    the O(n²) similarity matrix."""
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        band_frames.append(signatures.select(
+            F.col(id_col), F.lit(b).alias("band"),
+            F.concat_ws("|", *cols).alias("bucket")))
+    banded = band_frames[0]
+    for f in band_frames[1:]:
+        banded = banded.unionByName(f)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    return lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+
+
+# -- SimHash ------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over distinct tokens: bit i is the sign of
+    sum(±1) of token-hash bit i. Explode tokens × bit positions, one
+    groupBy — scales linearly in corpus token count."""
+    toks = (
+        df.select(F.col(id_col),
+                  F.explode(F.array_distinct(F.split(normalized(text_col), " "))).alias("tok"))
+        .withColumn("h", md5h32(F.col("tok")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i")
+    contrib = (
+        toks.select(F.col(id_col), F.col("h"), bit)
+        .withColumn("v", F.expr("(shiftright(h, i) & 1) * 2 - 1"))
+        .groupBy(id_col, "i")
+        .agg(F.sum("v").alias("s"))
+    )
+    return (
+        contrib.withColumn("bit", F.when(F.col("s") > 0, 1).otherwise(0).cast("long"))
+        .withColumn("weighted", F.expr("bit * shiftleft(CAST(1 AS BIGINT), i)"))
+        .groupBy(id_col)
+        .agg(F.sum("weighted").alias("simhash"))
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB pipeline needs:
+  * brute-force cosine top-k — the exactness baseline. Queries (small)
+    are broadcast against the corpus; per corpus partition the work is
+    a dense dot-product sweep. O(|Q|·n) but fully distributed and
+    shuffle-free until the final per-query top-k (a tiny aggregate).
+  * IVF (inverted-file) ANN — the scale path: corpus is bucketed by
+    nearest centroid at build time (one pass), queries probe only the
+    nprobe nearest buckets. Centroid assignment keys the partition
+    layout, so a probe touches 1/nlist of the data.
+
+Dot products run JVM-side via zip_with/aggregate higher-order
+functions in double precision — left-to-right folds match DuckDB's
+list_dot_product bit-for-bit, which is what makes the oracle checks
+possible. Ranked outputs carry (rank, neighbor) rather than raw
+cosine floats; ordering ties are broken by neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, left-to-right (JVM higher-order fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, rank, neighbor_id).
+
+    Query set is broadcast (it's small by construction); the rank
+    window partitions by query so the shuffle carries only
+    |Q|·n candidate scores pre-AQE-coalesce, then top-k truncates.
+    """
+    q = _as_double(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv")
+    c = _as_double(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv")
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (the IVF
+    "index build"). Centroids are broadcast; output is the corpus plus
+    a cluster column — repartition/bucket by it for locality."""
+    c = _as_double(corpus.select(F.col(id_col), F.col(vec_col).alias("cv")), "cv")
+    cent = _as_double(
+        centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("centv")), "centv")
+    scored = c.join(F.broadcast(cent)).withColumn(
+        "cos", cosine(F.col("cv"), F.col("centv")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cv").alias(vec_col), F.col(centroid_id_col))
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    indexed_corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Probe the nprobe nearest clusters per query, exact-rank within.
+    Returns (query_id, rank, neighbor_id). Recall < 1 by design; the
+    bench pairs it with cosine_topk to measure the recall/latency trade.
+    """
+    q = _as_double(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv")
+    cent = _as_double(
+        centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("centv")), "centv")
+    # pick nprobe clusters per query
+    qc = q.join(F.broadcast(cent)).withColumn("cos", cosine(F.col("qv"), F.col("centv")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(centroid_id_col))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", centroid_id_col)
+    )
+    # search only those buckets
+    corp = indexed_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col(centroid_id_col))
+    scored = (
+        corp.join(F.broadcast(probes), centroid_id_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    top1_only: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: each vector's nearest
+    neighbor (id pairs, rank-stable). At scale, replace the all-pairs
+    scan with ivf_build + ivf_search(nprobe=1)."""
+    return cosine_topk(corpus, corpus, k=1, id_col=id_col, vec_col=vec_col).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))

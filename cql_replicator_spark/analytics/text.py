@@ -1,0 +1,98 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All operators are pure Catalyst expressions (no Python UDFs): language
+ID, quality scoring, token counting, and document fingerprinting run
+inside whole-stage codegen, so a 100 TB documents table is one scan +
+one projection — no shuffle, no Python worker round-trips.
+
+Portability: everything here has an exact DuckDB-SQL equivalent (used
+by the oracle checks); ratios are rounded to fixed decimals computed
+from integer counts, so the comparison is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language function-word lists for the n-gram/stopword-hit
+# language heuristic. Deterministic, tiny, broadcast as literals.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "para"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_RE = r"[^.,!?;:]"
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokens (documents are single-space normalized)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def _hits(text_col: str, words: list[str]) -> Column:
+    """Count of tokens present in a word list — a higher-order filter,
+    evaluated JVM-side."""
+    lit_set = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({lit_set})))")
+
+
+def text_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality-scoring metrics: token/char counts, average token length,
+    stopword ratio, punctuation ratio (integer-exact, ratio rounded)."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_stop = _hits(text_col, LANG_STOPWORDS["en"])
+    # stripping non-punct leaves only the punctuation characters
+    n_punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - n_tokens + 1).cast("double") / n_tokens, 6).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+    )
+
+
+def token_count_bpe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token count under the BPE-ish regex pre-tokenizer."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                langs: dict[str, list[str]] | None = None) -> DataFrame:
+    """Stopword-hit language heuristic: argmax of per-language function-
+    word hits, ties broken by language order. One projection, no shuffle."""
+    langs = langs or LANG_STOPWORDS
+    names = list(langs)
+    hit_cols = {name: _hits(text_col, words) for name, words in langs.items()}
+    out = df.select(F.col(id_col), *[hit_cols[n].alias(f"hits_{n}") for n in names])
+    # argmax over the hit columns, earlier language wins ties
+    pred_expr = None
+    for i, name in enumerate(names[:-1]):
+        cond = None
+        for other in names[i + 1:]:
+            c = F.col(f"hits_{name}") >= F.col(f"hits_{other}")
+            cond = c if cond is None else (cond & c)
+        pred_expr = F.when(cond, name) if pred_expr is None else pred_expr.when(cond, name)
+    pred_expr = pred_expr.otherwise(names[-1])
+    return out.withColumn("predicted_lang", pred_expr)
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the exact-dedup key."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

@@ -452,8 +452,15 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_all_registered()
     return {name: spec.build for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_all_registered()
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def _ensure_all_registered() -> None:
+    """Pull in the analytics registrations (import has the side effect)."""
+    from . import queries_analytics  # noqa: F401

@@ -1,0 +1,308 @@
+"""Analytics query registrations: dedup / similarity / text operators
+with DuckDB oracles (imported by cql_replicator_spark.queries).
+
+Fixtures are synthesized from the shared tables with deterministic
+arithmetic both engines reproduce independently:
+  * exact-dup corpus:  documents ∪ (doc_id+2000000, same text)
+  * near-dup corpus:   documents ∪ (doc_id+1000000, text minus first word)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analytics import dedup as D
+from .analytics import similarity as S
+from .analytics import text as TX
+from .queries import register, _t
+
+# -- portable hash snippets (DuckDB side) -----------------------------------
+
+def _md5h32_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+_NORM_SQL = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+_EXACT_FIXTURE_SQL = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+)
+"""
+
+_NEAR_FIXTURE_SQL = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents
+)
+"""
+
+_SHINGLE_SQL = f"""
+words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM docs
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+)
+"""
+
+
+def _exact_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+
+
+def _near_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"))
+    return docs.unionByName(mutated)
+
+
+# -- text analysis -----------------------------------------------------------
+
+_STOP_EN = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS["en"])
+
+
+@register(
+    "text_metrics",
+    oracle=f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS avg_token_len,
+  round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_EN}))) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+  round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS punct_ratio
+FROM documents
+""",
+    doc="Text quality metrics: token/char counts, stopword + punct ratios",
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.text_metrics(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS bpe_tokens
+FROM documents
+""",
+    doc="Whitespace + BPE-ish regex token counting",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_count_bpe(_t(spark, sf_dir, "documents")["documents"])
+
+
+def _langid_oracle() -> str:
+    names = list(TX.LANG_STOPWORDS)
+    hits = ",\n  ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({lst}))) AS hits_{n}".format(
+            lst=", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[n]), n=n)
+        for n in names)
+    # argmax, earlier language wins ties — mirror of analytics.text.language_id
+    cases = []
+    for i, n in enumerate(names[:-1]):
+        cond = " AND ".join(f"hits_{n} >= hits_{o}" for o in names[i + 1:])
+        cases.append(f"WHEN {cond} THEN '{n}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+WITH hits AS (
+  SELECT doc_id,
+  {hits}
+  FROM documents
+)
+SELECT doc_id, {', '.join('hits_' + n for n in names)}, {case_sql} AS predicted_lang
+FROM hits
+"""
+
+
+@register("text_language_id", oracle=_langid_oracle(),
+          doc="Stopword-hit language identification heuristic")
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.language_id(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+    doc="Document fingerprint (rolling-hash equivalent): md5 of normalized text",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(_t(spark, sf_dir, "documents")["documents"])
+
+
+# -- dedup ---------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+WITH {_EXACT_FIXTURE_SQL}
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_id
+FROM docs
+GROUP BY 1
+""",
+    doc="Exact dedup: duplicate groups by content hash, min-id keeper",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_exact_fixture(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_NEAR_FIXTURE_SQL},
+{_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, common, sa.n_grams AS size_a, sb.n_grams AS size_b
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 2 * common >= (sa.n_grams + sb.n_grams - common)
+""",
+    doc="N-gram Jaccard near-dup pairs (integer-exact, threshold 1/2)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_near_fixture(spark, sf_dir), n=3,
+                                 threshold_num=1, threshold_den=2)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    min_exprs = []
+    for j in range(num_hashes):
+        inner = _md5h32_sql(f"gram || '#{j}'")
+        min_exprs.append(f"min({inner}) AS mh{j}")
+    mins = ",\n    ".join(min_exprs)
+    r = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(
+            f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bucket FROM sig")
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_NEAR_FIXTURE_SQL},
+{_SHINGLE_SQL},
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{banded}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(),
+          doc="MinHash(16) + LSH(4 bands) candidate pairs — the scale path for near-dup")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup_pairs(_near_fixture(spark, sf_dir),
+                                     n=3, num_hashes=16, bands=4)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+),
+h AS (SELECT doc_id, {_md5h32_sql('tok')} AS h FROM toks),
+contrib AS (
+  SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS s
+  FROM h, unnest(generate_series(0, 31)) AS t(i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << i) AS simhash
+FROM contrib GROUP BY doc_id
+""",
+    doc="SimHash 32-bit signatures per document",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(_t(spark, sf_dir, "documents")["documents"])
+
+
+# -- similarity -----------------------------------------------------------------
+
+_COS_SQL = """
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+"""
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle=f"""
+WITH {_COS_SQL}
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+""",
+    doc="Brute-force cosine top-5 neighbors for query vectors (exact ANN baseline)",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return S.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # approximate by design; pytest checks recall vs brute force
+    doc="IVF ANN: centroid-bucketed search, nprobe=2 of 8 clusters",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    indexed = S.ivf_build(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_search(queries, indexed, centroids, k=5, nprobe=2)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas path; deterministic fake extractor, pytest-verified
+    doc="Multimodal plumbing: binary media column -> Arrow-batched feature extraction",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    media = MM.synthesize_media_table(spark, docs)
+    return MM.extract_features(media).select("id", "media_type", "n_bytes")

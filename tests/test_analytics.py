@@ -1,0 +1,128 @@
+"""Analytics operators: dedup semantics, ANN recall, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cql_replicator_spark.analytics import dedup as D
+from cql_replicator_spark.analytics import multimodal as MM
+from cql_replicator_spark.analytics import similarity as S
+from cql_replicator_spark.analytics import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"].select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+def test_exact_dedup_keeps_one_per_content(spark, docs):
+    doubled = docs.unionByName(docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    kept = D.exact_dedup(doubled)
+    assert kept.count() == docs.count()
+    # keeper is the min id -> all original ids survive
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_ngram_jaccard_finds_planted_near_dups(spark, docs):
+    sample = docs.limit(50)
+    mutated = sample.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"))
+    pairs = D.ngram_jaccard_pairs(sample.unionByName(mutated), n=3,
+                                  threshold_num=1, threshold_den=2)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + 10_000) for r in sample.collect()}
+    # every planted near-dup pair is recovered (dropping 1 word of ~100 keeps J >> 0.5)
+    assert planted <= found
+
+
+def test_minhash_lsh_recall_on_planted_dups(spark, docs):
+    sample = docs.limit(50)
+    mutated = sample.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"))
+    pairs = D.minhash_lsh_dedup_pairs(sample.unionByName(mutated))
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + 10_000) for r in sample.collect()}
+    recall = len(planted & found) / len(planted)
+    # banding (16 hashes, 4 bands) catches most J~0.97 pairs
+    assert recall >= 0.9, f"LSH recall {recall}"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    sample = docs.limit(20)
+    mutated = sample.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"))
+    sig = D.simhash_signatures(sample.unionByName(mutated))
+    rows = {r.doc_id: r.simhash for r in sig.collect()}
+    dists = []
+    for did, s in rows.items():
+        if did < 10_000 and did + 10_000 in rows:
+            dists.append(bin(s ^ rows[did + 10_000]).count("1"))
+    assert dists and sum(dists) / len(dists) <= 4, f"avg hamming {dists}"
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(queries, emb, k=5)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    indexed = S.ivf_build(emb, centroids)
+    approx = S.ivf_search(queries, indexed, centroids, k=5, nprobe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall} too low for nprobe=4/8"
+
+
+def test_ivf_assignment_partitions_corpus(spark, emb):
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    indexed = S.ivf_build(emb, centroids)
+    assert indexed.count() == emb.count()  # every vector in exactly one bucket
+    assert indexed.select("centroid_id").distinct().count() <= 8
+
+
+def test_multimodal_feature_extraction(spark, docs):
+    media = MM.synthesize_media_table(spark, docs.limit(30))
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.features) == MM.FEATURE_DIM for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+    # deterministic: same payload -> same features
+    again = {r.id: r.features for r in MM.extract_features(media).collect()}
+    assert all(again[r.id] == r.features for r in rows)
+
+
+def test_multimodal_real_decoders_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(b"RIFF")
+    with pytest.raises(NotImplementedError):
+        MM.sample_frames(b"\x00\x00\x01\xba")
+
+
+def test_language_id_deterministic_argmax(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"),
+         (2, "der hund und die katze ist von einem haus"),
+         (3, "le chat et le chien est dans la maison"),
+         (4, "xyzzy qwerty plugh")],  # no hits anywhere -> first lang wins tie
+        "doc_id long, text string")
+    out = {r.doc_id: r.predicted_lang for r in TX.language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "en"
+
+
+def test_text_metrics_values(spark):
+    df = spark.createDataFrame([(1, "the cat, the hat!")], "doc_id long, text string")
+    r = TX.text_metrics(df).collect()[0]
+    assert r.n_tokens == 4 and r.n_chars == 17
+    assert r.stopword_ratio == 0.5  # 'the' twice of 4 tokens
+    assert r.punct_ratio == round(2 / 17, 6)

@@ -8,6 +8,7 @@ import duckdb
 import pandas as pd
 import pytest
 
+from cql_replicator_spark import queries_analytics  # noqa: F401 - registers analytics queries
 from cql_replicator_spark.queries import REGISTRY
 
 from conftest import SF_DIR
