@@ -1,0 +1,201 @@
+"""Primary-key reconciliation — the phased diff/audit pipeline.
+
+Reimplements PrimaryKeyReconciliation.scala's structure (SURVEY §3.3):
+phases connected by durable Parquet snapshots, each failure producing a
+partial report and a distinct exit code (R:1031-1044, 1882-1920):
+
+    source_scan -> target_scan -> diff -> report
+
+  * scans project the effective PK (post-transform, R:265-277), add the
+    tile/group column, and persist a Parquet snapshot (R:1922-1997)
+  * schema reconciliation: ordered (name,type) equality of the two PK
+    projections, exit 4/5 on mismatch (R:281-372, R:1688-1726)
+  * diff: distinct counts, anti-joins both directions, intersection,
+    ordered samples, write-verify-retry on the diff output (R:639-739,
+    793-850)
+  * report: counts + samples + schema fingerprint + status/phase
+    (ReportWriter R:878-1027)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import Transformation
+from .tiling import assign_tiles
+from .transform import apply_transformations, fingerprint_schema
+
+# Exit-code contract (R:1031-1044)
+EXIT_OK = 0
+EXIT_BAD_ARGS = 1
+EXIT_MISSING_ARTIFACT = 2
+EXIT_SOURCE_SCHEMA_MISMATCH = 4
+EXIT_TARGET_SCHEMA_MISMATCH = 5
+EXIT_PHASE_FAILURE = 6
+
+
+class ReconcileError(Exception):
+    def __init__(self, message: str, exit_code: int, phase: str):
+        super().__init__(message)
+        self.exit_code = exit_code
+        self.phase = phase
+
+
+def schemas_match_ordered(a, b) -> bool:
+    """Ordered (name, type) equality (R:281-372)."""
+    fa = [(f.name, f.dataType.simpleString()) for f in a.fields]
+    fb = [(f.name, f.dataType.simpleString()) for f in b.fields]
+    return fa == fb
+
+
+@dataclass
+class ReconcileResult:
+    source_count: int
+    target_count: int
+    intersection_count: int
+    source_minus_target: int
+    target_minus_source: int
+    samples_missing: list[dict]
+    samples_extra: list[dict]
+    schema_fingerprint: str
+    status: str
+    phase: str
+    failure: str | None = None
+    duration_s: float = 0.0
+
+    @property
+    def in_sync(self) -> bool:
+        return self.source_minus_target == 0 and self.target_minus_source == 0
+
+
+class ReconcileJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        pk_cols: list[str],
+        total_tiles: int = 4,
+        sample_size: int = 100,
+        transforms: list[Transformation] | None = None,
+        diff_write_retries: int = 3,
+    ):
+        if not (1 <= total_tiles <= 1024):
+            raise ReconcileError(f"TOTAL_TILES {total_tiles} outside [1,1024]",
+                                 EXIT_BAD_ARGS, "parse")  # guardrail R:1156-1165
+        if not (0 <= sample_size <= 10000):
+            raise ReconcileError(f"SAMPLE_SIZE {sample_size} outside [0,10000]",
+                                 EXIT_BAD_ARGS, "parse")
+        self.spark = spark
+        self.workdir = workdir
+        self.pk_cols = pk_cols
+        self.total_tiles = total_tiles
+        self.sample_size = sample_size
+        self.transforms = transforms or []
+        self.diff_write_retries = diff_write_retries
+
+    # -- phases ------------------------------------------------------------
+    def _scan(self, df: DataFrame, which: str) -> str:
+        """Project effective PKs (+ transforms) + group column; persist a
+        Parquet snapshot as the inter-phase IR (R:1922-1997)."""
+        # Source rows get the PK transforms applied; the target already
+        # stores transformed keys — both sides end at the effective PK
+        # (alias-renamed) column set (R:265-277).
+        projected = apply_transformations(df, self.transforms) if which == "source" else df
+        from .config import effective_pk
+        eff = effective_pk(self.pk_cols, self.transforms)
+        missing = [c for c in eff if c not in projected.columns]
+        if missing:
+            raise ReconcileError(
+                f"{which} missing PK columns {missing}",
+                EXIT_SOURCE_SCHEMA_MISMATCH if which == "source" else EXIT_TARGET_SCHEMA_MISMATCH,
+                f"{which}_scan")
+        out = assign_tiles(projected.select(*eff), eff, self.total_tiles, tile_col="group")
+        path = os.path.join(self.workdir, f"{which}_snapshot")
+        out.repartition(self.total_tiles, F.col("group")).write.mode("overwrite").parquet(path)
+        return path
+
+    def _diff(self, src_path: str, trg_path: str, eff_pk: list[str]) -> dict:
+        """Distinct counts + anti-joins + intersection + ordered samples,
+        with write-verify-retry on the persisted diff (R:639-739)."""
+        src = self.spark.read.parquet(src_path).dropDuplicates(eff_pk)
+        trg = self.spark.read.parquet(trg_path).dropDuplicates(eff_pk)
+        missing = src.join(trg, eff_pk, "left_anti")   # source ∖ target
+        extra = trg.join(src, eff_pk, "left_anti")     # target ∖ source
+        inter = src.join(trg, eff_pk, "left_semi")
+
+        diff_path = os.path.join(self.workdir, "diff_snapshot")
+        expected = None
+        for attempt in range(self.diff_write_retries):
+            missing.write.mode("overwrite").parquet(diff_path)
+            expected = expected if expected is not None else missing.count()
+            if self.spark.read.parquet(diff_path).count() == expected:
+                break
+        else:
+            raise ReconcileError("diff write verification failed", EXIT_PHASE_FAILURE, "diff")
+
+        order = [F.asc_nulls_last(c) for c in eff_pk]  # deterministic samples R:684-691
+        return {
+            "source_count": src.count(),
+            "target_count": trg.count(),
+            "intersection_count": inter.count(),
+            "source_minus_target": expected,
+            "target_minus_source": extra.count(),
+            "samples_missing": [r.asDict() for r in
+                                missing.orderBy(*order).limit(self.sample_size).collect()],
+            "samples_extra": [r.asDict() for r in
+                              extra.orderBy(*order).limit(self.sample_size).collect()],
+        }
+
+    # -- main ----------------------------------------------------------------
+    def run(self, source: DataFrame, target: DataFrame) -> ReconcileResult:
+        t0 = time.time()
+        phase = "bootstrap"
+        from .config import effective_pk
+        eff = effective_pk(self.pk_cols, self.transforms)
+        try:
+            phase = "source_scan"
+            src_path = self._scan(source, "source")
+            phase = "target_scan"
+            trg_path = self._scan(target, "target")
+
+            phase = "schema_reconciliation"
+            s_schema = self.spark.read.parquet(src_path).select(*eff).schema
+            t_schema = self.spark.read.parquet(trg_path).select(*eff).schema
+            if not schemas_match_ordered(s_schema, t_schema):
+                raise ReconcileError(
+                    f"PK schema mismatch: {s_schema.simpleString()} vs {t_schema.simpleString()}",
+                    EXIT_TARGET_SCHEMA_MISMATCH, phase)
+
+            phase = "diff"
+            d = self._diff(src_path, trg_path, eff)
+
+            phase = "report"
+            result = ReconcileResult(
+                **d, schema_fingerprint=fingerprint_schema(s_schema),
+                status="SUCCEEDED", phase="report", duration_s=time.time() - t0)
+            self._write_report(result)
+            return result
+        except ReconcileError as e:
+            partial = ReconcileResult(
+                source_count=-1, target_count=-1, intersection_count=-1,
+                source_minus_target=-1, target_minus_source=-1,
+                samples_missing=[], samples_extra=[], schema_fingerprint="",
+                status="FAILED", phase=e.phase, failure=str(e),
+                duration_s=time.time() - t0)
+            self._write_report(partial)  # partial report on failure (R:1031-1044)
+            raise
+
+    def _write_report(self, result: ReconcileResult) -> str:
+        path = os.path.join(self.workdir, "report.json")
+        os.makedirs(self.workdir, exist_ok=True)
+        from dataclasses import asdict
+        with open(path, "w") as f:
+            json.dump(asdict(result), f, indent=1, default=str)
+        return path

@@ -1,0 +1,199 @@
+"""Discovery / replication runner — the engine's control loop.
+
+Reimplements the reference's job structure (SURVEY §3):
+  * keysDiscoveryProcess (K:2233-2292): source scan -> PK+ts projection
+    -> tile assignment -> per-tile snapshot write gated by the ledger.
+  * dataReplicationProcess (K:1564-1681): per-tile three-way dispatch
+    (nothing / historical / delta), change-set computation, hydration,
+    sink write, completion mark, snapshot expiry.
+  * poll loop with stop sentinel + cooldown (K:2338-2379, stop object
+    K:654-670) — the reference's "streaming" is this micro-batch loop.
+  * stats objects (DiscoveryStats / ReplicationStats case classes K:79-81,
+    aggregation-on-write putStats K:759-785).
+
+Driver-side tile fan-out uses a thread pool (the reference uses Scala
+.par — K:2258); each tile's work is an independent Spark job, so the
+cluster pipelines them.
+
+The source is any callable returning a DataFrame with the PK columns
+(+ optional ts): a Cassandra connector reader in production, parquet
+fixtures in tests — the engine core is source-agnostic (SURVEY §7.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .diff import ChangeSet, compute_changes
+from .ledger import Ledger
+from .snapshot import SnapshotStore
+from .tiling import assign_tiles
+
+
+@dataclass
+class DiscoveryStats:
+    tile: int
+    primaryKeys: int
+    updatedTimestamp: float
+
+
+@dataclass
+class ReplicationStats:
+    tile: int
+    primaryKeys: int
+    updatedPrimaryKeys: int
+    insertedPrimaryKeys: int
+    deletedPrimaryKeys: int
+    updatedTimestamp: float
+
+
+class StatsStore:
+    """JSON stats objects with read-add-write aggregation (putStats
+    K:759-785). One file per (tile, kind)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, ks: str, tbl: str, tile: int, kind: str) -> str:
+        return os.path.join(self.root, ks, tbl, f"{kind}-tile-{tile}.json")
+
+    def put(self, ks: str, tbl: str, stats: DiscoveryStats | ReplicationStats) -> None:
+        kind = "discovery" if isinstance(stats, DiscoveryStats) else "replication"
+        path = self._path(ks, tbl, stats.tile, kind)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        merged = asdict(stats)
+        if kind == "replication" and os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            for k in ("updatedPrimaryKeys", "insertedPrimaryKeys", "deletedPrimaryKeys"):
+                merged[k] += prev.get(k, 0)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, path)
+
+    def get(self, ks: str, tbl: str, tile: int, kind: str) -> dict | None:
+        path = self._path(ks, tbl, tile, kind)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+
+class StopSentinel:
+    """Graceful-stop protocol: an object appears at a known location;
+    the loop sees it, deletes it, and exits (requestStop/stopRequested
+    K:654-670; the CLI writes it, C:1381-1394)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def request(self) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w") as f:
+            f.write("{}")
+
+    def check_and_clear(self) -> bool:
+        if os.path.exists(self.path):
+            os.remove(self.path)
+            return True
+        return False
+
+
+@dataclass
+class CdcPipeline:
+    """Wiring for one replicated table."""
+    spark: SparkSession
+    keyspace: str
+    table: str
+    pk_cols: list[str]
+    source: Callable[[], DataFrame]          # full source table
+    pk_source: Callable[[], DataFrame]       # (pk_cols..., ts) projection
+    store: SnapshotStore
+    ledger: Ledger
+    stats: StatsStore
+    total_tiles: int = 4
+    ts_col: str = "ts"
+    sink: Callable[[ChangeSet, int], None] | None = None  # (changes, tile)
+    max_workers: int = 4
+
+    # -- discovery ---------------------------------------------------------
+    def discover(self) -> list[int]:
+        """One discovery cycle; returns tiles that rotated a snapshot."""
+        tiled = assign_tiles(self.pk_source(), self.pk_cols, self.total_tiles)
+        tiled = tiled.persist()
+        try:
+            tiled.count()  # materialize once; per-tile filters reuse the cache
+
+            def per_tile(tile: int) -> int | None:
+                if not self.ledger.can_discover(self.keyspace, self.table, tile):
+                    return None  # unconsumed snapshot -> skip (K:2263-2271)
+                part = tiled.filter(F.col("tile") == tile).drop("tile")
+                sid = self.store.write_snapshot(part, tile)
+                self.ledger.record_discovery(self.keyspace, self.table, tile, sid)
+                n = self.store.snapshots(tile)[-1].count
+                self.stats.put(self.keyspace, self.table,
+                               DiscoveryStats(tile, n, time.time()))
+                return tile
+
+            with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+                done = list(pool.map(per_tile, range(self.total_tiles)))
+            return [t for t in done if t is not None]
+        finally:
+            tiled.unpersist()
+
+    # -- replication --------------------------------------------------------
+    def replicate_tile(self, tile: int) -> ReplicationStats | None:
+        plan = self.ledger.replication_plan(self.keyspace, self.table, tile)
+        if plan is None:
+            return None
+        curr = self.store.read_snapshot(self.spark, tile, plan["curr"])
+        if plan["mode"] == "historical":
+            # full load: everything in curr is an insert (K:1660-1674)
+            empty = curr.filter(F.lit(False))
+            changes = ChangeSet(inserts=curr, deletes=empty, updates=empty)
+        else:
+            prev = self.store.read_snapshot(self.spark, tile, plan["prev"])
+            changes = compute_changes(curr, prev, self.pk_cols, self.ts_col)
+        n_ins = changes.inserts.count()
+        n_del = changes.deletes.count()
+        n_upd = changes.updates.count()
+        if self.sink is not None:
+            self.sink(changes, tile)
+        self.ledger.mark_replication_complete(self.keyspace, self.table, tile)
+        self.store.expire_snapshots(tile, retain_last=2)  # K:1656-1657
+        st = ReplicationStats(tile, n_ins + n_del + n_upd, n_upd, n_ins, n_del, time.time())
+        self.stats.put(self.keyspace, self.table, st)
+        return st
+
+    def replicate(self) -> list[ReplicationStats]:
+        with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+            out = list(pool.map(self.replicate_tile, range(self.total_tiles)))
+        return [s for s in out if s is not None]
+
+    # -- loop -----------------------------------------------------------------
+    def run_loop(
+        self,
+        stop: StopSentinel,
+        cooldown_s: float = 0.0,
+        max_cycles: int | None = None,
+    ) -> int:
+        """Micro-batch poll loop (K:2338-2379). Returns cycles completed."""
+        cycles = 0
+        while not stop.check_and_clear():
+            if max_cycles is not None and cycles >= max_cycles:
+                break
+            self.discover()
+            self.replicate()
+            cycles += 1
+            if cooldown_s:
+                time.sleep(cooldown_s)
+        return cycles

@@ -1,0 +1,92 @@
+"""Structured Streaming wrappers — the Spark-idiomatic upgrade of the
+reference's poll-loop incremental engine.
+
+The reference does no real streaming (SURVEY §2.10): its Glue job type
+is 'gluestreaming' only to stay resident, and "incremental" means
+re-running snapshot diffs with a cooldown. On Spark, the same event
+tables stream natively: readStream -> watermark -> windowed aggregation
+-> writeStream, with foreachBatch available to drive the CDC diff per
+micro-batch when snapshot semantics are needed.
+
+These helpers build streaming plans; batch DataFrames pass through the
+same functions (the window/watermark expressions are identical), which
+is how the oracle checks cover the streaming logic in batch form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Tumbling-window count+sum per key. Works on both a streaming and
+    a batch DataFrame; the watermark is applied only when streaming
+    (bounds state: late rows beyond it are dropped, enabling append
+    output and state eviction at scale)."""
+    # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
+    # the cast is deterministic
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), key_col, "n_events", "total_value")
+    )
+
+
+def stream_events_from_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a parquet directory (each file = one
+    micro-batch with maxFilesPerTrigger=1 — deterministic replay)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drive a streaming plan to completion over the currently-available
+    input (availableNow trigger) into an in-memory table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_cdc(
+    stream_df: DataFrame,
+    process: "callable",
+    checkpoint_dir: str,
+) -> "StreamingQuery":
+    """foreachBatch bridge: run the batch CDC pipeline (diff -> sink)
+    once per micro-batch — exactly-once via the checkpoint + the
+    ledger's idempotent gates."""
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
