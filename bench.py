@@ -32,12 +32,20 @@ HEADLINE = [
     "tile_histogram_xxhash64",
     "column_stats_orders",
     "events_windowed_agg",
+    "events_sessionize",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "text_metrics",
 ]
 
 
 def main() -> None:
-    from cql_replicator_spark.queries import REGISTRY
+    from cql_replicator_spark.queries import REGISTRY, queries
     from cql_replicator_spark.session import get_spark
+
+    queries()  # force-register the analytics query set
 
     spark = get_spark(
         "bench",

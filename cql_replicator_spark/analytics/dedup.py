@@ -106,14 +106,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # -- MinHash + LSH -----------------------------------------------------------------
 
+# Universal-hash family for minhash: mh_j(x) = (a_j*x + b_j) mod P over
+# the md5h32 base hash. One md5 per gram (not k) — 16x less hashing on
+# the hot path; a_j/b_j are fixed odd multipliers so both engines (and
+# every run) agree.
+MINHASH_P = (1 << 31) - 1  # Mersenne prime
+MINHASH_A = [(2654435761 * (j + 1)) % MINHASH_P or 1 for j in range(64)]
+MINHASH_B = [(40503 * (j + 7) + 17) % MINHASH_P for j in range(64)]
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3, num_hashes: int = 16) -> DataFrame:
     """k-minhash signature per doc: mh_j = min over grams of
-    md5h32(gram || '#j'). One groupBy with k min-aggregates — the k
-    hashes are projections of the same shingle rows, not k passes."""
-    sh = shingles(df, id_col, text_col, n)
+    (a_j*md5h32(gram)+b_j) mod P. One groupBy with k min-aggregates over
+    a single base hash per shingle row — not k passes, not k md5s."""
+    sh = shingles(df, id_col, text_col, n).withColumn("h", md5h32(F.col("gram")))
     aggs = [
-        F.min(md5h32(F.concat(F.col("gram"), F.lit(f"#{j}")))).alias(f"mh{j}")
+        F.min((F.col("h") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

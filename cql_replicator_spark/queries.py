@@ -96,8 +96,9 @@ WHERE t1.ts IS DISTINCT FROM t0.ts
     doc="Snapshot diff (computeIcebergChanges K:1355-1384): insert/delete/update sets",
 )
 def cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .diff import compute_changes_tagged
     t0, t1 = _cdc_snapshots(spark, sf_dir)
-    return compute_changes(curr=t1, prev=t0, pk_cols=["pk"]).tagged_union().select(
+    return compute_changes_tagged(curr=t1, prev=t0, pk_cols=["pk"]).select(
         "op", "pk", "ts")
 
 
@@ -449,6 +450,70 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"))
         .orderBy("wstart", "event_type")
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '1 hour'
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+    doc="Gap-based sessionization (1h idle gap) via window functions",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    events = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_session",
+                    F.when(F.col("prev_ts").isNull()
+                           | F.expr("ts - prev_ts > INTERVAL '1' HOUR"), 1).otherwise(0))
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+    )
+
+
+@register(
+    "ttl_filter_orders",
+    oracle="""
+SELECT o_orderkey, o_orderkey % 100 AS ttl_value
+FROM orders
+WHERE o_orderkey % 100 > 50
+""",
+    doc="TTL predicate: keep rows whose (synthesized) ttl exceeds a bound (P:818-831)",
+)
+def ttl_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .transform import apply_ttl_filter
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    with_ttl = orders.select(
+        "o_orderkey", (F.col("o_orderkey") % 100).alias("ttl_value"))
+    return apply_ttl_filter(with_ttl, "ttl_value", "greaterThan", 50)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -190,8 +190,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     min_exprs = []
     for j in range(num_hashes):
-        inner = _md5h32_sql(f"gram || '#{j}'")
-        min_exprs.append(f"min({inner}) AS mh{j}")
+        a, b_, p = D.MINHASH_A[j], D.MINHASH_B[j], D.MINHASH_P
+        min_exprs.append(f"min((h * {a} + {b_}) % {p}) AS mh{j}")
     mins = ",\n    ".join(min_exprs)
     r = num_hashes // bands
     band_selects = []
@@ -204,10 +204,11 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     return f"""
 WITH {_NEAR_FIXTURE_SQL},
 {_SHINGLE_SQL},
+hs AS (SELECT doc_id, {_md5h32_sql('gram')} AS h FROM sh),
 sig AS (
   SELECT doc_id,
     {mins}
-  FROM sh GROUP BY doc_id
+  FROM hs GROUP BY doc_id
 ),
 banded AS (
 {banded}

@@ -32,7 +32,7 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .diff import ChangeSet, compute_changes
+from .diff import ChangeSet, changeset_from_tagged, compute_changes_tagged
 from .ledger import Ledger
 from .snapshot import SnapshotStore
 from .tiling import assign_tiles
@@ -156,18 +156,30 @@ class CdcPipeline:
         if plan is None:
             return None
         curr = self.store.read_snapshot(self.spark, tile, plan["curr"])
-        if plan["mode"] == "historical":
-            # full load: everything in curr is an insert (K:1660-1674)
-            empty = curr.filter(F.lit(False))
-            changes = ChangeSet(inserts=curr, deletes=empty, updates=empty)
-        else:
-            prev = self.store.read_snapshot(self.spark, tile, plan["prev"])
-            changes = compute_changes(curr, prev, self.pk_cols, self.ts_col)
-        n_ins = changes.inserts.count()
-        n_del = changes.deletes.count()
-        n_upd = changes.updates.count()
-        if self.sink is not None:
-            self.sink(changes, tile)
+        tagged = None
+        try:
+            if plan["mode"] == "historical":
+                # full load: everything in curr is an insert (K:1660-1674)
+                empty = curr.filter(F.lit(False))
+                changes = ChangeSet(inserts=curr, deletes=empty, updates=empty)
+                n_ins, n_del, n_upd = curr.count(), 0, 0
+            else:
+                prev = self.store.read_snapshot(self.spark, tile, plan["prev"])
+                # single-pass diff: one full-outer join, materialized once,
+                # then counts and the three-set sink view reuse the cache
+                tagged = compute_changes_tagged(
+                    curr, prev, self.pk_cols, self.ts_col).persist()
+                counts = {r["op"]: r["count"]
+                          for r in tagged.groupBy("op").count().collect()}
+                n_ins = counts.get("insert", 0)
+                n_del = counts.get("delete", 0)
+                n_upd = counts.get("update", 0)
+                changes = changeset_from_tagged(tagged)
+            if self.sink is not None:
+                self.sink(changes, tile)
+        finally:
+            if tagged is not None:
+                tagged.unpersist()
         self.ledger.mark_replication_complete(self.keyspace, self.table, tile)
         self.store.expire_snapshots(tile, retain_last=2)  # K:1656-1657
         st = ReplicationStats(tile, n_ins + n_del + n_upd, n_upd, n_ins, n_del, time.time())
