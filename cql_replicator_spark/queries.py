@@ -516,6 +516,47 @@ def ttl_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_ttl_filter(with_ttl, "ttl_value", "greaterThan", 50)
 
 
+@register(
+    "counter_hash_changes",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS pk,
+         o_orderkey % 100 AS c1,
+         o_orderkey % 13 AS c2
+  FROM orders
+),
+t0 AS (SELECT pk, c1, c2 FROM base WHERE pk % 10 <> 0),
+t1 AS (SELECT pk, CASE WHEN pk % 5 = 0 THEN c1 + 5 ELSE c1 END AS c1, c2
+       FROM base WHERE pk % 7 <> 0)
+SELECT 'insert' AS op, pk FROM t1 WHERE pk NOT IN (SELECT pk FROM t0)
+UNION ALL
+SELECT 'delete' AS op, pk FROM t0 WHERE pk NOT IN (SELECT pk FROM t1)
+UNION ALL
+SELECT 'update' AS op, t1.pk AS pk
+FROM t1 JOIN t0 USING (pk)
+WHERE t1.c1 <> t0.c1 OR t1.c2 <> t0.c2
+""",
+    doc="Counter change detection via counter_hash ts column (K:1824-1829): "
+        "the diff compares xxhash64 of the counter values; the oracle compares "
+        "values directly — equal modulo hash collisions, which the match proves absent",
+)
+def counter_hash_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .diff import compute_changes_tagged
+    from .transform import counter_hash_column
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("pk"),
+        (F.col("o_orderkey") % 100).alias("c1"),
+        (F.col("o_orderkey") % 13).alias("c2"))
+    t0 = base.filter(F.col("pk") % 10 != 0)
+    t1 = base.filter(F.col("pk") % 7 != 0).withColumn(
+        "c1", F.when(F.col("pk") % 5 == 0, F.col("c1") + 5).otherwise(F.col("c1")))
+    snap0 = t0.select("pk", counter_hash_column(["c1", "c2"], alias="ts"))
+    snap1 = t1.select("pk", counter_hash_column(["c1", "c2"], alias="ts"))
+    return compute_changes_tagged(curr=snap1, prev=snap0, pk_cols=["pk"]).select(
+        "op", "pk")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_registered()
     return {name: spec.build for name, spec in REGISTRY.items()}

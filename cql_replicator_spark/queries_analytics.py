@@ -298,6 +298,31 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM c a, c b WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT id_a, id_b,
+         row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank
+  FROM scored
+)
+SELECT id_a, id_b FROM ranked WHERE rank = 1
+""",
+    doc="Embedding-cosine near-dup: each vector's nearest neighbor (all-pairs "
+        "exact; the IVF path is the 100 TB formulation)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return S.embedding_near_dup_pairs(emb)
+
+
+@register(
     "multimodal_features",
     oracle=None,  # mapInPandas path; deterministic fake extractor, pytest-verified
     doc="Multimodal plumbing: binary media column -> Arrow-batched feature extraction",

@@ -123,6 +123,17 @@ def greatest_writetime(cols: list[str], alias: str = "ts") -> Column:
     return F.greatest(*[F.col(c) for c in cols]).alias(alias)
 
 
+def counter_hash_column(counter_cols: list[str], alias: str = "counter_hash") -> Column:
+    """Counter change-detection column: abs(xxhash64(concat(counters)))
+    (K:1824-1829). Cassandra counters carry no writetime, so the hash of
+    the concatenated counter values stands in as the snapshot 'ts' — a
+    changed counter flips the hash and the diff reports an update."""
+    if not counter_cols:
+        raise ValueError("counter_hash_column needs at least one counter column")
+    concat = F.concat_ws("|", *[F.col(c).cast("string") for c in counter_cols])
+    return F.abs(F.xxhash64(concat)).alias(alias)
+
+
 def apply_ttl_filter(df: DataFrame, ttl_col: str, op: str, value: int) -> DataFrame:
     """TTL predicate: keep rows whose ttl {==,>,<} const (P:561-573, bulk
     DataFrame form P:818-831)."""

@@ -241,3 +241,80 @@ def test_large_object_offload_restore_delete(tmp_path):
     largeobject.delete_offloaded(off, "payload", store)
     with pytest.raises(FileNotFoundError):
         store.get(off["payload"])
+
+
+# -- opensearch -------------------------------------------------------------
+
+def test_opensearch_bulk_actions_and_ids():
+    from cql_replicator_spark.sinks.opensearch_sink import (
+        bulk_delete_action, bulk_index_action, doc_id,
+    )
+    row = {"pk1": 1, "pk2": "a", "val": "x"}
+    assert doc_id(row, ["pk1", "pk2"]) == "1:a"
+    idx = bulk_index_action("idx", row, ["pk1", "pk2"]).splitlines()
+    assert json.loads(idx[0]) == {"index": {"_index": "idx", "_id": "1:a"}}
+    assert json.loads(idx[1]) == row
+    dele = bulk_delete_action("idx", row, ["pk1", "pk2"])
+    assert json.loads(dele) == {"delete": {"_index": "idx", "_id": "1:a"}}
+
+
+def test_opensearch_writer_retries_errored_items():
+    from cql_replicator_spark.sinks.opensearch_sink import OpenSearchBulkWriter
+
+    calls = []
+
+    def transport(payload):
+        calls.append(payload)
+        # first call: flag every action errored; then succeed
+        n = sum(1 for ln in payload.splitlines()
+                if '"index"' in ln or '"delete"' in ln)
+        if len(calls) == 1:
+            return {"errors": True,
+                    "items": [{"index": {"status": 500}}] * n}
+        return {"errors": False}
+
+    cfg = WriteConfig(maxStatementsPerBatch=10, backoffMS=0)
+    w = OpenSearchBulkWriter(transport, "idx", ["pk"], cfg)
+    for i in range(3):
+        w.index_row({"pk": i, "v": f"v{i}"})
+    w.delete_row({"pk": 99})
+    w.close()
+    assert len(calls) >= 2  # failed bulk retried
+    assert w.batch.stats.items_ok == 4
+    assert w.batch.stats.items_failed == 0
+
+
+def test_opensearch_change_set_write(spark):
+    from cql_replicator_spark.diff import ChangeSet
+    from cql_replicator_spark.sinks.opensearch_sink import (
+        write_changes_to_opensearch,
+    )
+    import tempfile
+
+    ins = spark.createDataFrame([(1, "a"), (2, "b")], ["pk", "v"])
+    upd = spark.createDataFrame([(3, "c")], ["pk", "v"])
+    dele = spark.createDataFrame([(4, "d")], ["pk", "v"])
+    out_dir = tempfile.mkdtemp()
+
+    def transport_factory():
+        def transport(payload):
+            # executor-side capture via files (foreachPartition runs in
+            # worker processes; a list closure would not come back)
+            with open(os.path.join(out_dir, f"{os.getpid()}_{id(payload)}.ndjson"),
+                      "w") as f:
+                f.write(payload)
+            return {"errors": False}
+        return transport
+
+    write_changes_to_opensearch(
+        ChangeSet(inserts=ins, deletes=dele, updates=upd),
+        ["pk"], "docs", transport_factory)
+
+    actions = []
+    for fn in os.listdir(out_dir):
+        with open(os.path.join(out_dir, fn)) as f:
+            actions += [json.loads(ln) for ln in f.read().splitlines() if ln]
+    index_ids = {a["index"]["_id"] for a in actions if "index" in a}
+    delete_ids = {a["delete"]["_id"] for a in actions if "delete" in a}
+    assert index_ids == {"1", "2", "3"}
+    assert delete_ids == {"4"}
