@@ -54,19 +54,33 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 # -- shingling ----------------------------------------------------------------
 
+def gram_array(n: int) -> Column:
+    """Distinct word n-gram array from a pre-split `_w` words column.
+
+    Per-row array_distinct replaces the explode->distinct shuffle: all of
+    one doc's grams live in its own row, so deduping them never needs to
+    move data. At 100 TB that's the difference between a map stage and a
+    full shuffle of every gram."""
+    w = F.col("_w")
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+
+
+def _with_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Project (id, _w=split words) once so downstream expressions don't
+    re-run the normalize+split chain."""
+    return df.select(F.col(id_col), F.split(normalized(text_col), " ").alias("_w"))
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
     """Distinct word n-grams per doc: (id, gram). Docs shorter than n
     words produce no shingles (filtered, same as the oracle)."""
-    words = F.split(normalized(text_col), " ")
-    grams = F.expr(
-        f"transform(sequence(1, size(split(lower(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')) - {n} + 1), "
-        f"i -> concat_ws(' ', slice(split(lower(regexp_replace({text_col}, '\\\\s+', ' ')), ' '), i, {n})))"
-    )
+    words = _with_words(df, id_col, text_col)
     return (
-        df.filter(F.size(words) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
-        .distinct()
+        words.filter(F.size("_w") >= n)
+        .select(F.col(id_col), F.explode(gram_array(n)).alias("gram"))
     )
 
 
@@ -117,15 +131,28 @@ MINHASH_B = [(40503 * (j + 7) + 17) % MINHASH_P for j in range(64)]
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3, num_hashes: int = 16) -> DataFrame:
-    """k-minhash signature per doc: mh_j = min over grams of
-    (a_j*md5h32(gram)+b_j) mod P. One groupBy with k min-aggregates over
-    a single base hash per shingle row — not k passes, not k md5s."""
-    sh = shingles(df, id_col, text_col, n).withColumn("h", md5h32(F.col("gram")))
-    aggs = [
-        F.min((F.col("h") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P).alias(f"mh{j}")
+    """k-minhash signature per doc, fully map-side: mh_j = array_min of
+    (a_j*md5h32(gram)+b_j) mod P over the doc's distinct-gram array.
+
+    Zero shuffles — the grams never leave their row (one md5 per gram,
+    k cheap affine transforms over the cached hash array), versus the
+    explode + groupBy formulation that shuffles every gram of the corpus.
+    On 100 TB of text the signature stage is embarrassingly parallel, as
+    it should be; the only shuffle left in LSH is the band-bucket join."""
+    hashed = (
+        _with_words(df, id_col, text_col)
+        .filter(F.size("_w") >= n)
+        .select(F.col(id_col), F.transform(gram_array(n), md5h32).alias("_h"))
+    )
+    def affine(j: int):
+        a, b = F.lit(MINHASH_A[j]), F.lit(MINHASH_B[j])
+        return lambda h: (h * a + b) % F.lit(MINHASH_P)
+
+    sigs = [
+        F.array_min(F.transform(F.col("_h"), affine(j))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.select(F.col(id_col), *sigs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -133,16 +160,18 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     """Banding: docs sharing any band's signature are candidates.
     (id_a, id_b) distinct, id_a < id_b. The band bucket join replaces
     the O(n²) similarity matrix."""
-    band_frames = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)]
-        band_frames.append(signatures.select(
-            F.col(id_col), F.lit(b).alias("band"),
-            F.concat_ws("|", *cols).alias("bucket")))
-    banded = band_frames[0]
-    for f in band_frames[1:]:
-        banded = banded.unionByName(f)
+    # one scan: all band buckets built as an array then exploded, instead
+    # of a b-way union that recomputes the signature plan b times
+    buckets = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}").cast("string")
+                               for r in range(rows_per_band)]).alias("bucket"))
+        for b in range(bands)
+    ])
+    banded = (signatures.select(F.col(id_col), F.explode(buckets).alias("bb"))
+              .select(F.col(id_col), F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -165,23 +194,24 @@ def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 32) -> DataFrame:
     """Per-doc SimHash over distinct tokens: bit i is the sign of
-    sum(±1) of token-hash bit i. Explode tokens × bit positions, one
-    groupBy — scales linearly in corpus token count."""
-    toks = (
-        df.select(F.col(id_col),
-                  F.explode(F.array_distinct(F.split(normalized(text_col), " "))).alias("tok"))
-        .withColumn("h", md5h32(F.col("tok")))
-    )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i")
-    contrib = (
-        toks.select(F.col(id_col), F.col("h"), bit)
-        .withColumn("v", F.expr("(shiftright(h, i) & 1) * 2 - 1"))
-        .groupBy(id_col, "i")
-        .agg(F.sum("v").alias("s"))
-    )
-    return (
-        contrib.withColumn("bit", F.when(F.col("s") > 0, 1).otherwise(0).cast("long"))
-        .withColumn("weighted", F.expr("bit * shiftleft(CAST(1 AS BIGINT), i)"))
-        .groupBy(id_col)
-        .agg(F.sum("weighted").alias("simhash"))
-    )
+    sum(±1) of token-hash bit i.
+
+    One explode, ONE groupBy carrying all `bits` sums as codegen'd
+    aggregates — no tokens×bits explode (32x row inflation) and no second
+    shuffle. Map-side partial aggregation collapses each doc to a single
+    row of `bits` longs before the exchange, so the shuffle moves ~1 row
+    per doc regardless of corpus token count."""
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalized(text_col), " "))).alias("tok"),
+    ).select(F.col(id_col), md5h32(F.col("tok")).alias("h"))
+    sums = hashed.groupBy(id_col).agg(*[
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{i}")
+        for i in range(bits)
+    ])
+    zero = F.lit(0).cast("long")
+    simhash = zero
+    for i in range(bits):
+        simhash = simhash + F.when(
+            F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(zero)
+    return sums.select(F.col(id_col), simhash.alias("simhash"))

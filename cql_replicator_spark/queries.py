@@ -557,6 +557,64 @@ def counter_hash_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op", "pk")
 
 
+@register(
+    "resize_tiles_count_invariant",
+    oracle=f"""
+WITH {_CDC_BASE_SQL},
+resized AS (SELECT pk FROM t0 UNION SELECT pk FROM t1)
+SELECT count(*) AS total_keys,
+       count(DISTINCT pk) AS distinct_keys
+FROM resized
+""",
+    doc="Tile resize (K:2082-2223): union tile snapshots -> distinct -> reassign "
+        "to a new tile count, with the K:2188-2191 count-integrity invariant "
+        "(redistributed count == original distinct count). The tile column uses "
+        "xxhash64 so the oracle checks the hash-independent invariant",
+)
+def resize_tiles_count_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tiling import assign_tiles, resize_tiles
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+    old = [assign_tiles(s.select("pk"), ["pk"], 4) for s in (t0, t1)]
+    resized = resize_tiles(old, ["pk"], new_num_tiles=8)
+    return resized.agg(
+        F.count("*").alias("total_keys"),
+        F.count_distinct("pk").alias("distinct_keys"))
+
+
+@register(
+    "row_size_totals",
+    oracle="""
+SELECT
+  CAST(min(o_totalprice) AS DOUBLE) + CAST(min(length(o_orderstatus)) AS DOUBLE) + CAST(8 AS DOUBLE) AS row_min_total,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+    + round(CAST(sum(length(o_orderstatus)) AS DOUBLE) / count(*), 4) + CAST(8 AS DOUBLE) AS row_avg_total,
+  CAST(max(o_totalprice) AS DOUBLE) + CAST(max(length(o_orderstatus)) AS DOUBLE) + CAST(8 AS DOUBLE) AS row_max_total
+FROM orders
+""",
+    doc="Row-size model totals (addTotalColumns K:1684-1717): sum per-column "
+        "min/avg/max stats into row_{min,avg,max}_total with null-coalesce; "
+        "feeds estimateAndCoalesce (P:698-732) output sizing",
+)
+def row_size_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .stats import add_total_columns
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    price_dec = F.col("o_totalprice").cast(_DEC)
+    slen = F.length("o_orderstatus")
+    stats = orders.agg(
+        F.min("o_totalprice").cast("double").alias("o_totalprice_min"),
+        F.round(F.sum(price_dec).cast("double") / F.count("*"), 4).alias("o_totalprice_avg"),
+        F.max("o_totalprice").cast("double").alias("o_totalprice_max"),
+        F.min(slen).cast("double").alias("o_orderstatus_min"),
+        F.round(F.sum(slen).cast("double") / F.count("*"), 4).alias("o_orderstatus_avg"),
+        F.max(slen).cast("double").alias("o_orderstatus_max"),
+        F.lit(8.0).alias("o_orderdate_min"),
+        F.lit(8.0).alias("o_orderdate_avg"),
+        F.lit(8.0).alias("o_orderdate_max"),
+    )
+    return add_total_columns(stats).select(
+        "row_min_total", "row_avg_total", "row_max_total")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_registered()
     return {name: spec.build for name, spec in REGISTRY.items()}
