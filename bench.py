@@ -42,6 +42,8 @@ HEADLINE = [
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from cql_replicator_spark.queries import REGISTRY, queries
     from cql_replicator_spark.session import get_spark
 
@@ -55,10 +57,13 @@ def main() -> None:
         },
     )
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # engine, not session bring-up
+    # warm the JVM + parquet footers + codegen/shuffle/broadcast paths once
+    # so per-query numbers measure the engine, not session bring-up
     from cql_replicator_spark.session import load_tables
-    load_tables(spark, SF_DIR)
+    t = load_tables(spark, SF_DIR)
+    w = t["orders"].select("o_orderkey").limit(10_000)
+    w.join(w.withColumnRenamed("o_orderkey", "k"),
+           w.o_orderkey == F.col("k")).groupBy().count().count()
 
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}

