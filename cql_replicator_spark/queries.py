@@ -615,6 +615,79 @@ def row_size_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_min_total", "row_avg_total", "row_max_total")
 
 
+@register(
+    "scalar_codecs",
+    oracle="""
+SELECT o_orderkey,
+  '0x' || lower(hex(encode(CASE WHEN o_orderkey % 3 = 0 THEN '' ELSE o_orderpriority END))) AS bin_literal,
+  to_base64(encode(o_orderpriority)) AS payload_b64,
+  replace(o_orderpriority, '''', '''''') AS escaped
+FROM orders
+""",
+    doc="Scalar codec surface: blob->0x hex literal with empty-blob fixup "
+        "(binToHex K:628-639, correctEmptyBin K:174-185), base64 payload "
+        "encoding (K:561/689), CQL '' quote escaping (K:1084)",
+)
+def scalar_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    blob = F.when(F.col("o_orderkey") % 3 == 0, F.lit("").cast("binary")).otherwise(
+        F.col("o_orderpriority").cast("binary"))
+    return orders.select(
+        "o_orderkey",
+        F.concat(F.lit("0x"), F.lower(F.hex(blob))).alias("bin_literal"),
+        F.base64(F.col("o_orderpriority").cast("binary")).alias("payload_b64"),
+        F.regexp_replace(F.col("o_orderpriority"), "'", "''").alias("escaped"),
+    )
+
+
+@register(
+    "udt_to_json",
+    oracle="""
+SELECT o_orderkey,
+       to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
+                           p := o_custkey)) AS udt
+FROM orders
+""",
+    doc="Cassandra UDT -> JSON text (convertUDTtoText K:187-196): struct "
+        "column serialized with to_json, identical field order both engines",
+)
+def udt_to_json_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .transform import udt_to_json
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    with_udt = orders.select(
+        "o_orderkey",
+        F.struct(F.col("o_orderkey").alias("k"),
+                 F.col("o_orderstatus").alias("s"),
+                 F.col("o_custkey").alias("p")).alias("udt"))
+    return udt_to_json(with_udt, ["udt"])
+
+
+@register(
+    "timestamp_normalize",
+    oracle="""
+SELECT o_orderkey,
+  epoch_ms(strptime(
+    '2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+      || ' 12:34:56.' || lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0'),
+    '%Y-%m-%d %H:%M:%S.%g')) AS ts_millis
+FROM orders
+""",
+    doc="Timestamp normalization to epoch millis with fractional-second "
+        "padding (K:1086-1107) — Spark-side formulation of "
+        "types.normalize_timestamp_millis",
+)
+def timestamp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    s = F.concat(
+        F.lit("2024-01-"),
+        F.lpad((F.col("o_orderkey") % 28 + 1).cast("string"), 2, "0"),
+        F.lit(" 12:34:56."),
+        F.lpad((F.col("o_orderkey") % 1000).cast("string"), 3, "0"))
+    return orders.select(
+        "o_orderkey",
+        F.unix_millis(F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss.SSS")).alias("ts_millis"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_registered()
     return {name: spec.build for name, spec in REGISTRY.items()}
