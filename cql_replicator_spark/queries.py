@@ -500,6 +500,41 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize_stateful",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '1 hour'
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, epoch_ms(min(ts)) AS session_start,
+       epoch_ms(max(ts)) AS session_end, count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+    doc="Custom stateful STREAMING operator: applyInPandasWithState "
+        "gap-sessionization (per-key session state + EventTimeTimeout "
+        "eviction). Runs a real Structured Streaming job over time-ordered "
+        "micro-batches; sentinel batches flush all state so the streamed "
+        "result equals the batch sessionization oracle exactly",
+)
+def events_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import sessionize_events_stream
+    return sessionize_events_stream(spark, sf_dir)
+
+
+@register(
     "ttl_filter_orders",
     oracle="""
 SELECT o_orderkey, o_orderkey % 100 AS ttl_value

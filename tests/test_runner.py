@@ -185,3 +185,24 @@ def test_microbatch_cdc_over_event_slices(spark, tables, tmp_path):
     b = {(r.user_id, r.event_type): r.ts for r in states[1].collect()}
     expected_updates = sum(1 for k in a if k in b and a[k] != b[k])
     assert n_updates == expected_updates
+
+
+def test_stateful_sessionization_equals_batch(spark, tmp_path):
+    """applyInPandasWithState streaming sessions == batch window sessions."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.queries import REGISTRY, queries as _q
+    from cql_replicator_spark.streaming.stateful import sessionize_events_stream
+
+    _q()
+    sf = "/root/testdata/sf0.001"
+    streamed = sessionize_events_stream(
+        spark, sf, input_dir=str(tmp_path / "stage"))
+    batch = REGISTRY["events_sessionize"].build(spark, sf).select(
+        "user_id",
+        F.unix_millis(F.col("session_start").cast("timestamp")).alias("session_start"),
+        F.unix_millis(F.col("session_end").cast("timestamp")).alias("session_end"),
+        "n_events")
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows and len(srows) > 0
