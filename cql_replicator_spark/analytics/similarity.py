@@ -152,3 +152,68 @@ def embedding_near_dup_pairs(
     scan with ivf_build + ivf_search(nprobe=1)."""
     return cosine_topk(corpus, corpus, k=1, id_col=id_col, vec_col=vec_col).select(
         F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+
+
+# -- random-hyperplane LSH (the bucketed scale path for cosine near-dup) ------
+
+# Rademacher sign matrix s[p][d] in {+1,-1} from a fixed LCG so Spark and
+# the DuckDB oracle generate identical hyperplanes — no RNG state, no
+# engine-private hash.
+RP_PLANES = 16
+
+
+def rp_sign(p: int, d: int, dim: int) -> int:
+    x = (1103515245 * (p * dim + d + 1) + 12345) & 0x7FFFFFFF
+    return 1 if (x >> 16) & 1 == 0 else -1
+
+
+def rp_bit(vec_col: Column, p: int, dim: int) -> Column:
+    """Sign bit of the signed integer dot <floor(v*1e6), s_p>.
+
+    Quantizing with floor to exact BIGINTs makes the bit decision
+    integer-exact and therefore bit-identical across engines — a raw
+    float dot product could flip sign in the last ulp under a different
+    summation order."""
+    signs = F.array(*[F.lit(rp_sign(p, d, dim)) for d in range(dim)])
+    prods = F.zip_with(
+        vec_col, signs,
+        lambda x, s: F.floor(x.cast("double") * 1e6).cast("long") * s.cast("long"))
+    total = F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x)
+    return F.when(total > 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def embedding_lsh_candidates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = RP_PLANES,
+    bands: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs by random-hyperplane LSH banding.
+
+    planes sign-bits per vector, split into `bands` bucket keys; vectors
+    sharing any band bucket are candidates (id_a < id_b, distinct). This
+    is the 100 TB formulation of embedding dedup: signature computation
+    is map-only, and the only shuffle is the band-bucket self-join —
+    exactly the MinHash+LSH topology, applied to the vector space. Rerank
+    candidates with exact cosine (similarity.cosine) as the verify step.
+    """
+    per_band = planes // bands
+    bits = [rp_bit(F.col(vec_col), p, dim) for p in range(planes)]
+    buckets = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat(*bits[b * per_band:(b + 1) * per_band]).alias("bucket"))
+        for b in range(bands)
+    ])
+    banded = (corpus.select(F.col(id_col), F.explode(buckets).alias("bb"))
+              .select(F.col(id_col), F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )

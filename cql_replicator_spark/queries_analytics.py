@@ -322,6 +322,57 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb)
 
 
+def _rp_lsh_oracle(dim: int = 64, planes: int = 16, bands: int = 2) -> str:
+    per_band = planes // bands
+    bit_exprs = []
+    for p in range(planes):
+        signs = ", ".join(str(S.rp_sign(p, d, dim)) for d in range(dim))
+        bit_exprs.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(v, [{signs}]), "
+            f"x -> CAST(floor(x[1]*1e6) AS BIGINT) * x[2])) > 0 "
+            f"THEN '1' ELSE '0' END AS bit{p}")
+    bits = ",\n    ".join(bit_exprs)
+    band_selects = []
+    for b in range(bands):
+        key = " || ".join(f"bit{b * per_band + i}" for i in range(per_band))
+        band_selects.append(f"SELECT vec_id, {b} AS band, {key} AS bucket FROM bits")
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bits AS (
+  SELECT vec_id,
+    {bits}
+  FROM corpus
+),
+banded AS (
+{banded}
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_rp_lsh_oracle(),
+    doc="Random-hyperplane LSH near-dup candidates over embeddings — the "
+        "bucketed 100 TB path for embedding dedup (map-only signatures, one "
+        "band-bucket join). Integer-quantized sign bits make the buckets "
+        "engine-exact; fixture plants an exact copy of every vector",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    base = emb.select("vec_id", "embedding")
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    return S.embedding_lsh_candidates(corpus)
+
+
 @register(
     "multimodal_features",
     oracle=None,  # mapInPandas path; deterministic fake extractor, pytest-verified

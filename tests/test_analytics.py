@@ -126,3 +126,19 @@ def test_text_metrics_values(spark):
     assert r.n_tokens == 4 and r.n_chars == 17
     assert r.stopword_ratio == 0.5  # 'the' twice of 4 tokens
     assert r.punct_ratio == round(2 / 17, 6)
+
+
+def test_embedding_lsh_finds_planted_copies(spark):
+    """Every planted exact copy must share all bands with its original."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.analytics import similarity as S
+    from cql_replicator_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])[
+        "embeddings"].select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    pairs = {(r.id_a, r.id_b) for r in S.embedding_lsh_candidates(corpus).collect()}
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    assert all((i, i + 1000000) in pairs for i in ids)
