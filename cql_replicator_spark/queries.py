@@ -160,16 +160,19 @@ def reconcile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = orders.select(F.col("o_orderkey").alias("pk"))
     trg = src.filter(F.col("pk") % 11 != 0).unionByName(
         src.filter(F.col("pk") % 13 == 0).select((F.col("pk") + 10000000).alias("pk")))
-    sd, td = src.distinct(), trg.distinct()
-    inter = sd.join(td, "pk", "inner")
-    a_min_b = sd.join(td, "pk", "left_anti")
-    b_min_a = td.join(sd, "pk", "left_anti")
-    return (
-        sd.agg(F.count("*").alias("source_count"))
-        .crossJoin(td.agg(F.count("*").alias("target_count")))
-        .crossJoin(inter.agg(F.count("*").alias("intersection_count")))
-        .crossJoin(a_min_b.agg(F.count("*").alias("source_minus_target")))
-        .crossJoin(b_min_a.agg(F.count("*").alias("target_minus_source")))
+    # one full-outer join + one conditional aggregate: |A|,|B|,|A∩B|,A∖B,B∖A
+    # all fall out of a single pass over each side (vs the naive 3 joins +
+    # 5 aggregates) — at 100 TB that's 1 shuffle per side instead of 3
+    s = src.distinct().select("pk", F.lit(True).alias("in_src"))
+    t = trg.distinct().select("pk", F.lit(True).alias("in_trg"))
+    j = s.join(t, "pk", "full_outer")
+    both = F.col("in_src").isNotNull() & F.col("in_trg").isNotNull()
+    return j.agg(
+        F.count(F.col("in_src")).alias("source_count"),
+        F.count(F.col("in_trg")).alias("target_count"),
+        F.sum(both.cast("long")).alias("intersection_count"),
+        F.sum((F.col("in_trg").isNull()).cast("long")).alias("source_minus_target"),
+        F.sum((F.col("in_src").isNull()).cast("long")).alias("target_minus_source"),
     )
 
 
@@ -244,13 +247,21 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders", "lineitem")
     price = F.col("l_extendedprice").cast(_DEC)
     disc = F.col("l_discount").cast(_DEC)
-    return (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    # reduce orders by the broadcast customer-segment filter BEFORE the big
+    # fact join: without CBO stats Catalyst keeps the written join order, and
+    # lineitem⋈orders first would shuffle the full fact table. The reduced
+    # side is NOT hint-broadcast — at sf0.1 AQE converts the join to
+    # broadcast at runtime, while at 100 TB it stays a shuffle join as it must
+    building_orders = (
+        t["orders"]
+        .filter(F.col("o_orderdate") < F.lit("2020-01-01 00:00:00").cast("timestamp_ntz"))
         .join(F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
               F.col("o_custkey") == F.col("c_custkey"))
-        .filter((F.col("o_orderdate") < F.lit("2020-01-01 00:00:00").cast("timestamp_ntz"))
-                & (F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")))
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz"))
+        .join(building_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
