@@ -444,7 +444,7 @@ def column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_windowed_agg",
     oracle="""
-SELECT date_trunc('day', ts) AS wstart, event_type,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events
