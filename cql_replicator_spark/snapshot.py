@@ -123,3 +123,44 @@ class SnapshotStore:
 
     def snapshots(self, tile: int) -> list[SnapshotInfo]:
         return [SnapshotInfo(**e) for e in self._read_manifest(tile)]
+
+
+def migrate_legacy_snapshots(
+    spark: SparkSession,
+    store: SnapshotStore,
+    ledger,
+    keyspace: str,
+    table: str,
+    legacy_root: str,
+    tiles: list[int],
+    cleanup: bool = True,
+) -> dict[int, tuple[int, int]]:
+    """Migrate legacy per-tile head/tail parquet dirs into the snapshot
+    store + ledger (the K:1481-1560 parquet->Iceberg migration).
+
+    Legacy layout: ``{legacy_root}/tile={n}/tail`` (older key set) and
+    ``.../head`` (newer). Per tile: tail becomes the first snapshot and
+    head the second, both recorded through the ledger's normal
+    discovery/consume rotation so the resumed pipeline's next discovery
+    diffs against head exactly as the legacy loop would have — the
+    already-replicated head/tail delta is NOT replayed. Returns
+    {tile: (tail_snapshot_id, head_snapshot_id)}.
+    """
+    migrated: dict[int, tuple[int, int]] = {}
+    for tile in tiles:
+        tile_dir = os.path.join(legacy_root, f"tile={tile}")
+        head_dir = os.path.join(tile_dir, "head")
+        tail_dir = os.path.join(tile_dir, "tail")
+        if not (os.path.isdir(head_dir) and os.path.isdir(tail_dir)):
+            continue
+        ids = []
+        for legacy in (tail_dir, head_dir):
+            df = spark.read.parquet(legacy)
+            sid = store.write_snapshot(df, tile)
+            ledger.record_discovery(keyspace, table, tile, sid)
+            ledger.mark_replication_complete(keyspace, table, tile)
+            ids.append(sid)
+        migrated[tile] = (ids[0], ids[1])
+        if cleanup:
+            shutil.rmtree(tile_dir, ignore_errors=True)
+    return migrated

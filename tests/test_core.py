@@ -217,3 +217,33 @@ def test_column_stats_and_totals(tables):
 def test_estimate_partitions():
     assert stats.estimate_partitions_for_write(100.0, 0) == 1
     assert stats.estimate_partitions_for_write(1024.0, 1024 * 1024, target_mb=32) == 32
+
+
+def test_legacy_snapshot_migration(spark, tmp_path):
+    """head/tail parquet dirs migrate into store+ledger; pipeline resumes
+    with a delta against head, never re-replicating the legacy delta."""
+    from cql_replicator_spark.ledger import Ledger
+    from cql_replicator_spark.snapshot import SnapshotStore, migrate_legacy_snapshots
+
+    tail = spark.createDataFrame([(i, 100) for i in range(50)], ["pk", "ts"])
+    head = spark.createDataFrame(
+        [(i, 100 if i % 5 else 101) for i in range(10, 60)], ["pk", "ts"])
+    legacy = tmp_path / "legacy"
+    tail.coalesce(1).write.parquet(str(legacy / "tile=0" / "tail"))
+    head.coalesce(1).write.parquet(str(legacy / "tile=0" / "head"))
+
+    store = SnapshotStore(str(tmp_path / "snaps"), "ks", "t")
+    ledger = Ledger(str(tmp_path / "ledger.json"))
+    out = migrate_legacy_snapshots(
+        spark, store, ledger, "ks", "t", str(legacy), tiles=[0, 1])
+
+    assert out == {0: (1, 2)}
+    assert not (legacy / "tile=0").exists()
+    # head is current and already consumed -> nothing to replicate now
+    assert ledger.replication_plan("ks", "t", 0) is None
+    assert store.read_current(spark, 0).count() == head.count()
+    # next discovery rotates head->prev: delta resumes against head
+    sid = store.write_snapshot(head.limit(40), 0)
+    ledger.record_discovery("ks", "t", 0, sid)
+    plan = ledger.replication_plan("ks", "t", 0)
+    assert plan == {"mode": "delta", "curr": sid, "prev": 2}
