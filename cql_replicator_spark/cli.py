@@ -1,0 +1,239 @@
+"""Control-plane CLI — the `cqlreplicator` command surface, Spark-first.
+
+Mirrors the reference's bash orchestrator dispatch (glue/bin/cqlreplicator
+C:1431-1710: run / stats / request-stop / reconcile-keys, plus DLQ
+replay) against this engine's offline-testable wiring: a parquet source
+table replicated to a parquet target through the tiling -> snapshot ->
+ledger -> diff -> bulk-hydration pipeline. On a cluster the same
+commands run under spark-submit; only the source/sink factories change.
+
+    python -m cql_replicator_spark.cli run --source /data/orders \\
+        --pk o_orderkey --ts-col updated_at --workdir /state \\
+        --target /out --tiles 8 --cycles 1
+    python -m cql_replicator_spark.cli stats --workdir /state
+    python -m cql_replicator_spark.cli request-stop --workdir /state
+    python -m cql_replicator_spark.cli reconcile-keys --source /data/a \\
+        --target /data/b --pk k1,k2 --workdir /state
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+KEYSPACE = "default"  # single-namespace offline layout
+
+
+def _pipeline(spark, args):
+    from .ledger import Ledger
+    from .runner import CdcPipeline, StatsStore
+    from .sinks.parquet_sink import bulk_replicate_to_parquet
+    from .snapshot import SnapshotStore
+
+    table = args.table or os.path.basename(args.source.rstrip("/")).replace(".parquet", "")
+    pk_cols = args.pk.split(",")
+
+    def source():
+        return spark.read.parquet(args.source)
+
+    def pk_source():
+        df = source()
+        ts = F.col(args.ts_col).cast("long") if args.ts_col else F.lit(0).cast("long")
+        return df.select(*pk_cols, ts.alias("ts"))
+
+    def sink(changes, tile):
+        if not args.target:
+            return
+        batch = time.strftime("%Y%m%d%H%M%S")
+        for op, pks in (("insert", changes.inserts), ("update", changes.updates)):
+            if pks.limit(1).count():
+                bulk_replicate_to_parquet(
+                    source(), pks, pk_cols, args.target, KEYSPACE, table,
+                    tile, op, batch)
+        deletes = changes.deletes.select(*pk_cols)
+        if deletes.limit(1).count():
+            out = os.path.join(args.target, KEYSPACE, table, str(tile),
+                               "delete", batch)
+            deletes.write.mode("overwrite").parquet(out)
+
+    return CdcPipeline(
+        spark=spark, keyspace=KEYSPACE, table=table, pk_cols=pk_cols,
+        source=source, pk_source=pk_source,
+        store=SnapshotStore(os.path.join(args.workdir, "snapshots"), KEYSPACE, table),
+        ledger=Ledger(os.path.join(args.workdir, "ledger.json")),
+        stats=StatsStore(os.path.join(args.workdir, "stats")),
+        total_tiles=args.tiles,
+        ts_col="ts",
+        sink=sink,
+    )
+
+
+def _sentinel(args):
+    from .runner import StopSentinel
+    return StopSentinel(os.path.join(args.workdir, "stopRequested"))
+
+
+def _get_spark(args):
+    from .session import get_spark
+    return get_spark("cqlreplicator-cli", extra_conf={
+        "spark.ui.enabled": "false",
+        "spark.sql.shuffle.partitions": str(args.shuffle_partitions),
+    })
+
+
+def cmd_run(args) -> int:
+    pipe = _pipeline(_get_spark(args), args)
+    cycles = pipe.run_loop(_sentinel(args), cooldown_s=args.cooldown,
+                           max_cycles=args.cycles)
+    print(json.dumps({"cycles": cycles}))
+    return 0
+
+
+def cmd_discover(args) -> int:
+    tiles = _pipeline(_get_spark(args), args).discover()
+    print(json.dumps({"rotated_tiles": tiles}))
+    return 0
+
+
+def cmd_replicate(args) -> int:
+    stats = _pipeline(_get_spark(args), args).replicate()
+    print(json.dumps([vars(s) for s in stats]))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    """Discovered-vs-replicated totals (`--cmd stats` C:1811-1846): the
+    operational integrity check is discovered == inserted+updated+deleted."""
+    from .runner import StatsStore
+    store = StatsStore(os.path.join(args.workdir, "stats"))
+    out = []
+    root = os.path.join(args.workdir, "stats", KEYSPACE)
+    if os.path.isdir(root):
+        for table in sorted(os.listdir(root)):
+            tile = 0
+            discovered = replicated = 0
+            while True:
+                d = store.get(KEYSPACE, table, tile, "discovery")
+                r = store.get(KEYSPACE, table, tile, "replication")
+                if d is None and r is None:
+                    break
+                discovered += (d or {}).get("primaryKeys", 0)
+                replicated += sum((r or {}).get(k, 0) for k in (
+                    "insertedPrimaryKeys", "updatedPrimaryKeys", "deletedPrimaryKeys"))
+                tile += 1
+            out.append({"table": table, "discovered": discovered,
+                        "replicated": replicated,
+                        "in_sync": discovered >= replicated})
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_request_stop(args) -> int:
+    _sentinel(args).request()
+    print(json.dumps({"stop_requested": True}))
+    return 0
+
+
+def cmd_reconcile(args) -> int:
+    """Primary-key reconciliation job (R); exits with the phase's code."""
+    from .reconcile import ReconcileError, ReconcileJob
+    spark = _get_spark(args)
+    job = ReconcileJob(spark, args.workdir, args.pk.split(","),
+                       total_tiles=args.tiles, sample_size=args.sample_size)
+    try:
+        result = job.run(spark.read.parquet(args.source),
+                         spark.read.parquet(args.target))
+    except ReconcileError as e:
+        print(json.dumps({"status": "FAILED", "phase": e.phase,
+                          "error": str(e)}))
+        return e.exit_code
+    print(json.dumps({
+        "status": result.status,
+        "source_count": result.source_count,
+        "target_count": result.target_count,
+        "in_sync": result.in_sync,
+        "report": os.path.join(args.workdir, "report.json"),
+    }))
+    return 0 if result.in_sync else 3
+
+
+def cmd_replay_dlq(args) -> int:
+    """Replay dead-lettered ops through an idempotent executor. Offline,
+    the executor re-appends payloads to a JSON-lines file; on a cluster it
+    re-executes CQL/DynamoDB statements (K:327-354)."""
+    from .sinks.dlq import DeadLetterQueue
+    table = args.table or "default"
+    dlq = DeadLetterQueue(os.path.join(args.workdir, "dlq"), KEYSPACE, table)
+    replayed = 0
+    out_path = os.path.join(args.workdir, f"dlq-replayed-{table}.jsonl")
+    with open(out_path, "a") as sink_file:
+        def executor(payload: dict) -> None:
+            sink_file.write(json.dumps(payload) + "\n")
+        for tile in range(args.tiles):
+            for op in ("insert", "update", "delete"):
+                replayed += dlq.replay(tile, op, executor)
+    print(json.dumps({"replayed": replayed, "out": out_path}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cqlreplicator-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, source=True):
+        sp.add_argument("--workdir", required=True)
+        sp.add_argument("--tiles", type=int, default=4)
+        sp.add_argument("--shuffle-partitions", type=int, default=32)
+        if source:
+            sp.add_argument("--source", required=True)
+            sp.add_argument("--pk", required=True)
+            sp.add_argument("--ts-col", default=None)
+            sp.add_argument("--table", default=None)
+            sp.add_argument("--target", default=None)
+
+    sp = sub.add_parser("run", help="discovery+replication loop until stop/cycles")
+    common(sp)
+    sp.add_argument("--cycles", type=int, default=None)
+    sp.add_argument("--cooldown", type=float, default=0.0)
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("discover", help="one discovery cycle")
+    common(sp)
+    sp.set_defaults(fn=cmd_discover)
+
+    sp = sub.add_parser("replicate", help="one replication cycle")
+    common(sp)
+    sp.set_defaults(fn=cmd_replicate)
+
+    sp = sub.add_parser("stats", help="discovered vs replicated totals")
+    common(sp, source=False)
+    sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("request-stop", help="write the graceful-stop sentinel")
+    common(sp, source=False)
+    sp.set_defaults(fn=cmd_request_stop)
+
+    sp = sub.add_parser("reconcile-keys", help="primary-key reconciliation job")
+    common(sp, source=False)
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--target", required=True)
+    sp.add_argument("--pk", required=True)
+    sp.add_argument("--sample-size", type=int, default=100)
+    sp.set_defaults(fn=cmd_reconcile)
+
+    sp = sub.add_parser("replay-dlq", help="replay dead-lettered operations")
+    common(sp, source=False)
+    sp.add_argument("--table", default=None)
+    sp.set_defaults(fn=cmd_replay_dlq)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""End-to-end CLI tests: the cqlreplicator command surface driving the
+full pipeline offline (parquet source -> tiled snapshots -> ledger ->
+diff -> bulk parquet target)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from cql_replicator_spark.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(capsys, argv) -> tuple[int, object]:
+    code = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return code, json.loads(out[-1]) if out else None
+
+
+def test_cli_full_cycle_and_stats(spark, tmp_path, capsys):
+    work, target = str(tmp_path / "work"), str(tmp_path / "target")
+    src = f"{SF}/orders.parquet"
+    base = ["--workdir", work, "--tiles", "2", "--shuffle-partitions", "4"]
+    args = base + ["--source", src, "--pk", "o_orderkey", "--target", target]
+
+    code, out = _run(capsys, ["run", *args, "--cycles", "1"])
+    assert code == 0 and out["cycles"] == 1
+
+    # historical load wrote every source row exactly once as inserts
+    n_src = spark.read.parquet(src).count()
+    written = spark.read.parquet(os.path.join(target, "default", "orders", "*", "insert", "*"))
+    assert written.count() == n_src
+
+    code, out = _run(capsys, ["stats", *base])
+    assert code == 0
+    assert out == [{"table": "orders", "discovered": n_src,
+                    "replicated": n_src, "in_sync": True}]
+
+    # second cycle: source unchanged -> no new changes replicated
+    code, _ = _run(capsys, ["run", *args, "--cycles", "1"])
+    assert code == 0
+    code, out = _run(capsys, ["stats", *base])
+    assert out[0]["replicated"] == n_src
+
+    # reconcile source against the replicated inserts -> in sync, exit 0
+    code, out = _run(capsys, [
+        "reconcile-keys", *base, "--source", src,
+        "--target", os.path.join(target, "default", "orders", "*", "insert", "*"),
+        "--pk", "o_orderkey"])
+    assert code == 0 and out["in_sync"] is True
+    report = json.load(open(os.path.join(work, "report.json")))
+    assert report["status"] == "SUCCEEDED"
+
+
+def test_cli_stop_sentinel_halts_loop(spark, tmp_path, capsys):
+    work = str(tmp_path / "work")
+    base = ["--workdir", work, "--tiles", "2", "--shuffle-partitions", "4"]
+    code, out = _run(capsys, ["request-stop", *base])
+    assert code == 0 and out["stop_requested"]
+    # loop sees the sentinel immediately: zero cycles run
+    code, out = _run(capsys, [
+        "run", *base, "--source", f"{SF}/orders.parquet",
+        "--pk", "o_orderkey", "--cycles", "3"])
+    assert code == 0 and out["cycles"] == 0
+
+
+def test_cli_reconcile_divergent_exits_3(spark, tmp_path, capsys):
+    work = str(tmp_path / "work")
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    df = spark.range(100).withColumnRenamed("id", "pk")
+    df.write.parquet(a)
+    df.filter("pk % 10 != 0").write.parquet(b)
+    code, out = _run(capsys, [
+        "reconcile-keys", "--workdir", work, "--tiles", "2",
+        "--shuffle-partitions", "4", "--source", a, "--target", b, "--pk", "pk"])
+    assert code == 3 and out["in_sync"] is False
+
+
+def test_cli_replay_dlq(tmp_path, capsys):
+    from cql_replicator_spark.sinks.dlq import DeadLetterQueue
+    work = str(tmp_path / "work")
+    dlq = DeadLetterQueue(os.path.join(work, "dlq"), "default", "orders")
+    dlq.persist(0, "insert", [{"stmt": "INSERT ...", "key": "1"}])
+    dlq.persist(1, "delete", [{"stmt": "DELETE ...", "key": "2"}])
+    code, out = _run(capsys, [
+        "replay-dlq", "--workdir", work, "--tiles", "2", "--table", "orders"])
+    assert code == 0 and out["replayed"] == 2
+    lines = open(out["out"]).read().strip().splitlines()
+    assert len(lines) == 2
