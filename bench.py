@@ -36,8 +36,11 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "similarity_cosine_topk",
+    "similarity_ann_ivf",
     "text_metrics",
+    "text_language_id",
 ]
 
 
