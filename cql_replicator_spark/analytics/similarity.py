@@ -217,3 +217,46 @@ def embedding_lsh_candidates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def quantized_cosine(va: Column, vb: Column) -> Column:
+    """Cosine over floor(x*1e6) integer-quantized vectors.
+
+    dot and norms are exact BIGINTs; sqrt/division are single correctly-
+    rounded IEEE ops — so the resulting double is bit-identical in any
+    engine, making cosine thresholds oracle-safe (a float dot product's
+    summation order is not)."""
+    def q(v):
+        return F.transform(v, lambda x: F.floor(x.cast("double") * 1e6).cast("long"))
+
+    qa, qb = q(va), q(vb)
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), zero, lambda a, x: a + x)
+    na = F.aggregate(F.transform(qa, lambda x: x * x), zero, lambda a, x: a + x)
+    nb = F.aggregate(F.transform(qb, lambda x: x * x), zero, lambda a, x: a + x)
+    return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+def embedding_lsh_verified_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """The full near-dup scale pattern: LSH candidates -> exact verify.
+
+    Candidate generation is the banded hyperplane join (never O(n²));
+    verification joins each candidate pair back to its two vectors and
+    keeps cosine >= threshold. At 100 TB the verify join is |candidates|
+    -sized, not |corpus|² — candidates are the only rows that ever pair.
+    """
+    cands = embedding_lsh_candidates(corpus, id_col, vec_col, dim)
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos", quantized_cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos")
+    )

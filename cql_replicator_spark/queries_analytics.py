@@ -373,6 +373,49 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_lsh_candidates(corpus)
 
 
+def _rp_lsh_verified_oracle(dim: int = 64, threshold: float = 0.9) -> str:
+    base = _rp_lsh_oracle(dim)
+    return f"""
+WITH cands AS (
+{base}
+),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+quant AS (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(x*1e6) AS BIGINT)) AS q FROM vecs
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1]*x[2])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(a.q, x -> x*x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(b.q, x -> x*x)) AS DOUBLE))) AS cos
+  FROM cands c
+  JOIN quant a ON a.vec_id = c.id_a
+  JOIN quant b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
+"""
+
+
+@register(
+    "dedup_embedding_lsh_verified",
+    oracle=_rp_lsh_verified_oracle(),
+    doc="Full near-dup scale pattern: LSH candidate generation -> exact "
+        "cosine verification at threshold 0.9. Quantized-integer cosine is "
+        "bit-identical across engines, so the float column itself is "
+        "oracle-checked",
+)
+def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    base = emb.select("vec_id", "embedding")
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    return S.embedding_lsh_verified_pairs(corpus)
+
+
 @register(
     "multimodal_features",
     oracle=None,  # mapInPandas path; deterministic fake extractor, pytest-verified

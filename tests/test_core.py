@@ -247,3 +247,22 @@ def test_legacy_snapshot_migration(spark, tmp_path):
     ledger.record_discovery("ks", "t", 0, sid)
     plan = ledger.replication_plan("ks", "t", 0)
     assert plan == {"mode": "delta", "curr": sid, "prev": 2}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join == plain join for inner and left, incl. a hot key."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.skew import salted_join
+
+    # 90% of big-side rows share one hot key
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"))
+    small = spark.createDataFrame(
+        [(7, "hot"), (20, "cold"), (999999, "unmatched")], ["k", "label"])
+
+    for how in ("inner", "left"):
+        got = sorted(map(tuple, salted_join(big, small, ["k"], how=how).collect()))
+        want = sorted(map(tuple, big.join(small, ["k"], how).collect()))
+        assert got == want, how
