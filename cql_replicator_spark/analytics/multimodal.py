@@ -115,3 +115,85 @@ def synthesize_media_table(spark, documents: DataFrame, media_type: str = "image
             F.lit("raw").alias("codec"),
         ).alias("meta"),
     )
+
+
+# -- resize ------------------------------------------------------------------
+
+def fake_resize(data: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resize: payload truncated/cycled
+    to a size proportional to the target raster. Replace with
+    decode_image + PIL resize + re-encode in production."""
+    target = max(1, (width * height) // 100)
+    if not data:
+        data = b"\x00"
+    reps = (target // len(data)) + 1
+    return (data * reps)[:target]
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Distributed media resize: mapInPandas batch pipeline that rewrites
+    the media payload and patches meta.width/height. Output keeps the
+    MEDIA_SCHEMA convention so resize composes with extract_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pd.DataFrame({
+                "width": [width] * len(pdf), "height": [height] * len(pdf),
+                "duration_ms": [m["duration_ms"] if m else None for m in pdf["meta"]],
+                "codec": [m["codec"] if m else None for m in pdf["meta"]],
+            })
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "media": pdf["media"].map(
+                    lambda b: fake_resize(bytes(b), width, height)
+                    if b is not None else None),
+                "media_type": pdf["media_type"],
+                "meta": meta.to_dict("records"),
+            })
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# -- frame sampling ----------------------------------------------------------
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_ms", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def fake_frame(data: bytes, idx: int, n_frames: int) -> bytes:
+    """Deterministic frame stand-in: the idx-th of n equal payload slices."""
+    if not data:
+        return b""
+    step = max(1, len(data) // max(n_frames, 1))
+    return data[idx * step:(idx + 1) * step] or data[-step:]
+
+
+def sample_media_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """One row per sampled frame: the 1->N mapInPandas shape for video.
+
+    Frame count comes from meta.duration_ms / every_ms; output is
+    (id, frame_idx, ts_ms, frame) — the binary column is per-frame, so
+    downstream per-frame feature extraction parallelizes past the
+    per-video row boundary. Swap fake_frame for ffmpeg seeking in
+    production (sample_frames stub above)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for _, row in pdf.iterrows():
+                duration = (row["meta"]["duration_ms"] or 0) if row["meta"] else 0
+                n = max(1, duration // every_ms)
+                data = bytes(row["media"]) if row["media"] is not None else b""
+                for i in range(n):
+                    ids.append(row["id"])
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(fake_frame(data, i, n))
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames})
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

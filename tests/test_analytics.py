@@ -142,3 +142,41 @@ def test_embedding_lsh_finds_planted_copies(spark):
     pairs = {(r.id_a, r.id_b) for r in S.embedding_lsh_candidates(corpus).collect()}
     ids = [r.vec_id for r in emb.select("vec_id").collect()]
     assert all((i, i + 1000000) in pairs for i in ids)
+
+
+def test_multimodal_resize_and_compose(spark):
+    """resize keeps the media schema (composes with extract_features) and
+    patches meta dimensions."""
+    from cql_replicator_spark.analytics import multimodal as MM
+    from cql_replicator_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])["documents"]
+    media = MM.synthesize_media_table(spark, docs.limit(20))
+    resized = MM.resize_media(media, 64, 48)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(r.meta.width == 64 and r.meta.height == 48 for r in rows)
+    assert all(len(r.media) == (64 * 48) // 100 for r in rows)
+    feats = MM.extract_features(resized).collect()
+    assert len(feats) == 20 and all(len(f.features) == MM.FEATURE_DIM for f in feats)
+
+
+def test_multimodal_frame_sampling_shape(spark):
+    """1->N frame explode: counts follow duration/every_ms; frames are
+    deterministic slices."""
+    from cql_replicator_spark.analytics import multimodal as MM
+    from cql_replicator_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])["documents"]
+    media = MM.synthesize_media_table(spark, docs.limit(10), media_type="video")
+    frames = MM.sample_media_frames(media, every_ms=1000).collect()
+    durations = {r.id: r.meta.duration_ms for r in media.collect()}
+    expected = sum(max(1, d // 1000) for d in durations.values())
+    assert len(frames) == expected
+    by_id = {}
+    for f in frames:
+        by_id.setdefault(f.id, []).append(f)
+    for vid, fs in by_id.items():
+        idxs = sorted(f.frame_idx for f in fs)
+        assert idxs == list(range(len(fs)))
+        assert all(f.ts_ms == f.frame_idx * 1000 for f in fs)
