@@ -266,3 +266,34 @@ def test_salted_join_equals_plain_join(spark):
         got = sorted(map(tuple, salted_join(big, small, ["k"], how=how).collect()))
         want = sorted(map(tuple, big.join(small, ["k"], how).collect()))
         assert got == want, how
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    prev_keys=st.sets(st.integers(0, 120), max_size=60),
+    curr_keys=st.sets(st.integers(0, 120), max_size=60),
+    changed=st.sets(st.integers(0, 120), max_size=30),
+)
+def test_diff_property_random_mutations(spark, prev_keys, curr_keys, changed):
+    """SURVEY §5 property test: for ANY pair of key sets and any changed
+    subset, the snapshot diff equals the set-arithmetic ground truth."""
+    from cql_replicator_spark.diff import compute_changes_tagged
+
+    prev = spark.createDataFrame(
+        [(k, 100) for k in prev_keys] or [(None, None)], "pk INT, ts INT"
+    ).filter("pk IS NOT NULL")
+    curr = spark.createDataFrame(
+        [(k, 101 if k in changed else 100) for k in curr_keys] or [(None, None)],
+        "pk INT, ts INT").filter("pk IS NOT NULL")
+
+    got = {(r.op, r.pk) for r in
+           compute_changes_tagged(curr, prev, ["pk"]).collect()}
+    want = ({("insert", k) for k in curr_keys - prev_keys}
+            | {("delete", k) for k in prev_keys - curr_keys}
+            | {("update", k) for k in (curr_keys & prev_keys) & changed})
+    assert got == want
