@@ -29,17 +29,32 @@ from pyspark.sql import functions as F
 KEYSPACE = "default"  # single-namespace offline layout
 
 
+def _load_mapping(args):
+    """JSON_MAPPING from --mapping (file) or --mapping-b64 (K:561's
+    base64 channel); defaults to an all-columns passthrough."""
+    from .config import JsonMapping, resolve, resolve_b64
+    if getattr(args, "mapping", None):
+        with open(args.mapping) as f:
+            return resolve(json.load(f))
+    if getattr(args, "mapping_b64", None):
+        return resolve_b64(args.mapping_b64)
+    return JsonMapping()
+
+
 def _pipeline(spark, args):
     from .ledger import Ledger
     from .runner import CdcPipeline, StatsStore
     from .sinks.parquet_sink import bulk_replicate_to_parquet
     from .snapshot import SnapshotStore
+    from .transform import build_source_pipeline
 
     table = args.table or os.path.basename(args.source.rstrip("/")).replace(".parquet", "")
     pk_cols = args.pk.split(",")
+    mapping = _load_mapping(args)
 
     def source():
-        return spark.read.parquet(args.source)
+        return build_source_pipeline(
+            spark.read.parquet(args.source), mapping, pk_cols, args.ts_col)
 
     def pk_source():
         df = source()
@@ -195,6 +210,10 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--ts-col", default=None)
             sp.add_argument("--table", default=None)
             sp.add_argument("--target", default=None)
+            sp.add_argument("--mapping", default=None,
+                            help="path to a JSON_MAPPING config file")
+            sp.add_argument("--mapping-b64", default=None,
+                            help="base64-encoded JSON_MAPPING (the reference's channel)")
 
     sp = sub.add_parser("run", help="discovery+replication loop until stop/cycles")
     common(sp)

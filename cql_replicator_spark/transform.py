@@ -150,3 +150,33 @@ def fingerprint_schema(schema) -> str:
 
     canon = "|".join(f"{f.name}:{f.dataType.simpleString()}" for f in schema.fields)
     return hashlib.sha256(canon.encode()).hexdigest()
+
+
+def build_source_pipeline(
+    df: DataFrame,
+    mapping,
+    pk_cols: list[str],
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Compose a JSON_MAPPING into the source DataFrame flow — the
+    reference's whole 'query language' (SURVEY §0): filterExpression ->
+    point-in-time predicate -> column-subset projection (PKs always kept)
+    -> hash transforms -> UDT->JSON. Everything stays a single Catalyst
+    plan, so pushdown/pruning apply across the composed stages."""
+    from pyspark.sql import types as T
+
+    rep = mapping.replication
+    out = apply_filter_expression(df, rep.filterExpression)
+    if ts_col is not None and ts_col in out.columns:
+        out = apply_point_in_time(out, ts_col, rep.pointInTime)
+    if not rep.allColumns:
+        keep = list(dict.fromkeys(
+            [*pk_cols, *([ts_col] if ts_col and ts_col in out.columns else []),
+             *rep.columns]))
+        out = out.select(*keep)
+    out = apply_transformations(out, rep.transformations)
+    if mapping.udtConversion:
+        udt_cols = [f.name for f in out.schema.fields
+                    if isinstance(f.dataType, T.StructType)]
+        out = udt_to_json(out, udt_cols)
+    return out

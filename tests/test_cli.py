@@ -91,3 +91,51 @@ def test_cli_replay_dlq(tmp_path, capsys):
     assert code == 0 and out["replayed"] == 2
     lines = open(out["out"]).read().strip().splitlines()
     assert len(lines) == 2
+
+
+def test_cli_mapping_drives_pipeline(spark, tmp_path, capsys):
+    """A JSON_MAPPING config file controls filter/projection/transforms of
+    the replicated rows — the reference's declarative query surface."""
+    work, target = str(tmp_path / "work"), str(tmp_path / "target")
+    mapping = tmp_path / "mapping.json"
+    mapping.write_text(json.dumps({
+        "replication": {
+            "allColumns": False,
+            "columns": ["o_orderstatus"],
+            "filterExpression": "o_orderstatus = 'F'",
+            "transformations": [
+                {"column": "o_orderstatus", "rule": "md5",
+                 "alias": "status_md5", "keepSource": True},
+            ],
+        },
+    }))
+    code, out = _run(capsys, [
+        "run", "--workdir", work, "--tiles", "2", "--shuffle-partitions", "4",
+        "--source", f"{SF}/orders.parquet", "--pk", "o_orderkey",
+        "--target", target, "--mapping", str(mapping), "--cycles", "1"])
+    assert code == 0 and out["cycles"] == 1
+
+    src = spark.read.parquet(f"{SF}/orders.parquet")
+    n_f = src.filter("o_orderstatus = 'F'").count()
+    written = spark.read.parquet(
+        os.path.join(target, "default", "orders", "*", "insert", "*"))
+    assert written.count() == n_f
+    assert sorted(written.columns) == ["o_orderkey", "o_orderstatus", "status_md5"]
+    from pyspark.sql import functions as F
+    bad = written.filter(F.md5(F.col("o_orderstatus").cast("string"))
+                         != F.col("status_md5")).count()
+    assert bad == 0
+
+
+def test_cli_rejects_invalid_mapping(tmp_path, capsys):
+    from cql_replicator_spark.config import ConfigError
+    work = str(tmp_path / "work")
+    mapping = tmp_path / "bad.json"
+    mapping.write_text(json.dumps({
+        "replication": {"transformations": [
+            {"column": "c", "rule": "not-a-rule"}]},
+    }))
+    with pytest.raises(ConfigError):
+        main(["discover", "--workdir", work, "--tiles", "2",
+              "--shuffle-partitions", "4", "--source", f"{SF}/orders.parquet",
+              "--pk", "o_orderkey", "--mapping", str(mapping)])
