@@ -138,6 +138,45 @@ def cdc_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_changes_composite_pk",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS pk1, o_custkey AS pk2,
+         CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS BIGINT) AS ts
+  FROM orders
+),
+t0 AS (SELECT pk1, pk2, ts FROM base WHERE pk1 % 10 <> 0),
+t1 AS (SELECT pk1, pk2, CASE WHEN pk1 % 5 = 0 THEN ts + 1 ELSE ts END AS ts
+       FROM base WHERE pk1 % 7 <> 0)
+SELECT 'insert' AS op, pk1, pk2, ts FROM t1
+WHERE NOT EXISTS (SELECT 1 FROM t0 WHERE t0.pk1 = t1.pk1 AND t0.pk2 = t1.pk2)
+UNION ALL
+SELECT 'delete' AS op, pk1, pk2, ts FROM t0
+WHERE NOT EXISTS (SELECT 1 FROM t1 WHERE t1.pk1 = t0.pk1 AND t1.pk2 = t0.pk2)
+UNION ALL
+SELECT 'update' AS op, t1.pk1, t1.pk2, t1.ts
+FROM t1 JOIN t0 ON t1.pk1 = t0.pk1 AND t1.pk2 = t0.pk2
+WHERE t1.ts IS DISTINCT FROM t0.ts
+""",
+    doc="Snapshot diff over a COMPOSITE primary key (partition+clustering "
+        "key shape; composite-key joins R:649-668) — same single-pass "
+        "full-outer formulation, multi-column equi-join keys",
+)
+def cdc_changes_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .diff import compute_changes_tagged
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    ymd = (F.year("o_orderdate") * 10000 + F.month("o_orderdate") * 100
+           + F.dayofmonth("o_orderdate")).cast("long")
+    base = orders.select(F.col("o_orderkey").alias("pk1"),
+                         F.col("o_custkey").alias("pk2"), ymd.alias("ts"))
+    t0 = base.filter(F.col("pk1") % 10 != 0)
+    t1 = base.filter(F.col("pk1") % 7 != 0).withColumn(
+        "ts", F.when(F.col("pk1") % 5 == 0, F.col("ts") + 1).otherwise(F.col("ts")))
+    return compute_changes_tagged(curr=t1, prev=t0, pk_cols=["pk1", "pk2"]).select(
+        "op", "pk1", "pk2", "ts")
+
+
+@register(
     "reconcile_counts",
     oracle="""
 WITH src AS (SELECT o_orderkey AS pk FROM orders),

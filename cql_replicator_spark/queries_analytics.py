@@ -55,9 +55,12 @@ sh AS (
 
 
 def _exact_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
-    return docs.unionByName(
-        docs.select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+    # single scan: the doubled corpus comes from an explode, not a
+    # self-union that reads the table twice
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        F.explode(F.array(F.col("doc_id"), F.col("doc_id") + 2000000)).alias("doc_id"),
+        "text")
 
 
 def _near_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
