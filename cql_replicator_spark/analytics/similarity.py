@@ -260,3 +260,66 @@ def embedding_lsh_verified_pairs(
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", "cos")
     )
+
+
+# -- vectorized (Arrow/numpy) brute-force top-k -------------------------------
+
+def cosine_topk_np(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k via mapInPandas + numpy matmul.
+
+    The corpus matrix is collected once on the driver and shipped to
+    executors inside the UDF closure (a broadcast in cluster terms —
+    n_corpus x dim doubles, e.g. 1M x 64 = 512 MB ceiling; beyond that,
+    shard the corpus and IVF-route instead). Each Arrow batch of queries
+    computes one (batch x corpus) matmul — the ~100x-over-per-row path
+    the brief's 'vectorized Pandas UDF' calls for. Ranking ties break by
+    neighbor id, matching cosine_topk.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = corpus.select(id_col, vec_col).collect()
+    corpus_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat_norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("neighbor_id", T.LongType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ mat_norm.T                      # (batch, corpus)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            out_q, out_r, out_n = [], [], []
+            for i, qid in enumerate(qids):
+                s = sims[i]
+                # exclude self; order by (-cos, neighbor_id) like cosine_topk
+                order = np.lexsort((corpus_ids, -s))
+                picked = 0
+                for j in order:
+                    if corpus_ids[j] == qid:
+                        continue
+                    picked += 1
+                    out_q.append(qid)
+                    out_r.append(picked)
+                    out_n.append(corpus_ids[j])
+                    if picked == k:
+                        break
+            yield pd.DataFrame(
+                {"query_id": out_q, "rank": out_r, "neighbor_id": out_n})
+
+    return queries.select(id_col, vec_col).mapInPandas(run, schema=out_schema)

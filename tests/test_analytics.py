@@ -180,3 +180,20 @@ def test_multimodal_frame_sampling_shape(spark):
         idxs = sorted(f.frame_idx for f in fs)
         assert idxs == list(range(len(fs)))
         assert all(f.ts_ms == f.frame_idx * 1000 for f in fs)
+
+
+def test_vectorized_topk_matches_exact(spark):
+    """numpy-matmul top-k returns the same neighbor sets as the
+    expression-based exact path (rank-for-rank on untied data)."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.analytics import similarity as S
+    from cql_replicator_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in S.cosine_topk(qs, emb, k=5).collect()}
+    fast = {(r.query_id, r.rank): r.neighbor_id
+            for r in S.cosine_topk_np(qs, emb, k=5).collect()}
+    assert fast == exact
