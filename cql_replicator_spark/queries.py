@@ -773,6 +773,29 @@ def timestamp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss.SSS")).alias("ts_millis"))
 
 
+@register(
+    "skew_salted_join",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 50 = 0) hot
+  ON o.o_custkey = hot.o_custkey
+""",
+    doc="Skew-salted equi-join (salt-replicate small side; reference's only "
+        "skew tool is the pre-write salt K:1152-1159 — this is the join-side "
+        "extension for hot keys AQE can't split). Result is salt-invariant, "
+        "so the oracle is the plain join",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import salted_join
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    hot = (orders.filter(F.col("o_custkey") % 50 == 0)
+           .select("o_custkey").distinct())
+    return salted_join(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        hot, ["o_custkey"], num_salts=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_registered()
     return {name: spec.build for name, spec in REGISTRY.items()}
