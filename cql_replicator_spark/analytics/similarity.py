@@ -194,19 +194,41 @@ def embedding_lsh_candidates(
 
     planes sign-bits per vector, split into `bands` bucket keys; vectors
     sharing any band bucket are candidates (id_a < id_b, distinct). This
-    is the 100 TB formulation of embedding dedup: signature computation
-    is map-only, and the only shuffle is the band-bucket self-join —
-    exactly the MinHash+LSH topology, applied to the vector space. Rerank
-    candidates with exact cosine (similarity.cosine) as the verify step.
+    is the 100 TB formulation of embedding dedup: the only data shuffle
+    is the band-bucket self-join (the signature groupBy collapses
+    map-side to one row per vector) — exactly the MinHash+LSH topology,
+    applied to the vector space. Rerank candidates with exact cosine
+    (quantized_cosine) as the verify step.
+
+    The signed dots run as posexplode + ONE groupBy carrying all `planes`
+    sums as codegen'd aggregates, with the rp_sign LCG reproduced in
+    column arithmetic — same lesson as minhash: flat expressions in
+    WholeStageCodegen beat interpreted per-element HOF lambdas ~3x.
     """
     per_band = planes // bands
-    bits = [rp_bit(F.col(vec_col), p, dim) for p in range(planes)]
+    # q rows: (id, d, floor(x*1e6)); one row per vector component
+    qrows = (
+        corpus.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .select(F.col(id_col), F.col("d"),
+                F.floor(F.col("x").cast("double") * 1e6).cast("long").alias("q"))
+    )
+    sums = []
+    for p in range(planes):
+        # rp_sign(p, d, dim) as column arithmetic: identical LCG
+        lcg = (F.lit(1103515245).cast("long")
+               * (F.lit(p * dim).cast("long") + F.col("d") + 1) + 12345
+               ).bitwiseAND(F.lit(0x7FFFFFFF).cast("long"))
+        sign = 1 - 2 * F.shiftright(lcg, 16).bitwiseAND(F.lit(1))
+        sums.append(F.sum(F.col("q") * sign).alias(f"s{p}"))
+    sig = qrows.groupBy(id_col).agg(*sums)
+    bits = [F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(planes)]
     buckets = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.concat(*bits[b * per_band:(b + 1) * per_band]).alias("bucket"))
         for b in range(bands)
     ])
-    banded = (corpus.select(F.col(id_col), F.explode(buckets).alias("bb"))
+    banded = (sig.select(F.col(id_col), F.explode(buckets).alias("bb"))
               .select(F.col(id_col), F.col("bb.band").alias("band"),
                       F.col("bb.bucket").alias("bucket")))
     a, b_ = banded.alias("a"), banded.alias("b")
