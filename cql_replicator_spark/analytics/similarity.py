@@ -167,21 +167,6 @@ def rp_sign(p: int, d: int, dim: int) -> int:
     return 1 if (x >> 16) & 1 == 0 else -1
 
 
-def rp_bit(vec_col: Column, p: int, dim: int) -> Column:
-    """Sign bit of the signed integer dot <floor(v*1e6), s_p>.
-
-    Quantizing with floor to exact BIGINTs makes the bit decision
-    integer-exact and therefore bit-identical across engines — a raw
-    float dot product could flip sign in the last ulp under a different
-    summation order."""
-    signs = F.array(*[F.lit(rp_sign(p, d, dim)) for d in range(dim)])
-    prods = F.zip_with(
-        vec_col, signs,
-        lambda x, s: F.floor(x.cast("double") * 1e6).cast("long") * s.cast("long"))
-    total = F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x)
-    return F.when(total > 0, F.lit("1")).otherwise(F.lit("0"))
-
-
 def embedding_lsh_candidates(
     corpus: DataFrame,
     id_col: str = "vec_id",
