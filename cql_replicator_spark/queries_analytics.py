@@ -341,6 +341,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb)
 
 
+@register(
+    "dedup_events_stream",
+    oracle="SELECT event_id, ts, user_id FROM events",
+    doc="Streaming exactly-once dedup: dropDuplicates with watermark-bounded "
+        "state over a real Structured Streaming job; duplicated input "
+        "micro-batches collapse back to the batch-distinct table",
+)
+def dedup_events_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import dedup_events_stream
+    return dedup_events_stream(spark, sf_dir)
+
+
 def _rp_lsh_oracle(dim: int = 64, planes: int = 16, bands: int = 2) -> str:
     per_band = planes // bands
     bit_exprs = []
@@ -437,8 +449,15 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas path; deterministic fake extractor, pytest-verified
-    doc="Multimodal plumbing: binary media column -> Arrow-batched feature extraction",
+    oracle="""
+SELECT doc_id AS id, 'image' AS media_type,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+""",
+    doc="Multimodal plumbing: binary media column -> Arrow-batched "
+        "mapInPandas feature extraction (deterministic fake extractor; "
+        "payload byte counts are oracle-checked, the feature vectors by "
+        "pytest)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import multimodal as MM

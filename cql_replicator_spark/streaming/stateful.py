@@ -175,3 +175,44 @@ _UNITS_MS = {
 def _parse_interval_ms(text: str) -> int:
     amount, unit = text.strip().split()
     return int(amount) * _UNITS_MS[unit.lower()]
+
+
+def dedup_events_stream(
+    spark,
+    sf_dir: str,
+    input_dir: str | None = None,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once dedup: ``dropDuplicates`` on the event key
+    with watermark-bounded state — the in-stream form of exact dedup for
+    a continuously-ingesting training pipeline.
+
+    Stages the events table TWICE (two micro-batches of identical rows):
+    the second batch's rows are all duplicates, so the streamed output
+    equals the batch-distinct of the table. State is evicted past the
+    watermark, which is what makes this viable over unbounded streams.
+    """
+    import tempfile
+    import uuid
+
+    from ..session import load_tables
+    from .windows import run_stream_to_memory, stream_events_from_dir
+
+    keys = key_cols or ["event_id"]
+    events = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "event_id", "ts", "user_id")
+    stage = input_dir or tempfile.mkdtemp(prefix="dedup_stream_")
+    for _ in range(2):
+        events.coalesce(1).write.mode("append").parquet(stage)
+
+    stream = stream_events_from_dir(spark, stage, events.schema)
+    deduped = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates([*keys, "ts"])
+    )
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(deduped, qname, output_mode="append")
+    out = spark.table(qname)
+    return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
