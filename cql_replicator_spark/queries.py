@@ -346,6 +346,79 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="Single-scan filter+aggregate (TPC-H Q6 shape): every predicate "
+        "reaches the parquet scan as a pushed filter, ReadSchema is 4 "
+        "columns, no shuffle beyond the final 1-row agg",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24))
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)
+                   * F.col("l_discount").cast(_DEC)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    doc="Group-HAVING semi-filter then enrich (TPC-H Q18 shape): the "
+        "aggregate-derived key set drives the join — the same "
+        "changed-keys-then-hydrate topology as CDC",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "customer", "lineitem")
+    li = t["lineitem"]
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__qty"))
+           .filter(F.col("__qty") > 300)
+           .select(F.col("l_orderkey").alias("big_orderkey")))
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("big_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("total_qty"))
+        .select("c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference-operator queries (projections, filters, transforms, stats)
 # ---------------------------------------------------------------------------
@@ -771,6 +844,40 @@ def timestamp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         F.unix_millis(F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss.SSS")).alias("ts_millis"))
+
+
+@register(
+    "column_compression_roundtrip",
+    oracle="""
+SELECT o_orderkey,
+       octet_length(encode(o_orderpriority)) AS n_raw,
+       true AS roundtrip_ok
+FROM orders
+""",
+    doc="Column compression on the wire (compressValues K:727-757): "
+        "mapInPandas Arrow batches compress each payload with the "
+        "length-prefixed codec and verify decompress(compress(x)) == x "
+        "executor-side; the oracle pins payload sizes and the invariant",
+)
+def column_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .codec import compress, decompress
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+
+    def run(batches):
+        for pdf in batches:
+            raw = pdf["o_orderpriority"].map(lambda s: s.encode("utf-8"))
+            comp = raw.map(compress)
+            yield pd.DataFrame({
+                "o_orderkey": pdf["o_orderkey"],
+                "n_raw": raw.map(len).astype("int64"),
+                "roundtrip_ok": [decompress(c) == r for c, r in zip(comp, raw)],
+            })
+
+    return orders.select("o_orderkey", "o_orderpriority").mapInPandas(
+        run, schema="o_orderkey LONG, n_raw LONG, roundtrip_ok BOOLEAN")
 
 
 @register(
