@@ -29,6 +29,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "skew_salted_join",
     "tile_histogram_xxhash64",
     "column_stats_orders",
     "events_windowed_agg",
