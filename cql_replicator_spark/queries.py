@@ -330,16 +330,30 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
     price = F.col("l_extendedprice").cast(_DEC)
     disc = F.col("l_discount").cast(_DEC)
+    # constrain orders through the broadcast dim chain BEFORE touching the
+    # fact table: ASIA nations -> ASIA customers -> their orders (~1/5 of
+    # orders), so lineitem joins a reduced side. AQE picks the physical
+    # strategy for that reduced join at runtime (no hint — see q3 note).
+    asia_nations = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    asia_orders = (
+        t["orders"]
+        .join(F.broadcast(
+            t["customer"].join(F.broadcast(asia_nations),
+                               F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey"))
     return (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(asia_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["supplier"]),
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")

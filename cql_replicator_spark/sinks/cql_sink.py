@@ -129,11 +129,18 @@ def write_inserts(
     dlq_factory: Callable[[], Callable[[object, Exception], None]] | None = None,
     ts_col: str | None = None,
     ttl_col: str | None = None,
+    acc_ok=None,
+    acc_failed=None,
 ) -> None:
     """Each row -> INSERT JSON statement -> batched resilient execution.
 
     executor_factory/dlq_factory are invoked once per partition ON THE
     EXECUTOR (lazy client init, K:869-873); they must be picklable.
+
+    acc_ok/acc_failed: optional Spark accumulators — each partition adds
+    its written/failed item counts on close, so the driver sees exact
+    executor-side totals (the accumulator half of the reference's
+    accumulator+TaskEnd-listener stats flush, K:1161-1215).
     """
     target, write_cfg, ine = cfg.target, cfg.write, cfg.if_not_exists
     data_cols = [c for c in df.columns if c not in (ts_col, ttl_col)]
@@ -150,5 +157,9 @@ def write_inserts(
                 ttl = d.pop(ttl_col) if ttl_col else None
                 doc = {k: d[k] for k in data_cols}
                 batch.add(insert_json_statement(target, doc, ts, ttl, ine))
+        if acc_ok is not None:
+            acc_ok.add(batch.stats.items_ok)
+        if acc_failed is not None:
+            acc_failed.add(batch.stats.items_failed)
 
     df.foreachPartition(process_partition)

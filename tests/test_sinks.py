@@ -3,6 +3,7 @@ parquet bulk path, large objects, codec."""
 
 import json
 import os
+import uuid
 
 import pytest
 from pyspark.sql import functions as F
@@ -318,3 +319,31 @@ def test_opensearch_change_set_write(spark):
     delete_ids = {a["delete"]["_id"] for a in actions if "delete" in a}
     assert index_ids == {"1", "2", "3"}
     assert delete_ids == {"4"}
+
+
+def test_write_inserts_accumulator_counts(spark, tmp_path):
+    """Executor-side write counts flow back via Spark accumulators
+    (the accumulator half of K:1161-1215's incremental stats)."""
+    import glob
+
+    from cql_replicator_spark.sinks.cql_sink import CqlWriterConfig, write_inserts
+
+    df = spark.range(137).select(F.col("id").alias("pk"))
+    out_dir = str(tmp_path)
+
+    def executor_factory():
+        def execute(statements):
+            path = os.path.join(out_dir, f"{os.getpid()}_{uuid.uuid4().hex}.log")
+            with open(path, "w") as f:
+                f.write("\n".join(statements))
+        return execute
+
+    acc_ok = spark.sparkContext.accumulator(0)
+    acc_failed = spark.sparkContext.accumulator(0)
+    cfg = CqlWriterConfig(target="ks.t", write=WriteConfig())
+    write_inserts(df, cfg, executor_factory, acc_ok=acc_ok, acc_failed=acc_failed)
+    assert acc_ok.value == 137
+    assert acc_failed.value == 0
+    written = sum(len(open(p).read().splitlines())
+                  for p in glob.glob(os.path.join(out_dir, "*.log")))
+    assert written == 137
