@@ -139,3 +139,45 @@ def test_cli_rejects_invalid_mapping(tmp_path, capsys):
         main(["discover", "--workdir", work, "--tiles", "2",
               "--shuffle-partitions", "4", "--source", f"{SF}/orders.parquet",
               "--pk", "o_orderkey", "--mapping", str(mapping)])
+
+
+def test_cli_delta_cycle_with_ts(spark, tmp_path, capsys):
+    """Full CDC delta through the CLI: mutate the source between cycles;
+    the second cycle replicates exactly the insert/update/delete sets."""
+    from pyspark.sql import functions as F
+
+    work = str(tmp_path / "work")
+    target = str(tmp_path / "target")
+    src_dir = str(tmp_path / "src.parquet")
+    base = spark.range(100).select(
+        F.col("id").alias("pk"), (F.col("id") * 10).alias("ts"),
+        F.concat(F.lit("v-"), F.col("id")).alias("payload"))
+    base.write.parquet(src_dir)
+    args = ["--workdir", work, "--tiles", "2", "--shuffle-partitions", "4",
+            "--source", src_dir, "--pk", "pk", "--ts-col", "ts",
+            "--table", "t", "--target", target]
+
+    code, _ = _run(capsys, ["run", *args, "--cycles", "1"])
+    assert code == 0
+
+    # mutate: delete pk%10==0, update ts for pk%7==0, insert 100..109
+    v2 = (base.filter("pk % 10 != 0")
+          .withColumn("ts", F.when(F.col("pk") % 7 == 0,
+                                   F.col("ts") + 1).otherwise(F.col("ts")))
+          .unionByName(spark.range(100, 110).select(
+              F.col("id").alias("pk"), (F.col("id") * 10).alias("ts"),
+              F.concat(F.lit("v-"), F.col("id")).alias("payload"))))
+    v2.write.mode("overwrite").parquet(src_dir)
+
+    code, _ = _run(capsys, ["run", *args, "--cycles", "1"])
+    assert code == 0
+
+    inserts = spark.read.parquet(os.path.join(target, "default", "t", "*", "insert", "*"))
+    updates = spark.read.parquet(os.path.join(target, "default", "t", "*", "update", "*"))
+    deletes = spark.read.parquet(os.path.join(target, "default", "t", "*", "delete", "*"))
+    # cycle 1 wrote the historical load (100 inserts); cycle 2 adds 10 new
+    assert inserts.count() == 110
+    got_updates = {r.pk for r in updates.select("pk").collect()}
+    assert got_updates == {k for k in range(100) if k % 7 == 0 and k % 10 != 0}
+    got_deletes = {r.pk for r in deletes.select("pk").collect()}
+    assert got_deletes == {k for k in range(100) if k % 10 == 0}
