@@ -153,7 +153,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         bands: int = 4, rows_per_band: int = 4) -> DataFrame:
     """Banding: docs sharing any band's signature are candidates.
     (id_a, id_b) distinct, id_a < id_b. The band bucket join replaces
-    the O(n²) similarity matrix."""
+    the O(n²) similarity matrix.
+
+    The self-join consumes `signatures` on both sides; Spark computes the
+    subtree twice (no exchange reuse across a broadcast boundary). At
+    bench scale a measured warm A/B showed persist() is a wash — cache
+    materialization costs what the recompute costs — but at 100 TB the
+    recompute re-reads and re-shingles the whole corpus: persist the
+    signatures (MEMORY_AND_DISK, ~1 narrow row/doc) or write them to a
+    table before banding."""
     # one scan: all band buckets built as an array then exploded, instead
     # of a b-way union that recomputes the signature plan b times
     buckets = F.array(*[
