@@ -672,6 +672,26 @@ def events_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       count(*) OVER (PARTITION BY CAST(json_extract(props, '$.k') AS BIGINT)) AS n_same_k
+FROM events
+""",
+    doc="JSON field extraction from a string column (json4s field ops "
+        "K:171-207 -> from_json/get_json_object) + a count window over the "
+        "extracted value",
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    events = _t(spark, sf_dir, "events")["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (events.select("event_id", k.alias("k"))
+            .withColumn("n_same_k", F.count("*").over(Window.partitionBy("k"))))
+
+
+@register(
     "ttl_filter_orders",
     oracle="""
 SELECT o_orderkey, o_orderkey % 100 AS ttl_value
