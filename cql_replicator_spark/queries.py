@@ -672,6 +672,34 @@ def events_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_spend_rank",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend,
+       dense_rank() OVER (ORDER BY total_spend DESC) AS spend_rank
+FROM spend
+QUALIFY spend_rank <= 50
+""",
+    doc="Ranking window over an exact-decimal aggregate (dense_rank, "
+        "global ordering) — rank ties are value-driven so the output is "
+        "engine-independent",
+)
+def customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast(_DEC))
+                  .cast("double").alias("total_spend")))
+    w = Window.orderBy(F.desc("total_spend"))
+    return (spend.withColumn("spend_rank", F.dense_rank().over(w))
+            .filter(F.col("spend_rank") <= 50))
+
+
+@register(
     "events_props_json",
     oracle="""
 SELECT event_id,
