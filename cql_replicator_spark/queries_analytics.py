@@ -243,7 +243,8 @@ contrib AS (
   GROUP BY doc_id, i
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << i) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << i)
+            AS BIGINT) AS simhash
 FROM contrib GROUP BY doc_id
 """,
     doc="SimHash 32-bit signatures per document",
