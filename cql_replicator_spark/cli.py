@@ -22,7 +22,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 from pyspark.sql import functions as F
 
@@ -61,10 +60,13 @@ def _pipeline(spark, args):
         ts = F.col(args.ts_col).cast("long") if args.ts_col else F.lit(0).cast("long")
         return df.select(*pk_cols, ts.alias("ts"))
 
-    def sink(changes, tile):
+    def sink(changes, tile, batch_id):
         if not args.target:
             return
-        batch = time.strftime("%Y%m%d%H%M%S")
+        # snapshot id from the replication plan: unique per rotation, so
+        # back-to-back cycles never overwrite each other's delta (a
+        # second-resolution timestamp would collide under --cooldown 0)
+        batch = f"snap-{batch_id:08d}"
         for op, pks in (("insert", changes.inserts), ("update", changes.updates)):
             if pks.limit(1).count():
                 bulk_replicate_to_parquet(
@@ -122,28 +124,42 @@ def cmd_replicate(args) -> int:
 
 
 def cmd_stats(args) -> int:
-    """Discovered-vs-replicated totals (`--cmd stats` C:1811-1846): the
-    operational integrity check is discovered == inserted+updated+deleted."""
+    """Discovered-vs-replicated totals (`--cmd stats` C:1811-1846).
+
+    Tiles are enumerated from the stats directory itself (a tile that
+    never rotated simply has no files and contributes zero — it must not
+    truncate the scan of later tiles). ``discovered`` is the latest
+    discovery gauge summed over tiles (current source key count);
+    ``replicated`` the cumulative inserted+updated+deleted counter. The
+    in-sync check compares like with like: current source keys vs net
+    rows landed in the target (cumulative inserted - deleted; updates
+    don't change row count)."""
+    import re
+
     from .runner import StatsStore
     store = StatsStore(os.path.join(args.workdir, "stats"))
     out = []
     root = os.path.join(args.workdir, "stats", KEYSPACE)
     if os.path.isdir(root):
         for table in sorted(os.listdir(root)):
-            tile = 0
-            discovered = replicated = 0
-            while True:
-                d = store.get(KEYSPACE, table, tile, "discovery")
-                r = store.get(KEYSPACE, table, tile, "replication")
-                if d is None and r is None:
-                    break
-                discovered += (d or {}).get("primaryKeys", 0)
-                replicated += sum((r or {}).get(k, 0) for k in (
-                    "insertedPrimaryKeys", "updatedPrimaryKeys", "deletedPrimaryKeys"))
-                tile += 1
+            tiles = sorted({
+                int(m.group(1))
+                for f in os.listdir(os.path.join(root, table))
+                if (m := re.match(r"(?:discovery|replication)-tile-(\d+)\.json$", f))
+            })
+            discovered = replicated = net_replicated = 0
+            for tile in tiles:
+                d = store.get(KEYSPACE, table, tile, "discovery") or {}
+                r = store.get(KEYSPACE, table, tile, "replication") or {}
+                discovered += d.get("primaryKeys", 0)
+                ins = r.get("insertedPrimaryKeys", 0)
+                upd = r.get("updatedPrimaryKeys", 0)
+                dels = r.get("deletedPrimaryKeys", 0)
+                replicated += ins + upd + dels
+                net_replicated += ins - dels
             out.append({"table": table, "discovered": discovered,
                         "replicated": replicated,
-                        "in_sync": discovered >= replicated})
+                        "in_sync": discovered == net_replicated})
     print(json.dumps(out))
     return 0
 

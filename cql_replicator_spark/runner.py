@@ -122,7 +122,10 @@ class CdcPipeline:
     stats: StatsStore
     total_tiles: int = 4
     ts_col: str = "ts"
-    sink: Callable[[ChangeSet, int], None] | None = None  # (changes, tile)
+    # (changes, tile, batch_id) — batch_id is the consumed curr snapshot id,
+    # unique per rotation, so two cycles can never collide on a sink path
+    # (a wall-clock batch id collides when cycles are < 1s apart).
+    sink: Callable[[ChangeSet, int, int], None] | None = None
     max_workers: int = 4
 
     # -- discovery ---------------------------------------------------------
@@ -176,7 +179,7 @@ class CdcPipeline:
                 n_upd = counts.get("update", 0)
                 changes = changeset_from_tagged(tagged)
             if self.sink is not None:
-                self.sink(changes, tile)
+                self.sink(changes, tile, plan["curr"])
         finally:
             if tagged is not None:
                 tagged.unpersist()

@@ -133,34 +133,60 @@ def migrate_legacy_snapshots(
     table: str,
     legacy_root: str,
     tiles: list[int],
+    pk_cols: list[str],
+    total_tiles: int | None = None,
     cleanup: bool = True,
 ) -> dict[int, tuple[int, int]]:
     """Migrate legacy per-tile head/tail parquet dirs into the snapshot
     store + ledger (the K:1481-1560 parquet->Iceberg migration).
 
     Legacy layout: ``{legacy_root}/tile={n}/tail`` (older key set) and
-    ``.../head`` (newer). Per tile: tail becomes the first snapshot and
-    head the second, both recorded through the ledger's normal
-    discovery/consume rotation so the resumed pipeline's next discovery
-    diffs against head exactly as the legacy loop would have — the
-    already-replicated head/tail delta is NOT replayed. Returns
-    {tile: (tail_snapshot_id, head_snapshot_id)}.
+    ``.../head`` (newer). The legacy tiles were assigned by the
+    *reference's* tile hash (abs(xxhash64(concat))%N), which this engine
+    deliberately does not reproduce (tiling.py uses native multi-arg
+    xxhash64). Importing each legacy tile verbatim would therefore make
+    the first post-migration discovery re-tile ~(1-1/N) of all keys,
+    emitting a spurious delete+insert per moved key — so migration
+    RE-TILES: union every legacy tile's tail set, assign tiles with this
+    engine's tile_expr, and write each new tile's snapshot from that
+    (then the same for head). Both generations go through the ledger's
+    normal discovery/consume rotation, so the resumed pipeline's next
+    discovery diffs against head with a stable tiling — the
+    already-replicated head/tail delta is NOT replayed and no
+    re-tiling churn is emitted. Returns
+    {new_tile: (tail_snapshot_id, head_snapshot_id)}.
     """
-    migrated: dict[int, tuple[int, int]] = {}
-    for tile in tiles:
-        tile_dir = os.path.join(legacy_root, f"tile={tile}")
-        head_dir = os.path.join(tile_dir, "head")
-        tail_dir = os.path.join(tile_dir, "tail")
-        if not (os.path.isdir(head_dir) and os.path.isdir(tail_dir)):
-            continue
-        ids = []
-        for legacy in (tail_dir, head_dir):
-            df = spark.read.parquet(legacy)
-            sid = store.write_snapshot(df, tile)
-            ledger.record_discovery(keyspace, table, tile, sid)
-            ledger.mark_replication_complete(keyspace, table, tile)
-            ids.append(sid)
-        migrated[tile] = (ids[0], ids[1])
-        if cleanup:
-            shutil.rmtree(tile_dir, ignore_errors=True)
-    return migrated
+    from pyspark.sql import functions as F
+
+    from .tiling import assign_tiles
+
+    present = [
+        t for t in tiles
+        if os.path.isdir(os.path.join(legacy_root, f"tile={t}", "head"))
+        and os.path.isdir(os.path.join(legacy_root, f"tile={t}", "tail"))
+    ]
+    if not present:
+        return {}
+    num_tiles = total_tiles or len(tiles)
+    migrated: dict[int, list[int]] = {t: [] for t in range(num_tiles)}
+    for phase in ("tail", "head"):
+        union = None
+        for tile in present:
+            df = spark.read.parquet(os.path.join(legacy_root, f"tile={tile}", phase))
+            union = df if union is None else union.unionByName(df)
+        tiled = assign_tiles(union, pk_cols, num_tiles).persist()
+        try:
+            tiled.count()  # materialize once; per-tile filters reuse the cache
+            for new_tile in range(num_tiles):
+                part = tiled.filter(F.col("tile") == new_tile).drop("tile")
+                sid = store.write_snapshot(part, new_tile)
+                ledger.record_discovery(keyspace, table, new_tile, sid)
+                ledger.mark_replication_complete(keyspace, table, new_tile)
+                migrated[new_tile].append(sid)
+        finally:
+            tiled.unpersist()
+    if cleanup:
+        for tile in present:
+            shutil.rmtree(os.path.join(legacy_root, f"tile={tile}"),
+                          ignore_errors=True)
+    return {t: (ids[0], ids[1]) for t, ids in migrated.items()}

@@ -57,7 +57,10 @@ def _session_func(gap_ms: int):
                     start = end = t
                     n = 1
                 elif t - end <= gap_ms:
-                    end = t
+                    # out-of-order events (t < end, admitted by the
+                    # watermark) must never shrink the session bounds
+                    start = min(start, t)
+                    end = max(end, t)
                     n += 1
                 else:
                     closed.append((user_id, start, end, n))
@@ -65,7 +68,11 @@ def _session_func(gap_ms: int):
                     n = 1
             if n > 0:
                 state.update((start, end, n))
-                state.setTimeoutTimestamp(end + gap_ms)
+                # a late event can leave end+gap at or below the current
+                # watermark; Spark rejects such timeouts, so clamp just
+                # above the watermark (times out on the next batch)
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(end + gap_ms, wm + 1))
 
         if closed:
             yield pd.DataFrame(

@@ -55,6 +55,31 @@ def test_cli_full_cycle_and_stats(spark, tmp_path, capsys):
     assert report["status"] == "SUCCEEDED"
 
 
+def test_cli_stats_skips_tile_gaps_and_nets_deletes(tmp_path, capsys):
+    """A tile that never rotated has no stats files — later tiles must
+    still be counted; in_sync compares the discovery gauge against NET
+    replicated rows (inserted - deleted), not the cumulative counter."""
+    import time as _t
+
+    from cql_replicator_spark.runner import (
+        DiscoveryStats, ReplicationStats, StatsStore,
+    )
+
+    work = str(tmp_path / "work")
+    store = StatsStore(os.path.join(work, "stats"))
+    now = _t.time()
+    # tile 0 never rotated (no files); tiles 1-2 did
+    store.put("default", "t", DiscoveryStats(1, 90, now))
+    store.put("default", "t", ReplicationStats(1, 100, 0, 100, 0, now))
+    store.put("default", "t", ReplicationStats(1, 10, 0, 0, 10, now))  # 10 deletes
+    store.put("default", "t", DiscoveryStats(2, 40, now))
+    store.put("default", "t", ReplicationStats(2, 40, 0, 40, 0, now))
+    code, out = _run(capsys, ["stats", "--workdir", work, "--tiles", "4"])
+    assert code == 0
+    assert out == [{"table": "t", "discovered": 130, "replicated": 150,
+                    "in_sync": True}]  # net = (100-10) + 40 == 130 discovered
+
+
 def test_cli_stop_sentinel_halts_loop(spark, tmp_path, capsys):
     work = str(tmp_path / "work")
     base = ["--workdir", work, "--tiles", "2", "--shuffle-partitions", "4"]

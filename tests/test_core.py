@@ -220,33 +220,55 @@ def test_estimate_partitions():
 
 
 def test_legacy_snapshot_migration(spark, tmp_path):
-    """head/tail parquet dirs migrate into store+ledger; pipeline resumes
-    with a delta against head, never re-replicating the legacy delta."""
+    """head/tail parquet dirs migrate into store+ledger RE-TILED under this
+    engine's tile hash; pipeline resumes with a delta against head, never
+    re-replicating the legacy delta and never emitting re-tiling churn."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.diff import compute_changes
     from cql_replicator_spark.ledger import Ledger
     from cql_replicator_spark.snapshot import SnapshotStore, migrate_legacy_snapshots
+    from cql_replicator_spark.tiling import assign_tiles
 
     tail = spark.createDataFrame([(i, 100) for i in range(50)], ["pk", "ts"])
     head = spark.createDataFrame(
         [(i, 100 if i % 5 else 101) for i in range(10, 60)], ["pk", "ts"])
     legacy = tmp_path / "legacy"
-    tail.coalesce(1).write.parquet(str(legacy / "tile=0" / "tail"))
-    head.coalesce(1).write.parquet(str(legacy / "tile=0" / "head"))
+    # legacy tiling came from the REFERENCE's hash: simulate with a
+    # different assignment (mod) so migrated keys must move tiles
+    for t in (0, 1):
+        tail.filter(F.col("pk") % 2 == t).coalesce(1).write.parquet(
+            str(legacy / f"tile={t}" / "tail"))
+        head.filter(F.col("pk") % 2 == t).coalesce(1).write.parquet(
+            str(legacy / f"tile={t}" / "head"))
 
     store = SnapshotStore(str(tmp_path / "snaps"), "ks", "t")
     ledger = Ledger(str(tmp_path / "ledger.json"))
     out = migrate_legacy_snapshots(
-        spark, store, ledger, "ks", "t", str(legacy), tiles=[0, 1])
+        spark, store, ledger, "ks", "t", str(legacy), tiles=[0, 1],
+        pk_cols=["pk"])
 
-    assert out == {0: (1, 2)}
-    assert not (legacy / "tile=0").exists()
-    # head is current and already consumed -> nothing to replicate now
-    assert ledger.replication_plan("ks", "t", 0) is None
-    assert store.read_current(spark, 0).count() == head.count()
-    # next discovery rotates head->prev: delta resumes against head
-    sid = store.write_snapshot(head.limit(40), 0)
-    ledger.record_discovery("ks", "t", 0, sid)
-    plan = ledger.replication_plan("ks", "t", 0)
-    assert plan == {"mode": "delta", "curr": sid, "prev": 2}
+    assert out == {0: (1, 2), 1: (1, 2)}
+    assert not (legacy / "tile=0").exists() and not (legacy / "tile=1").exists()
+    for t in (0, 1):
+        # head is current and already consumed -> nothing to replicate now
+        assert ledger.replication_plan("ks", "t", t) is None
+    assert (store.read_current(spark, 0).count()
+            + store.read_current(spark, 1).count()) == head.count()
+
+    # the fix's invariant: a post-migration discovery of the SAME source
+    # must produce an EMPTY delta on every tile (no re-tiling churn)
+    retiled = assign_tiles(head, ["pk"], 2)
+    for t in (0, 1):
+        part = retiled.filter(F.col("tile") == t).drop("tile")
+        sid = store.write_snapshot(part, t)
+        ledger.record_discovery("ks", "t", t, sid)
+        plan = ledger.replication_plan("ks", "t", t)
+        assert plan == {"mode": "delta", "curr": sid, "prev": 2}
+        cs = compute_changes(store.read_snapshot(spark, t, sid),
+                             store.read_snapshot(spark, t, 2), ["pk"])
+        assert cs.inserts.count() == 0 and cs.deletes.count() == 0
+        assert cs.updates.count() == 0
 
 
 def test_salted_join_equals_plain_join(spark):

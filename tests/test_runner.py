@@ -39,7 +39,7 @@ def _make_pipeline(spark, tables, tmp_path, sink=None, mod=10):
 def test_cdc_pipeline_full_cycle(spark, tables, tmp_path):
     captured = []
     pipe, state = _make_pipeline(spark, tables, tmp_path)
-    pipe.sink = lambda changes, tile: captured.append(
+    pipe.sink = lambda changes, tile, batch_id: captured.append(
         (tile, changes.inserts.count(), changes.deletes.count(), changes.updates.count()))
 
     # cycle 1: historical load
@@ -185,6 +185,58 @@ def test_microbatch_cdc_over_event_slices(spark, tables, tmp_path):
     b = {(r.user_id, r.event_type): r.ts for r in states[1].collect()}
     expected_updates = sum(1 for k in a if k in b and a[k] != b[k])
     assert n_updates == expected_updates
+
+
+def test_session_func_late_event_never_shrinks_session():
+    """An out-of-order event admitted by the watermark must not move
+    session_end backwards, and the rearm timeout must stay strictly above
+    the current watermark (Spark throws on timeout <= watermark)."""
+    import pandas as pd
+
+    from cql_replicator_spark.streaming.stateful import _session_func
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self, tup, watermark_ms):
+            self._tup = tup
+            self._wm = watermark_ms
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self._tup is not None
+
+        @property
+        def get(self):
+            return self._tup
+
+        def update(self, tup):
+            self._tup = tup
+
+        def setTimeoutTimestamp(self, ts):
+            assert ts > self._wm, f"timeout {ts} <= watermark {self._wm}"
+            self.timeout = ts
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def remove(self):
+            self._tup = None
+
+    fn = _session_func(gap_ms=1000)
+    # session (1000, 5000, 3); watermark already at 6000 == end+gap
+    state = FakeState((1000, 5000, 3), watermark_ms=6000)
+    out = list(fn((42,), [pd.DataFrame({"ts_ms": [4000]})], state))
+    assert out == []                      # late event joins, nothing closes
+    assert state.get == (1000, 5000, 4)   # end NOT shrunk, count bumped
+    assert state.timeout == 6001          # clamped strictly above watermark
+
+    # an event before session start extends start backwards
+    state = FakeState((1000, 5000, 3), watermark_ms=0)
+    list(fn((42,), [pd.DataFrame({"ts_ms": [600]})], state))
+    assert state.get == (600, 5000, 4)
+    assert state.timeout == 6000
 
 
 def test_stateful_sessionization_equals_batch(spark, tmp_path):
