@@ -82,18 +82,34 @@ def ivf_build(
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (the IVF
-    "index build"). Centroids are broadcast; output is the corpus plus
-    a cluster column — repartition/bucket by it for locality."""
+    "index build") — map-only.
+
+    The centroid set is collapsed to ONE broadcast row carrying a
+    sorted array of (id, vector, norm) structs, and nearest-centroid is
+    a per-row argmax (array_max over struct(cos, -id), so ties break to
+    the lowest centroid id, matching ORDER BY cos DESC, id). No
+    Exchange ever touches the corpus: the earlier row_number-window
+    formulation shuffled corpus × nlist scored rows by vec_id, which at
+    100 TB is the build bottleneck; this plan is a single scan."""
     c = _as_double(corpus.select(F.col(id_col), F.col(vec_col).alias("cv")), "cv")
     cent = _as_double(
         centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("centv")), "centv")
-    scored = c.join(F.broadcast(cent)).withColumn(
-        "cos", cosine(F.col("cv"), F.col("centv")))
-    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc(centroid_id_col))
+    cent_row = cent.agg(F.array_sort(F.collect_list(F.struct(
+        F.col(centroid_id_col).cast("long").alias("cid"),
+        F.col("centv").alias("centv"),
+        norm(F.col("centv")).alias("cnorm")))).alias("cents"))
+    # row norm hoisted to a projected column: computed once per vector,
+    # not once per (vector, centroid) inside the argmax lambda
+    best = F.array_max(F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            (dot(F.col("cv"), ct["centv"]) / (F.col("cn") * ct["cnorm"])).alias("cos"),
+            (-ct["cid"]).alias("negcid"))))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("cv").alias(vec_col), F.col(centroid_id_col))
+        c.withColumn("cn", norm(F.col("cv")))
+        .join(F.broadcast(cent_row))
+        .select(F.col(id_col), F.col("cv").alias(vec_col),
+                (-best["negcid"]).alias(centroid_id_col))
     )
 
 
@@ -148,10 +164,46 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection: each vector's nearest
-    neighbor (id pairs, rank-stable). At scale, replace the all-pairs
-    scan with ivf_build + ivf_search(nprobe=1)."""
+    neighbor (id pairs, rank-stable) by ALL-PAIRS exact scan.
+
+    O(n²) BroadcastNestedLoopJoin — kept ONLY as the exactness baseline
+    for pytest cross-checks of the scale formulations
+    (embedding_ivf_near_dup_pairs, embedding_lsh_verified_pairs). Not
+    registered as a driver query; never use in a pipeline."""
     return cosine_topk(corpus, corpus, k=1, id_col=id_col, vec_col=vec_col).select(
         F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+
+
+def embedding_ivf_near_dup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Each vector's nearest neighbor WITHIN its IVF bucket — the
+    scale-safe registered form of embedding near-dup.
+
+    Topology: map-only ivf_build (no corpus Exchange) -> ONE shuffle on
+    centroid_id for the bucket self-join -> groupBy(id_a) max-struct
+    argmax (map-side partial agg; no candidate-set window shuffle).
+    Candidate volume is Σ|bucket|², never O(n²) — with nlist ~ √n the
+    standard IVF candidate budget. A vector alone in its bucket yields
+    no pair (approximate-by-design; recall vs the exact all-pairs
+    baseline is pytest-measured)."""
+    indexed = ivf_build(corpus, centroids, id_col, vec_col, centroid_id_col)
+    a = indexed.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("va"), F.col(centroid_id_col))
+    b = indexed.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("vb"), F.col(centroid_id_col))
+    scored = (
+        a.join(b, centroid_id_col)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    )
+    best = scored.groupBy("id_a").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("id_b")).alias("negid"))).alias("m"))
+    return best.select("id_a", (-F.col("m.negid")).alias("id_b"))
 
 
 # -- random-hyperplane LSH (the bucketed scale path for cosine near-dup) ------

@@ -305,8 +305,58 @@ def similarity_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataF
 
 @register(
     "similarity_ann_ivf",
-    oracle=None,  # approximate by design; pytest checks recall vs brute force
-    doc="IVF ANN: centroid-bucketed search, nprobe=2 of 8 clusters",
+    # approximate vs brute force, but fully DETERMINISTIC given fixed
+    # centroids + nprobe — so the whole index-build + probe + rank chain
+    # is expressible in SQL and oracle-checked end-to-end. The cosine
+    # form matches _COS_SQL (left-to-right double fold == DuckDB
+    # list_dot_product, bit-identical).
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS centv
+  FROM embeddings WHERE vec_id < 8
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT corpus.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+             list_dot_product(cv, centv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centv, centv))) DESC,
+             cid) AS rn
+    FROM corpus, cents)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, cents.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(qv, centv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centv, centv))) DESC,
+             cid) AS rn
+    FROM q, cents)
+  WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM probes p
+  JOIN assigned a ON a.cid = p.cid
+  JOIN corpus c ON c.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+""",
+    doc="IVF ANN: centroid-bucketed search, nprobe=2 of 8 clusters "
+        "(map-only index build; deterministic, oracle-checked end-to-end)",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
@@ -319,13 +369,35 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
+    # IVF-routed (nprobe=1): nearest neighbor within each vector's own
+    # centroid bucket. Deterministic -> SQL-expressible; the exact
+    # all-pairs form lives on only as a pytest recall baseline
+    # (test_analytics: embedding_near_dup_pairs), never as a registered
+    # plan — its BroadcastNestedLoopJoin is an O(n²) scale-killer.
     oracle="""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS centv
+  FROM embeddings WHERE vec_id < 8
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT corpus.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+             list_dot_product(cv, centv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centv, centv))) DESC,
+             cid) AS rn
+    FROM corpus, cents)
+  WHERE rn = 1
+),
 scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-  FROM c a, c b WHERE a.vec_id <> b.vec_id
+  SELECT ax.vec_id AS id_a, ay.vec_id AS id_b,
+         list_dot_product(x.cv, y.cv)
+           / (sqrt(list_dot_product(x.cv, x.cv)) * sqrt(list_dot_product(y.cv, y.cv))) AS cos
+  FROM assigned ax
+  JOIN assigned ay ON ax.cid = ay.cid AND ax.vec_id <> ay.vec_id
+  JOIN corpus x ON x.vec_id = ax.vec_id
+  JOIN corpus y ON y.vec_id = ay.vec_id
 ),
 ranked AS (
   SELECT id_a, id_b,
@@ -334,12 +406,15 @@ ranked AS (
 )
 SELECT id_a, id_b FROM ranked WHERE rank = 1
 """,
-    doc="Embedding-cosine near-dup: each vector's nearest neighbor (all-pairs "
-        "exact; the IVF path is the 100 TB formulation)",
+    doc="Embedding-cosine near-dup, IVF-bucketed: nearest neighbor within "
+        "each vector's centroid bucket — one shuffle on centroid_id, "
+        "never O(n²)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-    return S.embedding_near_dup_pairs(emb)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    return S.embedding_ivf_near_dup_pairs(emb, centroids)
 
 
 @register(

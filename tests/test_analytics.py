@@ -80,6 +80,27 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     assert recall >= 0.5, f"IVF recall {recall} too low for nprobe=4/8"
 
 
+def test_ivf_near_dup_recall_vs_all_pairs(spark, emb):
+    """The registered IVF-bucketed near-dup vs the exact all-pairs
+    baseline (which survives ONLY as this cross-check): within-bucket
+    nearest must agree with the global nearest for most vectors, and
+    must be exact whenever the global nearest shares the bucket."""
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    exact = {(r.id_a, r.id_b) for r in S.embedding_near_dup_pairs(emb).collect()}
+    bucketed = {(r.id_a, r.id_b)
+                for r in S.embedding_ivf_near_dup_pairs(emb, centroids).collect()}
+    cid = {r.vec_id: r.centroid_id
+           for r in S.ivf_build(emb, centroids).select("vec_id", "centroid_id").collect()}
+    # exactness where the method CAN be exact: global nearest in-bucket
+    in_bucket = {(a, b) for a, b in exact if cid[a] == cid[b]}
+    assert in_bucket, "fixture degenerate: no nearest pair shares a bucket"
+    missed = in_bucket - bucketed
+    assert not missed, f"in-bucket nearest pairs missed: {sorted(missed)[:5]}"
+    # sanity: bucketed emits at most one pair per vector
+    assert len(bucketed) <= emb.count()
+
+
 def test_ivf_assignment_partitions_corpus(spark, emb):
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
