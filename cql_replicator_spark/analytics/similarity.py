@@ -330,55 +330,68 @@ def cosine_topk_np(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force cosine top-k via mapInPandas + numpy matmul.
+    """Brute-force cosine top-k via mapInPandas + numpy matmul —
+    corpus-distributed.
 
-    The corpus matrix is collected once on the driver and shipped to
-    executors inside the UDF closure (a broadcast in cluster terms —
-    n_corpus x dim doubles, e.g. 1M x 64 = 512 MB ceiling; beyond that,
-    shard the corpus and IVF-route instead). Each Arrow batch of queries
-    computes one (batch x corpus) matmul — the ~100x-over-per-row path
-    the brief's 'vectorized Pandas UDF' calls for. Ranking ties break by
-    neighbor id, matching cosine_topk.
+    The SMALL side (queries, |Q| by construction) is collected and
+    broadcast; the corpus is never materialized anywhere — each corpus
+    partition computes one (|Q| x batch) matmul and emits only its
+    local top-k candidates (≤ |Q|·k rows per partition), which a final
+    |Q|·k-sized merge ranks globally. This is the scale inversion of
+    the old form (which collect()ed the corpus on the driver — a hard
+    512 MB ceiling and a single-machine bottleneck); here corpus size
+    is unbounded and the shuffle is proportional to partitions·|Q|·k,
+    not to data. Per-element dot products are identical regardless of
+    how the corpus is partitioned (each is one length-d numpy
+    reduction), so results are bit-stable vs the single-matrix form.
+    Ranking ties break by neighbor id, matching cosine_topk.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = corpus.select(id_col, vec_col).collect()
-    corpus_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat_norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq = queries.sparkSession.sparkContext.broadcast((q_ids, q_norm))
 
-    out_schema = T.StructType([
+    cand_schema = T.StructType([
         T.StructField("query_id", T.LongType()),
-        T.StructField("rank", T.IntegerType()),
         T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
     ])
 
-    def run(batches):
+    def local_topk(batches):
+        qids, qn = bq.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = qn @ mat_norm.T                      # (batch, corpus)
-            qids = pdf[id_col].to_numpy(dtype=np.int64)
-            out_q, out_r, out_n = [], [], []
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = qn @ cn.T                            # (|Q|, batch)
+            out_q, out_n, out_c = [], [], []
             for i, qid in enumerate(qids):
                 s = sims[i]
-                # exclude self; order by (-cos, neighbor_id) like cosine_topk
-                order = np.lexsort((corpus_ids, -s))
+                order = np.lexsort((cids, -s))          # (-cos, neighbor_id)
                 picked = 0
                 for j in order:
-                    if corpus_ids[j] == qid:
-                        continue
-                    picked += 1
+                    if cids[j] == qid:
+                        continue                        # exclude self
                     out_q.append(qid)
-                    out_r.append(picked)
-                    out_n.append(corpus_ids[j])
+                    out_n.append(cids[j])
+                    out_c.append(s[j])
+                    picked += 1
                     if picked == k:
                         break
             yield pd.DataFrame(
-                {"query_id": out_q, "rank": out_r, "neighbor_id": out_n})
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
 
-    return queries.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+    cand = corpus.select(id_col, vec_col).mapInPandas(local_topk, schema=cand_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
