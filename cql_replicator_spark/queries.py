@@ -862,6 +862,48 @@ def scalar_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "varint_overflow_scan",
+    # The fixture manufactures arbitrary-precision varints from orders:
+    # repeat(digits of pk, 1 + pk % 8) spans 1..~48 digits, so a slice
+    # of every batch genuinely exceeds DECIMAL(38,0). The string path
+    # (custom reader, K:1909-1912) preserves all of them; the _dec
+    # companion is what the fixed-width reader would have produced —
+    # try_cast nulls exactly the overflow rows in BOTH engines.
+    oracle="""
+SELECT o_orderkey,
+       varint_str,
+       length(varint_str) AS n_digits,
+       TRY_CAST(varint_str AS DECIMAL(38,0)) IS NOT NULL AS fits_decimal,
+       CAST(TRY_CAST(varint_str AS DECIMAL(38,0)) AS VARCHAR) AS dec_roundtrip
+FROM (
+  SELECT o_orderkey,
+         repeat(CAST(o_orderkey AS VARCHAR), CAST(1 + o_orderkey % 8 AS INT)) AS varint_str
+  FROM orders
+)
+""",
+    doc="Custom varint reader path on data (K:1857-2043): >38-digit varints "
+        "survive the string-typed schema losslessly; the DECIMAL(38,0) "
+        "companion view nulls exactly where the default reader overflows",
+)
+def varint_overflow_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.varint import overflow_safe_varints
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    raw = orders.select(
+        "o_orderkey",
+        F.expr("repeat(CAST(o_orderkey AS STRING), "
+               "CAST(1 + o_orderkey % 8 AS INT))").alias("varint_str"))
+    safe = overflow_safe_varints(raw, ["varint_str"])
+    return safe.select(
+        "o_orderkey",
+        "varint_str",
+        F.length("varint_str").alias("n_digits"),
+        F.col("varint_str_fits").alias("fits_decimal"),
+        F.col("varint_str_dec").cast("string").alias("dec_roundtrip"),
+    )
+
+
+@register(
     "udt_to_json",
     oracle="""
 SELECT o_orderkey,

@@ -117,6 +117,35 @@ def test_project_filter_expression_over_extra_cols(spark, tables):
     assert out.count() == tables["orders"].filter("o_orderstatus = 'F'").count()
 
 
+def test_varint_read_schema_maps_types():
+    from pyspark.sql import types as T
+
+    from cql_replicator_spark.sources.varint import varint_read_schema
+
+    schema = varint_read_schema(
+        ["k", "big", "writetime(v) as ts", "price"],
+        {"k": "int", "big": "varint", "price": "decimal"})
+    assert schema["k"].dataType == T.IntegerType()
+    assert schema["big"].dataType == T.StringType()       # overflow-safe
+    assert schema["ts"].dataType == T.LongType()          # aliased writetime
+    assert schema["price"].dataType == T.DecimalType(38, 0)
+
+
+def test_overflow_safe_varints_rescues_wide_values(spark):
+    from cql_replicator_spark.sources.varint import overflow_safe_varints
+
+    wide = "9" * 45          # 45 digits: > DECIMAL(38,0)
+    ok = "123456789"
+    df = spark.createDataFrame([(1, wide), (2, ok)], ["pk", "v"])
+    out = overflow_safe_varints(df, ["v"]).collect()
+    by_pk = {r.pk: r for r in out}
+    assert by_pk[1].v == wide and not by_pk[1].v_fits and by_pk[1].v_dec is None
+    assert by_pk[2].v_fits and str(by_pk[2].v_dec) == ok
+    # the lossless string survives a CQL literal render round-trip
+    from cql_replicator_spark.types import render_cql_value
+    assert render_cql_value(wide, "varint") == wide
+
+
 def test_source_feeds_cdc_pipeline(spark, tables, tmp_path):
     """The adapter's (pk..., ts) frame drops straight into discovery —
     the source-agnostic contract that makes the engine's core portable."""
