@@ -73,7 +73,10 @@ class StatsStore:
         if kind == "replication" and os.path.exists(path):
             with open(path) as f:
                 prev = json.load(f)
-            for k in ("updatedPrimaryKeys", "insertedPrimaryKeys", "deletedPrimaryKeys"):
+            # primaryKeys aggregates too — the reference's
+            # historicallyInserted accumulation (K:1560)
+            for k in ("primaryKeys", "updatedPrimaryKeys",
+                      "insertedPrimaryKeys", "deletedPrimaryKeys"):
                 merged[k] += prev.get(k, 0)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

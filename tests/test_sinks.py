@@ -347,3 +347,74 @@ def test_write_inserts_accumulator_counts(spark, tmp_path):
     written = sum(len(open(p).read().splitlines())
                   for p in glob.glob(os.path.join(out_dir, "*.log")))
     assert written == 137
+
+
+def test_incremental_flusher_exactly_once_under_races():
+    """The already-counted guard: concurrent flush() triggers (poller
+    tick / task-end callback / final flush) each write a disjoint delta;
+    the sum of deltas equals the final counter exactly (K:1172-1192)."""
+    import random
+    import threading
+
+    from cql_replicator_spark.sinks.statsflush import IncrementalStatsFlusher
+
+    counter = {"v": 0}
+    writes = []
+    flusher = IncrementalStatsFlusher(
+        lambda: counter["v"],
+        lambda delta, total: writes.append((delta, total)))
+
+    def bump_and_flush():
+        for _ in range(200):
+            counter["v"] += random.randint(1, 3)
+            flusher.flush()
+
+    threads = [threading.Thread(target=bump_and_flush) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    final = flusher.stop()
+    assert final == counter["v"]
+    assert sum(d for d, _ in writes) == counter["v"]   # no loss, no double count
+    assert all(d > 0 for d, _ in writes)
+    totals = [t for _, t in writes]
+    assert totals == sorted(totals)                    # watermark is monotone
+
+
+def test_incremental_flush_over_multi_stage_write(spark, tmp_path):
+    """Accumulator + flusher across TWO successive distributed writes
+    (two Spark jobs) under one flusher: incremental deltas appear while
+    work runs, and the authoritative final flush matches the exact
+    total — the full K:1161-1215 behavior."""
+    import time as _t
+
+    from cql_replicator_spark.runner import ReplicationStats, StatsStore
+    from cql_replicator_spark.sinks.cql_sink import CqlWriterConfig, write_inserts
+    from cql_replicator_spark.sinks.statsflush import IncrementalStatsFlusher
+
+    store = StatsStore(str(tmp_path / "stats"))
+    acc = spark.sparkContext.accumulator(0)
+
+    def write_delta(delta, total):
+        # delta-only stats object; StatsStore.put read-add-write aggregates
+        store.put("ks", "t", ReplicationStats(0, delta, 0, delta, 0, _t.time()))
+
+    def executor_factory():
+        def execute(statements):
+            _t.sleep(0.05)     # slow sink: poller observes mid-job growth
+        return execute
+
+    cfg = CqlWriterConfig(target="ks.t", write=WriteConfig(maxStatementsPerBatch=5))
+    flusher = IncrementalStatsFlusher(lambda: acc.value, write_delta)
+    flusher.start_polling(interval_s=0.05)
+    try:
+        for n in (60, 40):     # two jobs, one flusher
+            df = spark.range(n).select(F.col("id").alias("pk")).repartition(4)
+            write_inserts(df, cfg, executor_factory, acc_ok=acc)
+    finally:
+        final = flusher.stop()
+    assert final == 100
+    st = store.get("ks", "t", 0, "replication")
+    assert st["insertedPrimaryKeys"] == 100   # aggregated deltas == exact total
+    assert st["primaryKeys"] == 100
