@@ -186,8 +186,22 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
-                            num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                            num_hashes: int = 16, bands: int = 4,
+                            persist_signatures: bool = False) -> DataFrame:
+    """persist_signatures=True is the 100 TB switch (see
+    lsh_candidate_pairs): the banding self-join consumes the signature
+    subtree twice, and persisting the ~1-narrow-row-per-doc signatures
+    (MEMORY_AND_DISK) stops the second pass from re-reading and
+    re-shingling the entire corpus. Off by default — at local/test
+    scale a measured warm A/B showed cache materialization costs what
+    the recompute costs. The caller owns the unpersist: the returned
+    plan references the cached frame lazily, so eager cleanup here
+    would defeat the cache; call spark.catalog.clearCache() or keep a
+    handle when running inside a long-lived session."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    if persist_signatures:
+        from pyspark import StorageLevel
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     return lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
 
 

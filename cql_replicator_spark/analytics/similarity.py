@@ -226,6 +226,7 @@ def embedding_lsh_candidates(
     dim: int = 64,
     planes: int = RP_PLANES,
     bands: int = 2,
+    persist_signatures: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs by random-hyperplane LSH banding.
 
@@ -258,6 +259,13 @@ def embedding_lsh_candidates(
         sign = 1 - 2 * F.shiftright(lcg, 16).bitwiseAND(F.lit(1))
         sums.append(F.sum(F.col("q") * sign).alias(f"s{p}"))
     sig = qrows.groupBy(id_col).agg(*sums)
+    if persist_signatures:
+        # the 100 TB switch (same rationale as minhash_lsh_dedup_pairs):
+        # the band self-join consumes this subtree twice; persisting the
+        # 1-row-per-vector signatures stops the second pass from
+        # re-scanning and re-hashing the whole corpus
+        from pyspark import StorageLevel
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     bits = [F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
             for p in range(planes)]
     buckets = F.array(*[
@@ -302,6 +310,7 @@ def embedding_lsh_verified_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     threshold: float = 0.9,
+    persist_signatures: bool = False,
 ) -> DataFrame:
     """The full near-dup scale pattern: LSH candidates -> exact verify.
 
@@ -310,7 +319,8 @@ def embedding_lsh_verified_pairs(
     keeps cosine >= threshold. At 100 TB the verify join is |candidates|
     -sized, not |corpus|² — candidates are the only rows that ever pair.
     """
-    cands = embedding_lsh_candidates(corpus, id_col, vec_col, dim)
+    cands = embedding_lsh_candidates(corpus, id_col, vec_col, dim,
+                                     persist_signatures=persist_signatures)
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -83,6 +83,9 @@ class ReadConfig:
     consistencyLevel: str = "LOCAL_ONE"
     readTimeoutMS: int = 120000
     queryRetryCount: int = 180
+    # Backpressure: connector-level read throttle
+    # (spark.cassandra.input.readsPerSec — R:501/558); None = unthrottled.
+    readsPerSec: int | None = None
 
 
 @dataclass
@@ -154,3 +157,53 @@ def effective_pk(pk_cols: list[str], transforms: list[Transformation]) -> list[s
     """Declared PK with transformed columns renamed to their alias (R:265-277)."""
     renames = {t.column: t.alias for t in transforms if t.alias and not t.keepSource}
     return [renames.get(c, c) for c in pk_cols]
+
+
+# -- sizing calculus ----------------------------------------------------
+
+def default_partitions(
+    default_parallelism: int,
+    executor_cores: int,
+    executor_instances: int,
+    total_tiles: int,
+) -> int:
+    """The reference's defaultPartitions formula (K:562-565):
+    max(spark.default.parallelism, cores × instances × totalTiles) —
+    enough partitions that every core has work on every tile without
+    dropping below the cluster's configured parallelism."""
+    return max(default_parallelism, executor_cores * executor_instances * total_tiles)
+
+
+def default_partitions_for(spark, total_tiles: int) -> int:
+    """default_partitions from a live session's conf (missing executor
+    settings — e.g. local mode — fall back to 1 instance × defaultParallelism
+    cores, so the formula degrades to max(defPar, defPar × tiles))."""
+    sc = spark.sparkContext
+    def_par = sc.defaultParallelism
+    cores = int(sc.getConf().get("spark.executor.cores", str(def_par)))
+    instances = int(sc.getConf().get("spark.executor.instances", "1"))
+    return default_partitions(def_par, cores, instances, total_tiles)
+
+
+def calculate_workers(
+    wcu_traffic: int,
+    tiles: int,
+    rows_per_sec: int = 1000,
+) -> tuple[str, int]:
+    """Worker-sizing calculus (glue/bin/cqlreplicator C:1402-1426):
+    given the target's provisioned write throughput (WCU/s) and the
+    tile count, pick the worker type and count so aggregate replication
+    throughput (rows_per_sec × tiles per worker-ish unit) matches the
+    budget. Returns (worker_type, workers); a result below 2 is bumped
+    by one (the reference's exact arithmetic, quirks included)."""
+    if wcu_traffic <= 0:
+        raise ConfigError("wcu_traffic must be positive")
+    f = rows_per_sec * tiles
+    if wcu_traffic <= 10000:
+        worker_type, k = "G.025X", -1
+    else:
+        worker_type, k = "G.1X", 1
+    workers = (wcu_traffic + f - 1) // f - k
+    if workers < 2:
+        workers += 1
+    return worker_type, workers

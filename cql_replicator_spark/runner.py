@@ -130,11 +130,20 @@ class CdcPipeline:
     # (a wall-clock batch id collides when cycles are < 1s apart).
     sink: Callable[[ChangeSet, int, int], None] | None = None
     max_workers: int = 4
+    # Discovery-scan layout: when set, the tiled projection is
+    # repartitioned to this many partitions on the tile column before
+    # snapshotting (the reference's repartition(defaultPartitions, group)
+    # K:1845-1847; compute via config.default_partitions_for). None =
+    # leave layout to AQE, which is right for local/test runs.
+    default_partitions: int | None = None
 
     # -- discovery ---------------------------------------------------------
     def discover(self) -> list[int]:
         """One discovery cycle; returns tiles that rotated a snapshot."""
-        tiled = assign_tiles(self.pk_source(), self.pk_cols, self.total_tiles)
+        tiled = assign_tiles(
+            self.pk_source(), self.pk_cols, self.total_tiles,
+            repartition=self.default_partitions is not None,
+            num_partitions=self.default_partitions)
         tiled = tiled.persist()
         try:
             tiled.count()  # materialize once; per-tile filters reuse the cache

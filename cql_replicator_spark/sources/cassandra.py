@@ -37,8 +37,9 @@ CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
 
 
 def read_options(cfg: ReadConfig) -> dict[str, str]:
-    """Connector option map (cassandraReadConfig K:1774-1783)."""
-    return {
+    """Connector option map (cassandraReadConfig K:1774-1783), plus the
+    readsPerSec backpressure throttle when configured (R:501/558)."""
+    opts = {
         "inferSchema": "true",
         "spark.cassandra.input.split.sizeInMB": str(cfg.splitSizeInMB),
         "spark.cassandra.concurrent.reads": str(cfg.concurrentReads),
@@ -47,6 +48,9 @@ def read_options(cfg: ReadConfig) -> dict[str, str]:
         "spark.cassandra.query.retry.count": str(cfg.queryRetryCount),
         "spark.cassandra.read.timeoutMS": str(cfg.readTimeoutMS),
     }
+    if cfg.readsPerSec is not None:
+        opts["spark.cassandra.input.readsPerSec"] = str(cfg.readsPerSec)
+    return opts
 
 
 def writetime_expr(columns: list[str]) -> str:

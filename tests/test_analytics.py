@@ -53,6 +53,19 @@ def test_minhash_lsh_recall_on_planted_dups(spark, docs):
     assert recall >= 0.9, f"LSH recall {recall}"
 
 
+def test_minhash_lsh_persist_flag_is_result_invariant(spark, docs):
+    """persist_signatures=True (the 100 TB switch) must not change the
+    candidate set."""
+    sample = docs.limit(50)
+    plain = {(r.id_a, r.id_b)
+             for r in D.minhash_lsh_dedup_pairs(sample).collect()}
+    persisted = {(r.id_a, r.id_b)
+                 for r in D.minhash_lsh_dedup_pairs(
+                     sample, persist_signatures=True).collect()}
+    spark.catalog.clearCache()
+    assert plain == persisted
+
+
 def test_simhash_near_dups_have_small_hamming(spark, docs):
     sample = docs.limit(20)
     mutated = sample.select(

@@ -168,6 +168,34 @@ def test_effective_pk():
     assert cfg.effective_pk(["key", "col0"], ts) == ["key_h", "col0"]
 
 
+def test_reads_per_sec_round_trip_and_option():
+    from cql_replicator_spark.sources.cassandra import read_options
+
+    m = cfg.resolve({"read": {"readsPerSec": 500, "splitSizeInMB": 128}})
+    assert m.read.readsPerSec == 500
+    opts = read_options(m.read)
+    assert opts["spark.cassandra.input.readsPerSec"] == "500"
+    # unthrottled by default: the knob is absent, not "0"
+    assert "spark.cassandra.input.readsPerSec" not in read_options(cfg.ReadConfig())
+
+
+def test_default_partitions_formula():
+    # K:562-565: max(defaultParallelism, cores * instances * tiles)
+    assert cfg.default_partitions(200, 4, 10, 8) == 320
+    assert cfg.default_partitions(500, 4, 10, 8) == 500
+
+
+def test_calculate_workers_matches_reference_arithmetic():
+    # C:1402-1426: f = drps*tiles; small traffic -> G.025X with k=-1
+    assert cfg.calculate_workers(8000, 4) == ("G.025X", 3)   # ceil(2)+1
+    # large traffic -> G.1X with k=1
+    assert cfg.calculate_workers(40000, 8) == ("G.1X", 4)    # ceil(5)-1
+    # below-2 results bumped by one (reference quirk preserved)
+    assert cfg.calculate_workers(10001, 100) == ("G.1X", 1)  # 1-1=0 -> 1
+    with pytest.raises(cfg.ConfigError):
+        cfg.calculate_workers(0, 4)
+
+
 # -- transforms ----------------------------------------------------------------
 
 def test_filter_expression_valid_and_invalid(tables):

@@ -67,6 +67,20 @@ def test_cdc_pipeline_full_cycle(spark, tables, tmp_path):
     assert st is not None and st["insertedPrimaryKeys"] > 0
 
 
+def test_pipeline_with_default_partitions(spark, tables, tmp_path):
+    """defaultPartitions formula wired through discovery: the tiled scan
+    repartitions on the tile column (K:1845-1847) and the cycle still
+    replicates exactly."""
+    from cql_replicator_spark.config import default_partitions_for
+
+    pipe, _ = _make_pipeline(spark, tables, tmp_path)
+    pipe.default_partitions = default_partitions_for(spark, pipe.total_tiles)
+    assert pipe.default_partitions >= pipe.total_tiles
+    assert sorted(pipe.discover()) == [0, 1, 2, 3]
+    stats = pipe.replicate()
+    assert sum(s.insertedPrimaryKeys for s in stats) == pipe.pk_source().count()
+
+
 def test_discovery_skips_unconsumed_tiles(spark, tables, tmp_path):
     pipe, _ = _make_pipeline(spark, tables, tmp_path)
     assert len(pipe.discover()) == 4
@@ -81,6 +95,89 @@ def test_run_loop_with_stop_sentinel(spark, tables, tmp_path):
     stop.request()
     assert pipe.run_loop(stop, max_cycles=5) == 0  # sentinel consumed before cycle 1
     assert not os.path.exists(stop.path)  # sentinel deleted
+
+
+def test_counter_additive_update_e2e(spark, tmp_path):
+    """Counter replication across two delta cycles against a fake CQL
+    target: historical load seeds counters with full values, the delta
+    cycle applies exact increments (c = c + (curr - prev)) and deletes;
+    final target counters equal the source (K:930-935 statement shape,
+    delta-correct arithmetic)."""
+    import re
+
+    from cql_replicator_spark.config import JsonMapping
+    from cql_replicator_spark.counters import replicate_counter_tile
+    from cql_replicator_spark.ledger import Ledger
+    from cql_replicator_spark.runner import CdcPipeline, StatsStore
+    from cql_replicator_spark.snapshot import SnapshotStore
+    from cql_replicator_spark.sources.cassandra import CassandraSource
+
+    def make_source(cycle):
+        rows = [(pk, pk % 7, pk * 2) for pk in range(40)]
+        if cycle == 2:
+            rows = [(pk, h + (5 if pk % 4 == 0 else 0), c)
+                    for pk, h, c in rows if pk % 10 != 0]
+            rows += [(pk, pk % 7, pk * 2) for pk in range(40, 45)]
+        return spark.createDataFrame(rows, "pk LONG, hits LONG, clicks LONG")
+
+    state = {"df": make_source(1)}
+    src = CassandraSource("ks", "cnt", ["pk"], mapping=JsonMapping(),
+                          counter_cols=["hits", "clicks"])
+    store = SnapshotStore(str(tmp_path / "snaps"), "ks", "cnt")
+    ledger = Ledger(str(tmp_path / "ledger.json"))
+    pipe = CdcPipeline(
+        spark=spark, keyspace="ks", table="cnt", pk_cols=["pk"],
+        source=lambda: state["df"],
+        pk_source=lambda: src.project(state["df"]),
+        store=store, ledger=ledger,
+        stats=StatsStore(str(tmp_path / "stats")),
+        total_tiles=2, ts_col="counter_hash", max_workers=2)
+
+    target: dict[int, dict[str, int]] = {}
+    upd_re = re.compile(r"UPDATE ks\.cnt SET (.+) WHERE pk = (\d+)")
+    del_re = re.compile(r"DELETE FROM ks\.cnt WHERE pk = (\d+)")
+
+    def run_cycle():
+        stmts_dir = tmp_path / f"stmts_{len(list(tmp_path.glob('stmts_*')))}"
+        stmts_dir.mkdir()
+
+        def executor_factory():
+            def execute(statements):
+                import uuid as _u
+                (stmts_dir / f"{_u.uuid4().hex}.log").write_text(
+                    "\n".join(statements) + "\n")
+            return execute
+
+        assert sorted(pipe.discover()) == [0, 1]
+        stats = [replicate_counter_tile(
+            spark, store, ledger, "ks", "cnt", t, ["pk"], {"pk": "bigint"},
+            ["hits", "clicks"], "ks.cnt", executor_factory) for t in (0, 1)]
+        # apply this cycle's statements to the fake target
+        for p in sorted(stmts_dir.glob("*.log")):
+            for stmt in p.read_text().splitlines():
+                if (m := upd_re.match(stmt)):
+                    row = target.setdefault(int(m.group(2)),
+                                            {"hits": 0, "clicks": 0})
+                    for part in m.group(1).split(", "):
+                        cm = re.match(r"(\w+) = \1 \+ (-?\d+)", part)
+                        row[cm.group(1)] += int(cm.group(2))
+                elif (m := del_re.match(stmt)):
+                    target.pop(int(m.group(1)), None)
+        return stats
+
+    s1 = run_cycle()
+    assert sum(s["inserts"] for s in s1) == 40 and all(
+        s["updates"] == s["deletes"] == 0 for s in s1)
+
+    state["df"] = make_source(2)
+    s2 = run_cycle()
+    assert sum(s["deletes"] for s in s2) == 4          # pk 0,10,20,30 (%10==0)
+    assert sum(s["inserts"] for s in s2) == 5          # pk 40..44
+    assert sum(s["updates"] for s in s2) == 8          # pk%4==0 minus deleted
+
+    expected = {r.pk: {"hits": r.hits, "clicks": r.clicks}
+                for r in state["df"].collect()}
+    assert target == expected
 
 
 # -- reconcile ----------------------------------------------------------------
