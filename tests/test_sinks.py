@@ -349,6 +349,69 @@ def test_write_inserts_accumulator_counts(spark, tmp_path):
     assert written == 137
 
 
+def test_cql_datasource_batch_write(spark, tmp_path):
+    """df.write.format('cql'): the V2 sink emits the same statement text
+    as the foreachPartition path, with commit-aggregated counts."""
+    import glob
+    import json as _json
+
+    from cql_replicator_spark.sinks.datasource import CqlDataSource
+
+    spark.dataSource.register(CqlDataSource)
+    df = spark.range(57).selectExpr(
+        "id AS pk", "concat('v-', id) AS payload", "id * 10 AS wts")
+    out = str(tmp_path / "stmts")
+    stats_path = str(tmp_path / "stats.json")
+    (df.repartition(3).write.format("cql")
+     .option("target", "ks.t").option("path", out)
+     .option("ts_col", "wts").option("if_not_exists", "true")
+     .option("stats_path", stats_path)
+     .mode("append").save())
+
+    stmts = []
+    for p in glob.glob(os.path.join(out, "*.log")):
+        stmts += [s for s in open(p).read().splitlines() if s]
+    assert len(stmts) == 57
+    assert all(s.startswith("INSERT INTO ks.t JSON '") for s in stmts)
+    assert all("IF NOT EXISTS USING TIMESTAMP " in s for s in stmts)
+    one = next(s for s in stmts if '"pk":5,' in s or '"pk": 5' in s)
+    assert "USING TIMESTAMP 50" in one
+    assert _json.load(open(stats_path)) == {"items_ok": 57, "items_failed": 0}
+    # overwrite mode must be rejected (CQL is append-only)
+    with pytest.raises(Exception):
+        df.write.format("cql").option("target", "ks.t").option(
+            "path", out).mode("overwrite").save()
+
+
+def test_cql_datasource_stream_write(spark, tmp_path):
+    """The same sink as a writeStream target: per-epoch commit files +
+    statements for every input row."""
+    import glob
+
+    from cql_replicator_spark.sinks.datasource import CqlDataSource
+
+    spark.dataSource.register(CqlDataSource)
+    src_dir = str(tmp_path / "in")
+    df = spark.range(20).selectExpr("id AS pk", "concat('p', id) AS payload")
+    df.coalesce(1).write.parquet(src_dir)
+    out = str(tmp_path / "stmts")
+    commits = str(tmp_path / "commits")
+    q = (spark.readStream.schema(df.schema).parquet(src_dir)
+         .writeStream.format("cql")
+         .option("target", "ks.t").option("path", out)
+         .option("commits_path", commits)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stmts = []
+    for p in glob.glob(os.path.join(out, "*.log")):
+        stmts += [s for s in open(p).read().splitlines() if s]
+    assert len(stmts) == 20
+    epochs = glob.glob(os.path.join(commits, "epoch-*.json"))
+    assert epochs and sum(
+        json.load(open(p))["items_ok"] for p in epochs) == 20
+
+
 def test_incremental_flusher_exactly_once_under_races():
     """The already-counted guard: concurrent flush() triggers (poller
     tick / task-end callback / final flush) each write a disjoint delta;
