@@ -205,6 +205,65 @@ def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     return lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
 
 
+# -- cluster formation --------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup pair graph -> components: (doc_id, cluster_id) with
+    cluster_id = min doc id in the component — the step that turns
+    pairwise candidates into canonical keep/drop groups (transitive:
+    A~B, B~C puts A,C in one cluster even if LSH never paired them).
+
+    Min-label propagation: each round every node takes the min of its
+    own and its neighbors' labels (one groupBy shuffle per round),
+    stopping at fixpoint. Rounds needed = graph diameter; near-dup
+    components are small and dense (diameter ≤ a few hops), so this
+    converges in 2-4 rounds at any corpus size — the per-round cost is
+    edge-count-shaped, never O(n²). For adversarial long-chain graphs
+    swap in large-star/small-star (path doubling, O(log n) rounds);
+    the fixpoint loop and result contract stay identical. Each round
+    persists its labels and unpersists the previous (lineage stays
+    one-round deep); the driver only ever sees a changed-row COUNT.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(
+        F.col("src").alias("id"), F.col("src").alias("label")).distinct().persist()
+    try:
+        for _ in range(max_iterations):
+            nbr = edges.join(
+                labels.select(F.col("id").alias("dst"), "label"), "dst"
+            ).select(F.col("src").alias("id"), "label")
+            new_labels = (
+                labels.unionByName(nbr)
+                .groupBy("id").agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("id").alias("doc_id"),
+                             F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
 # -- SimHash ------------------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",

@@ -190,7 +190,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  threshold_num=1, threshold_den=2)
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    tail: str = "SELECT id_a, id_b FROM pairs",
+    recursive: bool = False,
+) -> str:
+    """The MinHash+LSH pair pipeline as SQL, ending in a ``pairs`` CTE;
+    ``tail`` consumes it (recursive=True for closure-based tails)."""
     min_exprs = []
     for j in range(num_hashes):
         a, b_, p = D.MINHASH_A[j], D.MINHASH_B[j], D.MINHASH_P
@@ -205,7 +212,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
             f"SELECT doc_id, {b} AS band, {key} AS bucket FROM sig")
     banded = "\nUNION ALL\n".join(band_selects)
     return f"""
-WITH {_NEAR_FIXTURE_SQL},
+WITH {"RECURSIVE " if recursive else ""}{_NEAR_FIXTURE_SQL},
 {_SHINGLE_SQL},
 hs AS (SELECT doc_id, {_md5h32_sql('gram')} AS h FROM sh),
 sig AS (
@@ -215,10 +222,13 @@ sig AS (
 ),
 banded AS (
 {banded}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a
-JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+{tail}
 """
 
 
@@ -227,6 +237,36 @@ JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs(_near_fixture(spark, sf_dir),
                                      n=3, num_hashes=16, bands=4)
+
+
+@register(
+    "dedup_clusters",
+    # transitive closure of the LSH pair graph. The oracle's recursive
+    # CTE enumerates reachable labels and takes the min per node — the
+    # closure is tiny (near-dup components), so full enumeration is
+    # fine SQL-side; the Spark side converges by min-label propagation.
+    oracle=_minhash_oracle(recursive=True, tail="""
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, r.label
+  FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+"""),
+    doc="Near-dup cluster formation: connected components over the "
+        "MinHash-LSH pair graph (min-id canonical label) — turns pairwise "
+        "candidates into transitive keep/drop groups",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_lsh_dedup_pairs(_near_fixture(spark, sf_dir),
+                                      n=3, num_hashes=16, bands=4)
+    return D.connected_components(pairs)
 
 
 @register(

@@ -53,6 +53,22 @@ def test_minhash_lsh_recall_on_planted_dups(spark, docs):
     assert recall >= 0.9, f"LSH recall {recall}"
 
 
+def test_connected_components_transitive_chains(spark):
+    """A~B, B~C (never paired directly) must land in one cluster; the
+    propagation handles chains longer than one round and leaves isolated
+    pairs alone."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # 5-chain: needs >1 round
+         (10, 11),                            # isolated pair
+         (20, 21), (21, 22), (20, 22)],       # triangle
+        ["id_a", "id_b"])
+    out = {r.doc_id: r.cluster_id
+           for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
 def test_minhash_lsh_persist_flag_is_result_invariant(spark, docs):
     """persist_signatures=True (the 100 TB switch) must not change the
     candidate set."""
