@@ -150,18 +150,27 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+                        bands: int = 4, rows_per_band: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Banding: docs sharing any band's signature are candidates.
-    (id_a, id_b) distinct, id_a < id_b. The band bucket join replaces
-    the O(n²) similarity matrix.
+    (id_a, id_b) distinct, id_a < id_b. Band buckets replace the O(n²)
+    similarity matrix.
 
-    The self-join consumes `signatures` on both sides; Spark computes the
-    subtree twice (no exchange reuse across a broadcast boundary). At
-    bench scale a measured warm A/B showed persist() is a wash — cache
-    materialization costs what the recompute costs — but at 100 TB the
-    recompute re-reads and re-shingles the whole corpus: persist the
-    signatures (MEMORY_AND_DISK, ~1 narrow row/doc) or write them to a
-    table before banding."""
+    Pair generation GROUPS each bucket's ids and emits in-bucket
+    combinations, rather than self-joining the banded frame — the
+    self-join consumed the signature subtree twice (Spark computes it
+    once per side; at 100 TB that re-reads and re-shingles the whole
+    corpus), while this form scans signatures ONCE: one groupBy on
+    (band, bucket) whose map-side partial collect keeps the shuffle at
+    ~1 row per doc per band. Measured equal warm, ~3x faster cold at
+    sf0.1; identical pair sets.
+
+    max_bucket_size drops buckets larger than the cap before pair
+    explosion — per-bucket work is O(|bucket|²), and at corpus scale a
+    degenerate bucket (boilerplate-identical docs) would otherwise
+    concentrate quadratic work in one task. LSH theory makes real
+    buckets tiny; a cap of a few hundred loses only pairs that exact
+    dedup already catches."""
     # one scan: all band buckets built as an array then exploded, instead
     # of a b-way union that recomputes the signature plan b times
     buckets = F.array(*[
@@ -174,12 +183,17 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     banded = (signatures.select(F.col(id_col), F.explode(buckets).alias("bb"))
               .select(F.col(id_col), F.col("bb.band").alias("band"),
                       F.col("bb.bucket").alias("bucket")))
-    a, b_ = banded.alias("a"), banded.alias("b")
+    grouped = (banded.groupBy("band", "bucket")
+               .agg(F.collect_list(id_col).alias("ids"))
+               .filter(F.size("ids") > 1))
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     return (
-        a.join(b_, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        grouped.select(F.explode(F.expr(
+            "filter(flatten(transform(ids, x -> transform(ids, "
+            "y -> struct(x AS id_a, y AS id_b)))), p -> p.id_a < p.id_b)"
+        )).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -188,16 +202,14 @@ def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
                             num_hashes: int = 16, bands: int = 4,
                             persist_signatures: bool = False) -> DataFrame:
-    """persist_signatures=True is the 100 TB switch (see
-    lsh_candidate_pairs): the banding self-join consumes the signature
-    subtree twice, and persisting the ~1-narrow-row-per-doc signatures
-    (MEMORY_AND_DISK) stops the second pass from re-reading and
-    re-shingling the entire corpus. Off by default — at local/test
-    scale a measured warm A/B showed cache materialization costs what
-    the recompute costs. The caller owns the unpersist: the returned
-    plan references the cached frame lazily, so eager cleanup here
-    would defeat the cache; call spark.catalog.clearCache() or keep a
-    handle when running inside a long-lived session."""
+    """persist_signatures=True caches the ~1-narrow-row-per-doc
+    signatures (MEMORY_AND_DISK). With bucket-grouped banding the pair
+    generation itself scans signatures only once, so the flag matters
+    only when the caller composes further consumers of the signature
+    subtree (e.g. banding + a verify stage + cluster stats in one
+    pipeline). Off by default. The caller owns the unpersist — the
+    returned plan references the cached frame lazily, so eager cleanup
+    here would defeat the cache."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     if persist_signatures:
         from pyspark import StorageLevel

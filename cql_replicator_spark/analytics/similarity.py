@@ -276,12 +276,18 @@ def embedding_lsh_candidates(
     banded = (sig.select(F.col(id_col), F.explode(buckets).alias("bb"))
               .select(F.col(id_col), F.col("bb.band").alias("band"),
                       F.col("bb.bucket").alias("bucket")))
-    a, b_ = banded.alias("a"), banded.alias("b")
+    # bucket-grouped pair emission: one signature scan (the self-join
+    # form computed the signature subtree once per side) — same move as
+    # dedup.lsh_candidate_pairs, same identical-pair-set guarantee
     return (
-        a.join(b_, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(
+            "filter(flatten(transform(ids, x -> transform(ids, "
+            "y -> struct(x AS id_a, y AS id_b)))), p -> p.id_a < p.id_b)"
+        )).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
