@@ -96,3 +96,84 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     text — the exact-dedup key."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    bucket = md5h32(id) mod 100; weights are integer percentages mapped
+    to contiguous bucket ranges in insertion order. Pure projection —
+    split membership is a function of the id alone, so it is stable
+    across runs, re-partitions, retries, and engines (the md5-based
+    bucket is the same arithmetic the dedup oracles use), which is what
+    a training pipeline needs from a split: no shuffle, no RNG state,
+    and any worker can recompute any row's split."""
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    from .dedup import md5h32
+    bucket = F.pmod(md5h32(F.col(id_col).cast("string")), F.lit(100))
+    expr = None
+    hi = 0
+    for name, w in weights.items():
+        hi += w
+        expr = F.when(bucket < hi, name) if expr is None else expr.when(bucket < hi, name)
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def term_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary statistics: per-token document frequency and
+    total occurrence count — the global pass a quality/TF-IDF stage
+    needs. One explode + ONE groupBy (map-side partial agg collapses
+    each partition's token multiset before the shuffle); doc_freq rides
+    the same groupBy as count(distinct doc) — no second shuffle. top_n
+    orders by (doc_freq desc, token asc) for a deterministic cut."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"))
+    stats = toks.groupBy("token").agg(
+        F.countDistinct(id_col).alias("doc_freq"),
+        F.count("*").alias("total_count"))
+    if top_n is not None:
+        stats = stats.orderBy(F.desc("doc_freq"), F.asc("token")).limit(top_n)
+    return stats
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """TF-IDF per (doc, token): tf = in-doc count, idf = ln(N/df).
+
+    Two aggregations (per-doc term counts; per-token doc freq) joined on
+    token — doc frequency is broadcast-sized (vocabulary ≪ corpus), so
+    the join is a broadcast against the per-doc counts, and N is a
+    scalar literal folded into the expression. Scores are rounded to 6
+    decimals from exact integer inputs through single correctly-rounded
+    ln/div/mul ops, keeping them bit-stable cross-engine."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = (toks.groupBy("token")
+             .agg(F.countDistinct(id_col).alias("doc_freq"))
+             .filter(F.col("doc_freq") >= min_doc_freq))
+    n_docs = df.select(id_col).distinct().count()
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .select(
+            F.col(id_col), "token", "tf", "doc_freq",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6)
+            .alias("tfidf"))
+    )

@@ -293,6 +293,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(_t(spark, sf_dir, "documents")["documents"])
 
 
+@register(
+    "dataset_hash_split",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, {_md5h32_sql('CAST(doc_id AS VARCHAR)')} % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1
+""",
+    doc="Deterministic train/val/test split by id hash (md5 bucket mod "
+        "100): stable across runs/retries/engines, pure projection",
+)
+def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (TX.hash_split(docs)
+            .groupBy("split").agg(F.count("*").alias("n_docs")))
+
+
+@register(
+    "text_term_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+)
+SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_count
+FROM toks GROUP BY token
+ORDER BY doc_freq DESC, token
+LIMIT 50
+""",
+    doc="Corpus vocabulary statistics: per-token document frequency and "
+        "occurrence totals, top-50 deterministic cut",
+)
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.term_stats(_t(spark, sf_dir, "documents")["documents"], top_n=50)
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS doc_freq
+  FROM toks GROUP BY token HAVING count(DISTINCT doc_id) >= 2
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 6) AS tfidf
+FROM tf JOIN dfreq USING (token), n
+""",
+    doc="TF-IDF per (doc, token): broadcast-joined document frequencies, "
+        "integer inputs through single correctly-rounded ln/div ops",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.tf_idf(_t(spark, sf_dir, "documents")["documents"])
+
+
 # -- similarity -----------------------------------------------------------------
 
 _COS_SQL = """
