@@ -71,6 +71,20 @@ def token_count_bpe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def _lang_argmax(hit_of: dict[str, Column]) -> Column:
+    """Argmax over per-language hit expressions, earlier language wins
+    ties — shared by language_id and the curation composition."""
+    names = list(hit_of)
+    pred_expr = None
+    for i, name in enumerate(names[:-1]):
+        cond = None
+        for other in names[i + 1:]:
+            c = hit_of[name] >= hit_of[other]
+            cond = c if cond is None else (cond & c)
+        pred_expr = F.when(cond, name) if pred_expr is None else pred_expr.when(cond, name)
+    return pred_expr.otherwise(names[-1])
+
+
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 langs: dict[str, list[str]] | None = None) -> DataFrame:
     """Stopword-hit language heuristic: argmax of per-language function-
@@ -79,16 +93,8 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     names = list(langs)
     hit_cols = {name: _hits(text_col, words) for name, words in langs.items()}
     out = df.select(F.col(id_col), *[hit_cols[n].alias(f"hits_{n}") for n in names])
-    # argmax over the hit columns, earlier language wins ties
-    pred_expr = None
-    for i, name in enumerate(names[:-1]):
-        cond = None
-        for other in names[i + 1:]:
-            c = F.col(f"hits_{name}") >= F.col(f"hits_{other}")
-            cond = c if cond is None else (cond & c)
-        pred_expr = F.when(cond, name) if pred_expr is None else pred_expr.when(cond, name)
-    pred_expr = pred_expr.otherwise(names[-1])
-    return out.withColumn("predicted_lang", pred_expr)
+    return out.withColumn("predicted_lang", _lang_argmax(
+        {n: F.col(f"hits_{n}") for n in names}))
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -96,6 +102,62 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     text — the exact-dedup key."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def curate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_stopword_ratio: float = 0.03,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """The composed keep/drop decision for a training corpus — exact
+    dedup, then language and quality gates, in one plan:
+
+    1. canonical selection: one groupBy on the content fingerprint picks
+       min(doc_id) per duplicate group; the join back is on
+       (fingerprint, id), so the dedup cost is one shuffle of the
+       fingerprint projection, not the text.
+    2. language gate: stopword-hit argmax == ``lang`` (projection).
+    3. quality gates: token count in [min,max], stopword ratio above
+       the natural-language floor, punctuation ratio below the
+       boilerplate ceiling (all projections).
+
+    Returns kept docs with the admitting signals. Because stages 2-3
+    are pure column expressions (one shared projection, no joins),
+    Catalyst fuses the whole curation into scan -> fingerprint shuffle
+    -> filter — the minimum any content-dedup curation can do."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    base = df.select(F.col(id_col), F.col(text_col),
+                     F.md5(norm).alias("fingerprint"))
+    keepers = base.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    kept = base.join(keepers, ["fingerprint", id_col])
+
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    stop_ratio = F.round(
+        _hits(text_col, LANG_STOPWORDS[lang]).cast("double") / n_tokens, 6)
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, "")).cast("double")
+        / n_chars, 6)
+    pred = _lang_argmax({n: _hits(text_col, w) for n, w in LANG_STOPWORDS.items()})
+    return (
+        kept.select(
+            F.col(id_col),
+            n_tokens.alias("n_tokens"),
+            stop_ratio.alias("stopword_ratio"),
+            punct_ratio.alias("punct_ratio"),
+            pred.alias("predicted_lang"))
+        .filter(
+            (F.col("predicted_lang") == lang)
+            & F.col("n_tokens").between(min_tokens, max_tokens)
+            & (F.col("stopword_ratio") >= min_stopword_ratio)
+            & (F.col("punct_ratio") <= max_punct_ratio))
+    )
 
 
 def hash_split(

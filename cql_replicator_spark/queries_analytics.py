@@ -110,18 +110,25 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_count_bpe(_t(spark, sf_dir, "documents")["documents"])
 
 
-def _langid_oracle() -> str:
+def _lang_hits_and_case() -> tuple[str, str]:
+    """(hits select-list, argmax CASE) — the SQL mirror of
+    analytics.text._lang_argmax, shared by langid and curation oracles."""
     names = list(TX.LANG_STOPWORDS)
     hits = ",\n  ".join(
         "len(list_filter(string_split(text, ' '), t -> t IN ({lst}))) AS hits_{n}".format(
             lst=", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[n]), n=n)
         for n in names)
-    # argmax, earlier language wins ties — mirror of analytics.text.language_id
     cases = []
     for i, n in enumerate(names[:-1]):
         cond = " AND ".join(f"hits_{n} >= hits_{o}" for o in names[i + 1:])
         cases.append(f"WHEN {cond} THEN '{n}'")
     case_sql = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return hits, case_sql
+
+
+def _langid_oracle() -> str:
+    names = list(TX.LANG_STOPWORDS)
+    hits, case_sql = _lang_hits_and_case()
     return f"""
 WITH hits AS (
   SELECT doc_id,
@@ -291,6 +298,47 @@ FROM contrib GROUP BY doc_id
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(_t(spark, sf_dir, "documents")["documents"])
+
+
+def _curation_oracle() -> str:
+    hits, case_sql = _lang_hits_and_case()
+    return f"""
+WITH {_EXACT_FIXTURE_SQL},
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5({_NORM_SQL})
+),
+kept AS (SELECT d.doc_id, d.text FROM docs d JOIN keep USING (doc_id)),
+h AS (
+  SELECT doc_id, text,
+  {hits}
+  FROM kept
+),
+m AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    round(CAST(hits_en AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+    round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+          / length(text), 6) AS punct_ratio,
+    {case_sql} AS predicted_lang
+  FROM h
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, predicted_lang
+FROM m
+WHERE predicted_lang = 'en' AND n_tokens BETWEEN 20 AND 90
+  AND stopword_ratio >= 0.03 AND punct_ratio <= 0.2
+"""
+
+
+@register(
+    "curate_documents",
+    oracle=_curation_oracle(),
+    doc="Composed curation pipeline over the doubled-corpus fixture: exact "
+        "dedup (min-id canonical per content fingerprint), language gate, "
+        "and quality gates (token range, stopword floor, punctuation "
+        "ceiling) — the end-to-end keep/drop decision, one shuffle total",
+)
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.curate(_exact_fixture(spark, sf_dir))
 
 
 @register(
