@@ -569,6 +569,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_enriched_stream",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+    doc="Stream-static enrichment join over a real Structured Streaming "
+        "job: each event micro-batch hydrated with broadcast dimension "
+        "attributes; streamed append output equals the batch join",
+)
+def events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from .session import load_tables
+    from .streaming.windows import (
+        enrich_with_dim, run_stream_to_memory, stream_events_from_dir,
+    )
+
+    t = load_tables(spark, sf_dir, ["events", "customer"])
+    events = t["events"].select("event_id", "user_id", "event_type")
+    stage = tempfile.mkdtemp(prefix="enrich_stream_")
+    # two staged files -> two micro-batches through the same static dim
+    for cond in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        events.filter(cond).coalesce(1).write.mode("append").parquet(stage)
+    stream = stream_events_from_dir(spark, stage, events.schema)
+    enriched = enrich_with_dim(stream, t["customer"])
+    qname = f"enriched_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(enriched, qname, output_mode="append")
+    return spark.table(qname)
+
+
+@register(
     "dedup_events_stream",
     oracle="SELECT event_id, ts, user_id FROM events",
     doc="Streaming exactly-once dedup: dropDuplicates with watermark-bounded "
