@@ -187,6 +187,38 @@ def hash_split(
     return df.withColumn("bucket", bucket).withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    per_stratum: int = 10,
+    sample_salt: str = "",
+) -> DataFrame:
+    """Deterministic balanced sampling: exactly min(per_stratum, |s|)
+    rows per stratum, selected by hash order of the id — no RNG state,
+    so the sample is identical across runs, partitionings, and engines
+    (the reproducibility a training-data pipeline needs for ablations).
+    ``sample_salt`` decorrelates the sampling order from any other
+    hash-of-id decision (e.g. the split bucketing) and selects a fresh
+    sample per salt value.
+
+    One window over (stratum, hash(id)): Spark's WindowGroupLimit
+    pushes the rank filter below the sort, so each partition keeps only
+    per_stratum rows per stratum before the exchange — the shuffle
+    carries O(strata × per_stratum) per partition, not the table."""
+    from pyspark.sql.window import Window
+
+    from .dedup import md5h32
+    w = Window.partitionBy(strata_col).orderBy(
+        md5h32(F.concat(F.lit(sample_salt), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_stratum)
+        .drop("__rn")
+    )
+
+
 def term_stats(
     df: DataFrame,
     id_col: str = "doc_id",

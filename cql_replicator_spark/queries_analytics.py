@@ -364,6 +364,42 @@ def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_by_split",
+    # strata = the deterministic train/val/test assignment; the sample
+    # hash (md5 of 's'||id) is deliberately distinct from the split
+    # hash (md5 of id) so sampling order is independent of bucketing.
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, {_md5h32_sql('CAST(doc_id AS VARCHAR)')} % 100 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM b
+),
+r AS (
+  SELECT doc_id, split,
+         row_number() OVER (PARTITION BY split
+           ORDER BY {_md5h32_sql("'s' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM s
+)
+SELECT doc_id, split FROM r WHERE rn <= 10
+""",
+    doc="Deterministic balanced sampling: exactly 10 docs per train/val/"
+        "test stratum, selected by id-hash order — identical across runs, "
+        "partitionings, and engines; WindowGroupLimit prunes per-partition "
+        "before the shuffle",
+)
+def stratified_sample_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    base = TX.hash_split(docs).select("doc_id", "split")
+    return TX.stratified_sample(base, "split", per_stratum=10,
+                                sample_salt="s")
+
+
+@register(
     "text_term_stats",
     oracle="""
 WITH toks AS (
