@@ -18,6 +18,8 @@ DuckDB for the oracle checks — no dependence on Spark-private hashes.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -224,6 +226,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    strict: bool = True,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Near-dup pair graph -> components: (doc_id, cluster_id) with
     cluster_id = min doc id in the component — the step that turns
@@ -238,9 +242,33 @@ def connected_components(
     edge-count-shaped, never O(n²). For adversarial long-chain graphs
     swap in large-star/small-star (path doubling, O(log n) rounds);
     the fixpoint loop and result contract stay identical. Each round
-    persists its labels and unpersists the previous (lineage stays
-    one-round deep); the driver only ever sees a changed-row COUNT.
+    localCheckpoints its labels (eager): persist alone truncates only
+    the PHYSICAL recompute — the analyzed logical plan would still grow
+    ~3x per round (labels referenced by the union, the join, and the
+    changed-count) and OOM the driver compiling round ~15's plan.
+    Checkpointing cuts the lineage so every round's plan is one round
+    deep; the driver only ever sees a changed-row COUNT. (On a real
+    cluster prefer ``sc.setCheckpointDir`` + ``.checkpoint()`` if
+    executor loss during the loop must be survivable — localCheckpoint
+    state dies with its executor.)
+
+    If the fixpoint is not reached within max_iterations the labels are
+    WRONG (one true cluster split into several): strict=True (default)
+    raises RuntimeError; strict=False warns and returns the partial
+    labels. The returned frame references the final round's persisted
+    labels — the CALLER owns the unpersist (``result.unpersist()`` /
+    ``spark.catalog.clearCache()`` after consuming), because eager
+    cleanup here would force a full-lineage recompute on first use.
+
+    algorithm="star" dispatches to connected_components_star (same
+    contract, O(log n) rounds on adversarial-diameter graphs).
     """
+    if algorithm == "star":
+        return connected_components_star(
+            pairs, id_a, id_b, max_iterations, strict)
+    if algorithm != "min_label":
+        raise ValueError(f"unknown algorithm {algorithm!r}; "
+                         "expected 'min_label' or 'star'")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -251,6 +279,7 @@ def connected_components(
     labels = edges.select(
         F.col("src").alias("id"), F.col("src").alias("label")).distinct().persist()
     try:
+        changed = None
         for _ in range(max_iterations):
             nbr = edges.join(
                 labels.select(F.col("id").alias("dst"), "label"), "dst"
@@ -258,7 +287,7 @@ def connected_components(
             new_labels = (
                 labels.unionByName(nbr)
                 .groupBy("id").agg(F.min("label").alias("label"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -270,10 +299,108 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            msg = (f"connected_components did not converge within "
+                   f"{max_iterations} iterations ({changed} labels still "
+                   f"changing) — components would be over-split. Raise "
+                   f"max_iterations, or use connected_components_star for "
+                   f"long-chain graphs (O(log n) rounds).")
+            if strict:
+                labels.unpersist()
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         return labels.select(F.col("id").alias("doc_id"),
                              F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+    strict: bool = True,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    converges in O(log n) rounds even on adversarial long-chain graphs,
+    where min-label propagation needs diameter rounds. Same contract as
+    connected_components: (doc_id, cluster_id = min id in component).
+
+    large-star: every node attaches its LARGER neighbors to the min of
+    its closed neighborhood — long chains halve each round (path
+    doubling). small-star: every node attaches its smaller neighbors
+    (and itself) to its minimum neighbor, canonicalizing toward a star.
+    Fixpoint = the edge set is stable = every edge points a node at its
+    component's min. Each round is two edge-shaped groupBy shuffles —
+    no O(n²) blowup; per-round cost tracks the (shrinking) edge count.
+    Rounds localCheckpoint (eager) like min-label: the round plan
+    references the previous edge set ~12x, so lineage MUST be cut, not
+    just cached, or plan compilation alone is exponential.
+
+    The returned labels frame references the final round's checkpointed
+    star edges — caller owns the cleanup, as with min-label."""
+    canon = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+            F.least(F.col(id_a), F.col(id_b)).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (canon.select(F.col("src").alias("id"))
+             .unionByName(canon.select(F.col("dst").alias("id")))
+             .distinct().persist())
+    cur = canon
+    converged = False
+    try:
+        for _ in range(max_iterations):
+            # large-star over the symmetrized view: for node u with
+            # closed-neighborhood min m, emit (v, m) for each neighbor
+            # v > u. Keeps edges canonical (src > dst) by construction.
+            und = cur.unionByName(
+                cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            mins = (und.groupBy("src").agg(F.min("dst").alias("mn"))
+                    .select("src", F.least("src", "mn").alias("m")))
+            lrg = (und.join(mins, "src")
+                   .filter(F.col("dst") > F.col("src"))
+                   .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                   .filter(F.col("src") != F.col("dst"))
+                   .distinct())
+            # small-star on the (already src>dst) directed edges: node u
+            # re-points its smaller neighbors (and itself) at its min.
+            mins2 = lrg.groupBy("src").agg(F.min("dst").alias("m"))
+            sml = (lrg.join(mins2, "src")
+                   .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                   .unionByName(mins2.select("src", F.col("m").alias("dst")))
+                   .filter(F.col("src") != F.col("dst"))
+                   .distinct()
+                   .localCheckpoint(eager=True))
+            delta = (sml.exceptAll(cur).count()
+                     + cur.exceptAll(sml).count())
+            if cur is not canon:
+                cur.unpersist()
+            cur = sml
+            if delta == 0:
+                converged = True
+                break
+        if not converged:
+            msg = (f"connected_components_star did not converge within "
+                   f"{max_iterations} iterations — components would be "
+                   f"over-split.")
+            if strict:
+                if cur is not canon:
+                    cur.unpersist()
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        # star edges point every non-center node at its component min;
+        # centers (and any node the final star omits) label themselves.
+        return (nodes.join(cur.withColumnRenamed("src", "id"), "id", "left")
+                .select(F.col("id").alias("doc_id"),
+                        F.coalesce(F.col("dst"), F.col("id")).alias("cluster_id")))
+    finally:
+        canon.unpersist()
 
 
 # -- SimHash ------------------------------------------------------------------------

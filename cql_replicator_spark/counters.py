@@ -46,7 +46,16 @@ def counter_deltas(
     value; update -> curr - prev (any counter differing, null-safe);
     delete -> nulls (the row is removed, not decremented). Unchanged
     keys are filtered out. One full-outer join, same topology as
-    compute_changes_tagged."""
+    compute_changes_tagged.
+
+    Null counters coalesce to 0 on the arithmetic side: a null counter
+    in Cassandra means "never incremented" (reads as 0), so an insert
+    with a null counter contributes delta 0 and an update where only
+    prev is null (first increment between snapshots) contributes the
+    full current value — never a null delta that would render as
+    ``SET c = c + None``."""
+    if not counter_cols:
+        raise ValueError("counter_deltas: counter_cols must be non-empty")
     c = curr.select(
         *pk_cols,
         *[F.col(x).alias(f"__c_{x}") for x in counter_cols],
@@ -65,8 +74,11 @@ def counter_deltas(
           .when(changed, "update"))
     tagged = j.withColumn("op", op).filter(F.col("op").isNotNull())
     deltas = [
-        (F.when(F.col("op") == "insert", F.col(f"__c_{x}"))
-         .when(F.col("op") == "update", F.col(f"__c_{x}") - F.col(f"__p_{x}"))
+        (F.when(F.col("op") == "insert",
+                F.coalesce(F.col(f"__c_{x}"), F.lit(0)))
+         .when(F.col("op") == "update",
+               F.coalesce(F.col(f"__c_{x}"), F.lit(0))
+               - F.coalesce(F.col(f"__p_{x}"), F.lit(0)))
          ).alias(f"{x}_delta")
         for x in counter_cols
     ]
@@ -79,8 +91,9 @@ def counter_statement(
     pk_cols: list[str],
     pk_types: dict[str, str],
     counter_cols: list[str],
-) -> str:
-    """One tagged-delta row -> its CQL statement (K:930-935 shape)."""
+) -> str | None:
+    """One tagged-delta row -> its CQL statement (K:930-935 shape),
+    or None when every delta is null (nothing to apply)."""
     where = {c: (row[c], pk_types.get(c, "bigint")) for c in pk_cols}
     if row["op"] == "delete":
         return delete_statement(target, where)
@@ -98,15 +111,33 @@ def write_counter_deltas(
     write_cfg: WriteConfig | None = None,
 ) -> None:
     """Distribute statement emission (foreachPartition, lazy client,
-    batched+retried — the row-path sink contract)."""
+    batched+retried — the row-path sink contract).
+
+    AT-LEAST-ONCE HAZARD: counter increments are not idempotent. A
+    Spark task retry or speculative duplicate re-applies its
+    partition's increments and double-counts — unlike the row path,
+    where INSERT ... IF NOT EXISTS replay is a no-op. (The reference
+    shares this hazard; the delta formulation at least makes each
+    duplicate strictly additive rather than value-clobbering.) Run
+    counter jobs with ``spark.speculation=false`` (we refuse to start
+    otherwise), and treat a failed counter job as requiring
+    reconciliation (reconcile.py) rather than blind re-run."""
     cfg = write_cfg or WriteConfig()
+    spark = deltas.sparkSession
+    if spark.conf.get("spark.speculation", "false") == "true":
+        raise RuntimeError(
+            "counter replication is not idempotent: a speculative "
+            "duplicate task double-counts. Set spark.speculation=false "
+            "for counter jobs.")
 
     def process_partition(rows):
         execute = executor_factory()
         with FlushingBatch(execute, cfg) as batch:
             for r in rows:
-                batch.add(counter_statement(
-                    r.asDict(), target, pk_cols, pk_types, counter_cols))
+                stmt = counter_statement(
+                    r.asDict(), target, pk_cols, pk_types, counter_cols)
+                if stmt is not None:
+                    batch.add(stmt)
 
     deltas.foreachPartition(process_partition)
 

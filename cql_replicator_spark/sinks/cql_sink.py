@@ -58,10 +58,16 @@ def insert_json_statement(
 
 def counter_update_statement(
     target: str, counters: dict[str, int], where: dict[str, tuple],
-) -> str:
+) -> str | None:
     """UPDATE trg SET c=c+v WHERE pk=... (K:930-935). ``where`` maps
-    column -> (value, cql_type)."""
-    sets = ", ".join(f"{c} = {c} + {v}" for c, v in counters.items())
+    column -> (value, cql_type). Null deltas are dropped from the SET
+    clause (a null increment is a no-op, and ``c = c + None`` is not
+    CQL); if every delta is null, returns None — nothing to apply."""
+    live = {c: v for c, v in counters.items() if v is not None}
+    if not live:
+        return None
+    sets = ", ".join(
+        f"{c} = {c} + {render_cql_value(v, 'counter')}" for c, v in live.items())
     conds = " AND ".join(
         f"{c} = {render_cql_value(v, t)}" for c, (v, t) in where.items())
     return f"UPDATE {target} SET {sets} WHERE {conds}"

@@ -19,6 +19,10 @@ file-backed fake every sink test uses. Options:
     target      ks.table (required)
     path        statement log dir (offline transport, required here)
     op          insert | delete            (default insert)
+    pk_types    JSON map column -> CQL type for the delete path, e.g.
+                '{"id": "uuid", "day": "date"}' — without it types are
+                inferred from Python runtime types (exact only for
+                bool/int/str)
     ts_col      writetime column -> USING TIMESTAMP
     ttl_col     TTL column -> USING TTL
     if_not_exists  "true" -> INSERT ... IF NOT EXISTS (idempotent replay)
@@ -68,12 +72,43 @@ def statement_executor(options: dict):
     return execute
 
 
+def _infer_cql_type(v) -> str:
+    """Fallback CQL type from the Python runtime value when no
+    ``pk_types`` option is given. bool must precede int (bool is an int
+    subclass); floats/decimals map to double/decimal so they render
+    unquoted; everything else falls back to text."""
+    import datetime
+    import decimal
+    import uuid as _uuid
+
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, _uuid.UUID):
+        return "uuid"
+    if isinstance(v, datetime.datetime):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (bytes, bytearray)):
+        return "blob"
+    return "text"
+
+
 def _write_partition(iterator, options: dict, schema_names: list[str]):
     """Shared batch/stream task body: rows -> statements -> FlushingBatch."""
+    import json as _json
+
     from ..sinks.cql_sink import delete_statement, insert_json_statement
     from .batching import FlushingBatch
 
     target = options["target"]
+    pk_types = _json.loads(options.get("pk_types", "{}"))
     op = options.get("op", "insert")
     ts_col = options.get("ts_col")
     ttl_col = options.get("ttl_col")
@@ -90,8 +125,9 @@ def _write_partition(iterator, options: dict, schema_names: list[str]):
             d = row.asDict(recursive=True)
             if op == "delete":
                 batch.add(delete_statement(
-                    target, {c: (d[c], "bigint" if isinstance(d[c], int) else "text")
-                             for c in data_cols}))
+                    target,
+                    {c: (d[c], pk_types.get(c) or _infer_cql_type(d[c]))
+                     for c in data_cols}))
             else:
                 ts = d.pop(ts_col) if ts_col else None
                 ttl = d.pop(ttl_col) if ttl_col else None

@@ -69,6 +69,48 @@ def test_connected_components_transitive_chains(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """Exiting the fixpoint loop with labels still moving must be loud
+    (silent partial labels over-split clusters) unless strict=False."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iterations=2)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        D.connected_components(chain, max_iterations=2, strict=False).collect()
+
+
+def test_connected_components_star_long_chain(spark):
+    """1000-node path graph: min-label needs ~1000 rounds (diameter),
+    large-star/small-star must converge in O(log n) — well under the
+    default 50-iteration cap — with every node labeled 0."""
+    n = 1000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    out = D.connected_components(chain, algorithm="star", max_iterations=25)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.cluster_id for r in rows} == {0}
+
+
+def test_connected_components_star_matches_min_label(spark):
+    """Both algorithms implement the same contract: identical labels on
+    the mixed chain/pair/triangle fixture."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11),
+         (20, 21), (21, 22), (20, 22),
+         (31, 30), (32, 30)],              # star already
+        ["id_a", "id_b"])
+    ml = {(r.doc_id, r.cluster_id)
+          for r in D.connected_components(pairs).collect()}
+    st = {(r.doc_id, r.cluster_id)
+          for r in D.connected_components(pairs, algorithm="star").collect()}
+    assert ml == st
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        D.connected_components(pairs, algorithm="bogus")
+
+
 def test_minhash_lsh_persist_flag_is_result_invariant(spark, docs):
     """persist_signatures=True (the 100 TB switch) must not change the
     candidate set."""

@@ -97,6 +97,31 @@ def test_run_loop_with_stop_sentinel(spark, tables, tmp_path):
     assert not os.path.exists(stop.path)  # sentinel deleted
 
 
+def test_counter_deltas_null_safe(spark):
+    """Null counters coalesce to 0: insert of a never-incremented
+    counter yields delta 0 (not null -> 'c = c + None'); an update
+    whose prev is null (first increment between snapshots) yields the
+    full current value."""
+    from cql_replicator_spark.counters import counter_deltas
+
+    curr = spark.createDataFrame([(1, None), (2, 5), (3, 7)],
+                                 "pk LONG, c LONG")
+    prev = spark.createDataFrame([(2, None), (3, 3), (4, 9)],
+                                 "pk LONG, c LONG")
+    out = {r.pk: (r.op, r.c_delta)
+           for r in counter_deltas(curr, prev, ["pk"], ["c"]).collect()}
+    assert out == {1: ("insert", 0), 2: ("update", 5),
+                   3: ("update", 4), 4: ("delete", None)}
+
+
+def test_counter_deltas_empty_cols_raises(spark):
+    from cql_replicator_spark.counters import counter_deltas
+
+    df = spark.createDataFrame([(1, 2)], "pk LONG, c LONG")
+    with pytest.raises(ValueError, match="counter_cols"):
+        counter_deltas(df, df, ["pk"], [])
+
+
 def test_counter_additive_update_e2e(spark, tmp_path):
     """Counter replication across two delta cycles against a fake CQL
     target: historical load seeds counters with full values, the delta

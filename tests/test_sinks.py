@@ -107,6 +107,16 @@ def test_counter_update_statement():
     assert stmt == "UPDATE ks.t SET c = c + 5 WHERE key = 'k1'"
 
 
+def test_counter_update_statement_drops_null_deltas():
+    """A null increment must never render as 'c = c + None' (invalid
+    CQL, silently lost); all-null deltas mean no statement at all."""
+    stmt = counter_update_statement(
+        "ks.t", {"c": None, "d": 2}, {"key": ("k1", "text")})
+    assert stmt == "UPDATE ks.t SET d = d + 2 WHERE key = 'k1'"
+    assert counter_update_statement(
+        "ks.t", {"c": None}, {"key": ("k1", "text")}) is None
+
+
 def test_delete_statement_plain_and_transformed():
     import hashlib
     plain = delete_statement("ks.t", {"key": ("k1", "text"), "n": (3, "int")})
@@ -381,6 +391,40 @@ def test_cql_datasource_batch_write(spark, tmp_path):
     with pytest.raises(Exception):
         df.write.format("cql").option("target", "ks.t").option(
             "path", out).mode("overwrite").save()
+
+
+def test_cql_datasource_delete_types(spark, tmp_path):
+    """Delete path renders each PK with its declared CQL type from the
+    pk_types option; without it, runtime inference must at least get
+    bool (an int subclass) and int right."""
+    import glob
+
+    from cql_replicator_spark.sinks.datasource import CqlDataSource
+
+    spark.dataSource.register(CqlDataSource)
+    df = spark.createDataFrame(
+        [(7, "k-7", True)], "pk LONG, name STRING, flag BOOLEAN")
+    out = str(tmp_path / "stmts")
+    (df.coalesce(1).write.format("cql")
+     .option("target", "ks.t").option("path", out).option("op", "delete")
+     .option("pk_types", '{"pk": "bigint", "name": "text", "flag": "boolean"}')
+     .mode("append").save())
+    stmts = []
+    for p in glob.glob(os.path.join(out, "*.log")):
+        stmts += [s for s in open(p).read().splitlines() if s]
+    assert stmts == ["DELETE FROM ks.t WHERE pk = 7 AND name = 'k-7' "
+                     "AND flag = true"]
+
+    out2 = str(tmp_path / "stmts2")
+    (df.coalesce(1).write.format("cql")
+     .option("target", "ks.t").option("path", out2).option("op", "delete")
+     .mode("append").save())
+    stmts2 = []
+    for p in glob.glob(os.path.join(out2, "*.log")):
+        stmts2 += [s for s in open(p).read().splitlines() if s]
+    # inferred: bool -> boolean (not 'flag = 1'), int -> bigint, str -> text
+    assert stmts2 == ["DELETE FROM ks.t WHERE pk = 7 AND name = 'k-7' "
+                      "AND flag = true"]
 
 
 def test_cql_datasource_stream_write(spark, tmp_path):
