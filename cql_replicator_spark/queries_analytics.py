@@ -64,11 +64,16 @@ def _exact_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
-    mutated = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"))
-    return docs.unionByName(mutated)
+    # single scan like _exact_fixture: original + first-word-dropped
+    # mutation exploded from one row, instead of a self-union whose two
+    # branches each re-read (and re-shingle) the documents table
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pair = F.array(
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+        F.struct((F.col("doc_id") + 1000000).alias("doc_id"),
+                 F.expr("substring(text, instr(text, ' ') + 1)").alias("text")))
+    return (docs.select(F.explode(pair).alias("d"))
+            .select("d.doc_id", "d.text"))
 
 
 # -- text analysis -----------------------------------------------------------
@@ -298,6 +303,44 @@ FROM contrib GROUP BY doc_id
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH {_NEAR_FIXTURE_SQL},
+toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM docs)
+),
+h AS (SELECT doc_id, {_md5h32_sql('tok')} AS h FROM toks),
+contrib AS (
+  SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS s
+  FROM h, unnest(generate_series(0, 31)) AS t(i)
+  GROUP BY doc_id, i
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << i)
+              AS BIGINT) AS simhash
+  FROM contrib GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bucket
+  FROM sigs, unnest(generate_series(0, 3)) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    doc="SimHash Hamming near-dup pairs over the near-dup fixture: "
+        "4x8-bit prefix bands (Hamming<=3 guarantees a shared band by "
+        "pigeonhole) -> in-bucket pairing -> popcount(xor) verify",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_hamming_pairs(_near_fixture(spark, sf_dir))
 
 
 def _curation_oracle() -> str:

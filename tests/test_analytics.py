@@ -111,6 +111,38 @@ def test_connected_components_star_matches_min_label(spark):
         D.connected_components(pairs, algorithm="bogus")
 
 
+def test_simhash_hamming_pairs_recall_and_exactness(spark, docs):
+    """Planted near-dups (first word dropped) flip few signature bits;
+    the banded pairing must recover most of them, every emitted pair
+    must genuinely be within the Hamming threshold, and bucketing must
+    lose nothing vs the brute-force O(n²) check (pigeonhole guarantee)."""
+    sample = docs.limit(60)
+    mutated = sample.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"))
+    corpus = sample.unionByName(mutated)
+    out = D.simhash_hamming_pairs(corpus, max_hamming=3)
+    found = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert all(h <= 3 for h in found.values())
+    planted = {(r.doc_id, r.doc_id + 10_000) for r in sample.collect()}
+    recall = len(planted & set(found)) / len(planted)
+    assert recall >= 0.8, f"SimHash Hamming recall {recall}"
+    # exactness: identical to the all-pairs form (no bucketing loss)
+    sigs = {r.doc_id: r.simhash for r in D.simhash_signatures(corpus).collect()}
+    ids = sorted(sigs)
+    brute = {(a, b): bin(sigs[a] ^ sigs[b]).count("1")
+             for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    assert found == brute
+
+
+def test_simhash_hamming_pairs_param_guards(spark, docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_hamming_pairs(docs, bands=3, max_hamming=3)
+    with pytest.raises(ValueError, match="divide evenly"):
+        D.simhash_hamming_pairs(docs, bits=32, bands=5, max_hamming=2)
+
+
 def test_minhash_lsh_persist_flag_is_result_invariant(spark, docs):
     """persist_signatures=True (the 100 TB switch) must not change the
     candidate set."""
