@@ -183,16 +183,18 @@ def sample_media_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # column-wise zip, not iterrows: iterrows builds a Series
+            # per row (by far the slowest pandas iteration form); the
+            # 1->N explode itself is per-cell work either way
             ids, idxs, tss, frames = [], [], [], []
-            for _, row in pdf.iterrows():
-                duration = (row["meta"]["duration_ms"] or 0) if row["meta"] else 0
+            for rid, media, meta in zip(pdf["id"], pdf["media"], pdf["meta"]):
+                duration = (meta["duration_ms"] or 0) if meta else 0
                 n = max(1, duration // every_ms)
-                data = bytes(row["media"]) if row["media"] is not None else b""
-                for i in range(n):
-                    ids.append(row["id"])
-                    idxs.append(i)
-                    tss.append(i * every_ms)
-                    frames.append(fake_frame(data, i, n))
+                data = bytes(media) if media is not None else b""
+                ids.extend([rid] * n)
+                idxs.extend(range(n))
+                tss.extend(range(0, n * every_ms, every_ms))
+                frames.extend(fake_frame(data, i, n) for i in range(n))
             yield pd.DataFrame(
                 {"id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames})
 

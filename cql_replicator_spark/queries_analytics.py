@@ -802,3 +802,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     media = MM.synthesize_media_table(spark, docs)
     return MM.extract_features(media).select("id", "media_type", "n_bytes")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(30 AS BIGINT) AS n_bytes,
+       64 AS width, 48 AS height,
+       md5(substr(repeat(text, CAST(30 / length(text) AS INTEGER) + 1), 1, 30))
+         AS content_md5
+FROM documents
+""",
+    doc="Multimodal resize: mapInPandas batch rewrite of the media "
+        "payload to the 64x48 target (deterministic fake resize: payload "
+        "cycled/truncated to width*height/100 bytes) with meta patched; "
+        "byte count, patched dims, and payload md5 are oracle-checked",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    media = MM.synthesize_media_table(spark, docs)
+    return MM.resize_media(media, 64, 48).select(
+        "id",
+        F.length("media").cast("long").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.md5("media").alias("content_md5"))
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS id, length(text) AS len,
+         greatest(1, (length(text) * 40) // 1000) AS n
+  FROM documents
+)
+SELECT id,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST((n - 1) * 1000 AS INTEGER) AS last_ts_ms,
+       CAST(n * (len // n) AS BIGINT) AS total_frame_bytes
+FROM base
+""",
+    doc="Multimodal frame sampling: per-video 1->N frame explode "
+        "(mapInPandas) at 1 frame/sec over synthesized duration_ms = "
+        "40ms/char; frame counts, last timestamp, and total sliced bytes "
+        "are oracle-checked against the slicing arithmetic",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    media = MM.synthesize_media_table(spark, docs)
+    frames = MM.sample_media_frames(media, every_ms=1000)
+    return (frames.groupBy("id")
+            .agg(F.count("*").alias("n_frames"),
+                 F.max("ts_ms").alias("last_ts_ms"),
+                 F.sum(F.length("frame")).alias("total_frame_bytes")))
