@@ -39,11 +39,19 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
     "dedup_embedding_lsh",
+    "dedup_embedding_lsh_verified",
     "similarity_cosine_topk",
     "similarity_ann_ivf",
     "text_metrics",
     "text_language_id",
+    "text_term_stats",
+    "text_tfidf",
+    "curate_documents",
+    "stratified_sample_by_split",
+    "multimodal_frames",
 ]
 
 

@@ -193,6 +193,29 @@ def cmd_reconcile(args) -> int:
     return 0 if result.in_sync else 3
 
 
+def cmd_plan_capacity(args) -> int:
+    """Capacity plan + TCO print (C:1402-1426 sizing, C:1286-1291 ramp,
+    H:61-79 TCO): worker type/count from the WCU budget, per-tile ramp
+    start offsets, total DPU, and hourly cost at the given DPU price."""
+    from .config import (
+        calculate_workers, estimate_tco_per_hour, traffic_ramp_schedule,
+    )
+
+    worker_type, workers = calculate_workers(args.wcu, args.tiles)
+    ramp = traffic_ramp_schedule(args.tiles, args.inc_traffic,
+                                 args.custom_inc_traffic)
+    total_dpu, cost = estimate_tco_per_hour(
+        args.dpu_price, args.tiles, workers, args.discovery_workers)
+    print(json.dumps({
+        "worker_type": worker_type,
+        "workers_per_tile": workers,
+        "ramp_start_offsets_s": ramp,
+        "total_dpu": total_dpu,
+        "hourly_cost": cost,
+    }))
+    return 0
+
+
 def cmd_replay_dlq(args) -> int:
     """Replay dead-lettered ops through an idempotent executor. Offline,
     the executor re-appends payloads to a JSON-lines file; on a cluster it
@@ -265,6 +288,21 @@ def main(argv: list[str] | None = None) -> int:
     common(sp, source=False)
     sp.add_argument("--table", default=None)
     sp.set_defaults(fn=cmd_replay_dlq)
+
+    sp = sub.add_parser("plan-capacity",
+                        help="worker sizing, traffic ramp, and TCO estimate")
+    sp.add_argument("--tiles", type=int, required=True)
+    sp.add_argument("--wcu", type=int, required=True,
+                    help="target provisioned write throughput (WCU/s)")
+    sp.add_argument("--dpu-price", type=float, default=0.44,
+                    help="DPU price per hour in USD")
+    sp.add_argument("--inc-traffic", action="store_true",
+                    help="ramp tile starts 240s apart instead of 5s")
+    sp.add_argument("--custom-inc-traffic", type=int, default=None,
+                    metavar="SECONDS", help="custom inter-tile start delay")
+    sp.add_argument("--discovery-workers", type=int, default=0,
+                    help="override discovery worker count (0 = formula)")
+    sp.set_defaults(fn=cmd_plan_capacity)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import base64
 import json
+import math
 from dataclasses import dataclass, field
 
 # Rule whitelist (R:51-74). The reference's DataFrame-side dispatcher
@@ -207,3 +208,51 @@ def calculate_workers(
     if workers < 2:
         workers += 1
     return worker_type, workers
+
+
+def discovery_workers(tiles: int, override: int = 0) -> int:
+    """Discovery-job sizing (C:1127-1133): max(2*tiles+1, 2) unless an
+    explicit override is given (OVERRIDE_DISCOVERY_WORKERS)."""
+    if tiles <= 0:
+        raise ConfigError("tiles must be positive")
+    return override if override > 0 else max(2 * tiles + 1, 2)
+
+
+def traffic_ramp_schedule(
+    tiles: int,
+    inc_traffic: bool = False,
+    cooling_period_s: int | None = None,
+) -> list[int]:
+    """Per-tile replication start offsets in seconds — the
+    ``--inc-traffic`` ramp (C:1286-1291): tile i starts i*period after
+    tile 0 so the target's write capacity warms instead of absorbing
+    all tiles at once. Defaults mirror C:20-21: 5s inter-start without
+    the flag, 240s with it; ``--custom-inc-traffic SECONDS`` overrides
+    either."""
+    if tiles <= 0:
+        raise ConfigError("tiles must be positive")
+    period = cooling_period_s if cooling_period_s is not None \
+        else (240 if inc_traffic else 5)
+    if period < 0:
+        raise ConfigError("cooling period must be >= 0")
+    return [t * period for t in range(tiles)]
+
+
+def estimate_tco_per_hour(
+    dpu_price_per_hour: float,
+    tiles: int,
+    workers_per_tile: int,
+    discovery_override: int = 0,
+) -> tuple[int, float]:
+    """(total_dpu, hourly cost) — the helper's get-tco arithmetic
+    (H:61-79, C:1135-1137): total DPU = discovery workers + replication
+    workers x tiles; cost = price x DPU rounded half-up to cents (the
+    reference's ``bc scale=2 (p*d + 0.005)/1``). The price is an input
+    here — the reference shells out to a pricing API, which is
+    deployment plumbing, not engine logic."""
+    if dpu_price_per_hour < 0:
+        raise ConfigError("price must be >= 0")
+    total_dpu = discovery_workers(tiles, discovery_override) \
+        + workers_per_tile * tiles
+    cost = math.floor((dpu_price_per_hour * total_dpu + 0.005) * 100) / 100
+    return total_dpu, cost

@@ -6,14 +6,23 @@ The reference persists each tile's PK set as an Apache Iceberg table
 K:1220-1272) and time-travels between snapshot ids (K:1340-1349), with
 ``expire_snapshots(retain_last=2)`` housekeeping (K:1278-1289).
 
-This container has no Iceberg/Delta jars, so we implement the same
-contract on plain Parquet: each snapshot is an immutable directory
+The default backend implements the same contract on plain Parquet:
+each snapshot is an immutable directory
 ``{root}/{ks}/{table}/tile={n}/snap-{id:08d}/`` plus a JSON manifest per
 tile recording (id, committed_at, count). The API mirrors Iceberg's:
 write-overwrite (new snapshot), current_snapshot_id, read at snapshot
-(time travel), expire. On a production cluster, swap `SnapshotStore`
-for `df.writeTo(tbl).overwritePartitions()` + `option("snapshot-id")` —
-the engine only touches this interface.
+(time travel), expire.
+
+``SnapshotStore(..., fmt="delta")`` switches to a real
+transaction-log-backed table per tile when the ``delta-spark`` package
+is importable (the session must carry the Delta extensions —
+``configure_spark_with_delta_pip`` / ``spark.sql.extensions``):
+overwrite commits become Delta versions, time travel is
+``versionAsOf``, and expiry maps to ``vacuum`` (old versions stay in
+the log until log retention cleans them — Delta has no selective
+version drop; the manifest still records which ids this store
+considers live). The parquet+manifest backend remains the fallback so
+the engine runs identically where no lakehouse jars exist.
 
 Scale note: snapshots are written ``repartition(k, pk_cols)`` so each
 tile's snapshot has a bounded file count regardless of upstream
@@ -39,11 +48,27 @@ class SnapshotInfo:
     path: str
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package is importable."""
+    import importlib.util
+
+    return importlib.util.find_spec("delta") is not None
+
+
 class SnapshotStore:
-    def __init__(self, root: str, keyspace: str, table: str):
+    def __init__(self, root: str, keyspace: str, table: str,
+                 fmt: str = "parquet"):
+        if fmt not in ("parquet", "delta"):
+            raise ValueError(f"unknown snapshot format {fmt!r}; "
+                             "expected 'parquet' or 'delta'")
+        if fmt == "delta" and not delta_available():
+            raise ImportError(
+                "fmt='delta' requires the delta-spark package; falling back "
+                "is deliberate-only — pass fmt='parquet'")
         self.root = root
         self.keyspace = keyspace
         self.table = table
+        self.fmt = fmt
 
     # -- layout ---------------------------------------------------------
     def _tile_dir(self, tile: int) -> str:
@@ -77,12 +102,23 @@ class SnapshotStore:
         """
         entries = self._read_manifest(tile)
         new_id = (max(e["id"] for e in entries) + 1) if entries else 1
-        path = os.path.join(self._tile_dir(tile), f"snap-{new_id:08d}")
-        df.coalesce(files_per_snapshot).write.mode("overwrite").parquet(path)
-        count = df.sparkSession.read.parquet(path).count()
-        entries.append(
-            {"id": new_id, "committed_at": time.time(), "count": count, "path": path}
-        )
+        if self.fmt == "delta":
+            path = os.path.join(self._tile_dir(tile), "delta-table")
+            (df.coalesce(files_per_snapshot).write.format("delta")
+             .mode("overwrite").option("overwriteSchema", "true").save(path))
+            from delta.tables import DeltaTable
+            dt = DeltaTable.forPath(df.sparkSession, path)
+            version = dt.history(1).select("version").first()[0]
+            count = df.sparkSession.read.format("delta").load(path).count()
+            entries.append({"id": new_id, "committed_at": time.time(),
+                            "count": count, "path": path,
+                            "delta_version": int(version)})
+        else:
+            path = os.path.join(self._tile_dir(tile), f"snap-{new_id:08d}")
+            df.coalesce(files_per_snapshot).write.mode("overwrite").parquet(path)
+            count = df.sparkSession.read.parquet(path).count()
+            entries.append({"id": new_id, "committed_at": time.time(),
+                            "count": count, "path": path})
         self._write_manifest(tile, entries)
         return new_id
 
@@ -98,6 +134,10 @@ class SnapshotStore:
         """Time-travel read (readIcebergAtSnapshot — K:1340-1349)."""
         for e in self._read_manifest(tile):
             if e["id"] == snapshot_id:
+                if self.fmt == "delta":
+                    return (spark.read.format("delta")
+                            .option("versionAsOf", e["delta_version"])
+                            .load(e["path"]))
                 return spark.read.parquet(e["path"])
         raise ValueError(
             f"snapshot {snapshot_id} not found for {self.keyspace}.{self.table} tile {tile}"
@@ -110,14 +150,20 @@ class SnapshotStore:
         return self.read_snapshot(spark, tile, sid)
 
     def expire_snapshots(self, tile: int, retain_last: int = 2) -> int:
-        """Drop all but the newest N snapshots (K:1278-1289). Returns #expired."""
+        """Drop all but the newest N snapshots (K:1278-1289). Returns
+        #expired. Delta backend: expired ids leave the manifest (reads
+        through this store fail, matching parquet semantics) but their
+        versions remain in the transaction log until Delta's own
+        VACUUM/log-retention reclaims them — Delta cannot drop a
+        selected old version eagerly."""
         entries = self._read_manifest(tile)
         if len(entries) <= retain_last:
             return 0
         keep = entries[-retain_last:]
         expired = entries[:-retain_last]
-        for e in expired:
-            shutil.rmtree(e["path"], ignore_errors=True)
+        if self.fmt != "delta":
+            for e in expired:
+                shutil.rmtree(e["path"], ignore_errors=True)
         self._write_manifest(tile, keep)
         return len(expired)
 

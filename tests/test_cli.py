@@ -166,6 +166,20 @@ def test_cli_rejects_invalid_mapping(tmp_path, capsys):
               "--pk", "o_orderkey", "--mapping", str(mapping)])
 
 
+def test_cli_plan_capacity(capsys):
+    code, out = _run(capsys, [
+        "plan-capacity", "--tiles", "4", "--wcu", "8000",
+        "--inc-traffic", "--dpu-price", "0.44"])
+    assert code == 0
+    assert out == {
+        "worker_type": "G.025X",
+        "workers_per_tile": 3,
+        "ramp_start_offsets_s": [0, 240, 480, 720],
+        "total_dpu": 21,
+        "hourly_cost": 9.24,
+    }
+
+
 def test_cli_delta_cycle_with_ts(spark, tmp_path, capsys):
     """Full CDC delta through the CLI: mutate the source between cycles;
     the second cycle replicates exactly the insert/update/delete sets."""

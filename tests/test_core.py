@@ -79,8 +79,16 @@ def test_tagged_union(spark):
 
 # -- snapshot store ---------------------------------------------------------
 
-def test_snapshot_store_roundtrip(spark, tmp_path):
-    store = SnapshotStore(str(tmp_path), "ks", "tbl")
+@pytest.mark.parametrize("fmt", [
+    "parquet",
+    pytest.param("delta", marks=pytest.mark.skipif(
+        not __import__(
+            "cql_replicator_spark.snapshot", fromlist=["delta_available"]
+        ).delta_available(),
+        reason="delta-spark not installed")),
+])
+def test_snapshot_store_roundtrip(spark, tmp_path, fmt):
+    store = SnapshotStore(str(tmp_path), "ks", "tbl", fmt=fmt)
     df1 = spark.createDataFrame([(1, 10), (2, 20)], "pk int, ts long")
     df2 = spark.createDataFrame([(2, 21), (3, 30)], "pk int, ts long")
     s1 = store.write_snapshot(df1, tile=0)
@@ -96,6 +104,13 @@ def test_snapshot_store_roundtrip(spark, tmp_path):
     assert store.snapshot_exists(0, s2)
     with pytest.raises(ValueError):
         store.read_snapshot(spark, 0, s1)
+    assert {(r.pk, r.ts) for r in store.read_current(spark, 0).collect()} == \
+        {(2, 21), (3, 30)}
+
+
+def test_snapshot_store_rejects_bad_format(tmp_path):
+    with pytest.raises(ValueError, match="unknown snapshot format"):
+        SnapshotStore(str(tmp_path), "ks", "tbl", fmt="iceberg")
 
 
 # -- ledger ------------------------------------------------------------------
@@ -194,6 +209,26 @@ def test_calculate_workers_matches_reference_arithmetic():
     assert cfg.calculate_workers(10001, 100) == ("G.1X", 1)  # 1-1=0 -> 1
     with pytest.raises(cfg.ConfigError):
         cfg.calculate_workers(0, 4)
+
+
+def test_capacity_planning_matches_reference_arithmetic():
+    # discovery sizing: max(2*tiles+1, 2), override wins (C:1127-1133)
+    assert cfg.discovery_workers(4) == 9
+    assert cfg.discovery_workers(1) == 3
+    assert cfg.discovery_workers(4, override=5) == 5
+    # --inc-traffic ramp: 5s inter-start default, 240s with the flag,
+    # --custom-inc-traffic overrides either (C:20-21, C:1286-1291)
+    assert cfg.traffic_ramp_schedule(3) == [0, 5, 10]
+    assert cfg.traffic_ramp_schedule(3, inc_traffic=True) == [0, 240, 480]
+    assert cfg.traffic_ramp_schedule(3, inc_traffic=True,
+                                     cooling_period_s=60) == [0, 60, 120]
+    # TCO: dpu = discovery + workers*tiles; bc-style half-up cents (H:61-79)
+    assert cfg.estimate_tco_per_hour(0.44, 4, 3) == (21, 9.24)
+    assert cfg.estimate_tco_per_hour(0.4583, 2, 2) == (9, 4.12)  # 4.1247 -> 4.12
+    with pytest.raises(cfg.ConfigError):
+        cfg.traffic_ramp_schedule(0)
+    with pytest.raises(cfg.ConfigError):
+        cfg.estimate_tco_per_hour(-1, 2, 2)
 
 
 # -- transforms ----------------------------------------------------------------
