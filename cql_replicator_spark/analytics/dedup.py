@@ -280,18 +280,27 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = edges.select(
-        F.col("src").alias("id"), F.col("src").alias("label")).distinct().persist()
+    # init = round one fused: label(u) = min(u, min neighbor) straight
+    # off the edge list (one groupBy), instead of identity labels plus a
+    # full propagate round. Small dense near-dup components (pairs,
+    # triangles) converge here and pay only the confirmation round.
+    labels = (edges.groupBy("src")
+              .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+              .select(F.col("src").alias("id"), "label")
+              .localCheckpoint(eager=True))
     try:
         changed = None
         for _ in range(max_iterations):
             nbr = edges.join(
                 labels.select(F.col("id").alias("dst"), "label"), "dst"
             ).select(F.col("src").alias("id"), "label")
+            # lazy checkpoint: the changed-count below is the single
+            # action that materializes this round AND truncates lineage
+            # — eager=True would spend an extra job per round
             new_labels = (
                 labels.unionByName(nbr)
                 .groupBy("id").agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             changed = (
                 new_labels.alias("n")

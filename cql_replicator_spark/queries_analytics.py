@@ -702,7 +702,8 @@ def dedup_events_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_events_stream(spark, sf_dir)
 
 
-def _rp_lsh_oracle(dim: int = 64, planes: int = 16, bands: int = 2) -> str:
+def _rp_lsh_oracle(dim: int = 64, planes: int = S.RP_PLANES,
+                   bands: int = 2) -> str:
     per_band = planes // bands
     bit_exprs = []
     for p in range(planes):
