@@ -29,7 +29,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q4_order_priority",
     "q6_forecast_revenue",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "skew_salted_join",
     "tile_histogram_xxhash64",

@@ -433,6 +433,107 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="EXISTS as a left-semi join with a non-equi residual (TPC-H Q4 "
+        "shape, late-shipment predicate adapted to the narrow schema): "
+        "the semi join keeps orders one-sided — no lineitem row "
+        "multiplication, no post-join dedup",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp_ntz")))
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(li, (F.col("o_orderkey") == F.col("l_orderkey"))
+               & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+""",
+    doc="NOT IN as a broadcast left-anti join plus count(DISTINCT) "
+        "(TPC-H Q16 shape): the exclusion set is tiny (negative-balance "
+        "suppliers) so the anti join is map-side; the distinct aggregate "
+        "is the only shuffle",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"].select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .join(F.broadcast(t["part"].filter(F.col("p_brand") != "Brand#45")
+                          .select("p_partkey", "p_brand", "p_type")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+         count(l_quantity) AS qty_cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN per_part pp ON pp.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.qty_cnt < pp.qty_sum
+""",
+    doc="Correlated scalar subquery (quantity below 20% of the part's "
+        "mean — TPC-H Q17 shape) decorrelated into a per-part aggregate "
+        "join; the threshold compare runs as exact DECIMAL cross-"
+        "multiplication (5*qty*cnt < sum), never a float division, so "
+        "the boundary rows are engine-portable",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"]
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("qty_sum"),
+        F.count("l_quantity").alias("qty_cnt"))
+    brand = t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("pp_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity").cast(_DEC) * 5 * F.col("qty_cnt")
+                < F.col("qty_sum"))
+        .agg((F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0)
+             .cast("double").alias("avg_yearly"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference-operator queries (projections, filters, transforms, stats)
 # ---------------------------------------------------------------------------
