@@ -39,6 +39,7 @@ HEADLINE = [
     "column_stats_orders",
     "events_windowed_agg",
     "events_sessionize",
+    "events_asof_enrich",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -691,6 +691,37 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_enrich",
+    oracle="""
+WITH upd AS (
+  SELECT user_id, ts, value AS state_value
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       u.state_value, u.ts AS asof_ts
+FROM events e
+ASOF LEFT JOIN upd u ON e.user_id = u.user_id AND e.ts >= u.ts
+""",
+    doc="Backward as-of join (temporal.asof_join): every event enriched "
+        "with the user's most recent state update at or before the event "
+        "timestamp. Spark has no native ASOF JOIN; the union-merge + "
+        "forward-fill formulation costs ONE window shuffle of "
+        "|events|+|updates| rows (vs a range join's per-key cartesian). "
+        "DuckDB's native ASOF LEFT JOIN is the oracle",
+)
+def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")["events"]
+    updates = (events.filter(F.col("event_id") % 10 == 0)
+               .select("user_id", "ts", F.col("value").alias("state_value")))
+    return asof_join(
+        events.select("event_id", "user_id", "ts", "event_type"),
+        updates, on="user_id",
+    )
+
+
+@register(
     "events_sessionize",
     oracle="""
 WITH ordered AS (

@@ -382,3 +382,36 @@ def test_diff_property_random_mutations(spark, prev_keys, curr_keys, changed):
             | {("delete", k) for k in prev_keys - curr_keys}
             | {("update", k) for k in (curr_keys & prev_keys) & changed})
     assert got == want
+
+
+# -- temporal ------------------------------------------------------------------
+
+def test_asof_join_semantics(spark):
+    """Backward inclusive as-of: latest right row at or before each left
+    timestamp per key; no prior row -> null payload; same-ts update is
+    visible to the event (inclusive >=)."""
+    from cql_replicator_spark.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "e1"), (1, 9, "e2"), (1, 4, "e0"), (2, 3, "e3"), (3, 7, "e4")],
+        "k INT, ts INT, name STRING")
+    right = spark.createDataFrame(
+        [(1, 4, 10), (1, 7, 20), (2, 9, 30)], "k INT, ts INT, state INT")
+    out = {r.name: (r.state, r.asof_ts)
+           for r in asof_join(left, right, on="k").collect()}
+    assert out == {
+        "e0": (10, 4),     # same-ts update visible (inclusive)
+        "e1": (10, 4),
+        "e2": (20, 7),     # latest of two priors
+        "e3": (None, None),  # right row exists but only later
+        "e4": (None, None),  # key never updated
+    }
+
+
+def test_asof_join_payload_collision_raises(spark):
+    from cql_replicator_spark.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 5, 1)], "k INT, ts INT, state INT")
+    right = spark.createDataFrame([(1, 4, 2)], "k INT, ts INT, state INT")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k")
