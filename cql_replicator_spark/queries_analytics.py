@@ -691,6 +691,58 @@ def events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_conversion_stream",
+    oracle="""
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       v.ts AS view_ts, p.ts AS purchase_ts
+FROM events v
+JOIN events p ON p.user_id = v.user_id
+  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+""",
+    doc="Watermarked stream-stream interval join over a real Structured "
+        "Streaming job: views pair with same-user purchases inside a "
+        "30-minute window, state bounded by the range predicate + 1h "
+        "watermarks. Input staged as two time-ordered micro-batches so "
+        "cross-batch matches exercise the join buffer; append output "
+        "equals the batch inequality join",
+)
+def events_conversion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from .session import load_tables
+    from .streaming.windows import (
+        interval_join, run_stream_to_memory, stream_events_from_dir,
+    )
+
+    ev = (load_tables(spark, sf_dir, ["events"])["events"]
+          .select("event_id", "user_id", "event_type",
+                  F.col("ts").cast("timestamp").alias("ts")))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    stage = tempfile.mkdtemp(prefix="conv_stream_")
+    # time-ordered micro-batches: event time advances across batches, so
+    # the 1h watermark can never mark batch-2 rows late while boundary
+    # views stay buffered for their 30min match window
+    for cond in (F.col("ts") <= F.lit(mid), F.col("ts") > F.lit(mid)):
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(stage)
+    stream = stream_events_from_dir(spark, stage, ev.schema)
+    joined = interval_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"))
+    out = joined.select(
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_ts").alias("view_ts"),
+        F.col("r_ts").alias("purchase_ts"))
+    qname = f"conv_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(out, qname, output_mode="append")
+    return spark.table(qname)
+
+
+@register(
     "dedup_events_stream",
     oracle="SELECT event_id, ts, user_id FROM events",
     doc="Streaming exactly-once dedup: dropDuplicates with watermark-bounded "

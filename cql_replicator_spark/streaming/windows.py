@@ -82,6 +82,45 @@ def enrich_with_dim(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream (or batch) inner join: each left event pairs with
+    right events of the same key that follow it within ``(0, within]``
+    — the conversion-funnel shape (view -> purchase inside the window).
+
+    All columns come back prefixed ``l_`` / ``r_``. On streams, BOTH
+    sides get event-time watermarks and the join carries the time-range
+    predicate, which is what lets Structured Streaming bound its state:
+    a buffered left row is droppable once the right watermark passes
+    ``l_ts + within`` (state size tracks the window, not the stream).
+    The watermark delay must exceed ``within`` or boundary matches
+    arriving in a later micro-batch are dropped as late. On batch
+    frames the same function is the oracle form — identical predicate,
+    no state."""
+    l = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns]
+    ).withColumn(f"l_{ts_col}", F.col(f"l_{ts_col}").cast("timestamp"))
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withColumn(f"r_{ts_col}", F.col(f"r_{ts_col}").cast("timestamp"))
+    if l.isStreaming:
+        l = l.withWatermark(f"l_{ts_col}", watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"r_{ts_col}", watermark)
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{ts_col}") > F.col(f"l_{ts_col}"))
+        & (F.col(f"r_{ts_col}") <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -287,6 +287,52 @@ def test_windowed_counts_batch_equals_streaming(spark, tables, tmp_path):
     assert stream_rows == batch_rows
 
 
+def test_interval_join_stream_equals_batch_across_batches(spark, tmp_path):
+    """Stream-stream interval join: a match whose two sides arrive in
+    DIFFERENT micro-batches must still pair (the left row waits in the
+    join buffer), and the streamed append output equals the batch form
+    of the same predicate."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.streaming.windows import (
+        interval_join, run_stream_to_memory, stream_events_from_dir,
+    )
+
+    rows = [
+        # (event_id, user_id, event_type, ts) — u1 converts in 10 min
+        # but the purchase lands in micro-batch 2; u2 converts inside
+        # batch 1; u3's purchase is outside the 30-min window
+        (1, 1, "view",     "2024-01-01 10:00:00"),
+        (2, 2, "view",     "2024-01-01 10:05:00"),
+        (3, 2, "purchase", "2024-01-01 10:20:00"),
+        (4, 3, "view",     "2024-01-01 10:10:00"),
+        (5, 1, "purchase", "2024-01-01 10:25:00"),
+        (6, 3, "purchase", "2024-01-01 11:30:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def split(df):
+        return (df.filter(F.col("event_type") == "view"),
+                df.filter(F.col("event_type") == "purchase"))
+
+    batch = {(r.l_event_id, r.r_event_id)
+             for r in interval_join(*split(ev)).collect()}
+    assert batch == {(1, 5), (2, 3)}
+
+    stage = str(tmp_path / "stream_in")
+    for lo, hi in ((1, 4), (5, 6)):  # batch 1: ids 1-4, batch 2: ids 5-6
+        ev.filter(F.col("event_id").between(lo, hi)) \
+          .coalesce(1).write.mode("append").parquet(stage)
+    stream = stream_events_from_dir(spark, stage, ev.schema)
+    joined = interval_join(*split(stream))
+    run_stream_to_memory(joined, "conv_pairs", output_mode="append")
+    streamed = {(r.l_event_id, r.r_event_id)
+                for r in spark.table("conv_pairs").collect()}
+    assert streamed == batch
+
+
 def test_microbatch_cdc_over_event_slices(spark, tables, tmp_path):
     """Replay event-time slices through the CDC pipeline: row counts per
     state must be non-decreasing inserts, ledger must rotate cleanly."""
