@@ -833,6 +833,61 @@ def customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="Hierarchical grouping-sets aggregation (ROLLUP): detail, "
+        "per-status subtotal, and grand total in one pass — Catalyst "
+        "expands the sets, partial aggregation still combines map-side; "
+        "grouping() flags disambiguate subtotal rows from real nulls",
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+             .alias("total_price"),
+             F.grouping("o_orderstatus").cast("int").alias("g_status"),
+             F.grouping("o_orderpriority").cast("int").alias("g_priority"))
+    )
+
+
+@register(
+    "orders_status_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Pivot with an explicit value list (one shuffle, no value-"
+        "discovery pre-pass — the implicit form scans twice to find the "
+        "pivot domain, which at 100 TB is a full extra pass)",
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select("o_orderpriority",
+                F.col("F").alias("status_f"),
+                F.col("O").alias("status_o"),
+                F.col("P").alias("status_p"))
+    )
+
+
+@register(
     "events_props_json",
     oracle="""
 SELECT event_id,
