@@ -833,6 +833,33 @@ def customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "column_quantiles_orders",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       quantile_cont(o_totalprice, 0.95) AS p95
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="Exact grouped quantiles (linear interpolation): Spark "
+        "percentile() and DuckDB quantile_cont() run the same "
+        "interpolation over the same sorted doubles, so the output is "
+        "bit-identical — no approx-percentile sketch divergence. At "
+        "100 TB swap percentile for approx_percentile(..., accuracy) "
+        "per-group where a full sort-per-group is too hot; the exact "
+        "form stays the correctness oracle",
+)
+def column_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"))
+
+
+@register(
     "orders_rollup",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
