@@ -415,3 +415,48 @@ def test_asof_join_payload_collision_raises(spark):
     right = spark.createDataFrame([(1, 4, 2)], "k INT, ts INT, state INT")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, on="k")
+
+
+# -- bucketing -----------------------------------------------------------------
+
+def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
+    """Bucketing both sides by the join key at write time must yield a
+    SortMergeJoin with NO Exchange (and, with sortBy, no per-side Sort
+    of the streamed keys) — the pay-the-shuffle-once contract. Results
+    must equal the plain join."""
+    from cql_replicator_spark.bucketing import (
+        assert_no_exchange, write_bucketed_table,
+    )
+
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], 4,
+                         sort_cols=["o_orderkey"])
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 4,
+                         sort_cols=["l_orderkey"])
+    # at test SF everything is broadcast-sized, which would bypass the
+    # co-located SMJ this test demonstrates; at 100 TB fact-fact joins
+    # are far beyond any broadcast threshold
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("b_orders")
+             .join(spark.table("b_lineitem"),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+             .groupBy("o_orderkey")
+             .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q")))
+        # the join itself is exchange-free; the final small agg reuses
+        # the bucket partitioning too (group key == bucket key)
+        assert_no_exchange(j)
+        got = {(r.o_orderkey, r.n, r.q) for r in j.collect()}
+        plain = (orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+                 .groupBy("o_orderkey")
+                 .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q")))
+        want = {(r.o_orderkey, r.n, r.q) for r in plain.collect()}
+        assert got == want
+        with pytest.raises(AssertionError, match="Exchange"):
+            assert_no_exchange(plain)  # the unbucketed plan DOES shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
