@@ -46,9 +46,9 @@ def _assert_frames_equal(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: 
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
+            if x != x and y != y:
+                continue  # NaN/NaT are not self-equal; both-null matches
             if isinstance(x, float) and isinstance(y, float):
-                if math.isnan(x) and math.isnan(y):
-                    continue
                 assert x == y, f"{name}.{c}[{i}]: {x!r} != {y!r} (exact float mismatch)"
             else:
                 assert x == y, f"{name}.{c}[{i}]: {x!r} != {y!r}"
