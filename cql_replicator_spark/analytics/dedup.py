@@ -273,10 +273,16 @@ def connected_components(
     if algorithm != "min_label":
         raise ValueError(f"unknown algorithm {algorithm!r}; "
                          "expected 'min_label' or 'star'")
+    # symmetrize with a per-row explode, not a self-union: the union's two
+    # branches would each evaluate the full upstream pairs plan (for LSH
+    # input that means shingling the corpus twice) before the persist can
+    # help. The explode reads pairs ONCE and emits both directions.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(F.explode(F.array(
+            F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+            F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
@@ -288,28 +294,35 @@ def connected_components(
               .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
               .select(F.col("src").alias("id"), "label")
               .localCheckpoint(eager=True))
+    backing = labels  # the checkpointed frame holding current labels
     try:
         changed = None
         for _ in range(max_iterations):
+            # change detection FUSED into the round's one groupBy: old
+            # labels ride the union tagged is_old, so min(new label) and
+            # the old label come out of the same aggregation — no
+            # new-vs-old join stage per round. Every node appears in
+            # `labels` (init covers all srcs, and edges are symmetric),
+            # so old_label is never null.
             nbr = edges.join(
                 labels.select(F.col("id").alias("dst"), "label"), "dst"
-            ).select(F.col("src").alias("id"), "label")
+            ).select(F.col("src").alias("id"), "label",
+                     F.lit(False).alias("is_old"))
             # lazy checkpoint: the changed-count below is the single
             # action that materializes this round AND truncates lineage
             # — eager=True would spend an extra job per round
-            new_labels = (
-                labels.unionByName(nbr)
-                .groupBy("id").agg(F.min("label").alias("label"))
+            agg = (
+                labels.withColumn("is_old", F.lit(True)).unionByName(nbr)
+                .groupBy("id").agg(
+                    F.min("label").alias("label"),
+                    F.max(F.when(F.col("is_old"), F.col("label")))
+                     .alias("old_label"))
                 .localCheckpoint(eager=False)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            changed = agg.filter(F.col("label") != F.col("old_label")).count()
+            backing.unpersist()
+            backing = agg
+            labels = agg.select("id", "label")
             if changed == 0:
                 break
         if changed != 0:
@@ -319,7 +332,7 @@ def connected_components(
                    f"max_iterations, or use connected_components_star for "
                    f"long-chain graphs (O(log n) rounds).")
             if strict:
-                labels.unpersist()
+                backing.unpersist()
                 raise RuntimeError(msg)
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
         return labels.select(F.col("id").alias("doc_id"),
