@@ -1235,3 +1235,4 @@ def oracle_sql() -> dict[str, str]:
 def _ensure_all_registered() -> None:
     """Pull in the analytics registrations (import has the side effect)."""
     from . import queries_analytics  # noqa: F401
+    from . import queries_tpch  # noqa: F401

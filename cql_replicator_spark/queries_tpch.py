@@ -1,0 +1,581 @@
+"""Extended TPC-H-shaped analytic queries (imported by .queries).
+
+The reference engine's query surface is fixed CDC pipelines (SURVEY.md
+§0); these queries extend the rebuild's analytics coverage over the same
+join/aggregate substrate — each is the standard TPC-H form adapted to
+the synthetic tables' columns (no partsupp/shipmode/comment columns in
+the fixtures, so Q2/Q11/Q21 have no faithful shape and Q9/Q12/Q19/Q20/
+Q22 substitute equivalent predicates over existing columns; the JOIN/
+AGG/subquery topology — which is what exercises the engine — is kept).
+
+Oracle conventions follow queries.py: identical aliases both sides,
+money math in exact DECIMAL(18,2) with a single final cast/divide in
+IEEE double (summation order can never perturb bits), ratio compares
+cross-multiplied in decimal so threshold-boundary rows are engine-
+portable.
+
+Scale notes ride each query's doc: dims reduce through broadcast chains
+before touching the fact table (the q3/q5 pattern), one fact shuffle
+per query, AQE picks the physical join for reduced sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import register, _t, _DEC
+
+
+def _rev() -> F.Column:
+    return (F.col("l_extendedprice").cast(_DEC)
+            * (1 - F.col("l_discount").cast(_DEC)))
+
+
+_REV_SQL = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2)))")
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp_ntz")
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(sum({_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+    doc="TPC-H Q7 shape: bi-directional nation-pair shipping volume by "
+        "year. Suppliers and customers are pre-filtered to the two "
+        "nations through broadcast joins, so the fact table only ever "
+        "joins reduced sides (~2/25 of each dim); the disjunctive "
+        "nation-pair predicate runs post-join on two ints",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "supplier", "nation", "orders",
+           "customer")
+    two = t["nation"].filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (t["supplier"]
+            .join(F.broadcast(two.select(F.col("n_nationkey"),
+                                         F.col("n_name").alias("supp_nation"))),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "supp_nation"))
+    cust = (t["customer"]
+            .join(F.broadcast(two.select(F.col("n_nationkey"),
+                                         F.col("n_name").alias("cust_nation"))),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "cust_nation"))
+    ords = (t["orders"]
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "cust_nation"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(((F.col("supp_nation") == "NATION_1")
+                 & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2")
+                   & (F.col("cust_nation") == "NATION_1")))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share
+# ---------------------------------------------------------------------------
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT year(o.o_orderdate) AS o_year,
+       CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                THEN {_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum({_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n2.n_regionkey
+WHERE p.p_type = 'ECONOMY' AND r.r_name = 'AMERICA'
+GROUP BY year(o.o_orderdate)
+""",
+    doc="TPC-H Q8 shape: supplier nation's market share of ECONOMY-part "
+        "revenue sold into AMERICA, by order year. Both decimal sums "
+        "come out of ONE aggregation (conditional sum, not two passes); "
+        "the share is a single IEEE division of two exact decimals cast "
+        "to double — bit-stable in any engine. Part/supplier/customer "
+        "chains all reduce via broadcast before the fact shuffle",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation",
+           "orders", "customer", "region")
+    econ = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"].select(
+                F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "supp_nation"))
+    america = (t["nation"]
+               .join(F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .select(F.col("n_nationkey").alias("cust_nationkey")))
+    cust = (t["customer"]
+            .join(F.broadcast(america),
+                  F.col("c_nationkey") == F.col("cust_nationkey"))
+            .select("c_custkey"))
+    ords = (t["orders"]
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate"))
+    zero = F.lit(0).cast(_DEC)
+    nat3 = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(zero)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(nat3).cast("double")
+              / F.sum(_rev()).cast("double")).alias("mkt_share"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-line profit by nation and year (adapted: no ps_supplycost
+# in the fixtures; cost proxied as l_quantity * p_retailprice / 10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q9_product_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       year(o.o_orderdate) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10
+                - CAST(l.l_quantity AS DECIMAL(18,2))
+                * CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+       / 10.0 AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+    doc="TPC-H Q9 shape (cost proxied by quantity*retailprice/10 — the "
+        "fixtures carry no partsupp): per-nation, per-year profit on "
+        "red parts. The /10 happens ONCE on the final decimal sum in "
+        "double (profit*10 accumulates exactly in decimal), never per "
+        "row, so no decimal-division scale rules enter the result. "
+        "Part filter broadcasts; orders join is the only big-side "
+        "shuffle besides the fact scan",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    red = (t["part"].filter(F.col("p_name").like("red%"))
+           .select("p_partkey", "p_retailprice"))
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"].select(
+                F.col("n_nationkey"), F.col("n_name").alias("nation"))),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "nation"))
+    profit_x10 = (_rev() * 10
+                  - F.col("l_quantity").cast(_DEC)
+                  * F.col("p_retailprice").cast(_DEC))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(profit_x10).cast("double") / 10.0).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item revenue ranking
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment,
+       CAST(sum({_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 shape: top-20 customers by revenue lost to returns in "
+        "a quarter. Ties broken by custkey so the LIMIT set is "
+        "deterministic across engines. The quarter predicate reduces "
+        "orders before the lineitem join; returnflag pushes to the "
+        "fact scan; customer attributes join AFTER the per-custkey "
+        "aggregate (group on the key, decorate the 20-row result — not "
+        "a wide pre-agg carry)",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    q_orders = (t["orders"]
+                .filter((F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+                        & (F.col("o_orderdate") < _ts("1996-04-01 00:00:00")))
+                .select("o_orderkey", "o_custkey"))
+    per_cust = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(q_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev()).alias("rev_dec")))
+    cust = (t["customer"]
+            .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "c_acctbal", "n_name",
+                    "c_mktsegment"))
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment",
+                F.col("rev_dec").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping priority classes (adapted: grouped by l_linestatus, the
+# fixtures carry no l_shipmode)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_priority_lines",
+    oracle="""
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+    doc="TPC-H Q12 shape (l_linestatus stands in for the absent "
+        "l_shipmode): high/low-priority line counts per status class "
+        "for one ship year. Shipdate range pushes to the fact scan; "
+        "both counts come from one conditional aggregation pass",
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    li = (t["lineitem"]
+          .filter((F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+                  & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00")))
+          .select("l_orderkey", "l_linestatus"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"].select("o_orderkey", "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape: distribution of per-customer order counts "
+        "(excluding urgent orders), customers with zero orders included "
+        "via the left join. Two shuffles by construction (per-key "
+        "count, then histogram on the count) — the first has map-side "
+        "partial agg, the second moves one row per distinct count value",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"].select("c_custkey")
+        .join(t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"),
+              F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion revenue share
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+               THEN {_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum({_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS promo_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+""",
+    doc="TPC-H Q14 shape: PROMO-part share of one month's revenue. One "
+        "conditional aggregation; the ratio is 100*x/y over two exact "
+        "decimals in double (two IEEE ops on bit-identical inputs). "
+        "Part dim broadcasts; the month predicate pushes to the scan",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part")
+    zero = F.lit(0).cast(_DEC)
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)
+    return (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= _ts("1997-03-01 00:00:00"))
+                & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00")))
+        .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * F.sum(promo).cast("double")
+              / F.sum(_rev()).cast("double")).alias("promo_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarter revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum({_REV_SQL}) AS total_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_dec AS DOUBLE) AS total_revenue
+FROM revenue r
+JOIN supplier s ON s.s_suppkey = r.supplier_no
+WHERE r.total_dec = (SELECT max(total_dec) FROM revenue)
+""",
+    doc="TPC-H Q15 shape: supplier(s) achieving the maximum quarter "
+        "revenue. The max comes from re-aggregating the same per-"
+        "supplier plan and broadcasting the 1-row result back as an "
+        "equi-join — the two consumers share an identical aggregation "
+        "subtree, so AQE covers the second with a ReusedExchange "
+        "instead of a second fact scan; the equality compare runs on "
+        "the exact DECIMAL, with the double cast only in the output",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+                & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_dec")))
+    mx = revenue.agg(F.max("total_dec").alias("max_dec"))
+    return (
+        revenue
+        .join(F.broadcast(mx), F.col("total_dec") == F.col("max_dec"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("total_dec").cast("double").alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive brand/quantity/size predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT CAST(sum({_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+    doc="TPC-H Q19 shape: disjunction of three brand/size/quantity "
+        "conjunctions across the join. The part side pre-filters to "
+        "the union of the three brand/size envelopes (a pushable "
+        "disjunction on one table) and broadcasts; the full cross-"
+        "table disjunction re-applies post-join — same rows, but the "
+        "scan only reads three brands' parts",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part")
+    q = F.col("l_quantity")
+    parts = t["part"].filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    ).select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & (q >= 20) & (q <= 30)))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with excess shipped volume (adapted: volume from
+# lineitem, the fixtures carry no partsupp availability)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_volume_suppliers",
+    oracle="""
+WITH part_qty AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'blue%'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+part_total AS (
+  SELECT l_partkey, sum(supp_qty) AS total_qty
+  FROM part_qty GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM part_qty pq
+JOIN part_total pt ON pt.l_partkey = pq.l_partkey
+JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+WHERE pq.supp_qty * 10 > pt.total_qty
+""",
+    doc="TPC-H Q20 shape (availability proxied by shipped volume): "
+        "suppliers who shipped more than a tenth of a blue part's total "
+        "volume (the fixtures spread parts over ~40 suppliers each, so "
+        "the classic half-share threshold selects nobody at any SF). "
+        "Nested aggregation (per part+supplier, then per part) "
+        "reuses the first aggregate as input to the second — one fact "
+        "scan; the >half compare is cross-multiplied in exact decimal; "
+        "the semi-join to supplier names is the final broadcast",
+)
+def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    blue = t["part"].filter(F.col("p_name").like("blue%")).select("p_partkey")
+    part_qty = (
+        t["lineitem"]
+        .join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("supp_qty")))
+    part_total = (part_qty.groupBy(F.col("l_partkey").alias("pt_partkey"))
+                  .agg(F.sum("supp_qty").alias("total_qty")))
+    return (
+        part_qty
+        .join(part_total, F.col("l_partkey") == F.col("pt_partkey"))
+        .filter(F.col("supp_qty") * 10 > F.col("total_qty"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — prospects: above-average balance, never ordered (adapted:
+# mktsegment stands in for the absent phone country code)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q22_prospects",
+    oracle="""
+WITH pos AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+         count(*) AS bal_cnt
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.bal_cnt > pos.bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+""",
+    doc="TPC-H Q22 shape: customers with above-average positive balance "
+        "and no URGENT orders, per segment (segment stands in for the "
+        "phone prefix; the fixtures give every customer at least one "
+        "order, so the classic no-orders test selects nobody at any "
+        "SF). The scalar 'average' subquery broadcasts as a 1-row "
+        "(sum, count) frame and the compare cross-multiplies in exact "
+        "decimal — no float average ever exists, so boundary customers "
+        "agree across engines. The no-orders test is a left_anti join "
+        "on the orders key projection",
+)
+def q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    bal = F.col("c_acctbal").cast(_DEC)
+    pos = (t["customer"].filter(F.col("c_acctbal") > 0.0)
+           .agg(F.sum(bal).alias("bal_sum"), F.count("*").alias("bal_cnt")))
+    return (
+        t["customer"]
+        .join(F.broadcast(pos))
+        .filter(bal * F.col("bal_cnt") > F.col("bal_sum"))
+        .join(t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"),
+             F.sum(bal).cast("double").alias("totacctbal"))
+    )
