@@ -447,3 +447,41 @@ def cosine_topk_np(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def quantize_embeddings_int8(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100,
+) -> DataFrame:
+    """Fixed-scale int8 quantization of an embedding column — the
+    storage/bandwidth step of a large-scale vector pipeline (4x smaller
+    than float32, and integer dot products afterwards are exact).
+
+    q = clamp(floor(x * scale), -127, 127) per component. floor (not
+    round) keeps the mapping engine-portable — round() is half-even in
+    Spark and half-away in DuckDB, so a round-based quantizer would
+    disagree on .5 boundaries. Emits per-vector summary columns
+    (qmin/qmax/qsum/n_clipped) rather than the array so results stay
+    key-comparable; the quantized array itself is the `q` intermediate
+    if a caller wants it. Pure per-row projection: no shuffle, no UDF,
+    the transform/aggregate lambdas run once per component."""
+    x = F.col(vec_col)
+    q = F.transform(
+        x, lambda v: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(F.lit(127).cast("long"),
+                    F.floor(v.cast("double") * scale))))
+    raw = F.transform(x, lambda v: F.floor(v.cast("double") * scale))
+    zero = F.lit(0).cast("long")
+    return corpus.select(
+        F.col(id_col),
+        F.size(x).alias("dim"),
+        F.array_min(q).alias("qmin"),
+        F.array_max(q).alias("qmax"),
+        F.aggregate(q, zero, lambda a, v: a + v).alias("qsum"),
+        F.aggregate(
+            F.zip_with(raw, q, lambda r, c: F.when(r != c, 1).otherwise(0)),
+            zero, lambda a, v: a + v).alias("n_clipped"),
+    )

@@ -271,3 +271,45 @@ def tf_idf(
             F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6)
             .alias("tfidf"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the training-data prep step that turns raw documents into model-
+    sized windows: (doc_id, chunk_id, chunk, chunk_chars, n_chunks).
+
+    Pure per-row projection (sequence -> posexplode over substring):
+    no shuffle, no UDF — a 100 TB corpus chunks in a single map stage
+    riding WholeStageCodegen, and the explode multiplies rows ~
+    len/stride-fold WITHOUT materializing any intermediate (each chunk
+    is a substring evaluated on emit). Chunk count is
+    max(1, ceil((chars - overlap) / stride)) with stride =
+    chunk_size - overlap; the division runs in IEEE double on small
+    ints (exact), so both engines agree on every boundary."""
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    stride = chunk_size - overlap
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap))
+               / F.lit(float(stride))).cast("int"))
+    return (
+        df.select(F.col(id_col), F.col(text_col), n.alias("n_chunks"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
+             .alias("chunk_id", "_i"),
+            F.col(text_col), "n_chunks")
+        .select(
+            F.col(id_col), "chunk_id",
+            F.substring(F.col(text_col), F.col("chunk_id") * stride + 1,
+                        chunk_size).alias("chunk"),
+            "n_chunks")
+        .withColumn("chunk_chars", F.length("chunk"))
+    )

@@ -923,3 +923,124 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_frames"),
                  F.max("ts_ms").alias("last_ts_ms"),
                  F.sum(F.length("frame")).alias("total_frame_bytes")))
+
+
+# -- training-data prep: chunking, quantization, event feature windows -------
+
+@register(
+    "doc_chunking",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - 50) / 150.0) AS INT)) AS n_chunks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk,
+       n_chunks,
+       length(substring(text, CAST(i AS INT) * 150 + 1, 200)) AS chunk_chars
+FROM d, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+""",
+    doc="Document chunking for training-data prep: 200-char windows "
+        "with 50-char overlap (stride 150), ceil((chars-overlap)/stride) "
+        "chunks per doc. Pure map-stage explode — no shuffle, no UDF; "
+        "the boundary division runs in exact IEEE double on small ints "
+        "so both engines cut identical chunks",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.chunk_documents(_t(spark, sf_dir, "documents")["documents"],
+                              chunk_size=200, overlap=50)
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         CAST(len(embedding) AS INT) AS dim,
+         list_transform(embedding, v ->
+           greatest(CAST(-127 AS BIGINT),
+                    least(CAST(127 AS BIGINT),
+                          CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)))) AS qv,
+         list_transform(embedding, v ->
+           CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)) AS rv
+  FROM embeddings
+)
+SELECT vec_id, dim,
+       list_min(qv) AS qmin,
+       list_max(qv) AS qmax,
+       CAST(list_sum(qv) AS BIGINT) AS qsum,
+       CAST(len(list_filter(rv, v -> v < -127 OR v > 127)) AS BIGINT) AS n_clipped
+FROM q
+""",
+    doc="Int8 embedding quantization (fixed scale 100, floor — round() "
+        "is half-even in Spark and half-away in DuckDB so a rounding "
+        "quantizer would disagree on .5 boundaries): per-vector "
+        "qmin/qmax/qsum/clip-count summary. Pure projection, no shuffle",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return S.quantize_embeddings_int8(emb, scale=100)
+
+
+@register(
+    "events_lead_lag",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_prev_ms,
+       epoch_ms(lead(ts) OVER w) - epoch_ms(ts) AS gap_next_ms,
+       lag(event_type) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="Per-user event gap features (lead/lag window functions): ms "
+        "since previous and until next event plus previous event type — "
+        "the feature-engineering shape for behavioral training data. "
+        "One hash-shuffle on user_id; the sort is per-partition within "
+        "the window, and ties break on event_id so ordering is total",
+)
+def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    events = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
+    next_ms = F.unix_millis(F.lead("ts").over(w).cast("timestamp"))
+    return events.select(
+        "event_id", "user_id",
+        (ms - prev_ms).alias("gap_prev_ms"),
+        (next_ms - ms).alias("gap_next_ms"),
+        F.lag("event_type").over(w).alias("prev_type"))
+
+
+@register(
+    "orders_moving_avg",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS moving3_spend
+FROM orders
+""",
+    doc="Frame-bounded window aggregates: per-customer running total and "
+        "3-row moving spend (ROWS frames — the cumulative and sliding "
+        "forms). Accumulation is exact DECIMAL inside the frame, cast "
+        "to double per row, so frame order can't perturb bits; one "
+        "hash-shuffle on o_custkey serves both windows",
+)
+def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.sum(price).over(base.rowsBetween(Window.unboundedPreceding, 0))
+         .cast("double").alias("running_spend"),
+        F.sum(price).over(base.rowsBetween(-2, 0))
+         .cast("double").alias("moving3_spend"))

@@ -321,3 +321,54 @@ def test_vectorized_topk_matches_exact(spark):
     fast = {(r.query_id, r.rank): r.neighbor_id
             for r in S.cosine_topk_np(qs, emb, k=5).collect()}
     assert fast == exact
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk count/coverage invariants: stride spacing, full coverage,
+    overlap consistency, and the short-doc single-chunk case."""
+    from pyspark.sql import Row
+
+    from cql_replicator_spark.analytics import text as TX
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a" * 500),      # ceil((500-50)/150) = 3 chunks
+        Row(doc_id=2, text="b" * 200),      # exactly one window
+        Row(doc_id=3, text="c" * 30),       # shorter than overlap -> 1
+        Row(doc_id=4, text="d" * 201),      # one char past -> 2 chunks
+    ])
+    out = TX.chunk_documents(docs, chunk_size=200, overlap=50).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert {d: len(c) for d, c in by_doc.items()} == {1: 3, 2: 1, 3: 1, 4: 2}
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        text = {1: "a" * 500, 2: "b" * 200, 3: "c" * 30, 4: "d" * 201}[d]
+        # every chunk is the substring at its stride offset
+        for r in chunks:
+            assert r.chunk == text[r.chunk_id * 150:r.chunk_id * 150 + 200]
+            assert r.n_chunks == len(chunks)
+        # chunks cover the document end-to-end
+        covered = max(r.chunk_id * 150 + len(r.chunk) for r in chunks)
+        assert covered >= len(text)
+
+
+def test_quantize_embeddings_clipping(spark):
+    """Fixed-scale floor quantization: values beyond ±1.27 clip and are
+    counted; in-range values floor exactly."""
+    from pyspark.sql import Row
+
+    from cql_replicator_spark.analytics import similarity as S
+
+    df = spark.createDataFrame([
+        Row(vec_id=1, embedding=[0.5, -0.25, 2.0, -3.0]),
+        Row(vec_id=2, embedding=[0.111, 0.999]),
+    ])
+    rows = {r.vec_id: r for r in
+            S.quantize_embeddings_int8(df, scale=100).collect()}
+    r1 = rows[1]
+    # floor(0.5*100)=50, floor(-0.25*100)=-25, 200->127, -300->-127
+    assert (r1.dim, r1.qmin, r1.qmax, r1.n_clipped) == (4, -127, 127, 2)
+    assert r1.qsum == 50 - 25 + 127 - 127
+    r2 = rows[2]
+    assert (r2.dim, r2.qmin, r2.qmax, r2.n_clipped) == (2, 11, 99, 0)
