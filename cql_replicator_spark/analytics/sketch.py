@@ -1,0 +1,95 @@
+"""Distributed sketch operators (HyperLogLog-style registers).
+
+The register table IS the sketch: (register_id, max_rho) with
+register = h mod m and rho = leading-zero rank of the remaining hash
+bits. Registers are exact integers built by one groupBy (map-side
+partial max, ~m rows shuffled per partition regardless of input size),
+mergeable across shards/engines by pairwise max — which is what makes
+the operator 100 TB-shaped: a union of per-shard register tables
+followed by the same groupBy-max IS the merged sketch. The float
+estimate is a driver-side fold over m rows (``hll_estimate``), kept
+out of the distributed plan so every distributed row stays
+engine-exact (a harmonic-mean sum of 2^-rho in SQL would be
+float-summation-order dependent).
+
+Hash portability: the md5-derived 32-bit hash (analytics.dedup.md5h32)
+splits into register bits (low log2(m)) and rho bits (the rest), both
+expressible identically in any SQL engine; rho uses the bin()-string
+length, which Spark and DuckDB render identically for positive ints.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5h32
+
+
+def hll_registers(
+    df: DataFrame,
+    value: str | Column,
+    m: int = 256,
+) -> DataFrame:
+    """HLL register table over a column's distinct values:
+    (register_id, max_rho), exactly m rows (empty registers included
+    with max_rho = 0 so the frame is always merge- and estimate-ready).
+
+    register = h % m; rho = rank of the first 1-bit of w = h // m
+    within its (32 - log2(m))-bit field, i.e. width - bitlen(w) + 1,
+    computed as length(bin(w)) — identical string semantics in Spark
+    and DuckDB (w = 0 => rho = width + 1, the all-zeros convention).
+    One groupBy; the register frame is m rows however large the input.
+    """
+    if m & (m - 1) or m <= 0:
+        raise ValueError(f"m must be a power of two, got {m}")
+    width = 32 - int(math.log2(m))
+    col = F.col(value) if isinstance(value, str) else value
+    h = md5h32(col.cast("string"))
+    w = (h / m).cast("long")  # h // m: h >= 0 so float-div floor is exact
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) + 1 - F.length(F.bin(w)))
+    spark = df.sparkSession
+    all_regs = spark.range(m).select(F.col("id").cast("long").alias("register_id"))
+    built = (
+        df.select((h % m).alias("register_id"), rho.alias("rho"))
+        .groupBy("register_id")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    return (
+        all_regs.join(built, "register_id", "left")
+        .select("register_id",
+                F.coalesce(F.col("max_rho"), F.lit(0).cast("int"))
+                 .alias("max_rho"))
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge sketches: union the register tables, keep per-register max.
+    Associative/commutative/idempotent — shard-parallel by construction."""
+    out = register_frames[0]
+    for frame in register_frames[1:]:
+        out = out.unionByName(frame)
+    return out.groupBy("register_id").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: DataFrame, m: int = 256) -> float:
+    """Cardinality estimate from a register table (driver-side fold over
+    m rows; deterministic because the fold order is sorted register_id).
+    Standard HLL with the small-range linear-counting correction."""
+    rows = sorted((r.register_id, r.max_rho) for r in registers.collect())
+    if len(rows) != m:
+        raise ValueError(f"expected {m} registers, got {len(rows)}")
+    alpha = 0.7213 / (1 + 1.079 / m)
+    total = 0.0
+    zeros = 0
+    for _, rho in rows:
+        total += 2.0 ** (-rho)
+        if rho == 0:
+            zeros += 1
+    est = alpha * m * m / total
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est

@@ -1044,3 +1044,33 @@ def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double").alias("running_spend"),
         F.sum(price).over(base.rowsBetween(-2, 0))
          .cast("double").alias("moving3_spend"))
+
+
+@register(
+    "sketch_hll_registers",
+    oracle=f"""
+WITH h AS (
+  SELECT {_md5h32_sql('CAST(user_id AS VARCHAR)')} AS h FROM events
+),
+built AS (
+  SELECT h % 256 AS register_id,
+         max(CASE WHEN h // 256 = 0 THEN 25
+                  ELSE 25 - length(bin(h // 256)) END) AS max_rho
+  FROM h GROUP BY h % 256
+)
+SELECT t.register_id, CAST(COALESCE(b.max_rho, 0) AS INT) AS max_rho
+FROM generate_series(0, 255) AS t(register_id)
+LEFT JOIN built b ON b.register_id = t.register_id
+""",
+    doc="HyperLogLog register sketch over event users: the 256-row "
+        "register table IS the result — exact integers (register id, "
+        "max leading-zero rank), mergeable across shards by pairwise "
+        "max, built in one groupBy whose map-side partial max ships "
+        "~256 rows per partition regardless of input size. The float "
+        "estimate stays a driver-side fold (sketch.hll_estimate) so "
+        "no summation-order float ever enters the distributed plan",
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import sketch as SK
+    events = _t(spark, sf_dir, "events")["events"]
+    return SK.hll_registers(events, "user_id", m=256)

@@ -579,3 +579,93 @@ def q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"),
              F.sum(bal).cast("double").alias("totacctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-price supplier per part (adapted: the fixtures carry no
+# partsupp, so lineitem's observed prices stand in for supply cost)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_min_price_supplier",
+    oracle="""
+WITH offers AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS best_price
+  FROM lineitem l
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+part_min AS (
+  SELECT l_partkey, min(best_price) AS min_price
+  FROM offers GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+       CAST(o.best_price AS DOUBLE) AS best_price
+FROM offers o
+JOIN part_min m ON m.l_partkey = o.l_partkey AND o.best_price = m.min_price
+JOIN part p ON p.p_partkey = o.l_partkey AND p.p_size = 10
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+    doc="TPC-H Q2 shape (observed lineitem prices stand in for the "
+        "absent partsupp supply cost): for every size-10 part, the "
+        "supplier(s) whose best offered price equals the part's "
+        "minimum. Correlated-min decorrelated into a per-part "
+        "aggregate joined back on (part, price); min/equality run on "
+        "exact DECIMAL (min selects, never accumulates). The per-part "
+        "min is offer-count-shaped — it reuses the first aggregate's "
+        "output, not a second fact scan; part/supplier/nation all "
+        "broadcast as decorations of the tiny result",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    offers = (t["lineitem"]
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(F.col("l_extendedprice").cast(_DEC))
+                   .alias("best_price")))
+    part_min = (offers.groupBy(F.col("l_partkey").alias("pm_partkey"))
+                .agg(F.min("best_price").alias("min_price")))
+    size10 = t["part"].filter(F.col("p_size") == 10).select(
+        "p_partkey", "p_name")
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+    return (
+        offers
+        .join(part_min, (F.col("l_partkey") == F.col("pm_partkey"))
+              & (F.col("best_price") == F.col("min_price")))
+        .join(F.broadcast(size10), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+                F.col("best_price").cast("double").alias("best_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping over order dimensions
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE grouping sets over (status, priority): all four grouping "
+        "combinations in one pass — Spark expands the cube into a "
+        "single expand+aggregate (rows replicate 4x into one shuffle), "
+        "not four scans. Null grouping markers match ANSI semantics on "
+        "both engines; spend accumulates in exact decimal",
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+              .alias("total_spend"))
+    )

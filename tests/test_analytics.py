@@ -372,3 +372,26 @@ def test_quantize_embeddings_clipping(spark):
     assert r1.qsum == 50 - 25 + 127 - 127
     r2 = rows[2]
     assert (r2.dim, r2.qmin, r2.qmax, r2.n_clipped) == (2, 11, 99, 0)
+
+
+def test_hll_estimate_and_merge(spark):
+    """HLL registers: estimate within ~5% of exact distinct (m=256 =>
+    ~6.5% stderr), and merging two shard sketches equals the sketch of
+    the union."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.analytics import sketch as SK
+    from cql_replicator_spark.session import load_tables
+
+    events = load_tables(spark, "/root/testdata/sf0.01", ["events"])["events"]
+    exact = events.select("user_id").distinct().count()
+    regs = SK.hll_registers(events, "user_id", m=256)
+    est = SK.hll_estimate(regs, m=256)
+    assert abs(est - exact) / exact < 0.10
+
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = SK.hll_merge(SK.hll_registers(a, "user_id", m=256),
+                          SK.hll_registers(b, "user_id", m=256))
+    whole = {(r.register_id, r.max_rho) for r in regs.collect()}
+    assert {(r.register_id, r.max_rho) for r in merged.collect()} == whole
