@@ -34,6 +34,13 @@ HEADLINE = [
     "q16_supplier_variety",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "q2_min_price_supplier",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "orders_cube",
     "skew_salted_join",
     "tile_histogram_xxhash64",
     "column_stats_orders",
@@ -56,6 +63,11 @@ HEADLINE = [
     "curate_documents",
     "stratified_sample_by_split",
     "multimodal_frames",
+    "doc_chunking",
+    "embedding_quantize",
+    "events_lead_lag",
+    "orders_moving_avg",
+    "sketch_hll_registers",
 ]
 
 
