@@ -619,14 +619,21 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 )
 def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    size10 = t["part"].filter(F.col("p_size") == 10).select(
+        "p_partkey", "p_name")
+    # the part filter pushes BELOW both aggregations: only size-10
+    # parts can survive the join-back, so the fact rows of every other
+    # part (~98%) drop at the scan-side broadcast semi-join instead of
+    # being aggregated and discarded later. The oracle keeps the
+    # filter at the end — identical result, partkey-functional filter.
     offers = (t["lineitem"]
+              .join(F.broadcast(size10.select("p_partkey")),
+                    F.col("l_partkey") == F.col("p_partkey"), "left_semi")
               .groupBy("l_partkey", "l_suppkey")
               .agg(F.min(F.col("l_extendedprice").cast(_DEC))
                    .alias("best_price")))
     part_min = (offers.groupBy(F.col("l_partkey").alias("pm_partkey"))
                 .agg(F.min("best_price").alias("min_price")))
-    size10 = t["part"].filter(F.col("p_size") == 10).select(
-        "p_partkey", "p_name")
     supp = (t["supplier"]
             .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
                   F.col("s_nationkey") == F.col("n_nationkey"))
