@@ -93,3 +93,72 @@ def hll_estimate(registers: DataFrame, m: int = 256) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+def _md5h32_hi(c: Column) -> Column:
+    """Second independent 32-bit hash: md5 hex chars 9-16 as a bigint
+    (the first 8 feed md5h32) — one md5 evaluation yields both."""
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+
+
+def bloom_bits(
+    df: DataFrame,
+    value: str | Column,
+    m: int = 8192,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom-filter build as a distributed bit-set: the distinct
+    (bit_position) rows set by k double-hashed probes per value
+    (Kirsch-Mitzenmacher: pos_j = (h1 + j*h2) mod m — two 32-bit
+    hashes from ONE md5 give k independent-enough positions).
+
+    The bit-position table IS the filter: ≤ m rows however large the
+    input, merged across shards by union+distinct (associative,
+    idempotent) — the same mergeable-sketch contract as hll_registers.
+    Build is one explode (k rows/value) + one distinct shuffle whose
+    map-side partial dedup collapses to ≤ m rows per partition."""
+    col = F.col(value) if isinstance(value, str) else value
+    s = col.cast("string")
+    h1, h2 = md5h32(s), _md5h32_hi(s)
+    positions = F.array(*[(h1 + F.lit(j) * h2) % m for j in range(k)])
+    return (df.select(F.explode(positions).alias("bit_position"))
+            .distinct())
+
+
+def bloom_merge(*bit_frames: DataFrame) -> DataFrame:
+    """Merge filters built with identical (m, k): union + distinct."""
+    out = bit_frames[0]
+    for frame in bit_frames[1:]:
+        out = out.unionByName(frame)
+    return out.distinct()
+
+
+def bloom_might_contain(
+    bits: DataFrame,
+    probes: DataFrame,
+    value: str | Column,
+    m: int = 8192,
+    k: int = 5,
+) -> DataFrame:
+    """Probe a bloom bit-set: adds ``might_contain`` (true iff all k
+    positions are set — no false negatives by construction; false
+    positives at the usual bloom rate).
+
+    The probe explodes each value's k positions, left-joins the
+    (broadcast-sized, ≤ m rows) bit table, and recounts hits per
+    original row — membership = k hits. One broadcast join, one
+    groupBy back to the probe key; never moves the bit table."""
+    col = F.col(value) if isinstance(value, str) else value
+    s = col.cast("string")
+    h1, h2 = md5h32(s), _md5h32_hi(s)
+    positions = F.array(*[(h1 + F.lit(j) * h2) % m for j in range(k)])
+    probe_cols = probes.columns
+    exploded = probes.select(*probe_cols, F.explode(positions).alias("bit_position"))
+    hits = (
+        exploded.join(F.broadcast(bits.withColumn("_set", F.lit(1))),
+                      "bit_position", "left")
+        .groupBy(*probe_cols)
+        .agg(F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_hits"))
+    )
+    return hits.select(*probe_cols,
+                       (F.col("_hits") == k).alias("might_contain"))

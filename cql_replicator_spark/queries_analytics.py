@@ -1074,3 +1074,54 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import sketch as SK
     events = _t(spark, sf_dir, "events")["events"]
     return SK.hll_registers(events, "user_id", m=256)
+
+
+def _bloom_pos_sql(expr: str, j: int, m: int) -> str:
+    h1 = _md5h32_sql(expr)
+    h2 = f"CAST('0x' || substr(md5({expr}), 9, 8) AS BIGINT)"
+    return f"(({h1}) + {j} * ({h2})) % {m}"
+
+
+def _bloom_oracle(m: int = 8192, k: int = 5) -> str:
+    build_pos = ",\n    ".join(
+        _bloom_pos_sql("CAST(o_custkey AS VARCHAR)", j, m) for j in range(k))
+    probe_pos = ",\n    ".join(
+        _bloom_pos_sql("CAST(c_custkey AS VARCHAR)", j, m) for j in range(k))
+    return f"""
+WITH bits AS (
+  SELECT DISTINCT pos AS bit_position
+  FROM (SELECT unnest([{build_pos}]) AS pos
+        FROM orders WHERE o_custkey % 2 = 0)
+),
+probe AS (
+  SELECT c_custkey, unnest([{probe_pos}]) AS pos
+  FROM customer
+),
+hits AS (
+  SELECT p.c_custkey, count(b.bit_position) AS n_hits
+  FROM probe p LEFT JOIN bits b ON b.bit_position = p.pos
+  GROUP BY p.c_custkey
+)
+SELECT c_custkey, n_hits = {k} AS might_contain
+FROM hits
+"""
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=_bloom_oracle(),
+    doc="Bloom-filter build + probe: the distinct-bit-position table "
+        "built from even-custkey orders (mergeable by union+distinct, "
+        "<= m rows at any input size) probed by every customer — "
+        "might_contain = all k double-hashed positions set. No false "
+        "negatives by construction; false positives are DETERMINISTIC "
+        "given (m, k, corpus), so the oracle reproduces them exactly "
+        "from the same md5 arithmetic",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import sketch as SK
+    t = _t(spark, sf_dir, "orders", "customer")
+    bits = SK.bloom_bits(
+        t["orders"].filter(F.col("o_custkey") % 2 == 0), "o_custkey")
+    return SK.bloom_might_contain(
+        bits, t["customer"].select("c_custkey"), "c_custkey")

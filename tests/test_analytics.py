@@ -395,3 +395,34 @@ def test_hll_estimate_and_merge(spark):
                           SK.hll_registers(b, "user_id", m=256))
     whole = {(r.register_id, r.max_rho) for r in regs.collect()}
     assert {(r.register_id, r.max_rho) for r in merged.collect()} == whole
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted value probes true; merging shard filters equals
+    the whole-corpus filter; absent values mostly probe false."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.analytics import sketch as SK
+    from cql_replicator_spark.session import load_tables
+
+    orders = load_tables(spark, "/root/testdata/sf0.001", ["orders"])["orders"]
+    members = orders.filter(F.col("o_custkey") % 3 == 0)
+    bits = SK.bloom_bits(members, "o_custkey")
+    probed = SK.bloom_might_contain(
+        bits, orders.select("o_custkey").distinct(), "o_custkey").collect()
+    by_key = {r.o_custkey: r.might_contain for r in probed}
+    false_pos = 0
+    for key, hit in by_key.items():
+        if key % 3 == 0:
+            assert hit, f"false negative for member {key}"
+        elif hit:
+            false_pos += 1
+    non_members = sum(1 for kk in by_key if kk % 3 != 0)
+    assert false_pos / non_members < 0.05  # m=8192, ~150 members -> tiny fpp
+
+    a = members.filter(F.col("o_orderkey") % 2 == 0)
+    b = members.filter(F.col("o_orderkey") % 2 == 1)
+    merged = SK.bloom_merge(SK.bloom_bits(a, "o_custkey"),
+                            SK.bloom_bits(b, "o_custkey"))
+    assert ({r.bit_position for r in merged.collect()}
+            == {r.bit_position for r in bits.collect()})
