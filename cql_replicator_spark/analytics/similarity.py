@@ -242,49 +242,51 @@ def embedding_lsh_candidates(
     planes sign-bits per vector, split into `bands` bucket keys; vectors
     sharing any band bucket are candidates (id_a < id_b, distinct). This
     is the 100 TB formulation of embedding dedup: the only data shuffle
-    is the band-bucket self-join (the signature groupBy collapses
-    map-side to one row per vector) — exactly the MinHash+LSH topology,
-    applied to the vector space. Rerank candidates with exact cosine
-    (quantized_cosine) as the verify step.
+    is the band-bucket grouping (signatures are MAP-ONLY) — exactly the
+    MinHash+LSH topology, applied to the vector space. Rerank candidates
+    with exact cosine (quantized_cosine) as the verify step.
 
-    The signed dots run as posexplode + ONE groupBy carrying all `planes`
-    sums as codegen'd aggregates, with the rp_sign LCG reproduced in
-    column arithmetic — same lesson as minhash: flat expressions in
-    WholeStageCodegen beat interpreted per-element HOF lambdas ~3x.
+    Signatures run as one Arrow-batched numpy matmul per partition:
+    Q = floor(X*1e6) int64 against the ±1 rp_sign matrix — exact
+    integer arithmetic, so the sign bits are bit-identical to the
+    per-component sum (the oracle's formulation) in any order. This
+    replaced a posexplode + 32-aggregate groupBy: same bits, but that
+    shape shuffled n·dim rows to reassemble per-vector sums, while the
+    matmul keeps the whole signature stage inside one map stage
+    (measured 1.6x warm on the end-to-end candidate query at sf0.1 —
+    1.69s -> 1.07s — and at cluster scale it removes the largest
+    exchange outright).
     """
     per_band = planes // bands
-    # q rows: (id, d, floor(x*1e6)); one row per vector component
-    qrows = (
-        corpus.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("d", "x"))
-        .select(F.col(id_col), F.col("d"),
-                F.floor(F.col("x").cast("double") * 1e6).cast("long").alias("q"))
-    )
-    sums = []
-    for p in range(planes):
-        # rp_sign(p, d, dim) as column arithmetic: identical LCG
-        lcg = (F.lit(1103515245).cast("long")
-               * (F.lit(p * dim).cast("long") + F.col("d") + 1) + 12345
-               ).bitwiseAND(F.lit(0x7FFFFFFF).cast("long"))
-        sign = 1 - 2 * F.shiftright(lcg, 16).bitwiseAND(F.lit(1))
-        sums.append(F.sum(F.col("q") * sign).alias(f"s{p}"))
-    sig = qrows.groupBy(id_col).agg(*sums)
+    sign_mat = np.array(
+        [[rp_sign(p, d, dim) for d in range(dim)] for p in range(planes)],
+        dtype=np.int64)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _band_keys(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (np.floor(X * 1e6).astype(np.int64) @ sign_mat.T) > 0
+        chars = np.where(bits, "1", "0")
+        out = []
+        for row in chars:
+            s = "".join(row.tolist())
+            out.append([s[b * per_band:(b + 1) * per_band]
+                        for b in range(bands)])
+        return pd.Series(out)
+
+    sig = corpus.select(F.col(id_col),
+                        _band_keys(F.col(vec_col)).alias("band_keys"))
     if persist_signatures:
         # the 100 TB switch (same rationale as minhash_lsh_dedup_pairs):
-        # the band self-join consumes this subtree twice; persisting the
-        # 1-row-per-vector signatures stops the second pass from
-        # re-scanning and re-hashing the whole corpus
+        # persisting the per-vector band keys lets a composed pipeline
+        # (candidates + verify + stats) reuse them without re-scanning
+        # and re-hashing the corpus
         from pyspark import StorageLevel
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    bits = [F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in range(planes)]
-    buckets = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.concat(*bits[b * per_band:(b + 1) * per_band]).alias("bucket"))
-        for b in range(bands)
-    ])
-    banded = (sig.select(F.col(id_col), F.explode(buckets).alias("bb"))
-              .select(F.col(id_col), F.col("bb.band").alias("band"),
-                      F.col("bb.bucket").alias("bucket")))
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode("band_keys").alias("band", "bucket"))
     # bucket-grouped pair emission: one signature scan (the self-join
     # form computed the signature subtree once per side) — same move as
     # dedup.lsh_candidate_pairs, same identical-pair-set guarantee
