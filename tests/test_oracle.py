@@ -74,3 +74,18 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_check_priority_order_is_valid():
+    """The driver checks a bounded window of queries() in iteration order;
+    _CHECK_PRIORITY front-loads the least-verified entries. Every priority
+    name must exist, be unique, and actually lead the emitted ordering —
+    a typo here would silently burn a correctness slot."""
+    from cql_replicator_spark import queries as Q
+    pri = Q._CHECK_PRIORITY
+    reg = Q.queries()
+    assert len(pri) == len(set(pri)), "duplicate names in _CHECK_PRIORITY"
+    missing = [n for n in pri if n not in reg]
+    assert not missing, f"_CHECK_PRIORITY names not registered: {missing}"
+    assert list(reg)[: len(pri)] == pri
+    assert set(reg) == set(Q.REGISTRY), "ordering must not drop entries"
