@@ -40,6 +40,8 @@ HEADLINE = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q19_disjunctive_revenue",
+    "q11_important_parts",
+    "q21_waiting_suppliers",
     "orders_cube",
     "skew_salted_join",
     "tile_histogram_xxhash64",

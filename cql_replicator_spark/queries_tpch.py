@@ -676,3 +676,114 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
               .alias("total_spend"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts (adapted: revenue share stands in for the absent
+# partsupp supplycost*availqty stock value)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+WITH partrev AS (
+  SELECT l_partkey, sum({_REV_SQL}) AS part_value
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT sum(part_value) AS total_value FROM partrev)
+SELECT p.l_partkey AS p_partkey,
+       CAST(p.part_value AS DOUBLE) AS part_value
+FROM partrev p, total t
+WHERE p.part_value > t.total_value * CAST(0.0007 AS DECIMAL(5,4))
+""",
+    doc="TPC-H Q11 shape (per-part revenue stands in for the absent "
+        "partsupp stock value): parts whose revenue exceeds a fixed "
+        "fraction of global revenue. The HAVING-against-scalar-subquery "
+        "decorrelates into one fact aggregate whose output is re-"
+        "aggregated for the global total (no second fact scan) and "
+        "broadcast back as a 1-row frame; the threshold compare runs "
+        "entirely in exact decimal (sum decimal x decimal(5,4) literal "
+        "— scale-6 exact product), so boundary parts agree across "
+        "engines. At 100 TB this is one partkey shuffle + a 1-row "
+        "broadcast — the same cost profile as a plain groupBy",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")["lineitem"]
+    partrev = (lineitem.groupBy("l_partkey")
+               .agg(F.sum(_rev()).alias("part_value")))
+    total = partrev.agg(F.sum("part_value").alias("total_value"))
+    return (
+        partrev
+        .join(F.broadcast(total))
+        .filter(F.col("part_value")
+                > F.col("total_value") * F.lit("0.0007").cast("decimal(5,4)"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted: shipdate lateness vs
+# order date stands in for the absent receipt/commit dates)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+""",
+    doc="TPC-H Q21 shape (shipdate>orderdate+60d lateness stands in for "
+        "the absent receipt/commit dates): per supplier in NATION_3, "
+        "late lines in multi-supplier failed orders where theirs is the "
+        "ONLY late supplier. The EXISTS / NOT-EXISTS pair decorrelates "
+        "into one per-order aggregate — countDistinct(supp) and "
+        "countDistinct(late supp) in a single groupBy — then late lines "
+        "join back on orderkey; the oracle keeps the correlated form, "
+        "so the two engines prove the rewrite against each other. One "
+        "orderkey shuffle over the fact, supplier+nation broadcast; at "
+        "100 TB the per-order aggregate is the same exchange the "
+        "join-back reuses (co-partitioned on orderkey)",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    lf = (t["lineitem"]
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(t["orders"].filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .withColumn("late",
+                      F.col("l_shipdate")
+                      > F.expr("o_orderdate + INTERVAL '60' DAY")))
+    per_order = (lf.groupBy(F.col("l_orderkey").alias("po_orderkey"))
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.when(F.col("late"),
+                                             F.col("l_suppkey")))
+                       .alias("n_late_supp")))
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"]
+                              .filter(F.col("n_name") == "NATION_3")
+                              .select("n_nationkey")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name"))
+    return (
+        lf.filter(F.col("late"))
+        .join(per_order.filter((F.col("n_supp") > 1)
+                               & (F.col("n_late_supp") == 1)),
+              F.col("l_orderkey") == F.col("po_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
