@@ -70,6 +70,9 @@ HEADLINE = [
     "events_lead_lag",
     "orders_moving_avg",
     "sketch_hll_registers",
+    "sketch_cms_frequency",
+    "decontaminate_splits",
+    "sequence_packing",
 ]
 
 

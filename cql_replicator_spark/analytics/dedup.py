@@ -512,3 +512,41 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# -- cross-split contamination ------------------------------------------------------
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    min_common: int = 3,
+) -> DataFrame:
+    """Train/eval contamination detector: (train_id, eval_id,
+    n_common_grams) for every cross-split pair sharing >= min_common
+    distinct word n-grams — the decontamination pass an LLM training
+    pipeline runs before the corpus ships (eval answers leaking into
+    pretraining data corrupt every downstream benchmark).
+
+    Shape mirrors ngram_jaccard_pairs but joins ACROSS frames, so the
+    pair space is |train| x |eval| gram-bucketed, never a self-join:
+    at 100 TB the eval side is benchmarks (thousands of docs, not
+    billions) — its shingle table broadcasts, making the whole check a
+    map-side semi-join over the train scan plus one (train_id, eval_id)
+    aggregate whose input is only the matching grams. No shuffle of
+    train shingles ever happens when the eval side broadcasts; if eval
+    outgrows the broadcast threshold AQE falls back to a gram-keyed
+    shuffle join, which is still bucketed by construction.
+    """
+    sh_t = (shingles(train, id_col, text_col, n)
+            .select(F.col(id_col).alias("train_id"), "gram"))
+    sh_e = (shingles(eval_df, id_col, text_col, n)
+            .select(F.col(id_col).alias("eval_id"), "gram"))
+    return (
+        sh_t.join(F.broadcast(sh_e), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_common_grams"))
+        .filter(F.col("n_common_grams") >= min_common)
+    )

@@ -162,3 +162,73 @@ def bloom_might_contain(
     )
     return hits.select(*probe_cols,
                        (F.col("_hits") == k).alias("might_contain"))
+
+
+def cms_counts(
+    df: DataFrame,
+    value: str | Column,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Count-Min sketch build as a distributed counter table: (depth,
+    pos, cnt) for the d x w grid, where row j increments cell
+    (j, (h1 + j*h2) mod w) per input row (Kirsch-Mitzenmacher double
+    hashing — one md5 yields every row's position).
+
+    The counter table IS the sketch: <= d*w rows however large the
+    input, built by one explode (d rows/value) + one groupBy whose
+    map-side partial sum collapses each partition to <= d*w rows
+    before the exchange. Merge across shards/engines = union + groupBy
+    sum (associative, commutative) — the same mergeable contract as
+    hll_registers/bloom_bits, so a 100 TB build is shard-parallel with
+    a constant-size shuffle."""
+    col = F.col(value) if isinstance(value, str) else value
+    s = col.cast("string")
+    h1, h2 = md5h32(s), _md5h32_hi(s)
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("depth"),
+                 ((h1 + F.lit(j) * h2) % w).alias("pos"))
+        for j in range(d)])
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.depth").alias("depth"), F.col("c.pos").alias("pos"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*count_frames: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (w, d): union + sum."""
+    out = count_frames[0]
+    for frame in count_frames[1:]:
+        out = out.unionByName(frame)
+    return out.groupBy("depth", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    counts: DataFrame,
+    probes: DataFrame,
+    value: str | Column,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates: min over the d probed cells per
+    value — the CMS guarantee est >= true with overshoot bounded by
+    the grid load. The probe explodes to d (depth, pos) keys, joins
+    the broadcast counter table (<= d*w rows), and takes one min
+    groupBy; absent cells count 0 (value never seen)."""
+    col = F.col(value) if isinstance(value, str) else value
+    s = col.cast("string")
+    h1, h2 = md5h32(s), _md5h32_hi(s)
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("depth"),
+                 ((h1 + F.lit(j) * h2) % w).alias("pos"))
+        for j in range(d)])
+    return (
+        probes.select(col.alias("probe_value"), F.explode(cells).alias("c"))
+        .join(F.broadcast(counts),
+              (F.col("c.depth") == F.col("depth"))
+              & (F.col("c.pos") == F.col("pos")), "left")
+        .groupBy("probe_value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+              .alias("est_count"))
+    )

@@ -313,3 +313,57 @@ def chunk_documents(
             "n_chunks")
         .withColumn("chunk_chars", F.length("chunk"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """Concat-and-split sequence packing: lay documents end-to-end in
+    deterministic id order and cut every `budget` tokens — the
+    GPT-style pretraining packing that wastes zero pad tokens. Output
+    one row per (document x sequence) span: (shard, seq_id, doc_id,
+    seq_offset, tok_len); a document longer than the remaining room
+    splits across consecutive sequences, and sum(tok_len) per
+    (shard, seq_id) == budget for every full sequence.
+
+    A single global concat order would serialize into one sorted
+    window task, so packing shards by pmod(id, shards) first: each
+    shard packs independently under a partitioned window (prefix-sum
+    of token counts), giving `shards`-way parallelism at any scale —
+    at 100 TB pick shards ~ cluster cores and every shard's window
+    sorts only |corpus|/shards rows. All arithmetic is integer
+    (cumulative counts, floor-division sequence ids), so any engine
+    reproduces the exact same packing.
+    """
+    from pyspark.sql.window import Window
+
+    tok = F.size(tokens(text_col))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = (
+        df.select(F.col(id_col),
+                  F.pmod(F.col(id_col), F.lit(shards)).alias("shard"),
+                  tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w),
+                                             F.lit(0).cast("long")))
+    )
+    first_seq = F.floor(F.col("cum_before") / budget)
+    last_seq = F.floor((F.col("cum_before") + F.col("n_tok") - 1) / budget)
+    return (
+        base
+        .select(F.col(id_col), "shard", "n_tok", "cum_before",
+                F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"))
+        .select(
+            "shard", "seq_id", F.col(id_col),
+            (F.greatest(F.col("seq_id") * budget, F.col("cum_before"))
+             - F.col("seq_id") * budget).alias("seq_offset"),
+            (F.least((F.col("seq_id") + 1) * budget,
+                     F.col("cum_before") + F.col("n_tok"))
+             - F.greatest(F.col("seq_id") * budget, F.col("cum_before")))
+            .alias("tok_len"))
+    )

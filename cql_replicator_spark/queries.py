@@ -1232,6 +1232,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHECK_PRIORITY: list[str] = [
     # -- never driver-checked (r1+r2 artifacts have no row) --
     "q11_important_parts", "q21_waiting_suppliers",
+    "decontaminate_splits", "sequence_packing", "sketch_cms_frequency",
     "q2_min_price_supplier", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
     "q12_priority_lines", "q13_customer_distribution", "q14_promo_revenue",

@@ -1125,3 +1125,148 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"].filter(F.col("o_custkey") % 2 == 0), "o_custkey")
     return SK.bloom_might_contain(
         bits, t["customer"].select("c_custkey"), "c_custkey")
+
+
+# -- training-data prep: contamination / packing / frequency sketch ----------
+
+_CONTAM_FIXTURE_SQL = f"""
+b AS (
+  SELECT doc_id, text,
+         {_md5h32_sql('CAST(doc_id AS VARCHAR)')} % 100 AS bucket
+  FROM documents
+),
+train AS (
+  SELECT doc_id, text FROM b WHERE bucket < 80
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         substr(text, strpos(text, ' ') + 1) AS text
+  FROM b WHERE bucket >= 90 AND doc_id % 10 = 0
+),
+test AS (SELECT doc_id, text FROM b WHERE bucket >= 90)
+"""
+
+_CONTAM_SHINGLE_SQL = """
+tw AS (SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w FROM train),
+ew AS (SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w FROM test),
+sh_t AS (
+  SELECT DISTINCT doc_id AS train_id, array_to_string(w[i:i+3], ' ') AS gram
+  FROM tw, unnest(generate_series(1, len(w) - 3)) AS t(i) WHERE len(w) >= 4
+),
+sh_e AS (
+  SELECT DISTINCT doc_id AS eval_id, array_to_string(w[i:i+3], ' ') AS gram
+  FROM ew, unnest(generate_series(1, len(w) - 3)) AS t(i) WHERE len(w) >= 4
+)
+"""
+
+
+def _contam_fixture(spark: SparkSession, sf_dir: str):
+    docs = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    split = TX.hash_split(docs)
+    leak = (split.filter((F.col("bucket") >= 90) & (F.col("doc_id") % 10 == 0))
+            .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                    F.expr("substring(text, instr(text, ' ') + 1)")
+                     .alias("text")))
+    train = (split.filter(F.col("bucket") < 80).select("doc_id", "text")
+             .unionByName(leak))
+    test = split.filter(F.col("bucket") >= 90).select("doc_id", "text")
+    return train, test
+
+
+@register(
+    "decontaminate_splits",
+    oracle=f"""
+WITH {_CONTAM_FIXTURE_SQL},
+{_CONTAM_SHINGLE_SQL}
+SELECT t.train_id, e.eval_id, count(*) AS n_common_grams
+FROM sh_t t JOIN sh_e e ON t.gram = e.gram
+GROUP BY t.train_id, e.eval_id
+HAVING count(*) >= 3
+""",
+    doc="Train/eval contamination detector over a planted-leak fixture "
+        "(every 10th test doc re-enters train with its first word "
+        "dropped): cross-split pairs sharing >= 3 distinct word "
+        "4-grams. The eval side is benchmark-sized by nature, so its "
+        "shingle table broadcasts and the check is a map-side join "
+        "over the train scan — no train-shingle shuffle at 100 TB",
+)
+def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = _contam_fixture(spark, sf_dir)
+    return D.contamination_pairs(train, test, n=4, min_common=3)
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT *, CAST(COALESCE(sum(n_tok) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM toks WHERE n_tok > 0
+)
+SELECT shard, seq_id, doc_id,
+       greatest(seq_id * 64, cum_before) - seq_id * 64 AS seq_offset,
+       least((seq_id + 1) * 64, cum_before + n_tok)
+         - greatest(seq_id * 64, cum_before) AS tok_len
+FROM c, unnest(generate_series(cum_before // 64,
+                               (cum_before + n_tok - 1) // 64)) AS t(seq_id)
+""",
+    doc="GPT-style sequence packing (concat docs in id order, cut "
+        "every 64 tokens, zero pad waste): one row per document x "
+        "sequence span; long docs split across sequences. Sharded by "
+        "pmod(id, 8) so each shard packs under an independent "
+        "partitioned window — the global-order prefix sum that would "
+        "serialize into one sort task never exists; at 100 TB shards "
+        "scale to cluster cores. Integer-only arithmetic, so the "
+        "packing is bit-identical across engines",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return TX.pack_sequences(docs, budget=64, shards=8)
+
+
+def _cms_oracle(w: int = 1024, d: int = 4) -> str:
+    h1 = _md5h32_sql("CAST(user_id AS VARCHAR)")
+    h2 = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT)"
+    build = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS depth, (({h1}) + {j} * ({h2})) % {w} AS pos FROM events"
+        for j in range(d))
+    probe = "\n  UNION ALL\n".join(
+        f"  SELECT user_id, {j} AS depth, (({h1}) + {j} * ({h2})) % {w} AS pos"
+        f" FROM probes" for j in range(d))
+    return f"""
+WITH cells AS (
+{build}
+),
+counts AS (SELECT depth, pos, count(*) AS cnt FROM cells GROUP BY depth, pos),
+probes AS (SELECT DISTINCT user_id FROM events),
+pcells AS (
+{probe}
+)
+SELECT p.user_id AS probe_value, min(COALESCE(c.cnt, 0)) AS est_count
+FROM pcells p LEFT JOIN counts c ON c.depth = p.depth AND c.pos = p.pos
+GROUP BY p.user_id
+"""
+
+
+@register(
+    "sketch_cms_frequency",
+    oracle=_cms_oracle(),
+    doc="Count-Min sketch build + probe over event users: the d x w "
+        "counter grid (mergeable by union+sum, <= 4096 rows at any "
+        "input size) probed for every distinct user — est = min over "
+        "the 4 double-hashed cells, >= true count by construction, "
+        "and DETERMINISTIC given (w, d, corpus) so the oracle "
+        "reproduces every collision-inflated estimate exactly from "
+        "the same md5 arithmetic",
+)
+def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import sketch as SK
+    events = _t(spark, sf_dir, "events")["events"]
+    counts = SK.cms_counts(events, "user_id")
+    probes = events.select("user_id").distinct()
+    return SK.cms_estimate(counts, probes, "user_id")

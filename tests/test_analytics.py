@@ -426,3 +426,98 @@ def test_bloom_no_false_negatives_and_merge(spark):
                             SK.bloom_bits(b, "o_custkey"))
     assert ({r.bit_position for r in merged.collect()}
             == {r.bit_position for r in bits.collect()})
+
+
+def test_pack_sequences_invariants(spark):
+    """Every full sequence carries exactly `budget` tokens; every doc's
+    spans cover its token count contiguously; only the last sequence
+    per shard may be partial."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.analytics import text as TX
+    from cql_replicator_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])["documents"]
+    budget = 64
+    packed = TX.pack_sequences(docs, budget=budget, shards=4)
+    rows = packed.collect()
+    assert rows, "packing produced no spans"
+
+    # per-doc coverage: spans sum to the doc's token count
+    doc_tok = {r.doc_id: r.n_tok for r in docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")).collect()}
+    per_doc = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tok_len
+        assert 0 < r.tok_len <= budget
+        assert 0 <= r.seq_offset < budget
+    for doc_id, total in per_doc.items():
+        assert total == doc_tok[doc_id], f"doc {doc_id} spans != tokens"
+
+    # per-sequence fill: all but the max seq_id per shard are full
+    per_seq = {}
+    for r in rows:
+        per_seq[(r.shard, r.seq_id)] = per_seq.get((r.shard, r.seq_id), 0) + r.tok_len
+    last = {}
+    for (shard, seq), _ in per_seq.items():
+        last[shard] = max(last.get(shard, -1), seq)
+    for (shard, seq), fill in per_seq.items():
+        if seq < last[shard]:
+            assert fill == budget, f"non-final sequence ({shard},{seq}) not full"
+        else:
+            assert fill <= budget
+
+
+def test_contamination_finds_planted_leaks(spark):
+    """A doc copied into train with one word dropped is flagged against
+    its eval original; unrelated docs are not."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.analytics import dedup as D
+    from cql_replicator_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001",
+                       ["documents"])["documents"].select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0)
+    leak = (eval_df.filter(F.col("doc_id") % 14 == 0)
+            .select((F.col("doc_id") + 500000).alias("doc_id"),
+                    F.expr("substring(text, instr(text, ' ') + 1)").alias("text")))
+    train = docs.filter(F.col("doc_id") % 7 != 0).unionByName(leak)
+
+    pairs = D.contamination_pairs(train, eval_df, n=4, min_common=3).collect()
+    flagged = {(r.train_id, r.eval_id) for r in pairs}
+    planted = {(r.doc_id + 500000, r.doc_id)
+               for r in eval_df.filter(F.col("doc_id") % 14 == 0).collect()}
+    missed = planted - flagged
+    assert not missed, f"planted leaks not flagged: {sorted(missed)[:5]}"
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS estimate >= true count for every present value, == for most
+    (sparse grid); shard-merge equals whole-corpus build; absent probes
+    estimate ~0."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.analytics import sketch as SK
+    from cql_replicator_spark.session import load_tables
+
+    events = load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+    counts = SK.cms_counts(events, "user_id")
+    probes = events.select("user_id").distinct()
+    est = {r.probe_value: r.est_count
+           for r in SK.cms_estimate(counts, probes, "user_id").collect()}
+    true = {r.user_id: r.n
+            for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert set(est) == set(true)
+    exact = 0
+    for k, t in true.items():
+        assert est[k] >= t, f"CMS underestimated {k}: {est[k]} < {t}"
+        exact += est[k] == t
+    assert exact / len(true) > 0.9  # w=1024 >> distinct users
+
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = SK.cms_merge(SK.cms_counts(a, "user_id"),
+                          SK.cms_counts(b, "user_id"))
+    whole = {(r.depth, r.pos): r.cnt for r in counts.collect()}
+    assert {(r.depth, r.pos): r.cnt for r in merged.collect()} == whole
