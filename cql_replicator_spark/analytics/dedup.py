@@ -535,17 +535,20 @@ def contamination_pairs(
     at 100 TB the eval side is benchmarks (thousands of docs, not
     billions) — its shingle table broadcasts, making the whole check a
     map-side semi-join over the train scan plus one (train_id, eval_id)
-    aggregate whose input is only the matching grams. No shuffle of
-    train shingles ever happens when the eval side broadcasts; if eval
-    outgrows the broadcast threshold AQE falls back to a gram-keyed
-    shuffle join, which is still bucketed by construction.
+    aggregate whose input is only the matching grams. No explicit
+    broadcast hint: the eval shingle table is derived (explode), so
+    compile-time size estimates are unreliable — a forced hint would
+    be honored even when eval outgrows the threshold and OOM the
+    driver. AQE's runtime statistics convert the gram-keyed shuffle
+    join to a broadcast join when eval is genuinely small, and keep
+    the (still gram-bucketed) shuffle join when it is not.
     """
     sh_t = (shingles(train, id_col, text_col, n)
             .select(F.col(id_col).alias("train_id"), "gram"))
     sh_e = (shingles(eval_df, id_col, text_col, n)
             .select(F.col(id_col).alias("eval_id"), "gram"))
     return (
-        sh_t.join(F.broadcast(sh_e), "gram")
+        sh_t.join(sh_e, "gram")
         .groupBy("train_id", "eval_id")
         .agg(F.count("*").alias("n_common_grams"))
         .filter(F.col("n_common_grams") >= min_common)

@@ -197,7 +197,16 @@ def cms_counts(
 
 
 def cms_merge(*count_frames: DataFrame) -> DataFrame:
-    """Merge sketches built with identical (w, d): union + sum."""
+    """Merge sketches: union + sum of per-cell counts.
+
+    Precondition: every input was built by :func:`cms_build` with the
+    SAME (w, d) geometry — cell coordinates are only comparable within
+    one geometry, and merging mismatched sketches would silently
+    produce garbage counts. Callers own that invariant (the frames
+    carry no metadata), same contract as the bloom/hll merge helpers.
+    """
+    if not count_frames:
+        raise ValueError("cms_merge requires at least one sketch frame")
     out = count_frames[0]
     for frame in count_frames[1:]:
         out = out.unionByName(frame)

@@ -348,12 +348,18 @@ def pack_sequences(
         df.select(F.col(id_col),
                   F.pmod(F.col(id_col), F.lit(shards)).alias("shard"),
                   tok.alias("n_tok"))
+        # Guards NULL text (size(split(NULL)) = -1), not blank text:
+        # split('', ' ') yields [''] so blank docs still pack 1 token,
+        # and the oracle's count mirrors that.
         .filter(F.col("n_tok") > 0)
         .withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w),
                                              F.lit(0).cast("long")))
     )
-    first_seq = F.floor(F.col("cum_before") / budget)
-    last_seq = F.floor((F.col("cum_before") + F.col("n_tok") - 1) / budget)
+    # `div` is true integer division (bit-identical to the oracle's
+    # `//` at any magnitude); floor(a / b) would round through double
+    # and lose exactness past 2^53 cumulative tokens.
+    first_seq = F.expr(f"cum_before div {int(budget)}")
+    last_seq = F.expr(f"(cum_before + n_tok - 1) div {int(budget)}")
     return (
         base
         .select(F.col(id_col), "shard", "n_tok", "cum_before",

@@ -1223,36 +1223,32 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness run covers a bounded window of the registry in
-# iteration order (observed ~50 rows/round vs 85 registered). Emit queries
+# iteration order (observed ~50 rows/round vs 90 registered). Emit queries
 # in an explicit priority order so every round's window lands on the entries
-# with the least accumulated driver evidence: first the queries that have
-# never had a driver correctness row (31 as of r4), then the ones whose
-# implementation changed this round (embedding-LSH matmul rewrite, q2 filter
-# pushdown, connected-components stage cut), then the long-stable remainder.
+# with the least accumulated driver evidence: first the queries fixed or
+# whose implementation changed this round (q12 oracle BIGINT cast for
+# DuckDB's HUGEINT sums; sequence-packing integer `div`; contamination
+# join un-hinted), then everything whose last driver row predates r3,
+# then the r3-green long-stable remainder.
 _CHECK_PRIORITY: list[str] = [
-    # -- never driver-checked (r1+r2 artifacts have no row) --
-    "q11_important_parts", "q21_waiting_suppliers",
-    "decontaminate_splits", "sequence_packing", "sketch_cms_frequency",
-    "q2_min_price_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q12_priority_lines", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_variety", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q20_volume_suppliers", "q22_prospects",
-    "orders_cube", "orders_rollup", "orders_status_pivot",
-    "column_quantiles_orders", "events_asof_enrich", "events_lead_lag",
-    "orders_moving_avg", "dedup_simhash_pairs", "events_enriched_stream",
-    "events_conversion_stream", "multimodal_resize", "multimodal_frames",
-    "doc_chunking", "embedding_quantize", "sketch_hll_registers",
-    "sketch_bloom_membership",
-    # -- checked before, but implementation touched since (re-verify) --
-    "dedup_embedding_lsh", "dedup_embedding_lsh_verified",
-    "dedup_embedding_cosine", "similarity_ann_ivf",
-    "similarity_cosine_topk_vectorized", "similarity_cosine_topk",
-    "dedup_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "cdc_changes", "cdc_hydrate_inserts",
-    "q1_pricing_summary", "dedup_events_stream", "multimodal_features",
-    "events_sessionize_stateful", "events_sessionize", "curate_documents",
-    "dedup_exact_groups",
+    # -- fixed or touched this round (re-verify first) --
+    "q12_priority_lines", "sequence_packing", "decontaminate_splits",
+    "sketch_cms_frequency",
+    # -- last driver row is r1/r2 (stalest evidence) --
+    "multimodal_features", "events_sessionize_stateful", "events_sessionize",
+    "curate_documents", "dedup_exact_groups", "cdc_union_distinct",
+    "cdc_changes_composite_pk", "reconcile_counts", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q18_large_volume_customers", "pk_hash_transforms", "tile_histogram_mod",
+    "tile_histogram_xxhash64", "filter_expression_subset", "pit_filter_events",
+    "writetime_greatest", "column_stats_orders", "events_windowed_agg",
+    "customer_spend_rank", "events_props_json", "ttl_filter_orders",
+    "counter_hash_changes", "resize_tiles_count_invariant", "row_size_totals",
+    "scalar_codecs", "varint_overflow_scan", "udt_to_json",
+    "timestamp_normalize", "column_compression_roundtrip", "skew_salted_join",
+    "text_metrics", "text_token_count", "text_language_id", "doc_fingerprint",
+    "dataset_hash_split", "stratified_sample_by_split", "text_term_stats",
+    "text_tfidf",
 ]
 
 
