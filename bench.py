@@ -73,6 +73,10 @@ HEADLINE = [
     "sketch_cms_frequency",
     "decontaminate_splits",
     "sequence_packing",
+    "quality_repetition",
+    "pii_redaction",
+    "chunk_dedup_boilerplate",
+    "mixture_weights_lang",
 ]
 
 

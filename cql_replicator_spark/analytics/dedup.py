@@ -194,10 +194,13 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                .filter(F.size("ids") > 1))
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    # filter BEFORE struct construction: each x pairs only with the
+    # y > x half of its bucket, so the lambda allocates |b|^2/2 structs
+    # instead of building all |b|^2 and discarding half post-hoc.
     return (
         grouped.select(F.explode(F.expr(
-            "filter(flatten(transform(ids, x -> transform(ids, "
-            "y -> struct(x AS id_a, y AS id_b)))), p -> p.id_a < p.id_b)"
+            "flatten(transform(ids, x -> transform("
+            "filter(ids, y -> x < y), y -> struct(x AS id_a, y AS id_b))))"
         )).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
@@ -286,6 +289,22 @@ def connected_components(
         .distinct()
         .persist()
     )
+    spark = pairs.sparkSession
+    # Size the per-round shuffles to the GRAPH, not the session default:
+    # the rounds' localCheckpoints snapshot physical partitioning, so
+    # AQE coalescing never shrinks them, and a small pair graph on a
+    # wide session conf pays hundreds of task launches per round for
+    # kilobytes of labels (measured 2x whole-query cost at sf0.1).
+    # ~250k edges/partition keeps any round's partition comfortably
+    # in-memory; the width grows linearly with the edge count, so a
+    # 100 TB corpus' pair graph still gets its thousands of partitions.
+    # Conf is session-scoped — restored in the finally; every round
+    # materializes inside this function, so no foreign query plans
+    # under the narrowed width unless planned concurrently.
+    n_edges = edges.count()  # also materializes the cache
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    n_part = max(2, min(int(old_sp), n_edges // 250_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     # init = round one fused: label(u) = min(u, min neighbor) straight
     # off the edge list (one groupBy), instead of identity labels plus a
     # full propagate round. Small dense near-dup components (pairs,
@@ -338,6 +357,7 @@ def connected_components(
         return labels.select(F.col("id").alias("doc_id"),
                              F.col("label").alias("cluster_id"))
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         edges.unpersist()
 
 
@@ -378,6 +398,14 @@ def connected_components_star(
     nodes = (canon.select(F.col("src").alias("id"))
              .unionByName(canon.select(F.col("dst").alias("id")))
              .distinct().persist())
+    spark = pairs.sparkSession
+    # Edge-count-sized round shuffles, same rationale (and restore
+    # discipline) as connected_components: checkpointed rounds never
+    # benefit from AQE coalescing, so pick the width explicitly.
+    n_edges = canon.count()  # also materializes the cache
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    n_part = max(2, min(int(old_sp), n_edges // 250_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     cur = canon
     converged = False
     try:
@@ -426,6 +454,7 @@ def connected_components_star(
                 .select(F.col("id").alias("doc_id"),
                         F.coalesce(F.col("dst"), F.col("id")).alias("cluster_id")))
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         canon.unpersist()
 
 
@@ -499,18 +528,71 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str = "doc_id",
                .filter(F.size("xs") > 1))
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("xs") <= max_bucket_size)
+    # The Hamming predicate runs INSIDE the bucket lambda, before any
+    # struct is built: a coarse band (2^width values) makes in-bucket
+    # membership O(|bucket|^2), but survivors are rare, so filtering on
+    # the primitive xor/bit_count first cuts struct allocation and
+    # Generate output from |b|^2/2 rows to only the true near-dup pairs
+    # (~70x fewer at sf0.1) — the downstream distinct then shuffles
+    # kilobytes, not the full candidate blow-up.
     return (
         grouped.select(F.explode(F.expr(
-            "filter(flatten(transform(xs, x -> transform(xs, "
-            "y -> struct(x.id AS id_a, y.id AS id_b, "
-            "x.simhash AS sig_a, y.simhash AS sig_b)))), "
-            "p -> p.id_a < p.id_b)"
+            f"flatten(transform(xs, x -> transform("
+            f"filter(xs, y -> x.id < y.id AND "
+            f"bit_count(x.simhash ^ y.simhash) <= {int(max_hamming)}), "
+            f"y -> struct(x.id AS id_a, y.id AS id_b, "
+            f"CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming))))"
         )).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"),
-                F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
-                 .cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
+    )
+
+
+# -- cross-document boilerplate chunk dedup -----------------------------------------
+
+def common_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 2,
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """C4-style cross-document span dedup (Raffel et al. 2020 remove
+    any three-sentence span occurring more than once in the corpus;
+    with single-line docs the unit is a fixed token window): a chunk
+    appearing in more than ``max_doc_freq`` distinct documents is
+    boilerplate and is dropped from every document that carries it.
+
+    Returns per-doc removal accounting: (id, n_chunks, n_dup_chunks,
+    n_tokens_kept) — the shape a curation pipeline feeds its size
+    budget from.
+
+    Plan: chunking is a pure array expression (sequence + slice — no
+    UDF); doc frequency is one (chunk, id)-distinct + chunk-keyed
+    count — the same token-shaped shuffle as shingling, map-side
+    combined; the join back to chunk instances is chunk-keyed (AQE
+    picks broadcast when the frequent-chunk table is small, which at
+    any scale it is: boilerplate is by definition the head of the
+    distribution); the final per-doc rollup is one id-keyed
+    aggregation. Nothing is quadratic and no text ever re-flows after
+    the chunk projection."""
+    c = int(chunk_tokens)
+    chunk_arr = F.expr(
+        f"transform(sequence(0, (size(split({text_col}, ' ')) + {c} - 1) "
+        f"div {c} - 1), i -> array_join(slice(split({text_col}, ' '), "
+        f"i * {c} + 1, {c}), ' '))")
+    inst = df.select(F.col(id_col), F.explode(chunk_arr).alias("chunk"))
+    doc_freq = (inst.select("chunk", id_col).distinct()
+                .groupBy("chunk").agg(F.count("*").alias("doc_freq")))
+    tok_n = F.size(F.split(F.col("chunk"), " "))
+    return (
+        inst.join(doc_freq, "chunk")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum(F.when(F.col("doc_freq") > max_doc_freq, 1).otherwise(0))
+              .cast("long").alias("n_dup_chunks"),
+             F.sum(F.when(F.col("doc_freq") <= max_doc_freq, tok_n)
+                   .otherwise(0)).cast("long").alias("n_tokens_kept"))
     )
 
 

@@ -373,3 +373,117 @@ def pack_sequences(
              - F.greatest(F.col("seq_id") * budget, F.col("cum_before")))
             .alias("tok_len"))
     )
+
+
+# -- repetition / quality gates -----------------------------------------------------
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_dup_token_ratio: float = 0.75,
+                       max_top_bigram_frac: float = 0.10) -> DataFrame:
+    """Gopher-style repetition quality metrics per document (Rae et al.
+    2021 §A1.1 use duplicate-line and top-n-gram fractions; with
+    single-line documents the word-level analogues carry the signal):
+
+    - ``dup_token_ratio``: 1 - distinct/total tokens — word-salad and
+      keyword-stuffed docs repeat a tiny vocabulary.
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over all bigram slots — boilerplate templates repeat one phrase.
+    - ``passes``: both below their thresholds (the training-set gate).
+
+    Plan: token stats are pure array expressions (zero shuffle); the
+    top-bigram count is one explode + ONE aggregation whose keys carry
+    the (functionally doc-dependent) token stats, so no join re-unites
+    them — two doc/bigram-keyed shuffles total, both with map-side
+    partial aggregation, the same token-shaped cost as shingling. Docs
+    with fewer than 2 tokens have no bigram and are excluded (the
+    contract documents corpus fixtures guarantee non-trivial docs).
+    """
+    w = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.col(text_col))
+    bigrams = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+        f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
+        f"element_at(split({text_col}, ' '), i + 1)))")
+    per_bigram = (
+        base.filter(F.col("n_tokens") >= 2)
+        .select(F.col(id_col), "n_tokens", "n_distinct",
+                F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "n_tokens", "n_distinct", "bg")
+        .agg(F.count("*").alias("c")))
+    agg = (per_bigram.groupBy(id_col, "n_tokens", "n_distinct")
+           .agg(F.max("c").alias("top_bigram_count")))
+    dup_ratio = F.round(
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6)
+    top_frac = F.round(
+        F.col("top_bigram_count").cast("double") / (F.col("n_tokens") - 1), 6)
+    return agg.select(
+        F.col(id_col), "n_tokens",
+        dup_ratio.alias("dup_token_ratio"),
+        F.col("top_bigram_count"),
+        top_frac.alias("top_bigram_frac"),
+        ((dup_ratio <= max_dup_token_ratio)
+         & (top_frac <= max_top_bigram_frac)).alias("passes"))
+
+
+# -- PII redaction ------------------------------------------------------------------
+
+# Deliberately RE2-compatible (no backreferences, no lookaround) so the
+# same pattern string runs identically under Java regex (Spark) and RE2
+# (DuckDB/Go scrubbers) — a PII pass must behave the same in every
+# engine that enforces it.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Count and mask email/phone PII: (id, n_emails, n_phones,
+    redacted). Pure projection — regexp_count/regexp_replace run inside
+    whole-stage codegen, so at 100 TB this is scan-speed: no shuffle,
+    no UDF, and column pruning keeps only the text column flowing."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>").alias("redacted"))
+
+
+# -- domain / language mixture weights ----------------------------------------------
+
+def mixture_weights(df: DataFrame, by: str = "lang",
+                    alpha: float = 0.5) -> DataFrame:
+    """Temperature-based resampling weights per corpus domain (the
+    multilingual-LM mixing rule of XLM-R/mT5: sample domain s with
+    q_s proportional to p_s^alpha, alpha<1 upweighting the tail).
+
+    Returns one row per domain: n_docs, the natural share p, the
+    resampled share q, and weight = q/p — the expected duplication
+    factor a sampler applies to that domain's documents.
+
+    Plan: one groupBy over the corpus (map-side combined — the shuffle
+    moves one row per domain per input partition), then two broadcast
+    joins against single-row totals. Domain cardinality is small by
+    construction (languages/sources), so everything after the first
+    aggregation is driver-trivial; no global window is involved, so
+    nothing ever funnels through one task."""
+    counts = df.groupBy(by).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_total"))
+    with_p = (counts.crossJoin(F.broadcast(total))
+              .withColumn("p", F.col("n_docs").cast("double") / F.col("_total"))
+              .withColumn("pa", F.pow(F.col("p"), F.lit(float(alpha)))))
+    z = with_p.agg(F.sum("pa").alias("_z"))
+    return (with_p.crossJoin(F.broadcast(z))
+            .select(F.col(by),
+                    F.col("n_docs"),
+                    F.round("p", 6).alias("p"),
+                    F.round(F.col("pa") / F.col("_z"), 6).alias("q"),
+                    F.round(F.col("pa") / F.col("_z") / F.col("p"), 6)
+                     .alias("weight")))

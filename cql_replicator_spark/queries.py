@@ -1231,9 +1231,13 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join un-hinted), then everything whose last driver row predates r3,
 # then the r3-green long-stable remainder.
 _CHECK_PRIORITY: list[str] = [
+    # -- new this round --
+    "quality_repetition", "pii_redaction", "chunk_dedup_boilerplate",
+    "mixture_weights_lang",
     # -- fixed or touched this round (re-verify first) --
     "q12_priority_lines", "sequence_packing", "decontaminate_splits",
-    "sketch_cms_frequency",
+    "sketch_cms_frequency", "dedup_simhash_pairs", "dedup_clusters",
+    "dedup_minhash_lsh",
     # -- last driver row is r1/r2 (stalest evidence) --
     "multimodal_features", "events_sessionize_stateful", "events_sessionize",
     "curate_documents", "dedup_exact_groups", "cdc_union_distinct",

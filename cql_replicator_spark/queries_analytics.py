@@ -1270,3 +1270,171 @@ def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = SK.cms_counts(events, "user_id")
     probes = events.select("user_id").distinct()
     return SK.cms_estimate(counts, probes, "user_id")
+
+
+# -- round 4: repetition quality, PII, boilerplate chunks, mixture weights ----
+
+@register(
+    "quality_repetition",
+    oracle="""
+WITH W AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+B AS (
+  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct, w
+  FROM W WHERE len(w) >= 2
+),
+I AS (
+  SELECT doc_id, n_tokens, n_distinct, w,
+         unnest(generate_series(1, n_tokens - 1)) AS i
+  FROM B
+),
+G AS (
+  SELECT doc_id, n_tokens, n_distinct, w[i] || ' ' || w[i + 1] AS bg FROM I
+),
+C AS (
+  SELECT doc_id, n_tokens, n_distinct, bg, count(*) AS c
+  FROM G GROUP BY doc_id, n_tokens, n_distinct, bg
+),
+A AS (
+  SELECT doc_id, n_tokens, n_distinct, max(c) AS top_bigram_count
+  FROM C GROUP BY doc_id, n_tokens, n_distinct
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
+       top_bigram_count,
+       round(CAST(top_bigram_count AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_frac,
+       (round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) <= 0.75
+        AND round(CAST(top_bigram_count AS DOUBLE) / (n_tokens - 1), 6) <= 0.10)
+         AS passes
+FROM A
+""",
+    doc="Gopher-style repetition quality gate (duplicate-token ratio + "
+        "top-bigram fraction, word-level analogues of Rae et al. A1.1's "
+        "duplicate-line metrics): token stats are array expressions, the "
+        "top bigram is one explode + one aggregation whose keys carry the "
+        "doc stats — no join, two map-side-combined shuffles",
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    out = TX.repetition_metrics(docs)
+    return out.withColumn("top_bigram_count",
+                          F.col("top_bigram_count").cast("long"))
+
+
+_PII_SEED_SQL = """
+seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +1-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+)
+"""
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+WITH {_PII_SEED_SQL}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\+1-555-[0-9]{{4}}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(
+         regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\+1-555-[0-9]{{4}}', '<PHONE>', 'g') AS redacted
+FROM seeded
+""",
+    doc="PII detection + masking over a deterministically seeded corpus "
+        "(every third doc gains an email + phone, built identically in "
+        "both engines): RE2-compatible patterns so Java regex and RE2 "
+        "scrubbers agree; pure codegen projection, no shuffle",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    seeded = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" reach user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com or +1-555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0")))
+         .otherwise(F.col("text")).alias("text"))
+    return TX.pii_redact(seeded)
+
+
+@register(
+    "chunk_dedup_boilerplate",
+    oracle="""
+WITH W AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+N AS (
+  SELECT doc_id, w, (len(w) + 1) // 2 AS n_chunks FROM W
+),
+inst AS (
+  SELECT doc_id,
+         array_to_string(w[i * 2 + 1 : i * 2 + 2], ' ') AS chunk
+  FROM N, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+),
+freq AS (
+  SELECT chunk, count(*) AS doc_freq
+  FROM (SELECT DISTINCT chunk, doc_id FROM inst)
+  GROUP BY chunk
+)
+SELECT i.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN f.doc_freq > 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(sum(CASE WHEN f.doc_freq <= 2
+                THEN len(string_split(i.chunk, ' ')) ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept
+FROM inst i JOIN freq f ON f.chunk = i.chunk
+GROUP BY i.doc_id
+""",
+    doc="C4-style cross-document boilerplate removal (Raffel et al. "
+        "2020 drop spans occurring in multiple docs; unit here is a "
+        "2-token window): chunking is an array expression, doc "
+        "frequency one distinct + count on the chunk key, join back "
+        "chunk-keyed, rollup doc-keyed — token-shaped shuffles only, "
+        "nothing quadratic",
+)
+def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return D.common_chunk_stats(docs, chunk_tokens=2, max_doc_freq=2)
+
+
+@register(
+    "mixture_weights_lang",
+    oracle="""
+WITH c AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+p AS (
+  SELECT lang, n_docs,
+         CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS p,
+         pow(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 0.5) AS pa
+  FROM c
+)
+SELECT lang, n_docs, round(p, 6) AS p,
+       round(pa / sum(pa) OVER (), 6) AS q,
+       round(pa / sum(pa) OVER () / p, 6) AS weight
+FROM p
+""",
+    doc="Temperature-based domain mixture weights (XLM-R/mT5 "
+        "alpha-sampling, alpha=0.5): q proportional to p^alpha, weight "
+        "= q/p is the duplication factor per language. One map-side-"
+        "combined groupBy plus two single-row broadcast joins — the "
+        "oracle's windows are over the tiny domain frame only",
+)
+def mixture_weights_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return TX.mixture_weights(docs, by="lang", alpha=0.5)

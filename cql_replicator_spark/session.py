@@ -21,6 +21,14 @@ SCALE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-plan (and coalesce) stages that read cached frames:
+    # the default false pins every persisted intermediate at the full
+    # session shuffle width, which costs hundreds of no-op task
+    # launches per stage on small cached frames (measured 1.5x on the
+    # connected-components fixpoint loop). The trade-off — cached-plan
+    # output partitioning may change between actions — only matters to
+    # consumers that assume a stable width, which none of ours do.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # Parquet scan granularity: 128m splits keep 100 TB at ~800k tasks,
     # small enough per-task to never spill on 4g executors.

@@ -521,3 +521,77 @@ def test_cms_overestimates_and_merges(spark):
                           SK.cms_counts(b, "user_id"))
     whole = {(r.depth, r.pos): r.cnt for r in counts.collect()}
     assert {(r.depth, r.pos): r.cnt for r in merged.collect()} == whole
+
+
+def test_repetition_metrics_flags_repeated_phrase(spark):
+    from cql_replicator_spark.analytics import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham spam ham"),
+         (2, "one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen fifteen sixteen")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.repetition_metrics(docs).collect()}
+    # doc 1: 8 tokens, 2 distinct -> dup ratio 0.75; top bigram
+    # "spam ham" occurs 4 times over 7 slots
+    assert out[1]["n_tokens"] == 8
+    assert out[1]["dup_token_ratio"] == 0.75
+    assert out[1]["top_bigram_count"] == 4
+    assert abs(out[1]["top_bigram_frac"] - round(4 / 7, 6)) < 1e-9
+    assert not out[1]["passes"]
+    # doc 2: all distinct, every bigram unique
+    assert out[2]["dup_token_ratio"] == 0.0
+    assert out[2]["top_bigram_count"] == 1
+    assert out[2]["passes"]
+
+
+def test_pii_redact_masks_and_counts(spark):
+    from cql_replicator_spark.analytics import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@test.org and x@y.io or call +1-555-0134 now"),
+         (2, "no pii here")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.pii_redact(docs).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1
+    assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL> or call <PHONE> now"
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    assert out[2]["redacted"] == "no pii here"
+
+
+def test_mixture_weights_temperature_math(spark):
+    import math
+
+    from cql_replicator_spark.analytics import text as TX
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 9 else "fr") for i in range(10)],
+        ["doc_id", "lang"])
+    out = {r["lang"]: r for r in TX.mixture_weights(docs, by="lang",
+                                                    alpha=0.5).collect()}
+    z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert out["en"]["n_docs"] == 9
+    assert abs(out["en"]["q"] - round(math.sqrt(0.9) / z, 6)) < 1e-9
+    assert abs(out["fr"]["q"] - round(math.sqrt(0.1) / z, 6)) < 1e-9
+    # alpha < 1 upweights the tail: fr duplicated, en downsampled
+    assert out["fr"]["weight"] > 1.0 > out["en"]["weight"]
+
+
+def test_common_chunk_stats_drops_boilerplate(spark):
+    from cql_replicator_spark.analytics import dedup as D
+
+    # chunk "c o" (tokens 1-2) appears in 3 docs -> boilerplate at
+    # max_doc_freq=2; the tails are unique
+    docs = spark.createDataFrame(
+        [(1, "c o alpha beta"),
+         (2, "c o gamma delta"),
+         (3, "c o epsilon zeta"),
+         (4, "only unique words here")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           D.common_chunk_stats(docs, chunk_tokens=2, max_doc_freq=2).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["n_chunks"] == 2
+        assert out[d]["n_dup_chunks"] == 1
+        assert out[d]["n_tokens_kept"] == 2
+    assert out[4]["n_dup_chunks"] == 0 and out[4]["n_tokens_kept"] == 4
