@@ -77,6 +77,8 @@ HEADLINE = [
     "pii_redaction",
     "chunk_dedup_boilerplate",
     "mixture_weights_lang",
+    "quality_unigram_logprob",
+    "token_length_histogram",
 ]
 
 

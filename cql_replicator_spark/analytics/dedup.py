@@ -577,11 +577,14 @@ def common_chunk_stats(
     aggregation. Nothing is quadratic and no text ever re-flows after
     the chunk projection."""
     c = int(chunk_tokens)
+    # tokenize once into a column — split(...) referenced inside the
+    # chunk lambda would re-split the text per chunk (O(n^2) per doc)
     chunk_arr = F.expr(
-        f"transform(sequence(0, (size(split({text_col}, ' ')) + {c} - 1) "
-        f"div {c} - 1), i -> array_join(slice(split({text_col}, ' '), "
-        f"i * {c} + 1, {c}), ' '))")
-    inst = df.select(F.col(id_col), F.explode(chunk_arr).alias("chunk"))
+        f"transform(sequence(0, (size(w) + {c} - 1) div {c} - 1), "
+        f"i -> array_join(slice(w, i * {c} + 1, {c}), ' '))")
+    inst = (df.select(F.col(id_col),
+                      F.split(F.col(text_col), " ").alias("w"))
+            .select(F.col(id_col), F.explode(chunk_arr).alias("chunk")))
     doc_freq = (inst.select("chunk", id_col).distinct()
                 .groupBy("chunk").agg(F.count("*").alias("doc_freq")))
     tok_n = F.size(F.split(F.col("chunk"), " "))

@@ -399,16 +399,19 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
     with fewer than 2 tokens have no bigram and are excluded (the
     contract documents corpus fixtures guarantee non-trivial docs).
     """
-    w = tokens(text_col)
+    # tokenize ONCE into a column; referencing split(...) inside the
+    # bigram lambda would re-split the whole text per element (O(n^2)
+    # per doc — measured 2x whole-query cost at sf0.1)
     base = df.select(
+        F.col(id_col), tokens(text_col).alias("w")
+    ).select(
         F.col(id_col),
-        F.size(w).alias("n_tokens"),
-        F.size(F.array_distinct(w)).alias("n_distinct"),
-        F.col(text_col))
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.col("w"))
     bigrams = F.expr(
-        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-        f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
-        f"element_at(split({text_col}, ' '), i + 1)))")
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")
     per_bigram = (
         base.filter(F.col("n_tokens") >= 2)
         .select(F.col(id_col), "n_tokens", "n_distinct",
@@ -487,3 +490,50 @@ def mixture_weights(df: DataFrame, by: str = "lang",
                     F.round(F.col("pa") / F.col("_z"), 6).alias("q"),
                     F.round(F.col("pa") / F.col("_z") / F.col("p"), 6)
                      .alias("weight")))
+
+
+# -- unigram language-model quality proxy -------------------------------------------
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality score, unigram proxy (Wenzek et al. 2020
+    rank documents by LM perplexity; the unigram corpus model needs no
+    trained artifact and the ranking signal is the same shape): per-doc
+    average negative log-probability of its tokens under the corpus
+    unigram distribution. High = rare-token-heavy (gibberish or
+    non-corpus language), low = templated/common.
+
+    Plan: one token explode feeds BOTH the vocabulary aggregation and
+    the scoring join; the vocab side collapses to ~|vocab| rows
+    (map-side combined), so AQE's runtime stats turn the scoring join
+    into a broadcast automatically when the vocabulary fits — no
+    forced hint, so a huge vocab degrades to a token-keyed shuffle
+    join instead of a driver OOM. The 1-row total is always broadcast.
+    Final rollup is one id-keyed aggregation."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("_n"))
+    scored = (tok.join(vocab, "tok")
+              .crossJoin(F.broadcast(total))
+              .select(F.col(id_col),
+                      (F.log(F.col("tf").cast("double"))
+                       - F.log(F.col("_n").cast("double"))).alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(-F.avg("lp"), 6).alias("avg_neg_logprob")))
+
+
+def token_length_histogram(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           bucket_width: int = 16) -> DataFrame:
+    """Sequence-length histogram: docs per token-count bucket — the
+    distribution a pipeline sizes its packing budget and truncation
+    policy from. Pure projection + one tiny aggregation (bucket
+    cardinality ~ max_len/width), map-side combined."""
+    w = int(bucket_width)
+    bucket = (F.size(tokens(text_col)).cast("long") / w).cast("long") * w
+    return (df.select(bucket.alias("bucket_lo"))
+            .groupBy("bucket_lo")
+            .agg(F.count("*").alias("n_docs"))
+            .select("bucket_lo", (F.col("bucket_lo") + w - 1).alias("bucket_hi"),
+                    "n_docs"))

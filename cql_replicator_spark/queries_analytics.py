@@ -1438,3 +1438,51 @@ FROM p
 def mixture_weights_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     return TX.mixture_weights(docs, by="lang", alpha=0.5)
+
+
+@register(
+    "quality_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+v AS (
+  SELECT tok, count(*) AS tf FROM tok GROUP BY tok
+),
+n AS (
+  SELECT CAST(sum(tf) AS DOUBLE) AS n FROM v
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(ln(CAST(v.tf AS DOUBLE)) - ln(n.n)), 6) AS avg_neg_logprob
+FROM tok t JOIN v ON v.tok = t.tok CROSS JOIN n
+GROUP BY t.doc_id
+""",
+    doc="CCNet-style LM quality proxy (Wenzek et al. 2020): per-doc "
+        "average negative log-prob under the corpus unigram model. One "
+        "token explode feeds both the vocab aggregation and the scoring "
+        "join; AQE broadcasts the collapsed vocab side at runtime (no "
+        "forced hint, so an over-large vocab degrades to a shuffle join "
+        "instead of a driver OOM)",
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return TX.unigram_logprob(docs)
+
+
+@register(
+    "token_length_histogram",
+    oracle="""
+SELECT (len(string_split(text, ' ')) // 16) * 16 AS bucket_lo,
+       (len(string_split(text, ' ')) // 16) * 16 + 15 AS bucket_hi,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+    doc="Sequence-length histogram (the distribution a pipeline sizes "
+        "packing budget and truncation policy from): one projection + "
+        "one bucket-cardinality aggregation, map-side combined",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return TX.token_length_histogram(docs, bucket_width=16)

@@ -595,3 +595,33 @@ def test_common_chunk_stats_drops_boilerplate(spark):
         assert out[d]["n_dup_chunks"] == 1
         assert out[d]["n_tokens_kept"] == 2
     assert out[4]["n_dup_chunks"] == 0 and out[4]["n_tokens_kept"] == 4
+
+
+def test_unigram_logprob_ranks_rare_tokens(spark):
+    import math
+
+    from cql_replicator_spark.analytics import text as TX
+
+    # corpus: "common" appears 6x, rare words once each
+    docs = spark.createDataFrame(
+        [(1, "common common common"),
+         (2, "common common common"),
+         (3, "zeta eta theta")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.unigram_logprob(docs).collect()}
+    # 9 tokens total; p(common)=6/9, p(rare)=1/9
+    assert abs(out[1]["avg_neg_logprob"] - round(-math.log(6 / 9), 6)) < 1e-6
+    assert abs(out[3]["avg_neg_logprob"] - round(-math.log(1 / 9), 6)) < 1e-6
+    assert out[3]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
+
+
+def test_token_length_histogram_buckets(spark):
+    from cql_replicator_spark.analytics import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, " ".join(["w"] * 20))],
+        ["doc_id", "text"])
+    out = {r["bucket_lo"]: r for r in
+           TX.token_length_histogram(docs, bucket_width=16).collect()}
+    assert out[0]["n_docs"] == 2 and out[0]["bucket_hi"] == 15
+    assert out[16]["n_docs"] == 1 and out[16]["bucket_hi"] == 31
