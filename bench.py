@@ -79,6 +79,7 @@ HEADLINE = [
     "mixture_weights_lang",
     "quality_unigram_logprob",
     "token_length_histogram",
+    "sketch_quantile_histogram",
 ]
 
 

@@ -241,3 +241,84 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
               .alias("est_count"))
     )
+
+
+# -- histogram quantile sketch ------------------------------------------------------
+
+def quantile_histogram(
+    df: DataFrame,
+    value: str | Column,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Equi-width histogram sketch of a numeric column: (bin, cnt),
+    bin = clamp(floor((v - lo) * bins / (hi - lo)), 0, bins-1).
+
+    The histogram IS the mergeable sketch (merge = union + sum per
+    bin, same contract as cms_merge): one map-side-combined groupBy
+    whose shuffle moves <= bins rows per input partition at any data
+    size — the fixed-memory alternative to an exact sort-based
+    quantile when 100 TB won't fit a global sort. Bin arithmetic is
+    one IEEE multiply/divide + floor, identical across engines.
+    Values outside [lo, hi) clamp into the edge bins (the sketch
+    stays total), NULLs are dropped."""
+    v = F.col(value) if isinstance(value, str) else value
+    raw = F.floor((v.cast("double") - F.lit(float(lo)))
+                  * F.lit(int(bins)) / F.lit(float(hi) - float(lo)))
+    b = F.greatest(F.lit(0).cast("long"),
+                   F.least(F.lit(int(bins) - 1).cast("long"),
+                           raw.cast("long")))
+    return (df.filter(v.isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("cnt")))
+
+
+def quantile_merge(*hist_frames: DataFrame) -> DataFrame:
+    """Merge histogram sketches built with identical (lo, hi, bins):
+    union + per-bin sum. Callers own the geometry invariant, as with
+    cms_merge/bloom_merge."""
+    if not hist_frames:
+        raise ValueError("quantile_merge requires at least one sketch frame")
+    out = hist_frames[0]
+    for frame in hist_frames[1:]:
+        out = out.unionByName(frame)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_estimate(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Quantile estimates off the histogram sketch: for each q, the
+    upper edge of the first bin whose cumulative count reaches
+    ceil(q * N) — error bounded by one bin width by construction.
+
+    The cumulative walk runs over the <= ``bins``-row histogram (an
+    ordered window over a frame whose size is a constant of the
+    sketch, not of the data — the single-partition window is
+    deliberate and safe). Rank thresholds are exact integers; the
+    only float op is the final edge interpolation, rounded."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", "cnt", F.sum("cnt").over(w).alias("cum"))
+    total = cum.agg(F.max("cum").alias("_n"))
+    width = (float(hi) - float(lo)) / int(bins)
+    picks = [
+        F.min(F.when(F.col("cum") >= F.ceil(F.col("_n") * F.lit(float(q))),
+                     F.col("bin"))).alias(f"_b{i}")
+        for i, q in enumerate(qs)
+    ]
+    edges = cum.crossJoin(F.broadcast(total)).agg(*picks)
+    rows = [
+        F.struct(F.lit(float(q)).alias("q"),
+                 F.round(F.lit(float(lo))
+                         + (F.col(f"_b{i}") + 1) * F.lit(width), 6)
+                  .alias("estimate"))
+        for i, q in enumerate(qs)
+    ]
+    return edges.select(F.explode(F.array(*rows)).alias("r")).select("r.q", "r.estimate")

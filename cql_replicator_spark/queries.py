@@ -1234,7 +1234,7 @@ _CHECK_PRIORITY: list[str] = [
     # -- new this round --
     "quality_repetition", "pii_redaction", "chunk_dedup_boilerplate",
     "mixture_weights_lang", "quality_unigram_logprob",
-    "token_length_histogram",
+    "token_length_histogram", "sketch_quantile_histogram",
     # -- fixed or touched this round (re-verify first) --
     "q12_priority_lines", "sequence_packing", "decontaminate_splits",
     "sketch_cms_frequency", "dedup_simhash_pairs", "dedup_clusters",

@@ -1486,3 +1486,39 @@ GROUP BY 1, 2
 def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     return TX.token_length_histogram(docs, bucket_width=16)
+
+
+@register(
+    "sketch_quantile_histogram",
+    oracle="""
+WITH h AS (
+  SELECT greatest(0, least(127,
+           CAST(floor((o_totalprice - 0.0) * 128 / 600000.0) AS BIGINT)))
+           AS bin,
+         count(*) AS cnt
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+n AS (SELECT max(cum) AS n FROM c),
+qs(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)),
+e AS (
+  SELECT q, min(CASE WHEN cum >= ceil(n * q) THEN bin END) AS b
+  FROM c CROSS JOIN n CROSS JOIN qs GROUP BY q
+)
+SELECT CAST(q AS DOUBLE) AS q,
+       round(0.0 + (b + 1) * (600000.0 / 128), 6) AS estimate
+FROM e
+""",
+    doc="Histogram quantile sketch (equi-width, mergeable union+sum "
+        "like CMS/HLL/bloom): constant-size shuffle regardless of "
+        "input, CDF walk over the <=128-row sketch frame, estimates "
+        "within one bin width of exact — the fixed-memory alternative "
+        "to a global sort at 100 TB",
+)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import sketch as SK
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    hist = SK.quantile_histogram(orders, "o_totalprice",
+                                 lo=0.0, hi=600000.0, bins=128)
+    return SK.quantile_estimate(hist, [0.25, 0.5, 0.9, 0.99],
+                                lo=0.0, hi=600000.0, bins=128)

@@ -625,3 +625,28 @@ def test_token_length_histogram_buckets(spark):
            TX.token_length_histogram(docs, bucket_width=16).collect()}
     assert out[0]["n_docs"] == 2 and out[0]["bucket_hi"] == 15
     assert out[16]["n_docs"] == 1 and out[16]["bucket_hi"] == 31
+
+
+def test_quantile_histogram_sketch_and_merge(spark):
+    from cql_replicator_spark.analytics import sketch as SK
+
+    import pytest as _pytest
+
+    vals = spark.createDataFrame([(float(i),) for i in range(1000)], ["v"])
+    hist = SK.quantile_histogram(vals, "v", lo=0.0, hi=1000.0, bins=100)
+    est = {r["q"]: r["estimate"] for r in
+           SK.quantile_estimate(hist, [0.5, 0.9], lo=0.0, hi=1000.0,
+                                bins=100).collect()}
+    # one-bin-width (10.0) error bound around the true quantiles
+    assert abs(est[0.5] - 500.0) <= 10.0
+    assert abs(est[0.9] - 900.0) <= 10.0
+    # shard-merge equals whole-corpus build
+    lo_half = vals.filter(F.col("v") < 500)
+    hi_half = vals.filter(F.col("v") >= 500)
+    merged = SK.quantile_merge(
+        SK.quantile_histogram(lo_half, "v", lo=0.0, hi=1000.0, bins=100),
+        SK.quantile_histogram(hi_half, "v", lo=0.0, hi=1000.0, bins=100))
+    whole = {(r["bin"], r["cnt"]) for r in hist.collect()}
+    assert {(r["bin"], r["cnt"]) for r in merged.collect()} == whole
+    with _pytest.raises(ValueError, match="at least one"):
+        SK.quantile_merge()
