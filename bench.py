@@ -96,6 +96,12 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            # NOT overridden: spark.sql.files.maxPartitionBytes. A 4m
+            # split (32-way scans of the small local files) was A/B
+            # tested interleaved in one session: warm best-of-N times
+            # are equal-or-worse (task overhead eats the parallelism
+            # once the page cache is hot), so the SCALE_CONF 128m
+            # stands here too.
         },
     )
 
