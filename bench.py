@@ -80,6 +80,8 @@ HEADLINE = [
     "quality_unigram_logprob",
     "token_length_histogram",
     "sketch_quantile_histogram",
+    "events_funnel",
+    "orders_retention_cohorts",
 ]
 
 

@@ -309,10 +309,14 @@ def connected_components(
     # off the edge list (one groupBy), instead of identity labels plus a
     # full propagate round. Small dense near-dup components (pairs,
     # triangles) converge here and pay only the confirmation round.
+    # lazy checkpoint: round 1 references this three times (join side,
+    # old-label side, count) but a lazy localCheckpoint materializes
+    # once at the first action and is reused — folding the init job
+    # into round 1's count saves one whole job per call.
     labels = (edges.groupBy("src")
               .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
               .select(F.col("src").alias("id"), "label")
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     backing = labels  # the checkpointed frame holding current labels
     try:
         changed = None

@@ -1522,3 +1522,93 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  lo=0.0, hi=600000.0, bins=128)
     return SK.quantile_estimate(hist, [0.25, 0.5, 0.9, 0.99],
                                 lo=0.0, hi=600000.0, bins=128)
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT 'view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+""",
+    doc="Ordered conversion funnel (view -> click after it -> purchase "
+        "after that), the event-analytics staple: each stage is one "
+        "user-keyed min aggregation + one join against the (shrinking) "
+        "prior stage — AQE broadcasts the survivors, shuffles stay "
+        "user-keyed and map-side combined; no window over all events",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") >= F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    rows = [v.agg(F.lit("view").alias("step"),
+                  F.count("*").cast("long").alias("n_users")),
+            c.agg(F.lit("click").alias("step"),
+                  F.count("*").cast("long").alias("n_users")),
+            p.agg(F.lit("purchase").alias("step"),
+                  F.count("*").cast("long").alias("n_users"))]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "orders_retention_cohorts",
+    oracle="""
+WITH first_order AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt
+  FROM orders GROUP BY o_custkey
+)
+SELECT strftime(f.first_dt, '%Y-%m') AS cohort_month,
+       CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+            - (year(f.first_dt) * 12 + month(f.first_dt)) AS INT)
+         AS month_offset,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+GROUP BY 1, 2
+""",
+    doc="Retention cohort matrix: customers bucketed by first-order "
+        "month, counted per months-since-first offset. One customer-"
+        "keyed min, a customer-keyed join back, and one exact "
+        "count-distinct aggregation; the cohort key is integer month "
+        "arithmetic so both engines bucket identically",
+)
+def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    first = (orders.groupBy("o_custkey")
+             .agg(F.min("o_orderdate").alias("first_dt")))
+    months = lambda col: F.year(col) * 12 + F.month(col)  # noqa: E731
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy(F.date_format("first_dt", "yyyy-MM").alias("cohort_month"),
+                 (months(F.col("o_orderdate")) - months(F.col("first_dt")))
+                 .cast("int").alias("month_offset"))
+        .agg(F.countDistinct("o_custkey").cast("long").alias("n_customers"))
+    )
