@@ -82,6 +82,8 @@ HEADLINE = [
     "sketch_quantile_histogram",
     "events_funnel",
     "orders_retention_cohorts",
+    "zorder_layout_key",
+    "bloom_join_prefilter",
 ]
 
 

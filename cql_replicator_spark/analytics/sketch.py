@@ -322,3 +322,49 @@ def quantile_estimate(
         for i, q in enumerate(qs)
     ]
     return edges.select(F.explode(F.array(*rows)).alias("r")).select("r.q", "r.estimate")
+
+
+# -- bloom bitmap as a literal predicate (join runtime-filter) -----------------------
+
+def bloom_bitmap_words(bit_rows, m: int = 8192) -> list[int]:
+    """Pack collected bloom bit positions (rows from ``bloom_bits``)
+    into m/64 bitmap words — the driver-side artifact a join
+    runtime-filter broadcasts. The input is <= m rows by construction
+    (the bit-set, never the build side), so collecting it is a
+    bounded small side like IVF centroids."""
+    words = [0] * ((int(m) + 63) // 64)
+    for r in bit_rows:
+        pos = int(r["bit_position"] if hasattr(r, "__getitem__") else r)
+        words[pos >> 6] |= 1 << (pos & 63)
+    # two's-complement into signed 64-bit so each word is a legal
+    # BIGINT literal in any engine (bit 63 set would overflow)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_member_predicate(value: str | Column, words: list[int],
+                           m: int = 8192, k: int = 5) -> Column:
+    """Boolean membership test against a packed bloom bitmap, as a
+    pure codegen expression (literal word array + k probe lookups —
+    no join, no shuffle, no row inflation).
+
+    This is the Bloom-join runtime filter: build the filter on the
+    small dim side, collapse it to <= m/64 literal longs, and let the
+    fact scan drop ~FP-rate non-matching rows BEFORE the join
+    shuffle. False positives only — the exact join downstream keeps
+    the result exact while the shuffle moves a fraction of the fact."""
+    col = F.col(value) if isinstance(value, str) else value
+    s = col.cast("string")
+    h1, h2 = md5h32(s), _md5h32_hi(s)
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    pred = None
+    for j in range(k):
+        pos = (h1 + F.lit(j) * h2) % m
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        # call_function: the SQL shiftright takes an expression shift
+        # amount (the Python F.shiftright wrapper only accepts a
+        # literal int)
+        hit = F.call_function(
+            "shiftright", word, (pos % 64).cast("int")
+        ).bitwiseAND(F.lit(1)) == 1
+        pred = hit if pred is None else (pred & hit)
+    return pred

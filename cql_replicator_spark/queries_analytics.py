@@ -1612,3 +1612,69 @@ def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("int").alias("month_offset"))
         .agg(F.countDistinct("o_custkey").cast("long").alias("n_customers"))
     )
+
+
+def _zvalue_sql(x: str, y: str, bits: int = 10) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_key",
+    oracle=f"""
+SELECT o_orderkey,
+       CAST({_zvalue_sql('(o_custkey % 1024)', '(o_orderkey % 1024)')} AS BIGINT)
+         AS zval
+FROM orders
+""",
+    doc="Morton/Z-order clustering key over (custkey, orderkey) "
+        "buckets — the space-filling-curve layout behind "
+        "OPTIMIZE ZORDER: range-partitioning by zval co-locates rows "
+        "in both dimensions so file min/max stats prune on either "
+        "predicate. Pure integer bit arithmetic in codegen",
+)
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tiling import zvalue_2d
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return orders.select(
+        "o_orderkey",
+        zvalue_2d(F.col("o_custkey") % 1024, F.col("o_orderkey") % 1024,
+                  bits=10).alias("zval"))
+
+
+@register(
+    "bloom_join_prefilter",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_linestatus
+""",
+    doc="Bloom-runtime-filtered join, result provably exact: the "
+        "urgent-orders bloom filter collapses to <=m/64 literal longs "
+        "and drops non-matching fact rows at the SCAN (codegen "
+        "predicate, no join, no row inflation) before the exact join "
+        "shuffles the ~4x-smaller remainder — the semi-join bandwidth "
+        "saver at 100 TB; false positives are removed by the exact "
+        "join, so the oracle is the plain join",
+)
+def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import sketch as SK
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    dim = (t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+           .select("o_orderkey"))
+    m, k = 32768, 5
+    words = SK.bloom_bitmap_words(
+        SK.bloom_bits(dim, "o_orderkey", m, k).collect(), m)
+    pre = (t["lineitem"].select("l_orderkey", "l_linestatus")
+           .filter(SK.bloom_member_predicate("l_orderkey", words, m, k)))
+    return (pre.join(dim, pre["l_orderkey"] == dim["o_orderkey"])
+            .groupBy("l_linestatus")
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.countDistinct("l_orderkey").cast("long").alias("n_orders")))

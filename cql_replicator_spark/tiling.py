@@ -97,3 +97,26 @@ def resize_tiles(
     distinct = unioned.dropDuplicates(pk_cols).drop(tile_col)
     return assign_tiles(distinct, pk_cols, new_num_tiles, tile_col=tile_col,
                         repartition=True, num_partitions=new_num_tiles)
+
+
+def zvalue_2d(x: str | Column, y: str | Column, bits: int = 10) -> Column:
+    """Morton (Z-order) interleaving of two non-negative ints — the
+    space-filling-curve clustering key behind multi-dimensional data
+    layout (Delta/Iceberg OPTIMIZE ZORDER): sorting or range-
+    partitioning 100 TB by z keeps rows close in BOTH dimensions
+    close on disk, so min/max file statistics prune scans on either
+    predicate column instead of only the leading sort key.
+
+    Pure integer bit arithmetic (2*bits shift/mask terms, whole-stage
+    codegen, engine-portable); inputs must already be reduced to
+    ``bits`` bits (callers mod/bucket first)."""
+    from pyspark.sql import functions as F
+
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(int(bits)):
+        z = (z
+             + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+             + F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z

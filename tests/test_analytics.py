@@ -650,3 +650,35 @@ def test_quantile_histogram_sketch_and_merge(spark):
     assert {(r["bin"], r["cnt"]) for r in merged.collect()} == whole
     with _pytest.raises(ValueError, match="at least one"):
         SK.quantile_merge()
+
+
+def test_zvalue_2d_morton_order(spark):
+    from cql_replicator_spark.tiling import zvalue_2d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], ["x", "y"])
+    out = {(r["x"], r["y"]): r["z"] for r in
+           grid.select("x", "y", zvalue_2d("x", "y", bits=2).alias("z")).collect()}
+    # canonical 4x4 Morton curve: z = interleave(x low bits even, y odd)
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 1
+    assert out[(0, 1)] == 2 and out[(1, 1)] == 3
+    assert out[(2, 2)] == 12 and out[(3, 3)] == 15
+    # locality: the 2x2 sub-squares occupy contiguous z ranges
+    assert {out[(x, y)] for x in (0, 1) for y in (0, 1)} == {0, 1, 2, 3}
+    assert {out[(x, y)] for x in (2, 3) for y in (2, 3)} == {12, 13, 14, 15}
+
+
+def test_bloom_member_predicate_no_false_negatives(spark):
+    from cql_replicator_spark.analytics import sketch as SK
+
+    members = spark.createDataFrame([(i,) for i in range(200)], ["v"])
+    probes = spark.createDataFrame([(i,) for i in range(1000)], ["v"])
+    m, k = 4096, 5
+    words = SK.bloom_bitmap_words(
+        SK.bloom_bits(members, "v", m, k).collect(), m)
+    kept = {r["v"] for r in probes.filter(
+        SK.bloom_member_predicate("v", words, m, k)).collect()}
+    # every true member passes (no false negatives by construction)
+    assert set(range(200)) <= kept
+    # the filter is selective: false positives are a small minority
+    assert len(kept) - 200 < 100, f"{len(kept) - 200} false positives"
