@@ -1670,10 +1670,9 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = (t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
            .select("o_orderkey"))
     m, k = 32768, 5
-    words = SK.bloom_bitmap_words(
-        SK.bloom_bits(dim, "o_orderkey", m, k).collect(), m)
+    words = SK.bloom_rf_build(dim, "o_orderkey", m, k)
     pre = (t["lineitem"].select("l_orderkey", "l_linestatus")
-           .filter(SK.bloom_member_predicate("l_orderkey", words, m, k)))
+           .filter(SK.bloom_rf_predicate("l_orderkey", words, m, k)))
     return (pre.join(dim, pre["l_orderkey"] == dim["o_orderkey"])
             .groupBy("l_linestatus")
             .agg(F.count("*").cast("long").alias("n_lines"),

@@ -674,10 +674,9 @@ def test_bloom_member_predicate_no_false_negatives(spark):
     members = spark.createDataFrame([(i,) for i in range(200)], ["v"])
     probes = spark.createDataFrame([(i,) for i in range(1000)], ["v"])
     m, k = 4096, 5
-    words = SK.bloom_bitmap_words(
-        SK.bloom_bits(members, "v", m, k).collect(), m)
+    words = SK.bloom_rf_build(members, "v", m, k)
     kept = {r["v"] for r in probes.filter(
-        SK.bloom_member_predicate("v", words, m, k)).collect()}
+        SK.bloom_rf_predicate("v", words, m, k)).collect()}
     # every true member passes (no false negatives by construction)
     assert set(range(200)) <= kept
     # the filter is selective: false positives are a small minority
