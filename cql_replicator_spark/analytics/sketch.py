@@ -43,6 +43,17 @@ def hll_registers(
     and DuckDB (w = 0 => rho = width + 1, the all-zeros convention).
     One groupBy; the register frame is m rows however large the input.
     """
+    built = (hll_rho_frame(df, value, m)
+             .groupBy("register_id")
+             .agg(F.max("rho").alias("max_rho")))
+    return hll_fill_registers(built, df.sparkSession, m)
+
+
+def hll_rho_frame(df: DataFrame, value: str | Column, m: int = 256) -> DataFrame:
+    """(register_id, rho) per input row — the projection shared by the
+    batch register build and the streaming max-aggregation (a
+    streaming groupBy-max over this frame IS continuous sketch
+    maintenance: complete-mode state holds <= m rows)."""
     if m & (m - 1) or m <= 0:
         raise ValueError(f"m must be a power of two, got {m}")
     width = 32 - int(math.log2(m))
@@ -51,13 +62,13 @@ def hll_registers(
     w = (h / m).cast("long")  # h // m: h >= 0 so float-div floor is exact
     rho = F.when(w == 0, F.lit(width + 1)).otherwise(
         F.lit(width) + 1 - F.length(F.bin(w)))
-    spark = df.sparkSession
+    return df.select((h % m).alias("register_id"), rho.alias("rho"))
+
+
+def hll_fill_registers(built: DataFrame, spark, m: int = 256) -> DataFrame:
+    """Densify a sparse (register_id, max_rho) frame to exactly m rows
+    (empty registers at 0) so it is always merge- and estimate-ready."""
     all_regs = spark.range(m).select(F.col("id").cast("long").alias("register_id"))
-    built = (
-        df.select((h % m).alias("register_id"), rho.alias("rho"))
-        .groupBy("register_id")
-        .agg(F.max("rho").alias("max_rho"))
-    )
     return (
         all_regs.join(built, "register_id", "left")
         .select("register_id",

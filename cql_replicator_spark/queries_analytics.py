@@ -1677,3 +1677,50 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_linestatus")
             .agg(F.count("*").cast("long").alias("n_lines"),
                  F.countDistinct("l_orderkey").cast("long").alias("n_orders")))
+
+
+@register(
+    "sketch_hll_stream",
+    oracle=f"""
+WITH h AS (
+  SELECT {_md5h32_sql('CAST(user_id AS VARCHAR)')} AS h FROM events
+),
+built AS (
+  SELECT h % 256 AS register_id,
+         max(CASE WHEN h // 256 = 0 THEN 25
+                  ELSE 25 - length(bin(h // 256)) END) AS max_rho
+  FROM h GROUP BY h % 256
+)
+SELECT t.register_id, CAST(COALESCE(b.max_rho, 0) AS INT) AS max_rho
+FROM generate_series(0, 255) AS t(register_id)
+LEFT JOIN built b ON b.register_id = t.register_id
+""",
+    doc="Continuous HLL sketch maintenance under Structured Streaming: "
+        "the register build is a streaming groupBy-max in complete mode "
+        "whose state is bounded at m rows forever (the mergeable-sketch "
+        "property IS the streaming-state bound) — two real micro-batches "
+        "accumulate to exactly the batch-built register table",
+)
+def sketch_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from .analytics import sketch as SK
+    from .session import load_tables
+    from .streaming.windows import run_stream_to_memory, stream_events_from_dir
+
+    t = load_tables(spark, sf_dir, ["events"])
+    users = t["events"].select("user_id")
+    stage = tempfile.mkdtemp(prefix="hll_stream_")
+    # two staged files -> two micro-batches maintaining one sketch state
+    for cond in (F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1):
+        users.filter(cond).coalesce(1).write.mode("append").parquet(stage)
+    stream = stream_events_from_dir(spark, stage, users.schema)
+    built = (SK.hll_rho_frame(stream, "user_id", 256)
+             .groupBy("register_id")
+             .agg(F.max("rho").cast("int").alias("max_rho")))
+    qname = f"hll_stream_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(built, qname, output_mode="complete")
+    return SK.hll_fill_registers(
+        spark.table(qname).withColumn("max_rho", F.col("max_rho").cast("int")),
+        spark, 256)

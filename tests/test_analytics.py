@@ -681,3 +681,28 @@ def test_bloom_member_predicate_no_false_negatives(spark):
     assert set(range(200)) <= kept
     # the filter is selective: false positives are a small minority
     assert len(kept) - 200 < 100, f"{len(kept) - 200} false positives"
+
+
+def test_hypothesis_quantile_sketch_error_bound(spark):
+    """Property: for any data range and bucket, the histogram-sketch
+    quantile is within one bin width of the exact quantile."""
+    from hypothesis import given, settings, strategies as st
+
+    from cql_replicator_spark.analytics import sketch as SK
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=9999),
+                    min_size=50, max_size=200),
+           st.sampled_from([16, 64, 128]))
+    def check(values, bins):
+        df = spark.createDataFrame([(float(v),) for v in values], ["v"])
+        hist = SK.quantile_histogram(df, "v", lo=0.0, hi=10000.0, bins=bins)
+        est = {r["q"]: r["estimate"] for r in
+               SK.quantile_estimate(hist, [0.5], lo=0.0, hi=10000.0,
+                                    bins=bins).collect()}
+        import math
+        exact = sorted(values)[math.ceil(0.5 * len(values)) - 1]
+        width = 10000.0 / bins
+        assert abs(est[0.5] - exact) <= width + 1e-6, (values, bins, est)
+
+    check()
