@@ -1724,3 +1724,58 @@ def sketch_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_fill_registers(
         spark.table(qname).withColumn("max_rho", F.col("max_rho").cast("int")),
         spark, 256)
+
+
+def _cdc_curated_oracle() -> str:
+    hits, case_sql = _lang_hits_and_case()
+    return f"""
+WITH t0 AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
+t1 AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0),
+ins AS (SELECT doc_id FROM t1 WHERE doc_id NOT IN (SELECT doc_id FROM t0)),
+docs AS (SELECT d.doc_id, d.text FROM documents d JOIN ins USING (doc_id)),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5({_NORM_SQL})
+),
+kept AS (SELECT d.doc_id, d.text FROM docs d JOIN keep USING (doc_id)),
+h AS (
+  SELECT doc_id, text,
+  {hits}
+  FROM kept
+),
+m AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    round(CAST(hits_en AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+    round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+          / length(text), 6) AS punct_ratio,
+    {case_sql} AS predicted_lang
+  FROM h
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, predicted_lang
+FROM m
+WHERE predicted_lang = 'en' AND n_tokens BETWEEN 20 AND 90
+  AND stopword_ratio >= 0.03 AND punct_ratio <= 0.2
+"""
+
+
+@register(
+    "cdc_curated_inserts",
+    oracle=_cdc_curated_oracle(),
+    doc="Replicate-then-curate composition — the engine's two halves in "
+        "one plan: snapshot-diff CDC finds newly arrived documents "
+        "(anti-join of key snapshots), broadcast-hydrates their text, "
+        "and the curation gates (exact dedup + language + quality) admit "
+        "only training-worthy rows. The CDC side shuffles keys only; "
+        "text flows once, straight into the fingerprint shuffle",
+)
+def cdc_curated_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .diff import compute_changes
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    t0 = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("pk"), F.lit(0).cast("long").alias("ts"))
+    t1 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("pk"), F.lit(0).cast("long").alias("ts"))
+    cs = compute_changes(curr=t1, prev=t0, pk_cols=["pk"])
+    ins = F.broadcast(cs.inserts.select(F.col("pk").alias("doc_id")))
+    hydrated = docs.join(ins, "doc_id").select("doc_id", "text")
+    return TX.curate(hydrated)
