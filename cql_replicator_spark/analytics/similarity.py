@@ -487,3 +487,77 @@ def quantize_embeddings_int8(
             F.zip_with(raw, q, lambda r, c: F.when(r != c, 1).otherwise(0)),
             zero, lambda a, v: a + v).alias("n_clipped"),
     )
+
+
+# -- quantized k-means (SemDeDup-style embedding clustering) ------------------------
+
+def kmeans_quantized(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+    scale: int = 100,
+) -> DataFrame:
+    """Lloyd k-means over integer-quantized embeddings — the clustering
+    stage of SemDeDup-style semantic dedup (Abbas et al. 2023 cluster
+    embeddings, then drop near-identical pairs within clusters), made
+    bit-identical across engines: vectors quantize to ints (floor at
+    fixed scale), distances are integer sums of squares, centroid
+    updates are truncating integer division, and argmin ties break to
+    the lowest centroid id. Seeds are the k lowest-id vectors.
+
+    Returns (id, cluster_id) after ``rounds`` assign+update rounds plus
+    a final assignment.
+
+    Plan shape per round: assignment is MAP-ONLY (centroids ride along
+    as a constant-folded literal — k*dim ints, the ivf_build pattern);
+    the update is one (cluster, dim)-keyed aggregation whose map-side
+    partial sums collapse each partition to <= k*dim rows. The only
+    driver traffic is the k x dim centroid table per round — bounded
+    like IVF centroids, never corpus-shaped."""
+    q = corpus.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, v -> greatest(-127L, least(127L, "
+            f"CAST(floor(CAST(v AS DOUBLE) * {int(scale)}) AS BIGINT))))"
+        ).alias("qv"))
+    dim = len(q.select("qv").first()["qv"])
+
+    seeds = (q.orderBy(id_col).limit(int(k)).collect())
+    centroids = [list(r["qv"]) for r in seeds]  # cid = seed rank
+
+    def assign(frame: DataFrame) -> DataFrame:
+        cents = F.array(*[
+            F.struct(
+                F.lit(ci).cast("long").alias("cid"),
+                F.array(*[F.lit(int(v)).cast("long") for v in vec]).alias("cv"))
+            for ci, vec in enumerate(centroids)
+        ])
+        best = F.array_min(F.transform(
+            cents,
+            lambda ct: F.struct(
+                F.aggregate(
+                    F.zip_with("qv", ct["cv"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x).alias("dist"),
+                ct["cid"].alias("cid"))))
+        return frame.withColumn("cluster_id", best["cid"])
+
+    for _ in range(int(rounds)):
+        assigned = assign(q)
+        sums = (assigned.select("cluster_id", F.posexplode("qv").alias("pos", "v"))
+                .groupBy("cluster_id", "pos")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n")))
+        # truncating integer division (Spark div truncates toward zero)
+        rows = (sums.select("cluster_id", "pos",
+                            F.expr("s div n").alias("c"))
+                .collect())
+        new_cents = {ci: list(vec) for ci, vec in enumerate(centroids)}
+        upd: dict[int, list[int]] = {}
+        for r in rows:
+            upd.setdefault(int(r["cluster_id"]),
+                           [0] * dim)[int(r["pos"])] = int(r["c"])
+        new_cents.update(upd)  # empty clusters keep their previous centroid
+        centroids = [new_cents[ci] for ci in range(int(k))]
+
+    return assign(q).select(F.col(id_col), "cluster_id")

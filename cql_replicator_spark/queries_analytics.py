@@ -1779,3 +1779,68 @@ def cdc_curated_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins = F.broadcast(cs.inserts.select(F.col("pk").alias("doc_id")))
     hydrated = docs.join(ins, "doc_id").select("doc_id", "text")
     return TX.curate(hydrated)
+
+
+def _kmeans_oracle(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
+    """Lloyd k-means unrolled: c0 -> (assign, update) x rounds -> final
+    assignment. All integer arithmetic (floor-quantize, squared dists,
+    truncating centroid division), so both engines are bit-identical."""
+    dist = ("list_sum(list_transform(generate_series(1, {d}), "
+            "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))").format(d=dim)
+    parts = [f"""
+q AS (
+  SELECT vec_id, list_transform(embedding, v ->
+    greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+      CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)))) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+  FROM q ORDER BY vec_id LIMIT {k}
+)"""]
+    for r in range(rounds):
+        parts.append(f"""
+a{r} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT q.vec_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM q CROSS JOIN c{r} c) WHERE rn = 1
+),
+s{r} AS (
+  SELECT cid, i,
+         CASE WHEN sum(qv[i]) >= 0 THEN sum(qv[i]) // count(*)
+              ELSE -((-sum(qv[i])) // count(*)) END AS cvi
+  FROM a{r}, unnest(generate_series(1, {dim})) AS t(i)
+  GROUP BY cid, i
+),
+c{r + 1}raw AS (SELECT cid, list(cvi ORDER BY i) AS cv FROM s{r} GROUP BY cid),
+c{r + 1} AS (
+  SELECT c{r}.cid, COALESCE(c{r + 1}raw.cv, c{r}.cv) AS cv
+  FROM c{r} LEFT JOIN c{r + 1}raw ON c{r + 1}raw.cid = c{r}.cid
+)""")
+    return f"""
+WITH {','.join(parts)}
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+  SELECT q.vec_id, c.cid,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {dist}, c.cid) AS rn
+  FROM q CROSS JOIN c{rounds} c) WHERE rn = 1
+"""
+
+
+@register(
+    "embedding_kmeans_clusters",
+    oracle=_kmeans_oracle(),
+    doc="SemDeDup-style embedding clustering (Abbas et al. 2023): Lloyd "
+        "k-means over integer-quantized vectors — assignment is map-only "
+        "(centroids ride as a constant-folded k*dim literal, the "
+        "ivf_build pattern), the update one (cluster,dim)-keyed map-side-"
+        "combined aggregation; truncating integer centroid division and "
+        "lowest-id tie-breaks make every round bit-identical to the "
+        "oracle's unrolled recursion",
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    out = S.kmeans_quantized(emb, k=8, rounds=2, scale=100)
+    return out.withColumn("cluster_id", F.col("cluster_id").cast("long"))

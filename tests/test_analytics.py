@@ -706,3 +706,23 @@ def test_hypothesis_quantile_sketch_error_bound(spark):
         assert abs(est[0.5] - exact) <= width + 1e-6, (values, bins, est)
 
     check()
+
+
+def test_kmeans_quantized_separates_planted_clusters(spark):
+    from cql_replicator_spark.analytics import similarity as S
+
+    # two tight blobs far apart -> k=2 must split them exactly
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0 + 0.001 * i] * 8))
+        rows.append((100 + i, [-1.0 - 0.001 * i] * 8))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["cluster_id"] for r in
+           S.kmeans_quantized(df, k=2, rounds=2).collect()}
+    pos = {out[i] for i in range(20)}
+    neg = {out[100 + i] for i in range(20)}
+    assert len(pos) == 1 and len(neg) == 1 and pos != neg
+    # determinism under repartition (distributed-order independence)
+    out2 = {r["vec_id"]: r["cluster_id"] for r in
+            S.kmeans_quantized(df.repartition(7), k=2, rounds=2).collect()}
+    assert out == out2
