@@ -561,3 +561,37 @@ def kmeans_quantized(
         centroids = [new_cents[ci] for ci in range(int(k))]
 
     return assign(q).select(F.col(id_col), "cluster_id")
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: k-means clusters bound
+    the pair space, then exact quantized cosine keeps the true
+    semantic near-dups — (id_a, id_b, cos), id_a < id_b, within-
+    cluster only.
+
+    Scale shape: the within-cluster self-join is cluster-keyed (one
+    shuffle per side), so pair work is sum over clusters of
+    (|cluster| choose 2) — k grows with the corpus to keep |cluster|
+    bounded, exactly SemDeDup's recipe, and nothing is ever corpus x
+    corpus. The cosine verify runs in the Arrow numpy batch UDF
+    (quantized_cosine_np) over pair-count-shaped input."""
+    clusters = kmeans_quantized(corpus, id_col, vec_col, k, rounds)
+    withc = (corpus.select(F.col(id_col), F.col(vec_col))
+             .join(clusters, id_col))
+    a = withc.select(F.col("cluster_id"),
+                     F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = withc.select(F.col("cluster_id"),
+                     F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = quantized_cosine_np()
+    return (a.join(b, "cluster_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cos(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "cos"))

@@ -1237,7 +1237,7 @@ _CHECK_PRIORITY: list[str] = [
     "token_length_histogram", "sketch_quantile_histogram",
     "events_funnel", "orders_retention_cohorts", "zorder_layout_key",
     "bloom_join_prefilter", "sketch_hll_stream", "cdc_curated_inserts",
-    "embedding_kmeans_clusters",
+    "embedding_kmeans_clusters", "dedup_semantic",
     # -- fixed or touched this round (re-verify first) --
     "q12_priority_lines", "sequence_packing", "decontaminate_splits",
     "sketch_cms_frequency", "dedup_simhash_pairs", "dedup_clusters",

@@ -1844,3 +1844,51 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     out = S.kmeans_quantized(emb, k=8, rounds=2, scale=100)
     return out.withColumn("cluster_id", F.col("cluster_id").cast("long"))
+
+
+def _semantic_dedup_oracle(k: int = 8, rounds: int = 2, dim: int = 64,
+                           threshold: float = 0.95) -> str:
+    kmeans = _kmeans_oracle(k, rounds, dim)
+    return f"""
+WITH cl AS (
+{kmeans}
+),
+vq AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x*1e6) AS BIGINT)) AS q
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cl a JOIN cl b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+    CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1]*x[2])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(a.q, x -> x*x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(b.q, x -> x*x)) AS DOUBLE))) AS cos
+  FROM pairs p
+  JOIN vq a ON a.vec_id = p.id_a
+  JOIN vq b ON b.vec_id = p.id_b
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
+"""
+
+
+@register(
+    "dedup_semantic",
+    # threshold 0.4: the synthetic embeddings are random (no planted
+    # semantic dups), so the production-style 0.95 returns an empty
+    # frame — 0.4 keeps the check exercising real within-cluster pairs
+    oracle=_semantic_dedup_oracle(threshold=0.4),
+    doc="SemDeDup end-to-end (Abbas et al. 2023): k-means clusters "
+        "bound the pair space (cluster-keyed self-join, never corpus^2; "
+        "k scales with the corpus to cap cluster size), exact quantized "
+        "cosine keeps true semantic near-dups. The kmeans rounds, the "
+        "pair set, and the float cosine column are all oracle-checked",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return S.semantic_dedup_pairs(emb, k=8, rounds=2, threshold=0.4)

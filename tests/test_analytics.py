@@ -726,3 +726,19 @@ def test_kmeans_quantized_separates_planted_clusters(spark):
     out2 = {r["vec_id"]: r["cluster_id"] for r in
             S.kmeans_quantized(df.repartition(7), k=2, rounds=2).collect()}
     assert out == out2
+
+
+def test_semantic_dedup_finds_planted_duplicate(spark):
+    from cql_replicator_spark.analytics import similarity as S
+
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    # plant a near-copy of vector 3
+    rows.append((999, [v * 1.001 for v in rows[3][1]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             S.semantic_dedup_pairs(df, k=4, rounds=2, threshold=0.99).collect()}
+    assert (3, 999) in pairs
+    # at 0.99 only the planted copy survives
+    assert all(b == 999 and a == 3 for a, b in pairs), pairs
