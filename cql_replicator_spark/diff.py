@@ -116,3 +116,20 @@ def compute_changes(
             [F.col(ts_col)] if ts_col in curr.columns else []
         ))
     return ChangeSet(inserts=inserts, deletes=deletes, updates=updates)
+
+
+def apply_changes(base: DataFrame, changes: ChangeSet,
+                  pk_cols: list[str]) -> DataFrame:
+    """MERGE semantics — apply a change set to the previous snapshot:
+    delete removed keys, upsert inserted/updated rows. By construction
+    ``apply_changes(t0, compute_changes(t1, t0)) == t1`` exactly (the
+    oracle-checked invariant).
+
+    One pk-keyed left-anti join (drops deletes and the old versions of
+    updates) plus a union of the upsert rows — the same single-shuffle
+    shape as the diff itself; at 100 TB the anti-join's right side is
+    change-sized, so AQE broadcasts it when the delta is small."""
+    upserts = changes.inserts.unionByName(changes.updates)
+    removed = (changes.deletes.select(*pk_cols)
+               .unionByName(upserts.select(*pk_cols)))
+    return base.join(removed, pk_cols, "left_anti").unionByName(upserts)

@@ -1237,7 +1237,8 @@ _CHECK_PRIORITY: list[str] = [
     "token_length_histogram", "sketch_quantile_histogram",
     "events_funnel", "orders_retention_cohorts", "zorder_layout_key",
     "bloom_join_prefilter", "sketch_hll_stream", "cdc_curated_inserts",
-    "embedding_kmeans_clusters", "dedup_semantic",
+    "embedding_kmeans_clusters", "dedup_semantic", "cdc_apply_changes",
+    "events_session_window_native",
     # -- fixed or touched this round (re-verify first) --
     "q12_priority_lines", "sequence_packing", "decontaminate_splits",
     "sketch_cms_frequency", "dedup_simhash_pairs", "dedup_clusters",
@@ -1285,3 +1286,64 @@ def _ensure_all_registered() -> None:
     """Pull in the analytics registrations (import has the side effect)."""
     from . import queries_analytics  # noqa: F401
     from . import queries_tpch  # noqa: F401
+
+
+@register(
+    "cdc_apply_changes",
+    oracle=f"""
+WITH {_CDC_BASE_SQL}
+SELECT pk, ts FROM t1
+""",
+    doc="MERGE apply: the change set written back onto the previous "
+        "snapshot (delete removed keys, upsert new versions) must "
+        "reproduce the current snapshot EXACTLY — the end-to-end CDC "
+        "round-trip invariant as one oracle-checked plan. One pk-keyed "
+        "anti-join plus a union; the anti-join's right side is "
+        "change-sized, so AQE broadcasts small deltas",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .diff import apply_changes, compute_changes
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+    cs = compute_changes(curr=t1, prev=t0, pk_cols=["pk"])
+    return apply_changes(t0, cs, ["pk"])
+
+
+@register(
+    "events_session_window_native",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '1 hour'
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    doc="Sessionization via Spark's NATIVE session_window aggregation "
+        "(gap-merged windows in one groupBy — no window-function sort "
+        "pass, and the same operator works under Structured Streaming "
+        "with watermark state eviction). Session boundary is >= gap "
+        "(window end exclusive), mirrored in the oracle; events carry "
+        "sub-second jitter so boundary ties cannot occur in the fixture",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")["events"]
+    return (events
+            .groupBy("user_id", F.session_window("ts", "1 hour"))
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"))
+            .select("user_id", "session_start", "session_end", "n_events"))

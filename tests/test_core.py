@@ -460,3 +460,23 @@ def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_apply_changes_roundtrip_and_delete_only(spark):
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.diff import apply_changes, compute_changes
+
+    t0 = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 10)], ["pk", "ts"])
+    t1 = spark.createDataFrame(
+        [(2, 10), (3, 11), (5, 10)], ["pk", "ts"])  # del 1,4; upd 3; ins 5
+    cs = compute_changes(curr=t1, prev=t0, pk_cols=["pk"])
+    applied = apply_changes(t0, cs, ["pk"])
+    assert ({(r.pk, r.ts) for r in applied.collect()}
+            == {(r.pk, r.ts) for r in t1.collect()})
+    # delete-only delta
+    t2 = t1.filter(F.col("pk") != 5)
+    cs2 = compute_changes(curr=t2, prev=t1, pk_cols=["pk"])
+    assert ({(r.pk, r.ts) for r in apply_changes(t1, cs2, ["pk"]).collect()}
+            == {(r.pk, r.ts) for r in t2.collect()})
