@@ -84,6 +84,11 @@ HEADLINE = [
     "orders_retention_cohorts",
     "zorder_layout_key",
     "bloom_join_prefilter",
+    "embedding_kmeans_clusters",
+    "dedup_semantic",
+    "cdc_apply_changes",
+    "cdc_curated_inserts",
+    "events_session_window_native",
 ]
 
 
