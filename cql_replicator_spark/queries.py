@@ -1238,7 +1238,8 @@ _CHECK_PRIORITY: list[str] = [
     "events_funnel", "orders_retention_cohorts", "zorder_layout_key",
     "bloom_join_prefilter", "sketch_hll_stream", "cdc_curated_inserts",
     "embedding_kmeans_clusters", "dedup_semantic", "cdc_apply_changes",
-    "events_session_window_native",
+    "events_session_window_native", "source_json_roundtrip",
+    "source_csv_roundtrip",
     # -- fixed or touched this round (re-verify first) --
     "q12_priority_lines", "sequence_packing", "decontaminate_splits",
     "sketch_cms_frequency", "dedup_simhash_pairs", "dedup_clusters",

@@ -1892,3 +1892,61 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     return S.semantic_dedup_pairs(emb, k=8, rounds=2, threshold=0.4)
+
+
+_SOURCE_ROUNDTRIP_ORACLE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len
+FROM documents GROUP BY lang
+"""
+
+
+def _roundtrip_aggregate(df: DataFrame) -> DataFrame:
+    return (df.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.sum(F.length("text")).cast("long").alias("total_text_len")))
+
+
+@register(
+    "source_json_roundtrip",
+    oracle=_SOURCE_ROUNDTRIP_ORACLE,
+    doc="JSON-lines source path (the reference's S3 JSON format, "
+        "K:682/P:647 family): documents written as newline-delimited "
+        "JSON, read back through spark.read.json with an explicit "
+        "schema (no sampling-based inference pass — at 100 TB schema "
+        "inference is a full extra scan), aggregated; values must "
+        "survive the round-trip exactly against the parquet oracle",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = (_t(spark, sf_dir, "documents")["documents"]
+            .select("doc_id", "text", "lang", "n_chars"))
+    stage = tempfile.mkdtemp(prefix="json_src_")
+    docs.write.mode("overwrite").json(stage)
+    back = spark.read.schema(docs.schema).json(stage)
+    return _roundtrip_aggregate(back)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle=_SOURCE_ROUNDTRIP_ORACLE,
+    doc="CSV source path with quoting/escaping round-trip: documents "
+        "written as quoted CSV with header, read back with an explicit "
+        "schema (inference off, same full-extra-scan argument as JSON); "
+        "free-text columns force the quote/escape machinery and the "
+        "aggregate must still match the parquet oracle exactly",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = (_t(spark, sf_dir, "documents")["documents"]
+            .select("doc_id", "text", "lang", "n_chars"))
+    stage = tempfile.mkdtemp(prefix="csv_src_")
+    (docs.write.mode("overwrite")
+     .option("header", "true").option("quoteAll", "true").csv(stage))
+    back = (spark.read.schema(docs.schema)
+            .option("header", "true").csv(stage))
+    return _roundtrip_aggregate(back)
