@@ -18,10 +18,19 @@ DuckDB for the oracle checks — no dependence on Spark-private hashes.
 
 from __future__ import annotations
 
+import threading
 import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Serializes the connected-components loops' scoped narrowing of
+# spark.sql.shuffle.partitions: two overlapping calls would otherwise
+# each snapshot the other's narrowed value and leave the session stuck
+# narrow after both restore. Queries planned concurrently from OTHER
+# threads still see the narrowed width for the loop's duration — the
+# documented trade-off of sizing checkpointed rounds via session conf.
+_SHUFFLE_CONF_LOCK = threading.Lock()
 
 
 def md5h32(c: Column) -> Column:
@@ -302,6 +311,7 @@ def connected_components(
     # materializes inside this function, so no foreign query plans
     # under the narrowed width unless planned concurrently.
     n_edges = edges.count()  # also materializes the cache
+    _SHUFFLE_CONF_LOCK.acquire()
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     n_part = max(2, min(int(old_sp), n_edges // 250_000 + 2))
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
@@ -362,6 +372,7 @@ def connected_components(
                              F.col("label").alias("cluster_id"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        _SHUFFLE_CONF_LOCK.release()
         edges.unpersist()
 
 
@@ -407,6 +418,7 @@ def connected_components_star(
     # discipline) as connected_components: checkpointed rounds never
     # benefit from AQE coalescing, so pick the width explicitly.
     n_edges = canon.count()  # also materializes the cache
+    _SHUFFLE_CONF_LOCK.acquire()
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     n_part = max(2, min(int(old_sp), n_edges // 250_000 + 2))
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
@@ -459,6 +471,7 @@ def connected_components_star(
                         F.coalesce(F.col("dst"), F.col("id")).alias("cluster_id")))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        _SHUFFLE_CONF_LOCK.release()
         canon.unpersist()
 
 

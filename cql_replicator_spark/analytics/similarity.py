@@ -521,11 +521,15 @@ def kmeans_quantized(
         F.expr(
             f"transform({vec_col}, v -> greatest(-127L, least(127L, "
             f"CAST(floor(CAST(v AS DOUBLE) * {int(scale)}) AS BIGINT))))"
-        ).alias("qv"))
-    dim = len(q.select("qv").first()["qv"])
+        ).alias("qv")).persist()  # read by every round; caller may clearCache
+    head = q.select("qv").first()
+    if head is None:
+        raise ValueError("kmeans_quantized: corpus is empty")
+    dim = len(head["qv"])
 
     seeds = (q.orderBy(id_col).limit(int(k)).collect())
     centroids = [list(r["qv"]) for r in seeds]  # cid = seed rank
+    k = len(centroids)  # clamp: fewer rows than requested clusters
 
     def assign(frame: DataFrame) -> DataFrame:
         # Arrow numpy argmin, exact int64: dist_j = -2 x·c_j + |c_j|^2
@@ -588,7 +592,10 @@ def semantic_dedup_pairs(
     bounded, exactly SemDeDup's recipe, and nothing is ever corpus x
     corpus. The cosine verify runs in the Arrow numpy batch UDF
     (quantized_cosine_np) over pair-count-shaped input."""
-    clusters = kmeans_quantized(corpus, id_col, vec_col, k, rounds)
+    # persisted: the two self-join sides would otherwise each re-run
+    # the full clustering (including the pandas-UDF assignment pass).
+    # Narrow (id, cluster_id) rows; caller may clearCache after use.
+    clusters = kmeans_quantized(corpus, id_col, vec_col, k, rounds).persist()
     withc = (corpus.select(F.col(id_col), F.col(vec_col))
              .join(clusters, id_col))
     a = withc.select(F.col("cluster_id"),

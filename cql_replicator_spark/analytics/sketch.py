@@ -80,6 +80,8 @@ def hll_fill_registers(built: DataFrame, spark, m: int = 256) -> DataFrame:
 def hll_merge(*register_frames: DataFrame) -> DataFrame:
     """Merge sketches: union the register tables, keep per-register max.
     Associative/commutative/idempotent — shard-parallel by construction."""
+    if not register_frames:
+        raise ValueError("hll_merge requires at least one register frame")
     out = register_frames[0]
     for frame in register_frames[1:]:
         out = out.unionByName(frame)
@@ -138,6 +140,8 @@ def bloom_bits(
 
 def bloom_merge(*bit_frames: DataFrame) -> DataFrame:
     """Merge filters built with identical (m, k): union + distinct."""
+    if not bit_frames:
+        raise ValueError("bloom_merge requires at least one bit frame")
     out = bit_frames[0]
     for frame in bit_frames[1:]:
         out = out.unionByName(frame)

@@ -1223,7 +1223,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness run covers a bounded window of the registry in
-# iteration order (observed ~50 rows/round vs 90 registered). Emit queries
+# iteration order (observed ~50 rows/round vs 109 registered). Emit queries
 # in an explicit priority order so every round's window lands on the entries
 # with the least accumulated driver evidence: first the queries fixed or
 # whose implementation changed this round (q12 oracle BIGINT cast for

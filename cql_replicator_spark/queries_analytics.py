@@ -115,6 +115,21 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_count_bpe(_t(spark, sf_dir, "documents")["documents"])
 
 
+def _stage_dir(name: str) -> str:
+    """Reused per-query staging directory (replaces mkdtemp): repeated
+    harness runs overwrite one bounded location instead of leaking a
+    fresh table copy into /tmp per invocation. Cleared on entry so
+    file-source micro-batch counts stay deterministic."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_stage", name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _lang_hits_and_case() -> tuple[str, str]:
     """(hits select-list, argmax CASE) — the SQL mirror of
     analytics.text._lang_argmax, shared by langid and curation oracles."""
@@ -679,7 +694,7 @@ def events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["events", "customer"])
     events = t["events"].select("event_id", "user_id", "event_type")
-    stage = tempfile.mkdtemp(prefix="enrich_stream_")
+    stage = _stage_dir("enrich_stream")
     # two staged files -> two micro-batches through the same static dim
     for cond in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
         events.filter(cond).coalesce(1).write.mode("append").parquet(stage)
@@ -721,7 +736,7 @@ def events_conversion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("ts").cast("timestamp").alias("ts")))
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     mid = lo + (hi - lo) / 2
-    stage = tempfile.mkdtemp(prefix="conv_stream_")
+    stage = _stage_dir("conv_stream")
     # time-ordered micro-batches: event time advances across batches, so
     # the 1h watermark can never mark batch-2 rows late while boundary
     # views stay buffered for their 30min match window
@@ -1711,7 +1726,7 @@ def sketch_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["events"])
     users = t["events"].select("user_id")
-    stage = tempfile.mkdtemp(prefix="hll_stream_")
+    stage = _stage_dir("hll_stream")
     # two staged files -> two micro-batches maintaining one sketch state
     for cond in (F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1):
         users.filter(cond).coalesce(1).write.mode("append").parquet(stage)
@@ -1924,7 +1939,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (_t(spark, sf_dir, "documents")["documents"]
             .select("doc_id", "text", "lang", "n_chars"))
-    stage = tempfile.mkdtemp(prefix="json_src_")
+    stage = _stage_dir("json_src")
     docs.write.mode("overwrite").json(stage)
     back = spark.read.schema(docs.schema).json(stage)
     return _roundtrip_aggregate(back)
@@ -1944,7 +1959,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (_t(spark, sf_dir, "documents")["documents"]
             .select("doc_id", "text", "lang", "n_chars"))
-    stage = tempfile.mkdtemp(prefix="csv_src_")
+    stage = _stage_dir("csv_src")
     (docs.write.mode("overwrite")
      .option("header", "true").option("quoteAll", "true").csv(stage))
     back = (spark.read.schema(docs.schema)
