@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_semantic",
     "cdc_apply_changes",
     "cdc_curated_inserts",
+    "cdc_stats_drift",
     "events_session_window_native",
 ]
 

@@ -1223,7 +1223,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness run covers a bounded window of the registry in
-# iteration order (observed ~50 rows/round vs 109 registered). Emit queries
+# iteration order (observed ~50 rows/round vs 110 registered). Emit queries
 # in an explicit priority order so every round's window lands on the entries
 # with the least accumulated driver evidence: first the queries fixed or
 # whose implementation changed this round (q12 oracle BIGINT cast for
@@ -1239,7 +1239,7 @@ _CHECK_PRIORITY: list[str] = [
     "bloom_join_prefilter", "sketch_hll_stream", "cdc_curated_inserts",
     "embedding_kmeans_clusters", "dedup_semantic", "cdc_apply_changes",
     "events_session_window_native", "source_json_roundtrip",
-    "source_csv_roundtrip",
+    "source_csv_roundtrip", "cdc_stats_drift",
     # -- fixed or touched this round (re-verify first) --
     "q12_priority_lines", "sequence_packing", "decontaminate_splits",
     "sketch_cms_frequency", "dedup_simhash_pairs", "dedup_clusters",
@@ -1348,3 +1348,55 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("ts").alias("session_end"),
                  F.count("*").alias("n_events"))
             .select("user_id", "session_start", "session_end", "n_events"))
+
+
+@register(
+    "cdc_stats_drift",
+    oracle=f"""
+WITH {_CDC_BASE_SQL},
+s0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(ts) AS BIGINT) AS mn,
+         CAST(max(ts) AS BIGINT) AS mx,
+         round(CAST(sum(ts) AS DOUBLE) / count(*), 4) AS av
+  FROM t0
+),
+s1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(ts) AS BIGINT) AS mn,
+         CAST(max(ts) AS BIGINT) AS mx,
+         round(CAST(sum(ts) AS DOUBLE) / count(*), 4) AS av
+  FROM t1
+)
+SELECT s0.n AS n_prev, s1.n AS n_curr, CAST(s1.n - s0.n AS BIGINT) AS n_delta,
+       s0.mn AS ts_min_prev, s1.mn AS ts_min_curr,
+       s0.mx AS ts_max_prev, s1.mx AS ts_max_curr,
+       round(s1.av - s0.av, 4) AS ts_avg_drift
+FROM s0 CROSS JOIN s1
+""",
+    doc="Snapshot stat drift monitor — the replication-health extension "
+        "of the sampler stats (K:1719-1748) and reconciliation counts "
+        "(R:878-1027): per-snapshot count/min/max/avg folded to one row "
+        "each (map-side combined, constant shuffle), deltas from a "
+        "1-row cross join. At 100 TB this is two scans and two "
+        "single-row exchanges — the cheapest possible end-of-cycle "
+        "distribution check",
+)
+def cdc_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+
+    def stats(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("ts").cast("long").alias("mn"),
+            F.max("ts").cast("long").alias("mx"),
+            F.round(F.sum("ts").cast("double") / F.count("*"), 4).alias("av"))
+
+    s0, s1 = stats(t0).alias("s0"), stats(t1).alias("s1")
+    return (s0.crossJoin(s1)
+            .select(F.col("s0.n").alias("n_prev"), F.col("s1.n").alias("n_curr"),
+                    (F.col("s1.n") - F.col("s0.n")).cast("long").alias("n_delta"),
+                    F.col("s0.mn").alias("ts_min_prev"),
+                    F.col("s1.mn").alias("ts_min_curr"),
+                    F.col("s0.mx").alias("ts_max_prev"),
+                    F.col("s1.mx").alias("ts_max_curr"),
+                    F.round(F.col("s1.av") - F.col("s0.av"), 4)
+                     .alias("ts_avg_drift")))
