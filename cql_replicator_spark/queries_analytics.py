@@ -1965,3 +1965,60 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = (spark.read.schema(docs.schema)
             .option("header", "true").csv(stage))
     return _roundtrip_aggregate(back)
+
+
+@register(
+    "partitioned_write_pruning",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+""",
+    doc="Hive-partitioned layout + partition pruning: documents written "
+        "partitionBy(lang), read back with a lang predicate that prunes "
+        "to 2 of 5 directories BEFORE any IO (PartitionFilters in the "
+        "scan, not a post-read filter) — with Z-order the second half of "
+        "the layout story: coarse pruning by partition column, fine "
+        "pruning by file min/max within partitions",
+)
+def partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (_t(spark, sf_dir, "documents")["documents"]
+            .select("doc_id", "lang", "n_chars"))
+    stage = _stage_dir("part_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(stage)
+    back = spark.read.parquet(stage).filter(F.col("lang").isin("en", "de"))
+    return (back.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+@register(
+    "parquet_agg_pushdown",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+""",
+    doc="Parquet aggregate pushdown: whole-table count/min/max answered "
+        "from footer statistics without decoding row groups "
+        "(PushedAggregation in the scan) — at 100 TB the difference "
+        "between metadata reads and a full scan for the profiling "
+        "queries every pipeline runs first. Requires the v2 parquet "
+        "reader (useV1SourceList=''), scoped to this plan's "
+        "construction and restored; aggregatePushdown alone (the "
+        "SCALE_CONF default) is inert under the v1 reader",
+)
+def parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        orders = _t(spark, sf_dir, "orders")["orders"]
+        return orders.agg(F.count("*").cast("long").alias("n_rows"),
+                          F.min("o_orderkey").cast("long").alias("min_key"),
+                          F.max("o_orderkey").cast("long").alias("max_key"))
+    finally:
+        if old_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
