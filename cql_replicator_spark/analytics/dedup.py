@@ -18,19 +18,29 @@ DuckDB for the oracle checks — no dependence on Spark-private hashes.
 
 from __future__ import annotations
 
-import threading
 import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Serializes the connected-components loops' scoped narrowing of
-# spark.sql.shuffle.partitions: two overlapping calls would otherwise
-# each snapshot the other's narrowed value and leave the session stuck
-# narrow after both restore. Queries planned concurrently from OTHER
-# threads still see the narrowed width for the loop's duration — the
-# documented trade-off of sizing checkpointed rounds via session conf.
-_SHUFFLE_CONF_LOCK = threading.Lock()
+def _graph_partitions(spark, n_edges: int, per_part: int = 250_000) -> int:
+    """Shuffle width for the connected-components rounds, sized to the
+    GRAPH instead of the session default: the rounds' localCheckpoints
+    snapshot physical partitioning, so AQE coalescing never shrinks
+    them, and a small pair graph on a wide session conf pays hundreds
+    of task launches per round for kilobytes of labels (measured 2x
+    whole-query cost at sf0.1). ~250k edges/partition keeps any
+    round's partition comfortably in-memory; the width grows linearly
+    with the edge count, so a 100 TB corpus' pair graph still gets its
+    thousands of partitions. The width is applied with EXPLICIT
+    .repartition(n, key) on the per-round frames — never by mutating
+    session-global spark.sql.shuffle.partitions, which would silently
+    narrow queries planned concurrently on other threads (r4 advice)."""
+    try:
+        default_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on some platforms
+        default_sp = 200
+    return max(2, min(default_sp, n_edges // per_part + 2))
 
 
 def md5h32(c: Column) -> Column:
@@ -299,22 +309,23 @@ def connected_components(
         .persist()
     )
     spark = pairs.sparkSession
-    # Size the per-round shuffles to the GRAPH, not the session default:
-    # the rounds' localCheckpoints snapshot physical partitioning, so
-    # AQE coalescing never shrinks them, and a small pair graph on a
-    # wide session conf pays hundreds of task launches per round for
-    # kilobytes of labels (measured 2x whole-query cost at sf0.1).
-    # ~250k edges/partition keeps any round's partition comfortably
-    # in-memory; the width grows linearly with the edge count, so a
-    # 100 TB corpus' pair graph still gets its thousands of partitions.
-    # Conf is session-scoped — restored in the finally; every round
-    # materializes inside this function, so no foreign query plans
-    # under the narrowed width unless planned concurrently.
     n_edges = edges.count()  # also materializes the cache
-    _SHUFFLE_CONF_LOCK.acquire()
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    n_part = max(2, min(int(old_sp), n_edges // 250_000 + 2))
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    n_part = _graph_partitions(spark, n_edges)
+    # dst-partitioned edge view, persisted once: every round's neighbor
+    # join then reads edges from cache already hash-partitioned on the
+    # join key, so the join re-shuffles only the LABEL side (the
+    # checkpointed labels frame scans as an ExistingRDD without
+    # partitioning metadata — verified in the executed plan: edge side
+    # sorts in place, no Exchange). A round therefore pays two
+    # label-sized exchanges (join side + the explicit repartition
+    # before the groupBy) and ZERO edge shuffles — strictly better
+    # than the former session-conf narrowing, which re-shuffled edges
+    # every round AND leaked a narrowed width to concurrently-planned
+    # queries (r4 advice). The explicit repartition trades away the
+    # groupBy's pre-shuffle combine, but that combine only compressed
+    # label rows ~2x while the conf mutation cost a lock and global
+    # state — label rows are the cheapest bytes in the job.
+    edges_j = edges.repartition(n_part, "dst").persist()
     # init = round one fused: label(u) = min(u, min neighbor) straight
     # off the edge list (one groupBy), instead of identity labels plus a
     # full propagate round. Small dense near-dup components (pairs,
@@ -323,7 +334,7 @@ def connected_components(
     # old-label side, count) but a lazy localCheckpoint materializes
     # once at the first action and is reused — folding the init job
     # into round 1's count saves one whole job per call.
-    labels = (edges.groupBy("src")
+    labels = (edges.repartition(n_part, "src").groupBy("src")
               .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
               .select(F.col("src").alias("id"), "label")
               .localCheckpoint(eager=False))
@@ -337,7 +348,7 @@ def connected_components(
             # new-vs-old join stage per round. Every node appears in
             # `labels` (init covers all srcs, and edges are symmetric),
             # so old_label is never null.
-            nbr = edges.join(
+            nbr = edges_j.join(
                 labels.select(F.col("id").alias("dst"), "label"), "dst"
             ).select(F.col("src").alias("id"), "label",
                      F.lit(False).alias("is_old"))
@@ -346,6 +357,7 @@ def connected_components(
             # — eager=True would spend an extra job per round
             agg = (
                 labels.withColumn("is_old", F.lit(True)).unionByName(nbr)
+                .repartition(n_part, "id")
                 .groupBy("id").agg(
                     F.min("label").alias("label"),
                     F.max(F.when(F.col("is_old"), F.col("label")))
@@ -371,8 +383,7 @@ def connected_components(
         return labels.select(F.col("id").alias("doc_id"),
                              F.col("label").alias("cluster_id"))
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        _SHUFFLE_CONF_LOCK.release()
+        edges_j.unpersist()
         edges.unpersist()
 
 
@@ -414,14 +425,16 @@ def connected_components_star(
              .unionByName(canon.select(F.col("dst").alias("id")))
              .distinct().persist())
     spark = pairs.sparkSession
-    # Edge-count-sized round shuffles, same rationale (and restore
-    # discipline) as connected_components: checkpointed rounds never
-    # benefit from AQE coalescing, so pick the width explicitly.
+    # Edge-count-sized round shuffles, same rationale as
+    # connected_components: checkpointed rounds never benefit from AQE
+    # coalescing, so pick the width explicitly — via per-frame
+    # repartition, never session conf (r4 advice). Each explicit
+    # repartition below is ALSO the round's only exchange for its
+    # half: hash-partitioning by src satisfies every downstream
+    # groupBy("src"), join on src, and (src, dst) distinct in that
+    # half, so Catalyst inserts no further shuffles.
     n_edges = canon.count()  # also materializes the cache
-    _SHUFFLE_CONF_LOCK.acquire()
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    n_part = max(2, min(int(old_sp), n_edges // 250_000 + 2))
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    n_part = _graph_partitions(spark, n_edges)
     cur = canon
     converged = False
     try:
@@ -430,13 +443,15 @@ def connected_components_star(
             # closed-neighborhood min m, emit (v, m) for each neighbor
             # v > u. Keeps edges canonical (src > dst) by construction.
             und = cur.unionByName(
-                cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+                cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).repartition(n_part, "src")
             mins = (und.groupBy("src").agg(F.min("dst").alias("mn"))
                     .select("src", F.least("src", "mn").alias("m")))
             lrg = (und.join(mins, "src")
                    .filter(F.col("dst") > F.col("src"))
                    .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
                    .filter(F.col("src") != F.col("dst"))
+                   .repartition(n_part, "src")
                    .distinct())
             # small-star on the (already src>dst) directed edges: node u
             # re-points its smaller neighbors (and itself) at its min.
@@ -445,6 +460,7 @@ def connected_components_star(
                    .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
                    .unionByName(mins2.select("src", F.col("m").alias("dst")))
                    .filter(F.col("src") != F.col("dst"))
+                   .repartition(n_part, "src")
                    .distinct()
                    .localCheckpoint(eager=True))
             delta = (sml.exceptAll(cur).count()
@@ -470,8 +486,6 @@ def connected_components_star(
                 .select(F.col("id").alias("doc_id"),
                         F.coalesce(F.col("dst"), F.col("id")).alias("cluster_id")))
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        _SHUFFLE_CONF_LOCK.release()
         canon.unpersist()
 
 

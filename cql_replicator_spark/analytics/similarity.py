@@ -521,7 +521,7 @@ def kmeans_quantized(
         F.expr(
             f"transform({vec_col}, v -> greatest(-127L, least(127L, "
             f"CAST(floor(CAST(v AS DOUBLE) * {int(scale)}) AS BIGINT))))"
-        ).alias("qv")).persist()  # read by every round; caller may clearCache
+        ).alias("qv")).persist()  # read by every round; unpersisted below
     head = q.select("qv").first()
     if head is None:
         raise ValueError("kmeans_quantized: corpus is empty")
@@ -570,7 +570,15 @@ def kmeans_quantized(
         new_cents.update(upd)  # empty clusters keep their previous centroid
         centroids = [new_cents[ci] for ci in range(int(k))]
 
-    return assign(q).select(F.col(id_col), "cluster_id")
+    # Materialize the final assignment (narrow id->cluster rows; the
+    # caller's first action would compute it anyway) so the quantized
+    # corpus cache can be released HERE instead of leaking into the
+    # session — long-lived registry/bench sessions previously
+    # accumulated one cached corpus copy per call (r4 advice).
+    out = (assign(q).select(F.col(id_col), "cluster_id")
+           .localCheckpoint(eager=True))
+    q.unpersist()
+    return out
 
 
 def semantic_dedup_pairs(
@@ -592,10 +600,11 @@ def semantic_dedup_pairs(
     bounded, exactly SemDeDup's recipe, and nothing is ever corpus x
     corpus. The cosine verify runs in the Arrow numpy batch UDF
     (quantized_cosine_np) over pair-count-shaped input."""
-    # persisted: the two self-join sides would otherwise each re-run
-    # the full clustering (including the pandas-UDF assignment pass).
-    # Narrow (id, cluster_id) rows; caller may clearCache after use.
-    clusters = kmeans_quantized(corpus, id_col, vec_col, k, rounds).persist()
+    # kmeans_quantized returns an eagerly checkpointed frame (narrow
+    # id->cluster rows), so the two self-join sides below read the
+    # materialized checkpoint — no extra persist needed, and nothing
+    # is left cached in the session (r4 advice).
+    clusters = kmeans_quantized(corpus, id_col, vec_col, k, rounds)
     withc = (corpus.select(F.col(id_col), F.col(vec_col))
              .join(clusters, id_col))
     a = withc.select(F.col("cluster_id"),

@@ -115,16 +115,27 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_count_bpe(_t(spark, sf_dir, "documents")["documents"])
 
 
+_STAGE_ROOT: str | None = None
+
+
 def _stage_dir(name: str) -> str:
-    """Reused per-query staging directory (replaces mkdtemp): repeated
-    harness runs overwrite one bounded location instead of leaking a
-    fresh table copy into /tmp per invocation. Cleared on entry so
+    """Per-query staging directory under a per-PROCESS mkdtemp root:
+    concurrent harness processes can't clobber each other's staged
+    files (mkdtemp is unpredictable and 0700, so no shared-/tmp
+    symlink or pre-create hazard either), while repeated runs within
+    one process reuse one bounded location. The root is removed
+    atexit; each query's subdir is additionally cleared on entry so
     file-source micro-batch counts stay deterministic."""
+    import atexit
     import os
     import shutil
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_stage", name)
+    global _STAGE_ROOT
+    if _STAGE_ROOT is None:
+        _STAGE_ROOT = tempfile.mkdtemp(prefix="spark_graft_stage_")
+        atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
+    d = os.path.join(_STAGE_ROOT, name)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
@@ -684,7 +695,6 @@ FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         "attributes; streamed append output equals the batch join",
 )
 def events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from .session import load_tables
@@ -723,7 +733,6 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         "equals the batch inequality join",
 )
 def events_conversion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from .session import load_tables
@@ -1717,7 +1726,6 @@ LEFT JOIN built b ON b.register_id = t.register_id
         "accumulate to exactly the batch-built register table",
 )
 def sketch_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from .analytics import sketch as SK
@@ -1935,8 +1943,6 @@ def _roundtrip_aggregate(df: DataFrame) -> DataFrame:
         "survive the round-trip exactly against the parquet oracle",
 )
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     docs = (_t(spark, sf_dir, "documents")["documents"]
             .select("doc_id", "text", "lang", "n_chars"))
     stage = _stage_dir("json_src")
@@ -1955,8 +1961,6 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate must still match the parquet oracle exactly",
 )
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     docs = (_t(spark, sf_dir, "documents")["documents"]
             .select("doc_id", "text", "lang", "n_chars"))
     stage = _stage_dir("csv_src")
