@@ -581,38 +581,92 @@ def kmeans_quantized(
     return out
 
 
+def adaptive_k(n: int, target_cluster_size: int = 1024,
+               k_floor: int = 8, k_cap: int = 65536) -> int:
+    """Cluster count for SemDeDup-style dedup, derived from the corpus:
+    k = ceil(n / target_cluster_size), floored (so tiny test corpora
+    keep a stable k and oracle results don't drift) and capped.
+
+    The cap exists because kmeans_quantized ships centroids to every
+    task as a k x dim literal/ndarray: at k_cap=65536 and dim=768
+    that's ~400 MB of int64 — the practical ceiling for a task
+    closure. Past the cap expected cluster size grows as n / k_cap,
+    and the SALTED within-cluster join below (not more centroids)
+    bounds the per-reducer pair work — so pair generation stays
+    bounded at any corpus size."""
+    if n <= 0:
+        return k_floor
+    import math
+    return min(k_cap, max(k_floor, math.ceil(n / max(1, target_cluster_size))))
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = None,
     rounds: int = 2,
     threshold: float = 0.95,
+    target_cluster_size: int = 1024,
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) end-to-end: k-means clusters bound
     the pair space, then exact quantized cosine keeps the true
     semantic near-dups — (id_a, id_b, cos), id_a < id_b, within-
     cluster only.
 
-    Scale shape: the within-cluster self-join is cluster-keyed (one
-    shuffle per side), so pair work is sum over clusters of
-    (|cluster| choose 2) — k grows with the corpus to keep |cluster|
-    bounded, exactly SemDeDup's recipe, and nothing is ever corpus x
-    corpus. The cosine verify runs in the Arrow numpy batch UDF
-    (quantized_cosine_np) over pair-count-shaped input."""
+    Scale shape: the within-cluster self-join is cluster-keyed, so
+    pair work is sum over clusters of (|cluster| choose 2). Two
+    mechanisms keep that bounded at any corpus size (SemDeDup's own
+    recipe — cluster counts grow with the corpus):
+      * k defaults to adaptive_k(n) = ceil(n / target_cluster_size),
+        floored/capped, instead of a fixed constant — a fixed k means
+        k shuffle keys and pair work degenerating toward n²/k;
+      * when the LARGEST cluster still exceeds target_cluster_size
+        (skewed corpora, or n past adaptive_k's cap), the self-join is
+        salted s ways: side A keeps one deterministic salt per row
+        (xxhash64 pmod s), side B replicates each row to all s salts,
+        so every unordered pair still meets exactly once while the
+        hottest reducer shrinks from |c|² to |c|²/s. Replication costs
+        s x |cluster| rows — linear, never quadratic.
+    The cosine verify runs in the Arrow numpy batch UDF
+    (quantized_cosine_np) over pair-count-shaped input.
+
+    salt_partitions: None = decide from the observed max cluster size;
+    an int forces s (1 disables salting), mainly for tests."""
+    n = corpus.count()
+    if k is None:
+        k = adaptive_k(n, target_cluster_size)
     # kmeans_quantized returns an eagerly checkpointed frame (narrow
     # id->cluster rows), so the two self-join sides below read the
     # materialized checkpoint — no extra persist needed, and nothing
     # is left cached in the session (r4 advice).
     clusters = kmeans_quantized(corpus, id_col, vec_col, k, rounds)
+    if salt_partitions is None:
+        maxc = (clusters.groupBy("cluster_id").count()
+                .agg(F.max("count")).first()[0]) or 0
+        s = min(64, max(1, -(-int(maxc) // max(1, target_cluster_size))))
+    else:
+        s = max(1, int(salt_partitions))
     withc = (corpus.select(F.col(id_col), F.col(vec_col))
              .join(clusters, id_col))
     a = withc.select(F.col("cluster_id"),
                      F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = withc.select(F.col("cluster_id"),
                      F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if s > 1:
+        # pair (x, y) meets exactly once: under x's salt from the A
+        # side (B carries y at every salt), as (x, y) or (y, x) — the
+        # id_a < id_b filter keeps exactly one orientation.
+        a = a.withColumn("salt", F.pmod(F.xxhash64(F.col("id_a")),
+                                        F.lit(s)).cast("int"))
+        b = b.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(s)])))
+        joined = a.join(b, ["cluster_id", "salt"])
+    else:
+        joined = a.join(b, "cluster_id")
     cos = quantized_cosine_np()
-    return (a.join(b, "cluster_id")
+    return (joined
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cos", cos(F.col("va"), F.col("vb")))
             .filter(F.col("cos") >= F.lit(float(threshold)))

@@ -1913,8 +1913,13 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
         "pair set, and the float cosine column are all oracle-checked",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k left to adaptive_k: ceil(n/1024) floored at 8 resolves to 8 at
+    # every test scale (embeddings <= 8192 rows through sf0.1), keeping
+    # the oracle's k=8 replica exact, while a production corpus grows k
+    # with n and salts oversized clusters — the registered query now
+    # exercises the same adaptive code path production would take.
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-    return S.semantic_dedup_pairs(emb, k=8, rounds=2, threshold=0.4)
+    return S.semantic_dedup_pairs(emb, rounds=2, threshold=0.4)
 
 
 _SOURCE_ROUNDTRIP_ORACLE = """

@@ -742,3 +742,60 @@ def test_semantic_dedup_finds_planted_duplicate(spark):
     assert (3, 999) in pairs
     # at 0.99 only the planted copy survives
     assert all(b == 999 and a == 3 for a, b in pairs), pairs
+
+
+def test_adaptive_k_floor_growth_cap():
+    from cql_replicator_spark.analytics.similarity import adaptive_k
+
+    assert adaptive_k(0) == 8
+    assert adaptive_k(500) == 8            # floor: tiny corpora stay stable
+    assert adaptive_k(8192) == 8
+    assert adaptive_k(8193) == 9           # grows as ceil(n/target)
+    assert adaptive_k(10_000_000) == 9766
+    assert adaptive_k(10**12) == 65536     # centroid-closure cap
+    assert adaptive_k(100, target_cluster_size=10, k_floor=2) == 10
+
+
+def test_semantic_dedup_salted_join_bounded(spark):
+    """Salting must change the JOIN SHAPE (bounded per-reducer pair
+    work for oversized clusters), not the RESULT: every within-cluster
+    pair still meets exactly once."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.analytics import similarity as S
+
+    # skewed corpus: 30 near-identical vectors (one giant cluster for
+    # k=2) + 6 far away
+    rows = [(i, [1.0 + 0.0001 * i, 0.0, 0.0, 0.0]) for i in range(30)]
+    rows += [(100 + i, [-1.0, 1.0 + 0.01 * i, 0.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    plain = S.semantic_dedup_pairs(df, k=2, rounds=1, threshold=0.99,
+                                   salt_partitions=1)
+    salted = S.semantic_dedup_pairs(df, k=2, rounds=1, threshold=0.99,
+                                    salt_partitions=4)
+    p = {(r["id_a"], r["id_b"]) for r in plain.collect()}
+    s = {(r["id_a"], r["id_b"]) for r in salted.collect()}
+    assert p == s and len(p) >= 30 * 29 // 2  # the giant cluster's pairs
+    # the salt column must actually be a join key in the salted plan
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "salt" in plan
+    assert "salt" not in plain._jdf.queryExecution().optimizedPlan().toString()
+
+    # auto mode: max cluster (30) > target_cluster_size (8) -> s>1
+    auto = S.semantic_dedup_pairs(df, k=2, rounds=1, threshold=0.99,
+                                  target_cluster_size=8)
+    assert {(r["id_a"], r["id_b"]) for r in auto.collect()} == p
+    assert "salt" in auto._jdf.queryExecution().optimizedPlan().toString()
+
+    # bounded-work arithmetic: side A of the salted join carries
+    # |cluster|/s rows per (cluster, salt) reducer key in expectation;
+    # verify the realized max key group is well under the unsalted
+    # |cluster| bound (30), i.e. the hot reducer actually shrank.
+    clusters = S.kmeans_quantized(df, k=2, rounds=1)
+    a_groups = (clusters
+                .withColumn("salt", F.pmod(F.xxhash64(F.col("vec_id")),
+                                           F.lit(4)).cast("int"))
+                .groupBy("cluster_id", "salt").count())
+    max_group = a_groups.agg(F.max("count")).first()[0]
+    assert max_group < 30, max_group
