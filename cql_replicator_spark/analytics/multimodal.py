@@ -53,10 +53,118 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def decode_image(data: bytes) -> object:
-    """Real decode — requires an image library (PIL/opencv), absent here."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv; install one and replace this stub")
+def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
+    """Container-header dimensions without any pixel codec: (format,
+    width, height) for PNG / BMP / GIF / JPEG, or None when the bytes
+    match no known container. Pure byte-offset arithmetic (PNG IHDR
+    big-endian u32s; BMP BITMAPINFOHEADER little-endian i32s, negative
+    height = top-down DIB; GIF logical-screen little-endian u16s; JPEG
+    marker walk to the first SOF segment) — this is the REAL metadata
+    half of image decode; only pixel decoding still needs PIL/opencv."""
+    if data is None or len(data) < 10:
+        return None
+    if (data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24
+            and data[12:16] == b"IHDR"):
+        return ("png", int.from_bytes(data[16:20], "big"),
+                int.from_bytes(data[20:24], "big"))
+    if data[:2] == b"BM" and len(data) >= 26:
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        return ("bmp", w, abs(h))
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif", int.from_bytes(data[6:8], "little"),
+                int.from_bytes(data[8:10], "little"))
+    if data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg = int.from_bytes(data[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return ("jpeg", int.from_bytes(data[i + 7:i + 9], "big"),
+                        int.from_bytes(data[i + 5:i + 7], "big"))
+            i += 2 + seg
+    return None
+
+
+def decode_image(data: bytes) -> dict:
+    """Minimal-real image decode: header metadata (format, width,
+    height) parses pure-Python via parse_image_header; PIXEL decoding
+    still requires an image library (PIL/opencv), absent here."""
+    hdr = parse_image_header(data)
+    if hdr is None:
+        raise NotImplementedError(
+            "unrecognized container or pixel decode requested: full image "
+            "decoding requires PIL/opencv; install one and replace this stub")
+    fmt, w, h = hdr
+    return {"format": fmt, "width": w, "height": h}
+
+
+HEADER_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def image_header_metadata(df: DataFrame) -> DataFrame:
+    """media binary -> (id, format, width, height) via Arrow-batched
+    mapInPandas over parse_image_header — the non-fake metadata path:
+    real dimensions from real container bytes, no image library.
+    Unrecognized payloads yield null metadata rather than failing the
+    batch. The binary column is projected away in the output, so
+    downstream stages shuffle 16-byte rows, not media."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hdrs = [parse_image_header(bytes(b)) if b is not None else None
+                    for b in pdf["media"]]
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "format": [h[0] if h else None for h in hdrs],
+                "width": pd.array([h[1] if h else None for h in hdrs],
+                                  dtype="Int32"),
+                "height": pd.array([h[2] if h else None for h in hdrs],
+                                   dtype="Int32"),
+            })
+
+    return df.select("id", "media").mapInPandas(run, schema=HEADER_SCHEMA)
+
+
+def synthesize_image_table(documents: DataFrame) -> DataFrame:
+    """Real container bytes from the documents table: even doc_ids get
+    a PNG (signature + IHDR, big-endian u32 dims; CRCs zeroed —
+    parse-valid, not render-valid), odd doc_ids a GIF89a logical
+    screen (little-endian u16 dims). Dimensions derive from the text
+    length so an oracle can recompute them arithmetically without a
+    parser. Byte assembly is all JVM-side concat/unhex codegen — the
+    table synthesizes distributed, no Python in this half."""
+    w = (F.length("text") % F.lit(1920) + F.lit(1)).cast("long")
+    h = (F.length("text") % F.lit(1080) + F.lit(1)).cast("long")
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def byte_at(c, shift):
+        return F.unhex(F.lpad(
+            F.hex(F.shiftright(c, shift).bitwiseAND(F.lit(255))), 2, "0"))
+
+    def le16(c):
+        return F.concat(byte_at(c, 0), byte_at(c, 8))
+
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"),
+        be32(w), be32(h),
+        F.lit(b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"))
+    gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00\x00\x00"))
+    return documents.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif).alias("media"))
 
 
 def decode_audio(data: bytes) -> object:

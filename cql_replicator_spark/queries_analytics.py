@@ -949,6 +949,31 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("frame")).alias("total_frame_bytes")))
 
 
+@register(
+    "multimodal_image_headers",
+    oracle="""
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+       CAST(length(text) % 1920 + 1 AS INTEGER) AS width,
+       CAST(length(text) % 1080 + 1 AS INTEGER) AS height
+FROM documents
+""",
+    doc="Minimal-REAL image decode (metadata half, no image library): "
+        "PNG IHDR / GIF89a container bytes are synthesized JVM-side "
+        "(concat/unhex codegen, dims derived from text length), then "
+        "parsed back by the pure-Python header parser in an Arrow "
+        "mapInPandas batch (multimodal.parse_image_header — the "
+        "upgraded decode_image path). The oracle recomputes the dims "
+        "arithmetically, so any encoder/parser disagreement on byte "
+        "order, offsets, or signatures mismatches. Media bytes stay "
+        "executor-side; the output is a 16-byte-row metadata frame",
+)
+def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.image_header_metadata(MM.synthesize_image_table(docs))
+
+
 # -- training-data prep: chunking, quantization, event feature windows -------
 
 @register(

@@ -799,3 +799,56 @@ def test_semantic_dedup_salted_join_bounded(spark):
                 .groupBy("cluster_id", "salt").count())
     max_group = a_groups.agg(F.max("count")).first()[0]
     assert max_group < 30, max_group
+
+
+def test_parse_image_header_formats():
+    from cql_replicator_spark.analytics.multimodal import (
+        decode_image, parse_image_header,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+    assert parse_image_header(png) == ("png", 640, 480)
+
+    bmp = (b"BM" + b"\x00" * 12 + (40).to_bytes(4, "little")
+           + (800).to_bytes(4, "little")
+           + (-600).to_bytes(4, "little", signed=True))
+    assert parse_image_header(bmp) == ("bmp", 800, 600)  # top-down DIB
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert parse_image_header(gif) == ("gif", 320, 200)
+
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            + b"\xff\xc0\x00\x11\x08"
+            + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+            + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    assert parse_image_header(jpeg) == ("jpeg", 640, 480)
+
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(b"") is None
+    assert decode_image(png) == {"format": "png", "width": 640, "height": 480}
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"garbage bytes here")
+
+
+def test_image_header_metadata_roundtrip(spark):
+    """Synthesized container bytes -> parser must recover the exact dims
+    the synthesizer encoded (the use_fake=False metadata path)."""
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.analytics import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (7 + 13 * i)) for i in range(20)], ["doc_id", "text"])
+    out = MM.image_header_metadata(MM.synthesize_image_table(docs))
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 20
+    for i in range(20):
+        n = 7 + 13 * i
+        r = rows[i]
+        assert r["format"] == ("png" if i % 2 == 0 else "gif")
+        assert r["width"] == n % 1920 + 1
+        assert r["height"] == n % 1080 + 1
