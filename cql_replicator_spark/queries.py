@@ -1223,50 +1223,84 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness run covers a bounded window of the registry in
-# iteration order (observed ~50 rows/round vs 112 registered). Emit queries
-# in an explicit priority order so every round's window lands on the entries
-# with the least accumulated driver evidence: first the queries fixed or
-# whose implementation changed this round (q12 oracle BIGINT cast for
-# DuckDB's HUGEINT sums; sequence-packing integer `div`; contamination
-# join un-hinted), then everything whose last driver row predates r3,
-# then the r3-green long-stable remainder.
-_CHECK_PRIORITY: list[str] = [
-    # -- new this round --
-    "quality_repetition", "pii_redaction", "chunk_dedup_boilerplate",
-    "mixture_weights_lang", "quality_unigram_logprob",
-    "token_length_histogram", "sketch_quantile_histogram",
-    "events_funnel", "orders_retention_cohorts", "zorder_layout_key",
-    "bloom_join_prefilter", "sketch_hll_stream", "cdc_curated_inserts",
-    "embedding_kmeans_clusters", "dedup_semantic", "cdc_apply_changes",
-    "events_session_window_native", "source_json_roundtrip",
-    "source_csv_roundtrip", "cdc_stats_drift", "partitioned_write_pruning",
-    "parquet_agg_pushdown",
-    # -- fixed or touched this round (re-verify first) --
-    "q12_priority_lines", "sequence_packing", "decontaminate_splits",
-    "sketch_cms_frequency", "dedup_simhash_pairs", "dedup_clusters",
-    "dedup_minhash_lsh",
-    # -- last driver row is r1/r2 (stalest evidence) --
-    "multimodal_features", "events_sessionize_stateful", "events_sessionize",
-    "curate_documents", "dedup_exact_groups", "cdc_union_distinct",
-    "cdc_changes_composite_pk", "reconcile_counts", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q18_large_volume_customers", "pk_hash_transforms", "tile_histogram_mod",
-    "tile_histogram_xxhash64", "filter_expression_subset", "pit_filter_events",
-    "writetime_greatest", "column_stats_orders", "events_windowed_agg",
-    "customer_spend_rank", "events_props_json", "ttl_filter_orders",
-    "counter_hash_changes", "resize_tiles_count_invariant", "row_size_totals",
-    "scalar_codecs", "varint_overflow_scan", "udt_to_json",
-    "timestamp_normalize", "column_compression_roundtrip", "skew_salted_join",
-    "text_metrics", "text_token_count", "text_language_id", "doc_fingerprint",
-    "dataset_hash_split", "stratified_sample_by_split", "text_term_stats",
-    "text_tfidf",
+# iteration order (observed ~50 rows/round vs 113 registered). Emit queries
+# in a priority order so every round's window lands on the entries with the
+# least accumulated driver evidence. The rule used to be a hand-maintained
+# list that could silently rot; it is now COMPUTED from the committed
+# CORRECTNESS_r*.json artifacts: queries new or implementation-touched this
+# round first (the one remaining per-round manual input, below), then
+# everything else stalest-evidence-first. tests/test_oracle.py asserts the
+# computed order actually has this shape.
+_TOUCHED_THIS_ROUND: list[str] = [
+    # r5: new or implementation-touched — re-verify at the window's front
+    "multimodal_image_headers",   # new: container-header parse round-trip
+    "dedup_clusters",             # CC conf-mutation -> explicit repartition
+    "dedup_semantic",             # adaptive k + salted within-cluster join
+    "embedding_kmeans_clusters",  # kmeans final-assignment checkpoint
+    "source_json_roundtrip",      # staging-dir relocation (mkdtemp root)
+    "source_csv_roundtrip",
+    "sketch_hll_stream",
+    "events_enriched_stream",
+    "events_conversion_stream",
 ]
+
+
+def _driver_evidence_rounds() -> dict[str, int]:
+    """Latest driver round with green evidence per query, parsed from the
+    committed CORRECTNESS_r*.json artifacts at the repo root. Green =
+    rows/schema/hash all matched, or the driver's structural 'no_oracle'
+    row (the expected weaker evidence for non-SQL-expressible queries).
+    Failed rows never count. Queries absent from every file map to no
+    entry (treated as stalest of all)."""
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (row.get("rows_match") and row.get("schema_match")
+                     and row.get("hash_match") and not row.get("err"))
+            no_oracle = row.get("err") == "no_oracle"
+            if green or no_oracle:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+_PRIORITY_CACHE: list[str] | None = None
+
+
+def _check_priority() -> list[str]:
+    global _PRIORITY_CACHE
+    if _PRIORITY_CACHE is None:
+        _ensure_all_registered()
+        evidence = _driver_evidence_rounds()
+        touched = [n for n in _TOUCHED_THIS_ROUND if n in REGISTRY]
+        seen = set(touched)
+        rest = [n for n in REGISTRY if n not in seen]
+        # stalest first; name tiebreak keeps the order deterministic
+        rest.sort(key=lambda n: (evidence.get(n, -1), n))
+        _PRIORITY_CACHE = touched + rest
+    return _PRIORITY_CACHE
 
 
 def _ordered_registry() -> dict[str, QuerySpec]:
     _ensure_all_registered()
     ordered: dict[str, QuerySpec] = {}
-    for name in _CHECK_PRIORITY:
+    for name in _check_priority():
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     for name, spec in REGISTRY.items():

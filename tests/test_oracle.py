@@ -77,15 +77,36 @@ def test_entry_smoke(spark):
 
 
 def test_check_priority_order_is_valid():
-    """The driver checks a bounded window of queries() in iteration order;
-    _CHECK_PRIORITY front-loads the least-verified entries. Every priority
-    name must exist, be unique, and actually lead the emitted ordering —
-    a typo here would silently burn a correctness slot."""
+    """The driver checks a bounded ~50-query window of queries() in
+    iteration order. The ordering rule (touched-this-round first, then
+    stalest-driver-evidence first) is COMPUTED from the committed
+    CORRECTNESS_r*.json artifacts — this test pins the rule's shape so
+    neither a typo in _TOUCHED_THIS_ROUND nor a regression in the
+    computation can silently burn correctness slots."""
     from cql_replicator_spark import queries as Q
-    pri = Q._CHECK_PRIORITY
+
     reg = Q.queries()
-    assert len(pri) == len(set(pri)), "duplicate names in _CHECK_PRIORITY"
-    missing = [n for n in pri if n not in reg]
-    assert not missing, f"_CHECK_PRIORITY names not registered: {missing}"
-    assert list(reg)[: len(pri)] == pri
+    order = list(reg)
     assert set(reg) == set(Q.REGISTRY), "ordering must not drop entries"
+    assert len(order) == len(set(order)), "duplicate names in ordering"
+
+    touched = Q._TOUCHED_THIS_ROUND
+    missing = [n for n in touched if n not in Q.REGISTRY]
+    assert not missing, f"_TOUCHED_THIS_ROUND names not registered: {missing}"
+    assert order[: len(touched)] == touched, \
+        "touched-this-round queries must lead the driver window"
+
+    # stalest-first beyond the touched block: no query outside the
+    # 50-row driver window may have STALER evidence than one inside it
+    evidence = Q._driver_evidence_rounds()
+    window, rest = order[len(touched):50], order[50:]
+    if window and rest:
+        assert max(evidence.get(n, -1) for n in window) \
+            <= min(evidence.get(n, -1) for n in rest), \
+            "driver window skipped a staler query"
+
+    # queries with NO driver evidence at all (brand-new) must be in the
+    # window — they are the least-verified entries by definition
+    never = [n for n in Q.REGISTRY if n not in evidence]
+    out = [n for n in never if n not in order[:50]]
+    assert not out, f"never-driver-checked queries outside the window: {out}"
