@@ -90,6 +90,8 @@ HEADLINE = [
     "cdc_curated_inserts",
     "cdc_stats_drift",
     "events_session_window_native",
+    "multimodal_image_headers",
+    "multimodal_audio_headers",
 ]
 
 
@@ -138,13 +140,19 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }))
+    }
+    print(json.dumps(result))
+    # The driver records only a bounded stdout tail (r4's got truncated
+    # mid-JSON); persist the full result object so every round's bench
+    # is machine-readable from the repo itself.
+    (Path(__file__).resolve().parent / "bench_result.json").write_text(
+        json.dumps(result, indent=1) + "\n")
     spark.stop()
 
 

@@ -1234,6 +1234,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOUCHED_THIS_ROUND: list[str] = [
     # r5: new or implementation-touched — re-verify at the window's front
     "multimodal_image_headers",   # new: container-header parse round-trip
+    "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "dedup_clusters",             # CC conf-mutation -> explicit repartition
     "dedup_semantic",             # adaptive k + salted within-cluster join
     "embedding_kmeans_clusters",  # kmeans final-assignment checkpoint

@@ -974,6 +974,31 @@ def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_header_metadata(MM.synthesize_image_table(docs))
 
 
+@register(
+    "multimodal_audio_headers",
+    oracle="""
+SELECT doc_id AS id, 'wav' AS format,
+       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+       CAST(8000 + (length(text) % 8) * 1000 AS INTEGER) AS sample_rate,
+       CAST(length(text) * 1000 // (8000 + (length(text) % 8) * 1000)
+            AS BIGINT) AS duration_ms
+FROM documents
+""",
+    doc="Minimal-real audio decode (metadata half): PCM WAV containers "
+        "synthesized JVM-side (RIFF/fmt/data chunk layout, little-endian "
+        "codegen byte assembly), then chunk-walked back by the pure-"
+        "Python parser in an Arrow mapInPandas batch (multimodal."
+        "parse_audio_header — the upgraded decode_audio path). Duration "
+        "oracle uses the algebraic identity (len*block*1000) div "
+        "(rate*block) = (len*1000) div rate, so parser and synthesizer "
+        "must agree on every chunk field to match",
+)
+def multimodal_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.audio_header_metadata(MM.synthesize_audio_table(docs))
+
+
 # -- training-data prep: chunking, quantization, event feature windows -------
 
 @register(

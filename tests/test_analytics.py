@@ -852,3 +852,53 @@ def test_image_header_metadata_roundtrip(spark):
         assert r["format"] == ("png" if i % 2 == 0 else "gif")
         assert r["width"] == n % 1920 + 1
         assert r["height"] == n % 1080 + 1
+
+
+def test_parse_audio_header_wav():
+    from cql_replicator_spark.analytics.multimodal import (
+        decode_audio, parse_audio_header,
+    )
+
+    def wav(ch, rate, n_frames, with_payload=True):
+        block = ch * 2
+        data_size = n_frames * block
+        out = (b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+               + b"fmt " + (16).to_bytes(4, "little")
+               + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate * block).to_bytes(4, "little")
+               + block.to_bytes(2, "little") + (16).to_bytes(2, "little")
+               + b"data" + data_size.to_bytes(4, "little"))
+        return out + (b"\x00" * data_size if with_payload else b"")
+
+    assert parse_audio_header(wav(2, 44100, 44100)) == ("wav", 2, 44100, 1000)
+    assert parse_audio_header(wav(1, 8000, 4000)) == ("wav", 1, 8000, 500)
+    # truncated payload (header-only synth): size field still rules
+    assert parse_audio_header(wav(1, 8000, 4000, with_payload=False)) \
+        == ("wav", 1, 8000, 500)
+    assert parse_audio_header(b"RIFFxxxxAVI LIST") is None
+    assert parse_audio_header(b"\x89PNG\r\n\x1a\n--") is None
+    assert decode_audio(wav(2, 16000, 16000)) == {
+        "format": "wav", "channels": 2, "sample_rate": 16000,
+        "duration_ms": 1000}
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"not audio")
+
+
+def test_audio_header_metadata_roundtrip(spark):
+    from cql_replicator_spark.analytics import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, "y" * (11 + 31 * i)) for i in range(16)], ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           MM.audio_header_metadata(MM.synthesize_audio_table(docs)).collect()}
+    assert len(out) == 16
+    for i in range(16):
+        n = 11 + 31 * i
+        r = out[i]
+        rate = 8000 + (n % 8) * 1000
+        assert r["format"] == "wav"
+        assert r["channels"] == i % 2 + 1
+        assert r["sample_rate"] == rate
+        assert r["duration_ms"] == n * 1000 // rate
