@@ -722,6 +722,52 @@ def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_range_join_windows",
+    oracle="""
+WITH w AS (
+  SELECT o_orderkey AS window_id,
+         o_orderdate AS lo, o_orderdate + INTERVAL 3 DAY AS hi
+  FROM orders WHERE o_orderkey % 499 = 0
+)
+SELECT w.window_id,
+       count(*) AS n_lines,
+       count(DISTINCT l.l_suppkey) AS n_suppliers,
+       min(l.l_orderkey) AS min_orderkey,
+       max(l.l_orderkey) AS max_orderkey
+FROM w JOIN lineitem l ON l.l_shipdate >= w.lo AND l.l_shipdate < w.hi
+GROUP BY w.window_id
+""",
+    doc="Point-in-interval range join (temporal.range_join): lineitem "
+        "ship dates matched into 3-day windows anchored at a sampled "
+        "subset of orders, then aggregated per window. A bare "
+        "inequality join plans as BroadcastNestedLoopJoin — "
+        "O(|lineitem| x |windows|); the bucketed form quantizes time "
+        "into interval-length buckets so the pairing is a plain "
+        "equi-join Catalyst shuffles normally, with the exact "
+        "containment filter after. All-integer outputs keep the "
+        "DuckDB inequality-join oracle byte-exact",
+)
+def lineitem_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .temporal import range_join
+
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    three_days = 3 * 86400
+    windows = (t["orders"].filter(F.col("o_orderkey") % 499 == 0)
+               .select(F.col("o_orderkey").alias("window_id"),
+                       F.unix_timestamp("o_orderdate").alias("lo"),
+                       (F.unix_timestamp("o_orderdate") + three_days).alias("hi")))
+    points = t["lineitem"].select(
+        "l_orderkey", "l_suppkey", F.unix_timestamp("l_shipdate").alias("p"))
+    joined = range_join(points, windows, "p", "lo", "hi",
+                        bucket_width=three_days)
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"))
+
+
+@register(
     "events_sessionize",
     oracle="""
 WITH ordered AS (
@@ -1233,6 +1279,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computed order actually has this shape.
 _TOUCHED_THIS_ROUND: list[str] = [
     # r5: new or implementation-touched — re-verify at the window's front
+    "lineitem_range_join_windows",  # new: bucketed point-in-interval join
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "dedup_clusters",             # CC conf-mutation -> explicit repartition

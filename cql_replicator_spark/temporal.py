@@ -1,4 +1,5 @@
-"""Temporal joins: as-of (point-in-time) enrichment.
+"""Temporal joins: as-of (point-in-time) enrichment and bucketed
+point-in-interval range joins.
 
 Spark has no native ASOF JOIN (DuckDB/Pandas do); the naive
 formulations both fail at scale — a range-condition join
@@ -91,3 +92,69 @@ def asof_join(
         result = result.withColumn(matched_ts_col, F.col("__rts"))
         out.append(matched_ts_col)
     return result.select(*out)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    on: list[str] | None = None,
+    max_span_buckets: int = 4096,
+) -> DataFrame:
+    """Inner join each point row to every interval row whose half-open
+    range ``[lo, hi)`` contains it (optionally also equi-keyed on
+    ``on``), without a nested-loop plan.
+
+    Spark turns a bare inequality join condition into a
+    BroadcastNestedLoopJoin — O(|points| x |intervals|) work and an
+    entire side broadcast, which is exactly what dies first at 100 TB.
+    The scale-correct shape is BUCKETING: quantize the domain into
+    buckets of ``bucket_width``; a point falls in exactly one bucket, an
+    interval covers ``len/width + 1`` consecutive buckets (exploded via
+    ``sequence``), and pairing becomes a plain equi-join on
+    ``(bucket, *on)`` that Catalyst shuffles/broadcasts like any other,
+    followed by the exact containment filter. Because the point's
+    bucket is unique, every qualifying (point, interval) pair emerges
+    exactly once — no post-join dedup.
+
+    Tuning: pick ``bucket_width`` near the TYPICAL interval length —
+    replication of the interval side is ``avg_len/width + 2`` while a
+    too-narrow width multiplies the build side and a too-wide width
+    degrades toward one giant bucket. Degenerate inputs (an interval
+    spanning more than ``max_span_buckets`` buckets) raise at runtime
+    via ``raise_error`` instead of silently exploding the join: at
+    scale you want the loud failure, not the 10^6-row explode.
+
+    Columns ``point_col``/``lo_col``/``hi_col`` must be numeric and in
+    the same unit (cast timestamps with ``unix_timestamp`` first).
+    Reference analogue: the reference only ever expresses equi/anti
+    joins (SURVEY §2.4 notes range joins as absent) — this extends the
+    join surface the Spark-native way.
+    """
+    keys = list(on or [])
+    overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        raise ValueError(f"ambiguous columns, rename first: {sorted(overlap)}")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    w = F.lit(bucket_width).cast("long")
+    p_b = points.withColumn("__rb", F.floor(F.col(point_col) / w))
+    span = (F.floor(F.col(hi_col) / w) - F.floor(F.col(lo_col) / w) + 1)
+    seq = F.sequence(F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w))
+    guarded = F.when(
+        span > F.lit(max_span_buckets),
+        F.raise_error(F.format_string(
+            "range_join: interval spans %s buckets (cap " +
+            str(max_span_buckets) + "); widen bucket_width", span)),
+    ).otherwise(seq)
+    i_b = intervals.withColumn("__rb", F.explode(guarded))
+    return (
+        p_b.join(i_b, on=["__rb", *keys], how="inner")
+        .filter((F.col(point_col) >= F.col(lo_col))
+                & (F.col(point_col) < F.col(hi_col)))
+        .drop("__rb")
+    )

@@ -417,6 +417,64 @@ def test_asof_join_payload_collision_raises(spark):
         asof_join(left, right, on="k")
 
 
+def test_range_join_exact_pairs(spark):
+    """Every (point, interval) containment pair exactly once — including
+    an interval straddling a bucket boundary (covers 2 buckets) and a
+    point matching two overlapping intervals; half-open [lo, hi)."""
+    from cql_replicator_spark.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 19), (4, 20), (5, 37)], "pid INT, p INT")
+    ivals = spark.createDataFrame(
+        [(100, 0, 10), (101, 8, 25), (102, 18, 20)], "iid INT, lo INT, hi INT")
+    out = sorted((r.pid, r.iid) for r in range_join(
+        points, ivals, "p", "lo", "hi", bucket_width=10).collect())
+    assert out == [
+        (1, 100),            # plain containment
+        (2, 101),            # hi exclusive: 10 not in [0,10)
+        (3, 101), (3, 102),  # overlapping intervals both match
+        (4, 101),            # 20 not in [18,20) but in [8,25)
+    ]                        # 37 matches nothing
+
+
+def test_range_join_keyed_and_guards(spark):
+    from cql_replicator_spark.temporal import range_join
+    from pyspark.errors import SparkRuntimeException
+
+    points = spark.createDataFrame(
+        [("a", 1, 5), ("b", 2, 5)], "k STRING, pid INT, p INT")
+    ivals = spark.createDataFrame(
+        [("a", 100, 0, 10)], "k STRING, iid INT, lo INT, hi INT")
+    out = [(r.k, r.pid, r.iid) for r in range_join(
+        points, ivals, "p", "lo", "hi", bucket_width=10, on=["k"]).collect()]
+    assert out == [("a", 1, 100)]  # key "b" never pairs despite containment
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        range_join(points.withColumnRenamed("pid", "iid"), ivals,
+                   "p", "lo", "hi", bucket_width=10, on=["k"])
+    # degenerate interval must fail loudly, not explode the build side
+    wide = spark.createDataFrame([(1, 0, 10_000)], "iid INT, lo INT, hi INT")
+    with pytest.raises(SparkRuntimeException, match="widen bucket_width"):
+        range_join(points.select("pid", "p"), wide, "p", "lo", "hi",
+                   bucket_width=1, max_span_buckets=100).collect()
+
+
+def test_range_join_plan_is_equi_join_not_bnlj(spark):
+    """The point of the bucketed form: the physical plan must contain NO
+    BroadcastNestedLoopJoin / CartesianProduct — the pairing rides a
+    normal equi-join that AQE can shuffle or broadcast."""
+    from cql_replicator_spark.temporal import range_join
+
+    points = spark.range(100).select(F.col("id").alias("p"))
+    ivals = spark.range(10).select(
+        F.col("id").alias("iid"), (F.col("id") * 10).alias("lo"),
+        (F.col("id") * 10 + 15).alias("hi"))
+    plan = range_join(points, ivals, "p", "lo", "hi", bucket_width=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 # -- bucketing -----------------------------------------------------------------
 
 def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
