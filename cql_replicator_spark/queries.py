@@ -1282,6 +1282,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "lineitem_range_join_windows",  # new: bucketed point-in-interval join
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
+    "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip
     "dedup_clusters",             # CC conf-mutation -> explicit repartition
     "dedup_semantic",             # adaptive k + salted within-cluster join
     "embedding_kmeans_clusters",  # kmeans final-assignment checkpoint

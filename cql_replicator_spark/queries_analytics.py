@@ -999,6 +999,33 @@ def multimodal_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_header_metadata(MM.synthesize_audio_table(docs))
 
 
+@register(
+    "multimodal_video_headers",
+    oracle="""
+SELECT doc_id AS id, 'mp4' AS format,
+       CAST(length(text) % 1280 + 1 AS INTEGER) AS width,
+       CAST(length(text) % 720 + 1 AS INTEGER) AS height,
+       CAST(length(text) * 25 * 1000 // (500 + doc_id % 500) AS BIGINT)
+         AS duration_ms
+FROM documents
+""",
+    doc="Minimal-real video decode (metadata half, completing the "
+        "image/audio/video triple): ISO-BMFF ftyp+moov[mvhd+trak[tkhd]] "
+        "containers synthesized JVM-side (big-endian codegen byte "
+        "assembly, every box size matching its bytes), then box-tree-"
+        "walked back by the pure-Python parser in an Arrow mapInPandas "
+        "batch (multimodal.parse_video_header — the upgraded "
+        "decode_video path). Movie timescale varies per doc and tick "
+        "duration with text length, so duration_ms = ticks*1000 div "
+        "timescale only matches if parser and synthesizer agree on "
+        "every mvhd field; dims round-trip through 16.16 fixed point",
+)
+def multimodal_video_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.video_header_metadata(MM.synthesize_video_table(docs))
+
+
 # -- training-data prep: chunking, quantization, event feature windows -------
 
 @register(

@@ -902,3 +902,66 @@ def test_audio_header_metadata_roundtrip(spark):
         assert r["channels"] == i % 2 + 1
         assert r["sample_rate"] == rate
         assert r["duration_ms"] == n * 1000 // rate
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def test_parse_video_header_mp4():
+    """Box-tree walk over handcrafted ISO-BMFF bytes, pinning BOTH box
+    versions: v0 (u32 times, the synthesizer's layout) and v1 (u64
+    creation/modification/duration, different field offsets)."""
+    from cql_replicator_spark.analytics.multimodal import (
+        decode_video, parse_video_header,
+    )
+
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4)
+
+    def mvhd_v0(ts, dur):
+        return _box(b"mvhd", b"\x00" * 12 + ts.to_bytes(4, "big")
+                    + dur.to_bytes(4, "big") + b"\x00" * 80)
+
+    def tkhd_v0(w, h):
+        return _box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+                    + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"))
+
+    v0 = ftyp + _box(b"moov", mvhd_v0(600, 1200) + _box(b"trak", tkhd_v0(1920, 1080)))
+    assert parse_video_header(v0) == ("mp4", 1920, 1080, 2000)
+
+    mvhd_v1 = _box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                   + (1000).to_bytes(4, "big") + (2500).to_bytes(8, "big")
+                   + b"\x00" * 80)
+    tkhd_v1 = _box(b"tkhd", b"\x01\x00\x00\x07" + b"\x00" * 84
+                   + (640 << 16).to_bytes(4, "big") + (480 << 16).to_bytes(4, "big"))
+    v1 = ftyp + _box(b"moov", mvhd_v1 + _box(b"trak", tkhd_v1))
+    assert parse_video_header(v1) == ("mp4", 640, 480, 2500)
+
+    assert parse_video_header(b"RIFFxxxxWAVE") is None        # wrong container
+    assert parse_video_header(ftyp) is None                   # no moov
+    assert parse_video_header(ftyp + _box(b"moov", b"")) is None
+    # corrupt size field (size < 8) must terminate the walk, not loop/throw
+    assert parse_video_header(ftyp + b"\x00\x00\x00\x02moov") is None
+    assert decode_video(v0) == {
+        "format": "mp4", "width": 1920, "height": 1080, "duration_ms": 2000}
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_video(b"not a video")
+
+
+def test_video_header_metadata_roundtrip(spark):
+    from cql_replicator_spark.analytics import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, "z" * (13 + 17 * i)) for i in range(16)], ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           MM.video_header_metadata(MM.synthesize_video_table(docs)).collect()}
+    assert len(out) == 16
+    for i in range(16):
+        n = 13 + 17 * i
+        r = out[i]
+        ts = 500 + i % 500
+        assert r["format"] == "mp4"
+        assert r["width"] == n % 1280 + 1
+        assert r["height"] == n % 720 + 1
+        assert r["duration_ms"] == n * 25 * 1000 // ts
