@@ -219,6 +219,48 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    sample_salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (top-k per group),
+    deterministic: the Efraimidis–Spirakis A-ES scheme — each row draws
+    u in (0,1) and ranks by u^(1/w); the top k ranks are a true
+    w-weighted sample. Here u derives from a hash of the id (plus
+    ``sample_salt``), not an RNG, so the sample is a pure function of
+    the data: stable across runs, partitionings, retries, and engines
+    — what quality-weighted corpus subsampling needs for reproducible
+    ablations (sample docs proportional to a quality score, never
+    twice).
+
+    Ranking uses ln(u)/w (monotone in u^(1/w), overflow-free); rows
+    with weight <= 0 are excluded by definition (they can never be
+    sampled). One window over (group, key): Spark's WindowGroupLimit
+    pushes the rank filter below the sort, so each input partition
+    pre-filters to k rows per group before the exchange — with
+    group_col=None this is the classic distributed top-k, shuffling
+    O(partitions x k) rows, not the table."""
+    from pyspark.sql.window import Window
+
+    from .dedup import md5h32
+    u = (md5h32(F.concat(F.lit(sample_salt), F.col(id_col).cast("string")))
+         + F.lit(0.5)) / F.lit(4294967296.0)
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("__wkey").desc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", F.log(u) / F.col(weight_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__wkey", "__rn")
+    )
+
+
 def term_stats(
     df: DataFrame,
     id_col: str = "doc_id",

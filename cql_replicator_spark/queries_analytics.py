@@ -480,6 +480,38 @@ def stratified_sample_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_docs",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln(({_md5h32_sql('CAST(doc_id AS VARCHAR)')} + 0.5) / 4294967296.0)
+           / n_chars AS wkey
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 5
+""",
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis "
+        "A-ES): 5 docs per language drawn proportional to n_chars, with "
+        "u from a hash of the id instead of an RNG — the sample is a "
+        "pure function of the data, reproducible across runs and "
+        "engines. Rank key ln(u)/w is monotone in u^(1/w); "
+        "WindowGroupLimit pre-filters each partition to k rows per "
+        "group before the exchange, so the shuffle carries "
+        "O(partitions x k x groups), not the corpus",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return TX.weighted_sample(
+        docs.select("doc_id", "lang", "n_chars"), "n_chars", k=5,
+        group_col="lang")
+
+
+@register(
     "text_term_stats",
     oracle="""
 WITH toks AS (

@@ -965,3 +965,31 @@ def test_video_header_metadata_roundtrip(spark):
         assert r["width"] == n % 1280 + 1
         assert r["height"] == n % 720 + 1
         assert r["duration_ms"] == n * 25 * 1000 // ts
+
+
+def test_weighted_sample_semantics(spark):
+    """A-ES weighted sampling: deterministic per salt, nonpositive
+    weights excluded, exactly k per group, and heavier rows actually
+    sampled more often (frequency across salts tracks weight)."""
+    from cql_replicator_spark.analytics.text import weighted_sample
+
+    rows = [(i, "g", 100.0 if i == 0 else 1.0) for i in range(10)]
+    rows += [(100, "h", 5.0), (101, "h", 5.0), (102, "h", 0.0), (103, "h", -2.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+
+    a = sorted(r.doc_id for r in weighted_sample(
+        df, "w", k=2, group_col="grp", sample_salt="x").collect())
+    b = sorted(r.doc_id for r in weighted_sample(
+        df, "w", k=2, group_col="grp", sample_salt="x").collect())
+    assert a == b, "same salt must reproduce the same sample"
+    assert len(a) == 4, "exactly k=2 per group"
+    assert not {102, 103} & set(a), "weight<=0 rows can never be sampled"
+
+    # distribution: doc 0 carries 100/109 of group g's weight, so across
+    # salts it should win the k=1 slot far more often than any peer
+    wins = sum(
+        1 for s in range(30)
+        if [r.doc_id for r in weighted_sample(
+            df.filter(F.col("grp") == "g"), "w", k=1,
+            sample_salt=str(s)).collect()] == [0])
+    assert wins >= 20, f"heavy row won only {wins}/30 draws"
