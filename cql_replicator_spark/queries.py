@@ -1281,6 +1281,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # r5: new or implementation-touched — re-verify at the window's front
     "lineitem_range_join_windows",  # new: bucketed point-in-interval join
     "weighted_sample_docs",         # new: A-ES weighted sampling
+    "source_orc_roundtrip",         # new: ORC source leg
+    "compact_small_files",          # new: bin-packing compaction
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

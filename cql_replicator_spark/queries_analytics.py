@@ -2086,6 +2086,49 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_orc_roundtrip",
+    oracle=_SOURCE_ROUNDTRIP_ORACLE,
+    doc="ORC source path: documents written as ORC (the other columnar "
+        "format Spark ships a vectorized reader for), read back and "
+        "aggregated; values must survive the round-trip exactly against "
+        "the parquet oracle. ORC carries its schema, so unlike the "
+        "JSON/CSV legs no explicit schema is needed — the read is "
+        "footer-driven like parquet, with the same pushdown/pruning "
+        "machinery at scale",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (_t(spark, sf_dir, "documents")["documents"]
+            .select("doc_id", "text", "lang", "n_chars"))
+    stage = _stage_dir("orc_src")
+    docs.write.mode("overwrite").orc(stage)
+    return _roundtrip_aggregate(spark.read.orc(stage))
+
+
+@register(
+    "compact_small_files",
+    oracle=_SOURCE_ROUNDTRIP_ORACLE,
+    doc="Small-file compaction (parquet_sink.compact_parquet): the "
+        "documents table deliberately fragmented into 64 splinter files, "
+        "then bin-packed by actual on-disk bytes into ~target-size files "
+        "and read back — content must survive exactly. Small files are "
+        "the classic 100 TB operational wound (driver-side listing, "
+        "footer-per-file overhead, task-per-file scheduling); the "
+        "compactor sizes the output from driver-side file METADATA only "
+        "(no data read) and coalesces without a shuffle",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sinks.parquet_sink import compact_parquet
+
+    docs = (_t(spark, sf_dir, "documents")["documents"]
+            .select("doc_id", "text", "lang", "n_chars"))
+    frag = _stage_dir("compact_frag")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    out = _stage_dir("compact_out")
+    compact_parquet(spark, frag, out, target_bytes=1 << 20)
+    return _roundtrip_aggregate(spark.read.parquet(out))
+
+
+@register(
     "partitioned_write_pruning",
     oracle="""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -92,3 +92,53 @@ def bulk_replicate_to_parquet(
     out_dir = os.path.join(root, keyspace, table, str(tile), op, batch_id)
     write_with_size_control(hydrated, out_dir, num_partitions=n_parts)
     return out_dir
+
+
+def parquet_dir_stats(spark, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of the data files under a parquet dir —
+    driver-side Hadoop FileSystem METADATA listing only, no data read.
+    Works for any fs:// scheme Spark can reach (local, s3a, hdfs)."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    n = total = 0
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = DEFAULT_TARGET_FILE_MB * 1024 * 1024,
+    shuffle: bool = False,
+) -> int:
+    """Bin-pack a fragmented parquet directory into ceil(total/target)
+    files; returns the output file count. The size-controlled-writer
+    family (K:2224-2231, P:698-732) sizes a FIRST write; this is the
+    maintenance half — the reference's 2-minute incremental backups
+    (README.MD:83-90) accrete splinter files that at 100 TB mean
+    footer-per-file reads, task-per-file scheduling, and driver-side
+    listing pain, so periodic compaction is part of operating the sink.
+
+    The output count comes from actual on-disk (compressed) bytes via a
+    driver metadata listing — no data scan, no row-size model error.
+    Default is ``coalesce`` (map-side merge, NO shuffle: adjacent
+    splinters concatenate into tasks); pass ``shuffle=True`` when the
+    splinters are pathologically skewed and balanced outputs are worth
+    one shuffle of the data."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    n_files, total = parquet_dir_stats(spark, src_dir)
+    if n_files == 0:
+        raise ValueError(f"no parquet data files under {src_dir}")
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(src_dir)
+    out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    (out.write.mode("overwrite")
+        .option("compression", "snappy").parquet(dst_dir))
+    return n_out

@@ -601,3 +601,50 @@ def test_incremental_flush_over_multi_stage_write(spark, tmp_path):
     st = store.get("ks", "t", 0, "replication")
     assert st["insertedPrimaryKeys"] == 100   # aggregated deltas == exact total
     assert st["primaryKeys"] == 100
+
+
+# -- small-file compaction ----------------------------------------------------
+
+def test_compact_parquet_bin_packs_by_bytes(spark, tables, tmp_path):
+    """64 splinter files -> ceil(total_bytes/target) files with content
+    intact; the output count must come from real on-disk bytes (no
+    row-size model), and the no-shuffle default must equal the
+    shuffle=True variant in content."""
+    from cql_replicator_spark.sinks.parquet_sink import (
+        compact_parquet, parquet_dir_stats,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    frag = str(tmp_path / "frag")
+    docs.repartition(64).write.parquet(frag)
+    n_in, total = parquet_dir_stats(spark, frag)
+    assert n_in == 64
+
+    out = str(tmp_path / "out")
+    target = max(1, total // 3)          # expect ~3-4 files
+    n_out = compact_parquet(spark, frag, out, target_bytes=target)
+    assert n_out == -(-total // target)  # ceil from actual bytes
+    n_files, _ = parquet_dir_stats(spark, out)
+    assert n_files == n_out < n_in
+
+    back = spark.read.parquet(out)
+    assert sorted(tuple(r) for r in back.collect()) \
+        == sorted(tuple(r) for r in docs.collect())
+
+    shuf = str(tmp_path / "shuf")
+    compact_parquet(spark, frag, shuf, target_bytes=target, shuffle=True)
+    assert sorted(tuple(r) for r in spark.read.parquet(shuf).collect()) \
+        == sorted(tuple(r) for r in docs.collect())
+
+
+def test_compact_parquet_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from cql_replicator_spark.sinks.parquet_sink import compact_parquet
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(ValueError, match="no parquet data files"):
+        compact_parquet(spark, str(empty), str(tmp_path / "x"))
+    with _pytest.raises(ValueError, match="target_bytes"):
+        compact_parquet(spark, str(empty), str(tmp_path / "x"), target_bytes=0)
