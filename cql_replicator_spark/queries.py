@@ -1283,6 +1283,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "weighted_sample_docs",         # new: A-ES weighted sampling
     "source_orc_roundtrip",         # new: ORC source leg
     "compact_small_files",          # new: bin-packing compaction
+    "orders_spend_trend",           # new: SQL:2003 regression aggregates
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

@@ -1747,6 +1747,45 @@ def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_spend_trend",
+    oracle="""
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(regr_slope(o_totalprice,
+             date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)), 6)
+         AS slope_per_day,
+       round(regr_intercept(o_totalprice,
+             date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)), 4)
+         AS baseline_price
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 8 AND count(DISTINCT o_orderdate) >= 2
+""",
+    doc="Per-customer spend trend via the SQL:2003 linear-regression "
+        "aggregates (regr_slope/regr_intercept), x = days since a fixed "
+        "epoch: one map-side-combined groupBy, all-codegen, no window "
+        "and no second pass — the co-moment formulation both engines "
+        "implement keeps cancellation error ~1e-14 so the rounded "
+        "doubles hash-match. Customers need >=8 orders on >=2 distinct "
+        "dates (slope undefined at zero date variance)",
+)
+def orders_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    x = F.datediff("o_orderdate", F.lit("1995-01-01")).cast("double")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_orders"),
+             F.round(F.regr_slope(F.col("o_totalprice"), x), 6)
+              .alias("slope_per_day"),
+             F.round(F.regr_intercept(F.col("o_totalprice"), x), 4)
+              .alias("baseline_price"),
+             F.countDistinct("o_orderdate").alias("__nd"))
+        .filter((F.col("n_orders") >= 8) & (F.col("__nd") >= 2))
+        .drop("__nd")
+    )
+
+
 def _zvalue_sql(x: str, y: str, bits: int = 10) -> str:
     terms = []
     for i in range(bits):
