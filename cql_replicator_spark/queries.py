@@ -1284,6 +1284,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "source_orc_roundtrip",         # new: ORC source leg
     "compact_small_files",          # new: bin-packing compaction
     "orders_spend_trend",           # new: SQL:2003 regression aggregates
+    "ivm_grouped_refresh",          # new: delta-based aggregate refresh
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip
@@ -1375,6 +1376,37 @@ def _ensure_all_registered() -> None:
     """Pull in the analytics registrations (import has the side effect)."""
     from . import queries_analytics  # noqa: F401
     from . import queries_tpch  # noqa: F401
+
+
+@register(
+    "ivm_grouped_refresh",
+    oracle=f"""
+WITH {_CDC_BASE_SQL}
+SELECT pk % 100 AS grp,
+       CAST(sum(ts) AS BIGINT) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n
+FROM t1 GROUP BY pk % 100
+""",
+    doc="Incremental view maintenance (ivm.py): a per-group sum/count "
+        "aggregate built on snapshot T0 is refreshed to T1 using ONLY "
+        "the change set — per changed key +new-old into its group, then "
+        "one change-sized merge join into the previous state; the base "
+        "table is never rescanned. The oracle recomputes the aggregate "
+        "directly from T1, so the incremental path must land on exactly "
+        "the recompute's answer (including groups whose count hits "
+        "zero disappearing). The 100 TB point: after a 0.1%%-changed "
+        "discovery cycle the refresh costs O(changes), not O(table)",
+)
+def ivm_grouped_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ivm import change_deltas, refresh_aggregate
+
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+    g = (F.col("pk") % 100).alias("grp")
+    t0g, t1g = t0.select("pk", "ts", g), t1.select("pk", "ts", g)
+    state0 = t0g.groupBy("grp").agg(
+        F.sum("ts").alias("sum_v"), F.count("*").cast("long").alias("n"))
+    deltas = change_deltas(t1g, t0g, ["pk"], ["grp"], "ts")
+    return refresh_aggregate(state0, deltas, ["grp"])
 
 
 @register(

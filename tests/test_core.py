@@ -538,3 +538,52 @@ def test_apply_changes_roundtrip_and_delete_only(spark):
     cs2 = compute_changes(curr=t2, prev=t1, pk_cols=["pk"])
     assert ({(r.pk, r.ts) for r in apply_changes(t1, cs2, ["pk"]).collect()}
             == {(r.pk, r.ts) for r in t2.collect()})
+
+
+# -- incremental view maintenance ---------------------------------------------
+
+def test_ivm_refresh_matches_recompute(spark):
+    """Delta-based refresh must equal a direct recompute under every
+    change species: insert, delete, in-group value update, group-MOVE
+    update, null values, and a group whose last row disappears."""
+    from cql_replicator_spark.ivm import change_deltas, refresh_aggregate
+
+    prev = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40),
+         (5, "b", None), (6, "d", 60)],
+        "pk INT, grp STRING, v INT")
+    curr = spark.createDataFrame(
+        [(1, "a", 10),            # unchanged
+         (2, "a", 25),            # in-group update
+         (3, "c", 30),            # group move b -> c
+         (5, "b", 50),            # null -> value update
+         (7, "e", 70),            # insert (new group)
+         ],                        # 4 deleted (c loses a row), 6 deleted (d empties)
+        "pk INT, grp STRING, v INT")
+
+    state0 = prev.groupBy("grp").agg(
+        F.sum("v").alias("sum_v"), F.count("*").alias("n"))
+    deltas = change_deltas(curr, prev, ["pk"], ["grp"], "v")
+    got = {r.grp: (r.sum_v, r.n) for r in
+           refresh_aggregate(state0, deltas, ["grp"]).collect()}
+    want = {r.grp: (r.sum_v, r.n) for r in
+            curr.groupBy("grp").agg(
+                F.sum("v").alias("sum_v"), F.count("*").alias("n")).collect()}
+    assert got == want
+    assert "d" not in got, "emptied group must disappear like a recompute"
+
+
+def test_ivm_deltas_are_change_sized(spark):
+    """The delta frame must collapse to touched groups only — unchanged
+    keys contribute nothing (the whole point of the incremental path)."""
+    from cql_replicator_spark.ivm import change_deltas
+
+    prev = spark.createDataFrame(
+        [(i, i % 50, i * 10) for i in range(1000)], "pk INT, grp INT, v INT")
+    # touch exactly 3 keys in 2 distinct groups
+    curr = prev.withColumn(
+        "v", F.when(F.col("pk").isin(0, 50, 1), F.col("v") + 5)
+              .otherwise(F.col("v")))
+    rows = {r.grp: (r.d_sum, r.d_count) for r in
+            change_deltas(curr, prev, ["pk"], ["grp"], "v").collect()}
+    assert rows == {0: (10, 0), 1: (5, 0)}
