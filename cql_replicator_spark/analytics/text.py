@@ -219,6 +219,47 @@ def stratified_sample(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    segments: int = 1,
+) -> DataFrame:
+    """Token -> sorted posting list (the retrieval-index build as a
+    Spark job): one row per (token, segment) with the distinct doc ids
+    carrying that token, plus the token's global doc_freq.
+
+    The scale hazard of a naive ``groupBy(token).collect_list`` is the
+    posting ROW itself: a stopword's postings are corpus-sized, so one
+    reducer materializes one giant array. ``segments > 1`` is the
+    production shape — postings shard by ``id % segments`` so every
+    row is bounded at df/segments and heavy tokens parallelize across
+    reducers (the same segment layout Lucene-style engines use; readers
+    merge segments, which stay sorted). doc_freq comes from a window
+    sum over the already-aggregated (token, segment) rows — bounded at
+    tokens x segments, not corpus-sized."""
+    if segments < 1:
+        raise ValueError("segments must be >= 1")
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).distinct()
+    seg = (
+        toks.groupBy("token", F.pmod(F.col("id"), F.lit(segments)).alias("segment"))
+        .agg(F.sort_array(F.collect_list("id")).alias("postings"),
+             F.count("*").alias("seg_df"))
+    )
+    out = seg.withColumn(
+        "doc_freq",
+        F.sum("seg_df").over(Window.partitionBy("token")).cast("long"))
+    if min_df > 1:
+        out = out.filter(F.col("doc_freq") >= min_df)
+    return out.select("token", "segment", "postings", "doc_freq")
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

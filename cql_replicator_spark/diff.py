@@ -82,6 +82,36 @@ def compute_changes_tagged(
     return tagged.select(*out_cols)
 
 
+def compute_changes_envelope(
+    curr: DataFrame,
+    prev: DataFrame,
+    pk_cols: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC-feed envelope: op plus BEFORE and AFTER images of the change
+    column — the Debezium/Delta-CDF shape downstream consumers need to
+    apply, invert, or audit changes (inserts have a null before-image,
+    deletes a null after-image, updates both). Same single full-outer
+    join and null-safe update rule as compute_changes_tagged; the extra
+    columns are free since the join already sees both sides."""
+    c = curr.select(*pk_cols, F.col(ts_col).alias("__ca"),
+                    F.lit(True).alias("__in_c"))
+    p = prev.select(*pk_cols, F.col(ts_col).alias("__pb"),
+                    F.lit(True).alias("__in_p"))
+    j = c.join(p, pk_cols, "full_outer")
+    op = (F.when(F.col("__in_p").isNull(), "insert")
+          .when(F.col("__in_c").isNull(), "delete")
+          .when(~F.col("__ca").eqNullSafe(F.col("__pb")), "update"))
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(op_col, *pk_cols,
+                F.col("__pb").alias(f"{ts_col}_before"),
+                F.col("__ca").alias(f"{ts_col}_after"))
+    )
+
+
 def changeset_from_tagged(tagged: DataFrame, op_col: str = "op") -> ChangeSet:
     """Split a (persisted!) tagged diff into the three-set view. Persist
     the tagged frame first or the join re-executes per subset."""

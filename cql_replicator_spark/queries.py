@@ -103,6 +103,33 @@ def cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_envelope",
+    oracle=f"""
+WITH {_CDC_BASE_SQL}
+SELECT 'insert' AS op, pk, CAST(NULL AS BIGINT) AS ts_before, ts AS ts_after
+FROM t1 WHERE pk NOT IN (SELECT pk FROM t0)
+UNION ALL
+SELECT 'delete' AS op, pk, ts AS ts_before, CAST(NULL AS BIGINT) AS ts_after
+FROM t0 WHERE pk NOT IN (SELECT pk FROM t1)
+UNION ALL
+SELECT 'update' AS op, t1.pk AS pk, t0.ts AS ts_before, t1.ts AS ts_after
+FROM t1 JOIN t0 USING (pk)
+WHERE t1.ts IS DISTINCT FROM t0.ts
+""",
+    doc="CDC-feed envelope (diff.compute_changes_envelope): the "
+        "Debezium/Delta-CDF shape — op plus BEFORE and AFTER images, so "
+        "a consumer can apply, invert, or audit the change stream "
+        "(inserts null-before, deletes null-after, updates both). Same "
+        "single full-outer join as the tagged diff; the before-image "
+        "column is free because the join already sees both sides",
+)
+def cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .diff import compute_changes_envelope
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+    return compute_changes_envelope(curr=t1, prev=t0, pk_cols=["pk"])
+
+
+@register(
     "cdc_hydrate_inserts",
     oracle=f"""
 WITH {_CDC_BASE_SQL}
@@ -1285,6 +1312,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "compact_small_files",          # new: bin-packing compaction
     "orders_spend_trend",           # new: SQL:2003 regression aggregates
     "ivm_grouped_refresh",          # new: delta-based aggregate refresh
+    "cdc_envelope",                 # new: before/after-image change feed
+    "text_inverted_index",          # new: segmented posting lists
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

@@ -512,6 +512,39 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_inverted_index",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+seg AS (
+  SELECT token, doc_id % 4 AS segment,
+         list_sort(list(doc_id)) AS postings,
+         count(*) AS seg_df
+  FROM toks GROUP BY token, doc_id % 4
+),
+tot AS (SELECT token, CAST(sum(seg_df) AS BIGINT) AS doc_freq
+        FROM seg GROUP BY token)
+SELECT s.token, s.segment, s.postings, t.doc_freq
+FROM seg s JOIN tot t USING (token)
+WHERE t.doc_freq >= 50
+""",
+    doc="Segmented inverted-index build (text.inverted_index): token -> "
+        "sorted posting lists sharded by doc_id % 4, restricted to "
+        "tokens in >= 50 docs. Segmentation is the scale answer to the "
+        "posting-ROW hazard — a stopword's naive collect_list is "
+        "corpus-sized in one reducer; sharded, every row is bounded at "
+        "df/segments and heavy tokens parallelize (Lucene-style "
+        "segments, merged sorted at read). doc_freq via a window sum "
+        "over the aggregated rows, never the corpus",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return TX.inverted_index(docs, min_df=50, segments=4)
+
+
+@register(
     "text_term_stats",
     oracle="""
 WITH toks AS (

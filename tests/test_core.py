@@ -587,3 +587,23 @@ def test_ivm_deltas_are_change_sized(spark):
     rows = {r.grp: (r.d_sum, r.d_count) for r in
             change_deltas(curr, prev, ["pk"], ["grp"], "v").collect()}
     assert rows == {0: (10, 0), 1: (5, 0)}
+
+
+def test_changes_envelope_images(spark):
+    """Before/after images per op: inserts null-before, deletes
+    null-after, updates both — including null-valued ts on either side
+    (null-safe update rule)."""
+    from cql_replicator_spark.diff import compute_changes_envelope
+
+    prev = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300), (4, None)], "pk int, ts long")
+    curr = spark.createDataFrame(
+        [(1, 100), (3, 301), (4, 400), (5, None)], "pk int, ts long")
+    rows = {r.pk: (r.op, r.ts_before, r.ts_after) for r in
+            compute_changes_envelope(curr, prev, ["pk"]).collect()}
+    assert rows == {
+        2: ("delete", 200, None),
+        3: ("update", 300, 301),
+        4: ("update", None, 400),
+        5: ("insert", None, None),   # inserted with null ts: after stays null
+    }
