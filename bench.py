@@ -92,6 +92,15 @@ HEADLINE = [
     "events_session_window_native",
     "multimodal_image_headers",
     "multimodal_audio_headers",
+    "multimodal_video_headers",
+    "lineitem_range_join_windows",
+    "weighted_sample_docs",
+    "source_orc_roundtrip",
+    "compact_small_files",
+    "orders_spend_trend",
+    "ivm_grouped_refresh",
+    "cdc_envelope",
+    "text_inverted_index",
 ]
 
 

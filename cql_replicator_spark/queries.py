@@ -1314,6 +1314,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "ivm_grouped_refresh",          # new: delta-based aggregate refresh
     "cdc_envelope",                 # new: before/after-image change feed
     "text_inverted_index",          # new: segmented posting lists
+    "snapshot_pruned_read",         # new: manifest min/max data skipping
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

@@ -2201,6 +2201,42 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_pruned_read",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       min(o_orderkey) AS min_pk, max(o_orderkey) AS max_pk,
+       CAST(sum(CAST(year(o_orderdate)*10000 + month(o_orderdate)*100
+                     + day(o_orderdate) AS BIGINT)) AS BIGINT) AS sum_ts
+FROM orders WHERE o_orderkey BETWEEN 10000 AND 20000
+""",
+    doc="Iceberg-style manifest data skipping in the snapshot store: a "
+        "PK snapshot written with stats_cols range-partitions its files "
+        "and records per-file min/max in the manifest, so a "
+        "between-range time-travel read opens only intersecting files — "
+        "the predicate touches file METADATA before any data, which at "
+        "100 TB turns a point/range lookup from a snapshot scan into "
+        "O(matching files). The aggregate over the pruned read must "
+        "equal the oracle's direct filtered scan",
+)
+def snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .snapshot import SnapshotStore
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    ymd = (F.year("o_orderdate") * 10000 + F.month("o_orderdate") * 100
+           + F.dayofmonth("o_orderdate")).cast("long")
+    base = orders.select(F.col("o_orderkey").alias("pk"), ymd.alias("ts"))
+    store = SnapshotStore(_stage_dir("snap_prune"), "ks", "orders")
+    sid = store.write_snapshot(base, tile=0, files_per_snapshot=8,
+                               stats_cols=["pk"])
+    pruned = store.read_snapshot(spark, 0, sid,
+                                 between={"pk": (10_000, 20_000)})
+    return pruned.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("pk").alias("min_pk"), F.max("pk").alias("max_pk"),
+        F.sum("ts").cast("long").alias("sum_ts"))
+
+
+@register(
     "partitioned_write_pruning",
     oracle="""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

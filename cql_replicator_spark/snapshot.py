@@ -93,16 +93,31 @@ class SnapshotStore:
         os.replace(tmp, p)  # atomic commit, like Iceberg's metadata swap
 
     # -- API ------------------------------------------------------------
-    def write_snapshot(self, df: DataFrame, tile: int, files_per_snapshot: int = 1) -> int:
+    def write_snapshot(self, df: DataFrame, tile: int,
+                       files_per_snapshot: int = 1,
+                       stats_cols: list[str] | None = None) -> int:
         """Persist df as the tile's next snapshot; returns new snapshot id.
 
         Mirrors writeIcebergTileSnapshot (K:1328-1334). Coalesce keeps the
         per-tile file count bounded (per-tile snapshots are small relative
         to the table: PKs + ts only).
-        """
+
+        ``stats_cols`` (parquet backend only) turns on Iceberg-style
+        file-level data skipping: rows are range-partitioned by those
+        columns so files hold disjoint ranges, and per-file min/max/count
+        go into the manifest — the same metadata Iceberg keeps in its
+        manifests — letting ``read_snapshot(between=...)`` open only the
+        files whose range intersects the predicate. The stats pass is one
+        aggregate over the just-written files (it replaces the count
+        read-back, so it costs nothing extra) and its output is one row
+        per FILE, never data-sized."""
         entries = self._read_manifest(tile)
         new_id = (max(e["id"] for e in entries) + 1) if entries else 1
         if self.fmt == "delta":
+            if stats_cols:
+                raise ValueError(
+                    "stats_cols requires the parquet backend; Delta keeps "
+                    "its own per-file stats in the transaction log")
             path = os.path.join(self._tile_dir(tile), "delta-table")
             (df.coalesce(files_per_snapshot).write.format("delta")
              .mode("overwrite").option("overwriteSchema", "true").save(path))
@@ -114,11 +129,31 @@ class SnapshotStore:
                             "count": count, "path": path,
                             "delta_version": int(version)})
         else:
+            from pyspark.sql import functions as F
+
             path = os.path.join(self._tile_dir(tile), f"snap-{new_id:08d}")
-            df.coalesce(files_per_snapshot).write.mode("overwrite").parquet(path)
-            count = df.sparkSession.read.parquet(path).count()
-            entries.append({"id": new_id, "committed_at": time.time(),
-                            "count": count, "path": path})
+            out = (df.repartitionByRange(files_per_snapshot, *stats_cols)
+                   if stats_cols else df.coalesce(files_per_snapshot))
+            out.write.mode("overwrite").parquet(path)
+            entry: dict = {"id": new_id, "committed_at": time.time(),
+                           "path": path}
+            back = df.sparkSession.read.parquet(path)
+            if stats_cols:
+                aggs = [F.count("*").alias("__n")]
+                for c in stats_cols:
+                    aggs += [F.min(c).alias(f"__lo_{c}"),
+                             F.max(c).alias(f"__hi_{c}")]
+                frows = (back.groupBy(F.input_file_name().alias("__f"))
+                         .agg(*aggs).collect())
+                entry["files"] = [
+                    {"path": r["__f"], "count": r["__n"],
+                     "min": {c: r[f"__lo_{c}"] for c in stats_cols},
+                     "max": {c: r[f"__hi_{c}"] for c in stats_cols}}
+                    for r in frows]
+                entry["count"] = sum(f["count"] for f in entry["files"])
+            else:
+                entry["count"] = back.count()
+            entries.append(entry)
         self._write_manifest(tile, entries)
         return new_id
 
@@ -130,15 +165,48 @@ class SnapshotStore:
     def snapshot_exists(self, tile: int, snapshot_id: int) -> bool:
         return any(e["id"] == snapshot_id for e in self._read_manifest(tile))
 
-    def read_snapshot(self, spark: SparkSession, tile: int, snapshot_id: int) -> DataFrame:
-        """Time-travel read (readIcebergAtSnapshot — K:1340-1349)."""
+    def read_snapshot(self, spark: SparkSession, tile: int, snapshot_id: int,
+                      between: dict[str, tuple] | None = None) -> DataFrame:
+        """Time-travel read (readIcebergAtSnapshot — K:1340-1349).
+
+        ``between={col: (lo, hi)}`` returns only rows with every col in
+        its inclusive range — and when the snapshot was written with
+        ``stats_cols``, files whose manifest [min, max] cannot intersect
+        the range are never opened (Iceberg-style manifest pruning: the
+        predicate touches file METADATA first, so a point/range lookup
+        on a 100 TB tile reads O(matching files), not the snapshot).
+        Without stats the same predicate still applies, just without
+        the skip."""
+        from pyspark.sql import functions as F
+
         for e in self._read_manifest(tile):
-            if e["id"] == snapshot_id:
-                if self.fmt == "delta":
-                    return (spark.read.format("delta")
-                            .option("versionAsOf", e["delta_version"])
-                            .load(e["path"]))
-                return spark.read.parquet(e["path"])
+            if e["id"] != snapshot_id:
+                continue
+            if self.fmt == "delta":
+                df = (spark.read.format("delta")
+                      .option("versionAsOf", e["delta_version"])
+                      .load(e["path"]))
+            elif between and e.get("files"):
+                def _overlaps(f: dict) -> bool:
+                    for c, (lo, hi) in between.items():
+                        fmin, fmax = f["min"].get(c), f["max"].get(c)
+                        if fmin is None or fmax is None:
+                            continue  # unknown stats never exclude a file
+                        if fmax < lo or fmin > hi:
+                            return False
+                    return True
+
+                keep = [f["path"] for f in e["files"] if _overlaps(f)]
+                if not keep:  # schema-correct empty frame, zero data read
+                    df = spark.read.parquet(e["path"]).where(F.lit(False))
+                else:
+                    df = spark.read.parquet(*keep)
+            else:
+                df = spark.read.parquet(e["path"])
+            if between:
+                for c, (lo, hi) in between.items():
+                    df = df.filter(F.col(c).between(lo, hi))
+            return df
         raise ValueError(
             f"snapshot {snapshot_id} not found for {self.keyspace}.{self.table} tile {tile}"
         )

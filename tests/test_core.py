@@ -607,3 +607,34 @@ def test_changes_envelope_images(spark):
         4: ("update", None, 400),
         5: ("insert", None, None),   # inserted with null ts: after stays null
     }
+
+
+def test_snapshot_stats_pruned_read(spark, tmp_path):
+    """stats_cols writes range-disjoint files + per-file min/max into
+    the manifest; a between= read must (a) return exactly the filtered
+    rows, (b) OPEN fewer files than the snapshot has, (c) yield a
+    schema-correct empty frame on a disjoint range, and (d) stay
+    correct without stats (filter-only fallback)."""
+    from cql_replicator_spark.snapshot import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path), "ks", "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("pk"), (F.col("id") * 2).alias("ts"))
+    sid = store.write_snapshot(df, tile=0, files_per_snapshot=8,
+                               stats_cols=["pk"])
+    files = store._read_manifest(0)[0]["files"]
+    assert len(files) == 8
+    assert sum(f["count"] for f in files) == 1000
+
+    pruned = store.read_snapshot(spark, 0, sid, between={"pk": (100, 150)})
+    assert sorted((r.pk, r.ts) for r in pruned.collect()) \
+        == [(i, 2 * i) for i in range(100, 151)]
+    assert 0 < len(pruned.inputFiles()) < 8, "manifest pruning must skip files"
+
+    empty = store.read_snapshot(spark, 0, sid, between={"pk": (5000, 6000)})
+    assert empty.count() == 0
+    assert empty.columns == ["pk", "ts"]
+
+    sid2 = store.write_snapshot(df, tile=1)  # no stats -> filter-only path
+    r2 = store.read_snapshot(spark, 1, sid2, between={"pk": (100, 150)})
+    assert r2.count() == 51
