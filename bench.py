@@ -101,6 +101,7 @@ HEADLINE = [
     "ivm_grouped_refresh",
     "cdc_envelope",
     "text_inverted_index",
+    "snapshot_pruned_read",
 ]
 
 

@@ -34,7 +34,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        elif df[c].map(lambda v: isinstance(v, (list, tuple))
+                       or hasattr(v, "tolist")).any():
+            # array cells (Spark -> ndarray, DuckDB -> list) are
+            # unsortable/unhashable for pandas: canonicalize to tuples
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v)
+                if v is not None else None)
+    return df.sort_values(
+        by=list(df.columns),
+        key=lambda s: s.map(repr) if s.map(
+            lambda v: isinstance(v, tuple)).any() else s,
+    ).reset_index(drop=True)
 
 
 def _assert_frames_equal(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
