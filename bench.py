@@ -102,6 +102,7 @@ HEADLINE = [
     "cdc_envelope",
     "text_inverted_index",
     "snapshot_pruned_read",
+    "ivm_stream_refresh",
 ]
 
 

@@ -71,6 +71,33 @@ def change_deltas(
     )
 
 
+def deltas_from_envelope(
+    env: DataFrame,
+    group_cols: list[str],
+    before_col: str,
+    after_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Per-group ``(d_sum, d_count)`` from a CDC envelope stream
+    (diff.compute_changes_envelope rows: op + before/after images) —
+    the streaming-friendly delta source: no snapshot join needed, each
+    change row contributes ``+after`` (insert/update) and ``-before``
+    (delete/update) to its group, so a foreachBatch consumer can
+    maintain an aggregate from the change FEED alone. Output identical
+    to change_deltas over the same change set."""
+    pos = env.filter(F.col(op_col) != "delete").select(
+        *group_cols, F.col(after_col).alias("__v"), F.lit(1).alias("__w"))
+    neg = env.filter(F.col(op_col) != "insert").select(
+        *group_cols, F.col(before_col).alias("__v"), F.lit(-1).alias("__w"))
+    return (
+        pos.unionByName(neg)
+        .groupBy(*group_cols)
+        .agg(F.coalesce(F.sum(F.col("__w") * F.col("__v")), F.lit(0))
+              .alias("d_sum"),
+             F.sum("__w").alias("d_count"))
+    )
+
+
 def refresh_aggregate(
     state: DataFrame,
     deltas: DataFrame,

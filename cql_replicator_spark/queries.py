@@ -1315,6 +1315,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "cdc_envelope",                 # new: before/after-image change feed
     "text_inverted_index",          # new: segmented posting lists
     "snapshot_pruned_read",         # new: manifest min/max data skipping
+    "ivm_stream_refresh",           # new: foreachBatch view maintenance
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

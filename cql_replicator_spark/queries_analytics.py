@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from .analytics import dedup as D
 from .analytics import similarity as S
 from .analytics import text as TX
-from .queries import register, _t
+from .queries import _CDC_BASE_SQL, register, _t
 
 # -- portable hash snippets (DuckDB side) -----------------------------------
 
@@ -829,6 +829,63 @@ def events_conversion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"conv_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(out, qname, output_mode="append")
     return spark.table(qname)
+
+
+@register(
+    "ivm_stream_refresh",
+    oracle=f"""
+WITH {_CDC_BASE_SQL}
+SELECT pk % 100 AS grp,
+       CAST(sum(ts) AS BIGINT) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n
+FROM t1 GROUP BY pk % 100
+""",
+    doc="Streaming incremental view maintenance: the CDC envelope "
+        "(before/after images) staged as two micro-batches and consumed "
+        "by a real Structured Streaming foreachBatch job that folds "
+        "each batch's per-group +after-before deltas into a versioned "
+        "parquet state table (ivm.deltas_from_envelope + "
+        "refresh_aggregate). Final state must equal a direct recompute "
+        "from T1 — the streaming materialized-view loop: change feed "
+        "in, O(changes) maintenance per batch, base table never "
+        "rescanned",
+)
+def ivm_stream_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .diff import compute_changes_envelope
+    from .ivm import deltas_from_envelope, refresh_aggregate
+    from .queries import _cdc_snapshots
+    from .streaming.windows import foreach_batch_cdc, stream_events_from_dir
+
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+    grp = (F.col("pk") % 100).alias("grp")
+    env = compute_changes_envelope(t1, t0, ["pk"]).select("*", grp)
+
+    stage = _stage_dir("ivm_stream")
+    for cond in (F.col("pk") % 2 == 0, F.col("pk") % 2 == 1):
+        env.filter(cond).coalesce(1).write.mode("append").parquet(stage)
+
+    state_root = _stage_dir("ivm_state")
+    (t0.select("ts", grp).groupBy("grp")
+     .agg(F.sum("ts").alias("sum_v"), F.count("*").cast("long").alias("n"))
+     .write.parquet(os.path.join(state_root, "v0")))
+    latest = {"v": 0}
+
+    def refresh(batch_df, batch_id):
+        deltas = deltas_from_envelope(
+            batch_df, ["grp"], "ts_before", "ts_after")
+        state = spark.read.parquet(
+            os.path.join(state_root, f"v{latest['v']}"))
+        new_state = refresh_aggregate(state, deltas, ["grp"])
+        new_state.write.parquet(
+            os.path.join(state_root, f"v{latest['v'] + 1}"))
+        latest["v"] += 1
+
+    stream = stream_events_from_dir(spark, stage, env.schema)
+    q = foreach_batch_cdc(stream, refresh, _stage_dir("ivm_ckpt"))
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(state_root, f"v{latest['v']}"))
 
 
 @register(
