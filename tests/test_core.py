@@ -638,3 +638,34 @@ def test_snapshot_stats_pruned_read(spark, tmp_path):
     sid2 = store.write_snapshot(df, tile=1)  # no stats -> filter-only path
     r2 = store.read_snapshot(spark, 1, sid2, between={"pk": (100, 150)})
     assert r2.count() == 51
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    points=st.lists(st.integers(-50, 150), max_size=25),
+    ivals=st.lists(st.tuples(st.integers(-50, 150), st.integers(0, 40)),
+                   max_size=12),
+    width=st.integers(1, 60),
+)
+def test_range_join_property_vs_brute_force(spark, points, ivals, width):
+    """For ANY point set, interval set (incl. empty/zero-length), and
+    bucket width, the bucketed join equals the brute-force containment
+    product — each qualifying pair exactly once."""
+    from cql_replicator_spark.temporal import range_join
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)] or [(None, None)],
+        "pid INT, p INT").filter("pid IS NOT NULL")
+    idf = spark.createDataFrame(
+        [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivals)] or
+        [(None, None, None)], "iid INT, lo INT, hi INT"
+    ).filter("iid IS NOT NULL")
+    got = sorted((r.pid, r.iid) for r in range_join(
+        pdf, idf, "p", "lo", "hi", bucket_width=width).collect())
+    want = sorted(
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, ln) in enumerate(ivals)
+        if lo <= p < lo + ln)
+    assert got == want
