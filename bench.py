@@ -103,6 +103,7 @@ HEADLINE = [
     "text_inverted_index",
     "snapshot_pruned_read",
     "ivm_stream_refresh",
+    "events_asof_enrich_chunked",
 ]
 
 

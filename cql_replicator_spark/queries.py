@@ -749,6 +749,42 @@ def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_enrich_chunked",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type FROM events
+),
+upd AS (
+  SELECT user_id, epoch_us(ts) AS ts, value AS state_value
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       u.state_value, u.ts AS asof_ts
+FROM e ASOF LEFT JOIN upd u ON e.user_id = u.user_id AND e.ts >= u.ts
+""",
+    doc="Chunked as-of join (temporal.asof_join_chunked): same backward "
+        "as-of semantics as events_asof_enrich but with the hot-key "
+        "escape hatch — the fill windows by (key, 1h-chunk) so no task "
+        "ever holds a whole key's timeline, and chunks seed from prior "
+        "chunks via a chunk-granular as-of over per-chunk max_by "
+        "summaries. Microsecond epoch keeps both engines tie-free; the "
+        "DuckDB native ASOF LEFT JOIN oracle must match exactly",
+)
+def events_asof_enrich_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .temporal import asof_join_chunked
+
+    events = _t(spark, sf_dir, "events")["events"]
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast is an
+    # identity relabel and unix_micros matches DuckDB's epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp")).alias("ts")
+    e = events.select("event_id", "user_id", us, "event_type")
+    updates = (events.filter(F.col("event_id") % 10 == 0)
+               .select("user_id", us, F.col("value").alias("state_value")))
+    return asof_join_chunked(e, updates, on="user_id",
+                             chunk_width=3_600_000_000)
+
+
+@register(
     "lineitem_range_join_windows",
     oracle="""
 WITH w AS (
@@ -1316,6 +1352,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "text_inverted_index",          # new: segmented posting lists
     "snapshot_pruned_read",         # new: manifest min/max data skipping
     "ivm_stream_refresh",           # new: foreachBatch view maintenance
+    "events_asof_enrich_chunked",   # new: hot-key-safe as-of variant
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

@@ -15,12 +15,12 @@ multiplication, no per-timestamp rescans — the same merge-join shape
 kdb/QuestDB/DuckDB execute natively.
 
 Skew note (100 TB): the window partitions by join key, so a single
-pathological key serializes into one task. If a key's timeline exceeds
-a task's memory, pre-split it by time range (salt on
-``date_trunc('day', ts)``) and seed each chunk with the previous
-chunk's final state — the fill is associative, so chunked fills
-compose. Not implemented here because keyed timelines (user histories,
-device state) are bounded in every workload the reference serves.
+pathological key serializes into one task. ``asof_join_chunked``
+implements the escape hatch: pre-split each key's timeline by time
+chunk and seed each chunk with the previous chunks' final state — the
+fill is associative, so chunked fills compose. Prefer plain
+``asof_join`` when keyed timelines (user histories, device state) are
+bounded, which they are in every workload the reference serves.
 """
 
 from __future__ import annotations
@@ -88,6 +88,109 @@ def asof_join(
     # bookkeeping only
     out = [*keys, *left_cols, *payload]
     result = merged.filter(F.col("__side") == 1)
+    if matched_ts_col is not None:
+        result = result.withColumn(matched_ts_col, F.col("__rts"))
+        out.append(matched_ts_col)
+    return result.select(*out)
+
+
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+    matched_ts_col: str | None = "asof_ts",
+    chunk_width: int = 86400,
+) -> DataFrame:
+    """``asof_join`` for PATHOLOGICAL keys: identical semantics, but no
+    single task ever holds a whole key's timeline.
+
+    Plain as-of windows by key, so one hot key (a device emitting for
+    years, a tenant owning half the events) serializes its entire
+    timeline into one sort task. Here the timeline splits into
+    ``floor(ts / chunk_width)`` chunks and the fill runs per
+    ``(key, chunk)`` — bounded state — then each chunk is seeded with
+    the latest right row from PRIOR chunks. The seed lookup is itself a
+    backward as-of join, but over per-(key, chunk) SUMMARY rows (one
+    ``max_by`` row per chunk that saw a right row), so its window
+    partitions are chunk-counts, never timeline-sized. Fills are
+    associative, so seeded chunk fills compose to exactly the global
+    fill.
+
+    Timestamps must be numeric for the chunk arithmetic (cast with
+    ``unix_timestamp`` first); everything else matches ``asof_join``,
+    and a property test pins output equality between the two forms.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = payload if payload is not None else [
+        c for c in right.columns if c not in {*keys, right_ts}]
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"payload columns collide with left: {sorted(overlap)}")
+    if chunk_width <= 0:
+        raise ValueError("chunk_width must be positive")
+
+    W = F.lit(chunk_width).cast("long")
+    left_cols = [c for c in left.columns if c not in keys]
+    fill_cols = payload + ["__rts"]
+    rts_type = dict(right.dtypes)[right_ts]
+
+    l_side = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).alias(c) for c in payload],
+        F.lit(None).cast(rts_type).alias("__rts"),
+    )
+    r_side = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
+        *[F.col(c) for c in payload],
+        F.col(right_ts).alias("__rts"),
+    )
+    # within-chunk fill: the ONLY timeline-sized window, and its
+    # partitions are (key, chunk) -> bounded at chunk_width of activity
+    w = (Window.partitionBy(*keys, "__chunk").orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (
+        l_side.unionByName(r_side)
+        .withColumn("__chunk", F.floor(F.col("__ts") / W))
+        .select(*keys, "__chunk", "__ts", "__side", *left_cols,
+                *[F.last(c, ignorenulls=True).over(w).alias(c)
+                  for c in fill_cols])
+    )
+    lrows = merged.filter(F.col("__side") == 1)
+
+    # per-(key, chunk) summary: the latest right row of each chunk
+    summ = (
+        right.groupBy(*keys, F.floor(F.col(right_ts) / W).alias("__chunk"))
+        .agg(F.max_by(F.struct(*[F.col(c) for c in payload],
+                               F.col(right_ts).alias("__rts")),
+                      F.col(right_ts)).alias("__s"))
+        .select(*keys, "__chunk",
+                *[F.col(f"__s.{c}").alias(f"__seed_{c}") for c in fill_cols])
+    )
+    # seed for chunk c = summary as-of chunk c-1 (chunk-granular as-of:
+    # summary frames are chunk-counts per key, never timeline-sized)
+    lchunks = (lrows.select(*keys, "__chunk").distinct()
+               .withColumn("__pc", F.col("__chunk") - 1))
+    seeds = asof_join(
+        lchunks, summ, on=keys, left_ts="__pc", right_ts="__chunk",
+        payload=[f"__seed_{c}" for c in fill_cols], matched_ts_col=None,
+    ).drop("__pc")
+
+    out = [*keys, *left_cols, *payload]
+    result = lrows.join(seeds, [*keys, "__chunk"], "left").select(
+        *keys, *left_cols,
+        *[F.coalesce(F.col(c), F.col(f"__seed_{c}")).alias(c)
+          for c in payload],
+        F.coalesce(F.col("__rts"), F.col("__seed___rts")).alias("__rts"),
+    )
     if matched_ts_col is not None:
         result = result.withColumn(matched_ts_col, F.col("__rts"))
         out.append(matched_ts_col)

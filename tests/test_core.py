@@ -669,3 +669,46 @@ def test_range_join_property_vs_brute_force(spark, points, ivals, width):
         for j, (lo, ln) in enumerate(ivals)
         if lo <= p < lo + ln)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 200)),
+                   max_size=20),
+    right_ts=st.sets(st.integers(0, 200), max_size=15),
+    width=st.integers(1, 80),
+)
+def test_asof_chunked_equals_plain(spark, lefts, right_ts, width):
+    """asof_join_chunked must produce EXACTLY asof_join's output for
+    any timeline and any chunk width (fills are associative; seeded
+    chunk fills compose to the global fill) — including left rows whose
+    chunk saw no right row (seed from earlier chunks) and keys with no
+    right rows at all."""
+    from cql_replicator_spark.temporal import asof_join, asof_join_chunked
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)] or [(None,) * 3],
+        "k INT, ts INT, lid INT").filter("lid IS NOT NULL")
+    right = spark.createDataFrame(
+        [(t % 2, t, t * 10) for t in right_ts] or [(None,) * 3],
+        "k INT, ts INT, state INT").filter("state IS NOT NULL")
+
+    plain = {(r.k, r.lid): (r.state, r.asof_ts)
+             for r in asof_join(left, right, on="k").collect()}
+    chunked = {(r.k, r.lid): (r.state, r.asof_ts)
+               for r in asof_join_chunked(
+                   left, right, on="k", chunk_width=width).collect()}
+    assert chunked == plain
+
+
+def test_asof_chunked_guards(spark):
+    from cql_replicator_spark.temporal import asof_join_chunked
+
+    left = spark.createDataFrame([(1, 5, 1)], "k INT, ts INT, lid INT")
+    right = spark.createDataFrame([(1, 4, 2)], "k INT, ts INT, lid INT")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_chunked(left, right, on="k")
+    with pytest.raises(ValueError, match="chunk_width"):
+        asof_join_chunked(left, right.withColumnRenamed("lid", "state"),
+                          on="k", chunk_width=0)
