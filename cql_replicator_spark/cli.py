@@ -235,6 +235,25 @@ def cmd_replay_dlq(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Bin-pack a fragmented parquet directory (the maintenance half of
+    the size-controlled writer: 2-minute incremental backups accrete
+    splinter files; see sinks/parquet_sink.compact_parquet)."""
+    from .session import get_spark
+    from .sinks.parquet_sink import compact_parquet, parquet_dir_stats
+
+    spark = get_spark("compact")
+    n_in, total = parquet_dir_stats(spark, args.source)
+    n_out = compact_parquet(
+        spark, args.source, args.dest,
+        target_bytes=args.target_mb * 1024 * 1024, shuffle=args.shuffle)
+    print(json.dumps({
+        "files_in": n_in, "bytes_in": total, "files_out": n_out,
+        "target_mb": args.target_mb, "dest": args.dest,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cqlreplicator-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -288,6 +307,16 @@ def main(argv: list[str] | None = None) -> int:
     common(sp, source=False)
     sp.add_argument("--table", default=None)
     sp.set_defaults(fn=cmd_replay_dlq)
+
+    sp = sub.add_parser("compact",
+                        help="bin-pack a fragmented parquet dir by bytes")
+    sp.add_argument("--source", required=True, help="fragmented parquet dir")
+    sp.add_argument("--dest", required=True, help="compacted output dir")
+    sp.add_argument("--target-mb", type=int, default=32,
+                    help="target output file size in MB (default 32, P:425)")
+    sp.add_argument("--shuffle", action="store_true",
+                    help="repartition for balanced outputs (one data shuffle)")
+    sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("plan-capacity",
                         help="worker sizing, traffic ramp, and TCO estimate")

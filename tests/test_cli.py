@@ -220,3 +220,23 @@ def test_cli_delta_cycle_with_ts(spark, tmp_path, capsys):
     assert got_updates == {k for k in range(100) if k % 7 == 0 and k % 10 != 0}
     got_deletes = {r.pk for r in deletes.select("pk").collect()}
     assert got_deletes == {k for k in range(100) if k % 10 == 0}
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    """compact bin-packs splinter files and reports in/out counts; the
+    compacted data must equal the source exactly."""
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "out")
+    docs = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice")
+    docs.repartition(16).write.parquet(frag)
+
+    code, rep = _run(capsys, ["compact", "--source", frag, "--dest", out,
+                              "--target-mb", "1"])
+    assert code == 0
+    assert rep["files_in"] == 16
+    assert rep["files_out"] < 16
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(r.o_orderkey for r in back.collect()) \
+        == sorted(r.o_orderkey for r in docs.collect())
