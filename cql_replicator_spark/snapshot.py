@@ -236,7 +236,36 @@ class SnapshotStore:
         return len(expired)
 
     def snapshots(self, tile: int) -> list[SnapshotInfo]:
-        return [SnapshotInfo(**e) for e in self._read_manifest(tile)]
+        return [SnapshotInfo(
+            id=e["id"], committed_at=e["committed_at"],
+            count=e["count"], path=e["path"],
+        ) for e in self._read_manifest(tile)]
+
+    def gc_orphans(self, tile: int) -> list[str]:
+        """Remove snapshot directories the manifest does not reference
+        (Iceberg's remove_orphan_files housekeeping): a write that died
+        between the parquet commit and the manifest swap leaves a
+        ``snap-*`` dir no reader can ever reach — at scale, weeks of
+        crashed cycles silently accrete storage. Only ``snap-*`` dirs
+        are candidates; the manifest itself and the Delta table dir are
+        never touched. Returns the removed paths. Safe against a
+        concurrent writer because the manifest is the commit point: any
+        dir present in the CURRENT manifest is kept, and an in-flight
+        write that has not committed yet should not run concurrently
+        with gc (same single-writer rule Iceberg's procedure has)."""
+        tdir = self._tile_dir(tile)
+        if not os.path.isdir(tdir):
+            return []
+        live = {os.path.basename(e["path"])
+                for e in self._read_manifest(tile)}
+        removed = []
+        for name in sorted(os.listdir(tdir)):
+            if name.startswith("snap-") and name not in live:
+                p = os.path.join(tdir, name)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
+        return removed
 
 
 def migrate_legacy_snapshots(

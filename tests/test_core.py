@@ -712,3 +712,62 @@ def test_asof_chunked_guards(spark):
     with pytest.raises(ValueError, match="chunk_width"):
         asof_join_chunked(left, right.withColumnRenamed("lid", "state"),
                           on="k", chunk_width=0)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    prev_rows=st.dictionaries(st.integers(0, 60), st.integers(0, 5),
+                              max_size=30),
+    curr_rows=st.dictionaries(st.integers(0, 60), st.integers(0, 5),
+                              max_size=30),
+)
+def test_ivm_property_random_changes(spark, prev_rows, curr_rows):
+    """For ANY pair of keyed snapshots (values double as group ids, so
+    updates frequently MOVE groups), delta-refresh == direct recompute."""
+    from cql_replicator_spark.ivm import change_deltas, refresh_aggregate
+
+    prev = spark.createDataFrame(
+        [(k, v % 3, v * 10) for k, v in prev_rows.items()] or [(None,) * 3],
+        "pk INT, grp INT, v INT").filter("pk IS NOT NULL")
+    curr = spark.createDataFrame(
+        [(k, v % 3, v * 10) for k, v in curr_rows.items()] or [(None,) * 3],
+        "pk INT, grp INT, v INT").filter("pk IS NOT NULL")
+
+    state0 = prev.groupBy("grp").agg(
+        F.sum("v").alias("sum_v"), F.count("*").alias("n"))
+    got = {(r.grp, r.sum_v, r.n) for r in refresh_aggregate(
+        state0, change_deltas(curr, prev, ["pk"], ["grp"], "v"),
+        ["grp"]).collect()}
+    want = {(r.grp, r.sum_v, r.n) for r in curr.groupBy("grp").agg(
+        F.sum("v").alias("sum_v"), F.count("*").alias("n")).collect()}
+    assert got == want
+
+
+def test_snapshot_gc_orphans(spark, tmp_path):
+    """Orphan snap-* dirs (a write that died before the manifest swap)
+    are removed; manifest-referenced snapshots and foreign files
+    survive; snapshots() tolerates stats-bearing manifest entries."""
+    import os
+
+    from cql_replicator_spark.snapshot import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path), "ks", "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "pk int, ts long")
+    s1 = store.write_snapshot(df, tile=0, stats_cols=["pk"])
+    s2 = store.write_snapshot(df, tile=0)
+
+    tdir = os.path.join(str(tmp_path), "ks", "t", "tile=0")
+    orphan = os.path.join(tdir, "snap-00000099")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-junk.parquet"), "w").write("x")
+
+    removed = store.gc_orphans(0)
+    assert removed == [orphan]
+    assert not os.path.exists(orphan)
+    # live snapshots still readable; stats entry doesn't break snapshots()
+    assert store.read_snapshot(spark, 0, s1).count() == 2
+    assert store.read_snapshot(spark, 0, s2).count() == 2
+    assert [s.id for s in store.snapshots(0)] == [s1, s2]
+    assert store.gc_orphans(0) == []          # idempotent
+    assert store.gc_orphans(7) == []          # absent tile is a no-op
