@@ -104,6 +104,8 @@ HEADLINE = [
     "snapshot_pruned_read",
     "ivm_stream_refresh",
     "events_asof_enrich_chunked",
+    "skew_key_profile",
+    "events_markov_transitions",
 ]
 
 

@@ -1353,6 +1353,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "snapshot_pruned_read",         # new: manifest min/max data skipping
     "ivm_stream_refresh",           # new: foreachBatch view maintenance
     "events_asof_enrich_chunked",   # new: hot-key-safe as-of variant
+    "skew_key_profile",             # new: hot-key diagnostic
+    "events_markov_transitions",    # new: path analytics
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

@@ -1838,6 +1838,88 @@ def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_key_profile",
+    oracle="""
+WITH per_key AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM per_key
+)
+SELECT p.user_id, CAST(p.cnt AS BIGINT) AS cnt,
+       round(p.cnt * 1.0 / t.n_rows, 6) AS share,
+       round(p.cnt * t.n_keys * 1.0 / t.n_rows, 4) AS skew_factor
+FROM per_key p CROSS JOIN tot t
+ORDER BY p.cnt DESC, p.user_id LIMIT 10
+""",
+    doc="Hot-key profiler: the top-10 heaviest join/shuffle keys with "
+        "their row share and skew factor (count / mean-count) — the "
+        "diagnostic that decides whether a key needs salting "
+        "(skew.salted_shuffle) or AQE skew-join handles it. One "
+        "map-side-combined groupBy, a single-row totals frame joined "
+        "by broadcast cross, TakeOrdered top-k — the table never "
+        "funnels through one task",
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")["events"]
+    per_key = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select("user_id", F.col("cnt").cast("long").alias("cnt"),
+                F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+                F.round(F.col("cnt") * F.col("n_keys") / F.col("n_rows"), 4)
+                 .alias("skew_factor"))
+        .orderBy(F.col("cnt").desc(), "user_id").limit(10)
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type),
+             6) AS p
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+    doc="Event path analytics: per-user next-event transitions (lead "
+        "over the (ts, event_id) total order) rolled into a first-order "
+        "Markov transition matrix with row-normalized probabilities. "
+        "One user-keyed window shuffle + one state-pair groupBy; the "
+        "matrix is |event_types|^2 rows, so the normalizing window runs "
+        "over a constant-sized frame",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")["events"]
+    seq = events.select(
+        "event_type",
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id"))
+         .alias("next_type"))
+    counts = (seq.filter(F.col("next_type").isNotNull())
+              .groupBy("event_type", "next_type")
+              .agg(F.count("*").cast("long").alias("n")))
+    return counts.select(
+        "event_type", "next_type", "n",
+        F.round(F.col("n") / F.sum("n").over(
+            Window.partitionBy("event_type")), 6).alias("p"))
+
+
+@register(
     "orders_spend_trend",
     oracle="""
 SELECT o_custkey,
