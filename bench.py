@@ -106,6 +106,7 @@ HEADLINE = [
     "events_asof_enrich_chunked",
     "skew_key_profile",
     "events_markov_transitions",
+    "text_bm25_scores",
 ]
 
 

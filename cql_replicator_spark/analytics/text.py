@@ -260,6 +260,51 @@ def inverted_index(
     return out.select("token", "segment", "postings", "doc_freq")
 
 
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set — the classic retrieval scorer on top of the same token
+    stream the inverted index uses. idf is the standard
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)``; tf saturates via k1 and
+    normalizes by doc length against the corpus average (b).
+
+    Plan shape: one projection computes tokens + doc length, the
+    explode filters to QUERY terms immediately (so the shuffle carries
+    |docs| x |terms| rows at most, never the token stream), df counts
+    collapse to one row per term, and the corpus totals (N, avgdl) ride
+    a broadcast single-row frame. Every arithmetic step is
+    engine-portable (integer tf/dl/df, one ln) so a SQL oracle
+    reproduces the scores bit-for-bit after rounding."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.split(F.lower(F.col(text_col)), " ").alias("__w"))
+            .select("id", "__w", F.size("__w").alias("dl")))
+    tf = (base.select("id", "dl", F.explode("__w").alias("token"))
+          .filter(F.col("token").isin(list(terms)))
+          .groupBy("id", "dl", "token").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    totals = base.agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
+    idf = F.log((F.col("N") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5) + 1)
+    s = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_terms"),
+             F.round(F.sum(s), 6).alias("bm25"))
+        .select(F.col("id").alias(id_col), "n_terms", "bm25")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -545,6 +545,44 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25_scores",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+d AS (SELECT doc_id, len(w) AS dl, w FROM base),
+tf AS (
+  SELECT doc_id, dl, t.token, count(*) AS tf
+  FROM d, unnest(w) AS t(token)
+  WHERE t.token IN ('scan', 'merge', 'window')
+  GROUP BY doc_id, dl, t.token
+),
+dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY token),
+tot AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM base)
+SELECT tf.doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(sum(
+         ln((tot.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5) + 1)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / tot.avgdl))
+       ), 6) AS bm25
+FROM tf JOIN dfreq USING (token) CROSS JOIN tot
+GROUP BY tf.doc_id
+""",
+    doc="Okapi BM25 scoring (text.bm25_scores) of the corpus against a "
+        "fixed query term set — the retrieval scorer paired with the "
+        "segmented inverted index. Tokens filter to query terms before "
+        "any shuffle (|docs| x |terms| rows max), term doc-frequencies "
+        "collapse to one row per term, corpus totals broadcast as a "
+        "single row; integer tf/dl/df plus one ln keep the doubles "
+        "bit-reproducible across engines after rounding",
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return TX.bm25_scores(docs, ["scan", "merge", "window"])
+
+
+@register(
     "text_term_stats",
     oracle="""
 WITH toks AS (
