@@ -2468,3 +2468,62 @@ def parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+
+
+@register(
+    "validate_constraints",
+    oracle="""
+WITH m AS (
+  SELECT
+    avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS m0,
+    CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) AS m1,
+    CAST(min(o_totalprice) AS DOUBLE) AS m2,
+    CAST(max(o_totalprice) AS DOUBLE) AS m3,
+    avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END) AS m4,
+    avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 1.0 ELSE 0.0 END) AS m5
+  FROM orders
+),
+r AS (
+  SELECT CAST(count(c.c_custkey) AS DOUBLE) / count(*) AS frac
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+)
+SELECT 'completeness_o_custkey' AS "check", round(m0, 6) AS metric,
+       m0 >= 1.0 AS passed FROM m
+UNION ALL SELECT 'uniqueness_o_orderkey', round(m1, 6), m1 >= 1.0 FROM m
+UNION ALL SELECT 'min_o_totalprice', round(m2, 6), m2 >= 5000.0 FROM m
+UNION ALL SELECT 'max_o_totalprice', round(m3, 6), m3 <= 1000000.0 FROM m
+UNION ALL SELECT 'compliance_set_o_orderstatus', round(m4, 6), m4 >= 1.0 FROM m
+UNION ALL SELECT 'compliance_pattern_o_orderpriority', round(m5, 6),
+                 m5 >= 1.0 FROM m
+UNION ALL SELECT 'ref_o_custkey', round(frac, 6), frac >= 1.0 FROM r
+""",
+    doc="Deequ-style declared-constraint suite (analytics.validate): six "
+        "row-level constraints (completeness, uniqueness, bounds, set "
+        "membership, regex compliance) compiled into ONE aggregation over "
+        "ONE scan of orders — the long-form (check, metric, passed) result "
+        "is an explode of the single aggregated row, never a per-check "
+        "rescan — plus the one genuinely two-input constraint "
+        "(o_custkey referential integrity vs customer) as an AQE-broadcast "
+        "anti-join count unioned onto the same result. Generalizes the "
+        "reference's count/sample reconciliation (R:660-825) and "
+        "type-dispatched column stats (K:1719-1748). The min bound is set "
+        "deliberately unmet so failing constraints are exercised end-to-end",
+)
+def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import validate as V
+
+    t = _t(spark, sf_dir, "orders", "customer")
+    orders, customer = t["orders"], t["customer"]
+    suite = V.validate(orders, [
+        V.completeness("o_custkey"),
+        V.uniqueness("o_orderkey"),
+        V.min_value("o_totalprice", 5000.0),
+        V.max_value("o_totalprice", 1000000.0),
+        V.member_of("o_orderstatus", ["O", "F", "P"]),
+        V.pattern("o_orderpriority", "^[1-5]-"),
+    ])
+    ref = V.referential_integrity(orders, "o_custkey", customer, "c_custkey")
+    return suite.unionByName(ref)

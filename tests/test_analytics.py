@@ -993,3 +993,61 @@ def test_weighted_sample_semantics(spark):
             df.filter(F.col("grp") == "g"), "w", k=1,
             sample_salt=str(s)).collect()] == [0])
     assert wins >= 20, f"heavy row won only {wins}/30 draws"
+
+
+# -- data-quality constraint suite (analytics.validate) ------------------------
+
+def test_validate_single_pass_metrics(spark):
+    from cql_replicator_spark.analytics import validate as V
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (3, "a", None)],
+        "id LONG, tag STRING, v DOUBLE")
+    out = V.validate(df, [
+        V.completeness("tag"),
+        V.uniqueness("id"),
+        V.min_value("v", 0.0),
+        V.max_value("v", 25.0),
+        V.member_of("tag", ["a", "b"]),
+        V.pattern("tag", "^[ab]$"),
+    ])
+    rows = {r["check"]: (r["metric"], r["passed"]) for r in out.collect()}
+    assert rows["completeness_tag"] == (0.75, False)
+    assert rows["uniqueness_id"] == (0.75, False)
+    assert rows["min_v"] == (10.0, True)
+    assert rows["max_v"] == (30.0, False)
+    # nulls count as non-compliant, like Deequ
+    assert rows["compliance_set_tag"] == (0.75, False)
+    assert rows["compliance_pattern_tag"] == (0.75, False)
+
+
+def test_validate_is_one_aggregation(spark):
+    from cql_replicator_spark.analytics import validate as V
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    out = V.validate(df, [V.completeness("k"), V.min_value("id", 0.0)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one scan of the input, however many checks were declared
+    assert plan.count("Range (0, 100") == 1
+
+
+def test_validate_rejects_bad_suites(spark):
+    from cql_replicator_spark.analytics import validate as V
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="at least one"):
+        V.validate(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        V.validate(df, [V.min_value("id", 0.0), V.min_value("id", 1.0)])
+
+
+def test_referential_integrity_counts_orphans(spark):
+    from cql_replicator_spark.analytics import validate as V
+
+    child = spark.createDataFrame([(1,), (2,), (2,), (9,)], "fk LONG")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk LONG")
+    row = V.referential_integrity(child, "fk", parent, "pk").collect()[0]
+    assert row["check"] == "ref_fk"
+    assert row["metric"] == 0.75 and not row["passed"]
+    with pytest.raises(ValueError, match="empty child"):
+        V.referential_integrity(child.filter("fk < 0"), "fk", parent, "pk")
