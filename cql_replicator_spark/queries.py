@@ -1357,6 +1357,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "events_markov_transitions",    # new: path analytics
     "text_bm25_scores",             # new: Okapi BM25 retrieval scoring
     "validate_constraints",       # new: Deequ-style one-pass constraint suite
+    "scd2_user_state",            # new: SCD2 validity intervals from change feed
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

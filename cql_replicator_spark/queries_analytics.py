@@ -2527,3 +2527,50 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     ref = V.referential_integrity(orders, "o_custkey", customer, "c_custkey")
     return suite.unionByName(ref)
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       epoch_ms(ts) AS valid_from_ms,
+       epoch_ms(lead(ts) OVER w) AS valid_to_ms,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="SCD2 dimension build (temporal.scd2_history): each user's "
+        "event_type change feed collapses to validity intervals "
+        "(valid_from, valid_to, version, is_current) — the "
+        "point-in-time-queryable history the CDC change feed accumulates "
+        "into. Both the change-detection and interval-assembly windows "
+        "partition on user_id, so the plan shuffles the feed exactly "
+        "once; ties order on event_id for a total, cross-engine "
+        "deterministic ordering",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .temporal import scd2_history
+
+    events = _t(spark, sf_dir, "events")["events"]
+    hist = scd2_history(
+        events.select("user_id", "ts", "event_id", "event_type"),
+        key="user_id", tracked=["event_type"], ts="ts",
+        tiebreak=["event_id"])
+    return hist.select(
+        "user_id", "event_type",
+        F.unix_millis(F.col("valid_from").cast("timestamp")).alias("valid_from_ms"),
+        F.unix_millis(F.col("valid_to").cast("timestamp")).alias("valid_to_ms"),
+        "version", "is_current")

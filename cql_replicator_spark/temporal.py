@@ -261,3 +261,53 @@ def range_join(
                 & (F.col(point_col) < F.col(hi_col)))
         .drop("__rb")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str | list[str],
+    tracked: list[str],
+    ts: str = "ts",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change feed:
+    collapse consecutive rows whose ``tracked`` attributes are
+    unchanged, and emit one validity interval per surviving version —
+    (key..., tracked..., valid_from, valid_to, version, is_current),
+    with ``valid_to`` null on each key's current version.
+
+    This is the dimension-building complement to the snapshot-diff CDC
+    core (compute_changes, K:1366-1381): the diff says WHAT changed
+    between two snapshots; SCD2 turns the accumulated change feed into
+    point-in-time queryable history (join back with
+    ``temporal.asof_join`` or a BETWEEN range join on the interval).
+
+    Scale shape: both passes (change detection, interval assembly) are
+    window functions over the SAME partitioning key, so the plan
+    shuffles the feed exactly once; no self-join, no row
+    multiplication. Ordering must be total for determinism — pass
+    ``tiebreak`` columns (e.g. an event id) when timestamps can tie.
+    Attribute comparison is null-safe (NULL -> value counts as a
+    change, NULL -> NULL does not).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if not tracked:
+        raise ValueError("scd2_history needs at least one tracked column")
+    order = [ts] + (tiebreak or [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+
+    first_row = F.lag(F.lit(1)).over(w).isNull()
+    attr_changed = None
+    for c in tracked:
+        ne = ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        attr_changed = ne if attr_changed is None else (attr_changed | ne)
+    versions = df.withColumn("__new_version", first_row | attr_changed) \
+                 .filter("__new_version").drop("__new_version")
+
+    return versions.select(
+        *keys, *tracked,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead(ts).over(w).isNull().alias("is_current"),
+    )

@@ -771,3 +771,35 @@ def test_snapshot_gc_orphans(spark, tmp_path):
     assert [s.id for s in store.snapshots(0)] == [s1, s2]
     assert store.gc_orphans(0) == []          # idempotent
     assert store.gc_orphans(7) == []          # absent tile is a no-op
+
+
+def test_scd2_history_intervals_and_null_safety(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.temporal import scd2_history
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # key 1: a -> a (collapse) -> b -> NULL -> NULL (collapse) -> a
+        (1, t(1), 1, "a"), (1, t(2), 2, "a"), (1, t(3), 3, "b"),
+        (1, t(4), 4, None), (1, t(5), 5, None), (1, t(6), 6, "a"),
+        # key 2: single row
+        (2, t(1), 7, "z"),
+    ]
+    df = spark.createDataFrame(rows, "k INT, ts TIMESTAMP, eid INT, v STRING")
+    hist = scd2_history(df, key="k", tracked=["v"], ts="ts",
+                        tiebreak=["eid"]).orderBy("k", "version")
+    got = [(r["k"], r["v"], r["valid_from"].second,
+            r["valid_to"].second if r["valid_to"] else None,
+            r["version"], r["is_current"]) for r in hist.collect()]
+    assert got == [
+        (1, "a", 1, 3, 1, False),
+        (1, "b", 3, 4, 2, False),
+        (1, None, 4, 6, 3, False),   # value -> NULL is a change
+        (1, "a", 6, None, 4, True),  # NULL -> NULL is not
+        (2, "z", 1, None, 1, True),
+    ]
+    with pytest.raises(ValueError, match="tracked"):
+        scd2_history(df, key="k", tracked=[], ts="ts")
