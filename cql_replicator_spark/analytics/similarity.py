@@ -671,3 +671,43 @@ def semantic_dedup_pairs(
             .withColumn("cos", cos(F.col("va"), F.col("vb")))
             .filter(F.col("cos") >= F.lit(float(threshold)))
             .select("id_a", "id_b", "cos"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N candidate rankings: each input frame
+    carries (id_col, rank) with rank 1 = best; the fused score is
+    sum over lists of 1/(k + rank), the standard RRF with k=60
+    (Cormack et al.) that hybrid lexical+vector retrieval stacks use.
+
+    Scale shape: inputs should already be CAPPED candidate lists (each
+    ranker's distributed top-N, e.g. orderBy().limit() which plans as
+    TakeOrdered — a per-partition partial top-k, never a global sort).
+    Fusion is then one union + one groupBy over <= N x len(rankings)
+    rows, independent of corpus size. Docs absent from a list simply
+    contribute nothing for it (the outer-join semantics of RRF).
+
+    Returns (id_col, n_lists, rrf) rounded to 6 dp; ``top_n`` applies a
+    deterministic (rrf desc, id) cut.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    parts = [r.select(F.col(id_col), F.col("rank")) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_lists"),
+             F.round(F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))), 6)
+              .alias("rrf"))
+    )
+    if top_n is not None:
+        fused = fused.orderBy(F.desc("rrf"), id_col).limit(top_n)
+    return fused

@@ -1358,6 +1358,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "text_bm25_scores",             # new: Okapi BM25 retrieval scoring
     "validate_constraints",       # new: Deequ-style one-pass constraint suite
     "scd2_user_state",            # new: SCD2 validity intervals from change feed
+    "retrieval_hybrid_rrf",       # new: BM25 + cosine reciprocal-rank fusion
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

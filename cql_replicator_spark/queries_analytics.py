@@ -2574,3 +2574,88 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("valid_from").cast("timestamp")).alias("valid_from_ms"),
         F.unix_millis(F.col("valid_to").cast("timestamp")).alias("valid_to_ms"),
         "version", "is_current")
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+d AS (SELECT doc_id, len(w) AS dl, w FROM base),
+tf AS (
+  SELECT doc_id, dl, t.token, count(*) AS tf
+  FROM d, unnest(w) AS t(token)
+  WHERE t.token IN ('scan', 'merge', 'window')
+  GROUP BY doc_id, dl, t.token
+),
+dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY token),
+tot AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM base),
+bm25 AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((tot.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5) + 1)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / tot.avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN dfreq USING (token) CROSS JOIN tot
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+  FROM bm25 QUALIFY rank <= 100
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cosv AS (
+  SELECT c.vec_id AS doc_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cos
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) c, q
+),
+sem AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+  FROM cosv QUALIFY rank <= 100
+),
+u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+       round(sum(1.0 / (60 + rank)), 6) AS rrf
+FROM u GROUP BY doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20
+""",
+    doc="Hybrid retrieval: BM25 lexical ranks fused with query-by-document "
+        "embedding-cosine ranks via reciprocal-rank fusion "
+        "(similarity.rrf_fuse, k=60) — the standard two-tower retrieval "
+        "stack over the corpus. Each ranker is capped to its distributed "
+        "top-100 BEFORE ranking (TakeOrdered partial top-k, no global "
+        "sort), so fusion touches <= 200 rows however large the corpus; "
+        "the cosine fold is the proven bit-identical left-to-right "
+        "double sum (== DuckDB list_dot_product) and BM25 ranks sort on "
+        "6-dp-rounded scores, so ranks are cross-engine exact",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    docs, emb = t["documents"], t["embeddings"]
+
+    lex_scores = TX.bm25_scores(docs, ["scan", "merge", "window"])
+    wlex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (lex_scores.orderBy(F.desc("bm25"), "doc_id").limit(100)
+           .select("doc_id",
+                   F.row_number().over(wlex).cast("long").alias("rank")))
+
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").cast("array<double>").alias("qv")))
+    c = emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").cast("array<double>").alias("cv"))
+    cosv = (c.crossJoin(F.broadcast(q))
+            .select("doc_id", S.cosine(F.col("cv"), F.col("qv")).alias("cos")))
+    wsem = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem = (cosv.orderBy(F.desc("cos"), "doc_id").limit(100)
+           .select("doc_id",
+                   F.row_number().over(wsem).cast("long").alias("rank")))
+
+    return S.rrf_fuse([lex, sem], id_col="doc_id", k=60, top_n=20)

@@ -1051,3 +1051,19 @@ def test_referential_integrity_counts_orphans(spark):
     assert row["metric"] == 0.75 and not row["passed"]
     with pytest.raises(ValueError, match="empty child"):
         V.referential_integrity(child.filter("fk < 0"), "fk", parent, "pk")
+
+
+def test_rrf_fuse_semantics(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id LONG, rank LONG")
+    b = spark.createDataFrame([(3, 1), (1, 2)], "doc_id LONG, rank LONG")
+    out = {r["doc_id"]: (r["n_lists"], r["rrf"])
+           for r in S.rrf_fuse([a, b], k=60).collect()}
+    assert out[1] == (2, round(1 / 61 + 1 / 62, 6))
+    assert out[2] == (1, round(1 / 62, 6))
+    assert out[3] == (2, round(1 / 63 + 1 / 61, 6))
+    top1 = S.rrf_fuse([a, b], k=60, top_n=1).collect()
+    assert [r["doc_id"] for r in top1] == [1]  # 1/61+1/62 > 1/63+1/61
+    with pytest.raises(ValueError, match="at least one"):
+        S.rrf_fuse([])
+    with pytest.raises(ValueError, match="positive"):
+        S.rrf_fuse([a], k=0)
