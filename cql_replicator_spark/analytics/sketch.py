@@ -77,6 +77,52 @@ def hll_fill_registers(built: DataFrame, spark, m: int = 256) -> DataFrame:
     )
 
 
+def hll_registers_grouped(
+    df: DataFrame,
+    group: str | list[str],
+    value: str | Column,
+    m: int = 256,
+) -> DataFrame:
+    """Per-group HLL register tables: (group..., register_id, max_rho),
+    exactly m rows per distinct group value (empty registers at 0).
+
+    The grouped form is what a 100 TB profiling pass actually runs —
+    approximate distinct-per-segment (users per event type, tokens per
+    language, keys per tile) in ONE groupBy whose map-side partial max
+    bounds shuffle traffic at |groups| x m rows per partition,
+    regardless of input size. Per-group sketches merge exactly like
+    the global one: union + groupBy(group, register_id).max — and a
+    group's registers merge INTO the global sketch by dropping the
+    group columns, since rho/register assignment is group-independent.
+    """
+    keys = [group] if isinstance(group, str) else list(group)
+    if not keys:
+        raise ValueError("hll_registers_grouped needs at least one group column")
+    if m & (m - 1) or m <= 0:
+        raise ValueError(f"m must be a power of two, got {m}")
+    width = 32 - int(math.log2(m))
+    col = F.col(value) if isinstance(value, str) else value
+    h = md5h32(col.cast("string"))
+    w = (h / m).cast("long")
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) + 1 - F.length(F.bin(w)))
+    built = (
+        df.select(*keys, (h % m).alias("register_id"), rho.alias("rho"))
+        .groupBy(*keys, "register_id")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    all_regs = df.sparkSession.range(m).select(
+        F.col("id").cast("long").alias("register_id"))
+    groups = df.select(*keys).distinct()
+    return (
+        groups.crossJoin(all_regs)
+        .join(built, [*keys, "register_id"], "left")
+        .select(*keys, "register_id",
+                F.coalesce(F.col("max_rho"), F.lit(0).cast("int"))
+                 .alias("max_rho"))
+    )
+
+
 def hll_merge(*register_frames: DataFrame) -> DataFrame:
     """Merge sketches: union the register tables, keep per-register max.
     Associative/commutative/idempotent — shard-parallel by construction."""

@@ -2659,3 +2659,36 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.row_number().over(wsem).cast("long").alias("rank")))
 
     return S.rrf_fuse([lex, sem], id_col="doc_id", k=60, top_n=20)
+
+
+@register(
+    "sketch_hll_grouped",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, {_md5h32_sql('CAST(user_id AS VARCHAR)')} AS h FROM events
+),
+built AS (
+  SELECT event_type, h % 64 AS register_id,
+         max(CASE WHEN h // 64 = 0 THEN 27
+                  ELSE 27 - length(bin(h // 64)) END) AS max_rho
+  FROM h GROUP BY event_type, h % 64
+),
+g AS (SELECT DISTINCT event_type FROM events)
+SELECT g.event_type, t.register_id, CAST(COALESCE(b.max_rho, 0) AS INT) AS max_rho
+FROM g CROSS JOIN generate_series(0, 63) AS t(register_id)
+LEFT JOIN built b
+  ON b.event_type = g.event_type AND b.register_id = t.register_id
+""",
+    doc="Per-group HLL sketches (sketch.hll_registers_grouped, m=64): "
+        "distinct users per event type as one register table per group — "
+        "the approximate distinct-per-segment profiling pass. One groupBy "
+        "with map-side partial max bounds shuffle traffic at |groups| x 64 "
+        "rows per partition however large the input; groups merge by the "
+        "same union+max as the global sketch, and collapse into it by "
+        "dropping the group column (register/rho assignment is "
+        "group-independent)",
+)
+def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import sketch as SK
+    events = _t(spark, sf_dir, "events")["events"]
+    return SK.hll_registers_grouped(events, "event_type", "user_id", m=64)

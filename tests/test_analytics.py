@@ -1067,3 +1067,27 @@ def test_rrf_fuse_semantics(spark):
         S.rrf_fuse([])
     with pytest.raises(ValueError, match="positive"):
         S.rrf_fuse([a], k=0)
+
+
+def test_hll_grouped_collapses_to_global_sketch(spark):
+    from cql_replicator_spark.analytics import sketch as SK
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 700).alias("v"))
+    grouped = SK.hll_registers_grouped(df, "g", "v", m=64)
+    assert grouped.count() == 3 * 64
+    # dropping the group key and re-maxing IS the global sketch
+    collapsed = (grouped.groupBy("register_id")
+                 .agg(F.max("max_rho").alias("max_rho")))
+    global_ = SK.hll_registers(df, "v", m=64)
+    assert collapsed.exceptAll(global_).count() == 0
+    assert global_.exceptAll(collapsed).count() == 0
+    # per-group estimate lands near truth (700 distinct per group here)
+    one = grouped.filter("g = '0'").select("register_id", "max_rho")
+    est = SK.hll_estimate(one, m=64)
+    assert 700 * 0.7 < est < 700 * 1.3
+    with pytest.raises(ValueError, match="group column"):
+        SK.hll_registers_grouped(df, [], "v", m=64)
+    with pytest.raises(ValueError, match="power of two"):
+        SK.hll_registers_grouped(df, "g", "v", m=63)
