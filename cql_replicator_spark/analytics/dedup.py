@@ -22,6 +22,7 @@ import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 def _graph_partitions(spark, n_edges: int, per_part: int = 250_000) -> int:
     """Shuffle width for the connected-components rounds, sized to the
@@ -669,3 +670,54 @@ def contamination_pairs(
         .agg(F.count("*").alias("n_common_grams"))
         .filter(F.col("n_common_grams") >= min_common)
     )
+
+
+def blocked_fuzzy_links(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    block_col: str = "block",
+    max_dist: int = 1,
+    best_only: bool = True,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate pairs come ONLY from
+    equi-joining a caller-supplied blocking key (prefix, phonetic code,
+    length bucket — both frames must already carry ``block_col``), then
+    verify with edit distance <= max_dist. The classic
+    blocking-then-verify shape: the O(|L| x |R|) all-pairs comparison
+    never exists — work is sum over blocks of |L_b| x |R_b|, and
+    ``max_block_size`` drops degenerate blocks (a stop-word-like block
+    would otherwise quadratically dominate, same cap pattern as the
+    LSH/simhash pair generators).
+
+    best_only keeps each left record's single best link
+    (min distance, then right id — total order, deterministic);
+    otherwise all verified pairs return.
+    Output: (left_id, right_id, dist).
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    l = left.select(F.col(left_id), F.col(left_text), F.col(block_col))
+    r = right.select(F.col(right_id), F.col(right_text), F.col(block_col))
+    if max_block_size is not None:
+        sizes = (r.groupBy(block_col)
+                 .agg(F.count("*").alias("__bn"))
+                 .filter(F.col("__bn") <= max_block_size)
+                 .drop("__bn"))
+        r = r.join(sizes, block_col)
+    dist = F.levenshtein(F.col(left_text), F.col(right_text))
+    cand = (
+        l.join(r, block_col)
+        .select(F.col(left_id), F.col(right_id),
+                dist.cast("int").alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    if not best_only:
+        return cand
+    w = Window.partitionBy(left_id).orderBy("dist", right_id)
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1").drop("__rn"))

@@ -1360,6 +1360,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "scd2_user_state",            # new: SCD2 validity intervals from change feed
     "retrieval_hybrid_rrf",       # new: BM25 + cosine reciprocal-rank fusion
     "sketch_hll_grouped",         # new: per-group mergeable HLL registers
+    "record_linkage_fuzzy",       # new: blocked levenshtein record linkage
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

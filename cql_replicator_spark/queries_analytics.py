@@ -2692,3 +2692,53 @@ def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import sketch as SK
     events = _t(spark, sf_dir, "events")["events"]
     return SK.hll_registers_grouped(events, "event_type", "user_id", m=64)
+
+
+@register(
+    "record_linkage_fuzzy",
+    oracle="""
+WITH dirty AS (
+  SELECT c_custkey AS d_id,
+         substr(c_name, 1, length(c_name) - 1) ||
+           CAST((CAST(substr(c_name, length(c_name), 1) AS INT) + 1) % 10
+                AS VARCHAR) AS d_name
+  FROM customer
+),
+l AS (SELECT d_id, d_name, substr(d_name, 1, 16) AS block FROM dirty),
+r AS (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS block FROM customer),
+cand AS (
+  SELECT l.d_id, r.c_custkey,
+         CAST(levenshtein(l.d_name, r.c_name) AS INT) AS dist
+  FROM l JOIN r USING (block)
+  WHERE levenshtein(l.d_name, r.c_name) <= 1
+)
+SELECT d_id, c_custkey, dist
+FROM (SELECT *, row_number() OVER (PARTITION BY d_id
+                                   ORDER BY dist, c_custkey) AS rn
+      FROM cand)
+WHERE rn = 1
+""",
+    doc="Blocked fuzzy record linkage (dedup.blocked_fuzzy_links): a "
+        "deterministically-corrupted customer register (last name digit "
+        "bumped, edit distance 1) links back to the clean register by "
+        "16-char-prefix blocking + levenshtein <= 1 verify, keeping each "
+        "dirty record's best match (min dist, then custkey). All-pairs "
+        "comparison never exists — candidates are per-block only, with a "
+        "max_block_size cap available for degenerate blocks. Note the "
+        "realistic ambiguity the tiebreak resolves: bumping ...3 -> ...4 "
+        "collides at distance 0 with the real ...4 record",
+)
+def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")["customer"]
+    dirty = customer.select(
+        F.col("c_custkey").alias("d_id"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 1)"),
+            ((F.expr("CAST(substr(c_name, length(c_name), 1) AS INT)") + 1) % 10)
+            .cast("string"),
+        ).alias("d_name"),
+    ).withColumn("block", F.expr("substr(d_name, 1, 16)"))
+    clean = customer.withColumn("block", F.expr("substr(c_name, 1, 16)"))
+    return D.blocked_fuzzy_links(
+        dirty, clean, left_id="d_id", right_id="c_custkey",
+        left_text="d_name", right_text="c_name", max_dist=1)

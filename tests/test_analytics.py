@@ -1091,3 +1091,32 @@ def test_hll_grouped_collapses_to_global_sketch(spark):
         SK.hll_registers_grouped(df, [], "v", m=64)
     with pytest.raises(ValueError, match="power of two"):
         SK.hll_registers_grouped(df, "g", "v", m=63)
+
+
+def test_blocked_fuzzy_links_blocking_and_cap(spark):
+    left = spark.createDataFrame(
+        [(1, "alpha-007x", "alpha"), (2, "beta-999", "beta"),
+         (3, "gamma-123", "gamma")],
+        "lid LONG, ltxt STRING, block STRING")
+    right = spark.createDataFrame(
+        [(10, "alpha-0071", "alpha"), (11, "alpha-0072", "alpha"),
+         (12, "beta-111", "beta"), (13, "delta-123", "delta")],
+        "rid LONG, rtxt STRING, block STRING")
+    links = D.blocked_fuzzy_links(
+        left, right, "lid", "rid", "ltxt", "rtxt", max_dist=1)
+    got = {(r["lid"], r["rid"], r["dist"]) for r in links.collect()}
+    # 1 matches both alpha rows at dist 1 -> keeps min rid; beta too far;
+    # gamma has no same-block candidate (delta-123 is 1 edit away but
+    # blocked apart -> never compared)
+    assert got == {(1, 10, 1)}
+    allpairs = D.blocked_fuzzy_links(
+        left, right, "lid", "rid", "ltxt", "rtxt", max_dist=1,
+        best_only=False)
+    assert allpairs.count() == 2
+    capped = D.blocked_fuzzy_links(
+        left, right, "lid", "rid", "ltxt", "rtxt", max_dist=1,
+        max_block_size=1)
+    assert capped.count() == 0  # the alpha block (2 rows) was dropped
+    with pytest.raises(ValueError, match="max_dist"):
+        D.blocked_fuzzy_links(left, right, "lid", "rid", "ltxt", "rtxt",
+                              max_dist=-1)
