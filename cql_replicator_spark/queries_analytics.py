@@ -2742,3 +2742,60 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.blocked_fuzzy_links(
         dirty, clean, left_id="d_id", right_id="c_custkey",
         left_text="d_name", right_text="c_name", max_dist=1)
+
+
+_PR_ITER_SQL = """
+  SELECT n.node,
+         CAST({base} + 85 * COALESCE(s.c, 0) // 100 AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node, CAST(sum(p.r // d.deg) AS BIGINT) AS c
+             FROM edges e
+             JOIN {prev} p ON p.node = e.src
+             JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) s ON s.node = n.node
+"""
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    base = f"(({scale} * 15 // 100) // (SELECT n FROM params))"
+    its = "".join(
+        f", it{i} AS ({_PR_ITER_SQL.format(base=base, prev=('r0' if i == 1 else f'it{i-1}'))})"
+        for i in range(1, iters + 1))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
+  UNION
+  SELECT DISTINCT l_partkey + 1000000 AS src, l_suppkey AS dst FROM lineitem
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+params AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({scale} // (SELECT n FROM params) AS BIGINT) AS r
+       FROM nodes){its}
+SELECT node, r AS rank_scaled FROM it{iters}
+"""
+
+
+@register(
+    "graph_pagerank_suppliers",
+    oracle=_pagerank_oracle(),
+    doc="Integer-scaled PageRank (analytics.graph.pagerank_scaled) over "
+        "the undirected supplier<->part co-purchase graph from lineitem "
+        "(parts offset by 1e6 into the shared node id space). Ranks are "
+        "BIGINTs: contribution = rank div out_degree, damping all-integer "
+        "— order-independent integer sums make the iterative result "
+        "bit-exact across engines, which is why a 3-iteration unrolled "
+        "SQL oracle can check it at all. Per iteration: one AQE-decided "
+        "join of the rank frame onto edge sources + one integer-sum "
+        "groupBy on dst; lineage cuts via localCheckpoint on long runs",
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics.graph import pagerank_scaled
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    fwd = li.select(F.col("l_suppkey").cast("long").alias("src"),
+                    (F.col("l_partkey") + 1000000).cast("long").alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank_scaled(edges, iterations=3)

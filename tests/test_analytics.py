@@ -1120,3 +1120,26 @@ def test_blocked_fuzzy_links_blocking_and_cap(spark):
     with pytest.raises(ValueError, match="max_dist"):
         D.blocked_fuzzy_links(left, right, "lid", "rid", "ltxt", "rtxt",
                               max_dist=-1)
+
+
+def test_pagerank_scaled_star_graph(spark):
+    from cql_replicator_spark.analytics.graph import pagerank_scaled
+
+    # undirected star: center 0 <-> leaves 1..4
+    fwd = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src LONG, dst LONG")
+    ranks = {r["node"]: r["rank_scaled"]
+             for r in pagerank_scaled(edges, iterations=5).collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4}
+    # center dominates; leaves are symmetric -> identical ranks
+    leaf_ranks = {ranks[i] for i in range(1, 5)}
+    assert len(leaf_ranks) == 1
+    assert ranks[0] > ranks[1]
+    # mass conservation up to integer-floor leakage
+    total = sum(ranks.values())
+    assert 0.99 * 10**12 < total <= 10**12
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank_scaled(edges, iterations=0)
+    with pytest.raises(ValueError, match="empty"):
+        pagerank_scaled(edges.filter("src < 0"))
