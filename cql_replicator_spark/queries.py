@@ -1362,6 +1362,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "sketch_hll_grouped",         # new: per-group mergeable HLL registers
     "record_linkage_fuzzy",       # new: blocked levenshtein record linkage
     "graph_pagerank_suppliers",   # new: integer-exact iterative PageRank
+    "reconcile_merkle_ranges",    # new: Merkle-range anti-entropy diff
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

@@ -2799,3 +2799,70 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     return pagerank_scaled(edges, iterations=3)
+
+
+def _merkle_side_sql(src: str, out: str, n_leaves: int = 16,
+                     fanout: int = 4) -> str:
+    """CTE chain building one side's densified Merkle tree."""
+    row_h = _md5h32_sql("CAST(pk AS VARCHAR) || ':' || CAST(ts AS VARCHAR)")
+    tile_h = _md5h32_sql("CAST(pk AS VARCHAR)")
+    parts = [f"""
+{out}_l0x AS (
+  SELECT {tile_h} % {n_leaves} AS node_id,
+         bit_xor({row_h}) AS digest, count(*) AS n
+  FROM {src} GROUP BY 1
+),
+{out}_l0 AS (
+  SELECT t.node_id, COALESCE(x.digest, 0) AS digest,
+         CAST(COALESCE(x.n, 0) AS BIGINT) AS n
+  FROM generate_series(0, {n_leaves - 1}) AS t(node_id)
+  LEFT JOIN {out}_l0x x USING (node_id)
+)"""]
+    lvl, nodes = 0, n_leaves
+    while nodes > 1:
+        nodes //= fanout
+        lvl += 1
+        parts.append(f"""
+{out}_l{lvl} AS (
+  SELECT node_id // {fanout} AS node_id, bit_xor(digest) AS digest,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM {out}_l{lvl - 1} GROUP BY 1
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS level, node_id, digest, n FROM {out}_l{i}"
+        for i in range(lvl + 1))
+    parts.append(f"\n{out} AS (\n{union}\n)")
+    return ",".join(parts)
+
+
+@register(
+    "reconcile_merkle_ranges",
+    oracle=f"""
+WITH {_CDC_BASE_SQL},
+{_merkle_side_sql('t0', 'ms')},
+{_merkle_side_sql('t1', 'mt')}
+SELECT s.level, s.node_id,
+       s.digest AS digest_src, t.digest AS digest_tgt,
+       s.n AS n_src, t.n AS n_tgt
+FROM ms s JOIN mt t USING (level, node_id)
+WHERE s.digest <> t.digest OR s.n <> t.n
+""",
+    doc="Merkle-range anti-entropy (reconcile.merkle_tree/merkle_diff): "
+        "hierarchical xor-digest trees over hash-tiled key ranges for the "
+        "T0/T1 snapshot fixture, reporting every out-of-sync tree node — "
+        "the Cassandra-repair structure that finds divergent ranges "
+        "without shipping rows. Digests are bit_xor of portable per-row "
+        "hashes (order/partition-independent => engine-exact); parents "
+        "compose by the same xor so a repair walks root-down and prunes "
+        "clean subtrees, reserving the row-level diff for dirty leaves. "
+        "Tree build is one groupBy per level over the level below "
+        "(16 -> 4 -> 1 rows here), nothing row-shaped ever recompared",
+)
+def reconcile_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import _cdc_snapshots
+    from .reconcile import merkle_diff, merkle_tree
+
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+    src = merkle_tree(t0, "pk", ["ts"], n_leaves=16, fanout=4)
+    tgt = merkle_tree(t1, "pk", ["ts"], n_leaves=16, fanout=4)
+    return merkle_diff(src, tgt)

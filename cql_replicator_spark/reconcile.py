@@ -199,3 +199,89 @@ class ReconcileJob:
         with open(path, "w") as f:
             json.dump(asdict(result), f, indent=1, default=str)
         return path
+
+
+# -- Merkle-range anti-entropy ---------------------------------------------------
+
+def merkle_tree(
+    df: DataFrame,
+    pk_col: str,
+    content_cols: list[str],
+    n_leaves: int = 16,
+    fanout: int = 4,
+) -> DataFrame:
+    """Hierarchical hash tree over hash-tiled key ranges — the
+    anti-entropy structure Cassandra repair uses to find out-of-sync
+    ranges without shipping rows. Leaf tile = portable 32-bit hash of
+    the PK mod n_leaves (same hash family as tiling, K:1832-1843);
+    leaf digest = bit_xor of per-row content hashes (order- and
+    partition-independent, so two engines/replicas agree bitwise);
+    parents combine children by the same xor, so every level is one
+    tiny groupBy over the level below. Row counts ride along (parent =
+    sum) to harden the digest against xor collisions.
+
+    Returns (level INT, node_id LONG, digest LONG, n_rows LONG) for
+    the full tree, empty leaves densified to (0, 0) so trees over any
+    two tables are structurally identical and join-comparable. The
+    whole tree is |leaves| + |leaves|/fanout + ... rows — compare
+    trees root-down and only drill into (or re-sync) ranges whose
+    digests differ: the log-depth bandwidth story, with the row-level
+    diff (diff.compute_changes) reserved for the leaves that actually
+    changed.
+    """
+    from .analytics.dedup import md5h32
+
+    k = n_leaves
+    depth = 0
+    while k > 1:
+        if k % fanout:
+            raise ValueError(
+                f"n_leaves={n_leaves} must be a power of fanout={fanout}")
+        k //= fanout
+        depth += 1
+    spark = df.sparkSession
+    row_digest = md5h32(F.concat_ws(
+        ":", F.col(pk_col).cast("string"),
+        *[F.col(c).cast("string") for c in content_cols]))
+    tile = md5h32(F.col(pk_col).cast("string")) % n_leaves
+    sparse = (df.select(tile.alias("node_id"), row_digest.alias("digest"))
+              .groupBy("node_id")
+              .agg(F.expr("bit_xor(digest)").alias("digest"),
+                   F.count("*").alias("n_rows")))
+    leaves = (
+        spark.range(n_leaves).select(F.col("id").cast("long").alias("node_id"))
+        .join(sparse, "node_id", "left")
+        .select(F.lit(0).alias("level"), "node_id",
+                F.coalesce("digest", F.lit(0).cast("long")).alias("digest"),
+                F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows"))
+    )
+    levels = [leaves]
+    cur = leaves
+    for lvl in range(1, depth + 1):
+        cur = (cur.groupBy(F.expr(f"node_id div {fanout}").alias("node_id"))
+               .agg(F.expr("bit_xor(digest)").alias("digest"),
+                    F.sum("n_rows").cast("long").alias("n_rows"))
+               .select(F.lit(lvl).alias("level"), "node_id", "digest", "n_rows"))
+        levels.append(cur)
+    out = levels[0]
+    for frame in levels[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def merkle_diff(tree_src: DataFrame, tree_tgt: DataFrame) -> DataFrame:
+    """Out-of-sync tree nodes between two structurally-identical Merkle
+    trees: inner join on (level, node_id) — densified trees always
+    align — keeping nodes whose digest or count disagree. Every
+    mismatching leaf's ancestors mismatch too (xor composition), which
+    is what lets a repair walk the tree root-down and stop early on
+    clean subtrees."""
+    s = tree_src.select("level", "node_id",
+                        F.col("digest").alias("digest_src"),
+                        F.col("n_rows").alias("n_src"))
+    t = tree_tgt.select("level", "node_id",
+                        F.col("digest").alias("digest_tgt"),
+                        F.col("n_rows").alias("n_tgt"))
+    return (s.join(t, ["level", "node_id"])
+            .filter((F.col("digest_src") != F.col("digest_tgt"))
+                    | (F.col("n_src") != F.col("n_tgt"))))

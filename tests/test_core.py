@@ -803,3 +803,34 @@ def test_scd2_history_intervals_and_null_safety(spark):
     ]
     with pytest.raises(ValueError, match="tracked"):
         scd2_history(df, key="k", tracked=[], ts="ts")
+
+
+def test_merkle_tree_localizes_single_change(spark):
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.reconcile import merkle_diff, merkle_tree
+
+    base = spark.range(1000).select(F.col("id").alias("pk"),
+                                    (F.col("id") * 7).alias("ts"))
+    changed = base.withColumn(
+        "ts", F.when(F.col("pk") == 123, F.col("ts") + 1).otherwise(F.col("ts")))
+
+    tree_a = merkle_tree(base, "pk", ["ts"], n_leaves=16, fanout=4)
+    # densified: 16 + 4 + 1 nodes regardless of data
+    assert tree_a.count() == 21
+    # identical tables -> zero out-of-sync nodes
+    assert merkle_diff(tree_a, merkle_tree(base, "pk", ["ts"],
+                                           n_leaves=16, fanout=4)).count() == 0
+    # one changed row -> exactly one dirty leaf plus its ancestors
+    diff = merkle_diff(tree_a, merkle_tree(changed, "pk", ["ts"],
+                                           n_leaves=16, fanout=4))
+    rows = sorted((r["level"], r["node_id"]) for r in diff.collect())
+    assert len(rows) == 3  # leaf, parent, root
+    (l0, n0), (l1, n1), (l2, n2) = rows
+    assert (l0, l1, l2) == (0, 1, 2)
+    assert n1 == n0 // 4 and n2 == 0  # ancestor chain composes by div
+    # counts agree (update, not insert/delete) so digests flagged it
+    assert all(r["n_src"] == r["n_tgt"] for r in diff.collect())
+
+    with pytest.raises(ValueError, match="power of fanout"):
+        merkle_tree(base, "pk", ["ts"], n_leaves=12, fanout=4)
