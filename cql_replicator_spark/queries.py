@@ -1363,6 +1363,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "record_linkage_fuzzy",       # new: blocked levenshtein record linkage
     "graph_pagerank_suppliers",   # new: integer-exact iterative PageRank
     "reconcile_merkle_ranges",    # new: Merkle-range anti-entropy diff
+    "events_concurrency_sweep",   # new: interval sweep-line peak concurrency
+    "events_type_bitmap_profile", # new: bit_or presence bitmaps per user
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

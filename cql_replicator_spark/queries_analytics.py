@@ -2866,3 +2866,94 @@ def reconcile_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = merkle_tree(t0, "pk", ["ts"], n_leaves=16, fanout=4)
     tgt = merkle_tree(t1, "pk", ["ts"], n_leaves=16, fanout=4)
     return merkle_diff(src, tgt)
+
+
+@register(
+    "events_concurrency_sweep",
+    oracle="""
+WITH iv AS (
+  SELECT event_id, event_type, epoch_ms(ts) AS s,
+         epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e
+  FROM events
+),
+pts AS (
+  SELECT event_type, s AS t, 1 AS d, event_id FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d, event_id FROM iv
+),
+run AS (
+  SELECT event_type,
+         CAST(sum(d) OVER (PARTITION BY event_type
+                           ORDER BY t, d, event_id) AS BIGINT) AS c
+  FROM pts
+)
+SELECT r.event_type, r.max_concurrent, n.n_intervals
+FROM (SELECT event_type, max(c) AS max_concurrent FROM run GROUP BY event_type) r
+JOIN (SELECT event_type, count(*) AS n_intervals FROM iv GROUP BY event_type) n
+  USING (event_type)
+""",
+    doc="Interval-concurrency sweep line: each event opens a half-open "
+        "interval [ts, ts + value seconds); +1/-1 boundary points sorted "
+        "per event_type with a total (t, delta, event_id) order — ends "
+        "before starts at a shared instant, so touching intervals don't "
+        "overlap — and a running window sum gives instantaneous "
+        "concurrency, maxed per group. The classic peak-load/occupancy "
+        "profile: one shuffle on the group key, 2|n| boundary rows, no "
+        "interval self-join (which would be O(n^2) per key at 100 TB). "
+        "Millisecond integer timeline keeps both engines exact",
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")["events"]
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    iv = events.select(
+        "event_id", "event_type", ms.alias("s"),
+        (ms + F.round(F.col("value") * 1000).cast("long")).alias("e"))
+    pts = (iv.select("event_type", F.col("s").alias("t"),
+                     F.lit(1).alias("d"), "event_id")
+           .unionByName(iv.select("event_type", F.col("e").alias("t"),
+                                  F.lit(-1).alias("d"), "event_id")))
+    w = Window.partitionBy("event_type").orderBy("t", "d", "event_id") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    run = pts.select("event_type", F.sum("d").over(w).cast("long").alias("c"))
+    peaks = run.groupBy("event_type").agg(F.max("c").alias("max_concurrent"))
+    counts = iv.groupBy("event_type").agg(F.count("*").alias("n_intervals"))
+    return peaks.join(counts, "event_type")
+
+
+@register(
+    "events_type_bitmap_profile",
+    oracle="""
+WITH idx AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS bit
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT e.user_id,
+       CAST(bit_or(1 << idx.bit) AS BIGINT) AS type_bitmap,
+       CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+FROM events e JOIN idx USING (event_type)
+GROUP BY e.user_id
+""",
+    doc="Per-user behavior bitmap: event types map to bit positions "
+        "(alphabetical, data-driven — the tiny distinct-types frame ranks "
+        "in one reduced window and broadcast-joins back), then one "
+        "groupBy folds each user's types into a single BIGINT via bit_or "
+        "— the roaring-bitmap-style presence encoding that makes segment "
+        "membership tests (did X and Y but not Z) pure integer masks "
+        "downstream. Map-side partial bit_or keeps shuffle rows at "
+        "|users| regardless of event count",
+)
+def events_type_bitmap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")["events"]
+    idx = (events.select("event_type").distinct()
+           .select("event_type",
+                   (F.row_number().over(Window.orderBy("event_type")) - 1)
+                   .cast("long").alias("bit")))
+    return (events.join(F.broadcast(idx), "event_type")
+            .groupBy("user_id")
+            .agg(F.expr("bit_or(1L << bit)").cast("long").alias("type_bitmap"),
+                 F.countDistinct("event_type").cast("long").alias("n_types")))

