@@ -107,6 +107,17 @@ HEADLINE = [
     "skew_key_profile",
     "events_markov_transitions",
     "text_bm25_scores",
+    "validate_constraints",
+    "scd2_user_state",
+    "retrieval_hybrid_rrf",
+    "sketch_hll_grouped",
+    "record_linkage_fuzzy",
+    "graph_pagerank_suppliers",
+    "reconcile_merkle_ranges",
+    "events_concurrency_sweep",
+    "events_type_bitmap_profile",
+    "sketch_quantile_grouped",
+    "sketch_hll_setops",
 ]
 
 

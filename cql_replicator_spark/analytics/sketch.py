@@ -335,6 +335,36 @@ def quantile_histogram(
             .groupBy("bin").agg(F.count("*").alias("cnt")))
 
 
+def quantile_histogram_grouped(
+    df: DataFrame,
+    group: str | list[str],
+    value: str | Column,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Per-group equi-width histogram sketches: (group..., bin, cnt),
+    same bin arithmetic and merge contract as ``quantile_histogram``.
+    The grouped profiling pass (price distribution per status, token
+    lengths per language) in ONE map-side-combined groupBy shuffling
+    <= |groups| x bins rows per partition; sparse — only occupied
+    (group, bin) cells exist, merge = union + per-(group, bin) sum.
+    A group's cells collapse into the global sketch by dropping the
+    group columns and re-summing (bin assignment is group-free)."""
+    keys = [group] if isinstance(group, str) else list(group)
+    if not keys:
+        raise ValueError("quantile_histogram_grouped needs a group column")
+    v = F.col(value) if isinstance(value, str) else value
+    raw = F.floor((v.cast("double") - F.lit(float(lo)))
+                  * F.lit(int(bins)) / F.lit(float(hi) - float(lo)))
+    b = F.greatest(F.lit(0).cast("long"),
+                   F.least(F.lit(int(bins) - 1).cast("long"),
+                           raw.cast("long")))
+    return (df.filter(v.isNotNull())
+            .select(*keys, b.alias("bin"))
+            .groupBy(*keys, "bin").agg(F.count("*").alias("cnt")))
+
+
 def quantile_merge(*hist_frames: DataFrame) -> DataFrame:
     """Merge histogram sketches built with identical (lo, hi, bins):
     union + per-bin sum. Callers own the geometry invariant, as with

@@ -1365,6 +1365,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "reconcile_merkle_ranges",    # new: Merkle-range anti-entropy diff
     "events_concurrency_sweep",   # new: interval sweep-line peak concurrency
     "events_type_bitmap_profile", # new: bit_or presence bitmaps per user
+    "sketch_quantile_grouped",    # new: per-group histogram sketches
+    "sketch_hll_setops",          # new: HLL union algebra + intersection est
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

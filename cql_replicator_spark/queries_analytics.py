@@ -2957,3 +2957,75 @@ def events_type_bitmap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id")
             .agg(F.expr("bit_or(1L << bit)").cast("long").alias("type_bitmap"),
                  F.countDistinct("event_type").cast("long").alias("n_types")))
+
+
+@register(
+    "sketch_quantile_grouped",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(greatest(0, least(15,
+         floor((o_totalprice - 0.0) * 16 / 500000.0))) AS BIGINT) AS bin,
+       count(*) AS cnt
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="Per-group histogram sketches (sketch.quantile_histogram_grouped): "
+        "o_totalprice distribution per order status, 16 equi-width bins "
+        "over [0, 500k) — one map-side-combined groupBy shuffling at most "
+        "|groups| x bins rows per partition at any input size. Cells "
+        "merge across shards by per-(group,bin) sum and collapse to the "
+        "global sketch by dropping the group key; bin arithmetic is one "
+        "IEEE multiply/divide + floor, identical across engines",
+)
+def sketch_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import sketch as SK
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return SK.quantile_histogram_grouped(
+        orders, "o_orderstatus", "o_totalprice", lo=0.0, hi=500000.0, bins=16)
+
+
+@register(
+    "sketch_hll_setops",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, {_md5h32_sql('CAST(user_id AS VARCHAR)')} AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+built AS (
+  SELECT event_type AS seg, h % 64 AS register_id,
+         max(CASE WHEN h // 64 = 0 THEN 27
+                  ELSE 27 - length(bin(h // 64)) END) AS max_rho
+  FROM h GROUP BY 1, 2
+),
+tagged AS (
+  SELECT seg, register_id, max_rho FROM built
+  UNION ALL
+  SELECT 'union' AS seg, register_id, max(max_rho) AS max_rho
+  FROM built GROUP BY 2
+),
+segs AS (SELECT unnest(['click', 'purchase', 'union']) AS seg)
+SELECT s.seg, t.register_id, CAST(COALESCE(g.max_rho, 0) AS INT) AS max_rho
+FROM segs s
+CROSS JOIN generate_series(0, 63) AS t(register_id)
+LEFT JOIN tagged g ON g.seg = s.seg AND g.register_id = t.register_id
+""",
+    doc="HLL sketch set algebra: clickers, purchasers, and their UNION as "
+        "register tables (m=64) in one pass — union-of-sets IS "
+        "per-register max (sketch.hll_merge's contract), computed here "
+        "from the grouped build without rescanning events. Driver-side "
+        "hll_estimate over the three 64-row tables then yields "
+        "|A|, |B|, |A∪B| and, by inclusion-exclusion, the intersection "
+        "estimate — overlap analysis whose distributed cost is "
+        "independent of user count. Densified to 3 x 64 rows",
+)
+def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import sketch as SK
+    events = _t(spark, sf_dir, "events")["events"]
+    two = events.filter(F.col("event_type").isin("click", "purchase"))
+    grouped = SK.hll_registers_grouped(
+        two.select(F.col("event_type").alias("seg"), "user_id"),
+        "seg", "user_id", m=64)
+    union_regs = (grouped.groupBy("register_id")
+                  .agg(F.max("max_rho").alias("max_rho"))
+                  .select(F.lit("union").alias("seg"), "register_id", "max_rho"))
+    return grouped.unionByName(union_regs)

@@ -1161,3 +1161,24 @@ def test_concurrency_sweep_half_open_ties(spark):
          .rowsBetween(W.unboundedPreceding, 0))
     run = pts.select(F.sum("d").over(w).alias("c"))
     assert max(r["c"] for r in run.collect()) == 2  # 1&3 overlap; 1&2 touch only
+
+
+def test_quantile_histogram_grouped_collapses_to_global(spark):
+    from cql_replicator_spark.analytics import sketch as SK
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 100).cast("double").alias("v"))
+    grouped = SK.quantile_histogram_grouped(df, "g", "v", lo=0.0, hi=100.0,
+                                            bins=10)
+    # dropping the group key and re-summing IS the global sketch
+    collapsed = grouped.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    global_ = SK.quantile_histogram(df, "v", lo=0.0, hi=100.0, bins=10)
+    assert collapsed.exceptAll(global_).count() == 0
+    assert global_.exceptAll(collapsed).count() == 0
+    # per-group mass accounts for every non-null row
+    per_g = {r["g"]: r["s"] for r in
+             grouped.groupBy("g").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_g == {"0": 2000, "1": 2000}
+    with pytest.raises(ValueError, match="group column"):
+        SK.quantile_histogram_grouped(df, [], "v", lo=0.0, hi=1.0)
