@@ -56,15 +56,22 @@ def pagerank_scaled(
     if not (0 < damping_num < damping_den):
         raise ValueError("need 0 < damping_num < damping_den")
 
+    # The loop re-reads all three per iteration; persist so the source
+    # scan happens once, not once per iteration x side (at 100 TB the
+    # edge scan IS the cost). Unpersisted below once the final rank is
+    # checkpointed off this lineage.
     e = edges.select(F.col(src).cast("long").alias("src"),
-                     F.col(dst).cast("long").alias("dst"))
+                     F.col(dst).cast("long").alias("dst")).persist()
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct())
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+             .distinct().persist())
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
 
     n = nodes.count()
     if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        deg.unpersist()
         raise ValueError("pagerank_scaled on an empty edge list")
     base = ((damping_den - damping_num) * scale // damping_den) // n
     init = scale // n
@@ -88,4 +95,12 @@ def pagerank_scaled(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             rank = rank.localCheckpoint(eager=False)
-    return rank.select("node", F.col("r").alias("rank_scaled"))
+    # materialize the final rank off the cached lineage, then release
+    # the inputs — callers get a self-contained frame, nothing leaks
+    # into executor memory across calls (r4 ADVICE persist-leak rule)
+    out = rank.select("node", F.col("r").alias("rank_scaled")) \
+              .localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    deg.unpersist()
+    return out

@@ -3024,7 +3024,8 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     two = events.filter(F.col("event_type").isin("click", "purchase"))
     grouped = SK.hll_registers_grouped(
         two.select(F.col("event_type").alias("seg"), "user_id"),
-        "seg", "user_id", m=64)
+        "seg", "user_id", m=64
+    ).localCheckpoint(eager=True)  # read twice below; scan events once
     union_regs = (grouped.groupBy("register_id")
                   .agg(F.max("max_rho").alias("max_rho"))
                   .select(F.lit("union").alias("seg"), "register_id", "max_rho"))

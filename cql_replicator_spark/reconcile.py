@@ -254,6 +254,10 @@ def merkle_tree(
         .select(F.lit(0).alias("level"), "node_id",
                 F.coalesce("digest", F.lit(0).cast("long")).alias("digest"),
                 F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows"))
+        # every parent level and the final union re-read the leaves;
+        # checkpoint the n_leaves-row frame so the table scan behind it
+        # runs exactly once, not once per tree level
+        .localCheckpoint(eager=True)
     )
     levels = [leaves]
     cur = leaves
