@@ -118,6 +118,9 @@ HEADLINE = [
     "events_type_bitmap_profile",
     "sketch_quantile_grouped",
     "sketch_hll_setops",
+    "dedup_cluster_keepers",
+    "orders_revenue_share",
+    "curation_report_by_source",
 ]
 
 

@@ -721,3 +721,39 @@ def blocked_fuzzy_links(
     w = Window.partitionBy(left_id).orderBy("dist", right_id)
     return (cand.withColumn("__rn", F.row_number().over(w))
             .filter("__rn = 1").drop("__rn"))
+
+
+def cluster_keepers(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Keeper selection — the policy step that turns dedup clusters into
+    a keep/drop decision. Joins (id, cluster) with a per-doc quality
+    frame and keeps each cluster's best document under the total order
+    (quality desc, id asc); ties can't make two engines disagree.
+
+    Canonical min-id labeling (connected_components) answers "which
+    docs are the same"; this answers "which copy survives" — real
+    pipelines keep the longest/cleanest/highest-scoring copy, not the
+    smallest id (the C4/RefinedWeb recipe). One window over the
+    cluster key: |members| rows shuffled once, counts ride the same
+    partition.
+
+    Returns (cluster_id, keeper_id, keeper_quality, n_members).
+    """
+    m = clusters.select(F.col(id_col), F.col(cluster_col)).join(
+        quality.select(F.col(id_col), F.col(quality_col)), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(F.desc(quality_col), id_col)
+    wc = Window.partitionBy(cluster_col)
+    return (
+        m.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc).cast("long"))
+        .filter("__rn = 1")
+        .select(F.col(cluster_col),
+                F.col(id_col).alias("keeper_id"),
+                F.col(quality_col).alias("keeper_quality"),
+                "n_members")
+    )

@@ -1367,6 +1367,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "events_type_bitmap_profile", # new: bit_or presence bitmaps per user
     "sketch_quantile_grouped",    # new: per-group histogram sketches
     "sketch_hll_setops",          # new: HLL union algebra + intersection est
+    "dedup_cluster_keepers",      # new: quality-aware keeper policy
+    "orders_revenue_share",       # new: percent-of-total window pattern
+    "curation_report_by_source",  # new: per-provenance filter-rate report
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

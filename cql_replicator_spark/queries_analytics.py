@@ -3030,3 +3030,123 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.max("max_rho").alias("max_rho"))
                   .select(F.lit("union").alias("seg"), "register_id", "max_rho"))
     return grouped.unionByName(union_regs)
+
+
+@register(
+    "dedup_cluster_keepers",
+    oracle=_minhash_oracle(recursive=True, tail="""
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, r.label
+  FROM edges e JOIN reach r ON e.dst = r.id
+),
+clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+members AS (
+  SELECT c.cluster_id, c.doc_id, length(d.text) AS quality
+  FROM clusters c JOIN docs d USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keeper_id, quality AS keeper_quality, n_members
+FROM (SELECT *,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_members
+      FROM members)
+WHERE rn = 1
+"""),
+    doc="Quality-aware keeper selection (dedup.cluster_keepers) on top of "
+        "the MinHash-LSH connected components: each near-dup cluster "
+        "keeps its LONGEST member (quality = text length here; any score "
+        "plugs in) under a total (quality desc, id) order — the "
+        "C4/RefinedWeb policy, vs. the min-id canonical label which only "
+        "names the cluster. On the truncated-copy fixture the full "
+        "original always survives. One window shuffle over cluster_id",
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _near_fixture(spark, sf_dir)
+    pairs = D.minhash_lsh_dedup_pairs(docs, n=3, num_hashes=16, bands=4)
+    clusters = D.connected_components(pairs)
+    quality = docs.select("doc_id",
+                          F.length("text").cast("long").alias("quality"))
+    return D.cluster_keepers(clusters, quality)
+
+
+@register(
+    "orders_revenue_share",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nation_rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name,
+       CAST(nation_rev AS DOUBLE) AS nation_rev,
+       round(CAST(nation_rev AS DOUBLE)
+             / CAST(sum(nation_rev) OVER () AS DOUBLE), 6) AS share
+FROM rev
+""",
+    doc="Percent-of-total contribution: revenue per customer nation and "
+        "its share of the whole book — the ratio_to_report window "
+        "pattern. Revenue accumulates in exact DECIMAL (order-immune), "
+        "the share divides two identical doubles once, and the total "
+        "rides an unpartitioned window over the ALREADY-AGGREGATED "
+        "25-row frame (never the fact table). Dimension joins broadcast",
+)
+def orders_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    rev = (t["orders"]
+           .join(F.broadcast(t["customer"]),
+                 F.col("c_custkey") == F.col("o_custkey"))
+           .join(F.broadcast(t["nation"]),
+                 F.col("n_nationkey") == F.col("c_nationkey"))
+           .groupBy("n_name")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("nation_rev")))
+    total = F.sum("nation_rev").over(Window.partitionBy())
+    return rev.select(
+        "n_name",
+        F.col("nation_rev").cast("double").alias("nation_rev"),
+        F.round(F.col("nation_rev").cast("double") / total.cast("double"), 6)
+         .alias("share"))
+
+
+@register(
+    "curation_report_by_source",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+       round(avg(CASE WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END), 6)
+         AS pct_short,
+       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en
+FROM documents
+GROUP BY source
+""",
+    doc="Per-source corpus curation report: volume, language spread, mean "
+        "length, and the two filter rates every web-corpus pipeline "
+        "tracks per provenance bucket (too-short share, target-language "
+        "share) — one map-side-combined groupBy over the documents scan; "
+        "the indicator averages are exact integer-in-double sums",
+)
+def curation_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        F.round(F.avg((F.col("n_chars") < 200).cast("double")), 6)
+         .alias("pct_short"),
+        F.round(F.avg((F.col("lang") == "en").cast("double")), 6)
+         .alias("pct_en")))

@@ -1182,3 +1182,14 @@ def test_quantile_histogram_grouped_collapses_to_global(spark):
     assert per_g == {"0": 2000, "1": 2000}
     with pytest.raises(ValueError, match="group column"):
         SK.quantile_histogram_grouped(df, [], "v", lo=0.0, hi=1.0)
+
+
+def test_cluster_keepers_quality_policy(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id LONG, cluster_id LONG")
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (9, 5)], "doc_id LONG, quality LONG")
+    out = {r["cluster_id"]: (r["keeper_id"], r["keeper_quality"], r["n_members"])
+           for r in D.cluster_keepers(clusters, quality).collect()}
+    # best quality wins; quality tie -> smaller id; singleton keeps itself
+    assert out == {1: (2, 30, 3), 9: (9, 5, 1)}
