@@ -834,3 +834,73 @@ def test_merkle_tree_localizes_single_change(spark):
 
     with pytest.raises(ValueError, match="power of fanout"):
         merkle_tree(base, "pk", ["ts"], n_leaves=12, fanout=4)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    feed=st.lists(
+        st.tuples(st.integers(0, 3),          # key
+                  st.integers(0, 50),         # ts offset (seconds)
+                  st.sampled_from(["a", "b", "c", None])),
+        min_size=1, max_size=40),
+)
+def test_scd2_history_property_contiguous_intervals(spark, feed):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.temporal import scd2_history
+
+    rows = [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), i, v)
+            for i, (k, s, v) in enumerate(feed)]
+    df = spark.createDataFrame(rows, "k INT, ts TIMESTAMP, eid INT, v STRING")
+    hist = scd2_history(df, key="k", tracked=["v"], ts="ts",
+                        tiebreak=["eid"]).collect()
+
+    by_key: dict[int, list] = {}
+    for r in sorted(hist, key=lambda r: (r["k"], r["version"])):
+        by_key.setdefault(r["k"], []).append(r)
+    # reference: per key, order feed by (ts, eid), count value changes
+    ordered: dict[int, list] = {}
+    for k, ts, eid, v in sorted(rows, key=lambda t: (t[0], t[1], t[2])):
+        ordered.setdefault(k, []).append((ts, v))
+    for k, seq in ordered.items():
+        expected_versions = 1 + sum(
+            1 for i in range(1, len(seq)) if seq[i][1] != seq[i - 1][1])
+        got = by_key[k]
+        assert len(got) == expected_versions
+        # versions number 1..n; intervals chain exactly; only last is open
+        assert [r["version"] for r in got] == list(range(1, len(got) + 1))
+        for a, b in zip(got, got[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert not a["is_current"]
+        assert got[-1]["is_current"] and got[-1]["valid_to"] is None
+        assert got[0]["valid_from"] == seq[0][0]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(mutated=st.sets(st.integers(0, 499), min_size=0, max_size=6))
+def test_merkle_diff_property_flags_exactly_mutated_leaves(spark, mutated):
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.analytics.dedup import md5h32
+    from cql_replicator_spark.reconcile import merkle_diff, merkle_tree
+
+    base = spark.range(500).select(F.col("id").alias("pk"),
+                                   (F.col("id") * 3).alias("ts"))
+    bump = F.col("pk").isin([int(m) for m in mutated]) if mutated else F.lit(False)
+    changed = base.withColumn(
+        "ts", F.when(bump, F.col("ts") + 1).otherwise(F.col("ts")))
+    diff = merkle_diff(
+        merkle_tree(base, "pk", ["ts"], n_leaves=16, fanout=4),
+        merkle_tree(changed, "pk", ["ts"], n_leaves=16, fanout=4))
+    got_leaves = {r["node_id"] for r in diff.collect() if r["level"] == 0}
+    expect_leaves = {
+        r["t"] for r in spark.range(500)
+        .filter(F.col("id").isin([int(m) for m in mutated])
+                if mutated else F.lit(False))
+        .select((md5h32(F.col("id").cast("string")) % 16).alias("t")).collect()
+    }
+    assert got_leaves == expect_leaves
