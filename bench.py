@@ -121,6 +121,7 @@ HEADLINE = [
     "dedup_cluster_keepers",
     "orders_revenue_share",
     "curation_report_by_source",
+    "cdc_ingest_dedup",
 ]
 
 

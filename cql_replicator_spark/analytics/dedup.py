@@ -171,6 +171,24 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def banded_signatures(signatures: DataFrame, id_col: str = "doc_id",
+                      bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """(id, band, bucket) per signature row — one scan: all band buckets
+    built as an array then exploded, instead of a b-way union that
+    recomputes the signature plan b times. Shared by the within-corpus
+    pair generator and the cross-corpus join form."""
+    buckets = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}").cast("string")
+                               for r in range(rows_per_band)]).alias("bucket"))
+        for b in range(bands)
+    ])
+    return (signatures.select(F.col(id_col), F.explode(buckets).alias("bb"))
+            .select(F.col(id_col), F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         bands: int = 4, rows_per_band: int = 4,
                         max_bucket_size: int | None = None) -> DataFrame:
@@ -197,18 +215,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     concentrate quadratic work in one task. LSH theory makes real
     buckets tiny; a cap of a few hundred loses only pairs that exact
     dedup already catches."""
-    # one scan: all band buckets built as an array then exploded, instead
-    # of a b-way union that recomputes the signature plan b times
-    buckets = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}").cast("string")
-                               for r in range(rows_per_band)]).alias("bucket"))
-        for b in range(bands)
-    ])
-    banded = (signatures.select(F.col(id_col), F.explode(buckets).alias("bb"))
-              .select(F.col(id_col), F.col("bb.band").alias("band"),
-                      F.col("bb.bucket").alias("bucket")))
+    banded = banded_signatures(signatures, id_col, bands, rows_per_band)
     grouped = (banded.groupBy("band", "bucket")
                .agg(F.collect_list(id_col).alias("ids"))
                .filter(F.size("ids") > 1))
@@ -757,3 +764,41 @@ def cluster_keepers(
                 F.col(quality_col).alias("keeper_quality"),
                 "n_members")
     )
+
+
+def cross_corpus_lsh_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest near-dup candidates: new documents vs an
+    EXISTING corpus, via a (band, bucket) equi-join between the two
+    banded signature frames — the incremental form of MinHash-LSH.
+
+    This is the shape a live pipeline actually runs: the corpus's
+    signatures are computed once and persisted with the snapshot; each
+    ingest batch (e.g. the CDC insert set) signs only its own
+    documents and joins — cost scales with the BATCH, never the
+    corpus. Contrast with re-running within-corpus LSH over
+    corpus ∪ batch, which re-shingles everything. max_bucket_size
+    drops degenerate corpus buckets (boilerplate) before the join,
+    same cap rationale as lsh_candidate_pairs.
+
+    Returns distinct (new_id, corpus_id).
+    """
+    nb = (banded_signatures(new_sigs, id_col, bands, rows_per_band)
+          .withColumnRenamed(id_col, "new_id"))
+    cb = (banded_signatures(corpus_sigs, id_col, bands, rows_per_band)
+          .withColumnRenamed(id_col, "corpus_id"))
+    if max_bucket_size is not None:
+        sizes = (cb.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("__bn"))
+                 .filter(F.col("__bn") <= max_bucket_size)
+                 .drop("__bn"))
+        cb = cb.join(sizes, ["band", "bucket"])
+    return (nb.join(cb, ["band", "bucket"])
+            .select("new_id", "corpus_id")
+            .distinct())

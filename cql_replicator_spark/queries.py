@@ -1370,6 +1370,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "dedup_cluster_keepers",      # new: quality-aware keeper policy
     "orders_revenue_share",       # new: percent-of-total window pattern
     "curation_report_by_source",  # new: per-provenance filter-rate report
+    "cdc_ingest_dedup",           # new: batch-vs-corpus incremental LSH dedup
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

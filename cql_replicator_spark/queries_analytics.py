@@ -3150,3 +3150,46 @@ def curation_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("pct_short"),
         F.round(F.avg((F.col("lang") == "en").cast("double")), 6)
          .alias("pct_en")))
+
+
+@register(
+    "cdc_ingest_dedup",
+    oracle=_minhash_oracle(tail="""
+, cross_pairs AS (
+  SELECT id_a AS corpus_id, id_b AS new_id FROM pairs
+  WHERE id_a < 1000000 AND id_b >= 1000000
+),
+best AS (
+  SELECT new_id, min(corpus_id) AS matched_corpus_id
+  FROM cross_pairs GROUP BY new_id
+)
+SELECT d.doc_id AS new_id, b.matched_corpus_id,
+       CASE WHEN b.new_id IS NULL THEN 'keep' ELSE 'drop' END AS action
+FROM (SELECT doc_id FROM docs WHERE doc_id >= 1000000) d
+LEFT JOIN best b ON b.new_id = d.doc_id
+"""),
+    doc="Incremental-ingest dedup (dedup.cross_corpus_lsh_pairs): the "
+        "arriving batch (here the first-word-dropped near-dup copies, "
+        "standing in for a CDC insert set) signs only ITS OWN documents "
+        "and band-joins against the existing corpus's signatures — cost "
+        "scales with the batch, never the corpus, unlike re-running "
+        "within-corpus LSH over corpus ∪ batch. Each new doc keeps or "
+        "drops on its best (min-id) corpus match. The oracle derives the "
+        "same pair set from the union formulation restricted to "
+        "cross-frame pairs, proving the two formulations equivalent",
+)
+def cdc_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _near_fixture(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 1000000)
+    new = docs.filter(F.col("doc_id") >= 1000000)
+    pairs = D.cross_corpus_lsh_pairs(
+        D.minhash_signatures(new, n=3, num_hashes=16),
+        D.minhash_signatures(corpus, n=3, num_hashes=16),
+        bands=4, rows_per_band=4)
+    best = pairs.groupBy("new_id").agg(
+        F.min("corpus_id").alias("matched_corpus_id"))
+    return (new.select(F.col("doc_id").alias("new_id"))
+            .join(best, "new_id", "left")
+            .select("new_id", "matched_corpus_id",
+                    F.when(F.col("matched_corpus_id").isNull(), "keep")
+                     .otherwise("drop").alias("action")))

@@ -1193,3 +1193,26 @@ def test_cluster_keepers_quality_policy(spark):
            for r in D.cluster_keepers(clusters, quality).collect()}
     # best quality wins; quality tie -> smaller id; singleton keeps itself
     assert out == {1: (2, 30, 3), 9: (9, 5, 1)}
+
+
+def test_cross_corpus_lsh_equals_union_form_cross_pairs(spark, docs):
+    sub = docs.filter(F.col("doc_id") < 60)
+    new = sub.select((F.col("doc_id") + 10_000).alias("doc_id"),
+                     F.expr("substring(text, instr(text, ' ') + 1)").alias("text"))
+    union_pairs = D.lsh_candidate_pairs(
+        D.minhash_signatures(sub.unionByName(new), n=3, num_hashes=16),
+        bands=4, rows_per_band=4)
+    expected = {(r["id_b"], r["id_a"]) for r in union_pairs.collect()
+                if r["id_b"] >= 10_000 and r["id_a"] < 10_000}
+    cross = D.cross_corpus_lsh_pairs(
+        D.minhash_signatures(new, n=3, num_hashes=16),
+        D.minhash_signatures(sub, n=3, num_hashes=16),
+        bands=4, rows_per_band=4)
+    got = {(r["new_id"], r["corpus_id"]) for r in cross.collect()}
+    assert got == expected and got  # non-empty: planted near-dups band together
+    # a cap of zero drops every corpus bucket -> no candidates
+    capped = D.cross_corpus_lsh_pairs(
+        D.minhash_signatures(new, n=3, num_hashes=16),
+        D.minhash_signatures(sub, n=3, num_hashes=16),
+        bands=4, rows_per_band=4, max_bucket_size=0)
+    assert capped.count() == 0
