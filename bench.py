@@ -122,6 +122,7 @@ HEADLINE = [
     "orders_revenue_share",
     "curation_report_by_source",
     "cdc_ingest_dedup",
+    "events_attribution_journeys",
 ]
 
 

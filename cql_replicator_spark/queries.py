@@ -1371,6 +1371,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "orders_revenue_share",       # new: percent-of-total window pattern
     "curation_report_by_source",  # new: per-provenance filter-rate report
     "cdc_ingest_dedup",           # new: batch-vs-corpus incremental LSH dedup
+    "events_attribution_journeys", # new: first/last-touch window attribution
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

@@ -3193,3 +3193,76 @@ def cdc_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("new_id", "matched_corpus_id",
                     F.when(F.col("matched_corpus_id").isNull(), "keep")
                      .otherwise("drop").alias("action")))
+
+
+@register(
+    "events_attribution_journeys",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+  FROM events
+),
+j AS (
+  SELECT *, COALESCE(sum(isp) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+  FROM ev
+),
+t AS (
+  SELECT *,
+    first_value(click_id IGNORE NULLS) OVER (
+      PARTITION BY user_id, journey ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      AS first_click_id,
+    last_value(click_id IGNORE NULLS) OVER (
+      PARTITION BY user_id, journey ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+    count(click_id) OVER (PARTITION BY user_id, journey) AS n_clicks
+  FROM j
+)
+SELECT event_id AS purchase_id, user_id, CAST(journey AS BIGINT) AS journey,
+       first_click_id, last_click_id, CAST(n_clicks AS BIGINT) AS n_clicks
+FROM t WHERE event_type = 'purchase'
+""",
+    doc="First/last-touch conversion attribution: each purchase closes a "
+        "journey (events since the user's previous purchase); within it, "
+        "first_value/last_value IGNORE NULLS over the click-id column "
+        "pick the opening and closing clicks, and a running purchase "
+        "count IS the journey id — so attribution needs exactly two "
+        "windows sharing one user_id shuffle (the journey window "
+        "sub-partitions the same rows), no self-join of purchases "
+        "against clicks (which goes quadratic on active users at "
+        "100 TB). Total (ts, event_id) order keeps both engines exact",
+)
+def events_attribution_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")["events"]
+    ev = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id"))
+         .alias("click_id"),
+        (F.col("event_type") == "purchase").cast("int").alias("isp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    j = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum("isp").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).cast("long"))
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    t = j.select(
+        "*",
+        F.first("click_id", ignorenulls=True).over(
+            wj.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)).alias("first_click_id"),
+        F.last("click_id", ignorenulls=True).over(
+            wj.rowsBetween(Window.unboundedPreceding, -1))
+         .alias("last_click_id"),
+        F.count("click_id").over(
+            wj.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)).alias("n_clicks"))
+    return (t.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    "journey", "first_click_id", "last_click_id", "n_clicks"))
