@@ -123,6 +123,7 @@ HEADLINE = [
     "curation_report_by_source",
     "cdc_ingest_dedup",
     "events_attribution_journeys",
+    "quality_bigram_logprob",
 ]
 
 

@@ -665,3 +665,40 @@ def token_length_histogram(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count("*").alias("n_docs"))
             .select("bucket_lo", (F.col("bucket_lo") + w - 1).alias("bucket_hi"),
                     "n_docs"))
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Bigram upgrade of ``unigram_logprob``: per-doc average negative
+    conditional log-probability -avg(ln c(w1,w2) - ln c(w1,·)) under
+    the corpus bigram model — sensitive to WORD ORDER where the
+    unigram proxy is bag-of-words (a shuffled document keeps its
+    unigram score but its bigrams crater), which is the fluency axis
+    of CCNet-style quality ranking.
+
+    Plan mirrors the unigram operator: ONE bigram explode feeds the
+    bigram-count aggregation, the first-word marginal (both collapse
+    to vocab-sized frames, AQE broadcasts when they fit), and the
+    scoring join; final rollup is one id-keyed aggregation. Docs with
+    fewer than two tokens yield no bigrams and drop out, like
+    sub-n-gram docs in shingling."""
+    w = F.split(F.col(text_col), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.struct(
+            F.element_at(w, i).alias("w1"),
+            F.concat_ws(" ", F.element_at(w, i),
+                        F.element_at(w, i + 1)).alias("big")))
+    bg = (df.filter(F.size(w) >= 2)
+          .select(F.col(id_col), F.explode(pairs).alias("p"))
+          .select(F.col(id_col), F.col("p.w1").alias("w1"),
+                  F.col("p.big").alias("big")))
+    c2 = bg.groupBy("big").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (bg.join(c2, "big").join(c1, "w1")
+              .select(F.col(id_col),
+                      (F.log(F.col("c2").cast("double"))
+                       - F.log(F.col("c1").cast("double"))).alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(-F.avg("lp"), 6).alias("avg_neg_logprob")))

@@ -1372,6 +1372,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "curation_report_by_source",  # new: per-provenance filter-rate report
     "cdc_ingest_dedup",           # new: batch-vs-corpus incremental LSH dedup
     "events_attribution_journeys", # new: first/last-touch window attribution
+    "quality_bigram_logprob",     # new: word-order-sensitive LM quality
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip

@@ -3266,3 +3266,32 @@ def events_attribution_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.filter(F.col("event_type") == "purchase")
             .select(F.col("event_id").alias("purchase_id"), "user_id",
                     "journey", "first_click_id", "last_click_id", "n_clicks"))
+
+
+@register(
+    "quality_bigram_logprob",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS big
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+cbg AS (SELECT big, count(*) AS c2 FROM bg GROUP BY big),
+cw1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE))), 6)
+         AS avg_neg_logprob
+FROM bg JOIN cbg USING (big) JOIN cw1 USING (w1)
+GROUP BY bg.doc_id
+""",
+    doc="Bigram LM quality score (text.bigram_logprob): per-doc average "
+        "negative conditional log-prob under the corpus bigram model — "
+        "word-order-sensitive fluency ranking where the unigram proxy is "
+        "bag-of-words. One bigram explode feeds the bigram counts, the "
+        "first-word marginal, and the scoring join; both count frames "
+        "collapse to vocab size so AQE broadcasts them",
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return TX.bigram_logprob(docs)

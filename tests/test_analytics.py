@@ -1216,3 +1216,18 @@ def test_cross_corpus_lsh_equals_union_form_cross_pairs(spark, docs):
         D.minhash_signatures(sub, n=3, num_hashes=16),
         bands=4, rows_per_band=4, max_bucket_size=0)
     assert capped.count() == 0
+
+
+def test_bigram_logprob_is_word_order_sensitive(spark):
+    # many fluent copies + one scrambled doc: unigram stats identical,
+    # bigram score must isolate the scramble
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"
+    rows = [(i, fluent) for i in range(9)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in TX.bigram_logprob(df).collect()}
+    assert out[99] > out[0]
+    # single-token docs drop out (no bigrams), like sub-n-gram shingles
+    tiny = spark.createDataFrame([(1, "hello")], "doc_id LONG, text STRING")
+    assert TX.bigram_logprob(tiny).count() == 0
