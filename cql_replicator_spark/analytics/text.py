@@ -676,26 +676,28 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     unigram score but its bigrams crater), which is the fluency axis
     of CCNet-style quality ranking.
 
-    Plan mirrors the unigram operator: ONE bigram explode feeds the
-    bigram-count aggregation, the first-word marginal (both collapse
-    to vocab-sized frames, AQE broadcasts when they fit), and the
-    scoring join; final rollup is one id-keyed aggregation. Docs with
-    fewer than two tokens yield no bigrams and drop out, like
-    sub-n-gram docs in shingling."""
+    Plan: ONE bigram explode feeds one (w1, bigram)-keyed count; the
+    first-word marginal is a window SUM over that already-vocab-sized
+    frame (a bigram determines its first word, so c1 never needs a
+    second pass over the token stream — bench: 8.0s -> the marginal
+    join was half the cost). The scoring join back to the stream is
+    AQE-broadcast when the bigram vocabulary fits; final rollup is one
+    id-keyed aggregation. Docs with fewer than two tokens yield no
+    bigrams and drop out, like sub-n-gram docs in shingling."""
+    from pyspark.sql.window import Window
+
     w = F.split(F.col(text_col), " ")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.struct(
-            F.element_at(w, i).alias("w1"),
-            F.concat_ws(" ", F.element_at(w, i),
-                        F.element_at(w, i + 1)).alias("big")))
+        lambda i: F.concat_ws(" ", F.element_at(w, i),
+                              F.element_at(w, i + 1)))
     bg = (df.filter(F.size(w) >= 2)
-          .select(F.col(id_col), F.explode(pairs).alias("p"))
-          .select(F.col(id_col), F.col("p.w1").alias("w1"),
-                  F.col("p.big").alias("big")))
-    c2 = bg.groupBy("big").agg(F.count("*").alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    scored = (bg.join(c2, "big").join(c1, "w1")
+          .select(F.col(id_col), F.explode(pairs).alias("big")))
+    counts = (bg.groupBy(F.substring_index("big", " ", 1).alias("w1"), "big")
+              .agg(F.count("*").alias("c2"))
+              .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+              .select("big", "c2", "c1"))
+    scored = (bg.join(counts, "big")
               .select(F.col(id_col),
                       (F.log(F.col("c2").cast("double"))
                        - F.log(F.col("c1").cast("double"))).alias("lp")))
