@@ -1231,3 +1231,14 @@ def test_bigram_logprob_is_word_order_sensitive(spark):
     # single-token docs drop out (no bigrams), like sub-n-gram shingles
     tiny = spark.createDataFrame([(1, "hello")], "doc_id LONG, text STRING")
     assert TX.bigram_logprob(tiny).count() == 0
+
+
+def test_validate_empty_frame_yields_null_metrics(spark):
+    from cql_replicator_spark.analytics import validate as V
+
+    empty = spark.range(0).select(F.col("id"), F.lit("x").alias("tag"))
+    out = V.validate(empty, [V.completeness("tag"), V.min_value("id", 0.0)])
+    rows = {r["check"]: (r["metric"], r["passed"]) for r in out.collect()}
+    # Deequ semantics: metrics over zero rows are undefined -> NULL
+    # metric, NULL (not False) passed; callers gate on `passed IS TRUE`
+    assert rows == {"completeness_tag": (None, None), "min_id": (None, None)}
