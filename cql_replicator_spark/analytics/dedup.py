@@ -708,18 +708,32 @@ def blocked_fuzzy_links(
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    l = left.select(F.col(left_id), F.col(left_text), F.col(block_col))
-    r = right.select(F.col(right_id), F.col(right_text), F.col(block_col))
+    if left_id == right_id:
+        raise ValueError(
+            f"left_id and right_id are both {left_id!r}: the output carries "
+            "one column per side, so give them distinct names (alias one "
+            "side before calling)")
+    # Alias both sides internally so linking two same-schema frames
+    # (the canonical record-linkage call: register vs register) never
+    # hits AMBIGUOUS_REFERENCE — only the block key is deduplicated by
+    # the join. Output columns keep the caller's names.
+    l = left.select(F.col(left_id).alias("__lid"),
+                    F.col(left_text).alias("__ltxt"),
+                    F.col(block_col).alias(block_col))
+    r = right.select(F.col(right_id).alias("__rid"),
+                     F.col(right_text).alias("__rtxt"),
+                     F.col(block_col).alias(block_col))
     if max_block_size is not None:
         sizes = (r.groupBy(block_col)
                  .agg(F.count("*").alias("__bn"))
                  .filter(F.col("__bn") <= max_block_size)
                  .drop("__bn"))
         r = r.join(sizes, block_col)
-    dist = F.levenshtein(F.col(left_text), F.col(right_text))
+    dist = F.levenshtein(F.col("__ltxt"), F.col("__rtxt"))
     cand = (
         l.join(r, block_col)
-        .select(F.col(left_id), F.col(right_id),
+        .select(F.col("__lid").alias(left_id),
+                F.col("__rid").alias(right_id),
                 dist.cast("int").alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
@@ -751,8 +765,14 @@ def cluster_keepers(
 
     Returns (cluster_id, keeper_id, keeper_quality, n_members).
     """
+    # LEFT join: a member without a quality row must still count toward
+    # n_members and stay eligible (it sorts last — desc places NULLs
+    # after every scored member in both Spark and DuckDB). An inner
+    # join here would silently shrink clusters, and a cluster with no
+    # scored member would vanish entirely — letting every one of its
+    # near-duplicate copies survive dedup with no signal.
     m = clusters.select(F.col(id_col), F.col(cluster_col)).join(
-        quality.select(F.col(id_col), F.col(quality_col)), id_col)
+        quality.select(F.col(id_col), F.col(quality_col)), id_col, "left")
     w = Window.partitionBy(cluster_col).orderBy(F.desc(quality_col), id_col)
     wc = Window.partitionBy(cluster_col)
     return (

@@ -702,11 +702,20 @@ def rrf_fuse(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
+    # Sum 1/(k+rank) over a SORTED rank list via a left-to-right fold,
+    # not F.sum over shuffle-ordered doubles: with 3+ rankings the
+    # accumulation order would otherwise depend on partitioning, and a
+    # last-ulp wobble at a rounding boundary could flip the (rrf, id)
+    # ordering — same bit-exactness discipline as the cosine fold.
+    fold = F.aggregate(
+        F.sort_array(F.collect_list("rank")),
+        F.lit(0.0),
+        lambda acc, r: acc + F.lit(1.0) / (F.lit(float(k)) + r),
+    )
     fused = (
         u.groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_lists"),
-             F.round(F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))), 6)
-              .alias("rrf"))
+             F.round(fold, 6).alias("rrf"))
     )
     if top_n is not None:
         fused = fused.orderBy(F.desc("rrf"), id_col).limit(top_n)

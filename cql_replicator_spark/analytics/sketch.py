@@ -49,11 +49,15 @@ def hll_registers(
     return hll_fill_registers(built, df.sparkSession, m)
 
 
-def hll_rho_frame(df: DataFrame, value: str | Column, m: int = 256) -> DataFrame:
-    """(register_id, rho) per input row — the projection shared by the
-    batch register build and the streaming max-aggregation (a
-    streaming groupBy-max over this frame IS continuous sketch
-    maintenance: complete-mode state holds <= m rows)."""
+def hll_rho_frame(df: DataFrame, value: str | Column, m: int = 256,
+                  keys: list[str] | None = None) -> DataFrame:
+    """(keys..., register_id, rho) per input row — the projection shared
+    by the batch register build, the grouped build, and the streaming
+    max-aggregation (a streaming groupBy-max over this frame IS
+    continuous sketch maintenance: complete-mode state holds <= m
+    rows). ``keys`` pass through untouched; register/rho assignment is
+    key-independent, which is what lets grouped sketches collapse into
+    the global one."""
     if m & (m - 1) or m <= 0:
         raise ValueError(f"m must be a power of two, got {m}")
     width = 32 - int(math.log2(m))
@@ -62,7 +66,8 @@ def hll_rho_frame(df: DataFrame, value: str | Column, m: int = 256) -> DataFrame
     w = (h / m).cast("long")  # h // m: h >= 0 so float-div floor is exact
     rho = F.when(w == 0, F.lit(width + 1)).otherwise(
         F.lit(width) + 1 - F.length(F.bin(w)))
-    return df.select((h % m).alias("register_id"), rho.alias("rho"))
+    return df.select(*(keys or []), (h % m).alias("register_id"),
+                     rho.alias("rho"))
 
 
 def hll_fill_registers(built: DataFrame, spark, m: int = 256) -> DataFrame:
@@ -98,16 +103,8 @@ def hll_registers_grouped(
     keys = [group] if isinstance(group, str) else list(group)
     if not keys:
         raise ValueError("hll_registers_grouped needs at least one group column")
-    if m & (m - 1) or m <= 0:
-        raise ValueError(f"m must be a power of two, got {m}")
-    width = 32 - int(math.log2(m))
-    col = F.col(value) if isinstance(value, str) else value
-    h = md5h32(col.cast("string"))
-    w = (h / m).cast("long")
-    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
-        F.lit(width) + 1 - F.length(F.bin(w)))
     built = (
-        df.select(*keys, (h % m).alias("register_id"), rho.alias("rho"))
+        hll_rho_frame(df, value, m, keys=keys)
         .groupBy(*keys, "register_id")
         .agg(F.max("rho").alias("max_rho"))
     )
@@ -324,15 +321,19 @@ def quantile_histogram(
     one IEEE multiply/divide + floor, identical across engines.
     Values outside [lo, hi) clamp into the edge bins (the sketch
     stays total), NULLs are dropped."""
-    v = F.col(value) if isinstance(value, str) else value
+    return quantile_histogram_grouped(df, [], value, lo, hi, bins)
+
+
+def _bin_expr(v: Column, lo: float, hi: float, bins: int) -> Column:
+    """clamp(floor((v - lo) * bins / (hi - lo)), 0, bins-1) — the ONE
+    definition of the bin arithmetic; global and grouped sketches must
+    share it or their merge contract (grouped cells re-summed == the
+    global histogram) silently breaks."""
     raw = F.floor((v.cast("double") - F.lit(float(lo)))
                   * F.lit(int(bins)) / F.lit(float(hi) - float(lo)))
-    b = F.greatest(F.lit(0).cast("long"),
-                   F.least(F.lit(int(bins) - 1).cast("long"),
-                           raw.cast("long")))
-    return (df.filter(v.isNotNull())
-            .select(b.alias("bin"))
-            .groupBy("bin").agg(F.count("*").alias("cnt")))
+    return F.greatest(F.lit(0).cast("long"),
+                      F.least(F.lit(int(bins) - 1).cast("long"),
+                              raw.cast("long")))
 
 
 def quantile_histogram_grouped(
@@ -350,18 +351,13 @@ def quantile_histogram_grouped(
     <= |groups| x bins rows per partition; sparse — only occupied
     (group, bin) cells exist, merge = union + per-(group, bin) sum.
     A group's cells collapse into the global sketch by dropping the
-    group columns and re-summing (bin assignment is group-free)."""
+    group columns and re-summing (bin assignment is group-free: both
+    forms share ``_bin_expr``). ``group=[]`` IS the global sketch
+    (quantile_histogram delegates here)."""
     keys = [group] if isinstance(group, str) else list(group)
-    if not keys:
-        raise ValueError("quantile_histogram_grouped needs a group column")
     v = F.col(value) if isinstance(value, str) else value
-    raw = F.floor((v.cast("double") - F.lit(float(lo)))
-                  * F.lit(int(bins)) / F.lit(float(hi) - float(lo)))
-    b = F.greatest(F.lit(0).cast("long"),
-                   F.least(F.lit(int(bins) - 1).cast("long"),
-                           raw.cast("long")))
     return (df.filter(v.isNotNull())
-            .select(*keys, b.alias("bin"))
+            .select(*keys, _bin_expr(v, lo, hi, bins).alias("bin"))
             .groupBy(*keys, "bin").agg(F.count("*").alias("cnt")))
 
 

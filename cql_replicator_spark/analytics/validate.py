@@ -123,16 +123,21 @@ def referential_integrity(
     ``parent[parent_col]`` — long-form single row, schema-compatible
     with ``validate`` for unioning into one suite result.
 
-    Built as total vs left-anti-join counts; Catalyst/AQE broadcasts
-    the deduplicated parent side when small, which is exactly the
-    100 TB fact-vs-dimension shape.
+    Built as ONE left join + ONE aggregation counting total and matched
+    rows together — the child (fact, the 100 TB side) scans once;
+    Catalyst/AQE broadcasts the deduplicated parent side when small.
     """
-    total = child.count()
+    parents = (parent.select(F.col(parent_col).alias(child_col))
+               .distinct().withColumn("__hit", F.lit(1)))
+    row = (child.select(child_col)
+           .join(parents, child_col, "left")
+           .agg(F.count(F.lit(1)).alias("__total"),
+                F.count("__hit").alias("__matched"))
+           .collect()[0])
+    total, matched = row["__total"], row["__matched"]
     if total == 0:
         raise ValueError("referential_integrity on an empty child frame")
-    parents = parent.select(F.col(parent_col).alias(child_col)).distinct()
-    orphans = child.select(child_col).join(parents, child_col, "left_anti").count()
-    frac = (total - orphans) / total
+    frac = matched / total
     spark = child.sparkSession
     return spark.createDataFrame(
         [(f"ref_{child_col}", round(frac, 6), frac >= at_least)],

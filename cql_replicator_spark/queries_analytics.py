@@ -2803,10 +2803,18 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_scaled(edges, iterations=3)
 
 
+def _merkle_piece_sql(col: str) -> str:
+    """Length-prefixed null-safe field encoding, mirroring
+    reconcile.merkle_tree's row digest."""
+    v = f"CAST({col} AS VARCHAR)"
+    return (f"CASE WHEN {col} IS NULL THEN 'n' "
+            f"ELSE 'v' || length({v}) || ':' || {v} END")
+
+
 def _merkle_side_sql(src: str, out: str, n_leaves: int = 16,
                      fanout: int = 4) -> str:
     """CTE chain building one side's densified Merkle tree."""
-    row_h = _md5h32_sql("CAST(pk AS VARCHAR) || ':' || CAST(ts AS VARCHAR)")
+    row_h = _md5h32_sql(f"{_merkle_piece_sql('pk')} || {_merkle_piece_sql('ts')}")
     tile_h = _md5h32_sql("CAST(pk AS VARCHAR)")
     parts = [f"""
 {out}_l0x AS (
@@ -2905,23 +2913,14 @@ JOIN (SELECT event_type, count(*) AS n_intervals FROM iv GROUP BY event_type) n
         "Millisecond integer timeline keeps both engines exact",
 )
 def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .temporal import interval_peak_concurrency
 
     events = _t(spark, sf_dir, "events")["events"]
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     iv = events.select(
         "event_id", "event_type", ms.alias("s"),
         (ms + F.round(F.col("value") * 1000).cast("long")).alias("e"))
-    pts = (iv.select("event_type", F.col("s").alias("t"),
-                     F.lit(1).alias("d"), "event_id")
-           .unionByName(iv.select("event_type", F.col("e").alias("t"),
-                                  F.lit(-1).alias("d"), "event_id")))
-    w = Window.partitionBy("event_type").orderBy("t", "d", "event_id") \
-              .rowsBetween(Window.unboundedPreceding, 0)
-    run = pts.select("event_type", F.sum("d").over(w).cast("long").alias("c"))
-    peaks = run.groupBy("event_type").agg(F.max("c").alias("max_concurrent"))
-    counts = iv.groupBy("event_type").agg(F.count("*").alias("n_intervals"))
-    return peaks.join(counts, "event_type")
+    return interval_peak_concurrency(iv, "event_type")
 
 
 @register(

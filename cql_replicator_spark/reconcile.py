@@ -240,9 +240,19 @@ def merkle_tree(
         k //= fanout
         depth += 1
     spark = df.sparkSession
-    row_digest = md5h32(F.concat_ws(
-        ":", F.col(pk_col).cast("string"),
-        *[F.col(c).cast("string") for c in content_cols]))
+    # Null-safe, boundary-safe row encoding: each field length-prefixes
+    # its value ('v<len>:<val>') and NULL gets a distinct marker ('n'),
+    # so (NULL,'x') vs ('x',NULL) and ('x:y',NULL) vs ('x','y') hash
+    # differently — a concat_ws(':') here skipped NULLs and left the
+    # separator unescaped, making exactly those divergences invisible
+    # to the anti-entropy check (the one failure a repair must not
+    # have; same null-compare rule as diff.py, K:1369-1381).
+    def _piece(c):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s))
+
+    row_digest = md5h32(F.concat(*[_piece(c) for c in [pk_col, *content_cols]]))
     tile = md5h32(F.col(pk_col).cast("string")) % n_leaves
     sparse = (df.select(tile.alias("node_id"), row_digest.alias("digest"))
               .groupBy("node_id")

@@ -311,3 +311,33 @@ def scd2_history(
         F.row_number().over(w).cast("long").alias("version"),
         F.lead(ts).over(w).isNull().alias("is_current"),
     )
+
+
+def interval_peak_concurrency(
+    intervals: DataFrame,
+    group_col: str,
+    start_col: str = "s",
+    end_col: str = "e",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Peak concurrent half-open intervals [start, end) per group via a
+    sweep line: +1/-1 boundary points, one running window sum under the
+    total (t, delta, id) order — deltas ascending puts ends BEFORE
+    starts at a shared instant, so touching intervals never count as
+    concurrent — then one max per group. 2|n| boundary rows, one
+    shuffle on the group key, no O(n^2) interval self-join.
+
+    Returns (group_col, max_concurrent, n_intervals).
+    """
+    pts = (intervals.select(group_col, F.col(start_col).alias("t"),
+                            F.lit(1).alias("d"), F.col(id_col))
+           .unionByName(
+               intervals.select(group_col, F.col(end_col).alias("t"),
+                                F.lit(-1).alias("d"), F.col(id_col))))
+    w = Window.partitionBy(group_col).orderBy("t", "d", id_col) \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    run = pts.select(group_col, F.sum("d").over(w).cast("long").alias("c"))
+    peaks = run.groupBy(group_col).agg(F.max("c").alias("max_concurrent"))
+    counts = intervals.groupBy(group_col).agg(
+        F.count("*").alias("n_intervals"))
+    return peaks.join(counts, group_col)

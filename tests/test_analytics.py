@@ -1146,21 +1146,17 @@ def test_pagerank_scaled_star_graph(spark):
 
 
 def test_concurrency_sweep_half_open_ties(spark):
-    # interval A ends exactly when B starts -> never concurrent
-    import duckdb  # noqa: F401 (documents oracle parity scope)
+    from cql_replicator_spark.temporal import interval_peak_concurrency
 
-    from cql_replicator_spark.queries_analytics import events_concurrency_sweep  # noqa: F401
-
-    from pyspark.sql.window import Window as W
-    rows = [(1, "x", 0, 10), (2, "x", 10, 20), (3, "x", 5, 12)]
-    pts = spark.createDataFrame(
-        [(t, s, 1, i) for i, t, s, _ in rows]
-        + [(t, e, -1, i) for i, t, _, e in rows],
-        "event_type STRING, t LONG, d INT, event_id LONG")
-    w = (W.partitionBy("event_type").orderBy("t", "d", "event_id")
-         .rowsBetween(W.unboundedPreceding, 0))
-    run = pts.select(F.sum("d").over(w).alias("c"))
-    assert max(r["c"] for r in run.collect()) == 2  # 1&3 overlap; 1&2 touch only
+    # interval 1 ends exactly when 2 starts -> never concurrent (half-open);
+    # 3 overlaps 1 and 2 -> peak is 2, not 3
+    iv = spark.createDataFrame(
+        [(1, "x", 0, 10), (2, "x", 10, 20), (3, "x", 5, 12),
+         (9, "y", 0, 1)],
+        "event_id LONG, g STRING, s LONG, e LONG")
+    out = {r["g"]: (r["max_concurrent"], r["n_intervals"])
+           for r in interval_peak_concurrency(iv, "g").collect()}
+    assert out == {"x": (2, 3), "y": (1, 1)}
 
 
 def test_quantile_histogram_grouped_collapses_to_global(spark):
@@ -1180,8 +1176,10 @@ def test_quantile_histogram_grouped_collapses_to_global(spark):
     per_g = {r["g"]: r["s"] for r in
              grouped.groupBy("g").agg(F.sum("cnt").alias("s")).collect()}
     assert per_g == {"0": 2000, "1": 2000}
-    with pytest.raises(ValueError, match="group column"):
-        SK.quantile_histogram_grouped(df, [], "v", lo=0.0, hi=1.0)
+    # group=[] IS the global sketch (the delegation quantile_histogram uses)
+    direct = SK.quantile_histogram_grouped(df, [], "v", lo=0.0, hi=100.0,
+                                           bins=10)
+    assert direct.exceptAll(global_).count() == 0
 
 
 def test_cluster_keepers_quality_policy(spark):
@@ -1242,3 +1240,40 @@ def test_validate_empty_frame_yields_null_metrics(spark):
     # Deequ semantics: metrics over zero rows are undefined -> NULL
     # metric, NULL (not False) passed; callers gate on `passed IS TRUE`
     assert rows == {"completeness_tag": (None, None), "min_id": (None, None)}
+
+
+def test_blocked_fuzzy_links_same_schema_frames(spark):
+    reg = spark.createDataFrame(
+        [(1, "alpha-1", "alpha"), (2, "beta-1", "beta")],
+        "rid LONG, name STRING, block STRING")
+    dirty = spark.createDataFrame(
+        [(10, "alpha-2", "alpha")], "did LONG, name STRING, block STRING")
+    # same text column name on both sides works (internal aliasing)
+    out = D.blocked_fuzzy_links(dirty, reg, "did", "rid", "name", "name",
+                                max_dist=1).collect()
+    assert [(r["did"], r["rid"], r["dist"]) for r in out] == [(10, 1, 1)]
+    # identical id names can't both appear in the output -> clear error
+    with pytest.raises(ValueError, match="distinct names"):
+        D.blocked_fuzzy_links(reg, reg, "rid", "rid", "name", "name")
+
+
+def test_cluster_keepers_left_join_keeps_unscored_members(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc_id LONG, cluster_id LONG")
+    # doc 2 unscored; cluster 3 entirely unscored
+    quality = spark.createDataFrame([(1, 5)], "doc_id LONG, quality LONG")
+    out = {r["cluster_id"]: (r["keeper_id"], r["keeper_quality"], r["n_members"])
+           for r in D.cluster_keepers(clusters, quality).collect()}
+    # unscored members still counted; scored member wins; a fully
+    # unscored cluster still elects a keeper (min id) instead of vanishing
+    assert out == {1: (1, 5, 2), 3: (3, None, 2)}
+
+
+def test_rrf_fuse_three_lists_deterministic_fold(spark):
+    ranks = [spark.createDataFrame([(1, r)], "doc_id LONG, rank LONG")
+             for r in (1, 2, 3)]
+    out = S.rrf_fuse(ranks, k=60).collect()[0]
+    assert out["n_lists"] == 3
+    # left-to-right fold over the SORTED rank list, bit-reproducible
+    expected = round(((0.0 + 1 / 61) + 1 / 62) + 1 / 63, 6)
+    assert out["rrf"] == expected

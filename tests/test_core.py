@@ -904,3 +904,24 @@ def test_merkle_diff_property_flags_exactly_mutated_leaves(spark, mutated):
         .select((md5h32(F.col("id").cast("string")) % 16).alias("t")).collect()
     }
     assert got_leaves == expect_leaves
+
+
+def test_merkle_digest_null_and_separator_safety(spark):
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.reconcile import merkle_diff, merkle_tree
+
+    def tree(rows):
+        df = spark.createDataFrame(rows, "pk LONG, a STRING, b STRING")
+        return merkle_tree(df, "pk", ["a", "b"], n_leaves=4, fanout=2)
+
+    # (NULL,'x') vs ('x',NULL): concat_ws would have collapsed both to
+    # the same digest; the length-prefixed null-marked encoding must not
+    assert merkle_diff(tree([(1, None, "x")]),
+                       tree([(1, "x", None)])).count() > 0
+    # ('x:y',NULL) vs ('x','y'): separator injection must not collide
+    assert merkle_diff(tree([(1, "x:y", None)]),
+                       tree([(1, "x", "y")])).count() > 0
+    # and genuinely identical rows (with nulls) still agree
+    assert merkle_diff(tree([(1, None, "x")]),
+                       tree([(1, None, "x")])).count() == 0
