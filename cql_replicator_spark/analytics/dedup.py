@@ -31,17 +31,16 @@ def _graph_partitions(spark, n_edges: int, per_part: int = 250_000) -> int:
     them, and a small pair graph on a wide session conf pays hundreds
     of task launches per round for kilobytes of labels (measured 2x
     whole-query cost at sf0.1). ~250k edges/partition keeps any
-    round's partition comfortably in-memory; the width grows linearly
-    with the edge count, so a 100 TB corpus' pair graph still gets its
-    thousands of partitions. The width is applied with EXPLICIT
+    round's partition comfortably in-memory, and the width grows
+    linearly with the edge count with NO session-width cap — capping
+    at spark.sql.shuffle.partitions (as an earlier version did) would
+    pin a 10B-edge graph's checkpointed rounds at the default 200
+    partitions, 200x the per-partition memory target, exactly at the
+    scale this sizing exists for. The width is applied with EXPLICIT
     .repartition(n, key) on the per-round frames — never by mutating
     session-global spark.sql.shuffle.partitions, which would silently
     narrow queries planned concurrently on other threads (r4 advice)."""
-    try:
-        default_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):  # e.g. "auto" on some platforms
-        default_sp = 200
-    return max(2, min(default_sp, n_edges // per_part + 2))
+    return max(2, n_edges // per_part + 2)
 
 
 def md5h32(c: Column) -> Column:
@@ -471,8 +470,20 @@ def connected_components_star(
                    .repartition(n_part, "src")
                    .distinct()
                    .localCheckpoint(eager=True))
-            delta = (sml.exceptAll(cur).count()
-                     + cur.exceptAll(sml).count())
+            # convergence check width-bounded like everything else in
+            # the round: a bare exceptAll would shuffle both sides at
+            # the session default (hundreds of tasks for kilobytes of
+            # edges — the exact overhead the explicit n_part sizing
+            # exists to avoid). Both frames are distinct (src, dst)
+            # sets, so the signed-union count of unbalanced rows IS
+            # the symmetric difference; repartitioning on (src, dst)
+            # satisfies the groupBy clustering, one n_part shuffle.
+            delta = (
+                sml.withColumn("__t", F.lit(1))
+                .unionByName(cur.withColumn("__t", F.lit(-1)))
+                .repartition(n_part, "src", "dst")
+                .groupBy("src", "dst").agg(F.sum("__t").alias("__d"))
+                .filter("__d != 0").count())
             if cur is not canon:
                 cur.unpersist()
             cur = sml

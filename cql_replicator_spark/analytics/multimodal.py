@@ -67,16 +67,30 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
             and data[12:16] == b"IHDR"):
         return ("png", int.from_bytes(data[16:20], "big"),
                 int.from_bytes(data[20:24], "big"))
-    if data[:2] == b"BM" and len(data) >= 26:
-        w = int.from_bytes(data[18:22], "little", signed=True)
-        h = int.from_bytes(data[22:26], "little", signed=True)
-        return ("bmp", w, abs(h))
+    if data[:2] == b"BM" and len(data) >= 22:
+        # DIB header size at offset 14 picks the layout: 12 =
+        # BITMAPCOREHEADER (OS/2) with u16 dims at 18/20; larger
+        # (40=INFO, 108/124=V4/V5) carry i32 dims at 18/22. Reading
+        # i32s unconditionally would silently return garbage dims for
+        # core-header files instead of their real (small) values.
+        dib = int.from_bytes(data[14:18], "little")
+        if dib == 12:
+            return ("bmp", int.from_bytes(data[18:20], "little"),
+                    int.from_bytes(data[20:22], "little"))
+        if len(data) >= 26:
+            w = int.from_bytes(data[18:22], "little", signed=True)
+            h = int.from_bytes(data[22:26], "little", signed=True)
+            return ("bmp", w, abs(h))
+        return None
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return ("gif", int.from_bytes(data[6:8], "little"),
                 int.from_bytes(data[8:10], "little"))
     if data[:2] == b"\xff\xd8":
         i = 2
-        while i + 9 < len(data):
+        # dims live at data[i+5:i+9], so a SOF whose width field ends
+        # exactly at the buffer end (i + 9 == len) must still parse —
+        # header-only prefixes are the normal input here
+        while i + 9 <= len(data):
             if data[i] != 0xFF:
                 return None
             marker = data[i + 1]

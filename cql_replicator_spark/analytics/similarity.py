@@ -634,9 +634,10 @@ def semantic_dedup_pairs(
 
     salt_partitions: None = decide from the observed max cluster size;
     an int forces s (1 disables salting), mainly for tests."""
-    n = corpus.count()
     if k is None:
-        k = adaptive_k(n, target_cluster_size)
+        # the corpus count exists only to derive k — don't pay a full
+        # corpus scan when the caller pinned k explicitly
+        k = adaptive_k(corpus.count(), target_cluster_size)
     # kmeans_quantized returns an eagerly checkpointed frame (narrow
     # id->cluster rows), so the two self-join sides below read the
     # materialized checkpoint — no extra persist needed, and nothing

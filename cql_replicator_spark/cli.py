@@ -246,7 +246,8 @@ def cmd_compact(args) -> int:
     n_in, total = parquet_dir_stats(spark, args.source)
     n_out = compact_parquet(
         spark, args.source, args.dest,
-        target_bytes=args.target_mb * 1024 * 1024, shuffle=args.shuffle)
+        target_bytes=args.target_mb * 1024 * 1024, shuffle=args.shuffle,
+        src_stats=(n_in, total))  # one LIST of the source, not two
     print(json.dumps({
         "files_in": n_in, "bytes_in": total, "files_out": n_out,
         "target_mb": args.target_mb, "dest": args.dest,

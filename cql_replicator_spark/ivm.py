@@ -77,18 +77,34 @@ def deltas_from_envelope(
     before_col: str,
     after_col: str,
     op_col: str = "op",
+    before_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-group ``(d_sum, d_count)`` from a CDC envelope stream
     (diff.compute_changes_envelope rows: op + before/after images) —
     the streaming-friendly delta source: no snapshot join needed, each
     change row contributes ``+after`` (insert/update) and ``-before``
     (delete/update) to its group, so a foreachBatch consumer can
-    maintain an aggregate from the change FEED alone. Output identical
-    to change_deltas over the same change set."""
+    maintain an aggregate from the change FEED alone.
+
+    Group columns and moves: ``group_cols`` are the AFTER-image group
+    values. If the grouping attribute itself can change in an update,
+    the ``-before`` delta must land in the OLD group — pass the
+    envelope's before-image group columns as ``before_group_cols``
+    (positionally matching ``group_cols``); otherwise both deltas land
+    in the after group and the old group's aggregate silently drifts
+    from a recompute. With correct before-groups (or immutable group
+    attributes, the default assumption) output is identical to
+    change_deltas over the same change set."""
+    bg = before_group_cols if before_group_cols is not None else group_cols
+    if len(bg) != len(group_cols):
+        raise ValueError(
+            f"before_group_cols must match group_cols positionally "
+            f"({len(bg)} vs {len(group_cols)})")
     pos = env.filter(F.col(op_col) != "delete").select(
         *group_cols, F.col(after_col).alias("__v"), F.lit(1).alias("__w"))
     neg = env.filter(F.col(op_col) != "insert").select(
-        *group_cols, F.col(before_col).alias("__v"), F.lit(-1).alias("__w"))
+        *[F.col(b).alias(g) for b, g in zip(bg, group_cols)],
+        F.col(before_col).alias("__v"), F.lit(-1).alias("__w"))
     return (
         pos.unionByName(neg)
         .groupBy(*group_cols)

@@ -116,9 +116,15 @@ def compact_parquet(
     dst_dir: str,
     target_bytes: int = DEFAULT_TARGET_FILE_MB * 1024 * 1024,
     shuffle: bool = False,
+    src_stats: tuple[int, int] | None = None,
 ) -> int:
     """Bin-pack a fragmented parquet directory into ceil(total/target)
-    files; returns the output file count. The size-controlled-writer
+    files; returns the ACTUAL output file count (coalesce can produce
+    fewer than requested when the source has fewer input partitions).
+    ``src_stats=(n_files, total_bytes)`` lets a caller that already
+    listed the source (cli compact) skip the second remote LIST — the
+    listing is the expensive driver-side step on a 100k-splinter
+    prefix. The size-controlled-writer
     family (K:2224-2231, P:698-732) sizes a FIRST write; this is the
     maintenance half — the reference's 2-minute incremental backups
     (README.MD:83-90) accrete splinter files that at 100 TB mean
@@ -133,7 +139,8 @@ def compact_parquet(
     one shuffle of the data."""
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
-    n_files, total = parquet_dir_stats(spark, src_dir)
+    n_files, total = (src_stats if src_stats is not None
+                      else parquet_dir_stats(spark, src_dir))
     if n_files == 0:
         raise ValueError(f"no parquet data files under {src_dir}")
     n_out = max(1, -(-total // target_bytes))
@@ -141,4 +148,5 @@ def compact_parquet(
     out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
     (out.write.mode("overwrite")
         .option("compression", "snappy").parquet(dst_dir))
-    return n_out
+    written, _ = parquet_dir_stats(spark, dst_dir)
+    return written

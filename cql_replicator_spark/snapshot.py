@@ -31,11 +31,30 @@ parallelism, and reads of a single tile never list other tiles' files.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import shutil
 import time
 from dataclasses import dataclass
+
+
+def _stat_json(v):
+    """Manifest-safe stats value: JSON primitives pass through; date /
+    timestamp become ISO strings (lexicographic == chronological, so
+    the pruning comparison stays order-correct); Decimal becomes
+    float. Without this, stats_cols on a date column crashed
+    json.dump AFTER the parquet commit, orphaning the snapshot dir.
+    Pruning bounds are normalized with the same function — pass bounds
+    in the column's own type."""
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return v
+    return str(v)
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -147,8 +166,8 @@ class SnapshotStore:
                          .agg(*aggs).collect())
                 entry["files"] = [
                     {"path": r["__f"], "count": r["__n"],
-                     "min": {c: r[f"__lo_{c}"] for c in stats_cols},
-                     "max": {c: r[f"__hi_{c}"] for c in stats_cols}}
+                     "min": {c: _stat_json(r[f"__lo_{c}"]) for c in stats_cols},
+                     "max": {c: _stat_json(r[f"__hi_{c}"]) for c in stats_cols}}
                     for r in frows]
                 entry["count"] = sum(f["count"] for f in entry["files"])
             else:
@@ -192,7 +211,10 @@ class SnapshotStore:
                         fmin, fmax = f["min"].get(c), f["max"].get(c)
                         if fmin is None or fmax is None:
                             continue  # unknown stats never exclude a file
-                        if fmax < lo or fmin > hi:
+                        # bounds normalized like the stored stats, so a
+                        # date/timestamp compare is string-vs-string in
+                        # the same ISO encoding
+                        if fmax < _stat_json(lo) or fmin > _stat_json(hi):
                             return False
                     return True
 

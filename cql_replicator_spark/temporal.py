@@ -166,14 +166,19 @@ def asof_join_chunked(
     )
     lrows = merged.filter(F.col("__side") == 1)
 
-    # per-(key, chunk) summary: the latest right row of each chunk
+    # per-(key, chunk) summary: PER COLUMN, the chunk's latest NON-NULL
+    # value (max_by keyed on ts only where the column is set). A single
+    # latest-row max_by here would discard an older non-null value when
+    # the chunk's last row carries NULL in that column — but the plain
+    # form's last(ignorenulls) fill carries it forward, and the seed
+    # as-of below also fills per column, so per-column summaries are
+    # exactly what makes chunked == plain under null payloads.
     summ = (
         right.groupBy(*keys, F.floor(F.col(right_ts) / W).alias("__chunk"))
-        .agg(F.max_by(F.struct(*[F.col(c) for c in payload],
-                               F.col(right_ts).alias("__rts")),
-                      F.col(right_ts)).alias("__s"))
-        .select(*keys, "__chunk",
-                *[F.col(f"__s.{c}").alias(f"__seed_{c}") for c in fill_cols])
+        .agg(*[F.max_by(F.col(c),
+                        F.when(F.col(c).isNotNull(), F.col(right_ts)))
+               .alias(f"__seed_{c}") for c in payload],
+             F.max(F.col(right_ts)).alias("__seed___rts"))
     )
     # seed for chunk c = summary as-of chunk c-1 (chunk-granular as-of:
     # summary frames are chunk-counts per key, never timeline-sized)

@@ -1277,3 +1277,19 @@ def test_rrf_fuse_three_lists_deterministic_fold(spark):
     # left-to-right fold over the SORTED rank list, bit-reproducible
     expected = round(((0.0 + 1 / 61) + 1 / 62) + 1 / 63, 6)
     assert out["rrf"] == expected
+
+
+def test_parse_image_header_bmp_core_and_jpeg_boundary():
+    # BITMAPCOREHEADER: u16 dims at 18/20 — the i32 read would return garbage
+    core = (b"BM" + (26).to_bytes(4, "little") + b"\x00" * 4
+            + (26).to_bytes(4, "little")          # pixel offset
+            + (12).to_bytes(4, "little")          # DIB size = core header
+            + (100).to_bytes(2, "little")         # width u16
+            + (50).to_bytes(2, "little")          # height u16
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little"))
+    assert MM.parse_image_header(core) == ("bmp", 100, 50)
+    # JPEG whose SOF width field ends exactly at the buffer end
+    sof = (b"\xff\xd8" + b"\xff\xc0" + (11).to_bytes(2, "big")
+           + b"\x08" + (50).to_bytes(2, "big") + (100).to_bytes(2, "big"))
+    assert len(sof) == 2 + 9
+    assert MM.parse_image_header(sof) == ("jpeg", 100, 50)

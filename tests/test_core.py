@@ -683,16 +683,18 @@ def test_asof_chunked_equals_plain(spark, lefts, right_ts, width):
     """asof_join_chunked must produce EXACTLY asof_join's output for
     any timeline and any chunk width (fills are associative; seeded
     chunk fills compose to the global fill) — including left rows whose
-    chunk saw no right row (seed from earlier chunks) and keys with no
-    right rows at all."""
+    chunk saw no right row (seed from earlier chunks), keys with no
+    right rows at all, and NULL payload values (the plain form's
+    last(ignorenulls) fill skips them; the chunked seed must too)."""
     from cql_replicator_spark.temporal import asof_join, asof_join_chunked
 
     left = spark.createDataFrame(
         [(k, t, i) for i, (k, t) in enumerate(lefts)] or [(None,) * 3],
         "k INT, ts INT, lid INT").filter("lid IS NOT NULL")
     right = spark.createDataFrame(
-        [(t % 2, t, t * 10) for t in right_ts] or [(None,) * 3],
-        "k INT, ts INT, state INT").filter("state IS NOT NULL")
+        [(t % 2, t, (t * 10) if t % 3 else None) for t in right_ts]
+        or [(None,) * 3],
+        "k INT, ts INT, state INT").filter("ts IS NOT NULL")
 
     plain = {(r.k, r.lid): (r.state, r.asof_ts)
              for r in asof_join(left, right, on="k").collect()}
@@ -925,3 +927,49 @@ def test_merkle_digest_null_and_separator_safety(spark):
     # and genuinely identical rows (with nulls) still agree
     assert merkle_diff(tree([(1, None, "x")]),
                        tree([(1, None, "x")])).count() == 0
+
+
+def test_snapshot_stats_on_date_column(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cql_replicator_spark.snapshot import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "snaps"), "ks", "t")
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 20)) for i in range(200)],
+        "pk LONG, d DATE")
+    # date min/max stats must survive the JSON manifest (an earlier
+    # version crashed json.dump AFTER the parquet commit)
+    sid = store.write_snapshot(df, tile=0, files_per_snapshot=4,
+                               stats_cols=["d"])
+    got = store.read_snapshot(
+        spark, 0, sid,
+        between={"d": (dt.date(2024, 1, 3), dt.date(2024, 1, 5))})
+    assert got.count() == df.filter(
+        F.col("d").between("2024-01-03", "2024-01-05")).count()
+
+
+def test_ivm_envelope_group_moves_use_before_groups(spark):
+    from cql_replicator_spark.ivm import change_deltas, deltas_from_envelope
+
+    prev = spark.createDataFrame([(1, "A", 10.0), (2, "A", 5.0)],
+                                 "pk LONG, g STRING, v DOUBLE")
+    curr = spark.createDataFrame([(1, "B", 10.0), (2, "A", 7.0)],
+                                 "pk LONG, g STRING, v DOUBLE")
+    want = {(r["g"]): (r["d_sum"], r["d_count"]) for r in
+            change_deltas(curr, prev, ["pk"], ["g"], "v").collect()}
+    env = spark.createDataFrame(
+        [("update", 1, "A", "B", 10.0, 10.0),
+         ("update", 2, "A", "A", 5.0, 7.0)],
+        "op STRING, pk LONG, g_before STRING, g_after STRING, "
+        "v_before DOUBLE, v_after DOUBLE")
+    got = {(r["g_after"]): (r["d_sum"], r["d_count"]) for r in
+           deltas_from_envelope(env, ["g_after"], "v_before", "v_after",
+                                before_group_cols=["g_before"]).collect()}
+    # group move credits -old to A and +new to B, like the snapshot diff
+    assert got == {"A": (want["A"]), "B": (want["B"])}
+    with pytest.raises(ValueError, match="positionally"):
+        deltas_from_envelope(env, ["g_after"], "v_before", "v_after",
+                             before_group_cols=[])
