@@ -139,6 +139,41 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return joined.filter(keep).select("id_a", "id_b", "common", "size_a", "size_b")
 
 
+def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            threshold_num: int = 4,
+                            threshold_den: int = 5) -> DataFrame:
+    """Pairs whose smaller gram set is >= num/den CONTAINED in the other:
+    containment(A,B) = |A ∩ B| / min(|A|, |B|).
+
+    Jaccard misses subset duplication — a paragraph pasted inside a much
+    longer page scores near zero on Jaccard (union is dominated by the
+    long side) but 1.0 on containment, which is why corpus pipelines
+    (Broder 1997's original resemblance/containment split; news-article
+    and quote dedup) gate on containment as well. Same integer-exact
+    cross-multiplied threshold discipline as ngram_jaccard_pairs: no
+    float enters the result. Same scale shape too: the gram equi-join is
+    the small-corpus/verify formulation — at 100 TB feed it LSH
+    candidates instead of the raw corpus.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = shingle_counts(sh, id_col)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("size_b"))
+    joined = common.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
+    # common/least(size_a,size_b) >= num/den  <=>  den*common >= num*least(...)
+    keep = (F.lit(threshold_den) * F.col("common")
+            >= F.lit(threshold_num) * F.least("size_a", "size_b"))
+    return joined.filter(keep).select("id_a", "id_b", "common", "size_a", "size_b")
+
+
 # -- MinHash + LSH -----------------------------------------------------------------
 
 # Universal-hash family for minhash: mh_j(x) = (a_j*x + b_j) mod P over

@@ -104,3 +104,74 @@ def pagerank_scaled(
     nodes.unpersist()
     deg.unpersist()
     return out
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    per_vertex: bool = False,
+) -> DataFrame:
+    """Triangle counting over an UNDIRECTED edge list (duplicate and
+    reversed edges tolerated; self-loops dropped) — the clustering/
+    cohesion primitive for entity graphs (community density, spam-farm
+    detection in link graphs, graph-quality reporting).
+
+    Scale shape is the degree-ordered wedge join (Suri & Vassilvitskii
+    2011, "Counting Triangles and the Curse of the Last Reducer"):
+    orient every edge from the (degree, id)-smaller endpoint to the
+    larger, so each triangle is counted exactly once at its smallest
+    vertex, and — the part that matters at 100 TB — the wedge-
+    generating self-join fans out by the OUT-degree of the oriented
+    graph, which is O(sqrt(|E|)) per vertex for any graph: a celebrity
+    vertex with 10^8 neighbors produces ~zero wedges because nearly
+    all its edges orient INTO it. Cost: one degree aggregation, one
+    self-join on the wedge pivot, one semi-join existence check of the
+    closing edge. No vertex's work exceeds its oriented degree
+    squared, bounded by design.
+
+    Returns one row (n_triangles) or per-vertex pivot counts.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("a"),
+                      F.col(dst).cast("long").alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("n")).unionByName(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("deg")))
+    # orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    # each oriented edge carries its TARGET's degree: the wedge pair
+    # below must be ordered by the same (deg, id) total order the
+    # orientation uses — ordering by id alone would look the closing
+    # edge up in the wrong direction whenever deg(y) < deg(x) with
+    # y > x, silently dropping those triangles
+    oriented = (e.join(du, "u").join(dv, "v")
+                .select(F.when((F.col("du") < F.col("dv"))
+                               | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                               F.struct(F.col("u").alias("s"), F.col("v").alias("t"),
+                                        F.col("dv").alias("dt")))
+                        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t"),
+                                            F.col("du").alias("dt")))
+                        .alias("o"))
+                .select("o.s", "o.t", "o.dt")
+                .persist())
+    oriented.count()  # materialize once; read by both wedge sides + closer
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedge_order = ((F.col("w1.dt") < F.col("w2.dt"))
+                   | ((F.col("w1.dt") == F.col("w2.dt"))
+                      & (F.col("w1.t") < F.col("w2.t"))))
+    wedges = (w1.join(w2, (F.col("w1.s") == F.col("w2.s")) & wedge_order)
+              .select(F.col("w1.s").alias("pivot"),
+                      F.col("w1.t").alias("x"), F.col("w2.t").alias("y")))
+    closer = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    tri = wedges.join(closer, ["x", "y"], "semi")
+    if per_vertex:
+        out = tri.groupBy(F.col("pivot").alias("node")).agg(
+            F.count("*").alias("n_triangles"))
+    else:
+        out = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    out = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return out

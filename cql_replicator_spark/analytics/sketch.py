@@ -480,3 +480,76 @@ def bloom_rf_predicate(value: str | Column, words: list[int],
         ).bitwiseAND(F.lit(1))
         hits = hit if hits is None else (hits + hit)
     return hits == k
+
+
+# -- Misra-Gries heavy hitters (frequent items with exact recount) -------------------
+
+def mg_partition_candidates(df: DataFrame, value: str | Column,
+                            capacity: int = 256) -> DataFrame:
+    """Per-partition Misra-Gries summaries: <= ``capacity`` candidate
+    rows per partition, streamed over the partition's Arrow batches in
+    bounded memory (the whole point — a groupBy over a 100 TB
+    high-cardinality column shuffles |distinct| rows; this never holds
+    or moves more than ``capacity`` counters per partition).
+
+    Guarantee (Misra & Gries 1982): any item whose LOCAL frequency
+    exceeds n_p/(capacity+1) survives the partition's summary. Summing
+    over partitions: any item with GLOBAL frequency > n/(capacity+1)
+    survives in at least one partition — so the union of per-partition
+    candidates is a superset of every global heavy hitter, and an
+    exact recount pass over the candidate set (frequent_items) makes
+    the final answer provably exact, not approximate.
+    """
+    col = (F.col(value) if isinstance(value, str) else value).alias("item")
+    cap = int(capacity)
+
+    def summarize(batches):
+        import pandas as pd
+        counters: dict = {}
+        for pdf in batches:
+            for item in pdf["item"]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < cap:
+                    counters[item] = 1
+                else:
+                    # decrement-all step, dropping zeroed counters
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        if counters:
+            yield pd.DataFrame({"item": list(counters.keys()),
+                                "lower_bound": list(counters.values())})
+
+    src = df.select(col)
+    schema = f"item {src.schema['item'].dataType.simpleString()}, lower_bound long"
+    return src.mapInPandas(summarize, schema=schema)
+
+
+def frequent_items(df: DataFrame, value: str | Column,
+                   capacity: int = 256) -> DataFrame:
+    """Exact frequent-items via MG candidates + recount: every item with
+    frequency > n/(capacity+1), with its EXACT count — equal by
+    construction to the plain ``GROUP BY HAVING count*(capacity+1) > n``
+    answer, but computed without ever shuffling the full distinct-key
+    space: the only groupBy runs on rows surviving the candidate
+    semi-join, whose key space is <= capacity * num_partitions.
+
+    Two scans of the input (candidates, recount); at 100 TB both are
+    map-heavy and the shuffle is candidate-bounded. The candidate set
+    travels as a broadcast semi-join side (bounded rows, never the
+    corpus)."""
+    col = (F.col(value) if isinstance(value, str) else value).alias("item")
+    src = df.select(col)
+    candidates = (mg_partition_candidates(src, "item", capacity)
+                  .select("item").distinct())
+    n_total = src.count()
+    exact = (src.join(F.broadcast(candidates), "item", "semi")
+             .groupBy("item").agg(F.count("*").alias("freq")))
+    threshold = F.lit(int(n_total))
+    return (exact.filter(F.col("freq") * (capacity + 1) > threshold)
+            .select("item", "freq"))

@@ -704,3 +704,167 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     return (scored.groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_bigrams"),
                  F.round(-F.avg("lp"), 6).alias("avg_neg_logprob")))
+
+
+# -- BPE vocabulary learning --------------------------------------------------------
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    symbols_col: str | None = None) -> DataFrame:
+    """Adjacent-symbol-pair frequencies — the inner statistic of BPE
+    vocabulary learning (Sennrich et al. 2016): every merge round picks
+    the corpus-wide most frequent adjacent pair.
+
+    Corpus shape: one pass collapses the corpus to its WORD frequency
+    table first (|vocab| rows — the Zipf head carries nearly all the
+    mass), so pair counting explodes distinct words x their length, not
+    the raw token stream; each pair count is weighted by the word's
+    corpus frequency. That is the standard fast-BPE formulation —
+    pair-count cost is vocabulary-shaped, independent of corpus scale
+    after the one word-count shuffle.
+
+    With symbols_col set, counts pairs over pre-split symbol arrays
+    (a (word, freq, symbols) frame from learn_bpe_merges' loop)
+    instead of re-splitting raw text.
+    """
+    if symbols_col is None:
+        words = (df.select(F.explode(tokens(text_col)).alias("word"))
+                 .filter(F.col("word") != "")
+                 .groupBy("word").agg(F.count("*").alias("freq")))
+        syms = words.select(
+            "freq", F.array_remove(F.split(F.col("word"), "(?!^)"), "").alias("syms"))
+    else:
+        syms = df.select(F.col("freq"), F.col(symbols_col).alias("syms"))
+    idx = F.explode(F.sequence(F.lit(0), F.size("syms") - 2)).alias("i")
+    pairs = (syms.filter(F.size("syms") >= 2)
+             .select("freq", "syms", idx)
+             .select(F.col("syms")[F.col("i")].alias("left"),
+                     F.col("syms")[F.col("i") + 1].alias("right"),
+                     "freq"))
+    return (pairs.groupBy("left", "right")
+            .agg(F.sum("freq").cast("long").alias("pair_freq")))
+
+
+def merge_symbol_pair(syms: Column, left: str, right: str) -> Column:
+    """Apply one BPE merge to a symbol array: every non-overlapping
+    adjacent (left, right) occurrence becomes one fused symbol,
+    scanning left-to-right (the reference BPE semantics — 'aaa' with
+    merge (a,a) gives ['aa','a']). Pure expression fold (aggregate over
+    the array with an (out, pending) accumulator), so the merge runs in
+    the JVM on every executor — no Python in the loop."""
+    fused = left + right
+
+    # accumulator: struct(out array, pend string). pend holds a possible
+    # left-half waiting for its right-half; '' = nothing pending (safe
+    # sentinel: symbols are never empty strings).
+    def step(acc, s):
+        flushed = (F.when(acc["pend"] != "",
+                          F.concat(acc["out"], F.array(acc["pend"])))
+                   .otherwise(acc["out"]))
+        return F.when(
+            (acc["pend"] == F.lit(left)) & (s == F.lit(right)),
+            F.struct(F.concat(acc["out"], F.array(F.lit(fused))).alias("out"),
+                     F.lit("").alias("pend")),
+        ).otherwise(F.when(
+            s == F.lit(left),
+            F.struct(flushed.alias("out"), s.alias("pend")),
+        ).otherwise(
+            F.struct(F.concat(flushed, F.array(s)).alias("out"),
+                     F.lit("").alias("pend"))))
+
+    return F.aggregate(
+        syms,
+        F.struct(F.expr("cast(array() as array<string>)").alias("out"),
+                 F.lit("").alias("pend")),
+        step,
+        lambda acc: F.when(acc["pend"] != "",
+                           F.concat(acc["out"], F.array(acc["pend"])))
+        .otherwise(acc["out"]),
+    )
+
+
+def learn_bpe_merges(df: DataFrame, num_merges: int,
+                     text_col: str = "text") -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merge rules over the corpus: each round
+    counts adjacent pairs (bpe_pair_counts over the persisted word-
+    frequency symbol table), takes the most frequent pair — ties broken
+    (pair_freq desc, left, right) so the vocabulary is deterministic
+    across runs, partitionings, and engines — and rewrites the symbol
+    arrays with merge_symbol_pair.
+
+    Driver traffic per round is ONE row (the argmax pair); the rewrite
+    is a JVM expression map over the |vocab|-row frame. Rounds are data-
+    dependent and sequential by nature (real BPE trainers are too); the
+    frame is localCheckpoint-ed each round to cut the growing lambda
+    lineage. Returns [(left, right, pair_freq)] in merge order.
+    """
+    words = (df.select(F.explode(tokens(text_col)).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("freq")))
+    cur = (words.select("freq", F.array_remove(F.split(F.col("word"), "(?!^)"), "").alias("syms"))
+           .localCheckpoint(eager=True))
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(num_merges)):
+        top = (bpe_pair_counts(cur, symbols_col="syms")
+               .orderBy(F.desc("pair_freq"), "left", "right")
+               .limit(1).collect())
+        if not top or top[0]["pair_freq"] < 2:
+            break
+        l_, r_, n = top[0]["left"], top[0]["right"], int(top[0]["pair_freq"])
+        merges.append((l_, r_, n))
+        cur = (cur.select("freq", merge_symbol_pair(F.col("syms"), l_, r_)
+                          .alias("syms"))
+               .localCheckpoint(eager=True))
+    return merges
+
+
+# -- DSIR importance weights --------------------------------------------------------
+
+def dsir_importance_weights(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    score every raw document by how target-like it is under hashed
+    n-gram bag-of-words models — log w(d) = sum over tokens of
+    log p_target(bucket) - log p_raw(bucket), with add-one-smoothed
+    bucket probabilities over ``num_buckets`` hashed unigram features.
+    High scores select pretraining data matching a quality target
+    (e.g. wiki-like) from a raw crawl; sampling proportionally to
+    w(d) is importance resampling.
+
+    Shape: ONE token explode feeds both feature-count aggregations
+    (target counts via conditional sum, raw = all docs — no second
+    scan) collapsing to num_buckets rows, broadcast back onto the
+    token stream, then one id-keyed rollup. The log-space sum is
+    rounded (6) per the registry's float discipline; token hashing is
+    the portable md5-based bucket so any engine reproduces it.
+
+    is_target marks the TARGET sample rows inside ``df`` (they get
+    weights too — harmless, and keeping one frame means one scan).
+    """
+    from ..analytics.dedup import md5h32
+
+    m = int(num_buckets)
+    tok = df.select(
+        F.col(id_col), is_target.alias("_tgt"),
+        F.explode(tokens(text_col)).alias("tok"))
+    tok = tok.withColumn("bucket", F.pmod(md5h32(F.col("tok")), m))
+    counts = tok.groupBy("bucket").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("n_tgt"))
+    totals = counts.agg(F.sum("n_raw").alias("_nr"), F.sum("n_tgt").alias("_nt"))
+    # add-one smoothing keeps every bucket's log finite in both models
+    scored = (tok.join(F.broadcast(counts), "bucket")
+              .crossJoin(F.broadcast(totals))
+              .select(
+                  F.col(id_col),
+                  (F.log((F.col("n_tgt") + 1).cast("double"))
+                   - F.log((F.col("_nt") + m).cast("double"))
+                   - F.log((F.col("n_raw") + 1).cast("double"))
+                   + F.log((F.col("_nr") + m).cast("double"))).alias("lw")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.sum("lw"), 6).alias("log_weight")))

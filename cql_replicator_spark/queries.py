@@ -1376,6 +1376,16 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "multimodal_image_headers",   # new: container-header parse round-trip
     "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
     "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip
+    # r5 wave 3
+    "sketch_heavy_hitters",       # new: Misra-Gries candidates + exact recount
+    "events_resample_ffill",      # new: hourly gap-fill + forward fill
+    "dedup_ngram_containment",    # new: subset-duplication containment gate
+    "graph_triangle_count",       # new: degree-ordered wedge join
+    "events_anomaly_mad",         # new: median/MAD robust outliers
+    "events_sliding_window_topk", # new: overlapping-window trending top-k
+    "bpe_top_pairs",              # new: BPE merge statistic (learner in pytest)
+    "dsir_importance_weights",    # new: DSIR target-vs-raw importance scores
+    "orders_equidepth_hist",      # new: percentile-boundary equi-depth histogram
     # NOT listed although touched this round: dedup_clusters,
     # dedup_semantic, embedding_kmeans_clusters, source_json_roundtrip,
     # source_csv_roundtrip, sketch_hll_stream, events_enriched_stream,

@@ -3296,3 +3296,345 @@ GROUP BY bg.doc_id
 def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     return TX.bigram_logprob(docs)
+
+
+# -- round-5 wave 3: heavy hitters, gap-fill, containment, triangles, -------
+#    anomalies, sliding windows, BPE, DSIR, equi-depth
+
+
+_EXCERPT_FIXTURE_SQL = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         array_to_string(ws[1:greatest(3, len(ws) // 3)], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+)
+"""
+
+
+def _excerpt_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ (doc_id+3000000, first third of each doc's words) —
+    the subset-duplication fixture: an excerpt is ~fully CONTAINED in
+    its source but Jaccard-dissimilar to it. Single-scan explode like
+    the other fixtures."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    ws = F.split(F.col("text"), " ")
+    excerpt = F.concat_ws(
+        " ", F.slice(ws, 1, F.greatest(F.lit(3), F.expr("size(split(text, ' ')) div 3"))))
+    pair = F.array(
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+        F.struct((F.col("doc_id") + 3000000).alias("doc_id"),
+                 excerpt.alias("text")))
+    return (docs.select(F.explode(pair).alias("d"))
+            .select("d.doc_id", "d.text"))
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+WITH {_EXCERPT_FIXTURE_SQL},
+{_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, common, sa.n_grams AS size_a, sb.n_grams AS size_b
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 5 * common >= 4 * least(sa.n_grams, sb.n_grams)
+""",
+    doc="N-gram CONTAINMENT pairs (dedup.ngram_containment_pairs, "
+        "threshold 4/5): catches subset duplication — an excerpt pasted "
+        "into a longer page — that Jaccard's union denominator washes "
+        "out. Integer-exact cross-multiplied threshold; excerpt fixture "
+        "plants the containment pairs",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_containment_pairs(_excerpt_fixture(spark, sf_dir), n=3,
+                                     threshold_num=4, threshold_den=5)
+
+
+@register(
+    "sketch_heavy_hitters",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+c AS (SELECT item, count(*) AS freq FROM tok GROUP BY item),
+n AS (SELECT count(*) AS n FROM tok)
+SELECT item, CAST(freq AS BIGINT) AS freq
+FROM c, n WHERE freq * 257 > n
+""",
+    doc="Exact frequent items via Misra-Gries candidates + recount "
+        "(sketch.frequent_items, capacity 256): per-partition bounded-"
+        "memory MG summaries guarantee every item with freq > n/257 "
+        "survives; the exact recount over the candidate semi-join makes "
+        "the answer provably equal to the plain GROUP BY HAVING form "
+        "without ever shuffling the full distinct-key space",
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import sketch as SK
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(F.explode(TX.tokens("text")).alias("item"))
+    return SK.frequent_items(tok, "item", capacity=256)
+
+
+@register(
+    "events_resample_ffill",
+    oracle="""
+WITH obs AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS bucket_start, ts, value,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(floor(epoch(ts)/3600) AS BIGINT)*3600
+           ORDER BY ts DESC, value DESC) AS rn
+  FROM events
+),
+o1 AS (SELECT user_id, bucket_start, value FROM obs WHERE rn = 1),
+span AS (SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+         FROM o1 GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket_start
+         FROM span)
+SELECT g.user_id, g.bucket_start,
+       last_value(o1.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM grid g LEFT JOIN o1 USING (user_id, bucket_start)
+""",
+    doc="Hourly resample + forward fill (temporal.resample_forward_fill): "
+        "the hypertable time_bucket_gapfill/locf operator — dense per-user "
+        "hourly grid built engine-side with sequence(), latest observation "
+        "per bucket via one struct-max aggregation, fill via one "
+        "last(ignorenulls) window",
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .temporal import resample_forward_fill
+    events = _t(spark, sf_dir, "events")["events"]
+    return resample_forward_fill(events, "user_id", "ts", "value",
+                                 bucket_seconds=3600)
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST((SELECT count(*)
+  FROM pairs e1
+  JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT) AS n_triangles
+""",
+    doc="Triangle count over the part co-purchase graph "
+        "(graph.triangle_count): degree-ordered wedge join (Suri & "
+        "Vassilvitskii) — each triangle counted once at its smallest-"
+        "degree vertex, celebrity vertices produce ~no wedges because "
+        "their edges orient inward; oracle counts the same triangles "
+        "via the canonical u<v formulation",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import graph as G
+    li = _t(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst")))
+    return G.triangle_count(edges)
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY event_type
+)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(any_value(d.med), 6) AS med,
+       round(any_value(mad.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN mad USING (event_type)
+GROUP BY d.event_type
+""",
+    doc="Robust anomaly detection per event type: median + MAD (median "
+        "absolute deviation) with |x - med| > 3*MAD outlier flagging — "
+        "the outlier gate that, unlike mean/stddev z-scores, is not "
+        "dragged by the outliers themselves. Exact interpolated "
+        "percentiles (both engines use the same linear interpolation), "
+        "5-row model frames broadcast back onto the stream",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")["events"].select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"))
+    d = (events.join(F.broadcast(med), "event_type")
+         .select("event_type", "med",
+                 F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = d.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (d.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.any_value("med"), 6).alias("med"),
+                 F.round(F.any_value("mad"), 6).alias("mad"),
+                 F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+                 .cast("long").alias("n_outliers")))
+
+
+@register(
+    "events_sliding_window_topk",
+    oracle="""
+WITH wc AS (
+  SELECT (CAST(floor(epoch(ts)/10800) AS BIGINT)*10800 - off) AS wstart,
+         event_type, count(*) AS n_events
+  FROM events,
+       unnest([CAST(0 AS BIGINT), CAST(10800 AS BIGINT)]) AS t(off)
+  GROUP BY 1, 2
+)
+SELECT wstart, event_type, CAST(n_events AS BIGINT) AS n_events
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY wstart ORDER BY n_events DESC, event_type) AS rk
+      FROM wc)
+WHERE rk <= 3
+""",
+    doc="Sliding-window trending top-k: 6-hour windows sliding every 3 "
+        "hours (each event in exactly 2 overlapping windows — Spark's "
+        "native F.window slide semantics, reproduced arithmetically in "
+        "the oracle), top-3 event types per window by count with "
+        "deterministic (count desc, type) ties. The window explode is "
+        "map-side; the rank runs over the aggregated window x type frame",
+)
+def events_sliding_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    events = _t(spark, sf_dir, "events")["events"]
+    wc = (events.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"),
+                         "event_type")
+          .agg(F.count("*").alias("n_events"))
+          .select(F.unix_timestamp("w.start").alias("wstart"),
+                  "event_type", "n_events"))
+    rk = F.row_number().over(
+        Window.partitionBy("wstart").orderBy(F.desc("n_events"), "event_type"))
+    return (wc.withColumn("rk", rk).filter(F.col("rk") <= 3)
+            .select("wstart", "event_type", F.col("n_events").cast("long").alias("n_events")))
+
+
+@register(
+    "bpe_top_pairs",
+    oracle="""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+wf AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+p AS (
+  SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs, freq
+  FROM wf, unnest(generate_series(1, length(word) - 1)) AS t(i)
+  WHERE length(word) >= 2
+)
+SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS pair_freq
+FROM p GROUP BY lhs, rhs
+ORDER BY pair_freq DESC, lhs, rhs
+LIMIT 30
+""",
+    doc="BPE merge statistics, round 1 (text.bpe_pair_counts): corpus "
+        "adjacent-character-pair frequencies computed over the WORD "
+        "FREQUENCY table (fast-BPE formulation — cost is vocabulary-"
+        "shaped, not corpus-shaped, after one word-count shuffle); top "
+        "30 with deterministic ties. The iterative learner "
+        "(text.learn_bpe_merges) loops this statistic and is pytest-"
+        "verified against a pure-Python reference BPE",
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (TX.bpe_pair_counts(docs)
+            .select(F.col("left").alias("lhs"), F.col("right").alias("rhs"),
+                    "pair_freq")
+            .orderBy(F.desc("pair_freq"), "lhs", "rhs").limit(30))
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS tgt, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tb AS (SELECT doc_id, tgt, {_md5h32_sql('tok')} % 1024 AS bucket FROM tok),
+c AS (SELECT bucket, count(*) AS n_raw,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+      FROM tb GROUP BY bucket),
+t AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt FROM c)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(ln(CAST(c.n_tgt + 1 AS DOUBLE)) - ln(CAST(t.nt + 1024 AS DOUBLE))
+               - ln(CAST(c.n_raw + 1 AS DOUBLE)) + ln(CAST(t.nr + 1024 AS DOUBLE))), 6)
+         AS log_weight
+FROM tb JOIN c USING (bucket), t
+GROUP BY doc_id
+""",
+    doc="DSIR data selection (text.dsir_importance_weights; Xie et al. "
+        "2023): per-doc log importance weight under hashed-unigram "
+        "bag-of-words models of the target (lang='en' sample) vs the raw "
+        "corpus — the importance-resampling score for selecting "
+        "target-like pretraining data. One token explode feeds both "
+        "1024-bucket model aggregations (broadcast back), one id rollup",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return TX.dsir_importance_weights(docs, F.col("lang") == "en",
+                                      num_buckets=1024)
+
+
+@register(
+    "orders_equidepth_hist",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(o_totalprice,
+    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+  FROM orders
+)
+SELECT (CASE WHEN o_totalprice >= qs[1] THEN 1 ELSE 0 END
+      + CASE WHEN o_totalprice >= qs[2] THEN 1 ELSE 0 END
+      + CASE WHEN o_totalprice >= qs[3] THEN 1 ELSE 0 END
+      + CASE WHEN o_totalprice >= qs[4] THEN 1 ELSE 0 END
+      + CASE WHEN o_totalprice >= qs[5] THEN 1 ELSE 0 END
+      + CASE WHEN o_totalprice >= qs[6] THEN 1 ELSE 0 END
+      + CASE WHEN o_totalprice >= qs[7] THEN 1 ELSE 0 END) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM orders, b
+GROUP BY 1
+""",
+    doc="Equi-depth histogram via exact percentile boundaries: 7 "
+        "interpolated octile cuts from ONE aggregation pass, bucket "
+        "assignment as a pure comparison projection, per-bucket stats in "
+        "a bounded 8-row groupBy — the scalable shape (no global ntile "
+        "sort; boundary ties land in the upper bucket identically in "
+        "both engines)",
+)
+def orders_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"].select("o_totalprice")
+    qs = orders.agg(F.percentile(
+        "o_totalprice",
+        F.array(*[F.lit(x) for x in
+                  (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)])).alias("qs"))
+    bucket = sum(
+        F.when(F.col("o_totalprice") >= F.col("qs")[i], 1).otherwise(0)
+        for i in range(7))
+    return (orders.crossJoin(F.broadcast(qs))
+            .select(bucket.alias("bucket"), "o_totalprice")
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))

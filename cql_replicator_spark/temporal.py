@@ -346,3 +346,60 @@ def interval_peak_concurrency(
     counts = intervals.groupBy(group_col).agg(
         F.count("*").alias("n_intervals"))
     return peaks.join(counts, group_col)
+
+
+def resample_forward_fill(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    bucket_seconds: int = 3600,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Time-series resample to a fixed grid with forward fill — the
+    hypertable/time_bucket + gap-fill operator (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``, InfluxDB ``fill(previous)``):
+    one row per (key, bucket) over each key's [min, max] bucket span,
+    carrying the latest observed value at or before the bucket's end.
+
+    Shape (three bounded shuffles, nothing quadratic):
+      1. bucket-collapse: groupBy (key, bucket) keeps ONE row — the
+         max-(ts, tie_break) observation via a struct max (map-side
+         combined, so the shuffle moves <= one row per non-empty
+         bucket, not the raw events);
+      2. grid: per-key min/max bucket (same aggregation pass) ->
+         ``sequence()`` + explode builds the dense grid engine-side —
+         never a driver loop, never a cross join against a calendar
+         table;
+      3. fill: left join grid <- observations on (key, bucket), then
+         ``last(ignorenulls)`` over the key's bucket order — the same
+         single-window forward-fill asof_join uses.
+
+    Buckets are epoch-aligned BIGINT seconds (``bucket_start``) so the
+    grid arithmetic is integer-exact in any engine. Leading buckets
+    before a key's first observation don't exist by construction (the
+    grid starts at the key's first bucket), so the fill never emits
+    nulls. tie_break orders same-timestamp observations (defaults to
+    the value column itself) — required for a deterministic answer.
+    """
+    b = int(bucket_seconds)
+    tb = tie_break or value
+    bucket = (F.unix_timestamp(F.col(ts)) / b).cast("long") * b
+    # one aggregation produces the per-bucket winner; struct max makes
+    # "latest observation" deterministic: (ts, tie_break) lexicographic
+    obs = (df.select(F.col(key), bucket.alias("bucket_start"),
+                     F.col(ts).alias("_ts"), F.col(tb).alias("_tb"),
+                     F.col(value).alias("_v"))
+           .groupBy(key, "bucket_start")
+           .agg(F.max(F.struct("_ts", "_tb", "_v")).alias("_w"))
+           .select(key, "bucket_start", F.col("_w._v").alias("_obs")))
+    span = (obs.groupBy(key)
+            .agg(F.min("bucket_start").alias("_lo"),
+                 F.max("bucket_start").alias("_hi")))
+    grid = span.select(
+        key, F.explode(F.sequence("_lo", "_hi", F.lit(b))).alias("bucket_start"))
+    w = (Window.partitionBy(key).orderBy("bucket_start")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(obs, [key, "bucket_start"], "left")
+            .select(key, "bucket_start",
+                    F.last("_obs", ignorenulls=True).over(w).alias(value)))

@@ -1293,3 +1293,161 @@ def test_parse_image_header_bmp_core_and_jpeg_boundary():
            + b"\x08" + (50).to_bytes(2, "big") + (100).to_bytes(2, "big"))
     assert len(sof) == 2 + 9
     assert MM.parse_image_header(sof) == ("jpeg", 100, 50)
+
+
+# -- round-5 wave 3 operators -------------------------------------------------------
+
+
+def test_frequent_items_equals_plain_groupby(spark):
+    """MG candidates + exact recount must equal GROUP BY HAVING exactly,
+    across a multi-partition, skewed input where per-partition summaries
+    genuinely evict items (1000 distinct tail items vs capacity 8)."""
+    from cql_replicator_spark.analytics import sketch as SK
+    rows = [("hot",)] * 500 + [("warm",)] * 200 + [(f"t{i}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "item string").repartition(7)
+    got = {(r["item"], r["freq"])
+           for r in SK.frequent_items(df, "item", capacity=8).collect()}
+    n = len(rows)
+    plain = (df.groupBy("item").agg(F.count("*").alias("freq"))
+             .filter(F.col("freq") * 9 > n))
+    want = {(r["item"], r["freq"]) for r in plain.collect()}
+    assert got == want and ("hot", 500) in got
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    """Per-partition summaries stay within capacity rows per partition
+    and always contain the true heavy hitters."""
+    from cql_replicator_spark.analytics import sketch as SK
+    rows = [("hh",)] * 300 + [(f"x{i % 40}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    cand = SK.mg_partition_candidates(df, "item", capacity=5)
+    per_part = cand.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    # mapInPandas emits its summary within the same task -> row bound holds
+    assert all(r["count"] <= 5 for r in per_part)
+    assert "hh" in {r["item"] for r in cand.collect()}
+
+
+def test_resample_forward_fill_semantics(spark):
+    from cql_replicator_spark.temporal import resample_forward_fill
+    rows = [
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 00:50:00", 11.0),   # same bucket, later ts wins
+        (1, "2024-01-01 03:05:00", 12.0),   # 2 empty buckets between
+        (2, "2024-01-01 05:00:00", 99.0),   # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string, value double") \
+        .select("k", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = {(r["k"], r["bucket_start"]): r["value"]
+           for r in resample_forward_fill(df, "k", "ts", "value", 3600).collect()}
+    h = 3600
+    t0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert out == {
+        (1, t0): 11.0,          # latest obs in bucket
+        (1, t0 + h): 11.0,      # gap -> forward fill
+        (1, t0 + 2 * h): 11.0,
+        (1, t0 + 3 * h): 12.0,
+        (2, t0 + 5 * h): 99.0,  # no grid outside the key's span
+    }
+
+
+def test_triangle_count_known_graphs(spark):
+    from cql_replicator_spark.analytics import graph as G
+    # K4 has 4 triangles; edge directions/duplicates must not matter
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    assert G.triangle_count(df).collect()[0]["n_triangles"] == 4
+    # degree-skew regression: star + one rim edge = exactly 1 triangle,
+    # and the closing edge's degree-order direction differs from its
+    # id order (hub 0 has max degree) — the bug class the wedge order fix
+    star = [(0, i) for i in range(1, 6)] + [(5, 1)]
+    df2 = spark.createDataFrame(star, "src long, dst long")
+    assert G.triangle_count(df2).collect()[0]["n_triangles"] == 1
+    per_v = {r["node"]: r["n_triangles"]
+             for r in G.triangle_count(df2, per_vertex=True).collect()}
+    assert sum(per_v.values()) == 1
+
+
+def _py_bpe_merges(word_freqs: dict, rounds: int):
+    """Pure-Python reference BPE (Sennrich et al. 2016 pseudocode)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((l, r, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_learn_bpe_matches_python_reference(spark):
+    corpus = ["low lower lowest low low",
+              "new newer newest new newer",
+              "wide wider widest low new"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    wf = {}
+    for t in corpus:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    want = _py_bpe_merges(wf, 6)
+    got = TX.learn_bpe_merges(df, 6)
+    assert got == want and len(got) == 6
+
+
+def test_merge_symbol_pair_overlap_left_to_right(spark):
+    df = spark.createDataFrame([(["a", "a", "a"],), (["b", "a", "a", "b"],)],
+                               "syms array<string>")
+    out = [r["m"] for r in
+           df.select(TX.merge_symbol_pair(F.col("syms"), "a", "a").alias("m"))
+           .collect()]
+    assert out == [["aa", "a"], ["b", "aa", "b"]]
+
+
+def test_ngram_containment_catches_what_jaccard_misses(spark, docs):
+    """An excerpt (first third) of a long doc: containment ~1.0, Jaccard
+    far below 1/2 — the subset-duplication case the containment gate
+    exists for."""
+    sample = docs.filter(F.size(F.split("text", " ")) >= 60).limit(20)
+    excerpt = sample.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 20)).alias("text"))
+    corpus = sample.unionByName(excerpt)
+    cont = {(r.id_a, r.id_b)
+            for r in D.ngram_containment_pairs(corpus, threshold_num=4,
+                                               threshold_den=5).collect()}
+    jacc = {(r.id_a, r.id_b)
+            for r in D.ngram_jaccard_pairs(corpus, threshold_num=1,
+                                           threshold_den=2).collect()}
+    planted = {(r.doc_id, r.doc_id + 10_000) for r in sample.collect()}
+    assert planted <= cont
+    assert not (planted & jacc)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    tgt = [("t%d" % i, "alpha beta gamma delta alpha beta") for i in range(5)]
+    raw_like_tgt = [("r0", "alpha beta gamma alpha beta gamma")]
+    raw_unlike = [("r1", "zulu yankee xray whiskey victor uniform")]
+    rows = [(i, t, "en" if n.startswith("t") else "xx")
+            for i, (n, t) in enumerate(tgt + raw_like_tgt + raw_unlike)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {r["doc_id"]: r["log_weight"]
+         for r in TX.dsir_importance_weights(df, F.col("lang") == "en",
+                                             num_buckets=64).collect()}
+    assert w[5] > w[6]  # target-like raw doc outranks the unlike one
