@@ -868,3 +868,73 @@ def cross_corpus_lsh_pairs(
     return (nb.join(cb, ["band", "bucket"])
             .select("new_id", "corpus_id")
             .distinct())
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """All pairs with word-set Jaccard >= num/den via PREFIX FILTERING
+    (PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008): instead
+    of joining documents on EVERY shared token (the brute-force shape,
+    whose candidate count is driven by stopwords), sort each document's
+    token set by ascending global document frequency and join only on
+    the first |A| - ceil(t*|A|) + 1 tokens.
+
+    Lossless: if J(A,B) >= t then |A ∩ B| >= t*|A| (the union is at
+    least |A|), so the intersection cannot fit inside the ceil(t*|A|)-1
+    tokens a prefix omits — every qualifying pair shares a PREFIX token
+    on both sides. Because the global order puts RARE tokens first,
+    prefixes are made of low-frequency tokens and the candidate join
+    fans out by rare-token df, not stopword df — the difference between
+    |pairs sharing 'the'| and |pairs sharing 'pneumonia'| is the whole
+    scale win. Exact verification (one array_intersect over the
+    candidate pairs) keeps the RESULT identical to brute force — which
+    is precisely what the oracle checks.
+
+    Output: (id_a, id_b, common, size_a, size_b), integer-exact
+    threshold, distinct word sets (multiplicity ignored, standard for
+    set-similarity joins).
+    """
+    tn, td = int(threshold_num), int(threshold_den)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalized(text_col), " ")))
+        .alias("tok"))
+    # global document frequency -> the canonical token order; vocab-sized,
+    # AQE broadcasts it back onto the token stream
+    gdf = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (
+        toks.join(gdf, "tok")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ord")))
+    sized = ordered.select(
+        F.col(id_col),
+        F.expr("transform(ord, s -> s.tok)").alias("toks"),
+        F.size("ord").alias("sz"))
+    # prefix length |A| - ceil(t|A|) + 1, all-integer ceil (true div —
+    # float division would lose exactness on huge set sizes)
+    plen = F.col("sz") - F.expr(f"({tn} * sz + {td - 1}) div {td}") + 1
+    pref = (sized.select(F.col(id_col), "toks", "sz",
+                         F.explode(F.slice("toks", F.lit(1), plen)).alias("ptok")))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (a.join(b, (F.col("a.ptok") == F.col("b.ptok"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.toks").alias("toks_a"),
+                    F.col("b.toks").alias("toks_b"),
+                    F.col("a.sz").alias("size_a"),
+                    F.col("b.sz").alias("size_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    common = F.size(F.array_intersect("toks_a", "toks_b"))
+    keep = (F.lit(td) * common
+            >= F.lit(tn) * (F.col("size_a") + F.col("size_b") - common))
+    return (cand.withColumn("common", common.cast("long"))
+            .filter(keep)
+            .select("id_a", "id_b", "common",
+                    F.col("size_a").cast("long").alias("size_a"),
+                    F.col("size_b").cast("long").alias("size_b")))

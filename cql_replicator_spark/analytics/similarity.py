@@ -721,3 +721,46 @@ def rrf_fuse(
     if top_n is not None:
         fused = fused.orderBy(F.desc("rrf"), id_col).limit(top_n)
     return fused
+
+
+def _jl_sign(j: int, i: int) -> int:
+    """Deterministic ±1 from the same portable md5h32 arithmetic the
+    oracle hashes use, computed driver-side once per (output dim,
+    input dim) cell — the projection matrix is a constant, not data."""
+    import hashlib
+    h = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def random_projection_signs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 8,
+    scale: int = 100,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003's database-friendly projection): p_j =
+    Σ_i s_ji · q_i over the int-quantized vector q_i = floor(x_i·scale).
+
+    All-integer by construction — the sign matrix is ±1 and the inputs
+    are quantized BIGINTs, so the projection is bit-exact across
+    engines/partitionings (the same determinism discipline as
+    kmeans_quantized), and distances in the projected space concentrate
+    around sqrt(in_dim/out_dim)-scaled originals per JL. Pure map-stage
+    projection: the sign matrix constant-folds into the plan, nothing
+    shuffles. Output columns p0..p{out_dim-1}.
+    """
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * scale).cast("long"))
+    projected = corpus.select(F.col(id_col), q.alias("_q"))
+    cols = [F.col(id_col)]
+    for j in range(int(out_dim)):
+        signs = F.array(*[F.lit(_jl_sign(j, i)).cast("long")
+                          for i in range(int(in_dim))])
+        pj = F.aggregate(
+            F.zip_with(F.col("_q"), signs, lambda x, s: x * s),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+        cols.append(pj.alias(f"p{j}"))
+    return projected.select(*cols)

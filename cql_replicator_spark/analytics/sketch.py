@@ -553,3 +553,29 @@ def frequent_items(df: DataFrame, value: str | Column,
     threshold = F.lit(int(n_total))
     return (exact.filter(F.col("freq") * (capacity + 1) > threshold)
             .select("item", "freq"))
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-cardinality estimate from two Count-Min sketches (Cormode &
+    Muthukrishnan 2005 §4.2): est(|A ⋈_k B|) = min over depth rows of
+    Σ_pos cntA·cntB — an upper bound on Σ_k fA(k)·fB(k), exact when no
+    hash collisions land mass in shared cells.
+
+    This is the planner's join-size estimator as sketch algebra: both
+    sides' sketches are d×w counter tables (bounded, mergeable,
+    shippable), so estimating a 100 TB join costs a ≤ d·w-row join —
+    no data moves. Inputs must share (w, d) and the hashed key domain;
+    build both with :func:`cms_counts` on the respective join columns.
+
+    Returns one row: (est_join_size BIGINT). Deterministic given the
+    two corpora, so an oracle reproduces it from the same md5 grid.
+    """
+    pa = a.select("depth", "pos", F.col("cnt").alias("cnt_a"))
+    pb = b.select("depth", "pos", F.col("cnt").alias("cnt_b"))
+    per_depth = (pa.join(pb, ["depth", "pos"])
+                 .groupBy("depth")
+                 .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip")))
+    depths = a.select("depth").distinct()
+    return (depths.join(per_depth, "depth", "left")
+            .agg(F.min(F.coalesce(F.col("ip"), F.lit(0)))
+                 .cast("long").alias("est_join_size")))

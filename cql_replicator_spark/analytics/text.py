@@ -868,3 +868,25 @@ def dsir_importance_weights(
     return (scored.groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_tokens"),
                  F.round(F.sum("lw"), 6).alias("log_weight")))
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution:
+    H = ln(n) - (1/n) Σ_t c_t ln(c_t) — the diversity signal quality
+    pipelines gate on alongside the repetition metrics (H near 0 =
+    one token repeated; H near ln(n) = all tokens distinct; keyboard-
+    mash and template spam both sit low).
+
+    Two bounded aggregations: (doc, token) counts (map-side combined),
+    then the per-doc rollup. Log arithmetic follows the registry float
+    discipline (round 6 absorbs cross-engine ln ULPs)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    counts = tok.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    return (counts.groupBy(id_col)
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.round(
+                     F.log(F.sum("c").cast("double"))
+                     - F.sum(F.col("c").cast("double")
+                             * F.log(F.col("c").cast("double")))
+                     / F.sum("c").cast("double"), 6).alias("entropy")))

@@ -1386,6 +1386,20 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "bpe_top_pairs",              # new: BPE merge statistic (learner in pytest)
     "dsir_importance_weights",    # new: DSIR target-vs-raw importance scores
     "orders_equidepth_hist",      # new: percentile-boundary equi-depth histogram
+    # r5 wave 4
+    "dedup_prefix_filter_jaccard",   # new: PPJoin lossless prefix filtering
+    "sketch_cms_join_estimate",      # new: CMS inner-product join sizing
+    "quality_token_entropy",         # new: token-distribution entropy gate
+    "embedding_random_projection",   # new: integer-exact JL sign projection
+    "item_cooccurrence_similarity",  # new: market-basket cosine pairs
+    # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
+    # never-driver-checked block: zero-evidence queries outrank stale-GREEN
+    # ones for window slots (the test_check_priority_order invariant).
+    # 48 new + these 3 = 51; whichever falls past a 50-row window is
+    # fronted automatically next round by the evidence-based ordering.
+    "ttl_filter_orders",
+    "udt_to_json",
+    "varint_overflow_scan",
     # NOT listed although touched this round: dedup_clusters,
     # dedup_semantic, embedding_kmeans_clusters, source_json_roundtrip,
     # source_csv_roundtrip, sketch_hll_stream, events_enriched_stream,

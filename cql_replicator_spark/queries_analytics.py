@@ -3638,3 +3638,199 @@ def orders_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_orders"),
                  F.min("o_totalprice").alias("lo"),
                  F.max("o_totalprice").alias("hi")))
+
+
+# -- round-5 wave 4: prefix filtering, CMS algebra, entropy, JL, co-occurrence
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+WITH {_NEAR_FIXTURE_SQL},
+tk AS (
+  SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM docs
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, common, sa.n AS size_a, sb.n AS size_b
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 10 * common >= 9 * (sa.n + sb.n - common)
+""",
+    doc="PPJoin-style prefix-filtered set-similarity self-join "
+        "(dedup.prefix_filter_jaccard_pairs): candidates only from "
+        "shared PREFIX tokens under the ascending-document-frequency "
+        "order (rare tokens first — the candidate join fans out by rare-"
+        "token df, never stopword df), then exact array_intersect "
+        "verification. Lossless by the prefix-filter theorem, so the "
+        "oracle is the BRUTE-FORCE word-set Jaccard join — equality IS "
+        "the losslessness proof",
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.prefix_filter_jaccard_pairs(_near_fixture(spark, sf_dir),
+                                         threshold_num=9, threshold_den=10)
+
+
+def _cms_grid_sql(table: str, key: str, pred: str = "",
+                  w: int = 1024, d: int = 4) -> str:
+    h1 = _md5h32_sql(f"CAST({key} AS VARCHAR)")
+    h2 = f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 9, 8) AS BIGINT)"
+    where = f" WHERE {pred}" if pred else ""
+    cells = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS depth, (({h1}) + {j} * ({h2})) % {w} AS pos"
+        f" FROM {table}{where}" for j in range(d))
+    return f"SELECT depth, pos, count(*) AS cnt FROM (\n{cells}\n) GROUP BY depth, pos"
+
+
+@register(
+    "sketch_cms_join_estimate",
+    oracle=f"""
+WITH ca AS ({_cms_grid_sql('orders', 'o_custkey')}),
+cb AS ({_cms_grid_sql('customer', 'c_custkey', 'c_custkey % 3 = 0')}),
+ip AS (
+  SELECT ca.depth, sum(ca.cnt * cb.cnt) AS ip
+  FROM ca JOIN cb ON ca.depth = cb.depth AND ca.pos = cb.pos
+  GROUP BY ca.depth
+)
+SELECT
+  CAST((SELECT min(COALESCE(ip.ip, 0))
+        FROM (SELECT DISTINCT depth FROM ca) d LEFT JOIN ip USING (depth))
+       AS BIGINT) AS est_join_size,
+  CAST((SELECT count(*) FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey % 3 = 0) AS BIGINT) AS exact_join_size
+""",
+    doc="Join-cardinality estimation from Count-Min inner products "
+        "(sketch.cms_inner_product; Cormode & Muthukrishnan §4.2): "
+        "est(|orders ⋈ customers|) = min over depths of Σ cntA·cntB — "
+        "the planner-statistics primitive as mergeable sketch algebra; "
+        "estimating the join costs a ≤ d·w-row join, no data moves. "
+        "Upper bound by construction; exact count alongside for the "
+        "error margin, both deterministic from the shared md5 grid",
+)
+def sketch_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import sketch as SK
+    t = _t(spark, sf_dir, "orders", "customer")
+    ca = SK.cms_counts(t["orders"], "o_custkey")
+    cb = SK.cms_counts(t["customer"].filter(F.col("c_custkey") % 3 == 0),
+                       "c_custkey")
+    est = SK.cms_inner_product(ca, cb)
+    exact = (t["orders"].join(
+        t["customer"].filter(F.col("c_custkey") % 3 == 0),
+        F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.count("*").cast("long").alias("exact_join_size")))
+    return est.crossJoin(exact)
+
+
+@register(
+    "quality_token_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) AS entropy
+FROM c GROUP BY doc_id
+""",
+    doc="Token-distribution Shannon entropy per doc "
+        "(text.token_entropy): H = ln(n) - (1/n)Σ c·ln(c) — the "
+        "diversity gate complementing the repetition metrics; template "
+        "spam and keyboard-mash both sit low. Two map-side-combined "
+        "aggregations, log-space rounding per registry discipline",
+)
+def quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_entropy(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(list_sum(list_transform(list_zip(qv, [1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1]), z -> z[1] * z[2])) AS BIGINT) AS p0,
+  CAST(list_sum(list_transform(list_zip(qv, [1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1]), z -> z[1] * z[2])) AS BIGINT) AS p1,
+  CAST(list_sum(list_transform(list_zip(qv, [1, 1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, -1, 1, -1, 1, 1, 1, 1, -1, 1, 1]), z -> z[1] * z[2])) AS BIGINT) AS p2,
+  CAST(list_sum(list_transform(list_zip(qv, [1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, -1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, -1, -1, -1, 1, 1, -1]), z -> z[1] * z[2])) AS BIGINT) AS p3,
+  CAST(list_sum(list_transform(list_zip(qv, [-1, 1, 1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, -1, -1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, -1, 1]), z -> z[1] * z[2])) AS BIGINT) AS p4,
+  CAST(list_sum(list_transform(list_zip(qv, [1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, 1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, -1]), z -> z[1] * z[2])) AS BIGINT) AS p5,
+  CAST(list_sum(list_transform(list_zip(qv, [-1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, -1, -1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, -1, -1, -1]), z -> z[1] * z[2])) AS BIGINT) AS p6,
+  CAST(list_sum(list_transform(list_zip(qv, [1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, -1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1]), z -> z[1] * z[2])) AS BIGINT) AS p7
+FROM q
+""",
+    doc="Johnson-Lindenstrauss sign projection "
+        "(similarity.random_projection_signs; Achlioptas 2003): 64-dim "
+        "embeddings down to 8 integer dims via a deterministic md5-"
+        "derived ±1 matrix over floor-quantized components — all-integer "
+        "so bit-exact across engines; pure map stage, the sign matrix "
+        "constant-folds into the plan. The cheap first stage before "
+        "LSH/IVF when raw dimensionality is the cost driver",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return S.random_projection_signs(emb, in_dim=64, out_dim=8, scale=100)
+
+
+@register(
+    "item_cooccurrence_similarity",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (SELECT l_partkey, count(*) AS deg FROM op GROUP BY l_partkey),
+co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS cooc
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, CAST(cooc AS BIGINT) AS cooc,
+       CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+       round(CAST(cooc AS DOUBLE)
+             / sqrt(CAST(da.deg AS DOUBLE) * CAST(db.deg AS DOUBLE)), 6)
+         AS cosine
+FROM co
+JOIN deg da ON da.l_partkey = part_a
+JOIN deg db ON db.l_partkey = part_b
+WHERE cooc >= 2
+""",
+    doc="Item-item co-occurrence similarity over the order-basket "
+        "bipartite graph (the market-basket / item-based collaborative-"
+        "filtering statistic): cooc counts from one basket self-join "
+        "(fan-out bounded by basket size), cosine = cooc/sqrt(deg·deg) "
+        "with degree frames joined back — at catalog scale the degree "
+        "side is vocabulary-shaped and AQE-broadcast. cooc >= 2 prunes "
+        "the singleton tail before the degree join",
+)
+def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (_t(spark, sf_dir, "lineitem")["lineitem"]
+          .select("l_orderkey", "l_partkey").distinct())
+    deg = op.groupBy("l_partkey").agg(F.count("*").alias("deg"))
+    a, b = op.alias("a"), op.alias("b")
+    co = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .groupBy(F.col("a.l_partkey").alias("part_a"),
+                   F.col("b.l_partkey").alias("part_b"))
+          .agg(F.count("*").alias("cooc"))
+          .filter(F.col("cooc") >= 2))
+    da = deg.select(F.col("l_partkey").alias("part_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("l_partkey").alias("part_b"), F.col("deg").alias("deg_b"))
+    return (co.join(da, "part_a").join(db, "part_b")
+            .select("part_a", "part_b", F.col("cooc").cast("long").alias("cooc"),
+                    F.col("deg_a").cast("long").alias("deg_a"),
+                    F.col("deg_b").cast("long").alias("deg_b"),
+                    F.round(F.col("cooc").cast("double")
+                            / F.sqrt(F.col("deg_a").cast("double")
+                                     * F.col("deg_b").cast("double")), 6)
+                    .alias("cosine")))

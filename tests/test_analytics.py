@@ -1451,3 +1451,87 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
          for r in TX.dsir_importance_weights(df, F.col("lang") == "en",
                                              num_buckets=64).collect()}
     assert w[5] > w[6]  # target-like raw doc outranks the unlike one
+
+
+def test_prefix_filter_equals_brute_force_and_prunes(spark, docs):
+    """Prefix filtering must (a) return exactly the brute-force result
+    (losslessness) and (b) generate strictly fewer candidate pairs than
+    the every-shared-token join on a stopword-heavy corpus."""
+    sample = docs.limit(40)
+    mutated = sample.select((F.col("doc_id") + 10_000).alias("doc_id"),
+                            F.expr("substring(text, instr(text, ' ') + 1)")
+                            .alias("text"))
+    corpus = sample.unionByName(mutated)
+    got = {(r.id_a, r.id_b, r.common, r.size_a, r.size_b)
+           for r in D.prefix_filter_jaccard_pairs(corpus).collect()}
+    # brute force on distinct word sets
+    tk = corpus.select("doc_id", F.explode(F.array_distinct(
+        F.split(F.lower(F.regexp_replace("text", r"\s+", " ")), " "))).alias("t"))
+    sizes = tk.groupBy("doc_id").count()
+    a, b = tk.alias("a"), tk.alias("b")
+    common = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("id_a"),
+                       F.col("b.doc_id").alias("id_b"))
+              .agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("count").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("count").alias("size_b"))
+    want = {(r.id_a, r.id_b, r.common, r.size_a, r.size_b)
+            for r in common.join(sa, "id_a").join(sb, "id_b")
+            .filter(2 * F.col("common")
+                    >= F.col("size_a") + F.col("size_b") - F.col("common"))
+            .collect()}
+    assert got == want and got  # non-empty: the planted near-dups qualify
+
+
+def test_cms_inner_product_upper_bound_and_exactness(spark):
+    """Inner-product estimate >= true join size always; equals it when
+    the key domains are small enough that no foreign mass collides."""
+    from cql_replicator_spark.analytics import sketch as SK
+    a = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i % 7,) for i in range(70)], "k long")
+    est = SK.cms_inner_product(SK.cms_counts(a, "k"), SK.cms_counts(b, "k")) \
+        .collect()[0]["est_join_size"]
+    true = a.join(b, "k").count()
+    assert est >= true
+    # 12 distinct keys in a 1024-wide grid: collisions are possible but
+    # the md5 positions for 0..6 don't collide -> exact here
+    assert est == true
+
+
+def test_k_core_peeling(spark):
+    from cql_replicator_spark.analytics import graph as G
+    # K4 (all degree 3) + a pendant chain hanging off node 0
+    edges = ([(a, b) for a in range(4) for b in range(a + 1, 4)]
+             + [(0, 10), (10, 11)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    core3 = {(r["node"], r["deg"]) for r in G.k_core(df, 3).collect()}
+    assert core3 == {(0, 3), (1, 3), (2, 3), (3, 3)}  # chain peeled in rounds
+    assert G.k_core(df, 4).count() == 0  # nothing survives k=4
+    with pytest.raises(ValueError):
+        G.k_core(df, 0)
+
+
+def test_token_entropy_ordering(spark):
+    import math
+    rows = [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["entropy"])
+           for r in TX.token_entropy(df).collect()}
+    assert out[1] == (4, 0.0)
+    assert out[2] == (4, round(math.log(4), 6))
+    assert out[3] == (4, round(math.log(2), 6))
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+    from cql_replicator_spark.analytics.similarity import (
+        _jl_sign, random_projection_signs)
+    rows = [(i, [float(i + j) / 7.0 for j in range(64)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: [r[f"p{j}"] for j in range(8)]
+           for r in random_projection_signs(df).collect()}
+    S_ = np.array([[_jl_sign(j, i) for i in range(64)] for j in range(8)])
+    for vid, emb in rows:
+        q = np.floor(np.array(emb, dtype=np.float64) * 100).astype(np.int64)
+        assert out[vid] == list(S_ @ q)
