@@ -124,6 +124,15 @@ HEADLINE = [
     "cdc_ingest_dedup",
     "events_attribution_journeys",
     "quality_bigram_logprob",
+    # r5 wave 5
+    "doc_line_dedup",
+    "text_sparse_cosine_pairs",
+    "events_interval_merge",
+    "quarantine_report_orders",
+    "kanonymity_audit",
+    "training_shards_manifest",
+    "hilbert_layout_key",
+    "bucketed_join_colocated",
 ]
 
 

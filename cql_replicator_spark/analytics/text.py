@@ -890,3 +890,151 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
                      - F.sum(F.col("c").cast("double")
                              * F.log(F.col("c").cast("double")))
                      / F.sum("c").cast("double"), 6).alias("entropy")))
+
+
+# -- within-doc duplicate-chunk removal (C4 line dedup analogue) --------------
+
+def dedup_chunks_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """C4-style within-document duplicate-line removal, re-expressed
+    for line-less corpora as fixed-width word chunks: the document is
+    cut into ``chunk_words``-word chunks, every repeat of an
+    already-seen chunk is dropped, and the survivors are re-joined in
+    original order (C4 removes duplicate *lines* inside a page — the
+    boilerplate/footer repetition signal — before any cross-doc
+    dedup runs; cf. Raffel et al. C4 heuristics).
+
+    Returns (id, n_chunks, n_kept, dedup_text).
+
+    Entirely higher-order array expressions in whole-stage codegen —
+    split, slice-transform, first-occurrence filter, re-join — so the
+    op is a pure per-row projection: NO shuffle, no explode row
+    inflation, no state. At 100 TB this runs at scan speed and
+    composes with any downstream dedup without touching the plan
+    shape. ``filter`` exposes the element index; a chunk survives iff
+    ``array_position`` (first occurrence, 1-based) equals its own
+    position.
+    """
+    w = int(chunk_words)
+    if w < 1:
+        raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
+    chunks = F.expr(
+        f"transform(sequence(0, int((size(split({text_col}, ' ')) - 1) / {w})), "
+        f"i -> array_join(slice(split({text_col}, ' '), i * {w} + 1, {w}), ' '))")
+    out = df.select(F.col(id_col), chunks.alias("__chunks"))
+    kept = F.expr(
+        "filter(__chunks, (c, i) -> array_position(__chunks, c) = i + 1)")
+    return out.select(
+        F.col(id_col),
+        F.size("__chunks").alias("n_chunks"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("dedup_text"))
+
+
+# -- training-shard manifest ---------------------------------------------------
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic shard assignment + per-shard manifest for a
+    training-data export: shard = md5h32(id) mod n_shards (the same
+    engine-portable hash the split/dedup ops use — any worker can
+    recompute any row's shard with no RNG or state), and the manifest
+    row per shard carries the doc count, whitespace-token and char
+    totals, and the id range — what a downstream loader needs to plan
+    epochs and what an auditor needs to verify no shard was dropped.
+
+    One map-side-combined groupBy with n_shards groups: the shuffle
+    moves n_shards rows per input partition regardless of corpus size,
+    and the result is loader-manifest-sized, never corpus-sized."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from .dedup import md5h32
+    shard = F.pmod(md5h32(F.col(id_col).cast("string")), F.lit(int(n_shards)))
+    return (df.select(shard.alias("shard"), F.col(id_col),
+                      F.size(tokens(text_col)).alias("__nt"),
+                      F.length(text_col).alias("__nc"))
+            .groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("__nt").cast("long").alias("total_tokens"),
+                 F.sum("__nc").cast("long").alias("total_chars"),
+                 F.min(id_col).alias("min_id"),
+                 F.max(id_col).alias("max_id")))
+
+
+# -- sparse TF-IDF all-pairs cosine (inverted-index similarity join) ----------
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cutoff: int = 50,
+    min_sim: float = 0.5,
+    terms: DataFrame | None = None,
+) -> DataFrame:
+    """All-pairs document cosine similarity over sparse TF-IDF vectors
+    via the inverted index — the classic scalable similarity join
+    (Lin's DISCO / Elsayed et al. pairwise-similarity-with-MapReduce
+    shape): documents only meet through tokens they share, so the pair
+    space is generated per posting list instead of per doc pair.
+
+    The scale lever is ``df_cutoff``: tokens appearing in more than
+    df_cutoff documents are dropped from the index BEFORE pairing.
+    High-df terms are precisely the ones that (a) explode the
+    candidate space quadratically and (b) carry the least idf weight —
+    pruning them bounds every posting list, so per-token pair work is
+    <= df_cutoff^2 and the whole join is skew-capped by construction
+    (the standard prefix/df-pruning trade: recall loss is confined to
+    pairs whose similarity rides on stopword-grade terms).
+
+    Weights w = tf * ln(N/df); cosine = dot / (||a|| * ||b||), with
+    norms computed over the SAME pruned vocabulary so the metric is
+    exact for the pruned vector space (and the oracle reproduces it
+    bit-for-bit after round-6).
+
+    Plan: one scan -> explode -> (doc, tok, tf) counts; df + N via
+    bounded aggregations; norms per doc; posting-list self-join
+    (id_a < id_b) grouped to dot products; two norm joins; filter.
+    Every aggregation is map-side combined; the only quadratic step is
+    inside a capped posting list.
+
+    ``terms`` overrides the default whitespace tokenizer with a
+    pre-built (id_col, tok) frame — e.g. word-shingle grams for
+    near-dup-grade similarity, where the larger term space keeps
+    document frequencies (and hence posting lists) small."""
+    if terms is not None:
+        term_rows = terms.select(F.col(id_col).alias("id"), "tok")
+    else:
+        term_rows = df.select(F.col(id_col).alias("id"),
+                              F.explode(tokens(text_col)).alias("tok"))
+    tf = term_rows.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    postings = (tf.join(dfreq.filter(F.col("df_t") <= int(df_cutoff)), "tok")
+                .crossJoin(F.broadcast(n_docs))
+                .select("id", "tok",
+                        (F.col("tf").cast("double")
+                         * F.log(F.col("n_docs").cast("double")
+                                 / F.col("df_t").cast("double"))).alias("w")))
+    norms = (postings.groupBy("id")
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")))
+    a = postings.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa"))
+    b = postings.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    dots = (a.join(b, "tok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("nb"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                     .alias("cosine"))
+            .filter(F.col("cosine") >= float(min_sim)))

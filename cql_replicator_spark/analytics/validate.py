@@ -143,3 +143,95 @@ def referential_integrity(
         [(f"ref_{child_col}", round(frac, 6), frac >= at_least)],
         "check STRING, metric DOUBLE, passed BOOLEAN",
     )
+
+
+def row_violations(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    id_col: str | None = None,
+) -> DataFrame:
+    """Row-level rule evaluation with reasons — the quarantine half of
+    a constraint suite (Deequ's row-level results / dbt's store_failures
+    / DLT expectations with ``expect_or_drop``): ``validate()`` answers
+    "is the dataset healthy", this answers "WHICH rows fail and WHY",
+    which is what a pipeline needs to route bad rows to a DLQ table
+    while the clean subset proceeds.
+
+    ``rules`` are (name, boolean Column meaning PASS). Returns the
+    input plus ``violations`` (sorted array of failed rule names; empty
+    = clean) and ``quarantined`` (boolean). NULL rule results count as
+    violations (a rule that cannot evaluate did not pass — same
+    null-semantics as SQL CHECK constraints are *not*: CHECK lets NULL
+    through, quarantine must not, because unevaluable rows are exactly
+    the ones to hold).
+
+    Pure per-row projection: every rule is a codegen predicate in one
+    pass, no shuffle, no row inflation; split/aggregate afterwards as
+    needed. At 100 TB this is scan-speed and the violating subset is
+    usually tiny — filter pushdown on ``quarantined`` keeps the DLQ
+    write proportional to the damage, not the table.
+    """
+    if not rules:
+        raise ValueError("row_violations() needs at least one rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {sorted(names)}")
+    entries = F.array_compact(F.array(*[
+        F.when(~pred.eqNullSafe(F.lit(True)), F.lit(name))
+        for name, pred in rules
+    ]))
+    out = df.withColumn("violations", F.array_sort(entries)) \
+            .withColumn("quarantined", F.size("violations") > 0)
+    return out
+
+
+def quarantine_report(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+) -> DataFrame:
+    """Per-rule violation totals + overall clean/quarantined row counts
+    in one aggregation over one scan: explode the per-row violation
+    arrays (clean rows contribute no explosion) and count per reason,
+    then union the summary rows. Output (reason STRING, n BIGINT) with
+    reasons '__clean__' / '__quarantined__' reserved for the totals.
+    """
+    flagged = row_violations(df, rules)
+    per_rule = (flagged.select(F.explode("violations").alias("reason"))
+                .groupBy("reason").agg(F.count("*").cast("long").alias("n")))
+    totals = flagged.agg(
+        F.sum(F.when(F.col("quarantined"), 1).otherwise(0))
+         .cast("long").alias("nq"),
+        F.count(F.lit(1)).cast("long").alias("nt"))
+    summary = totals.select(F.explode(F.array(
+        F.struct(F.lit("__quarantined__").alias("reason"),
+                 F.col("nq").alias("n")),
+        F.struct(F.lit("__clean__").alias("reason"),
+                 (F.col("nt") - F.col("nq")).alias("n")))).alias("e")) \
+        .select("e.reason", "e.n")
+    return per_rule.unionByName(summary)
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every row
+    must share its quasi-identifier tuple with at least k-1 others or
+    it is re-identifiable by linkage (Sweeney 2002). Returns one row
+    per equivalence class: the quasi values, class size, and
+    ``suppress`` = size < k — the set a release pipeline generalizes
+    or drops before publishing.
+
+    One map-side-combined groupBy on the quasi columns; the result is
+    equivalence-class-sized. The audit aggregate (min class size,
+    suppression rate) is derivable from this frame with a second
+    trivially-small aggregation.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity() needs at least one quasi column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count("*").cast("long").alias("class_size"))
+            .withColumn("suppress", F.col("class_size") < k))

@@ -1392,6 +1392,15 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "quality_token_entropy",         # new: token-distribution entropy gate
     "embedding_random_projection",   # new: integer-exact JL sign projection
     "item_cooccurrence_similarity",  # new: market-basket cosine pairs
+    # r5 wave 5
+    "doc_line_dedup",                # new: within-doc C4 chunk dedup
+    "text_sparse_cosine_pairs",      # new: inverted-index TF-IDF cosine join
+    "events_interval_merge",         # new: per-user interval union
+    "quarantine_report_orders",      # new: row-level violations + DLQ report
+    "kanonymity_audit",              # new: quasi-identifier class audit
+    "training_shards_manifest",      # new: deterministic shard manifest
+    "hilbert_layout_key",            # new: Hilbert curve layout key
+    "bucketed_join_colocated",       # new: exchange-free bucketed join
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).
@@ -1487,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
 def _ensure_all_registered() -> None:
     """Pull in the analytics registrations (import has the side effect)."""
     from . import queries_analytics  # noqa: F401
+    from . import queries_pipeline  # noqa: F401
     from . import queries_tpch  # noqa: F401
 
 

@@ -403,3 +403,41 @@ def resample_forward_fill(
     return (grid.join(obs, [key, "bucket_start"], "left")
             .select(key, "bucket_start",
                     F.last("_obs", ignorenulls=True).over(w).alias(value)))
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    group_col: str,
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per group into maximal
+    disjoint spans — the interval-union operator (session stitching,
+    on-call coverage, validity-range compaction; PostgreSQL
+    ``range_agg``, pandas ``merge_overlapping``). Half-open [s, e):
+    touching intervals (a.e == b.s) merge, gaps start new islands.
+
+    Classic island detection with two windows over one shuffle: an
+    interval opens a new island iff its start exceeds the running max
+    end of every earlier interval in its group (strictly later than
+    everything seen => a gap); the island id is the running count of
+    openers; one groupBy then collapses each island to (min s, max e).
+    Per-group cost is the sort inside its window partition — no
+    self-join, nothing quadratic, and the shuffle key is the group
+    column so skew follows the data's own grouping.
+
+    Returns (group_col, island, s, e, n_merged).
+    """
+    w_ord = Window.partitionBy(group_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(prev_max_end.isNull()
+                   | (F.col(start_col) > prev_max_end), 1).otherwise(0)
+    with_island = (intervals
+                   .withColumn("__open", opens)
+                   .withColumn("island", F.sum("__open").over(
+                       w_ord.rowsBetween(Window.unboundedPreceding, 0))))
+    return (with_island.groupBy(group_col, "island")
+            .agg(F.min(start_col).alias("s"),
+                 F.max(end_col).alias("e"),
+                 F.count("*").cast("long").alias("n_merged")))

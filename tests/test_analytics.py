@@ -1535,3 +1535,145 @@ def test_random_projection_matches_numpy(spark):
     for vid, emb in rows:
         q = np.floor(np.array(emb, dtype=np.float64) * 100).astype(np.int64)
         assert out[vid] == list(S_ @ q)
+
+
+# -- wave 5: within-doc dedup, intervals, quarantine, k-anon, layout ---------
+
+def test_dedup_chunks_within_doc_removes_repeats(spark):
+    from cql_replicator_spark.analytics.text import dedup_chunks_within_doc
+    # doc 1: chunk "a b" repeated (chunk_words=2); doc 2: all distinct
+    rows = [(1, "a b c d a b e f"), (2, "p q r s t u")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_chunks_within_doc(df, chunk_words=2).collect()}
+    assert out[1]["n_chunks"] == 4 and out[1]["n_kept"] == 3
+    assert out[1]["dedup_text"] == "a b c d e f"
+    assert out[2]["n_chunks"] == 3 and out[2]["n_kept"] == 3
+    assert out[2]["dedup_text"] == "p q r s t u"
+
+
+def test_dedup_chunks_rejects_bad_width(spark):
+    from cql_replicator_spark.analytics.text import dedup_chunks_within_doc
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_words"):
+        dedup_chunks_within_doc(df, chunk_words=0)
+
+
+def test_merge_intervals_islands(spark):
+    from cql_replicator_spark.temporal import merge_intervals
+    rows = [  # overlap, touch (half-open: merges), gap
+        ("u1", 0, 10), ("u1", 5, 15), ("u1", 15, 20), ("u1", 30, 40),
+        ("u2", 0, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = sorted((r["k"], r["s"], r["e"], r["n_merged"])
+                 for r in merge_intervals(df, "k").collect())
+    assert out == [("u1", 0, 20, 3), ("u1", 30, 40, 1), ("u2", 0, 5, 1)]
+
+
+def test_merge_intervals_contained_interval(spark):
+    from cql_replicator_spark.temporal import merge_intervals
+    # second interval entirely inside the first: running-max (not lag)
+    # must carry the covering end past it
+    rows = [("u", 0, 100), ("u", 10, 20), ("u", 50, 120), ("u", 130, 140)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = sorted((r["s"], r["e"], r["n_merged"])
+                 for r in merge_intervals(df, "k").collect())
+    assert out == [(0, 120, 3), (130, 140, 1)]
+
+
+def test_row_violations_null_counts_as_violation(spark):
+    import pyspark.sql.functions as F
+    from cql_replicator_spark.analytics.validate import row_violations
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None)], "id long, v double")
+    out = {r["id"]: (sorted(r["violations"]), r["quarantined"])
+           for r in row_violations(df, [("pos", F.col("v") > 0)]).collect()}
+    assert out[1] == ([], False)
+    assert out[2] == (["pos"], True)
+    assert out[3] == (["pos"], True)  # NULL predicate = not passed
+
+
+def test_row_violations_duplicate_names_raise(spark):
+    import pyspark.sql.functions as F
+    from cql_replicator_spark.analytics.validate import row_violations
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="duplicate"):
+        row_violations(df, [("a", F.col("id") > 0), ("a", F.col("id") < 9)])
+
+
+def test_quarantine_report_totals(spark):
+    import pyspark.sql.functions as F
+    from cql_replicator_spark.analytics.validate import quarantine_report
+    df = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, -1.0, "x"), (3, -2.0, None)],
+        "id long, v double, s string")
+    out = {r["reason"]: r["n"] for r in quarantine_report(
+        df, [("pos", F.col("v") > 0), ("s_set", F.col("s").isNotNull())]
+    ).collect()}
+    assert out == {"pos": 2, "s_set": 1,
+                   "__quarantined__": 2, "__clean__": 1}
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from cql_replicator_spark.analytics.validate import k_anonymity
+    rows = [("a", 1)] * 5 + [("b", 1)] * 2
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    out = {(r["q1"], r["q2"]): (r["class_size"], r["suppress"])
+           for r in k_anonymity(df, ["q1", "q2"], k=5).collect()}
+    assert out[("a", 1)] == (5, False)
+    assert out[("b", 1)] == (2, True)
+
+
+def test_shard_manifest_partitions_everything(spark):
+    from cql_replicator_spark.analytics.text import shard_manifest
+    rows = [(i, "w " * (i % 5 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shard_manifest(df, n_shards=8).collect()
+    assert len(out) == 8
+    assert sum(r["n_docs"] for r in out) == 200
+    assert all(r["min_id"] >= 0 and r["max_id"] <= 199 for r in out)
+
+
+def test_hilbert_2d_matches_reference_and_is_bijective(spark):
+    import pyspark.sql.functions as F
+    from cql_replicator_spark.tiling import hilbert_2d, hilbert_xy2d_ref
+    pts = spark.range(16 * 16).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y"))
+    out = hilbert_2d(pts, "x", "y", bits=4).collect()
+    assert len({r["hval"] for r in out}) == 256  # bijection on the grid
+    for r in out:
+        assert r["hval"] == hilbert_xy2d_ref(r["x"], r["y"], bits=4), \
+            (r["x"], r["y"])
+
+
+def test_hilbert_adjacent_indexes_are_adjacent_cells(spark):
+    # the locality property Z-order lacks: consecutive d -> Manhattan
+    # distance exactly 1 (this is WHY Hilbert prunes better)
+    from cql_replicator_spark.tiling import hilbert_xy2d_ref
+    inv = {}
+    for x in range(16):
+        for y in range(16):
+            inv[hilbert_xy2d_ref(x, y, bits=4)] = (x, y)
+    for d in range(255):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_sparse_cosine_identical_docs_score_one(spark):
+    from cql_replicator_spark.analytics.text import sparse_cosine_pairs
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in sparse_cosine_pairs(df, df_cutoff=10, min_sim=0.5).collect()}
+    assert out == {(1, 2): 1.0}  # disjoint doc 3 pairs with nobody
+
+
+def test_sparse_cosine_df_cutoff_prunes_pairs(spark):
+    from cql_replicator_spark.analytics.text import sparse_cosine_pairs
+    # shared term "common" appears in all 3 docs; cutoff 2 removes it,
+    # leaving docs with no shared terms -> no pairs at all
+    rows = [(1, "common a b"), (2, "common c d"), (3, "common e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert sparse_cosine_pairs(df, df_cutoff=2, min_sim=0.0).count() == 0
