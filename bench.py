@@ -133,6 +133,13 @@ HEADLINE = [
     "training_shards_manifest",
     "hilbert_layout_key",
     "bucketed_join_colocated",
+    # r5 wave 6
+    "doc_winnowing_pairs",
+    "layout_pruning_stats",
+    "quality_perplexity_buckets",
+    "token_budget_selection",
+    "text_keywords_topk",
+    "source_schema_evolution",
 ]
 
 

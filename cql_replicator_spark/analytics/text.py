@@ -1038,3 +1038,88 @@ def sparse_cosine_pairs(
                     F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
                      .alias("cosine"))
             .filter(F.col("cosine") >= float(min_sim)))
+
+
+# -- winnowing document fingerprints (MOSS) -----------------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing-style document fingerprints (Schleimer, Wilkerson &
+    Aiken, MOSS): hash every word k-gram, then keep only the local
+    minima — a gram hash is selected where it is the minimum of the
+    trailing w-gram window — yielding a small position-independent
+    fingerprint SET whose overlap localizes shared passages, the
+    plagiarism/excerpt signal that whole-doc MinHash dilutes away.
+
+    This is the trailing-window variant (select pos p iff h_p ==
+    min(h[p-w+1..p]), full windows only): one window-min per gram
+    instead of canonical winnowing's rightmost-argmin bookkeeping, at
+    the cost of the per-window coverage guarantee — for candidate
+    generation the density is what matters (expected 2/(w+1) of grams
+    selected, same as canonical), and the formulation is a single SQL
+    window function both engines evaluate identically.
+
+    Returns DISTINCT (id, fp) — fp the md5-based 32-bit gram hash the
+    registry's other portable hashing uses.
+
+    Plan: explode grams with position, one per-doc window (the shuffle
+    key is the doc id — no skew beyond document length), filter,
+    distinct. Fingerprint volume is ~2/(w+1) of gram volume.
+    """
+    if k < 1 or w < 2:
+        raise ValueError(f"need k >= 1 and w >= 2, got k={k} w={w}")
+    from pyspark.sql.window import Window
+
+    from .dedup import md5h32
+    # CASE guard: size < k would make sequence() run DESCENDING
+    # (sequence(0,-1) = [0,-1]) and emit garbage grams — short docs
+    # must contribute an empty gram array instead (posexplode drops them)
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {k}), "
+            f"i -> array_join(slice(split({text_col}, ' '), i + 1, {k}), ' ')) "
+            f"ELSE array() END"
+        )).alias("pos", "gram"))
+    hashed = grams.select(id_col, "pos", md5h32(F.col("gram")).alias("h"))
+    win = Window.partitionBy(id_col).orderBy("pos") \
+                .rowsBetween(-(w - 1), 0)
+    sel = (hashed.withColumn("__m", F.min("h").over(win))
+           .filter((F.col("pos") >= w - 1) & (F.col("h") == F.col("__m"))))
+    return sel.select(F.col(id_col), F.col("h").alias("fp")).distinct()
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 5,
+    max_df: int = 20,
+) -> DataFrame:
+    """Candidate near-dup/excerpt pairs by shared winnowing
+    fingerprints: docs pair through common fingerprints, scored by how
+    many they share. ``max_df`` drops fingerprints present in more
+    than that many docs before pairing — boilerplate-phrase
+    fingerprints are exactly the ones that explode the candidate space
+    and carry no discriminative signal, so per-fingerprint pair work
+    is capped at max_df^2 (the same df-pruning lever as the sparse
+    cosine join). Returns (id_a, id_b, n_shared >= min_shared).
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k, w)
+    dfreq = fps.groupBy("fp").agg(F.count("*").alias("df_t"))
+    pruned = fps.join(dfreq.filter(F.col("df_t") <= int(max_df)), "fp")
+    a = pruned.select(F.col(id_col).alias("id_a"), "fp")
+    b = pruned.select(F.col(id_col).alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= int(min_shared)))

@@ -1401,6 +1401,13 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "training_shards_manifest",      # new: deterministic shard manifest
     "hilbert_layout_key",            # new: Hilbert curve layout key
     "bucketed_join_colocated",       # new: exchange-free bucketed join
+    # r5 wave 6
+    "doc_winnowing_pairs",           # new: MOSS winnowing fingerprints
+    "layout_pruning_stats",          # new: measured curve-pruning quality
+    "quality_perplexity_buckets",    # new: CCNet head/middle/tail terciles
+    "token_budget_selection",        # new: quality-ranked budget cut
+    "text_keywords_topk",            # new: top-k TF-IDF keywords
+    "source_schema_evolution",       # new: mergeSchema additive evolution
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).

@@ -1,4 +1,4 @@
-"""Wave-5 pipeline query registrations: within-doc dedup, sparse
+"""Round-5 pipeline query registrations (waves 5-6): within-doc dedup, sparse
 cosine similarity join, interval merge, row-level quarantine,
 k-anonymity, shard manifests, Hilbert layout, bucketed co-located
 join (imported by cql_replicator_spark.queries via
@@ -393,3 +393,349 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                   .alias("revenue")))
+
+
+# -- winnowing fingerprint candidate pairs ------------------------------------
+
+@register(
+    "doc_winnowing_pairs",
+    oracle=f"""
+WITH {_NEAR_FIXTURE_SQL.strip()},
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+grams AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[(i + 1):(i + 3)], ' ') AS gram
+  FROM w, unnest(generate_series(0, CAST(len(w) - 3 AS INT))) t(i)
+  WHERE len(w) >= 3
+),
+hashed AS (
+  SELECT doc_id, pos, {_md5h32_sql('gram')} AS h FROM grams
+),
+sel AS (
+  SELECT doc_id, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+         pos
+  FROM hashed
+),
+fps AS (
+  SELECT DISTINCT doc_id, h AS fp FROM sel WHERE pos >= 3 AND h = m
+),
+dfreq AS (SELECT fp, count(*) AS df_t FROM fps GROUP BY fp),
+pruned AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN dfreq d ON d.fp = f.fp
+  WHERE d.df_t <= 20
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 5
+""",
+    doc="Winnowing fingerprint candidate pairs (Schleimer et al., "
+        "MOSS): word-3-gram hashes thinned to trailing-window-4 local "
+        "minima give each doc a small position-independent fingerprint "
+        "set; docs pair through shared fingerprints (>=5), localizing "
+        "shared PASSAGES that whole-doc MinHash dilutes away. max_df=20 "
+        "drops boilerplate-phrase fingerprints before pairing — the "
+        "same df cap as the sparse cosine join, so per-fingerprint "
+        "pair work is bounded at 400 regardless of corpus size. Runs "
+        "on the near-dup fixture; expected fingerprint density 2/(w+1)",
+)
+def doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_analytics import _near_fixture
+    docs = _near_fixture(spark, sf_dir)
+    return TX.winnowing_pairs(docs, k=3, w=4, min_shared=5, max_df=20)
+
+
+# -- space-filling-curve pruning quality, measured -----------------------------
+
+def _zval_xy_sql() -> str:
+    from .queries_analytics import _zvalue_sql
+    return _zvalue_sql("b.x", "b.y", bits=8)
+
+
+_ZVAL_XY_SQL = _zval_xy_sql()
+
+
+def _layout_branch_sql(key_expr: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS layout, tile,
+       max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+FROM (
+  SELECT x, y,
+         ntile(64) OVER (ORDER BY {key_expr}, o_orderkey) AS tile
+  FROM keyed
+) GROUP BY tile
+"""
+
+
+@register(
+    "layout_pruning_stats",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         o_custkey % 256 AS x, o_orderkey % 256 AS y
+  FROM orders
+),
+hil AS (
+  {hilbert_sql("o_orderkey, x, y", "x", "y", "FROM base", bits=8,
+               out_col="hval")}
+),
+keyed AS (
+  SELECT b.o_orderkey, b.x, b.y,
+         CAST({_ZVAL_XY_SQL} AS BIGINT) AS zval,
+         h.hval
+  FROM base b JOIN hil h ON h.o_orderkey = b.o_orderkey
+),
+spans AS (
+  {_layout_branch_sql('o_orderkey', 'natural')}
+  UNION ALL
+  {_layout_branch_sql('zval', 'zorder')}
+  UNION ALL
+  {_layout_branch_sql('hval', 'hilbert')}
+)
+SELECT layout,
+       round(avg(x_span), 2) AS avg_x_span,
+       round(avg(y_span), 2) AS avg_y_span
+FROM spans GROUP BY layout
+""",
+    doc="Space-filling-curve pruning quality, MEASURED instead of "
+        "asserted: rows are packed into 64 equal 'files' by ntile over "
+        "each layout key (natural orderkey, Z-order, Hilbert) and the "
+        "per-file min/max span of each dimension is averaged — exactly "
+        "the min/max statistics data skipping consults, so a smaller "
+        "avg span = fewer files read per point/range predicate. "
+        "Measured at sf0.01: natural order is useless on BOTH mod-256 "
+        "digits (~253 avg span — each 234-row file wraps the full "
+        "bucket range); Z-order averages (66.6, 41.3); Hilbert "
+        "(38.9, 39.2) — tighter and balanced, the "
+        "no-quadrant-boundary-jumps property made measurable. The "
+        "100 TB analogue replaces ntile with range partitioning; the "
+        "metric is identical",
+)
+def layout_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .tiling import zvalue_2d
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    base = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.col("o_orderkey") % 256).alias("y"))
+    keyed = hilbert_2d(base, "x", "y", bits=8) \
+        .withColumn("zval", zvalue_2d("x", "y", bits=8))
+    branches = []
+    for label, key in (("natural", "o_orderkey"), ("zorder", "zval"),
+                       ("hilbert", "hval")):
+        tiled = keyed.select(
+            "x", "y",
+            F.ntile(64).over(Window.orderBy(key, "o_orderkey")).alias("tile"))
+        branches.append(
+            tiled.groupBy("tile")
+            .agg((F.max("x") - F.min("x")).alias("x_span"),
+                 (F.max("y") - F.min("y")).alias("y_span"))
+            .select(F.lit(label).alias("layout"), "x_span", "y_span"))
+    spans = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    return (spans.groupBy("layout")
+            .agg(F.round(F.avg("x_span"), 2).alias("avg_x_span"),
+                 F.round(F.avg("y_span"), 2).alias("avg_y_span")))
+
+
+# -- CCNet perplexity buckets --------------------------------------------------
+
+_UNIGRAM_SCORE_SQL = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+v AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+nn AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM v),
+score AS (
+  SELECT t.doc_id,
+         round(-avg(ln(CAST(v.tf AS DOUBLE)) - ln(nn.n)), 6) AS s
+  FROM tok t JOIN v ON v.tok = t.tok CROSS JOIN nn
+  GROUP BY t.doc_id
+),
+langd AS (
+  SELECT sc.doc_id, d.lang, sc.s
+  FROM score sc JOIN documents d ON d.doc_id = sc.doc_id
+)
+"""
+
+
+@register(
+    "quality_perplexity_buckets",
+    oracle=f"""
+WITH {_UNIGRAM_SCORE_SQL.strip()},
+cuts AS (
+  SELECT lang,
+         quantile_cont(s, 0.3333333333333333) AS p33,
+         quantile_cont(s, 0.6666666666666666) AS p67
+  FROM langd GROUP BY lang
+)
+SELECT l.lang,
+       CASE WHEN l.s <= c.p33 THEN 'head'
+            WHEN l.s <= c.p67 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(l.s), 6) AS avg_score
+FROM langd l JOIN cuts c ON c.lang = l.lang
+GROUP BY l.lang, CASE WHEN l.s <= c.p33 THEN 'head'
+                      WHEN l.s <= c.p67 THEN 'middle'
+                      ELSE 'tail' END
+""",
+    doc="CCNet perplexity bucketing (Wenzek et al. 2020): per-language "
+        "head/middle/tail terciles of the unigram-LM quality score — "
+        "the curriculum knob CCNet exposes (train on head, drop tail). "
+        "Exact interpolated tercile cuts per language from one bounded "
+        "aggregation (languages are few), bucket assignment as a "
+        "comparison against the broadcast cut frame, then a "
+        "3x|langs|-row rollup. No global sort anywhere — the scalable "
+        "shape for a 100 TB corpus scoring pass",
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    scored = (TX.unigram_logprob(docs)
+              .select("doc_id", F.col("avg_neg_logprob").alias("s"))
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    cuts = scored.groupBy("lang").agg(
+        F.percentile("s", F.lit(1.0 / 3)).alias("p33"),
+        F.percentile("s", F.lit(2.0 / 3)).alias("p67"))
+    bucket = (F.when(F.col("s") <= F.col("p33"), "head")
+              .when(F.col("s") <= F.col("p67"), "middle")
+              .otherwise("tail"))
+    return (scored.join(F.broadcast(cuts), "lang")
+            .groupBy("lang", bucket.alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.round(F.avg("s"), 6).alias("avg_score")))
+
+
+# -- token-budget corpus selection ---------------------------------------------
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+WITH {_UNIGRAM_SCORE_SQL.strip()},
+counted AS (
+  SELECT l.doc_id, l.s,
+         len(string_split(d.text, ' ')) AS n_tokens
+  FROM langd l JOIN documents d ON d.doc_id = l.doc_id
+),
+run AS (
+  SELECT doc_id, s, n_tokens,
+         sum(n_tokens) OVER (ORDER BY s, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+  FROM counted
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM run WHERE cum_tokens <= 10000
+""",
+    doc="Token-budget corpus selection: docs ranked by LM quality "
+        "(unigram score asc = most natural first, id tiebreak), "
+        "admitted in rank order until the 10k-token training budget is "
+        "exhausted — the 'best data first under a budget' selection "
+        "every data-constrained training run makes. The running sum is "
+        "a single ordered window here; at 100 TB the same cut comes "
+        "from quality-quantile tiers (select whole tiers, binary-search "
+        "the boundary tier) so no global total order is materialized — "
+        "documented trade, same semantics",
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    counted = (TX.unigram_logprob(docs)
+               .select("doc_id", F.col("avg_neg_logprob").alias("s"),
+                       "n_tokens"))
+    w = Window.orderBy("s", "doc_id") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    return (counted
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= 10000)
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("cum_tokens").cast("long").alias("cum_tokens")))
+
+
+# -- top-k TF-IDF keywords per doc ---------------------------------------------
+
+@register(
+    "text_keywords_topk",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY token
+  HAVING count(DISTINCT doc_id) >= 2
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 6)
+           AS tfidf
+  FROM tf JOIN dfreq ON dfreq.token = tf.token CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tfidf, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+""",
+    doc="Top-3 TF-IDF keywords per document — the keyword-extraction "
+        "composition (tf_idf + per-doc window): rank by rounded score "
+        "(deterministic cross-engine), token tiebreak. Spark's "
+        "WindowGroupLimit pushes the rank<=3 filter below the sort, so "
+        "each partition keeps 3 rows per doc before the exchange — the "
+        "shuffle carries O(docs x 3), not the full (doc, token) matrix",
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (TX.tf_idf(docs, min_doc_freq=2)
+            .select("doc_id", "token", "tfidf")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3))
+
+
+# -- schema-evolution source ---------------------------------------------------
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+SELECT doc_id, length(text) AS n_chars,
+       CASE WHEN doc_id % 2 = 1
+            THEN round(CAST(doc_id % 7 AS DOUBLE) / 7, 6)
+            ELSE NULL END AS quality
+FROM documents
+""",
+    doc="Schema-evolution read path: two parquet batches staged with "
+        "DIFFERENT schemas (batch 2 adds a quality column), read back "
+        "through mergeSchema=true — the additive-evolution contract "
+        "every long-lived ingest hits (old files never rewritten; "
+        "missing columns surface as NULL). The oracle reconstructs the "
+        "merged view from the source table directly, so the evolved "
+        "read must be value-exact. At 100 TB mergeSchema's footer "
+        "union is the cheap part; the lesson encoded here is explicit "
+        "schemas + additive-only evolution",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_analytics import _stage_dir
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    stage = _stage_dir("schema_evo")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") % 2 == 1)
+           .select("doc_id", "text",
+                   F.round((F.col("doc_id") % 7).cast("double") / 7, 6)
+                    .alias("quality")))
+    old.write.mode("overwrite").parquet(f"{stage}/batch=1")
+    new.write.mode("overwrite").parquet(f"{stage}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{stage}/batch=1", f"{stage}/batch=2")
+    return back.select("doc_id", F.length("text").alias("n_chars"), "quality")

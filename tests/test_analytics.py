@@ -1677,3 +1677,44 @@ def test_sparse_cosine_df_cutoff_prunes_pairs(spark):
     rows = [(1, "common a b"), (2, "common c d"), (3, "common e f")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert sparse_cosine_pairs(df, df_cutoff=2, min_sim=0.0).count() == 0
+
+
+# -- wave 6: winnowing fingerprints -------------------------------------------
+
+def test_winnowing_density_and_determinism(spark):
+    from cql_replicator_spark.analytics.text import winnowing_fingerprints
+    text = " ".join(f"w{i % 37}x{(i * 7) % 11}" for i in range(200))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    fps1 = sorted(r["fp"] for r in
+                  winnowing_fingerprints(df, k=3, w=4).collect())
+    fps2 = sorted(r["fp"] for r in
+                  winnowing_fingerprints(df, k=3, w=4).collect())
+    assert fps1 == fps2 and len(fps1) > 0
+    # thinning: far fewer fingerprints than grams (expected ~2/(w+1))
+    assert len(fps1) < 198 * 0.6
+
+
+def test_winnowing_short_doc_no_grams(spark):
+    from cql_replicator_spark.analytics.text import winnowing_fingerprints
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert winnowing_fingerprints(df, k=3, w=4).count() == 0
+
+
+def test_winnowing_pairs_find_shared_passage(spark):
+    from cql_replicator_spark.analytics.text import winnowing_pairs
+    base = " ".join(f"t{i * 13 % 101}q{i % 17}" for i in range(80))
+    other = " ".join(f"z{i * 11 % 97}p{i % 19}" for i in range(80))
+    shared = " ".join(f"s{i * 29 % 89}m{i % 23}" for i in range(60))
+    rows = [(1, base + " " + shared), (2, shared + " " + other), (3, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             winnowing_pairs(df, min_shared=3, max_df=10).collect()}
+    assert (1, 2) in pairs          # the shared passage links 1-2
+    assert (1, 3) not in pairs      # no shared text
+
+
+def test_winnowing_rejects_bad_window(spark):
+    from cql_replicator_spark.analytics.text import winnowing_fingerprints
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k >= 1"):
+        winnowing_fingerprints(df, k=3, w=1)
