@@ -140,6 +140,13 @@ HEADLINE = [
     "token_budget_selection",
     "text_keywords_topk",
     "source_schema_evolution",
+    # r5 wave 7
+    "ivm_join_refresh",
+    "scd2_point_in_time_join",
+    "events_grouping_sets_time",
+    "orders_trailing_90d_spend",
+    "dedup_lsh_tuning_table",
+    "documents_langdist_chi2",
 ]
 
 

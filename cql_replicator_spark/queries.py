@@ -1408,6 +1408,13 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "token_budget_selection",        # new: quality-ranked budget cut
     "text_keywords_topk",            # new: top-k TF-IDF keywords
     "source_schema_evolution",       # new: mergeSchema additive evolution
+    # r5 wave 7
+    "ivm_join_refresh",              # new: delta-join view maintenance
+    "scd2_point_in_time_join",       # new: temporal fact-to-SCD2 join
+    "events_grouping_sets_time",     # new: multi-grain one-pass rollup
+    "orders_trailing_90d_spend",     # new: RANGE-frame window
+    "dedup_lsh_tuning_table",        # new: LSH S-curve planner table
+    "documents_langdist_chi2",       # new: chi-squared drift test
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).

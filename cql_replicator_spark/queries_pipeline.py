@@ -739,3 +739,314 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.option("mergeSchema", "true").parquet(
         f"{stage}/batch=1", f"{stage}/batch=2")
     return back.select("doc_id", F.length("text").alias("n_chars"), "quality")
+
+
+# -- incremental maintenance of a JOIN view ------------------------------------
+
+from .queries import _CDC_BASE_SQL as _CDC_BASE_SQL_REF  # noqa: E402
+
+_DIM_SQL = """
+dim AS (
+  SELECT i AS dk, (i % 7) + 1 AS w, i % 5 AS g
+  FROM unnest(generate_series(0, 99)) t(i)
+)
+"""
+
+
+@register(
+    "ivm_join_refresh",
+    oracle=f"""
+WITH {_CDC_BASE_SQL_REF.strip()},
+{_DIM_SQL.strip()}
+SELECT d.g,
+       CAST(sum(t.ts * d.w) AS BIGINT) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n
+FROM t1 t JOIN dim d ON d.dk = t.pk % 100
+GROUP BY d.g
+""",
+    doc="Incremental maintenance of a JOIN view (the delta-join "
+        "algebra): the materialized view aggregates fact JOIN dim "
+        "(weighted sums per dim group); the refresh never rescans the "
+        "fact table — row-level CDC changes (one tagged full-outer "
+        "diff) are joined to the broadcast dim, updates fetch their "
+        "old value with a change-sized semi-join back into T0, and the "
+        "signed delta rows merge into the previous state exactly as "
+        "ivm.refresh_aggregate does for plain aggregates. ΔV = "
+        "Δfact ⋈ dim — the static-dim case of the full bilinear rule "
+        "Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB. The oracle recomputes the "
+        "view from T1, so the O(changes) path must land on the "
+        "O(table) recompute's answer. 100 TB point: after a 0.1%% "
+        "discovery cycle the join view refreshes at change-set cost",
+)
+def ivm_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .diff import compute_changes_tagged
+    from .ivm import refresh_aggregate
+    from .queries import _cdc_snapshots
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+    dim = spark.range(100).select(
+        F.col("id").alias("dk"), ((F.col("id") % 7) + 1).alias("w"),
+        (F.col("id") % 5).alias("g"))
+
+    def joined(t: DataFrame) -> DataFrame:
+        return (t.withColumn("dk", F.col("pk") % 100)
+                .join(F.broadcast(dim), "dk")
+                .select("pk", "g", (F.col("ts") * F.col("w")).alias("v")))
+
+    # V0: the materialized state (the only full-fact join, done once)
+    v0 = joined(t0).groupBy("g").agg(
+        F.sum("v").alias("sum_v"), F.count("*").alias("n"))
+
+    # refresh path: change-set-sized all the way
+    ch = compute_changes_tagged(t1, t0, ["pk"])
+    new_side = (ch.filter(F.col("op").isin("insert", "update"))
+                .select("pk", "ts"))
+    old_upd = (ch.filter(F.col("op") == "update").select("pk")
+               .join(t0, "pk"))  # change-sized fetch of the old values
+    deletes = ch.filter(F.col("op") == "delete").select("pk", "ts")
+    pos = joined(new_side).select("g", "v", F.lit(1).alias("s"))
+    neg = (joined(old_upd).unionByName(joined(deletes))
+           .select("g", "v", F.lit(-1).alias("s")))
+    deltas = (pos.unionByName(neg).groupBy("g")
+              .agg(F.sum(F.col("s") * F.col("v")).alias("d_sum"),
+                   F.sum("s").alias("d_count")))
+    v1 = refresh_aggregate(v0, deltas, ["g"])
+    return v1.select("g", F.col("sum_v").cast("long").alias("sum_v"),
+                     F.col("n").cast("long").alias("n"))
+
+
+# -- SCD2 point-in-time (temporal) join ----------------------------------------
+
+_STATE_IV_SQL = """
+state_feed AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE event_type <> 'purchase'
+),
+ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM state_feed
+),
+chg AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+),
+iv AS (
+  SELECT user_id, event_type, ts AS vf,
+         lead(ts) OVER w AS vt,
+         row_number() OVER w AS version
+  FROM chg
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+"""
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle=f"""
+WITH {_STATE_IV_SQL.strip()}
+SELECT e.event_id, e.user_id, i.event_type AS state_type,
+       CAST(i.version AS BIGINT) AS version,
+       epoch_ms(e.ts) AS purchase_ts_ms
+FROM events e
+JOIN iv i ON i.user_id = e.user_id
+         AND e.ts >= i.vf AND (i.vt IS NULL OR e.ts < i.vt)
+WHERE e.event_type = 'purchase'
+""",
+    doc="Point-in-time join of facts against SCD2 validity intervals — "
+        "the warehouse temporal-join (Kimball type-2 lookup): each "
+        "purchase event joins the state version whose half-open "
+        "[valid_from, valid_to) interval contains its timestamp, "
+        "answering 'what state was the user in when they bought'. The "
+        "state dimension is built from the non-purchase event feed via "
+        "temporal.scd2_history (one user-keyed shuffle); the interval "
+        "join is an EQUI join on user_id with the containment "
+        "predicate as post-filter — per-user version counts are small, "
+        "so no interval-bucketing is needed (temporal.range_join is "
+        "the fallback when they are not). Purchases preceding any "
+        "state event are dropped (inner join) — deterministic both "
+        "sides",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .temporal import scd2_history
+    events = _t(spark, sf_dir, "events")["events"]
+    state_feed = (events.filter(F.col("event_type") != "purchase")
+                  .select("user_id", "ts", "event_id", "event_type"))
+    hist = scd2_history(state_feed, key="user_id", tracked=["event_type"],
+                        ts="ts", tiebreak=["event_id"])
+    iv = hist.select(
+        "user_id", F.col("event_type").alias("state_type"),
+        F.col("valid_from").alias("vf"), F.col("valid_to").alias("vt"),
+        F.col("version").cast("long").alias("version"))
+    purch = (events.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+    return (purch.join(iv, "user_id")
+            .filter((F.col("ts") >= F.col("vf"))
+                    & (F.col("vt").isNull() | (F.col("ts") < F.col("vt"))))
+            .select("event_id", "user_id", "state_type", "version",
+                    F.unix_millis(F.col("ts").cast("timestamp"))
+                     .alias("purchase_ts_ms")))
+
+
+# -- GROUPING SETS multi-grain rollup ------------------------------------------
+
+@register(
+    "events_grouping_sets_time",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((strftime(CAST(ts AS DATE), '%Y-%m-%d'), event_type),
+                        (strftime(CAST(ts AS DATE), '%Y-%m-%d')),
+                        (event_type), ())
+""",
+    doc="Multi-grain rollup in ONE pass via GROUPING SETS: "
+        "(day x type), day, type, and grand total from a single scan "
+        "with partial aggregation — four independent GROUP BYs would "
+        "scan and shuffle four times; grouping sets expands rows once "
+        "map-side. Super-aggregate rows carry NULL group keys (the "
+        "distinct null patterns separate grains; no natural NULLs "
+        "exist in either column)",
+)
+def events_grouping_sets_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")["events"]
+    view = f"__events_gs_{os.getpid()}"
+    events.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT date_format(ts, 'yyyy-MM-dd') AS d, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM {view}
+        GROUP BY GROUPING SETS ((date_format(ts, 'yyyy-MM-dd'), event_type),
+                                (date_format(ts, 'yyyy-MM-dd')),
+                                (event_type), ())
+    """)
+
+
+# -- RANGE-frame window (value-based frames) -----------------------------------
+
+@register(
+    "orders_trailing_90d_spend",
+    oracle="""
+SELECT o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 2) AS spend_90d
+FROM orders
+""",
+    doc="Trailing-90-day spend per customer via a RANGE window frame — "
+        "the VALUE-based frame (all orders within 90 days by the "
+        "ORDER BY value), distinct from ROWS frames: same-day orders "
+        "are peers and always aggregate together, so the result is "
+        "order-insensitive and deterministic without a tiebreak. One "
+        "customer-keyed shuffle; the frame arithmetic is integer "
+        "day-offsets from a fixed epoch in both engines",
+)
+def orders_trailing_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    days = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("long")
+    w = (Window.partitionBy("o_custkey").orderBy(days.alias("d"))
+         .rangeBetween(-90, 0))
+    return orders.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"))
+
+
+# -- MinHash LSH tuning table --------------------------------------------------
+
+@register(
+    "dedup_lsh_tuning_table",
+    oracle="""
+WITH cfg AS (
+  SELECT CAST(b AS BIGINT) AS bands, CAST(128 // b AS BIGINT) AS rows_per_band
+  FROM unnest(generate_series(1, 128)) t(b)
+  WHERE 128 % b = 0
+),
+scored AS (
+  SELECT bands, rows_per_band,
+         round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s50,
+         round(1 - pow(1 - pow(0.8, rows_per_band), bands), 6) AS p_catch_80,
+         round(1 - pow(1 - pow(0.4, rows_per_band), bands), 6) AS p_false_40
+  FROM cfg
+)
+SELECT bands, rows_per_band, s50, p_catch_80, p_false_40,
+       abs(s50 - 0.8) = min(abs(s50 - 0.8)) OVER () AS recommended
+FROM scored
+""",
+    doc="MinHash LSH tuning table — the S-curve calculus that sizes "
+        "every banding scheme (Leskovec/Rajaraman/Ullman ch.3): for "
+        "each (bands b, rows r) factorization of a 128-hash signature, "
+        "the threshold midpoint s50 = (1/b)^(1/r), the catch "
+        "probability at Jaccard 0.8 and the false-candidate "
+        "probability at 0.4 (P = 1-(1-s^r)^b), and the recommended "
+        "config for a 0.8 target. Pure engine-side arithmetic from a "
+        "generated series — the same numbers dedup_minhash_lsh's "
+        "defaults were chosen from; a planner op, not a data op",
+)
+def dedup_lsh_tuning_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    cfg = (spark.range(1, 129).select(F.col("id").alias("bands"))
+           .filter(F.lit(128) % F.col("bands") == 0)
+           .select("bands", (F.lit(128) / F.col("bands"))
+                   .cast("long").alias("rows_per_band")))
+    r = F.col("rows_per_band").cast("double")
+    b = F.col("bands").cast("double")
+    scored = cfg.select(
+        "bands", "rows_per_band",
+        F.round(F.pow(1.0 / b, 1.0 / r), 6).alias("s50"),
+        F.round(1 - F.pow(1 - F.pow(F.lit(0.8), r), b), 6).alias("p_catch_80"),
+        F.round(1 - F.pow(1 - F.pow(F.lit(0.4), r), b), 6).alias("p_false_40"))
+    w = Window.partitionBy()
+    return scored.withColumn(
+        "recommended",
+        F.abs(F.col("s50") - 0.8) == F.min(F.abs(F.col("s50") - 0.8)).over(w))
+
+
+# -- chi-squared independence (source x lang) ----------------------------------
+
+@register(
+    "documents_langdist_chi2",
+    oracle="""
+WITH o AS (
+  SELECT source, lang, CAST(count(*) AS DOUBLE) AS obs
+  FROM documents GROUP BY source, lang
+),
+rt AS (SELECT source, sum(obs) AS r FROM o GROUP BY source),
+ct AS (SELECT lang, sum(obs) AS c FROM o GROUP BY lang),
+n AS (SELECT sum(obs) AS n FROM o)
+SELECT o.source,
+       CAST(sum(CAST(o.obs AS BIGINT)) AS BIGINT) AS n_docs,
+       round(sum(pow(o.obs - rt.r * ct.c / n.n, 2) / (rt.r * ct.c / n.n)), 6)
+         AS chi2_part
+FROM o JOIN rt ON rt.source = o.source
+       JOIN ct ON ct.lang = o.lang CROSS JOIN n
+GROUP BY o.source
+""",
+    doc="Chi-squared independence contributions per source for the "
+        "source x language contingency table — the drift/balance test "
+        "a corpus-intake pipeline runs to catch a provider whose "
+        "language mix shifted (sum over sources = the chi2 statistic "
+        "against dof (S-1)(L-1)). Observed cells from one "
+        "map-side-combined groupBy; marginals are bounded aggregates "
+        "joined back (row marginal broadcast, column marginal "
+        "broadcast); only present cells contribute, consistently in "
+        "both engines",
+)
+def documents_langdist_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    o = (docs.groupBy("source", "lang")
+         .agg(F.count("*").cast("double").alias("obs")))
+    rt = o.groupBy("source").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("lang").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    return (o.join(F.broadcast(rt), "source").join(F.broadcast(ct), "lang")
+            .crossJoin(F.broadcast(n))
+            .groupBy("source")
+            .agg(F.sum(F.col("obs").cast("long")).cast("long").alias("n_docs"),
+                 F.round(F.sum(F.pow(F.col("obs") - e, 2) / e), 6)
+                  .alias("chi2_part")))

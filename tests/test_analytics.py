@@ -1718,3 +1718,34 @@ def test_winnowing_rejects_bad_window(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k >= 1"):
         winnowing_fingerprints(df, k=3, w=1)
+
+
+# -- wave 7 --------------------------------------------------------------------
+
+def test_ivm_join_refresh_drops_dead_groups(spark):
+    # a group whose every fact is deleted must vanish from the refreshed
+    # view exactly as a recompute would drop it
+    import pyspark.sql.functions as F
+    from cql_replicator_spark.diff import compute_changes_tagged
+    from cql_replicator_spark.ivm import refresh_aggregate
+    t0 = spark.createDataFrame([(1, 10), (2, 20), (11, 30)], "pk long, ts long")
+    t1 = spark.createDataFrame([(2, 25), (11, 30)], "pk long, ts long")
+    # view: group g = pk % 10, value = ts (identity "join")
+    v0 = (t0.withColumn("g", F.col("pk") % 10).groupBy("g")
+          .agg(F.sum("ts").alias("sum_v"), F.count("*").alias("n")))
+    ch = compute_changes_tagged(t1, t0, ["pk"])
+    pos = (ch.filter(F.col("op").isin("insert", "update"))
+           .select((F.col("pk") % 10).alias("g"), F.col("ts").alias("v"),
+                   F.lit(1).alias("s")))
+    old = (ch.filter(F.col("op") == "update").select("pk").join(t0, "pk")
+           .unionByName(ch.filter(F.col("op") == "delete")
+                        .select("pk", "ts")))
+    neg = old.select((F.col("pk") % 10).alias("g"), F.col("ts").alias("v"),
+                     F.lit(-1).alias("s"))
+    deltas = (pos.unionByName(neg).groupBy("g")
+              .agg(F.sum(F.col("s") * F.col("v")).alias("d_sum"),
+                   F.sum("s").alias("d_count")))
+    v1 = {r["g"]: (r["sum_v"], r["n"])
+          for r in refresh_aggregate(v0, deltas, ["g"]).collect()}
+    # g=2: pk 2 updated in place (25, 1); g=1: pk 1 deleted, pk 11 stays
+    assert v1 == {2: (25, 1), 1: (30, 1)}
