@@ -147,6 +147,11 @@ HEADLINE = [
     "orders_trailing_90d_spend",
     "dedup_lsh_tuning_table",
     "documents_langdist_chi2",
+    # r5 wave 8
+    "dedup_minhash_accuracy",
+    "embedding_scalar_quantization",
+    "orders_window_rank_suite",
+    "events_freshness_report",
 ]
 
 

@@ -938,3 +938,60 @@ def prefix_filter_jaccard_pairs(
             .select("id_a", "id_b", "common",
                     F.col("size_a").cast("long").alias("size_a"),
                     F.col("size_b").cast("long").alias("size_b")))
+
+
+def minhash_accuracy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash infrastructure: for
+    every LSH candidate pair, the signature-agreement Jaccard estimate
+    (fraction of equal minhash components — the unbiased estimator the
+    banding scheme is built on) NEXT TO the exact shingle-set Jaccard,
+    with the absolute error. This is the monitoring query an
+    approximate-dedup deployment runs on a sample to verify its
+    signatures are behaving (E[err] ~ 1/sqrt(k) for k hashes); a bad
+    hash family or a shingling bug shows up here before it silently
+    over/under-deduplicates a corpus.
+
+    Cost shape: candidates come from the same capped banding path as
+    production (never all pairs); the exact-Jaccard verification joins
+    shingles only for candidate pairs — per-pair work bounded by doc
+    shingle counts, the same bound the verified-LSH path already pays.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands,
+                                num_hashes // bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"),
+                     *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)])
+    sb = sigs.select(F.col(id_col).alias("id_b"),
+                     *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)])
+    agree = sum(F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+                for j in range(num_hashes))
+    est = (pairs.join(sa, "id_a").join(sb, "id_b")
+           .select("id_a", "id_b",
+                   F.round(agree / F.lit(float(num_hashes)), 6)
+                    .alias("est_jaccard")))
+
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsz"))
+    xa = sh.select(F.col(id_col).alias("id_a"), "gram")
+    xb = sh.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (pairs.join(xa, "id_a").join(xb, ["id_b", "gram"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("nsz").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("nsz").alias("nb"))
+    exact = (inter.join(na, "id_a").join(nb, "id_b")
+             .select("id_a", "id_b",
+                     F.round(F.col("i").cast("double")
+                             / (F.col("na") + F.col("nb") - F.col("i")), 6)
+                      .alias("exact_jaccard")))
+    return (est.join(exact, ["id_a", "id_b"])
+            .select("id_a", "id_b", "est_jaccard", "exact_jaccard",
+                    F.round(F.abs(F.col("est_jaccard")
+                                  - F.col("exact_jaccard")), 6)
+                     .alias("abs_err")))

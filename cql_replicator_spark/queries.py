@@ -1415,6 +1415,11 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "orders_trailing_90d_spend",     # new: RANGE-frame window
     "dedup_lsh_tuning_table",        # new: LSH S-curve planner table
     "documents_langdist_chi2",       # new: chi-squared drift test
+    # r5 wave 8
+    "dedup_minhash_accuracy",        # new: estimator-vs-exact audit
+    "embedding_scalar_quantization", # new: SQ4 equi-depth codes
+    "orders_window_rank_suite",      # new: ranking-function suite
+    "events_freshness_report",       # new: stream lag/high-water report
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).

@@ -1050,3 +1050,184 @@ def documents_langdist_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("obs").cast("long")).cast("long").alias("n_docs"),
                  F.round(F.sum(F.pow(F.col("obs") - e, 2) / e), 6)
                   .alias("chi2_part")))
+
+
+# -- MinHash estimator accuracy audit ------------------------------------------
+
+def _minhash_accuracy_tail(num_hashes: int = 16) -> str:
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes))
+    return f"""
+, agree AS (
+  SELECT p.id_a, p.id_b,
+         round(({agree}) / {num_hashes}.0, 6) AS est_jaccard
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.id_a
+  JOIN sig b ON b.doc_id = p.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS nsz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.id_a
+  JOIN sh y ON y.doc_id = p.id_b AND y.gram = x.gram
+  GROUP BY p.id_a, p.id_b
+)
+SELECT g.id_a, g.id_b, g.est_jaccard,
+       round(CAST(i.i AS DOUBLE) / (sa.nsz + sb.nsz - i.i), 6)
+         AS exact_jaccard,
+       round(abs(g.est_jaccard
+                 - round(CAST(i.i AS DOUBLE) / (sa.nsz + sb.nsz - i.i), 6)),
+             6) AS abs_err
+FROM agree g
+JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+JOIN sizes sa ON sa.doc_id = g.id_a
+JOIN sizes sb ON sb.doc_id = g.id_b
+"""
+
+
+def _register_minhash_accuracy():
+    from .queries_analytics import _minhash_oracle
+
+    @register(
+        "dedup_minhash_accuracy",
+        oracle=_minhash_oracle(tail=_minhash_accuracy_tail()),
+        doc="MinHash estimator-quality audit: per LSH candidate pair, "
+            "the signature-agreement Jaccard estimate next to the exact "
+            "shingle Jaccard and the absolute error — the monitoring "
+            "query an approximate-dedup deployment runs on a sample "
+            "(E[err] ~ 1/sqrt(k)); a bad hash family or shingling bug "
+            "surfaces here before it silently over/under-dedups a "
+            "corpus. Candidates come from the same capped banding path "
+            "as production; exact verification joins shingles only for "
+            "candidates — never all pairs",
+    )
+    def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .queries_analytics import _near_fixture
+        return D.minhash_accuracy_pairs(_near_fixture(spark, sf_dir),
+                                        n=3, num_hashes=16, bands=4)
+
+
+_register_minhash_accuracy()
+
+
+# -- per-dimension scalar quantization of embeddings ---------------------------
+
+@register(
+    "embedding_scalar_quantization",
+    oracle="""
+WITH cell AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings,
+       unnest(generate_series(1, CAST(len(embedding) AS INT))) t(i)
+),
+cuts AS (
+  SELECT dim, quantile_cont(v, [0.0625, 0.125, 0.1875, 0.25, 0.3125,
+                                0.375, 0.4375, 0.5, 0.5625, 0.625,
+                                0.6875, 0.75, 0.8125, 0.875, 0.9375])
+           AS qs
+  FROM cell GROUP BY dim
+)
+SELECT c.vec_id, CAST(c.dim AS INT) AS dim,
+       CAST(len(list_filter(k.qs, q -> c.v >= q)) AS INT) AS code
+FROM cell c JOIN cuts k ON k.dim = c.dim
+""",
+    doc="Per-dimension 4-bit scalar quantization (FAISS SQ4 shape): 15 "
+        "exact equi-depth cuts per dimension from ONE aggregation over "
+        "the exploded (vec, dim, value) cells, code = number of cuts "
+        "<= value via a broadcast join against the 64-row cut table — "
+        "8x compression of the embedding store with rank-preserving "
+        "per-dim codes (the memory lever that makes billion-vector ANN "
+        "fit; IVF+SQ is the standard combination with the registered "
+        "IVF index). Everything is bounded aggregation + broadcast "
+        "projection — no shuffle touches the corpus twice",
+)
+def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cell = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim0", "v0")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"),
+             F.col("v0").cast("double").alias("v"))
+    cuts = cell.groupBy("dim").agg(
+        F.percentile("v", F.array(*[F.lit(i / 16.0) for i in range(1, 16)]))
+         .alias("qs"))
+    code = F.expr("size(filter(qs, q -> v >= q))")
+    return (cell.join(F.broadcast(cuts), "dim")
+            .select("vec_id", F.col("dim").cast("int").alias("dim"),
+                    code.cast("int").alias("code")))
+
+
+# -- window-function rank suite ------------------------------------------------
+
+@register(
+    "orders_window_rank_suite",
+    oracle="""
+SELECT o_orderkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(10) OVER w AS INT) AS decile,
+       nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderpriority
+         ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS third_lowest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="Ranking-function suite in one pass: percent_rank, cume_dist, "
+        "ntile(10), nth_value over the same (priority, price) order — "
+        "one shuffle, one sort, four analytic outputs (Spark fuses "
+        "same-spec window functions into a single Window node). Unique "
+        "orderkey tiebreak makes every rank deterministic cross-engine",
+)
+def orders_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice",
+                                                      "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.nth_value("o_totalprice", 3).over(wf).alias("third_lowest"))
+
+
+# -- pipeline freshness report -------------------------------------------------
+
+@register(
+    "events_freshness_report",
+    oracle="""
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         max(epoch_ms(ts)) AS latest_ms
+  FROM events GROUP BY event_type
+),
+g AS (SELECT max(latest_ms) AS global_ms FROM per)
+SELECT p.event_type, p.n, p.latest_ms,
+       g.global_ms - p.latest_ms AS lag_ms,
+       (g.global_ms - p.latest_ms) < 3600000 AS fresh
+FROM per p CROSS JOIN g
+""",
+    doc="Per-stream freshness report — the operational lag metric every "
+        "CDC/ingest pipeline alerts on (max event time per stream vs "
+        "the global high-water mark, flag if over an hour behind): one "
+        "map-side-combined groupBy to stream cardinality, one scalar "
+        "broadcast; the report is stream-count-sized. The streaming "
+        "twin of this check is the watermark lag the Structured "
+        "Streaming paths already carry",
+)
+def events_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")["events"]
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    per = (events.groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.max(ms).alias("latest_ms")))
+    g = per.agg(F.max("latest_ms").alias("global_ms"))
+    return (per.crossJoin(F.broadcast(g))
+            .select("event_type", "n", "latest_ms",
+                    (F.col("global_ms") - F.col("latest_ms")).alias("lag_ms"),
+                    ((F.col("global_ms") - F.col("latest_ms")) < 3600000)
+                     .alias("fresh")))
