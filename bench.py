@@ -152,6 +152,9 @@ HEADLINE = [
     "embedding_scalar_quantization",
     "orders_window_rank_suite",
     "events_freshness_report",
+    # r5 wave 9
+    "pipeline_end_to_end",
+    "cdc_orphan_lineitems",
 ]
 
 

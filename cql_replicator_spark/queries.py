@@ -1420,6 +1420,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "embedding_scalar_quantization", # new: SQ4 equi-depth codes
     "orders_window_rank_suite",      # new: ranking-function suite
     "events_freshness_report",       # new: stream lag/high-water report
+    # r5 wave 9
+    "pipeline_end_to_end",           # new: curate|split|shard in one DAG
+    "cdc_orphan_lineitems",          # new: referential orphan audit
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).

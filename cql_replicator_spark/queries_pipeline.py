@@ -1231,3 +1231,123 @@ def events_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("global_ms") - F.col("latest_ms")).alias("lag_ms"),
                     ((F.col("global_ms") - F.col("latest_ms")) < 3600000)
                      .alias("fresh")))
+
+
+# -- end-to-end training-data pipeline in ONE DAG ------------------------------
+
+def _pipeline_e2e_oracle() -> str:
+    from .queries_analytics import (_EXACT_FIXTURE_SQL, _NORM_SQL,
+                                    _lang_hits_and_case, _md5h32_sql)
+    hits, case_sql = _lang_hits_and_case()
+    split_h = _md5h32_sql("CAST(doc_id AS VARCHAR)")
+    shard_h = _md5h32_sql("'shard|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH {_EXACT_FIXTURE_SQL},
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5({_NORM_SQL})
+),
+kept AS (SELECT d.doc_id, d.text FROM docs d JOIN keep USING (doc_id)),
+h AS (
+  SELECT doc_id, text,
+  {hits}
+  FROM kept
+),
+m AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    round(CAST(hits_en AS DOUBLE) / len(string_split(text, ' ')), 6)
+      AS stopword_ratio,
+    round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+          / length(text), 6) AS punct_ratio,
+    {case_sql} AS predicted_lang
+  FROM h
+),
+sel AS (
+  SELECT doc_id, n_tokens FROM m
+  WHERE predicted_lang = 'en' AND n_tokens BETWEEN 20 AND 90
+    AND stopword_ratio >= 0.03 AND punct_ratio <= 0.2
+),
+asg AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN {split_h} % 100 < 80 THEN 'train'
+              WHEN {split_h} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         {shard_h} % 8 AS shard
+  FROM sel
+)
+SELECT split, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM asg GROUP BY split, shard
+"""
+
+
+def _register_pipeline_e2e():
+    @register(
+        "pipeline_end_to_end",
+        oracle=_pipeline_e2e_oracle(),
+        doc="The whole training-data pipeline as ONE Spark DAG: exact "
+            "dedup (min-id canonical per content fingerprint) -> "
+            "language gate -> quality gates (token range, stopword "
+            "floor, punct ceiling) -> deterministic hash split -> "
+            "salt-decorrelated shard assignment -> per-(split, shard) "
+            "manifest. One content-fingerprint shuffle plus one "
+            "24-group aggregation; every gate is a codegen projection "
+            "between them — Catalyst fuses the whole curation into "
+            "scan -> dedup shuffle -> filter -> manifest, which is the "
+            "minimum ANY dedup-then-curate pipeline can do. This is "
+            "the composability proof: the same library calls users "
+            "chain (curate | hash_split | shard_manifest) plan as one "
+            "job with no materialization between stages",
+    )
+    def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .analytics.dedup import md5h32
+        from .queries_analytics import _exact_fixture
+        kept = TX.curate(_exact_fixture(spark, sf_dir))
+        sp = TX.hash_split(kept.select("doc_id", "n_tokens"))
+        shard = F.pmod(
+            md5h32(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))),
+            F.lit(8))
+        return (sp.withColumn("shard", shard)
+                .groupBy("split", "shard")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("n_tokens").cast("long").alias("total_tokens")))
+
+
+_register_pipeline_e2e()
+
+
+# -- replication orphan audit --------------------------------------------------
+
+@register(
+    "cdc_orphan_lineitems",
+    oracle="""
+WITH t1 AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT l.l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_orphan_lines,
+       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_missing_orders
+FROM lineitem l
+WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM t1)
+GROUP BY l.l_linestatus
+""",
+    doc="Cross-table replication consistency audit: lineitems whose "
+        "parent order is absent from the T1 replica (the CDC fixture's "
+        "pk%7 deletion rule) — the referential-orphan report a "
+        "multi-table replication runs after each cycle to catch "
+        "child-before-parent application or missed parent deletes. One "
+        "LEFT ANTI join on the replica key set (AQE broadcasts the key "
+        "side when the cycle was small) + a status-cardinality rollup",
+)
+def cdc_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    t1_keys = (t["orders"].filter(F.col("o_orderkey") % 7 != 0)
+               .select("o_orderkey"))
+    li = t["lineitem"].select("l_orderkey", "l_linestatus")
+    return (li.join(t1_keys, li["l_orderkey"] == t1_keys["o_orderkey"],
+                    "left_anti")
+            .groupBy("l_linestatus")
+            .agg(F.count("*").cast("long").alias("n_orphan_lines"),
+                 F.countDistinct("l_orderkey").cast("long")
+                  .alias("n_missing_orders")))
