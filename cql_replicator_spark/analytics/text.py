@@ -1017,23 +1017,39 @@ def sparse_cosine_pairs(
     tf = term_rows.groupBy("id", "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
-    postings = (tf.join(dfreq.filter(F.col("df_t") <= int(df_cutoff)), "tok")
-                .crossJoin(F.broadcast(n_docs))
-                .select("id", "tok",
-                        (F.col("tf").cast("double")
-                         * F.log(F.col("n_docs").cast("double")
-                                 / F.col("df_t").cast("double"))).alias("w")))
-    norms = (postings.groupBy("id")
-             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")))
-    a = postings.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa"))
-    b = postings.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb"))
-    dots = (a.join(b, "tok")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
-    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("na"))
-    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("nb"))
-    return (dots.join(na, "id_a").join(nb, "id_b")
+    # LINEAR pipeline — no self-join, no norm joins: the naive
+    # formulation (postings self-joined on tok + two norm joins)
+    # replicates the scan->shingle->tf subtree once per consumer
+    # (~6 corpus scans in the printed plan); here df and norm are
+    # WINDOW aggregates over the same flowing frame and pairs are
+    # generated in-bucket from a per-token collect (the
+    # lsh_candidate_pairs trick), so the corpus subtree exists ONCE.
+    from pyspark.sql.window import Window
+    dfw = Window.partitionBy("tok")
+    idw = Window.partitionBy("id")
+    postings = (tf.crossJoin(F.broadcast(n_docs))
+                .withColumn("df_t", F.count("*").over(dfw))
+                .filter(F.col("df_t") <= int(df_cutoff))
+                .withColumn("w", F.col("tf").cast("double")
+                            * F.log(F.col("n_docs").cast("double")
+                                    / F.col("df_t").cast("double")))
+                .withColumn("norm",
+                            F.sqrt(F.sum(F.col("w") * F.col("w")).over(idw))))
+    # bucket-grouped pair generation: lists are bounded by df_cutoff,
+    # so per-token pair work is <= cutoff^2 by construction
+    grouped = (postings.groupBy("tok")
+               .agg(F.collect_list(
+                   F.struct("id", "w", "norm")).alias("ps"))
+               .filter(F.size("ps") > 1))
+    pairs = grouped.select(F.explode(F.expr(
+        "flatten(transform(ps, x -> transform("
+        "filter(ps, y -> x.id < y.id), "
+        "y -> struct(x.id AS id_a, y.id AS id_b, "
+        "x.w * y.w AS prod, x.norm AS na, y.norm AS nb))))"
+    )).alias("p")).select("p.id_a", "p.id_b", "p.prod", "p.na", "p.nb")
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.sum("prod").alias("dot"),
+                 F.first("na").alias("na"), F.first("nb").alias("nb"))
             .select("id_a", "id_b",
                     F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
                      .alias("cosine"))
