@@ -1129,13 +1129,20 @@ def winnowing_pairs(
     is capped at max_df^2 (the same df-pruning lever as the sparse
     cosine join). Returns (id_a, id_b, n_shared >= min_shared).
     """
+    # bucket-grouped pair generation (the lsh_candidate_pairs form):
+    # one groupBy on fp collects each fingerprint's posting list
+    # (max_df-capped), pairs explode in-bucket — the self-join
+    # formulation would re-derive the explode->window->distinct
+    # fingerprint subtree once per join side (two corpus scans)
     fps = winnowing_fingerprints(df, id_col, text_col, k, w)
-    dfreq = fps.groupBy("fp").agg(F.count("*").alias("df_t"))
-    pruned = fps.join(dfreq.filter(F.col("df_t") <= int(max_df)), "fp")
-    a = pruned.select(F.col(id_col).alias("id_a"), "fp")
-    b = pruned.select(F.col(id_col).alias("id_b"), "fp")
-    return (a.join(b, "fp")
-            .filter(F.col("id_a") < F.col("id_b"))
+    grouped = (fps.groupBy("fp")
+               .agg(F.collect_list(id_col).alias("ids"))
+               .filter((F.size("ids") > 1) & (F.size("ids") <= int(max_df))))
+    return (grouped.select(F.explode(F.expr(
+                "flatten(transform(ids, x -> transform("
+                "filter(ids, y -> x < y), y -> struct(x AS id_a, y AS id_b))))"
+            )).alias("p"))
+            .select("p.id_a", "p.id_b")
             .groupBy("id_a", "id_b")
             .agg(F.count("*").cast("long").alias("n_shared"))
             .filter(F.col("n_shared") >= int(min_shared)))
