@@ -676,13 +676,18 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     unigram score but its bigrams crater), which is the fluency axis
     of CCNet-style quality ranking.
 
-    Plan: ONE bigram explode feeds one (w1, bigram)-keyed count; the
-    first-word marginal is a window SUM over that already-vocab-sized
-    frame (a bigram determines its first word, so c1 never needs a
-    second pass over the token stream — bench: 8.0s -> the marginal
-    join was half the cost). The scoring join back to the stream is
-    AQE-broadcast when the bigram vocabulary fits; final rollup is one
-    id-keyed aggregation. Docs with fewer than two tokens yield no
+    Plan: ONE bigram explode, folded immediately to per-(doc, bigram)
+    counts k; BOTH corpus marginals derive from that frame as window
+    sums (c2 = Σk over the bigram, c1 = Σk over its first word — a
+    bigram determines its first word, so neither needs a second pass
+    over the token stream), and the per-doc score is
+    -Σ k·(ln c2 - ln c1) / Σ k — algebraically identical to averaging
+    per instance, with NO join anywhere: the earlier join-based form
+    consumed the explode subtree twice (two corpus scans) and shuffled
+    the full bigram STREAM on the bigram key; this one scans once and
+    every shuffle is on the smaller distinct-(doc, bigram) frame
+    (bench: 8.0s -> 5.7s for cutting the marginal pass, then the
+    join-free fold on top). Docs with fewer than two tokens yield no
     bigrams and drop out, like sub-n-gram docs in shingling."""
     from pyspark.sql.window import Window
 
@@ -693,17 +698,18 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                               F.element_at(w, i + 1)))
     bg = (df.filter(F.size(w) >= 2)
           .select(F.col(id_col), F.explode(pairs).alias("big")))
-    counts = (bg.groupBy(F.substring_index("big", " ", 1).alias("w1"), "big")
-              .agg(F.count("*").alias("c2"))
-              .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
-              .select("big", "c2", "c1"))
-    scored = (bg.join(counts, "big")
-              .select(F.col(id_col),
-                      (F.log(F.col("c2").cast("double"))
-                       - F.log(F.col("c1").cast("double"))).alias("lp")))
+    k = bg.groupBy(id_col, "big").agg(F.count("*").alias("k"))
+    scored = (k.withColumn("c2", F.sum("k").over(Window.partitionBy("big")))
+              .withColumn("c1", F.sum("k").over(Window.partitionBy(
+                  F.substring_index("big", " ", 1))))
+              .select(F.col(id_col), "k",
+                      (F.col("k").cast("double")
+                       * (F.log(F.col("c2").cast("double"))
+                          - F.log(F.col("c1").cast("double")))).alias("klp")))
     return (scored.groupBy(id_col)
-            .agg(F.count("*").cast("long").alias("n_bigrams"),
-                 F.round(-F.avg("lp"), 6).alias("avg_neg_logprob")))
+            .agg(F.sum("k").cast("long").alias("n_bigrams"),
+                 F.round(-F.sum("klp") / F.sum("k"), 6)
+                  .alias("avg_neg_logprob")))
 
 
 # -- BPE vocabulary learning --------------------------------------------------------
