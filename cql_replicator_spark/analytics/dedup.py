@@ -963,17 +963,17 @@ def minhash_accuracy_pairs(
     shingles only for candidate pairs — per-pair work bounded by doc
     shingle counts, the same bound the verified-LSH path already pays.
     """
-    # signatures are consumed THREE times (banding, est side a, est
-    # side b) and pairs twice (est, exact) — without a cut, Spark
-    # re-derives the scan->shingle->16-min-agg subtree per consumer.
-    # Both frames are bounded (1 row/doc x k longs; candidate pairs),
-    # so an eager localCheckpoint materializes them once and every
-    # consumer reads the tiny cached copy.
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes) \
-        .localCheckpoint(eager=True)
+    # signatures are consumed three times (banding, est side a, est
+    # side b) and pairs twice (est, exact). NO checkpoint here, on
+    # purpose: the signature groupBy's Exchange is an identical
+    # subtree for every consumer, so Spark's ReusedExchange computes
+    # it once within the job — measured (interleaved A/B, 6 passes,
+    # sf0.1, bench_ab_forms.json): eager localCheckpoints made this
+    # 1.45x SLOWER by serializing the pipeline into sequential jobs
+    # for frames the exchange reuse already deduplicated.
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     pairs = lsh_candidate_pairs(sigs, id_col, bands,
-                                num_hashes // bands) \
-        .localCheckpoint(eager=True)
+                                num_hashes // bands)
     sa = sigs.select(F.col(id_col).alias("id_a"),
                      *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)])
     sb = sigs.select(F.col(id_col).alias("id_b"),

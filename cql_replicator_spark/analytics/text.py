@@ -1030,6 +1030,11 @@ def sparse_cosine_pairs(
     # WINDOW aggregates over the same flowing frame and pairs are
     # generated in-bucket from a per-token collect (the
     # lsh_candidate_pairs trick), so the corpus subtree exists ONCE.
+    # Interleaved A/B (bench_ab_forms.json, sf0.1): warm medians equal
+    # within jitter (AQE ReusedExchange covers the old form's
+    # duplicate subtrees), but the linear form is ~2x faster COLD and
+    # does not depend on exchange reuse surviving plan changes — the
+    # same structural argument lsh_candidate_pairs documents.
     from pyspark.sql.window import Window
     dfw = Window.partitionBy("tok")
     idw = Window.partitionBy("id")
