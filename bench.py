@@ -155,6 +155,7 @@ HEADLINE = [
     # r5 wave 9
     "pipeline_end_to_end",
     "cdc_orphan_lineitems",
+    "similarity_recall_at_k",
 ]
 
 

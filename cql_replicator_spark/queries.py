@@ -1423,6 +1423,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # r5 wave 9
     "pipeline_end_to_end",           # new: curate|split|shard in one DAG
     "cdc_orphan_lineitems",          # new: referential orphan audit
+    "similarity_recall_at_k",        # new: ANN recall@5 vs exact audit
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).

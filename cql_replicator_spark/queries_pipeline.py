@@ -1351,3 +1351,74 @@ def cdc_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_orphan_lines"),
                  F.countDistinct("l_orderkey").cast("long")
                   .alias("n_missing_orders")))
+
+
+# -- ANN recall@k audit --------------------------------------------------------
+
+def _recall_oracle() -> str:
+    # single-source the IVF chain: reuse the registered similarity_ann_ivf
+    # oracle's CTEs (cents/corpus/assigned/q/probes/scored/ranked) and
+    # swap its final SELECT for the recall computation
+    from .queries import REGISTRY
+    base = REGISTRY["similarity_ann_ivf"].oracle
+    marker = "SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5"
+    assert marker in base, "similarity_ann_ivf oracle tail changed"
+    prefix = base.rsplit(marker, 1)[0].rstrip()
+    assert prefix.endswith(")"), "unexpected ivf oracle shape"
+    return prefix + """,
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             c.vec_id) AS rn
+    FROM q CROSS JOIN corpus c
+    WHERE c.vec_id <> q.query_id)
+  WHERE rn <= 5
+),
+ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5)
+SELECT a.query_id,
+       CAST(count(*) AS BIGINT) AS n_ann,
+       round(CAST(count(e.neighbor_id) AS DOUBLE) / 5, 6) AS recall_at_5
+FROM ann a LEFT JOIN exact e
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY a.query_id
+"""
+
+
+def _register_recall_audit():
+    @register(
+        "similarity_recall_at_k",
+        oracle=_recall_oracle(),
+        doc="ANN recall@5 audit — the vector twin of the MinHash "
+            "estimator audit: the IVF (nprobe=2/8) result set per query "
+            "scored against the exact brute-force top-5, recall = "
+            "overlap/k. This is the quality dial every ANN deployment "
+            "monitors before trading recall for probe count; both "
+            "branches are the already-registered deterministic "
+            "pipelines (ivf_search and the |Q|-broadcast cosine_topk), "
+            "so the audit is SQL-oracle-checked end-to-end. The exact "
+            "branch stays O(|Q|·n) — query sets are small by "
+            "construction; the corpus is never self-joined",
+    )
+    def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .analytics import similarity as S
+        emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+        centroids = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding")
+        queries = emb.filter(F.col("vec_id") < 5)
+        ann = S.ivf_search(queries, S.ivf_build(emb, centroids), centroids,
+                           k=5, nprobe=2).select("query_id", "neighbor_id")
+        exact = (S.cosine_topk(queries, emb, k=5)
+                 .select("query_id", "neighbor_id")
+                 .withColumn("hit", F.lit(1)))
+        return (ann.join(exact, ["query_id", "neighbor_id"], "left")
+                .groupBy("query_id")
+                .agg(F.count("*").cast("long").alias("n_ann"),
+                     F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                             .cast("double") / 5, 6).alias("recall_at_5")))
+
+
+_register_recall_audit()
