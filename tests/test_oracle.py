@@ -133,3 +133,20 @@ def test_check_priority_order_is_valid():
         assert not wasted, \
             f"window slots spent on evidenced queries while " \
             f"{len(out)} never-checked overflow: {wasted}"
+
+
+def test_plans_audit_in_sync_and_no_cartesian():
+    """PLANS.md is the committed physical-plan evidence: every
+    registered query must have an audited section (forcing
+    tools/explain_audit.py to be re-run when queries are added), and no
+    audited plan may contain a CartesianProduct — the O(n^2) plan shape
+    this engine bans (BroadcastNestedLoopJoins are reviewed case by
+    case; a cartesian is always a bug)."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "PLANS.md").read_text()
+    sections = {m.group(1) for m in re.finditer(r"^## (\S+)", text, re.M)}
+    missing = sorted(set(REGISTRY) - sections)
+    assert not missing, f"queries missing from PLANS.md audit: {missing}"
+    assert "CartesianProduct" not in text, "cartesian product in an audited plan"
