@@ -156,6 +156,11 @@ HEADLINE = [
     "pipeline_end_to_end",
     "cdc_orphan_lineitems",
     "similarity_recall_at_k",
+    # r5 wave 10
+    "orders_rfm_segmentation",
+    "features_user_behavior",
+    "reconcile_rowhash_checksum",
+    "orders_seasonal_dow_index",
 ]
 
 

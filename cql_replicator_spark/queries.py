@@ -1424,6 +1424,11 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "pipeline_end_to_end",           # new: curate|split|shard in one DAG
     "cdc_orphan_lineitems",          # new: referential orphan audit
     "similarity_recall_at_k",        # new: ANN recall@5 vs exact audit
+    # r5 wave 10
+    "orders_rfm_segmentation",       # new: quintile RFM lifecycle scores
+    "features_user_behavior",        # new: feature-store wide aggregate
+    "reconcile_rowhash_checksum",    # new: one-pass bucketed checksum
+    "orders_seasonal_dow_index",     # new: dow seasonality profile
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).

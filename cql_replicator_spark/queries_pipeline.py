@@ -1422,3 +1422,213 @@ def _register_recall_audit():
 
 
 _register_recall_audit()
+
+
+# -- RFM customer segmentation -------------------------------------------------
+
+@register(
+    "orders_rfm_segmentation",
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), mx.mxd) AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders CROSS JOIN mx
+  GROUP BY o_custkey, mx.mxd
+),
+cuts AS (
+  SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.2,0.4,0.6,0.8]) AS rq,
+         quantile_cont(CAST(frequency AS DOUBLE), [0.2,0.4,0.6,0.8]) AS fq,
+         quantile_cont(monetary, [0.2,0.4,0.6,0.8]) AS mq
+  FROM rfm
+)
+SELECT r.o_custkey, CAST(r.recency_days AS BIGINT) AS recency_days,
+       CAST(r.frequency AS BIGINT) AS frequency, r.monetary,
+       CAST(1 + len(list_filter(c.rq, q -> r.recency_days > q)) AS INT) AS r_q,
+       CAST(1 + len(list_filter(c.fq, q -> r.frequency > q)) AS INT) AS f_q,
+       CAST(1 + len(list_filter(c.mq, q -> r.monetary > q)) AS INT) AS m_q
+FROM rfm r CROSS JOIN cuts c
+""",
+    doc="RFM customer segmentation — the classic lifecycle analysis: "
+        "recency (days since last order vs corpus high-water), "
+        "frequency, monetary per customer, each scored into exact "
+        "interpolated quintiles (strictly-greater-than-cut rule, ties "
+        "to the lower bucket identically in both engines). One "
+        "customer groupBy + a 3x4-value broadcast cut row; no global "
+        "sort, no ntile — the same scalable boundary pattern as the "
+        "equi-depth histogram",
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    rfm = (orders.crossJoin(F.broadcast(mx))
+           .groupBy("o_custkey", "mxd")
+           .agg(F.datediff(F.col("mxd"), F.max("o_orderdate"))
+                 .alias("__rd_tmp"),
+                F.count("*").alias("frequency"),
+                F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+           .select("o_custkey",
+                   F.col("__rd_tmp").cast("long").alias("recency_days"),
+                   F.col("frequency").cast("long").alias("frequency"),
+                   "monetary"))
+    qs = [0.2, 0.4, 0.6, 0.8]
+    cuts = rfm.agg(
+        F.percentile(F.col("recency_days").cast("double"),
+                     F.array(*[F.lit(q) for q in qs])).alias("rq"),
+        F.percentile(F.col("frequency").cast("double"),
+                     F.array(*[F.lit(q) for q in qs])).alias("fq"),
+        F.percentile("monetary",
+                     F.array(*[F.lit(q) for q in qs])).alias("mq"))
+
+    def quint(val: str, arr: str):
+        return (F.lit(1) + F.expr(
+            f"size(filter({arr}, q -> {val} > q))")).cast("int")
+
+    return (rfm.crossJoin(F.broadcast(cuts))
+            .select("o_custkey", "recency_days", "frequency", "monetary",
+                    quint("recency_days", "rq").alias("r_q"),
+                    quint("frequency", "fq").alias("f_q"),
+                    quint("monetary", "mq").alias("m_q")))
+
+
+# -- per-user behavioral feature vector ----------------------------------------
+
+@register(
+    "features_user_behavior",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+         AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       round(sum(value), 2) AS total_value,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+FROM events GROUP BY user_id
+""",
+    doc="Per-user behavioral feature vector — the feature-store "
+        "materialization step of an ML pipeline: typed event counts "
+        "(conditional aggregates, no pivot shuffle), spend, active "
+        "days, first/last activity. ONE map-side-combined groupBy "
+        "produces every feature; at 100 TB this is the canonical "
+        "'wide aggregate' whose cost is one shuffle of partial "
+        "aggregates per user",
+)
+def features_user_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")["events"]
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+
+    def n_of(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)) \
+            .cast("long").alias(f"n_{t}")
+
+    return (events.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 n_of("click"), n_of("view"), n_of("purchase"),
+                 n_of("signup"), n_of("error"),
+                 F.round(F.sum("value"), 2).alias("total_value"),
+                 F.countDistinct(F.col("ts").cast("date")).cast("long")
+                  .alias("active_days"),
+                 F.min(ms).alias("first_ms"), F.max(ms).alias("last_ms")))
+
+
+# -- one-pass bucketed checksum reconcile --------------------------------------
+
+@register(
+    "reconcile_rowhash_checksum",
+    oracle=f"""
+WITH {_CDC_BASE_SQL_REF.strip()},
+h0 AS (
+  SELECT {_md5h32_sql("CAST(pk AS VARCHAR)")} % 16 AS bucket,
+         sum({_md5h32_sql("CAST(pk AS VARCHAR) || '|' || CAST(ts AS VARCHAR)")})
+           AS csum, count(*) AS n
+  FROM t0 GROUP BY 1
+),
+h1 AS (
+  SELECT {_md5h32_sql("CAST(pk AS VARCHAR)")} % 16 AS bucket,
+         sum({_md5h32_sql("CAST(pk AS VARCHAR) || '|' || CAST(ts AS VARCHAR)")})
+           AS csum, count(*) AS n
+  FROM t1 GROUP BY 1
+)
+SELECT COALESCE(h0.bucket, h1.bucket) AS bucket,
+       CAST(COALESCE(h0.n, 0) AS BIGINT) AS n_source,
+       CAST(COALESCE(h1.n, 0) AS BIGINT) AS n_target,
+       COALESCE(h0.csum, 0) = COALESCE(h1.csum, 0) AS bucket_match
+FROM h0 FULL OUTER JOIN h1 ON h1.bucket = h0.bucket
+""",
+    doc="One-pass bucketed checksum reconcile — the cheap companion to "
+        "the Merkle anti-entropy tree: an order-independent additive "
+        "row-hash checksum per hash bucket (sum of md5h32(pk|ts), 16 "
+        "buckets) computed in a single aggregation pass per side; "
+        "mismatched buckets localize drift to 1/16 of the key space "
+        "with NO tree levels and no re-scans. Use this every cycle; "
+        "escalate to the Merkle tree (log-localization) only on "
+        "mismatch. Map-side combined, shuffle = 16 rows per partition",
+)
+def reconcile_rowhash_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics.dedup import md5h32
+    from .queries import _cdc_snapshots
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+
+    def side(t: DataFrame, n_name: str) -> DataFrame:
+        rh = md5h32(F.concat(F.col("pk").cast("string"), F.lit("|"),
+                             F.col("ts").cast("string")))
+        return (t.groupBy(F.pmod(md5h32(F.col("pk").cast("string")),
+                                 F.lit(16)).alias("bucket"))
+                .agg(F.sum(rh).alias(f"__c_{n_name}"),
+                     F.count("*").cast("long").alias(n_name)))
+
+    s0 = side(t0, "n_source")
+    s1 = side(t1, "n_target")
+    return (s0.join(s1, "bucket", "full_outer")
+            .select("bucket",
+                    F.coalesce("n_source", F.lit(0)).alias("n_source"),
+                    F.coalesce("n_target", F.lit(0)).alias("n_target"),
+                    (F.coalesce("__c_n_source", F.lit(0))
+                     == F.coalesce("__c_n_target", F.lit(0)))
+                     .alias("bucket_match")))
+
+
+# -- day-of-week seasonality index ---------------------------------------------
+
+@register(
+    "orders_seasonal_dow_index",
+    oracle="""
+WITH d AS (
+  SELECT date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) % 7 AS dow,
+         o_totalprice
+  FROM orders
+),
+g AS (SELECT avg(o_totalprice) AS overall FROM d)
+SELECT d.dow, CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(d.o_totalprice), 4) AS avg_price,
+       round(avg(d.o_totalprice) / g.overall, 6) AS seasonal_index
+FROM d CROSS JOIN g
+GROUP BY d.dow, g.overall
+""",
+    doc="Day-of-week seasonality index: per-weekday average order value "
+        "against the overall mean (index > 1 = hot day) — the basic "
+        "seasonal profile a forecasting pipeline extracts before "
+        "detrending. The weekday is epoch-day mod 7 (integer-exact, "
+        "engine-portable; no locale-dependent day names). One groupBy "
+        "+ one scalar broadcast",
+)
+def orders_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    dow = F.pmod(F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")),
+                 F.lit(7))
+    d = orders.select(dow.alias("dow"), "o_totalprice")
+    g = d.agg(F.avg("o_totalprice").alias("overall"))
+    return (d.crossJoin(F.broadcast(g))
+            .groupBy("dow", "overall")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+                 F.round(F.avg("o_totalprice") / F.first("overall"), 6)
+                  .alias("seasonal_index"))
+            .drop("overall"))
