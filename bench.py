@@ -161,6 +161,10 @@ HEADLINE = [
     "features_user_behavior",
     "reconcile_rowhash_checksum",
     "orders_seasonal_dow_index",
+    # r5 wave 11
+    "text_zipf_fit",
+    "documents_vocab_growth_heaps",
+    "events_power_users_gini",
 ]
 
 

@@ -1429,6 +1429,10 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "features_user_behavior",        # new: feature-store wide aggregate
     "reconcile_rowhash_checksum",    # new: one-pass bucketed checksum
     "orders_seasonal_dow_index",     # new: dow seasonality profile
+    # r5 wave 11
+    "text_zipf_fit",                 # new: rank-frequency law fit
+    "documents_vocab_growth_heaps",  # new: Heaps vocabulary curve
+    "events_power_users_gini",       # new: activity concentration
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).

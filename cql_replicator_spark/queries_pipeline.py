@@ -1632,3 +1632,123 @@ def orders_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("o_totalprice") / F.first("overall"), 6)
                   .alias("seasonal_index"))
             .drop("overall"))
+
+
+# -- Zipf rank-frequency fit ---------------------------------------------------
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS f FROM tok GROUP BY tok),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       round(regr_slope(ln(f), ln(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+       round(regr_r2(ln(f), ln(CAST(r AS DOUBLE))), 6) AS r2
+FROM ranked
+""",
+    doc="Zipf's-law fit over the corpus vocabulary: OLS slope of "
+        "ln(freq) on ln(rank) (natural text sits near -1; templated or "
+        "synthetic corpora deviate — a cheap distribution-shift alarm "
+        "for an intake pipeline) plus the fit R². One token explode -> "
+        "vocab-sized count, one rank window over the VOCAB (not the "
+        "stream), one co-moment regression aggregate — the SQL:2003 "
+        "regr_* family both engines implement bit-compatibly after "
+        "round-6",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    freq = (docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").cast("double").alias("f")))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("tok"))))
+    lr, lf = F.log(F.col("r").cast("double")), F.log("f")
+    return ranked.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"))
+
+
+# -- Heaps'-law vocabulary growth ----------------------------------------------
+
+@register(
+    "documents_vocab_growth_heaps",
+    # terms are word 3-grams: the word vocabulary of the synthetic
+    # corpus is tiny (everything is first-seen immediately), while the
+    # shingle space grows the way a real vocabulary does
+    oracle=f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{_SHINGLE_SQL.strip()},
+first_seen AS (SELECT gram, min(doc_id) AS fs FROM sh GROUP BY gram),
+cohorts AS (
+  SELECT CAST(fs // 50 AS BIGINT) AS cohort, count(*) AS new_terms
+  FROM first_seen GROUP BY 1
+)
+SELECT cohort, CAST(new_terms AS BIGINT) AS new_terms,
+       CAST(sum(new_terms) OVER (ORDER BY cohort
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM cohorts
+""",
+    doc="Heaps'-law vocabulary growth curve over word 3-grams: "
+        "distinct-term count as the corpus grows, computed WITHOUT any "
+        "cumulative-distinct scan — each term's first-seen doc (one "
+        "vocab-sized min aggregation) is bucketed into 50-doc cohorts "
+        "and a running sum over the tiny cohort frame yields the "
+        "growth curve. Sub-linear growth = natural text; a linear "
+        "curve flags id-like/noisy token streams. The 100 TB shape: "
+        "the only corpus-sized step is the one shingle aggregation "
+        "every dedup op already pays",
+)
+def documents_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    first_seen = (D.shingles(docs)
+                  .groupBy("gram").agg(F.min("doc_id").alias("fs")))
+    cohorts = (first_seen
+               .groupBy((F.col("fs") / 50).cast("long").alias("cohort"))
+               .agg(F.count("*").cast("long").alias("new_terms")))
+    w = Window.orderBy("cohort").rowsBetween(Window.unboundedPreceding, 0)
+    return cohorts.select(
+        "cohort", "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("vocab_size"))
+
+
+# -- Gini concentration of user activity ---------------------------------------
+
+@register(
+    "events_power_users_gini",
+    oracle="""
+WITH c AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS x FROM events
+           GROUP BY user_id),
+r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round((2.0 * sum(i * x)) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r
+""",
+    doc="Gini coefficient of per-user event concentration — the "
+        "power-user inequality metric (0 = uniform activity, ->1 = a "
+        "few users generate everything; capacity planning and abuse "
+        "detection both read this dial). Exact rank formulation "
+        "G = 2·Σ i·x_i / (n·Σx) - (n+1)/n over ascending counts, "
+        "deterministic via the user-id tiebreak; the rank window runs "
+        "over the per-user aggregate (users, not events)",
+)
+def events_power_users_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    events = _t(spark, sf_dir, "events")["events"]
+    c = (events.groupBy("user_id")
+         .agg(F.count("*").cast("double").alias("x")))
+    r = c.withColumn("i", F.row_number().over(
+        Window.orderBy(F.asc("x"), F.asc("user_id"))))
+    return r.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round((2.0 * F.sum(F.col("i") * F.col("x")))
+                / (F.count("*") * F.sum("x"))
+                - (F.count("*") + 1.0) / F.count("*"), 6).alias("gini"))
