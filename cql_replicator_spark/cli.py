@@ -255,6 +255,43 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered analytics/replication query by name against a
+    testdata-shaped directory of parquet tables, writing the result to
+    parquet/CSV or printing a preview — the switch-over surface for a
+    user replacing ad-hoc reference jobs: every operator in the
+    registry is runnable from the shell with no Python required."""
+    from .queries import REGISTRY, _ensure_all_registered
+    from .session import get_spark
+
+    _ensure_all_registered()
+    if args.list or args.name is None:
+        for name, spec in sorted(REGISTRY.items()):
+            doc = (spec.doc or "").split(". ")[0][:90]
+            print(f"{name:34s} {doc}")
+        return 0
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+    spark = get_spark(
+        "query",
+        extra_conf={"spark.sql.shuffle.partitions":
+                    str(args.shuffle_partitions)})
+    df = REGISTRY[args.name].build(spark, args.sf_dir)
+    if args.out:
+        fmt = "csv" if args.out.endswith(".csv") or args.format == "csv"             else "parquet"
+        w = df.coalesce(1) if args.single_file else df
+        if fmt == "csv":
+            w.write.mode("overwrite").option("header", "true").csv(args.out)
+        else:
+            w.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"query": args.name, "rows": df.count(),
+                          "out": args.out, "format": fmt}))
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cqlreplicator-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -333,6 +370,23 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--discovery-workers", type=int, default=0,
                     help="override discovery worker count (0 = formula)")
     sp.set_defaults(fn=cmd_plan_capacity)
+
+    sp = sub.add_parser("query",
+                        help="run a registered query by name (--list to enumerate)")
+    sp.add_argument("--name", default=None, help="registry name (see --list)")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="directory of parquet tables (testdata layout)")
+    sp.add_argument("--out", default=None,
+                    help="output path (parquet, or CSV via --format/.csv)")
+    sp.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    sp.add_argument("--single-file", action="store_true",
+                    help="coalesce(1) before writing")
+    sp.add_argument("--limit", type=int, default=20,
+                    help="preview row count when no --out")
+    sp.add_argument("--shuffle-partitions", type=int, default=32)
+    sp.add_argument("--list", action="store_true",
+                    help="print every registered query and exit")
+    sp.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

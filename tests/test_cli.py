@@ -240,3 +240,30 @@ def test_cli_compact(spark, tmp_path, capsys):
     assert back.count() == docs.count()
     assert sorted(r.o_orderkey for r in back.collect()) \
         == sorted(r.o_orderkey for r in docs.collect())
+
+
+def test_cli_query_list_and_run(spark, tmp_path, capsys):
+    """query --list enumerates the registry; query --name runs one and
+    writes parquet whose values match running the query in-process."""
+    from cql_replicator_spark.cli import main
+    from cql_replicator_spark.queries import REGISTRY
+
+    assert main(["query", "--list"]) == 0
+    listed = capsys.readouterr().out.strip().splitlines()
+    assert len(listed) == len(REGISTRY)
+
+    out = str(tmp_path / "q.parquet")
+    code, rep = _run(capsys, [
+        "query", "--name", "orders_seasonal_dow_index",
+        "--sf-dir", SF, "--out", out, "--single-file"])
+    assert code == 0 and rep["rows"] == 7
+    back = {r["dow"]: r["n_orders"]
+            for r in spark.read.parquet(out).collect()}
+    want = {r["dow"]: r["n_orders"] for r in
+            REGISTRY["orders_seasonal_dow_index"].build(spark, SF).collect()}
+    assert back == want
+
+
+def test_cli_query_unknown_name(capsys):
+    from cql_replicator_spark.cli import main
+    assert main(["query", "--name", "no_such_query"]) == 2
