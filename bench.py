@@ -165,6 +165,9 @@ HEADLINE = [
     "text_zipf_fit",
     "documents_vocab_growth_heaps",
     "events_power_users_gini",
+    # r5 wave 12
+    "multimodal_image_text_chunks",
+    "events_conversion_latency",
 ]
 
 

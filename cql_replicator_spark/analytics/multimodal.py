@@ -567,3 +567,83 @@ def sample_media_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 {"id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames})
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# -- PNG tEXt metadata chunks --------------------------------------------------
+
+def parse_png_text_chunks(data: bytes) -> list[tuple[str, str]]:
+    """Walk a PNG's chunk list and return its tEXt key/value pairs —
+    the embedded-metadata path (author/source/copyright tags) real
+    intake pipelines mine before any pixel work. Pure-Python chunk
+    walk: length(BE32) + type(4) + data + crc(4), starting after the
+    8-byte signature; stops cleanly on truncated or non-PNG input."""
+    out: list[tuple[str, str]] = []
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return out
+    i = 8
+    while i + 8 <= len(data):
+        clen = int.from_bytes(data[i:i + 4], "big")
+        ctype = data[i + 4:i + 8]
+        if i + 8 + clen > len(data):  # truncated payload: stop
+            break
+        if ctype == b"tEXt":
+            body = data[i + 8:i + 8 + clen]
+            if b"\x00" in body:
+                k, v = body.split(b"\x00", 1)
+                try:
+                    out.append((k.decode("latin-1"), v.decode("latin-1")))
+                except UnicodeDecodeError:
+                    pass
+        i += 8 + clen + 4
+    return out
+
+
+TEXT_CHUNK_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("value", T.StringType()),
+])
+
+
+def image_text_chunks(df: DataFrame) -> DataFrame:
+    """media binary -> one row per embedded tEXt (id, key, value) via
+    Arrow-batched mapInPandas over parse_png_text_chunks; images
+    without tEXt contribute no rows. Same contract as the other
+    header parsers: real metadata from real container bytes, media
+    projected away before any shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, keys, vals = [], [], []
+            for i, b in zip(pdf["id"], pdf["media"]):
+                if b is None:
+                    continue
+                for k, v in parse_png_text_chunks(bytes(b)):
+                    ids.append(i)
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                                "key": keys, "value": vals})
+
+    return df.select("id", "media").mapInPandas(run, schema=TEXT_CHUNK_SCHEMA)
+
+
+def synthesize_png_with_text(documents: DataFrame) -> DataFrame:
+    """PNGs carrying a tEXt chunk ('src' -> 'doc<doc_id>'): signature +
+    IHDR (dims from text length, as synthesize_image_table) + tEXt
+    (length-prefixed, zeroed CRC — parse-valid). Byte assembly stays
+    JVM-side codegen: the string payload casts to binary and its
+    length feeds the BE32 chunk-length field, so synthesis runs
+    distributed with no Python."""
+    w = (F.length("text") % F.lit(1920) + F.lit(1)).cast("long")
+    h = (F.length("text") % F.lit(1080) + F.lit(1)).cast("long")
+    payload = F.concat(
+        F.lit(b"src\x00"),
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).cast("binary"))
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"),
+        be32(w), be32(h),
+        F.lit(b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"),
+        be32(F.length(payload).cast("long")),
+        F.lit(b"tEXt"), payload, F.lit(b"\x00\x00\x00\x00"))
+    return documents.select(F.col("doc_id").alias("id"), png.alias("media"))

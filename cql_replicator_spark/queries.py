@@ -1433,6 +1433,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "text_zipf_fit",                 # new: rank-frequency law fit
     "documents_vocab_growth_heaps",  # new: Heaps vocabulary curve
     "events_power_users_gini",       # new: activity concentration
+    # r5 wave 12
+    "multimodal_image_text_chunks",  # new: PNG tEXt metadata round-trip
+    "events_conversion_latency",     # new: time-to-convert percentiles
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).

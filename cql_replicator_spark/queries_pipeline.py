@@ -1752,3 +1752,79 @@ def events_power_users_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((2.0 * F.sum(F.col("i") * F.col("x")))
                 / (F.count("*") * F.sum("x"))
                 - (F.count("*") + 1.0) / F.count("*"), 6).alias("gini"))
+
+
+# -- PNG embedded-metadata extraction ------------------------------------------
+
+@register(
+    "multimodal_image_text_chunks",
+    oracle="""
+SELECT doc_id AS id, 'src' AS key,
+       'doc' || CAST(doc_id AS VARCHAR) AS value
+FROM documents
+""",
+    doc="Embedded image metadata round-trip: PNGs are SYNTHESIZED "
+        "JVM-side carrying a tEXt chunk ('src' -> 'doc<id>'; "
+        "length-prefixed chunk layout, dims from the text length), "
+        "then a pure-Python chunk WALKER (mapInPandas, Arrow batches) "
+        "recovers every key/value — the author/source/copyright mining "
+        "path real intake pipelines run before pixel work, and the "
+        "third real container parser next to the image/audio/video "
+        "header triple. The oracle reconstructs the expected metadata "
+        "arithmetically, so a single mis-parsed length field fails the "
+        "hash. Media bytes never shuffle — the parser projects them "
+        "away in the map stage",
+)
+def multimodal_image_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics.multimodal import image_text_chunks, synthesize_png_with_text
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return image_text_chunks(synthesize_png_with_text(docs))
+
+
+# -- conversion latency percentiles --------------------------------------------
+
+@register(
+    "events_conversion_latency",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT (epoch_ms(first_purchase) - epoch_ms(first_view)) / 1000.0 AS sec
+  FROM u
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase > first_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(sec, 0.25), 3) AS p25_sec,
+       round(quantile_cont(sec, 0.5), 3) AS p50_sec,
+       round(quantile_cont(sec, 0.75), 3) AS p75_sec,
+       round(quantile_cont(sec, 0.9), 3) AS p90_sec
+FROM lat
+""",
+    doc="First-view -> first-purchase conversion latency distribution: "
+        "per-user firsts from ONE conditional-min groupBy (no "
+        "view x purchase self-join), then exact interpolated "
+        "percentiles over the small converted-user frame — the "
+        "time-to-convert funnel metric product teams track next to "
+        "the conversion-rate funnel already registered",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")["events"]
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    u = (events.groupBy("user_id")
+         .agg(F.min(F.when(F.col("event_type") == "view", ms)).alias("fv"),
+              F.min(F.when(F.col("event_type") == "purchase", ms))
+               .alias("fp")))
+    lat = (u.filter(F.col("fv").isNotNull() & F.col("fp").isNotNull()
+                    & (F.col("fp") > F.col("fv")))
+           .select(((F.col("fp") - F.col("fv")) / 1000.0).alias("sec")))
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.percentile("sec", F.lit(0.25)), 3).alias("p25_sec"),
+        F.round(F.percentile("sec", F.lit(0.5)), 3).alias("p50_sec"),
+        F.round(F.percentile("sec", F.lit(0.75)), 3).alias("p75_sec"),
+        F.round(F.percentile("sec", F.lit(0.9)), 3).alias("p90_sec"))

@@ -1823,3 +1823,23 @@ def test_hilbert_reference_bijective_and_local(bits, seed):
     pts = {(a, b) for a in xs for b in ys}
     ds = {hilbert_xy2d_ref(a, b, bits) for a, b in pts}
     assert len(ds) == len(pts)
+
+
+def test_png_text_chunk_walker_edge_cases():
+    from cql_replicator_spark.analytics.multimodal import parse_png_text_chunks
+    sig = b"\x89PNG\r\n\x1a\n"
+    def chunk(ctype, body):
+        return len(body).to_bytes(4, "big") + ctype + body + b"\0\0\0\0"
+    # two tEXt chunks, one other chunk between them
+    png = sig + chunk(b"IHDR", b"\0" * 13) \
+        + chunk(b"tEXt", b"src\x00doc7") \
+        + chunk(b"IDAT", b"xx") \
+        + chunk(b"tEXt", b"author\x00alice")
+    assert parse_png_text_chunks(png) == [("src", "doc7"),
+                                          ("author", "alice")]
+    # not a png / truncated payload / keyless body
+    assert parse_png_text_chunks(b"GIF89a") == []
+    trunc = sig + len(b"src\x00doc7").to_bytes(4, "big") + b"tEXt" + b"src"
+    assert parse_png_text_chunks(trunc) == []
+    nokey = sig + chunk(b"tEXt", b"novalue")
+    assert parse_png_text_chunks(nokey) == []
