@@ -168,6 +168,9 @@ HEADLINE = [
     # r5 wave 12
     "multimodal_image_text_chunks",
     "events_conversion_latency",
+    # r5 wave 13
+    "events_wau_rolling",
+    "orders_pareto_8020",
 ]
 
 

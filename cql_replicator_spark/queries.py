@@ -1436,6 +1436,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # r5 wave 12
     "multimodal_image_text_chunks",  # new: PNG tEXt metadata round-trip
     "events_conversion_latency",     # new: time-to-convert percentiles
+    # r5 wave 13
+    "events_wau_rolling",            # new: rolling 7-day active users
+    "orders_pareto_8020",            # new: revenue concentration point
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).

@@ -1828,3 +1828,94 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("sec", F.lit(0.5)), 3).alias("p50_sec"),
         F.round(F.percentile("sec", F.lit(0.75)), 3).alias("p75_sec"),
         F.round(F.percentile("sec", F.lit(0.9)), 3).alias("p90_sec"))
+
+
+# -- rolling weekly active users -----------------------------------------------
+
+@register(
+    "events_wau_rolling",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+""",
+    doc="Rolling 7-day active users per day (the WAU curve next to "
+        "DAU/MAU — THE product-analytics engagement metric): distinct "
+        "(day, user) pairs first (one dedup shuffle collapses the "
+        "event stream to at most days x users rows), then each day "
+        "joins its trailing 7-day window of that SMALL frame and "
+        "counts distinct users. The range join is days x (7 x daily "
+        "actives) — calendar-sized, never event-stream-sized; no "
+        "approximate sketch needed until daily actives themselves "
+        "explode, at which point the registered per-group HLL ops "
+        "swap in mergeably",
+)
+def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")["events"]
+    day = (F.unix_millis(F.col("ts").cast("timestamp")) / 86400000) \
+        .cast("long")
+    du = events.select(day.alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    u = du.select(F.col("day").alias("uday"), "user_id")
+    return (days.join(u, (F.col("uday") >= F.col("day") - 6)
+                      & (F.col("uday") <= F.col("day")))
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("long").alias("wau")))
+
+
+# -- Pareto concentration point ------------------------------------------------
+
+@register(
+    "orders_pareto_8020",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT s,
+         row_number() OVER (ORDER BY s DESC, o_custkey) AS r,
+         sum(s) OVER (ORDER BY s DESC, o_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         count(*) OVER () AS n, sum(s) OVER () AS tot
+  FROM spend
+)
+SELECT CAST(min(r) AS BIGINT) AS customers_for_80pct,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       round(CAST(min(r) AS DOUBLE) / max(n), 6) AS pareto_fraction
+FROM ranked WHERE cum >= 0.8 * tot
+""",
+    doc="Pareto 80/20 concentration point: the smallest top-customer "
+        "prefix whose cumulative spend reaches 80%% of revenue, as a "
+        "count and as a fraction of the customer base — the "
+        "concentration dial next to the Gini coefficient (Gini "
+        "summarizes the whole curve; this names the actionable "
+        "prefix). Rank/cumsum windows run over the per-customer "
+        "AGGREGATE (customers, not orders); unique-id tiebreak keeps "
+        "the prefix deterministic cross-engine",
+)
+def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum("o_totalprice").alias("s")))
+    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    ranked = (spend
+              .withColumn("r", F.row_number().over(w))
+              .withColumn("cum", F.sum("s").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy()))
+              .withColumn("tot", F.sum("s").over(Window.partitionBy())))
+    return (ranked.filter(F.col("cum") >= 0.8 * F.col("tot"))
+            .agg(F.min("r").cast("long").alias("customers_for_80pct"),
+                 F.max("n").cast("long").alias("n_customers"),
+                 F.round(F.min("r").cast("double") / F.max("n"), 6)
+                  .alias("pareto_fraction")))
