@@ -171,6 +171,9 @@ HEADLINE = [
     # r5 wave 13
     "events_wau_rolling",
     "orders_pareto_8020",
+    # r5 wave 14
+    "text_langid_confusion",
+    "embedding_centroid_drift",
 ]
 
 

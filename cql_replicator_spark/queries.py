@@ -1439,6 +1439,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # r5 wave 13
     "events_wau_rolling",            # new: rolling 7-day active users
     "orders_pareto_8020",            # new: revenue concentration point
+    # r5 wave 14
+    "text_langid_confusion",         # new: classifier confusion audit
+    "embedding_centroid_drift",      # new: embedding-space drift alarm
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).

@@ -1919,3 +1919,97 @@ def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n").cast("long").alias("n_customers"),
                  F.round(F.min("r").cast("double") / F.max("n"), 6)
                   .alias("pareto_fraction")))
+
+
+# -- language-ID confusion audit -----------------------------------------------
+
+def _register_langid_confusion():
+    from .queries_analytics import _lang_hits_and_case
+    hits, case_sql = _lang_hits_and_case()
+
+    @register(
+        "text_langid_confusion",
+        oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+  {hits}
+  FROM documents
+),
+pred AS (SELECT doc_id, lang, {case_sql} AS predicted FROM h)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, predicted
+""",
+        doc="Language-ID confusion matrix: the heuristic classifier's "
+            "predictions cross-tabulated against the declared lang "
+            "column — the audit every classifier-gated pipeline runs "
+            "before trusting a filter (off-diagonal mass = docs a "
+            "language gate would mis-route; per-language recall reads "
+            "off the diagonal). Pure projection + one "
+            "|langs|^2-bounded groupBy; the classifier and its SQL "
+            "mirror are the registered language_id pair, so this also "
+            "cross-checks the classifier's engine parity",
+    )
+    def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .analytics.text import language_id
+        docs = _t(spark, sf_dir, "documents")["documents"]
+        pred = language_id(docs).select("doc_id", "predicted_lang")
+        return (docs.select("doc_id", "lang").join(pred, "doc_id")
+                .groupBy("lang", F.col("predicted_lang").alias("predicted"))
+                .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+_register_langid_confusion()
+
+
+# -- embedding centroid drift --------------------------------------------------
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+WITH cell AS (
+  SELECT vec_id % 2 AS cohort, label, i AS dim,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings,
+       unnest(generate_series(1, CAST(len(embedding) AS INT))) t(i)
+),
+cent AS (
+  SELECT cohort, label, dim, avg(v) AS m
+  FROM cell GROUP BY cohort, label, dim
+)
+SELECT a.label,
+       round(sqrt(sum(pow(a.m - b.m, 2))), 6) AS centroid_l2_drift,
+       CAST(count(*) AS BIGINT) AS n_dims
+FROM cent a JOIN cent b
+  ON b.label = a.label AND b.dim = a.dim
+WHERE a.cohort = 0 AND b.cohort = 1
+GROUP BY a.label
+""",
+    doc="Embedding centroid drift between two deterministic cohorts "
+        "(even vs odd vec_ids — standing in for week-over-week model "
+        "or data versions): per-label mean vector per cohort, L2 "
+        "distance between the cohort centroids — the embedding-space "
+        "drift alarm an ML-ops pipeline fires before re-clustering or "
+        "re-indexing (an ANN index built on drifted centroids loses "
+        "recall silently; cf. the registered recall@5 audit). The "
+        "corpus-sized step is one (cohort, label, dim) mean "
+        "aggregation over the exploded cells; the drift join runs on "
+        "the labels x dims centroid frame",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cell = emb.select(
+        (F.col("vec_id") % 2).alias("cohort"), "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "v0")
+    ).select("cohort", "label", (F.col("dim0") + 1).alias("dim"),
+             F.col("v0").cast("double").alias("v"))
+    cent = (cell.groupBy("cohort", "label", "dim")
+            .agg(F.avg("v").alias("m")))
+    a = cent.filter(F.col("cohort") == 0).select(
+        "label", "dim", F.col("m").alias("ma"))
+    b = cent.filter(F.col("cohort") == 1).select(
+        "label", "dim", F.col("m").alias("mb"))
+    return (a.join(b, ["label", "dim"])
+            .groupBy("label")
+            .agg(F.round(F.sqrt(F.sum(F.pow(F.col("ma") - F.col("mb"), 2))),
+                         6).alias("centroid_l2_drift"),
+                 F.count("*").cast("long").alias("n_dims")))
