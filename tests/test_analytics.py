@@ -1843,3 +1843,61 @@ def test_png_text_chunk_walker_edge_cases():
     assert parse_png_text_chunks(trunc) == []
     nokey = sig + chunk(b"tEXt", b"novalue")
     assert parse_png_text_chunks(nokey) == []
+
+
+# -- wave 13-14 unit edges -----------------------------------------------------
+
+def test_wau_rolling_window_boundaries(spark):
+    # user active on days 0 and 7: day-7's trailing window [1..7] must
+    # NOT include day 0 (7-day window = d-6..d inclusive)
+    import pyspark.sql.functions as F
+    rows = [(1, "2024-01-01 00:00:00", 10), (2, "2024-01-08 00:00:00", 10),
+            (3, "2024-01-02 00:00:00", 20)]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long") \
+        .select("event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+                "user_id")
+    day = (F.unix_millis(F.col("ts").cast("timestamp")) / 86400000).cast("long")
+    du = df.select(day.alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    u = du.select(F.col("day").alias("uday"), "user_id")
+    out = {r["day"]: r["wau"] for r in
+           (days.join(u, (F.col("uday") >= F.col("day") - 6)
+                      & (F.col("uday") <= F.col("day")))
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias("wau"))).collect()}
+    d0 = min(out)
+    assert out[d0] == 1          # day 0: only user 10
+    assert out[d0 + 1] == 2      # day 1: users 10 + 20
+    assert out[d0 + 7] == 2      # day 7: users 20 (day1 in window) + 10 (day7)
+
+
+def test_pareto_8020_known_distribution(spark):
+    # 10 customers: one whale with 80% of spend -> prefix of exactly 1
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+    rows = [(1, 800.0)] + [(k, 200.0 / 9) for k in range(2, 11)]
+    spend = spark.createDataFrame(rows, "o_custkey long, s double")
+    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    ranked = (spend.withColumn("r", F.row_number().over(w))
+              .withColumn("cum", F.sum("s").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("n", F.count("*").over(Window.partitionBy()))
+              .withColumn("tot", F.sum("s").over(Window.partitionBy())))
+    got = (ranked.filter(F.col("cum") >= 0.8 * F.col("tot"))
+           .agg(F.min("r").alias("k"), F.max("n").alias("n")).collect()[0])
+    assert (got["k"], got["n"]) == (1, 10)
+
+
+def test_rfm_quintile_tie_goes_to_lower_bucket(spark):
+    # strictly-greater-than-cut rule: a value equal to a cut stays in
+    # the lower bucket in BOTH engines (the documented tie semantics)
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame([(float(v),) for v in range(1, 6)], "m double")
+    cuts = df.agg(F.percentile("m", F.array(
+        *[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)])).alias("mq"))
+    out = (df.crossJoin(F.broadcast(cuts))
+           .select("m", (F.lit(1) + F.expr(
+               "size(filter(mq, q -> m > q))")).alias("q")).collect())
+    got = {r["m"]: r["q"] for r in out}
+    # cuts at [1.8, 2.6, 3.4, 4.2]: 1->1, 2->2, 3->3, 4->4, 5->5
+    assert got == {1.0: 1, 2.0: 2, 3.0: 3, 4.0: 4, 5.0: 5}
