@@ -1901,3 +1901,44 @@ def test_rfm_quintile_tie_goes_to_lower_bucket(spark):
     got = {r["m"]: r["q"] for r in out}
     # cuts at [1.8, 2.6, 3.4, 4.2]: 1->1, 2->2, 3->3, 4->4, 5->5
     assert got == {1.0: 1, 2.0: 2, 3.0: 3, 4.0: 4, 5.0: 5}
+
+
+# -- cross-cutting guards: concurrency + rerun determinism ---------------------
+
+def test_registry_queries_are_thread_safe(spark):
+    """Multiple threads driving DIFFERENT registry queries on one shared
+    session must all produce correct results — the multi-tenant usage
+    mode (and a regression guard for session-global state: stage dirs,
+    priority caches, temp views are all keyed per-process/per-name)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cql_replicator_spark.queries import REGISTRY, _ensure_all_registered
+    from conftest import SF_DIR
+    _ensure_all_registered()
+    names = ["orders_seasonal_dow_index", "events_power_users_gini",
+             "text_zipf_fit", "kanonymity_audit",
+             "training_shards_manifest", "events_freshness_report",
+             "orders_pareto_8020", "events_grouping_sets_time"]
+    expected = {n: REGISTRY[n].build(spark, SF_DIR).count() for n in names}
+
+    def run(n):
+        return n, REGISTRY[n].build(spark, SF_DIR).count()
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        got = dict(ex.map(run, names * 2))
+    assert got == expected
+
+
+def test_rerun_determinism_hash_stable(spark):
+    """Three representative non-trivial queries re-run in the same
+    session must produce IDENTICAL row sets — guards against
+    nondeterminism creeping into pair generation, window tiebreaks, or
+    float rounding (the property the driver's value-hash relies on)."""
+    from cql_replicator_spark.queries import REGISTRY, _ensure_all_registered
+    from conftest import SF_DIR
+    _ensure_all_registered()
+    for name in ["text_sparse_cosine_pairs", "dedup_minhash_accuracy",
+                 "events_wau_rolling"]:
+        a = sorted(map(tuple, REGISTRY[name].build(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, REGISTRY[name].build(spark, SF_DIR).collect()))
+        assert a == b, name
