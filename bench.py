@@ -174,6 +174,8 @@ HEADLINE = [
     # r5 wave 14
     "text_langid_confusion",
     "embedding_centroid_drift",
+    # r5 wave 15
+    "lineitem_ship_lag_distribution",
 ]
 
 

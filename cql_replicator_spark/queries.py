@@ -1442,6 +1442,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # r5 wave 14
     "text_langid_confusion",         # new: classifier confusion audit
     "embedding_centroid_drift",      # new: embedding-space drift alarm
+    # r5 wave 15
+    "lineitem_ship_lag_distribution", # new: fulfillment latency report
     # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
     # never-driver-checked block: zero-evidence queries outrank stale-GREEN
     # ones for window slots (the test_check_priority_order invariant).

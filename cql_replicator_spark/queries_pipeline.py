@@ -2013,3 +2013,47 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sqrt(F.sum(F.pow(F.col("ma") - F.col("mb"), 2))),
                          6).alias("centroid_l2_drift"),
                  F.count("*").cast("long").alias("n_dims")))
+
+
+# -- fulfillment latency distribution ------------------------------------------
+
+@register(
+    "lineitem_ship_lag_distribution",
+    oracle="""
+WITH lag AS (
+  SELECT l.l_returnflag,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS d
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(quantile_cont(CAST(d AS DOUBLE), 0.5), 3) AS p50_days,
+       round(quantile_cont(CAST(d AS DOUBLE), 0.9), 3) AS p90_days,
+       CAST(max(d) AS BIGINT) AS max_days,
+       CAST(count(*) FILTER (WHERE d > 90) AS BIGINT) AS n_over_90d
+FROM lag GROUP BY l_returnflag
+""",
+    doc="Fulfillment-latency distribution: order-date -> ship-date lag "
+        "percentiles per return flag plus a 90-day SLA breach count — "
+        "the operational latency report next to the revenue queries "
+        "(TPC-H measures money; operations teams measure days). One "
+        "orderkey join (AQE picks the strategy), exact interpolated "
+        "percentiles per small group; integer day arithmetic from a "
+        "shared epoch on both engines",
+)
+def lineitem_ship_lag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    lag = (t["lineitem"].select("l_orderkey", "l_returnflag", "l_shipdate")
+           .join(t["orders"].select("o_orderkey", "o_orderdate"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .select("l_returnflag",
+                   F.datediff("l_shipdate", "o_orderdate").alias("d")))
+    return (lag.groupBy("l_returnflag")
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.round(F.percentile(F.col("d").cast("double"),
+                                      F.lit(0.5)), 3).alias("p50_days"),
+                 F.round(F.percentile(F.col("d").cast("double"),
+                                      F.lit(0.9)), 3).alias("p90_days"),
+                 F.max("d").cast("long").alias("max_days"),
+                 F.sum(F.when(F.col("d") > 90, 1).otherwise(0))
+                  .cast("long").alias("n_over_90d")))
