@@ -526,7 +526,9 @@ seg AS (
 ),
 tot AS (SELECT token, CAST(sum(seg_df) AS BIGINT) AS doc_freq
         FROM seg GROUP BY token)
-SELECT s.token, s.segment, s.postings, t.doc_freq
+SELECT s.token, s.segment,
+       array_to_string(s.postings, ',') AS postings,
+       t.doc_freq
 FROM seg s JOIN tot t USING (token)
 WHERE t.doc_freq >= 50
 """,
@@ -537,11 +539,20 @@ WHERE t.doc_freq >= 50
         "corpus-sized in one reducer; sharded, every row is bounded at "
         "df/segments and heavy tokens parallelize (Lucene-style "
         "segments, merged sorted at read). doc_freq via a window sum "
-        "over the aggregated rows, never the corpus",
+        "over the aggregated rows, never the corpus. The registered "
+        "OUTPUT scalarizes postings to a comma-joined string: the "
+        "driver's order-insensitive hasher sorts pandas frames and "
+        "cannot sort/hash array cells (r5 err row), and registry "
+        "outputs now ban ArrayType/MapType by test",
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return TX.inverted_index(docs, min_df=50, segments=4)
+    idx = TX.inverted_index(docs, min_df=50, segments=4)
+    return idx.select(
+        "token", "segment",
+        F.array_join(F.col("postings").cast("array<string>"), ",")
+        .alias("postings"),
+        "doc_freq")
 
 
 @register(

@@ -66,17 +66,52 @@ def _assert_frames_equal(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: 
                 assert x == y, f"{name}.{c}[{i}]: {x!r} != {y!r}"
 
 
+def _assert_driver_compatible_schema(df, name: str):
+    """The driver's pandas canonicalizer sorts the result frame and
+    hashes cell values — ArrayType/MapType cells surface as Python
+    lists/dicts that pandas can neither sort nor hash (the r5
+    text_inverted_index err row). Ban them from every REGISTERED output
+    schema; library functions may still return arrays, the registration
+    must scalarize (array_join / to_json) before returning."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType))]
+    assert not bad, (
+        f"{name}: registered output columns {bad} are Array/Map-typed — "
+        f"the driver canonicalizer cannot sort/hash them; scalarize "
+        f"(F.array_join / F.to_json) in the registration")
+
+
+def _driver_canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Replica of the driver's order-insensitive canonicalization — a
+    plain pandas sort over all columns with NO tuple rescue. Any output
+    shape this raises on (unhashable cells, unsortable mixes) would burn
+    a driver window slot as an err row, so it must fail locally first."""
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
 @pytest.mark.parametrize("name", [n for n, s in REGISTRY.items() if s.oracle])
 def test_query_matches_oracle(spark, duck, name):
     spec = REGISTRY[name]
-    spark_pdf = spec.build(spark, SF_DIR).toPandas()
+    sdf = spec.build(spark, SF_DIR)
+    _assert_driver_compatible_schema(sdf, name)
+    spark_pdf = sdf.toPandas()
     duck_pdf = duck.execute(spec.oracle).df()
+    try:
+        _driver_canonicalize(spark_pdf)
+        _driver_canonicalize(duck_pdf)
+    except TypeError as e:  # pragma: no cover - failure path
+        raise AssertionError(
+            f"{name}: output not driver-canonicalizable: {e}") from e
     _assert_frames_equal(spark_pdf, duck_pdf, name)
 
 
 @pytest.mark.parametrize("name", [n for n, s in REGISTRY.items() if not s.oracle])
 def test_rows_only_queries_run(spark, name):
     df = REGISTRY[name].build(spark, SF_DIR)
+    _assert_driver_compatible_schema(df, name)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 
@@ -129,6 +164,17 @@ def test_check_priority_order_is_valid():
         assert not out, \
             f"never-driver-checked queries outside the window: {out}"
     else:
+        # The window arithmetic: "every registered query driver-green"
+        # is reachable only if (touched + never-checked backlog + new
+        # registrations) <= 50 per round. Overflowing is allowed only
+        # as an acknowledged, deliberate choice (the r5 wave did it by
+        # default and left a 39-query verification debt).
+        assert getattr(Q, "_WINDOW_OVERFLOW_ACK", False), (
+            f"{len(never)} never-checked queries exceed the 50-slot "
+            f"driver window; registration outran verification. Either "
+            f"freeze registration until the backlog clears, or set "
+            f"_WINDOW_OVERFLOW_ACK = True in queries.py to acknowledge "
+            f"the deliberate overflow.")
         wasted = [n for n in order[:50] if n not in never]
         assert not wasted, \
             f"window slots spent on evidenced queries while " \
