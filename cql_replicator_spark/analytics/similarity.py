@@ -124,11 +124,21 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Probe the nprobe nearest clusters per query, exact-rank within.
     Returns (query_id, rank, neighbor_id). Recall < 1 by design; the
     bench pairs it with cosine_topk to measure the recall/latency trade.
-    """
+
+    broadcast_queries: True (default) is the ANN-serving shape — the
+    probe frame is small by contract and broadcasting it keeps the
+    corpus scan exchange-free. For BULK query workloads (a corpus-sized
+    query frame, e.g. batch re-ranking) a broadcast would ship the
+    whole probe set to every task and can OOM the driver building the
+    broadcast table: pass False to shuffle-join on centroid_id instead
+    (both sides exchange-partition by the bucket key; per-bucket work
+    is unchanged). The near-dup path (embedding_ivf_near_dup_pairs)
+    already uses the non-broadcast within-bucket form."""
     q = _as_double(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv")
     cent = _as_double(
@@ -146,8 +156,9 @@ def ivf_search(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         F.col(centroid_id_col))
+    probe_side = F.broadcast(probes) if broadcast_queries else probes
     scored = (
-        corp.join(F.broadcast(probes), centroid_id_col)
+        corp.join(probe_side, centroid_id_col)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )
@@ -513,8 +524,9 @@ def kmeans_quantized(
     Plan shape per round: assignment is MAP-ONLY (centroids ride along
     as a constant-folded literal — k*dim ints, the ivf_build pattern);
     the update is one (cluster, dim)-keyed aggregation whose map-side
-    partial sums collapse each partition to <= k*dim rows. The only
-    driver traffic is the k x dim centroid table per round — bounded
+    partial sums collapse each partition to <= k*dim rows, pivoted
+    distributed to one array row per cluster before collect. The only
+    driver traffic is the k-row centroid table per round — bounded
     like IVF centroids, never corpus-shaped."""
     q = corpus.select(
         F.col(id_col),
@@ -558,15 +570,24 @@ def kmeans_quantized(
         sums = (assigned.select("cluster_id", F.posexplode("qv").alias("pos", "v"))
                 .groupBy("cluster_id", "pos")
                 .agg(F.sum("v").alias("s"), F.count("*").alias("n")))
-        # truncating integer division (Spark div truncates toward zero)
+        # truncating integer division (Spark div truncates toward zero),
+        # then pivot the (cluster, pos) means DISTRIBUTED into one
+        # dim-length array per cluster (array_sort on struct(pos, c)
+        # orders lexicographically, i.e. by pos) so the driver
+        # materializes k rows — not k x dim rows. At the adaptive_k cap
+        # (65536 x 768) that is the difference between a ~50M-row
+        # collect and a 65k-row one; the BYTES are bounded either way
+        # by the k x dim centroid table the assignment closure ships.
         rows = (sums.select("cluster_id", "pos",
                             F.expr("s div n").alias("c"))
+                .groupBy("cluster_id")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("pos", "c"))).alias("pc"))
+                .select("cluster_id", F.col("pc.c").alias("cvec"))
                 .collect())
         new_cents = {ci: list(vec) for ci, vec in enumerate(centroids)}
-        upd: dict[int, list[int]] = {}
-        for r in rows:
-            upd.setdefault(int(r["cluster_id"]),
-                           [0] * dim)[int(r["pos"])] = int(r["c"])
+        upd = {int(r["cluster_id"]): [int(v) for v in r["cvec"]]
+               for r in rows}
         new_cents.update(upd)  # empty clusters keep their previous centroid
         centroids = [new_cents[ci] for ci in range(int(k))]
 

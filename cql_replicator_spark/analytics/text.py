@@ -817,9 +817,15 @@ def learn_bpe_merges(df: DataFrame, num_merges: int,
             break
         l_, r_, n = top[0]["left"], top[0]["right"], int(top[0]["pair_freq"])
         merges.append((l_, r_, n))
+        prev = cur
         cur = (cur.select("freq", merge_symbol_pair(F.col("syms"), l_, r_)
                           .alias("syms"))
                .localCheckpoint(eager=True))
+        # free the previous round's checkpoint once the new one exists
+        # (eager=True) — k_core/connected_components discipline; merge
+        # rounds otherwise stack one cached vocab copy each
+        prev.unpersist()
+    cur.unpersist()
     return merges
 
 
@@ -1021,7 +1027,6 @@ def sparse_cosine_pairs(
         term_rows = df.select(F.col(id_col).alias("id"),
                               F.explode(tokens(text_col)).alias("tok"))
     tf = term_rows.groupBy("id", "tok").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     # LINEAR pipeline — no self-join, no norm joins: the naive
     # formulation (postings self-joined on tok + two norm joins)

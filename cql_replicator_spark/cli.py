@@ -279,13 +279,23 @@ def cmd_query(args) -> int:
                     str(args.shuffle_partitions)})
     df = REGISTRY[args.name].build(spark, args.sf_dir)
     if args.out:
-        fmt = "csv" if args.out.endswith(".csv") or args.format == "csv"             else "parquet"
+        if args.out.endswith(".csv") or args.format == "csv":
+            fmt = "csv"
+        else:
+            fmt = "parquet"
         w = df.coalesce(1) if args.single_file else df
         if fmt == "csv":
             w.write.mode("overwrite").option("header", "true").csv(args.out)
         else:
             w.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"query": args.name, "rows": df.count(),
+        # count from the WRITTEN files: df.count() here would re-execute
+        # the whole plan (and re-run any staging side effects) a second
+        # time just to report a row count
+        if fmt == "csv":
+            n = spark.read.option("header", "true").csv(args.out).count()
+        else:
+            n = spark.read.parquet(args.out).count()
+        print(json.dumps({"query": args.name, "rows": n,
                           "out": args.out, "format": fmt}))
     else:
         df.show(args.limit, truncate=False)

@@ -183,6 +183,47 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     assert recall >= 0.5, f"IVF recall {recall} too low for nprobe=4/8"
 
 
+def test_ivf_search_non_broadcast_path(spark, emb):
+    """broadcast_queries=False must (a) return the identical result and
+    (b) actually drop the broadcast hint so the probe-bucket join can
+    shuffle on centroid_id — bulk query workloads (corpus-sized probe
+    frames) would otherwise OOM the driver building the broadcast
+    table. Differential plan check under autoBroadcastJoinThreshold=-1:
+    with the planner's size-based conversion disabled, the only
+    broadcast joins left are the explicitly HINTED ones (centroid
+    probe-selection, ivf_build's centroid row), so the hinted form
+    must carry exactly one more BroadcastHashJoin than the unhinted
+    form, whose probe-bucket join falls back to a shuffle join. Frames
+    are built INSIDE the conf block — queryExecution is cached per
+    DataFrame, so pre-built frames would keep their default-threshold
+    plan."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    indexed = S.ivf_build(emb, centroids)
+    hinted = S.ivf_search(queries, indexed, centroids, k=5, nprobe=4)
+    unhinted = S.ivf_search(queries, indexed, centroids, k=5, nprobe=4,
+                            broadcast_queries=False)
+    assert ({(r.query_id, r.rank, r.neighbor_id) for r in hinted.collect()}
+            == {(r.query_id, r.rank, r.neighbor_id)
+                for r in unhinted.collect()})
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_bcast(broadcast_queries):
+            df = S.ivf_search(queries, indexed, centroids, k=5, nprobe=4,
+                              broadcast_queries=broadcast_queries)
+            # sparkPlan = post-strategy, pre-AQE: hint effects are
+            # visible and deterministic (no runtime re-plan)
+            plan = df._jdf.queryExecution().sparkPlan().toString()
+            return plan.count("BroadcastHashJoin")
+        assert n_bcast(True) == n_bcast(False) + 1, \
+            "probe-side broadcast hint not dropped"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_ivf_near_dup_recall_vs_all_pairs(spark, emb):
     """The registered IVF-bucketed near-dup vs the exact all-pairs
     baseline (which survives ONLY as this cross-check): within-bucket
