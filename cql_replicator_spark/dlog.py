@@ -1,0 +1,239 @@
+"""Delta-protocol-shaped transaction log over plain parquet — pure
+Python, no delta-spark/JVM extensions required.
+
+The reference time-travels per-tile snapshot tables through a lakehouse
+table format (Iceberg tables + snapshot ids, CQLReplicator.scala
+K:1220-1272, K:1340-1349; expiry K:1278-1289). The sandbox has no
+delta-spark or iceberg runtime and installs are not possible, so this
+module implements the essential subset of the PUBLIC Delta Lake
+transaction-log protocol (https://github.com/delta-io/delta/blob/
+master/PROTOCOL.md) directly:
+
+* a table is a directory of immutable parquet data files plus a
+  ``_delta_log/`` subdirectory of versioned commit files
+  ``{version:020d}.json``, each holding newline-delimited JSON actions;
+* version 0 carries ``protocol`` and ``metaData`` actions (reader/
+  writer versions, table id, schemaString, partitionColumns);
+* every commit appends ``add`` actions for new data files and
+  ``remove`` actions for files it logically deletes — an overwrite is
+  remove(all live) + add(new);
+* a reader at ``versionAsOf=V`` replays commits 0..V, maintaining the
+  live-file set (last action per path wins), then reads exactly those
+  parquet files;
+* ``vacuum`` deletes data files unreachable from the retained trailing
+  versions; time travel past the vacuum horizon fails, as in Delta.
+
+What is deliberately NOT implemented: multi-writer put-if-absent
+commits (single-writer assumption, like the reference's per-tile
+writer), checkpoints (logs here are tiny; replay is O(versions)),
+deletion vectors and column mapping. A table written by this module is
+structurally a valid minimal Delta table; the SnapshotStore
+``fmt="delta"`` path still uses the real delta-spark package when it
+is importable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_delta_log"
+
+
+def _log_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, _LOG_DIR, f"{version:020d}.json")
+
+
+class DeltaLogTable:
+    """One transaction-log table rooted at ``path``. Single writer."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # -- log bookkeeping --------------------------------------------------
+    def versions(self) -> list[int]:
+        d = os.path.join(self.path, _LOG_DIR)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _read_commit(self, version: int) -> list[dict]:
+        p = _log_path(self.path, version)
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _replay(self, version_as_of: int) -> tuple[dict[str, dict], str | None]:
+        """Live add-actions by relative path, plus the schemaString,
+        after replaying commits 0..version_as_of (last action per path
+        wins — the protocol's file-level reconciliation rule)."""
+        versions = self.versions()
+        if version_as_of not in versions:
+            raise ValueError(
+                f"version {version_as_of} not in log for {self.path}; "
+                f"have {versions}")
+        live: dict[str, dict] = {}
+        schema_string: str | None = None
+        for v in versions:
+            if v > version_as_of:
+                break
+            for action in self._read_commit(v):
+                if "metaData" in action:
+                    schema_string = action["metaData"].get("schemaString")
+                elif "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+        return live, schema_string
+
+    # -- write ------------------------------------------------------------
+    def commit_overwrite(self, df: DataFrame, max_files: int = 1) -> int:
+        """Commit ``df`` as the next version, logically replacing all
+        live files (the mode="overwrite" shape the snapshot store
+        needs). Data files are written by Spark into a staging dir and
+        moved into the table root under unique names — immutable, never
+        rewritten; the commit point is the atomic rename of the log
+        file. Returns the new version."""
+        prev = self.latest_version()
+        version = 0 if prev is None else prev + 1
+        now_ms = int(time.time() * 1000)
+
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        df.coalesce(max_files).write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.join(self.path, _LOG_DIR), exist_ok=True)
+        adds = []
+        i = 0
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"part-{i:05d}-{uuid.uuid4().hex[:12]}.snappy.parquet"
+            src = os.path.join(staging, name)
+            dst = os.path.join(self.path, rel)
+            os.replace(src, dst)
+            adds.append({"add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(dst),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }})
+            i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+
+        actions: list[dict] = [{"commitInfo": {
+            "timestamp": now_ms,
+            "operation": "WRITE",
+            "operationParameters": {"mode": "Overwrite"},
+        }}]
+        if version == 0:
+            actions.append({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 2}})
+            actions.append({"metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": now_ms,
+            }})
+        else:
+            live, _ = self._replay(prev)
+            for rel in sorted(live):
+                actions.append({"remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }})
+        actions.extend(adds)
+
+        log_file = _log_path(self.path, version)
+        tmp = log_file + ".tmp"
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        os.replace(tmp, log_file)  # the commit point
+        return version
+
+    # -- read -------------------------------------------------------------
+    def read(self, spark: SparkSession,
+             version_as_of: int | None = None) -> DataFrame:
+        """Read the table at a version (default: latest) by log replay.
+        An empty live set still returns a schema-correct empty frame
+        (from the metaData schemaString). A vacuumed-away file raises
+        — time travel past the vacuum horizon fails, as in Delta."""
+        if version_as_of is None:
+            version_as_of = self.latest_version()
+            if version_as_of is None:
+                raise ValueError(f"no commits in {self.path}")
+        live, schema_string = self._replay(version_as_of)
+        paths = [os.path.join(self.path, rel) for rel in sorted(live)]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"version {version_as_of} references vacuumed data "
+                f"files: {missing}")
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            if schema_string is None:
+                raise ValueError(f"no metaData action in {self.path}")
+            schema = StructType.fromJson(json.loads(schema_string))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*paths)
+
+    def history(self) -> list[dict]:
+        """One row per commit: version, timestamp, n_added, n_removed."""
+        out = []
+        for v in self.versions():
+            ts, added, removed = None, 0, 0
+            for action in self._read_commit(v):
+                if "commitInfo" in action:
+                    ts = action["commitInfo"].get("timestamp")
+                elif "add" in action:
+                    added += 1
+                elif "remove" in action:
+                    removed += 1
+            out.append({"version": v, "timestamp": ts,
+                        "n_added": added, "n_removed": removed})
+        return out
+
+    # -- housekeeping ------------------------------------------------------
+    def vacuum(self, retain_versions: int = 2) -> list[str]:
+        """Delete data files unreachable from the newest
+        ``retain_versions`` versions (Delta's VACUUM with the retention
+        expressed in versions rather than hours — the snapshot store's
+        expiry contract). The log itself is kept whole: commit files
+        are tiny and keeping them preserves history()/audit; reads of
+        vacuumed versions fail at the missing-file check. Returns the
+        deleted paths."""
+        versions = self.versions()
+        if not versions:
+            return []
+        retained = versions[-max(1, retain_versions):]
+        keep: set[str] = set()
+        for v in retained:
+            live, _ = self._replay(v)
+            keep.update(live)
+        removed = []
+        for name in sorted(os.listdir(self.path)):
+            if not name.endswith(".parquet"):
+                continue
+            if name not in keep:
+                os.remove(os.path.join(self.path, name))
+                removed.append(name)
+        return removed

@@ -2425,6 +2425,48 @@ def snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_time_travel",
+    oracle="""
+SELECT 1 AS snap, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_pk
+FROM orders
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+FROM orders WHERE o_orderkey % 5 = 0
+""",
+    doc="Lakehouse time travel through the pure-Python Delta-protocol "
+        "log (dlog.py; reference behavior K:1340-1349 "
+        "readIcebergAtSnapshot): three overwrite commits build three "
+        "versions of a tile table, then versionAsOf log replay reads "
+        "EACH historical version back — the summary per version must "
+        "equal the oracle recomputing each source predicate directly. "
+        "Version reads are immutable-file parquet scans selected by "
+        "log metadata; no data is rewritten between versions",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .snapshot import SnapshotStore
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    base = orders.select(F.col("o_orderkey").alias("pk"))
+    store = SnapshotStore(_stage_dir("snap_tt"), "ks", "orders",
+                          fmt="dlog")
+    sids = [store.write_snapshot(base, tile=0),
+            store.write_snapshot(base.filter(F.col("pk") % 3 == 0), tile=0),
+            store.write_snapshot(base.filter(F.col("pk") % 5 == 0), tile=0)]
+    out = None
+    for sid in sids:
+        part = (store.read_snapshot(spark, 0, sid)
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.sum("pk").cast("long").alias("sum_pk"))
+                .select(F.lit(sid).cast("int").alias("snap"), "n", "sum_pk"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
     "partitioned_write_pruning",
     oracle="""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -24,6 +24,14 @@ version drop; the manifest still records which ids this store
 considers live). The parquet+manifest backend remains the fallback so
 the engine runs identically where no lakehouse jars exist.
 
+``SnapshotStore(..., fmt="dlog")`` uses the in-repo pure-Python
+Delta-protocol-shaped transaction log (dlog.py): overwrite commits are
+versioned ``_delta_log`` entries, time travel is log replay at
+``versionAsOf``, expiry is version-retention vacuum. It needs no
+packages or session extensions, so the lakehouse semantics (immutable
+data files + atomic log commit + version reads) are exercised in every
+environment, not only where delta-spark is installed.
+
 Scale note: snapshots are written ``repartition(k, pk_cols)`` so each
 tile's snapshot has a bounded file count regardless of upstream
 parallelism, and reads of a single tile never list other tiles' files.
@@ -77,9 +85,9 @@ def delta_available() -> bool:
 class SnapshotStore:
     def __init__(self, root: str, keyspace: str, table: str,
                  fmt: str = "parquet"):
-        if fmt not in ("parquet", "delta"):
+        if fmt not in ("parquet", "delta", "dlog"):
             raise ValueError(f"unknown snapshot format {fmt!r}; "
-                             "expected 'parquet' or 'delta'")
+                             "expected 'parquet', 'delta' or 'dlog'")
         if fmt == "delta" and not delta_available():
             raise ImportError(
                 "fmt='delta' requires the delta-spark package; falling back "
@@ -147,6 +155,21 @@ class SnapshotStore:
             entries.append({"id": new_id, "committed_at": time.time(),
                             "count": count, "path": path,
                             "delta_version": int(version)})
+        elif self.fmt == "dlog":
+            if stats_cols:
+                raise ValueError(
+                    "stats_cols requires the parquet backend; the dlog "
+                    "backend keeps per-file metadata in its commit log")
+            from .dlog import DeltaLogTable
+
+            path = os.path.join(self._tile_dir(tile), "dlog-table")
+            os.makedirs(path, exist_ok=True)
+            tbl = DeltaLogTable(path)
+            version = tbl.commit_overwrite(df, max_files=files_per_snapshot)
+            count = tbl.read(df.sparkSession, version_as_of=version).count()
+            entries.append({"id": new_id, "committed_at": time.time(),
+                            "count": count, "path": path,
+                            "dlog_version": int(version)})
         else:
             from pyspark.sql import functions as F
 
@@ -205,6 +228,11 @@ class SnapshotStore:
                 df = (spark.read.format("delta")
                       .option("versionAsOf", e["delta_version"])
                       .load(e["path"]))
+            elif self.fmt == "dlog":
+                from .dlog import DeltaLogTable
+
+                df = DeltaLogTable(e["path"]).read(
+                    spark, version_as_of=e["dlog_version"])
             elif between and e.get("files"):
                 def _overlaps(f: dict) -> bool:
                     for c, (lo, hi) in between.items():
@@ -251,7 +279,15 @@ class SnapshotStore:
             return 0
         keep = entries[-retain_last:]
         expired = entries[:-retain_last]
-        if self.fmt != "delta":
+        if self.fmt == "dlog":
+            # one shared log per tile: reclaim data files unreachable
+            # from the retained versions (vacuum); the commit log keeps
+            # full history, reads of expired ids fail at the manifest
+            from .dlog import DeltaLogTable
+
+            DeltaLogTable(entries[-1]["path"]).vacuum(
+                retain_versions=retain_last)
+        elif self.fmt != "delta":
             for e in expired:
                 shutil.rmtree(e["path"], ignore_errors=True)
         self._write_manifest(tile, keep)

@@ -81,6 +81,7 @@ def test_tagged_union(spark):
 
 @pytest.mark.parametrize("fmt", [
     "parquet",
+    "dlog",
     pytest.param("delta", marks=pytest.mark.skipif(
         not __import__(
             "cql_replicator_spark.snapshot", fromlist=["delta_available"]
