@@ -176,6 +176,8 @@ HEADLINE = [
     "embedding_centroid_drift",
     # r5 wave 15
     "lineitem_ship_lag_distribution",
+    # r6 (registration freeze round: one new query)
+    "snapshot_time_travel",
 ]
 
 

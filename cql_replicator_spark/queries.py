@@ -1350,6 +1350,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "text_inverted_index",   # r5 err row: array output scalarized to
                              # a comma-joined string (driver hasher
                              # cannot sort/hash array cells)
+    "snapshot_time_travel",  # new: Delta-protocol log replay
+                             # (dlog.py) versionAsOf round-trip
 ]
 
 # Deliberate-overflow acknowledgement for the driver-window arithmetic:

@@ -109,6 +109,73 @@ def test_history_counts_adds_and_removes(spark, tbl):
     assert all(r["timestamp"] is not None for r in h)
 
 
+def _write_synthetic_log(path, commits):
+    """Write hand-built commits (lists of (kind, relpath) actions) so
+    replay semantics are testable without Spark: version v's file is
+    _delta_log/{v:020}.json, one JSON action per line."""
+    os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+    for v, actions in enumerate(commits):
+        lines = []
+        if v == 0:
+            lines.append(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 2}}))
+            lines.append(json.dumps({"metaData": {
+                "id": "t", "format": {"provider": "parquet", "options": {}},
+                "schemaString": '{"type":"struct","fields":[]}',
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0}}))
+        for kind, rel in actions:
+            if kind == "add":
+                lines.append(json.dumps({"add": {
+                    "path": rel, "partitionValues": {}, "size": 1,
+                    "modificationTime": 0, "dataChange": True}}))
+            else:
+                lines.append(json.dumps({"remove": {
+                    "path": rel, "deletionTimestamp": 0,
+                    "dataChange": True}}))
+        with open(os.path.join(path, "_delta_log", f"{v:020d}.json"),
+                  "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+def test_replay_matches_reference_reconciliation(tmp_path):
+    """Property test of the protocol's last-action-per-path-wins rule:
+    against random add/remove commit sequences, _replay(v) must equal
+    a dict-based reference reconciliation at every version."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    paths = [f"f{i}.parquet" for i in range(6)]
+    action = st.tuples(st.sampled_from(["add", "remove"]),
+                       st.sampled_from(paths))
+    commits_strategy = st.lists(st.lists(action, max_size=6),
+                                min_size=1, max_size=6)
+
+    @settings(max_examples=40, deadline=None)
+    @given(commits=commits_strategy)
+    def check(commits):
+        import shutil as _sh
+        import tempfile
+        d = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            _write_synthetic_log(d, commits)
+            t = DeltaLogTable(d)
+            expect: dict[str, bool] = {}
+            for v, actions in enumerate(commits):
+                for kind, rel in actions:
+                    if kind == "add":
+                        expect[rel] = True
+                    else:
+                        expect.pop(rel, None)
+                live, schema = t._replay(v)
+                assert set(live) == set(expect), (v, commits)
+                assert schema is not None
+        finally:
+            _sh.rmtree(d, ignore_errors=True)
+
+    check()
+
+
 def test_no_staging_or_tmp_left_behind(spark, tbl):
     tbl.commit_overwrite(_df(spark, [(1, 10)]))
     tbl.commit_overwrite(_df(spark, [(2, 20)]))

@@ -196,3 +196,39 @@ def test_plans_audit_in_sync_and_no_cartesian():
     missing = sorted(set(REGISTRY) - sections)
     assert not missing, f"queries missing from PLANS.md audit: {missing}"
     assert "CartesianProduct" not in text, "cartesian product in an audited plan"
+
+
+def test_flagship_plan_scan_counts_pinned():
+    """Structural perf regression guard: the expensive flagship queries
+    earn their cost with SINGLE-PASS plan shapes (one corpus scan, df /
+    norms as window aggregates over the flowing frame, bucket-grouped
+    pair generation). An innocent refactor that re-derives a subtree
+    per consumer multiplies corpus scans silently — at 100 TB that is
+    the whole bill. Pin each section's 'Scan parquet' occurrence count
+    in PLANS.md (kept fresh by the audit-sync test above; formatted
+    explain prints each physical scan twice — tree line + detail
+    block, so bound = 2 x physical scans)."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "PLANS.md").read_text()
+    parts = re.split(r"^## (\S+)\s*$", text, flags=re.M)
+    scans = {parts[i]: parts[i + 1].count("Scan parquet")
+             for i in range(1, len(parts), 2)}
+    bounds = {
+        "doc_winnowing_pairs": 2,        # 1 scan: shingle+window+pairs
+        "text_sparse_cosine_pairs": 4,   # 2: corpus + n_docs count
+        "dedup_minhash_lsh": 2,          # 1: sign+band in one pass
+        "doc_line_dedup": 2,             # 1: within-doc, no join
+        "quality_bigram_logprob": 2,     # 1: join-free window-sum form
+        "text_inverted_index": 2,        # 1: explode+agg+window
+        "q1_pricing_summary": 2,         # 1: scan+agg
+        "dedup_cluster_keepers": 2,      # 1: LSH+CC over checkpoints
+    }
+    for name, bound in bounds.items():
+        assert name in scans, f"{name} missing from PLANS.md"
+        assert scans[name] <= bound, (
+            f"{name}: {scans[name]} 'Scan parquet' occurrences in its "
+            f"audited plan, pinned bound {bound} — a subtree is being "
+            f"re-scanned; restore the single-pass form or consciously "
+            f"re-pin with a docstring explaining the extra scan")
