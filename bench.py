@@ -176,8 +176,11 @@ HEADLINE = [
     "embedding_centroid_drift",
     # r5 wave 15
     "lineitem_ship_lag_distribution",
-    # r6 (registration freeze round: one new query)
+    # r6 (registration freeze round: 3 new queries, 39-query backlog
+    # takes the rest of the driver window)
     "snapshot_time_travel",
+    "multimodal_bmp_pixel_decode",
+    "multimodal_wav_pcm_decode",
 ]
 
 

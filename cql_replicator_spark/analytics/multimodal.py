@@ -2,10 +2,15 @@
 columns with typed metadata.
 
 The Spark-side mechanics are real and tested — schema convention,
-Arrow-batched mapInPandas pipelines, partition sizing — while the
-actual media decoding is stubbed behind ``NotImplementedError`` (the
-image/audio libraries are not in this container) with a deterministic
-fake used by tests and the feature-extraction path.
+Arrow-batched mapInPandas pipelines, partition sizing. Decoding is
+REAL wherever the codec needs nothing beyond the standard library:
+container-header metadata for PNG/BMP/GIF/JPEG/WAV/ISO-BMFF, and full
+pixel/sample decode for uncompressed 24-bit BMP, truecolor PNG (zlib
+IDAT + scanline unfilter), and 16-bit PCM WAV (see the "real pixel /
+sample decoding" section). Only the codecs that genuinely require
+external libraries (JPEG/GIF pixel decode, compressed audio, video
+frames) remain stubbed behind ``NotImplementedError`` with a
+deterministic fake for the feature-extraction path.
 
 Schema convention for a multimodal table:
     id BIGINT, media BINARY, media_type STRING,
@@ -647,3 +652,330 @@ def synthesize_png_with_text(documents: DataFrame) -> DataFrame:
         be32(F.length(payload).cast("long")),
         F.lit(b"tEXt"), payload, F.lit(b"\x00\x00\x00\x00"))
     return documents.select(F.col("doc_id").alias("id"), png.alias("media"))
+
+
+# -- real pixel / sample decoding (round 6) -----------------------------------
+#
+# The header layer above is the metadata half of media decode; this
+# section is the DATA half for the formats whose codecs need nothing
+# beyond the standard library: uncompressed 24-bit BMP (raw BGR rows),
+# PNG truecolor/truecolor-alpha (zlib IDAT inflate + the five scanline
+# filters, PNG spec §9), and 16-bit PCM WAV (raw little-endian
+# samples). JPEG/GIF pixel decode and compressed-audio codecs still
+# need PIL/soundfile and keep their declared stubs. Decode runs
+# Arrow-batched in mapInPandas (the Python-side slow path by nature —
+# a real cluster swaps in a library here, same frame contract), and
+# each decoder reports EXACT integer aggregates (sums, not means) so
+# results are engine-portable and oracle-checkable.
+
+def parse_bmp_pixels(data: bytes) -> dict | None:
+    """Decode an uncompressed 24-bit BITMAPINFOHEADER BMP to exact
+    per-channel pixel sums: {width, height, n_px, sum_r, sum_g,
+    sum_b}. Rows are bottom-up (positive height) or top-down
+    (negative), 4-byte padded, pixels little-endian BGR. Sums are
+    orientation-invariant so both layouts share one path. None for
+    non-BMP, other bit depths, or compressed variants."""
+    if data is None or len(data) < 54 or data[:2] != b"BM":
+        return None
+    if int.from_bytes(data[14:18], "little") != 40:  # BITMAPINFOHEADER
+        return None
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    height = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    if off + row_bytes * height > len(data):
+        return None
+    sum_r = sum_g = sum_b = 0
+    for y in range(height):
+        row = data[off + y * row_bytes: off + y * row_bytes + w * 3]
+        sum_b += sum(row[0::3])
+        sum_g += sum(row[1::3])
+        sum_r += sum(row[2::3])
+    return {"width": w, "height": height, "n_px": w * height,
+            "sum_r": sum_r, "sum_g": sum_g, "sum_b": sum_b}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse the PNG scanline filters (spec §9: None/Sub/Up/Average/
+    Paeth). raw = inflated IDAT: height rows of 1 filter byte +
+    width*bpp sample bytes. Sequential by construction — each byte
+    depends on left/up/up-left neighbours."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row_start = y * stride
+        prev_start = row_start - stride
+        for x in range(stride):
+            v = raw[pos + x]
+            a = out[row_start + x - bpp] if x >= bpp else 0
+            b = out[prev_start + x] if y > 0 else 0
+            if ftype == 0:
+                r = v
+            elif ftype == 1:
+                r = v + a
+            elif ftype == 2:
+                r = v + b
+            elif ftype == 3:
+                r = v + ((a + b) >> 1)
+            elif ftype == 4:
+                c = out[prev_start + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    r = v + a
+                elif pb <= pc:
+                    r = v + b
+                else:
+                    r = v + c
+            else:
+                raise ValueError(f"unknown PNG filter {ftype}")
+            out[row_start + x] = r & 0xFF
+        pos += stride
+    return out
+
+
+def parse_png_pixels(data: bytes) -> dict | None:
+    """Decode an 8-bit truecolor (color type 2) or truecolor+alpha (6)
+    non-interlaced PNG to exact per-channel sums: {width, height,
+    n_px, sum_r, sum_g, sum_b}. IDAT chunks concatenate into one zlib
+    stream (stdlib inflate), then the five scanline filters reverse
+    per the spec. Unsupported color types/interlace return None —
+    palette/greyscale need no new codec but are not synthesized here,
+    so the decoder stays honest about what it has actually run on."""
+    import zlib
+
+    if data is None or len(data) < 45 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if data[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    bit_depth, color_type, interlace = data[24], data[25], data[28]
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        return None
+    bpp = 3 if color_type == 2 else 4
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(data):
+        size = int.from_bytes(data[i:i + 4], "big")
+        ctype = data[i + 4:i + 8]
+        if ctype == b"IDAT":
+            idat += data[i + 8:i + 8 + size]
+        if ctype == b"IEND":
+            break
+        i += 12 + size  # length + type + payload + CRC
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + w * bpp):
+        return None
+    px = _png_unfilter(raw, w, h, bpp)
+    sum_r = sum(px[0::bpp])
+    sum_g = sum(px[1::bpp])
+    sum_b = sum(px[2::bpp])
+    return {"width": w, "height": h, "n_px": w * h,
+            "sum_r": sum_r, "sum_g": sum_g, "sum_b": sum_b}
+
+
+def parse_wav_samples(data: bytes) -> dict | None:
+    """Decode 16-bit PCM WAV samples to exact integer aggregates:
+    {channels, sample_rate, n_samples, sum_sq, peak} (n_samples counts
+    frames x channels; peak = max |sample|; sum_sq is the integer
+    energy — callers derive RMS). Only format tag 1 (PCM) at 16 bits;
+    other encodings keep the decode_audio stub."""
+    if data is None or len(data) < 12 or data[:4] != b"RIFF" \
+            or data[8:12] != b"WAVE":
+        return None
+    channels = rate = None
+    fmt_tag = bits = None
+    body = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        size = int.from_bytes(data[i + 4:i + 8], "little")
+        chunk = data[i + 8:i + 8 + size]
+        if cid == b"fmt " and len(chunk) >= 16:
+            fmt_tag = int.from_bytes(chunk[0:2], "little")
+            channels = int.from_bytes(chunk[2:4], "little")
+            rate = int.from_bytes(chunk[4:8], "little")
+            bits = int.from_bytes(chunk[14:16], "little")
+        elif cid == b"data":
+            body = chunk
+        i += 8 + size + (size & 1)
+    if fmt_tag != 1 or bits != 16 or not channels or not rate \
+            or body is None:
+        return None
+    n = len(body) // 2
+    sum_sq = 0
+    peak = 0
+    for k in range(n):
+        s = int.from_bytes(body[2 * k:2 * k + 2], "little", signed=True)
+        sum_sq += s * s
+        if abs(s) > peak:
+            peak = abs(s)
+    return {"channels": channels, "sample_rate": rate, "n_samples": n,
+            "sum_sq": sum_sq, "peak": peak}
+
+
+PIXEL_STATS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_px", T.LongType()),
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+])
+
+SAMPLE_STATS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """media binary -> exact per-channel pixel sums via Arrow-batched
+    mapInPandas, dispatching on container signature (BMP raw rows, PNG
+    zlib+unfilter). Same contract as image_header_metadata: nulls for
+    undecodable payloads, media projected away in the output so
+    downstream shuffles stats rows, not pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf["media"]:
+                if b is None:
+                    rows.append(None)
+                    continue
+                raw = bytes(b)
+                rows.append(parse_png_pixels(raw) if raw[:1] == b"\x89"
+                            else parse_bmp_pixels(raw))
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "width": pd.array([r["width"] if r else None for r in rows],
+                                  dtype="Int32"),
+                "height": pd.array([r["height"] if r else None for r in rows],
+                                   dtype="Int32"),
+                "n_px": pd.array([r["n_px"] if r else None for r in rows],
+                                 dtype="Int64"),
+                "sum_r": pd.array([r["sum_r"] if r else None for r in rows],
+                                  dtype="Int64"),
+                "sum_g": pd.array([r["sum_g"] if r else None for r in rows],
+                                  dtype="Int64"),
+                "sum_b": pd.array([r["sum_b"] if r else None for r in rows],
+                                  dtype="Int64"),
+            })
+
+    return df.select("id", "media").mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
+def audio_sample_stats(df: DataFrame) -> DataFrame:
+    """media binary -> exact PCM sample aggregates (energy, peak) via
+    Arrow-batched mapInPandas over parse_wav_samples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_wav_samples(bytes(b)) if b is not None else None
+                    for b in pdf["media"]]
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "channels": pd.array(
+                    [r["channels"] if r else None for r in rows],
+                    dtype="Int32"),
+                "sample_rate": pd.array(
+                    [r["sample_rate"] if r else None for r in rows],
+                    dtype="Int32"),
+                "n_samples": pd.array(
+                    [r["n_samples"] if r else None for r in rows],
+                    dtype="Int64"),
+                "sum_sq": pd.array(
+                    [r["sum_sq"] if r else None for r in rows],
+                    dtype="Int64"),
+                "peak": pd.array(
+                    [r["peak"] if r else None for r in rows],
+                    dtype="Int32"),
+            })
+
+    return df.select("id", "media").mapInPandas(run, schema=SAMPLE_STATS_SCHEMA)
+
+
+def synthesize_bmp_table(documents: DataFrame) -> DataFrame:
+    """Decodable 24-bit BMPs from the documents table: solid-color
+    images whose width/height/RGB derive arithmetically from document
+    columns, so pixel sums have a closed form an oracle can recompute
+    (sum_r = r * w * h). Byte assembly is JVM-codegen: the pixel row
+    is hex-repeat + unhex (BGR order, rows padded to 4 bytes), headers
+    are the le16/le32 builders. Dimensions stay small (w<=18, h<=9) —
+    the fixture exercises the DECODER, volume comes from row count."""
+    w = (F.col("doc_id") % F.lit(16) + F.lit(3)).cast("long")
+    h = (F.col("doc_id") % F.lit(8) + F.lit(2)).cast("long")
+    r = (F.col("doc_id") % F.lit(251)).cast("long")
+    g = (F.length("text") % F.lit(253)).cast("long")
+    b = ((F.col("doc_id") + F.length("text")) % F.lit(255)).cast("long")
+    px_hex = F.concat(*[F.lpad(F.hex(c), 2, "0") for c in (b, g, r)])
+    # row padding to 4 bytes; spelled with non-negative operands because
+    # Spark's % follows the dividend's sign (pmod semantics needed here)
+    pad = (F.lit(4) - (w * 3) % F.lit(4)) % F.lit(4)
+    row_hex = F.concat(F.repeat(px_hex, w.cast("int")),
+                       F.repeat(F.lit("00"), pad.cast("int")))
+    rows_hex = F.repeat(row_hex, h.cast("int"))
+    row_bytes = w * 3 + pad
+    data_size = row_bytes * h
+    file_size = data_size + F.lit(54)
+    media = F.concat(
+        F.lit(b"BM"), le32(file_size), F.lit(b"\x00\x00\x00\x00"),
+        le32(F.lit(54).cast("long")),              # pixel data offset
+        le32(F.lit(40).cast("long")),              # BITMAPINFOHEADER
+        le32(w), le32(h),
+        le16(F.lit(1).cast("long")),               # planes
+        le16(F.lit(24).cast("long")),              # bpp
+        le32(F.lit(0).cast("long")),               # BI_RGB
+        le32(data_size),
+        F.lit(b"\x00" * 16),                       # ppm + palette fields
+        F.unhex(rows_hex))
+    return documents.select(F.col("doc_id").alias("id"),
+                            media.alias("media"))
+
+
+def synthesize_pcm_wav_table(documents: DataFrame) -> DataFrame:
+    """Decodable 16-bit PCM WAVs: every sample holds the same positive
+    amplitude a derived from document columns, so the exact aggregates
+    have closed forms (sum_sq = a^2 * n, peak = a). Same JVM-codegen
+    hex-repeat assembly as synthesize_bmp_table."""
+    ch = (F.col("doc_id") % F.lit(2) + F.lit(1)).cast("long")
+    rate = (F.lit(8000) + (F.length("text") % F.lit(8)) * F.lit(1000)) \
+        .cast("long")
+    amp = (F.col("doc_id") % F.lit(30000) + F.lit(1)).cast("long")
+    n_frames = (F.length("text") % F.lit(50) + F.lit(1)).cast("long")
+    n_samples = n_frames * ch
+    sample_hex = F.concat(
+        F.lpad(F.hex(amp % 256), 2, "0"),
+        F.lpad(F.hex(F.floor(amp / F.lit(256)).cast("long")), 2, "0"))
+    data_hex = F.repeat(sample_hex, n_samples.cast("int"))
+    block = ch * F.lit(2)
+    byte_rate = rate * block
+    data_size = n_samples * F.lit(2)
+    riff_size = data_size + F.lit(36)
+    media = F.concat(
+        F.lit(b"RIFF"), le32(riff_size), F.lit(b"WAVE"),
+        F.lit(b"fmt \x10\x00\x00\x00\x01\x00"),
+        le16(ch), le32(rate), le32(byte_rate), le16(block),
+        F.lit(b"\x10\x00"),
+        F.lit(b"data"), le32(data_size), F.unhex(data_hex))
+    return documents.select(F.col("doc_id").alias("id"),
+                            media.alias("media"))

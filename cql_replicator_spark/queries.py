@@ -1352,6 +1352,10 @@ _TOUCHED_THIS_ROUND: list[str] = [
                              # cannot sort/hash array cells)
     "snapshot_time_travel",  # new: Delta-protocol log replay
                              # (dlog.py) versionAsOf round-trip
+    "multimodal_bmp_pixel_decode",  # new: REAL pixel decode (24-bit
+                                    # BMP), closed-form channel sums
+    "multimodal_wav_pcm_decode",    # new: REAL PCM sample decode,
+                                    # closed-form energy/peak
 ]
 
 # Deliberate-overflow acknowledgement for the driver-window arithmetic:

@@ -1171,6 +1171,69 @@ def multimodal_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp_pixel_decode",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(doc_id % 16 + 3 AS INTEGER) AS width,
+       CAST(doc_id % 8 + 2 AS INTEGER) AS height,
+       CAST((doc_id % 16 + 3) * (doc_id % 8 + 2) AS BIGINT) AS n_px,
+       CAST((doc_id % 251) * (doc_id % 16 + 3) * (doc_id % 8 + 2)
+            AS BIGINT) AS sum_r,
+       CAST((length(text) % 253) * (doc_id % 16 + 3) * (doc_id % 8 + 2)
+            AS BIGINT) AS sum_g,
+       CAST(((doc_id + length(text)) % 255) * (doc_id % 16 + 3)
+            * (doc_id % 8 + 2) AS BIGINT) AS sum_b
+FROM documents
+""",
+    doc="REAL pixel decode (the data half, no image library): solid-"
+        "color 24-bit BMPs are synthesized JVM-side (hex-repeat/unhex "
+        "codegen rows, 4-byte padding, BGR order; dims and RGB derive "
+        "from document columns), then decoded back pixel-by-pixel by "
+        "the pure-Python decoder in an Arrow mapInPandas batch "
+        "(multimodal.parse_bmp_pixels). Exact integer channel sums "
+        "have the closed form sum_c = c*w*h for a solid color, which "
+        "the oracle recomputes — any disagreement on row padding, "
+        "pixel order, or header offsets mismatches. PNG (zlib inflate "
+        "+ scanline unfilter) shares the decode entry point and is "
+        "covered by filter-exercising pytest fixtures",
+)
+def multimodal_bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.image_pixel_stats(MM.synthesize_bmp_table(docs))
+
+
+@register(
+    "multimodal_wav_pcm_decode",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+       CAST(8000 + (length(text) % 8) * 1000 AS INTEGER) AS sample_rate,
+       CAST((length(text) % 50 + 1) * (doc_id % 2 + 1) AS BIGINT)
+           AS n_samples,
+       CAST((doc_id % 30000 + 1) * (doc_id % 30000 + 1)
+            * (length(text) % 50 + 1) * (doc_id % 2 + 1) AS BIGINT)
+           AS sum_sq,
+       CAST(doc_id % 30000 + 1 AS INTEGER) AS peak
+FROM documents
+""",
+    doc="REAL PCM sample decode (the data half, no audio library): "
+        "16-bit PCM WAVs with a constant per-document amplitude are "
+        "synthesized JVM-side (hex-repeat sample data, little-endian "
+        "chunk layout), then every sample is decoded back by the "
+        "pure-Python decoder in an Arrow mapInPandas batch "
+        "(multimodal.parse_wav_samples). The exact integer energy has "
+        "the closed form sum_sq = a^2 * n and peak = a, which the "
+        "oracle recomputes — sample byte order or data-chunk "
+        "misalignment mismatches immediately",
+)
+def multimodal_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.audio_sample_stats(MM.synthesize_pcm_wav_table(docs))
+
+
+@register(
     "multimodal_video_headers",
     oracle="""
 SELECT doc_id AS id, 'mp4' AS format,

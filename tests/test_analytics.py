@@ -266,12 +266,147 @@ def test_multimodal_feature_extraction(spark, docs):
 
 
 def test_multimodal_real_decoders_are_stubbed():
+    # still-stubbed boundaries: JPEG/GIF pixel codecs, frame sampling
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         MM.decode_audio(b"RIFF")
     with pytest.raises(NotImplementedError):
         MM.sample_frames(b"\x00\x00\x01\xba")
+
+
+def _ref_bmp(w, h, pix):
+    """Reference 24-bit BMP encoder (independent of the module under
+    test): pix = h rows of (b, g, r) tuples, bottom-up storage."""
+    import struct
+
+    rows = b""
+    for row in pix:
+        rb = b"".join(bytes(p) for p in row)
+        rb += b"\x00" * ((4 - (w * 3) % 4) % 4)
+        rows += rb
+    return (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(rows), 0, 0, 0, 0) + rows)
+
+
+def test_bmp_pixel_decode_exact_sums():
+    pix = [[(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+           [(1, 2, 3), (4, 5, 6), (7, 8, 9)]]
+    d = MM.parse_bmp_pixels(_ref_bmp(3, 2, pix))
+    flat = [p for row in pix for p in row]
+    assert d == {"width": 3, "height": 2, "n_px": 6,
+                 "sum_r": sum(p[2] for p in flat),
+                 "sum_g": sum(p[1] for p in flat),
+                 "sum_b": sum(p[0] for p in flat)}
+    # non-24bpp and compressed variants stay undecoded, not wrong
+    bad = bytearray(_ref_bmp(3, 2, pix))
+    bad[28] = 8  # bpp
+    assert MM.parse_bmp_pixels(bytes(bad)) is None
+    assert MM.parse_bmp_pixels(b"BMshort") is None
+
+
+def _ref_png(w, h, px, filters):
+    """Reference truecolor PNG encoder applying an explicit filter type
+    per scanline — exercises every unfilter branch independently of
+    the decoder's own arithmetic."""
+    import struct
+    import zlib
+
+    raw = b""
+    prev = [0] * (w * 3)
+    for y, ft in zip(range(h), filters):
+        cur = [c for p in px[y] for c in p]
+        if ft == 0:
+            enc = cur[:]
+        elif ft == 1:
+            enc = [(cur[x] - (cur[x - 3] if x >= 3 else 0)) & 0xFF
+                   for x in range(len(cur))]
+        elif ft == 2:
+            enc = [(cur[x] - prev[x]) & 0xFF for x in range(len(cur))]
+        elif ft == 3:
+            enc = [(cur[x] - (((cur[x - 3] if x >= 3 else 0)
+                               + prev[x]) >> 1)) & 0xFF
+                   for x in range(len(cur))]
+        else:  # Paeth
+            enc = []
+            for x in range(len(cur)):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc.append((cur[x] - pred) & 0xFF)
+        raw += bytes([ft]) + bytes(enc)
+        prev = cur
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_pixel_decode_all_filter_types():
+    import random
+
+    rng = random.Random(7)
+    w, h = 5, 5
+    px = [[tuple(rng.randrange(256) for _ in range(3)) for _ in range(w)]
+          for _ in range(h)]
+    d = MM.parse_png_pixels(_ref_png(w, h, px, [0, 1, 2, 3, 4]))
+    flat = [p for row in px for p in row]
+    assert d == {"width": w, "height": h, "n_px": w * h,
+                 "sum_r": sum(p[0] for p in flat),
+                 "sum_g": sum(p[1] for p in flat),
+                 "sum_b": sum(p[2] for p in flat)}
+    # header-only PNG (the metadata fixtures) has no IDAT -> None
+    hdr_only = _ref_png(w, h, px, [0] * h)[:33]
+    assert MM.parse_png_pixels(hdr_only) is None
+
+
+def test_wav_sample_decode_exact_energy():
+    import struct
+
+    samples = [100, -200, 300, -32768, 32767]
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+           + b"fmt \x10\x00\x00\x00"
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", len(body)) + body)
+    d = MM.parse_wav_samples(wav)
+    assert d == {"channels": 1, "sample_rate": 8000, "n_samples": 5,
+                 "sum_sq": sum(s * s for s in samples), "peak": 32768}
+    # non-PCM format tag keeps the stub boundary
+    alaw = bytearray(wav)
+    alaw[20] = 6
+    assert MM.parse_wav_samples(bytes(alaw)) is None
+
+
+def test_pixel_and_sample_roundtrip_through_spark(spark, docs):
+    """Synthesized-in-JVM media decoded back in mapInPandas must match
+    the closed forms the synthesizers guarantee — the same invariant
+    the registered oracles check, pinned here at test scale."""
+    sample = docs.limit(25)
+    st = {r.id: r for r in MM.image_pixel_stats(
+        MM.synthesize_bmp_table(sample)).collect()}
+    for r in sample.select("doc_id", F.length("text").alias("L")).collect():
+        w, h = r.doc_id % 16 + 3, r.doc_id % 8 + 2
+        s = st[r.doc_id]
+        assert (s.width, s.height, s.n_px) == (w, h, w * h)
+        assert s.sum_r == (r.doc_id % 251) * w * h
+        assert s.sum_g == (r.L % 253) * w * h
+        assert s.sum_b == ((r.doc_id + r.L) % 255) * w * h
+    sa = {r.id: r for r in MM.audio_sample_stats(
+        MM.synthesize_pcm_wav_table(sample)).collect()}
+    for r in sample.select("doc_id", F.length("text").alias("L")).collect():
+        a = r.doc_id % 30000 + 1
+        n = (r.L % 50 + 1) * (r.doc_id % 2 + 1)
+        s = sa[r.doc_id]
+        assert (s.n_samples, s.peak, s.sum_sq) == (n, a, a * a * n)
 
 
 def test_language_id_deterministic_argmax(spark):
