@@ -23,10 +23,14 @@ master/PROTOCOL.md) directly:
 * ``vacuum`` deletes data files unreachable from the retained trailing
   versions; time travel past the vacuum horizon fails, as in Delta.
 
-What is deliberately NOT implemented: multi-writer put-if-absent
-commits (single-writer assumption, like the reference's per-tile
-writer), checkpoints (logs here are tiny; replay is O(versions)),
-deletion vectors and column mapping. A table written by this module is
+Commits are put-if-absent: the log file is hard-linked into place
+(os.link fails with EEXIST when the version already exists), so two
+racing writers cannot both win a version — the loser gets
+ConcurrentCommitError, the protocol's optimistic-concurrency outcome.
+What is deliberately NOT implemented: automatic retry/rebase of the
+losing writer (callers re-read and re-commit, like the reference's
+per-tile single-writer loop), checkpoints (logs here are tiny; replay
+is O(versions)), deletion vectors and column mapping. A table written by this module is
 structurally a valid minimal Delta table; the SnapshotStore
 ``fmt="delta"`` path still uses the real delta-spark package when it
 is importable.
@@ -43,6 +47,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_delta_log"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (optimistic
+    concurrency conflict). Re-read the table state and re-commit."""
 
 
 def _log_path(table_path: str, version: int) -> str:
@@ -162,11 +171,20 @@ class DeltaLogTable:
         actions.extend(adds)
 
         log_file = _log_path(self.path, version)
-        tmp = log_file + ".tmp"
+        tmp = log_file + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             for a in actions:
                 f.write(json.dumps(a) + "\n")
-        os.replace(tmp, log_file)  # the commit point
+        try:
+            # put-if-absent commit point: link fails if the version
+            # exists, so a racing writer cannot silently clobber it
+            os.link(tmp, log_file)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} already committed in {self.path}; "
+                f"re-read and re-commit") from None
+        finally:
+            os.unlink(tmp)
         return version
 
     # -- read -------------------------------------------------------------

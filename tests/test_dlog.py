@@ -176,6 +176,28 @@ def test_replay_matches_reference_reconciliation(tmp_path):
     check()
 
 
+def test_concurrent_commit_loses_cleanly(spark, tbl, monkeypatch):
+    """Put-if-absent commits: a writer whose view of latest_version is
+    stale (another writer won the race for the next version) must get
+    ConcurrentCommitError, and the winner's committed log file must
+    survive byte-for-byte — never a silent clobber."""
+    from cql_replicator_spark.dlog import ConcurrentCommitError
+
+    tbl.commit_overwrite(_df(spark, [(1, 10)]))
+    winner = _log_file = os.path.join(tbl.path, "_delta_log",
+                                      "00000000000000000001.json")
+    with open(winner, "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 0}}) + "\n")
+    before = open(winner).read()
+    # freeze the loser's stale belief that version 0 is still latest
+    monkeypatch.setattr(DeltaLogTable, "latest_version", lambda self: 0)
+    with pytest.raises(ConcurrentCommitError, match="version 1"):
+        tbl.commit_overwrite(_df(spark, [(2, 20)]))
+    assert open(winner).read() == before, "committed log was clobbered"
+    log_dir = os.path.join(tbl.path, "_delta_log")
+    assert not [n for n in os.listdir(log_dir) if n.endswith(".tmp")]
+
+
 def test_no_staging_or_tmp_left_behind(spark, tbl):
     tbl.commit_overwrite(_df(spark, [(1, 10)]))
     tbl.commit_overwrite(_df(spark, [(2, 20)]))
