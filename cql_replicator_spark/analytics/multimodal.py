@@ -6,11 +6,12 @@ Arrow-batched mapInPandas pipelines, partition sizing. Decoding is
 REAL wherever the codec needs nothing beyond the standard library:
 container-header metadata for PNG/BMP/GIF/JPEG/WAV/ISO-BMFF, and full
 pixel/sample decode for uncompressed 24-bit BMP, truecolor PNG (zlib
-IDAT + scanline unfilter), and 16-bit PCM WAV (see the "real pixel /
-sample decoding" section). Only the codecs that genuinely require
-external libraries (JPEG/GIF pixel decode, compressed audio, video
-frames) remain stubbed behind ``NotImplementedError`` with a
-deterministic fake for the feature-extraction path.
+IDAT + scanline unfilter), GIF (pure-Python LZW), and 16-bit PCM WAV
+(see the "real pixel / sample decoding" section). Only the codecs
+that genuinely require external libraries (JPEG pixel decode,
+compressed audio, video frames) remain stubbed behind
+``NotImplementedError`` with a deterministic fake for the
+feature-extraction path.
 
 Schema convention for a multimodal table:
     id BIGINT, media BINARY, media_type STRING,
@@ -863,8 +864,12 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
                     rows.append(None)
                     continue
                 raw = bytes(b)
-                rows.append(parse_png_pixels(raw) if raw[:1] == b"\x89"
-                            else parse_bmp_pixels(raw))
+                if raw[:1] == b"\x89":
+                    rows.append(parse_png_pixels(raw))
+                elif raw[:3] == b"GIF":
+                    rows.append(parse_gif_pixels(raw))
+                else:
+                    rows.append(parse_bmp_pixels(raw))
             yield pd.DataFrame({
                 "id": pdf["id"],
                 "width": pd.array([r["width"] if r else None for r in rows],
@@ -979,3 +984,121 @@ def synthesize_pcm_wav_table(documents: DataFrame) -> DataFrame:
         F.lit(b"data"), le32(data_size), F.unhex(data_hex))
     return documents.select(F.col("doc_id").alias("id"),
                             media.alias("media"))
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW decode (spec appendix F): variable code width
+    starting at min_code_size+1 growing to 12 bits, clear code resets
+    the table, codes are packed little-endian-bit-first. Returns the
+    color-index stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh_table():
+        return {i: [i] for i in range(clear)}
+
+    table = fresh_table()
+    next_code = end + 1
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = fresh_table()
+                next_code = end + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+            # width growth tracks the ENCODER's entry counter, which
+            # runs one ahead of this table (the decoder adds nothing
+            # for the first code after a clear) — the classic LZW
+            # off-by-one: grow when the encoder's next entry id
+            # (next_code + 1) hits the width boundary
+            if next_code + 1 == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+    return out
+
+
+def parse_gif_pixels(data: bytes) -> dict | None:
+    """Decode the first image frame of a GIF87a/89a to exact
+    per-channel pixel sums via pure-Python LZW — {width, height, n_px,
+    sum_r, sum_g, sum_b}. Color indices map through the local color
+    table when present, else the global one. Interlaced frames decode
+    too: channel sums are row-order-invariant, so no deinterlace pass
+    is needed for stats. None for non-GIF or missing color tables."""
+    if data is None or len(data) < 13 or data[:6] not in (b"GIF87a",
+                                                          b"GIF89a"):
+        return None
+    packed = data[10]
+    gct = None
+    i = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[13:13 + 3 * n]
+        i = 13 + 3 * n
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(data) and data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > len(data):
+                return None
+            w = int.from_bytes(data[i + 5:i + 7], "little")
+            h = int.from_bytes(data[i + 7:i + 9], "little")
+            ipacked = data[i + 9]
+            i += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = data[i:i + 3 * n]
+                i += 3 * n
+            if table is None or i >= len(data):
+                return None
+            min_code = data[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(data) and data[i] != 0:
+                size = data[i]
+                lzw += data[i + 1:i + 1 + size]
+                i += 1 + size
+            try:
+                idx = _gif_lzw_decode(min_code, bytes(lzw))[:w * h]
+            except (ValueError, KeyError):
+                return None  # corrupt stream: undecodable, not fatal
+            if len(idx) < w * h:
+                return None
+            sum_r = sum(table[3 * k] for k in idx)
+            sum_g = sum(table[3 * k + 1] for k in idx)
+            sum_b = sum(table[3 * k + 2] for k in idx)
+            return {"width": w, "height": h, "n_px": w * h,
+                    "sum_r": sum_r, "sum_g": sum_g, "sum_b": sum_b}
+        elif b == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None

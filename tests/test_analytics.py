@@ -368,6 +368,101 @@ def test_png_pixel_decode_all_filter_types():
     assert MM.parse_png_pixels(hdr_only) is None
 
 
+def _ref_gif(w, h, palette, indices):
+    """Reference GIF89a encoder with a real dictionary-building LZW
+    compressor (independent of the decoder under test): emits the
+    initial clear code, grows code width on dictionary fill, ends with
+    the end-of-information code."""
+    import struct
+
+    n_colors = len(palette)
+    min_code = max(2, (n_colors - 1).bit_length())
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    codes = [clear]
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code = end + 1
+    buf = tuple()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+        else:
+            codes.append(table[buf])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+            buf = (px,)
+    if buf:
+        codes.append(table[buf])
+    codes.append(end)
+
+    # pack codes LSB-first with the same width schedule the decoder
+    # must follow: width grows when next_code (encoder side) passes
+    # the width boundary
+    out = bytearray()
+    acc = bits = 0
+    width = min_code + 1
+    emitted_next = end + 1
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+        if c == clear:
+            width = min_code + 1
+            emitted_next = end + 1
+        elif c != end:
+            if emitted_next < 4096:
+                emitted_next += 1
+                if emitted_next == (1 << width) and width < 12:
+                    width += 1
+    if bits:
+        out.append(acc & 0xFF)
+
+    pal = b"".join(bytes(c) for c in palette)
+    pal += b"\x00" * (3 * (1 << min_code) - len(pal))
+    gct_bits = min_code - 1
+    data = b""
+    rest = bytes(out)
+    while rest:
+        data += bytes([min(255, len(rest))]) + rest[:255]
+        rest = rest[255:]
+    return (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0x80 | gct_bits, 0, 0]) + pal
+            + b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + bytes([min_code]) + data + b"\x00" + b"\x3B")
+
+
+def test_gif_pixel_decode_lzw():
+    import random
+
+    rng = random.Random(13)
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    w, h = 9, 7
+    idx = [rng.randrange(4) for _ in range(w * h)]
+    d = MM.parse_gif_pixels(_ref_gif(w, h, palette, idx))
+    assert d == {"width": w, "height": h, "n_px": w * h,
+                 "sum_r": sum(palette[i][0] for i in idx),
+                 "sum_g": sum(palette[i][1] for i in idx),
+                 "sum_b": sum(palette[i][2] for i in idx)}
+    # repetitive image forces dictionary growth (and the KwKwK case
+    # shows up with runs); a larger run-heavy image must also match
+    idx2 = ([0] * 40 + [1] * 40 + [0, 1, 2, 3] * 30) * 3
+    w2, h2 = 24, len(idx2) // 24
+    idx2 = idx2[:w2 * h2]
+    d2 = MM.parse_gif_pixels(_ref_gif(w2, h2, palette, idx2))
+    assert (d2["sum_r"], d2["sum_g"], d2["sum_b"]) == (
+        sum(palette[i][0] for i in idx2),
+        sum(palette[i][1] for i in idx2),
+        sum(palette[i][2] for i in idx2))
+    # header-only GIF (the metadata fixtures) has no image data -> None
+    hdr_only = _ref_gif(w, h, palette, idx)[:13]
+    assert MM.parse_gif_pixels(hdr_only) is None
+
+
 def test_wav_sample_decode_exact_energy():
     import struct
 
