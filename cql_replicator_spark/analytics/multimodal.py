@@ -744,13 +744,14 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
 
 
 def parse_png_pixels(data: bytes) -> dict | None:
-    """Decode an 8-bit truecolor (color type 2) or truecolor+alpha (6)
-    non-interlaced PNG to exact per-channel sums: {width, height,
-    n_px, sum_r, sum_g, sum_b}. IDAT chunks concatenate into one zlib
-    stream (stdlib inflate), then the five scanline filters reverse
-    per the spec. Unsupported color types/interlace return None —
-    palette/greyscale need no new codec but are not synthesized here,
-    so the decoder stays honest about what it has actually run on."""
+    """Decode an 8-bit non-interlaced PNG of any color type —
+    greyscale (0), truecolor (2), palette (3, via PLTE lookup),
+    grey+alpha (4), truecolor+alpha (6) — to exact per-channel sums:
+    {width, height, n_px, sum_r, sum_g, sum_b}; greyscale reports the
+    grey sum on all three channels. IDAT chunks concatenate into one
+    zlib stream (stdlib inflate), then the five scanline filters
+    reverse per the spec. Sub-byte bit depths and interlace return
+    None."""
     import zlib
 
     if data is None or len(data) < 45 or data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -760,20 +761,26 @@ def parse_png_pixels(data: bytes) -> dict | None:
     w = int.from_bytes(data[16:20], "big")
     h = int.from_bytes(data[20:24], "big")
     bit_depth, color_type, interlace = data[24], data[25], data[28]
-    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+    # 8-bit greyscale (0), truecolor (2), palette (3), grey+alpha (4),
+    # truecolor+alpha (6); sub-byte depths and interlace stay out
+    if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) \
+            or interlace != 0:
         return None
-    bpp = 3 if color_type == 2 else 4
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     idat = bytearray()
+    plte = None
     i = 8
     while i + 8 <= len(data):
         size = int.from_bytes(data[i:i + 4], "big")
         ctype = data[i + 4:i + 8]
         if ctype == b"IDAT":
             idat += data[i + 8:i + 8 + size]
+        elif ctype == b"PLTE":
+            plte = data[i + 8:i + 8 + size]
         if ctype == b"IEND":
             break
         i += 12 + size  # length + type + payload + CRC
-    if not idat:
+    if not idat or (color_type == 3 and not plte):
         return None
     try:
         raw = zlib.decompress(bytes(idat))
@@ -782,9 +789,20 @@ def parse_png_pixels(data: bytes) -> dict | None:
     if len(raw) != h * (1 + w * bpp):
         return None
     px = _png_unfilter(raw, w, h, bpp)
-    sum_r = sum(px[0::bpp])
-    sum_g = sum(px[1::bpp])
-    sum_b = sum(px[2::bpp])
+    if color_type in (0, 4):  # greyscale: every channel is the grey
+        s = sum(px[0::bpp])
+        sum_r = sum_g = sum_b = s
+    elif color_type == 3:
+        try:
+            sum_r = sum(plte[3 * k] for k in px)
+            sum_g = sum(plte[3 * k + 1] for k in px)
+            sum_b = sum(plte[3 * k + 2] for k in px)
+        except IndexError:
+            return None  # palette index out of range: corrupt
+    else:
+        sum_r = sum(px[0::bpp])
+        sum_g = sum(px[1::bpp])
+        sum_b = sum(px[2::bpp])
     return {"width": w, "height": h, "n_px": w * h,
             "sum_r": sum_r, "sum_g": sum_g, "sum_b": sum_b}
 

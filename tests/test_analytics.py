@@ -368,6 +368,49 @@ def test_png_pixel_decode_all_filter_types():
     assert MM.parse_png_pixels(hdr_only) is None
 
 
+def _ref_png_typed(w, h, color_type, raw_rows, plte=None):
+    """Reference encoder for non-truecolor PNGs: raw_rows = filter-0
+    scanline payload rows (already per-type sample layout)."""
+    import struct
+    import zlib
+
+    raw = b"".join(b"\x00" + r for r in raw_rows)
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b)))
+
+    out = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8,
+                                        color_type, 0, 0, 0)))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_pixel_decode_greyscale_and_palette():
+    # greyscale 3x2: grey sum lands on all three channels
+    rows = [bytes([10, 20, 30]), bytes([40, 50, 60])]
+    d = MM.parse_png_pixels(_ref_png_typed(3, 2, 0, rows))
+    assert d == {"width": 3, "height": 2, "n_px": 6,
+                 "sum_r": 210, "sum_g": 210, "sum_b": 210}
+    # palette 2x2 through a 3-entry PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    rows = [bytes([0, 1]), bytes([2, 0])]
+    d = MM.parse_png_pixels(_ref_png_typed(2, 2, 3, rows, plte=plte))
+    assert d == {"width": 2, "height": 2, "n_px": 4,
+                 "sum_r": 510, "sum_g": 255, "sum_b": 255}
+    # palette index past PLTE end: corrupt -> None, not a crash
+    bad = MM.parse_png_pixels(
+        _ref_png_typed(2, 2, 3, [bytes([0, 9]), bytes([0, 0])],
+                       plte=plte))
+    assert bad is None
+    # grey+alpha: alpha ignored, grey summed
+    rows = [bytes([10, 255, 20, 128])]
+    d = MM.parse_png_pixels(_ref_png_typed(2, 1, 4, rows))
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (30, 30, 30)
+
+
 def _ref_gif(w, h, palette, indices):
     """Reference GIF89a encoder with a real dictionary-building LZW
     compressor (independent of the decoder under test): emits the
