@@ -181,6 +181,7 @@ HEADLINE = [
     "snapshot_time_travel",
     "multimodal_bmp_pixel_decode",
     "multimodal_wav_pcm_decode",
+    "multimodal_jpeg_pixel_decode",
 ]
 
 

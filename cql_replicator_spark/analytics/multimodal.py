@@ -5,10 +5,12 @@ The Spark-side mechanics are real and tested — schema convention,
 Arrow-batched mapInPandas pipelines, partition sizing. Decoding is
 REAL wherever the codec needs nothing beyond the standard library:
 container-header metadata for PNG/BMP/GIF/JPEG/WAV/ISO-BMFF, and full
-pixel/sample decode for uncompressed 24-bit BMP, truecolor PNG (zlib
-IDAT + scanline unfilter), GIF (pure-Python LZW), and 16-bit PCM WAV
-(see the "real pixel / sample decoding" section). Only the codecs
-that genuinely require external libraries (JPEG pixel decode,
+pixel/sample decode for uncompressed 24-bit BMP, PNG of every 8-bit
+color type (zlib IDAT + scanline unfilter + PLTE), GIF (pure-Python
+LZW), baseline greyscale JPEG (canonical Huffman entropy decode +
+float IDCT), and 16-bit PCM WAV (see the "real pixel / sample
+decoding" and "baseline JPEG" sections). Only the codecs that
+genuinely require external libraries (color/progressive JPEG,
 compressed audio, video frames) remain stubbed behind
 ``NotImplementedError`` with a deterministic fake for the
 feature-extraction path.
@@ -886,6 +888,8 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
                     rows.append(parse_png_pixels(raw))
                 elif raw[:3] == b"GIF":
                     rows.append(parse_gif_pixels(raw))
+                elif raw[:2] == b"\xff\xd8":
+                    rows.append(parse_jpeg_pixels(raw))
                 else:
                     rows.append(parse_bmp_pixels(raw))
             yield pd.DataFrame({
@@ -1120,3 +1124,370 @@ def parse_gif_pixels(data: bytes) -> dict | None:
         else:
             return None
     return None
+
+
+# -- baseline JPEG (greyscale) ------------------------------------------------
+#
+# The last image codec behind the "needs PIL" stub that is actually
+# implementable from the public spec with no dependencies: baseline
+# sequential DCT, 8-bit, single (luminance) component. The entropy
+# layer (canonical Huffman from DHT, byte-stuffed bitstream, DC
+# prediction, AC run-length with EOB/ZRL) is LOSSLESS and therefore
+# bit-exactly testable: decode(encode(blocks)) must reproduce the
+# quantized coefficients. The DCT layer is float and round-trips
+# exactly on flat blocks (DC-only), which is what the synthesized
+# fixtures use; arbitrary images round-trip within quantization
+# tolerance like any real JPEG. Color (multi-component interleave,
+# subsampling, YCbCr) stays behind the declared stub.
+
+def _zigzag():
+    """The spec's zigzag scan order as (row, col) pairs, generated
+    rather than transcribed: even diagonals run bottom-left to
+    top-right (row descending), odd ones the reverse."""
+    return sorted(((r, c) for r in range(8) for c in range(8)),
+                  key=lambda p: (p[0] + p[1],
+                                 p[0] if (p[0] + p[1]) % 2 else -p[0]))
+
+
+_ZZ = _zigzag()
+
+
+def _dct_matrix():
+    import math
+
+    return [[(math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8))
+             * math.cos((2 * x + 1) * u * math.pi / 16)
+             for x in range(8)] for u in range(8)]
+
+
+_DCT = _dct_matrix()
+
+
+def _fdct_quant(block) -> list[int]:
+    """Level-shift, forward DCT, quantize by 1 (identity table), emit
+    in zigzag order. S = C · s · Cᵀ with the orthonormal C above —
+    the spec's FDCT up to its 1/4·C(u)C(v) scaling folded into C.
+    numpy matmul: the per-block transform is the codec's hot loop."""
+    import numpy as np
+
+    C = np.asarray(_DCT)
+    s = np.asarray(block, dtype=np.float64) - 128.0
+    coef = C @ s @ C.T
+    zz = np.rint(coef).astype(np.int64)
+    return [int(zz[r, c]) for r, c in _ZZ]
+
+
+def _idct_dequant(zz: list[int]):
+    import numpy as np
+
+    C = np.asarray(_DCT)
+    coef = np.zeros((8, 8))
+    for k, (r, c) in enumerate(_ZZ):
+        coef[r, c] = zz[k]
+    s = C.T @ coef @ C
+    return np.clip(np.rint(s) + 128, 0, 255).astype(np.int64)
+
+
+# Huffman tables the ENCODER emits (and any spec decoder can read from
+# the DHT segment): DC categories 0..11 as 4-bit codes, the 256 AC
+# run/size symbols split over 9- and 10-bit codes (a DHT bits entry is
+# one byte, so a single length holds at most 255 symbols). Both are
+# valid canonical tables with the all-ones code unused, per the
+# spec's constraint.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_BITS = [0] * 8 + [128, 128] + [0] * 6
+_AC_VALS = list(range(256))
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by the spec's canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.acc <<= (8 - self.n)
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc = self.n = 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.data):
+                raise ValueError("bitstream exhausted")
+            b = self.data[self.i]
+            self.i += 1
+            if b == 0xFF:
+                if self.i < len(self.data) and self.data[self.i] == 0x00:
+                    self.i += 1  # unstuff
+                else:
+                    raise ValueError("marker inside entropy stream")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _category(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + additional bits for a coefficient."""
+    if v == 0:
+        return 0, 0
+    mag = abs(v)
+    cat = mag.bit_length()
+    extra = v if v > 0 else v + (1 << cat) - 1
+    return cat, extra
+
+
+def _decode_extend(extra: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return extra if extra >= (1 << (cat - 1)) else extra - (1 << cat) + 1
+
+
+def encode_grey_jpeg(width: int, height: int, pixels: bytes) -> bytes:
+    """Baseline greyscale JPEG encoder: identity quantization table,
+    the fixed canonical Huffman tables above (emitted in DHT so any
+    spec decoder can read the file), DC prediction, AC run-length with
+    EOB and ZRL. pixels = row-major bytes, edge blocks replicate."""
+    import struct
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels length != width*height")
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    w8, h8 = (width + 7) // 8, (height + 7) // 8
+    bw = _BitWriter()
+    pred = 0
+    for by in range(h8):
+        for bx in range(w8):
+            block = [[pixels[min(height - 1, by * 8 + y) * width
+                             + min(width - 1, bx * 8 + x)]
+                      for x in range(8)] for y in range(8)]
+            zz = _fdct_quant(block)
+            diff = zz[0] - pred
+            pred = zz[0]
+            cat, extra = _category(diff)
+            code, ln = dc_codes[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(extra, cat)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat, extra = _category(zz[k])
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(extra, cat)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    ecs = bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", height, width)
+              + bytes([1, 1, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9")
+
+
+def parse_jpeg_pixels(data: bytes) -> dict | None:
+    """Decode a baseline greyscale JPEG to exact integer pixel sums:
+    {width, height, n_px, sum_r, sum_g, sum_b} (grey reported on all
+    three channels, like greyscale PNG). Reads quantization and
+    Huffman tables from the file's own DQT/DHT segments — not wired
+    to this module's encoder tables — so any spec-conforming
+    single-component baseline file decodes. Multi-component (color),
+    progressive, and restart-marker streams return None and remain
+    the declared stub boundary."""
+    if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    quant = None
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    i = 2
+    ecs_start = None
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        size = int.from_bytes(data[i + 2:i + 4], "big")
+        body = data[i + 4:i + 2 + size]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                n = 65 if pq == 0 else 129
+                if tq == 0:
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline
+                    quant = list(body[j + 1:j + 65])
+                j += n
+        elif marker == 0xC0:
+            if body[5] != 1:
+                return None  # multi-component: stub boundary
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline SOF
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17:j + 17 + nv])
+                codes = _canonical_codes(bits, vals)
+                huff[(tc, th)] = {(c, ln): sym
+                                  for sym, (c, ln) in codes.items()}
+                j += 17 + nv
+        elif marker == 0xDD:
+            return None  # restart intervals: stub boundary
+        elif marker == 0xDA:
+            ecs_start = i + 2 + size
+            break
+        i += 2 + size
+    if None in (quant, w, h) or ecs_start is None \
+            or (0, 0) not in huff or (1, 0) not in huff:
+        return None
+
+    end = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[ecs_start:end if end > ecs_start else len(data)])
+
+    def read_symbol(table):
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (code, ln) in table:
+                return table[(code, ln)]
+        raise ValueError("invalid Huffman code")
+
+    w8, h8 = (w + 7) // 8, (h + 7) // 8
+    total = 0
+    pred = 0
+    try:
+        grid_sums = []
+        for by in range(h8):
+            block_row = []
+            for bx in range(w8):
+                zz = [0] * 64
+                cat = read_symbol(huff[(0, 0)])
+                pred += _decode_extend(br.bits(cat), cat)
+                zz[0] = pred * quant[0]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(huff[(1, 0)])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, cat = sym >> 4, sym & 0x0F
+                    if cat == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC overrun")
+                    zz[k] = _decode_extend(br.bits(cat), cat) * quant[k]
+                    k += 1
+                block_row.append(_idct_dequant(zz))
+            grid_sums.append(block_row)
+    except ValueError:
+        return None
+    for by in range(h8):
+        for bx in range(w8):
+            blk = grid_sums[by][bx]
+            ylim = min(8, h - by * 8)
+            xlim = min(8, w - bx * 8)
+            total += int(blk[:ylim, :xlim].sum())
+    return {"width": w, "height": h, "n_px": w * h,
+            "sum_r": total, "sum_g": total, "sum_b": total}
+
+
+JPEG_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("media", T.BinaryType()),
+])
+
+
+def synthesize_jpeg_table(documents: DataFrame) -> DataFrame:
+    """Decodable baseline greyscale JPEGs from the documents table:
+    solid-grey images whose dims/level derive arithmetically from
+    document columns. A solid image is DC-only in every (even
+    edge-replicated) block, so the float DCT round-trips EXACTLY and
+    sum = grey * w * h in closed form for the oracle. Unlike the other
+    synthesizers this one must run in Python (mapInPandas): Huffman
+    bit-packing is not expressible as column codegen — which is fine,
+    encode here exists to exercise the DECODER."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            media = []
+            for did in ids:
+                w = did % 21 + 4
+                h = did % 13 + 4
+                g = did % 256
+                media.append(encode_grey_jpeg(w, h, bytes([g]) * (w * h)))
+            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                                "media": media})
+
+    return documents.select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)

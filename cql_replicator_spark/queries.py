@@ -1356,6 +1356,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                     # BMP), closed-form channel sums
     "multimodal_wav_pcm_decode",    # new: REAL PCM sample decode,
                                     # closed-form energy/peak
+    "multimodal_jpeg_pixel_decode", # new: from-spec baseline JPEG
+                                    # decode, DC-only-exact fixtures
 ]
 
 # Deliberate-overflow acknowledgement for the driver-window arithmetic:

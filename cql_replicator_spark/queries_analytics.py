@@ -1234,6 +1234,39 @@ def multimodal_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_pixel_decode",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(doc_id % 21 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 13 + 4 AS INTEGER) AS height,
+       CAST((doc_id % 21 + 4) * (doc_id % 13 + 4) AS BIGINT) AS n_px,
+       CAST((doc_id % 256) * (doc_id % 21 + 4) * (doc_id % 13 + 4)
+            AS BIGINT) AS sum_r,
+       CAST((doc_id % 256) * (doc_id % 21 + 4) * (doc_id % 13 + 4)
+            AS BIGINT) AS sum_g,
+       CAST((doc_id % 256) * (doc_id % 21 + 4) * (doc_id % 13 + 4)
+            AS BIGINT) AS sum_b
+FROM documents
+""",
+    doc="REAL baseline JPEG decode, no image library: solid-grey "
+        "baseline JPEGs (SOI/DQT/SOF0/DHT/SOS, canonical Huffman "
+        "entropy coding with byte stuffing, DC prediction, EOB/ZRL "
+        "run-length, float DCT) are encoded in mapInPandas and decoded "
+        "back by the from-spec decoder (multimodal.parse_jpeg_pixels) "
+        "which reads quant/Huffman tables from the file's own "
+        "segments. Solid images are DC-only in every block, so the "
+        "float DCT round-trips exactly and the oracle recomputes "
+        "sum = grey * w * h in closed form; grey lands on all three "
+        "channels like greyscale PNG. The entropy layer itself is "
+        "lossless and separately pinned by coefficient-exact pytest",
+)
+def multimodal_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.image_pixel_stats(MM.synthesize_jpeg_table(docs))
+
+
+@register(
     "multimodal_video_headers",
     oracle="""
 SELECT doc_id AS id, 'mp4' AS format,

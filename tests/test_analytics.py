@@ -506,6 +506,85 @@ def test_gif_pixel_decode_lzw():
     assert MM.parse_gif_pixels(hdr_only) is None
 
 
+def test_jpeg_solid_images_decode_exactly():
+    """Solid blocks are DC-only, so the float DCT round-trips exactly:
+    decode(encode(solid)) must equal grey*w*h for every size/level,
+    including non-multiple-of-8 dims (edge replication keeps blocks
+    solid)."""
+    for w, h, g in [(8, 8, 0), (8, 8, 255), (16, 8, 77), (13, 5, 200),
+                    (24, 21, 1), (4, 4, 128)]:
+        d = MM.parse_jpeg_pixels(
+            MM.encode_grey_jpeg(w, h, bytes([g]) * (w * h)))
+        assert d == {"width": w, "height": h, "n_px": w * h,
+                     "sum_r": g * w * h, "sum_g": g * w * h,
+                     "sum_b": g * w * h}, (w, h, g)
+
+
+def test_jpeg_entropy_layer_is_lossless():
+    """The Huffman/bitstream layer must reproduce the quantized
+    coefficients bit-exactly: decoding an arbitrary image must equal
+    the module's own DCT pipeline applied WITHOUT entropy coding.
+    Random pixels exercise every magnitude category, ZRL runs, DC
+    prediction across blocks, and byte stuffing."""
+    import random
+
+    rng = random.Random(11)
+    w, h = 32, 24
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    decoded = MM.parse_jpeg_pixels(MM.encode_grey_jpeg(w, h, px))
+
+    expect = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = [[px[(by * 8 + y) * w + bx * 8 + x]
+                      for x in range(8)] for y in range(8)]
+            blk = MM._idct_dequant(MM._fdct_quant(block))
+            expect += int(blk.sum())
+    assert decoded["sum_r"] == expect
+    # and the decode is lossy only at DCT-rounding magnitude
+    assert abs(decoded["sum_r"] - sum(px)) <= w * h
+
+
+def test_jpeg_container_is_spec_shaped():
+    data = MM.encode_grey_jpeg(8, 8, bytes(64))
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    # marker walk finds DQT, SOF0, two DHTs, SOS in order
+    markers = []
+    i = 2
+    while i + 4 <= len(data):
+        assert data[i] == 0xFF
+        m = data[i + 1]
+        markers.append(m)
+        if m == 0xDA:
+            break
+        i += 2 + int.from_bytes(data[i + 2:i + 4], "big")
+    assert markers == [0xDB, 0xC0, 0xC4, 0xC4, 0xDA]
+    # the shared header parser reads the SOF dims too
+    assert MM.parse_image_header(data) == ("jpeg", 8, 8)
+
+
+def test_jpeg_stub_boundaries_return_none():
+    import struct
+
+    good = MM.encode_grey_jpeg(8, 8, bytes(64))
+    # progressive SOF2 instead of baseline SOF0
+    prog = bytearray(good)
+    prog[prog.index(0xC0, 2)] = 0xC2
+    assert MM.parse_jpeg_pixels(bytes(prog)) is None
+    # 3-component SOF (color): stub boundary
+    i = 2
+    while good[i + 1] != 0xC0:
+        i += 2 + int.from_bytes(good[i + 2:i + 4], "big")
+    sof_body = (bytes([8]) + struct.pack(">HH", 8, 8)
+                + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    color = (good[:i] + b"\xff\xc0"
+             + struct.pack(">H", len(sof_body) + 2) + sof_body
+             + good[i + 2 + int.from_bytes(good[i + 2:i + 4], "big"):])
+    assert MM.parse_jpeg_pixels(bytes(color)) is None
+    # truncated entropy stream: undecodable, not a crash
+    assert MM.parse_jpeg_pixels(good[:-10]) is None
+
+
 def test_wav_sample_decode_exact_energy():
     import struct
 
