@@ -9,11 +9,13 @@ pixel/sample decode for uncompressed 24-bit BMP, PNG of every 8-bit
 color type (zlib IDAT + scanline unfilter + PLTE), GIF (pure-Python
 LZW), baseline greyscale JPEG (canonical Huffman entropy decode +
 float IDCT), and 16-bit PCM WAV (see the "real pixel / sample
-decoding" and "baseline JPEG" sections). Only the codecs that
-genuinely require external libraries (color/progressive JPEG,
-compressed audio, video frames) remain stubbed behind
-``NotImplementedError`` with a deterministic fake for the
-feature-extraction path.
+decoding" and "baseline JPEG" sections), plus G.711 A-law/mu-law
+companded WAV expansion and MJPEG-in-AVI video frame sampling (each
+frame is a standalone JPEG; the RIFF walk + JPEG decoder compose).
+Only the codecs that genuinely require external libraries
+(color/progressive JPEG, modern compressed audio, inter-coded video
+like H.264) remain stubbed behind ``NotImplementedError`` with a
+deterministic fake for the feature-extraction path.
 
 Schema convention for a multimodal table:
     id BIGINT, media BINARY, media_type STRING,
@@ -440,9 +442,28 @@ def decode_video(data: bytes) -> dict:
     return {"format": fmt, "width": w, "height": h, "duration_ms": dur}
 
 
-def sample_frames(data: bytes, every_ms: int = 1000) -> list[bytes]:
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg bindings; install and replace this stub")
+def sample_frames(data: bytes, every_ms: int = 1000,
+                  _lenient: bool = False) -> list[tuple[int, bytes]]:
+    """Sample frames at a timestamp stride. REAL for MJPEG-in-AVI
+    (every frame is a standalone JPEG; see the MJPEG section below):
+    returns [(frame_idx, jpeg_bytes), ...] taking one frame per
+    every_ms of timeline (avih usec_per_frame; falls back to every
+    frame when timing is absent). Inter-coded codecs (H.264 & co)
+    genuinely need ffmpeg and keep the stub; _lenient=True returns []
+    instead of raising, for batch pipelines."""
+    avi = parse_avi_mjpeg(data)
+    if avi is None:
+        if _lenient:
+            return []
+        raise NotImplementedError(
+            "only MJPEG AVI decodes in-repo; other codecs require "
+            "ffmpeg bindings; install and replace this stub")
+    usec = avi["usec_per_frame"]
+    if usec <= 0:
+        stride = 1
+    else:
+        stride = max(1, round(every_ms * 1000 / usec))
+    return [(i, f) for i, f in enumerate(avi["frames"]) if i % stride == 0]
 
 
 def fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -809,12 +830,41 @@ def parse_png_pixels(data: bytes) -> dict | None:
             "sum_r": sum_r, "sum_g": sum_g, "sum_b": sum_b}
 
 
+def _alaw_to_linear(a: int) -> int:
+    """ITU-T G.711 A-law byte -> 13-bit linear sample (sign-magnitude
+    expansion; even bits are inverted on the wire per the spec)."""
+    a ^= 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    if exp == 0:
+        v = (mant << 4) + 8
+    else:
+        v = ((mant << 4) + 0x108) << (exp - 1)
+    # A-law's sign convention is the reverse of mu-law's: the sign bit
+    # SET means positive (0xD5, the silence byte, decodes to +8)
+    return v if sign else -v
+
+
+def _ulaw_to_linear(u: int) -> int:
+    """ITU-T G.711 mu-law byte -> 14-bit linear sample (the byte is
+    stored complemented; bias 0x84 folds back out after the shift)."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    v = (((mant << 3) + 0x84) << exp) - 0x84
+    return -v if sign else v
+
+
 def parse_wav_samples(data: bytes) -> dict | None:
-    """Decode 16-bit PCM WAV samples to exact integer aggregates:
-    {channels, sample_rate, n_samples, sum_sq, peak} (n_samples counts
-    frames x channels; peak = max |sample|; sum_sq is the integer
-    energy — callers derive RMS). Only format tag 1 (PCM) at 16 bits;
-    other encodings keep the decode_audio stub."""
+    """Decode WAV samples to exact integer aggregates: {channels,
+    sample_rate, n_samples, sum_sq, peak} (n_samples counts frames x
+    channels; peak = max |sample|; sum_sq is the integer energy —
+    callers derive RMS). Handles format tag 1 (16-bit PCM) and the
+    G.711 companded encodings — tag 6 (A-law) and tag 7 (mu-law),
+    expanded by the spec's pure-arithmetic tables. Other encodings
+    keep the decode_audio stub."""
     if data is None or len(data) < 12 or data[:4] != b"RIFF" \
             or data[8:12] != b"WAVE":
         return None
@@ -834,8 +884,20 @@ def parse_wav_samples(data: bytes) -> dict | None:
         elif cid == b"data":
             body = chunk
         i += 8 + size + (size & 1)
-    if fmt_tag != 1 or bits != 16 or not channels or not rate \
-            or body is None:
+    if not channels or not rate or body is None:
+        return None
+    if fmt_tag in (6, 7) and bits == 8:
+        expand = _alaw_to_linear if fmt_tag == 6 else _ulaw_to_linear
+        sum_sq = 0
+        peak = 0
+        for b in body:
+            s = expand(b)
+            sum_sq += s * s
+            if abs(s) > peak:
+                peak = abs(s)
+        return {"channels": channels, "sample_rate": rate,
+                "n_samples": len(body), "sum_sq": sum_sq, "peak": peak}
+    if fmt_tag != 1 or bits != 16:
         return None
     n = len(body) // 2
     sum_sq = 0
@@ -1491,3 +1553,123 @@ def synthesize_jpeg_table(documents: DataFrame) -> DataFrame:
                                 "media": media})
 
     return documents.select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
+
+
+# -- MJPEG-in-AVI frame extraction --------------------------------------------
+#
+# "Video frame sampling needs ffmpeg" is true for inter-coded codecs
+# (H.264 & co) — but Motion JPEG stores every frame as a standalone
+# JPEG inside an AVI/RIFF container, and both halves are now in this
+# module: the RIFF walk (same chunk grammar as WAV) and the baseline
+# JPEG decoder. sample_frames() therefore handles MJPEG AVIs for real
+# and keeps the declared stub for everything else.
+
+def parse_avi_mjpeg(data: bytes) -> dict | None:
+    """Walk an AVI/RIFF container: returns {width, height,
+    usec_per_frame, frames: [jpeg_bytes, ...]} from the avih header
+    and the movi LIST's video chunks ('00dc'/'00db'). None for
+    non-AVI payloads."""
+    if data is None or len(data) < 12 or data[:4] != b"RIFF" \
+            or data[8:12] != b"AVI ":
+        return None
+    usec = width = height = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int):
+        nonlocal usec, width, height
+        i = start
+        while i + 8 <= end:
+            cid = data[i:i + 4]
+            size = int.from_bytes(data[i + 4:i + 8], "little")
+            body_start = i + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)  # skip list type
+            elif cid == b"avih" and size >= 40:
+                usec = int.from_bytes(data[body_start:body_start + 4],
+                                      "little")
+                width = int.from_bytes(
+                    data[body_start + 32:body_start + 36], "little")
+                height = int.from_bytes(
+                    data[body_start + 36:body_start + 40], "little")
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(data[body_start:body_start + size])
+            i = body_start + size + (size & 1)
+
+    walk(12, len(data))
+    if width is None or not frames:
+        return None
+    return {"width": width, "height": height,
+            "usec_per_frame": usec or 0, "frames": frames}
+
+
+def encode_mjpeg_avi(width: int, height: int, frames: list[bytes],
+                     fps: int = 10) -> bytes:
+    """Minimal spec-shaped MJPEG AVI writer: RIFF('AVI ') with an hdrl
+    LIST (avih + strl/strh 'vids'/'MJPG' + strf BITMAPINFOHEADER) and
+    a movi LIST of '00dc' JPEG chunks. Exists to exercise the frame
+    extractor; any AVI-reading tool sees a structurally valid file."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    usec = 1_000_000 // max(1, fps)
+    avih = struct.pack("<10I", usec, 0, 0, 0x10, len(frames), 0, 1, 0,
+                       width, height) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<10I", 0, 0, 0, 1, fps, 0,
+                                            len(frames), 0, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sum_grey", T.LongType()),
+])
+
+
+def video_frame_stats(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """media binary (MJPEG AVI) -> one row per SAMPLED frame with its
+    decoded pixel sum, via Arrow-batched mapInPandas: the real
+    frame-sampling pipeline (container walk -> frame select by
+    timestamp stride -> per-frame image decode). Non-AVI payloads
+    yield no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, sums = [], [], [], [], []
+            for rid, b in zip(pdf["id"], pdf["media"]):
+                if b is None:
+                    continue
+                for idx, frame in sample_frames(bytes(b), every_ms,
+                                                _lenient=True):
+                    d = parse_jpeg_pixels(frame)
+                    if d is None:
+                        continue
+                    ids.append(rid)
+                    idxs.append(idx)
+                    ws.append(d["width"])
+                    hs.append(d["height"])
+                    sums.append(d["sum_r"])
+            yield pd.DataFrame({
+                "id": pd.array(ids, dtype="Int64"),
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "sum_grey": pd.array(sums, dtype="Int64"),
+            })
+
+    return df.select("id", "media").mapInPandas(run, schema=FRAME_STATS_SCHEMA)

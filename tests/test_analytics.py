@@ -603,6 +603,119 @@ def test_wav_sample_decode_exact_energy():
     assert MM.parse_wav_samples(bytes(alaw)) is None
 
 
+def _ref_linear_to_ulaw(s):
+    """Reference G.711 mu-law compressor (SUN g711.c shape)."""
+    BIAS = 0x84
+    sign = 0x80 if s < 0 else 0
+    if s < 0:
+        s = -s
+    s = min(s, 32635) + BIAS
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not (s & mask):
+        exp -= 1
+        mask >>= 1
+    mant = (s >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def _ref_linear_to_alaw(s):
+    """Reference G.711 A-law compressor."""
+    sign = 0x80 if s >= 0 else 0
+    if s < 0:
+        s = -s - 1 if s != -32768 else 32767
+    s = min(s, 32767)
+    if s < 256:
+        out = s >> 4
+    else:
+        exp = 7
+        mask = 0x4000
+        while exp > 1 and not (s & mask):
+            exp -= 1
+            mask >>= 1
+        mant = (s >> (exp + 3)) & 0x0F
+        out = (exp << 4) | mant
+    return (sign | out) ^ 0x55
+
+
+def test_mjpeg_avi_frame_sampling_real():
+    """Frame extraction is REAL for MJPEG AVIs: container walk finds
+    the movi chunks, the timestamp stride picks every Nth frame, and
+    each sampled frame decodes through the baseline JPEG decoder to
+    its exact solid-grey sum."""
+    w, h = 16, 8
+    greys = [10, 60, 110, 160, 210]
+    frames = [MM.encode_grey_jpeg(w, h, bytes([g]) * (w * h))
+              for g in greys]
+    avi = MM.encode_mjpeg_avi(w, h, frames, fps=10)  # 100 ms/frame
+    parsed = MM.parse_avi_mjpeg(avi)
+    assert parsed["width"] == w and parsed["height"] == h
+    assert len(parsed["frames"]) == 5
+    # 200 ms stride over a 10 fps stream -> frames 0, 2, 4
+    picked = MM.sample_frames(avi, every_ms=200)
+    assert [i for i, _ in picked] == [0, 2, 4]
+    for i, f in picked:
+        d = MM.parse_jpeg_pixels(f)
+        assert d["sum_r"] == greys[i] * w * h
+    # inter-coded codecs keep the stub (MPEG-PS signature)
+    with pytest.raises(NotImplementedError):
+        MM.sample_frames(b"\x00\x00\x01\xba" + b"\x00" * 64)
+
+
+def test_video_frame_stats_through_spark(spark):
+    w, h = 8, 8
+    rows = []
+    for vid in range(4):
+        greys = [(vid * 7 + k * 11) % 256 for k in range(3)]
+        frames = [MM.encode_grey_jpeg(w, h, bytes([g]) * 64)
+                  for g in greys]
+        rows.append((vid, bytearray(MM.encode_mjpeg_avi(w, h, frames,
+                                                        fps=1))))
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = MM.video_frame_stats(df, every_ms=1000)  # 1 fps -> all frames
+    got = {(r.id, r.frame_idx): r.sum_grey for r in out.collect()}
+    assert len(got) == 12
+    for vid in range(4):
+        for k in range(3):
+            assert got[(vid, k)] == ((vid * 7 + k * 11) % 256) * 64
+
+
+def test_g711_companded_wav_decode():
+    """A-law / mu-law WAV data chunks (format tags 6 and 7) expand to
+    linear through the spec's arithmetic. Pin the known table extremes
+    and a compress->expand round trip within companded quantization
+    error against independent reference compressors."""
+    import struct
+
+    assert MM._ulaw_to_linear(0xFF) == 0
+    assert MM._ulaw_to_linear(0x80) == 32124
+    assert MM._ulaw_to_linear(0x00) == -32124
+    assert MM._alaw_to_linear(0xD5) == 8      # the A-law silence byte
+    assert MM._alaw_to_linear(0x55) == -8
+    assert MM._alaw_to_linear(0xAA) == 32256
+    import random
+
+    rng = random.Random(5)
+    lin = [rng.randrange(-30000, 30000) for _ in range(200)]
+    for tag, comp, expand, tol_num in [
+            (7, _ref_linear_to_ulaw, MM._ulaw_to_linear, 16),
+            (6, _ref_linear_to_alaw, MM._alaw_to_linear, 16)]:
+        for s in lin:
+            back = expand(comp(s))
+            # companded error grows with magnitude: half a step of the
+            # segment, which is bounded by |s|/tol_num + a small floor
+            assert abs(back - s) <= abs(s) / tol_num + 40, (tag, s, back)
+        body = bytes(comp(s) for s in lin)
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+               + b"fmt \x10\x00\x00\x00"
+               + struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+               + b"data" + struct.pack("<I", len(body)) + body)
+        d = MM.parse_wav_samples(wav)
+        assert d["n_samples"] == len(lin)
+        assert d["sum_sq"] == sum(expand(b) ** 2 for b in body)
+        assert d["peak"] == max(abs(expand(b)) for b in body)
+
+
 def test_pixel_and_sample_roundtrip_through_spark(spark, docs):
     """Synthesized-in-JVM media decoded back in mapInPandas must match
     the closed forms the synthesizers guarantee — the same invariant
