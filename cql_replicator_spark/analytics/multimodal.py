@@ -1437,13 +1437,13 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
                 pq, tq = body[j] >> 4, body[j] & 0x0F
                 n = 65 if pq == 0 else 129
                 if tq == 0:
-                    if pq != 0:
-                        return None  # 16-bit tables: not baseline
+                    if pq != 0 or len(body) < j + 65:
+                        return None  # 16-bit/truncated: not decodable
                     quant = list(body[j + 1:j + 65])
                 j += n
         elif marker == 0xC0:
-            if body[5] != 1:
-                return None  # multi-component: stub boundary
+            if len(body) < 8 or body[5] != 1:
+                return None  # truncated / multi-component
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -1455,6 +1455,8 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
                 tc, th = body[j] >> 4, body[j] & 0x0F
                 bits = list(body[j + 1:j + 17])
                 nv = sum(bits)
+                if len(bits) < 16 or len(body) < j + 17 + nv:
+                    return None  # truncated DHT
                 vals = list(body[j + 17:j + 17 + nv])
                 codes = _canonical_codes(bits, vals)
                 huff[(tc, th)] = {(c, ln): sym

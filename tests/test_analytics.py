@@ -716,6 +716,56 @@ def test_g711_companded_wav_decode():
         assert d["peak"] == max(abs(expand(b)) for b in body)
 
 
+def test_media_parsers_are_total_on_arbitrary_bytes():
+    """Every parser that runs inside an Arrow batch over corpus bytes
+    must be TOTAL: arbitrary/corrupt input returns a value or None,
+    never raises — one malformed blob must not kill a 100 TB scan
+    task. Fuzz with random bytes, random prefixes of VALID media (the
+    nastiest corruption class), and bit-flipped valid media."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    parsers = [MM.parse_image_header, MM.parse_audio_header,
+               MM.parse_video_header, MM.parse_bmp_pixels,
+               MM.parse_png_pixels, MM.parse_gif_pixels,
+               MM.parse_jpeg_pixels, MM.parse_wav_samples,
+               MM.parse_avi_mjpeg, MM.parse_png_text_chunks]
+
+    rng = random.Random(99)
+    w, h = 9, 6
+    valid = [
+        MM.encode_grey_jpeg(w, h, bytes([77]) * (w * h)),
+        _ref_bmp(3, 2, [[(1, 2, 3)] * 3] * 2),
+        _ref_gif(4, 3, [(255, 0, 0), (0, 255, 0)],
+                 [rng.randrange(2) for _ in range(12)]),
+        _ref_png(4, 3, [[(9, 9, 9)] * 4] * 3, [0, 1, 2]),
+        MM.encode_mjpeg_avi(8, 8, [MM.encode_grey_jpeg(8, 8, bytes(64))]),
+    ]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def fuzz(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            blob = data.draw(st.binary(max_size=300))
+        elif mode == 1:
+            base = valid[data.draw(st.integers(0, len(valid) - 1))]
+            blob = base[:data.draw(st.integers(0, len(base)))]
+        else:
+            base = bytearray(valid[data.draw(
+                st.integers(0, len(valid) - 1))])
+            for _ in range(data.draw(st.integers(1, 8))):
+                base[data.draw(st.integers(0, len(base) - 1))] ^= \
+                    1 << data.draw(st.integers(0, 7))
+            blob = bytes(base)
+        for p in parsers:
+            p(blob)  # any raise fails the test
+
+    fuzz()
+
+
 def test_pixel_and_sample_roundtrip_through_spark(spark, docs):
     """Synthesized-in-JVM media decoded back in mapInPandas must match
     the closed forms the synthesizers guarantee — the same invariant
