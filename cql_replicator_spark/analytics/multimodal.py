@@ -13,8 +13,8 @@ decoding" and "baseline JPEG" sections), plus G.711 A-law/mu-law
 companded WAV expansion and MJPEG-in-AVI video frame sampling (each
 frame is a standalone JPEG; the RIFF walk + JPEG decoder compose).
 Only the codecs that genuinely require external libraries
-(color/progressive JPEG, modern compressed audio, inter-coded video
-like H.264) remain stubbed behind ``NotImplementedError`` with a
+(subsampled/progressive JPEG, modern compressed audio, inter-coded
+video like H.264) remain stubbed behind ``NotImplementedError`` with a
 deterministic fake for the feature-extraction path.
 
 Schema convention for a multimodal table:
@@ -1408,19 +1408,26 @@ def encode_grey_jpeg(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def parse_jpeg_pixels(data: bytes) -> dict | None:
-    """Decode a baseline greyscale JPEG to exact integer pixel sums:
-    {width, height, n_px, sum_r, sum_g, sum_b} (grey reported on all
-    three channels, like greyscale PNG). Reads quantization and
-    Huffman tables from the file's own DQT/DHT segments — not wired
-    to this module's encoder tables — so any spec-conforming
-    single-component baseline file decodes. Multi-component (color),
+    """Decode a baseline JPEG to exact integer pixel sums: {width,
+    height, n_px, sum_r, sum_g, sum_b}. Greyscale (one component,
+    grey reported on all three channels) and 4:4:4 interleaved YCbCr
+    color (three components, BT.601/JFIF conversion) both decode;
+    quantization and Huffman tables come from the file's own DQT/DHT
+    segments and the SOS scan header assigns them per component — not
+    wired to this module's encoder tables, so any spec-conforming
+    file of those shapes decodes. Subsampled color (4:2:0),
     progressive, and restart-marker streams return None and remain
     the declared stub boundary."""
+    import numpy as np
+
     if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
-    quant = None
+    quants: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
+    comps: list[tuple[int, int]] = []   # (component id, quant table id)
+    scan: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
+    scan_order: list[int] = []
     i = 2
     ecs_start = None
     while i + 4 <= len(data):
@@ -1435,17 +1442,25 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
             j = 0
             while j < len(body):
                 pq, tq = body[j] >> 4, body[j] & 0x0F
-                n = 65 if pq == 0 else 129
-                if tq == 0:
-                    if pq != 0 or len(body) < j + 65:
-                        return None  # 16-bit/truncated: not decodable
-                    quant = list(body[j + 1:j + 65])
-                j += n
+                if pq != 0 or len(body) < j + 65:
+                    return None  # 16-bit/truncated: not decodable
+                quants[tq] = list(body[j + 1:j + 65])
+                j += 65
         elif marker == 0xC0:
-            if len(body) < 8 or body[5] != 1:
-                return None  # truncated / multi-component
+            if len(body) < 6:
+                return None
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3) or len(body) < 6 + 3 * nc:
+                return None
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                sampling = body[7 + 3 * c]
+                if sampling != 0x11:
+                    return None  # subsampled: stub boundary
+                comps.append((cid, body[8 + 3 * c]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline SOF
@@ -1465,12 +1480,24 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
         elif marker == 0xDD:
             return None  # restart intervals: stub boundary
         elif marker == 0xDA:
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                return None
+            for c in range(body[0]):
+                cs = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                scan[cs] = (tt >> 4, tt & 0x0F)
+                scan_order.append(cs)
             ecs_start = i + 2 + size
             break
         i += 2 + size
-    if None in (quant, w, h) or ecs_start is None \
-            or (0, 0) not in huff or (1, 0) not in huff:
+    if not quants or None in (w, h) or ecs_start is None or not comps:
         return None
+    if [cid for cid, _ in comps] != scan_order:
+        return None  # non-interleaved or reordered scan
+    for cid, tq in comps:
+        td, ta = scan.get(cid, (None, None))
+        if tq not in quants or (0, td) not in huff or (1, ta) not in huff:
+            return None
 
     end = data.rfind(b"\xff\xd9")
     br = _BitReader(data[ecs_start:end if end > ecs_start else len(data)])
@@ -1485,45 +1512,57 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
         raise ValueError("invalid Huffman code")
 
     w8, h8 = (w + 7) // 8, (h + 7) // 8
-    total = 0
-    pred = 0
+    nc = len(comps)
+    planes = [np.zeros((h8 * 8, w8 * 8), dtype=np.int64)
+              for _ in range(nc)]
+    preds = [0] * nc
     try:
-        grid_sums = []
         for by in range(h8):
-            block_row = []
             for bx in range(w8):
-                zz = [0] * 64
-                cat = read_symbol(huff[(0, 0)])
-                pred += _decode_extend(br.bits(cat), cat)
-                zz[0] = pred * quant[0]
-                k = 1
-                while k < 64:
-                    sym = read_symbol(huff[(1, 0)])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, cat = sym >> 4, sym & 0x0F
-                    if cat == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC overrun")
-                    zz[k] = _decode_extend(br.bits(cat), cat) * quant[k]
-                    k += 1
-                block_row.append(_idct_dequant(zz))
-            grid_sums.append(block_row)
+                for ci, (cid, tq) in enumerate(comps):
+                    td, ta = scan[cid]
+                    quant = quants[tq]
+                    zz = [0] * 64
+                    cat = read_symbol(huff[(0, td)])
+                    preds[ci] += _decode_extend(br.bits(cat), cat)
+                    zz[0] = preds[ci] * quant[0]
+                    k = 1
+                    while k < 64:
+                        sym = read_symbol(huff[(1, ta)])
+                        if sym == 0x00:  # EOB
+                            break
+                        run, cat = sym >> 4, sym & 0x0F
+                        if cat == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC overrun")
+                        zz[k] = _decode_extend(br.bits(cat), cat) \
+                            * quant[k]
+                        k += 1
+                    planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                        _idct_dequant(zz)
     except ValueError:
         return None
-    for by in range(h8):
-        for bx in range(w8):
-            blk = grid_sums[by][bx]
-            ylim = min(8, h - by * 8)
-            xlim = min(8, w - bx * 8)
-            total += int(blk[:ylim, :xlim].sum())
+    if nc == 1:
+        total = int(planes[0][:h, :w].sum())
+        return {"width": w, "height": h, "n_px": w * h,
+                "sum_r": total, "sum_g": total, "sum_b": total}
+    # BT.601/JFIF YCbCr -> RGB, rounded half-even like the rest of the
+    # pipeline, clamped to [0, 255]
+    y = planes[0][:h, :w].astype(np.float64)
+    cb = planes[1][:h, :w].astype(np.float64) - 128.0
+    cr = planes[2][:h, :w].astype(np.float64) - 128.0
+    r = np.clip(np.rint(y + 1.402 * cr), 0, 255).astype(np.int64)
+    g = np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr),
+                0, 255).astype(np.int64)
+    b = np.clip(np.rint(y + 1.772 * cb), 0, 255).astype(np.int64)
     return {"width": w, "height": h, "n_px": w * h,
-            "sum_r": total, "sum_g": total, "sum_b": total}
+            "sum_r": int(r.sum()), "sum_g": int(g.sum()),
+            "sum_b": int(b.sum())}
 
 
 JPEG_SCHEMA = T.StructType([
@@ -1675,3 +1714,77 @@ def video_frame_stats(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             })
 
     return df.select("id", "media").mapInPandas(run, schema=FRAME_STATS_SCHEMA)
+
+
+def encode_rgb_jpeg(width: int, height: int, rgb: bytes) -> bytes:
+    """Baseline 4:4:4 color JPEG encoder: RGB row-major bytes (3 per
+    pixel) -> BT.601/JFIF YCbCr (rounded half-even) -> interleaved
+    Y/Cb/Cr blocks through the same identity-quant DCT + canonical
+    Huffman machinery as the greyscale encoder (all three components
+    share table pair 0, which the SOS header declares). Exists to
+    exercise the color half of parse_jpeg_pixels."""
+    import struct
+
+    import numpy as np
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length != 3*width*height")
+    px = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64)
+    px = px.reshape(height, width, 3)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = np.rint(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = np.rint(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = np.rint(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    planes = [np.clip(p, 0, 255).astype(np.int64) for p in (y, cb, cr)]
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    w8, h8 = (width + 7) // 8, (height + 7) // 8
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+
+    def emit_block(zz, ci):
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        cat, extra = _category(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(extra, cat)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            cat, extra = _category(zz[k])
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(extra, cat)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]
+            bw.write(code, ln)
+
+    for by in range(h8):
+        for bx in range(w8):
+            for ci, plane in enumerate(planes):
+                block = [[int(plane[min(height - 1, by * 8 + yy),
+                                    min(width - 1, bx * 8 + xx)])
+                          for xx in range(8)] for yy in range(8)]
+                emit_block(_fdct_quant(block), ci)
+    ecs = bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", height, width)
+              + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9")

@@ -545,6 +545,54 @@ def test_jpeg_entropy_layer_is_lossless():
     assert abs(decoded["sum_r"] - sum(px)) <= w * h
 
 
+def _ycbcr_roundtrip(rgb):
+    """The deterministic double-rounded color expectation: encoder
+    rounds RGB->YCbCr, decoder rounds YCbCr->RGB (BT.601/JFIF)."""
+    r, g, b = rgb
+    y = round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    return (min(255, max(0, round(y + 1.402 * (cr - 128)))),
+            min(255, max(0, round(y - 0.344136 * (cb - 128)
+                                  - 0.714136 * (cr - 128)))),
+            min(255, max(0, round(y + 1.772 * (cb - 128)))))
+
+
+def test_jpeg_color_444_decode():
+    """Baseline 4:4:4 color: solid images are DC-only per component,
+    so the only loss is the YCbCr round trip itself — the decode must
+    equal the double-rounded colorspace expectation exactly. Random
+    images bound channel error at colorspace+DCT rounding scale."""
+    w, h = 16, 8
+    for color in [(200, 30, 90), (0, 0, 0), (255, 255, 255),
+                  (12, 200, 77), (128, 128, 128)]:
+        d = MM.parse_jpeg_pixels(
+            MM.encode_rgb_jpeg(w, h, bytes(color) * (w * h)))
+        er, eg, eb = _ycbcr_roundtrip(color)
+        assert (d["sum_r"], d["sum_g"], d["sum_b"]) == \
+            (er * w * h, eg * w * h, eb * w * h), color
+    import random
+
+    rng = random.Random(2)
+    rgb = bytes(rng.randrange(256) for _ in range(3 * 24 * 16))
+    d = MM.parse_jpeg_pixels(MM.encode_rgb_jpeg(24, 16, rgb))
+    for ch, truth in [("sum_r", sum(rgb[0::3])), ("sum_g", sum(rgb[1::3])),
+                      ("sum_b", sum(rgb[2::3]))]:
+        assert abs(d[ch] - truth) <= 0.002 * truth + 24 * 16 * 2
+
+
+def test_jpeg_subsampled_color_is_stub_boundary():
+    """4:2:0 sampling factors in SOF must return None (the declared
+    boundary), not decode garbage."""
+    good = MM.encode_rgb_jpeg(16, 16, bytes((10, 20, 30)) * 256)
+    sub = bytearray(good)
+    i = 2
+    while sub[i + 1] != 0xC0:
+        i += 2 + int.from_bytes(sub[i + 2:i + 4], "big")
+    sub[i + 4 + 5 + 1] = 0x22  # Y sampling 2x2 -> 4:2:0
+    assert MM.parse_jpeg_pixels(bytes(sub)) is None
+
+
 def test_jpeg_container_is_spec_shaped():
     data = MM.encode_grey_jpeg(8, 8, bytes(64))
     assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
