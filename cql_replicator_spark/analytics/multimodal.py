@@ -13,8 +13,8 @@ decoding" and "baseline JPEG" sections), plus G.711 A-law/mu-law
 companded WAV expansion and MJPEG-in-AVI video frame sampling (each
 frame is a standalone JPEG; the RIFF walk + JPEG decoder compose).
 Only the codecs that genuinely require external libraries
-(subsampled/progressive JPEG, modern compressed audio, inter-coded
-video like H.264) remain stubbed behind ``NotImplementedError`` with a
+(progressive JPEG, modern compressed audio, inter-coded video like
+H.264) remain stubbed behind ``NotImplementedError`` with a
 deterministic fake for the feature-extraction path.
 
 Schema convention for a multimodal table:
@@ -1410,14 +1410,15 @@ def encode_grey_jpeg(width: int, height: int, pixels: bytes) -> bytes:
 def parse_jpeg_pixels(data: bytes) -> dict | None:
     """Decode a baseline JPEG to exact integer pixel sums: {width,
     height, n_px, sum_r, sum_g, sum_b}. Greyscale (one component,
-    grey reported on all three channels) and 4:4:4 interleaved YCbCr
-    color (three components, BT.601/JFIF conversion) both decode;
-    quantization and Huffman tables come from the file's own DQT/DHT
-    segments and the SOS scan header assigns them per component — not
-    wired to this module's encoder tables, so any spec-conforming
-    file of those shapes decodes. Subsampled color (4:2:0),
-    progressive, and restart-marker streams return None and remain
-    the declared stub boundary."""
+    grey reported on all three channels) and interleaved YCbCr color
+    with any 1-2 sampling factors (4:4:4, 4:2:2, 4:2:0; BT.601/JFIF
+    conversion, replication upsampling) all decode; quantization and
+    Huffman tables come from the file's own DQT/DHT segments and the
+    SOS scan header assigns them per component — not wired to this
+    module's encoder tables, so any spec-conforming file of those
+    shapes decodes. Exotic sampling (>2), progressive, and
+    restart-marker streams return None and remain the declared stub
+    boundary."""
     import numpy as np
 
     if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
@@ -1458,9 +1459,10 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
             for c in range(nc):
                 cid = body[6 + 3 * c]
                 sampling = body[7 + 3 * c]
-                if sampling != 0x11:
-                    return None  # subsampled: stub boundary
-                comps.append((cid, body[8 + 3 * c]))
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    return None  # exotic sampling: stub boundary
+                comps.append((cid, hs, vs, body[8 + 3 * c]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline SOF
@@ -1492,9 +1494,9 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
         i += 2 + size
     if not quants or None in (w, h) or ecs_start is None or not comps:
         return None
-    if [cid for cid, _ in comps] != scan_order:
+    if [c[0] for c in comps] != scan_order:
         return None  # non-interleaved or reordered scan
-    for cid, tq in comps:
+    for cid, _hs, _vs, tq in comps:
         td, ta = scan.get(cid, (None, None))
         if tq not in quants or (0, td) not in huff or (1, ta) not in huff:
             return None
@@ -1511,51 +1513,70 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
                 return table[(code, ln)]
         raise ValueError("invalid Huffman code")
 
-    w8, h8 = (w + 7) // 8, (h + 7) // 8
+    # generic interleaved MCU geometry (covers 4:4:4, 4:2:2, 4:2:0):
+    # an MCU is hs_i x vs_i blocks per component; component planes are
+    # subsampled by (hmax/hs, vmax/vs) and upsampled by replication
+    # after decode (the spec-acceptable nearest-neighbor fast path)
     nc = len(comps)
-    planes = [np.zeros((h8 * 8, w8 * 8), dtype=np.int64)
-              for _ in range(nc)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int64)
+              for _, hs, vs, _tq in comps]
     preds = [0] * nc
     try:
-        for by in range(h8):
-            for bx in range(w8):
-                for ci, (cid, tq) in enumerate(comps):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
                     td, ta = scan[cid]
                     quant = quants[tq]
-                    zz = [0] * 64
-                    cat = read_symbol(huff[(0, td)])
-                    preds[ci] += _decode_extend(br.bits(cat), cat)
-                    zz[0] = preds[ci] * quant[0]
-                    k = 1
-                    while k < 64:
-                        sym = read_symbol(huff[(1, ta)])
-                        if sym == 0x00:  # EOB
-                            break
-                        run, cat = sym >> 4, sym & 0x0F
-                        if cat == 0:
-                            if run != 15:
-                                raise ValueError("bad AC symbol")
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC overrun")
-                        zz[k] = _decode_extend(br.bits(cat), cat) \
-                            * quant[k]
-                        k += 1
-                    planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                        _idct_dequant(zz)
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            zz = [0] * 64
+                            cat = read_symbol(huff[(0, td)])
+                            preds[ci] += _decode_extend(br.bits(cat), cat)
+                            zz[0] = preds[ci] * quant[0]
+                            k = 1
+                            while k < 64:
+                                sym = read_symbol(huff[(1, ta)])
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, cat = sym >> 4, sym & 0x0F
+                                if cat == 0:
+                                    if run != 15:
+                                        raise ValueError("bad AC symbol")
+                                    k += 16  # ZRL
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC overrun")
+                                zz[k] = _decode_extend(br.bits(cat),
+                                                       cat) * quant[k]
+                                k += 1
+                            py = (my * vs + byy) * 8
+                            px = (mx * hs + bxx) * 8
+                            planes[ci][py:py + 8, px:px + 8] = \
+                                _idct_dequant(zz)
     except ValueError:
         return None
+    full = []
+    for ci, (cid, hs, vs, _tq) in enumerate(comps):
+        p = planes[ci]
+        if hs != hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs != vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        full.append(p[:h, :w])
     if nc == 1:
-        total = int(planes[0][:h, :w].sum())
+        total = int(full[0].sum())
         return {"width": w, "height": h, "n_px": w * h,
                 "sum_r": total, "sum_g": total, "sum_b": total}
     # BT.601/JFIF YCbCr -> RGB, rounded half-even like the rest of the
     # pipeline, clamped to [0, 255]
-    y = planes[0][:h, :w].astype(np.float64)
-    cb = planes[1][:h, :w].astype(np.float64) - 128.0
-    cr = planes[2][:h, :w].astype(np.float64) - 128.0
+    y = full[0].astype(np.float64)
+    cb = full[1].astype(np.float64) - 128.0
+    cr = full[2].astype(np.float64) - 128.0
     r = np.clip(np.rint(y + 1.402 * cr), 0, 255).astype(np.int64)
     g = np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr),
                 0, 255).astype(np.int64)
@@ -1716,17 +1737,21 @@ def video_frame_stats(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.select("id", "media").mapInPandas(run, schema=FRAME_STATS_SCHEMA)
 
 
-def encode_rgb_jpeg(width: int, height: int, rgb: bytes) -> bytes:
-    """Baseline 4:4:4 color JPEG encoder: RGB row-major bytes (3 per
-    pixel) -> BT.601/JFIF YCbCr (rounded half-even) -> interleaved
-    Y/Cb/Cr blocks through the same identity-quant DCT + canonical
-    Huffman machinery as the greyscale encoder (all three components
-    share table pair 0, which the SOS header declares). Exists to
-    exercise the color half of parse_jpeg_pixels."""
+def encode_rgb_jpeg(width: int, height: int, rgb: bytes,
+                    subsampling: str = "444") -> bytes:
+    """Baseline color JPEG encoder, 4:4:4 or 4:2:0: RGB row-major
+    bytes (3 per pixel) -> BT.601/JFIF YCbCr (rounded half-even),
+    chroma downsampled by 2x2 mean for 4:2:0, interleaved MCU blocks
+    through the same identity-quant DCT + canonical Huffman machinery
+    as the greyscale encoder (all three components share table pair 0,
+    which the SOS header declares). Exists to exercise the color half
+    of parse_jpeg_pixels."""
     import struct
 
     import numpy as np
 
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     if len(rgb) != 3 * width * height:
         raise ValueError("rgb length != 3*width*height")
     px = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64)
@@ -1737,9 +1762,25 @@ def encode_rgb_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     cr = np.rint(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
     planes = [np.clip(p, 0, 255).astype(np.int64) for p in (y, cb, cr)]
 
+    if subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        down = []
+        for ci, p in enumerate(planes):
+            if ci == 0:
+                down.append(p)
+                continue
+            # pad to even dims by edge replication, then 2x2 mean
+            pe = np.pad(p, ((0, p.shape[0] & 1), (0, p.shape[1] & 1)),
+                        mode="edge").astype(np.float64)
+            q = (pe[0::2, 0::2] + pe[0::2, 1::2]
+                 + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+            down.append(np.rint(q).astype(np.int64))
+        planes = down
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
-    w8, h8 = (width + 7) // 8, (height + 7) // 8
     bw = _BitWriter()
     preds = [0, 0, 0]
 
@@ -1769,21 +1810,34 @@ def encode_rgb_jpeg(width: int, height: int, rgb: bytes) -> bytes:
             code, ln = ac_codes[0x00]
             bw.write(code, ln)
 
-    for by in range(h8):
-        for bx in range(w8):
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, plane in enumerate(planes):
-                block = [[int(plane[min(height - 1, by * 8 + yy),
-                                    min(width - 1, bx * 8 + xx)])
-                          for xx in range(8)] for yy in range(8)]
-                emit_block(_fdct_quant(block), ci)
+                hs, vs = samp[ci]
+                ph, pw = plane.shape
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        oy = (my * vs + byy) * 8
+                        ox = (mx * hs + bxx) * 8
+                        block = [[int(plane[min(ph - 1, oy + yy),
+                                            min(pw - 1, ox + xx)])
+                                  for xx in range(8)] for yy in range(8)]
+                        emit_block(_fdct_quant(block), ci)
     ecs = bw.flush()
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof_comps = b"".join(
+        bytes([cid, (samp[ci][0] << 4) | samp[ci][1], 0])
+        for ci, cid in enumerate((1, 2, 3)))
     sof = seg(0xC0, bytes([8]) + struct.pack(">HH", height, width)
-              + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+              + bytes([3]) + sof_comps)
     dht = (seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
            + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))

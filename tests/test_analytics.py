@@ -581,15 +581,39 @@ def test_jpeg_color_444_decode():
         assert abs(d[ch] - truth) <= 0.002 * truth + 24 * 16 * 2
 
 
-def test_jpeg_subsampled_color_is_stub_boundary():
-    """4:2:0 sampling factors in SOF must return None (the declared
+def test_jpeg_color_420_subsampled_decode():
+    """4:2:0 — the dominant real-world JPEG shape — decodes through
+    the generic MCU geometry (4 Y blocks + Cb + Cr per MCU, chroma
+    upsampled by replication). Solid colors stay EXACT because a 2x2
+    mean of a constant chroma plane is the same constant; random
+    images bound channel error at subsampling scale."""
+    for w, h in [(16, 16), (24, 8), (13, 11)]:
+        for color in [(200, 30, 90), (5, 250, 127)]:
+            d = MM.parse_jpeg_pixels(MM.encode_rgb_jpeg(
+                w, h, bytes(color) * (w * h), subsampling="420"))
+            er, eg, eb = _ycbcr_roundtrip(color)
+            assert (d["sum_r"], d["sum_g"], d["sum_b"]) == \
+                (er * w * h, eg * w * h, eb * w * h), (w, h, color)
+    import random
+
+    rng = random.Random(4)
+    rgb = bytes(rng.randrange(256) for _ in range(3 * 32 * 24))
+    d = MM.parse_jpeg_pixels(MM.encode_rgb_jpeg(32, 24, rgb,
+                                                subsampling="420"))
+    for ch, truth in [("sum_r", sum(rgb[0::3])), ("sum_g", sum(rgb[1::3])),
+                      ("sum_b", sum(rgb[2::3]))]:
+        assert abs(d[ch] - truth) <= 0.01 * truth + 32 * 24 * 2
+
+
+def test_jpeg_exotic_sampling_is_stub_boundary():
+    """Sampling factors beyond 2 must return None (the declared
     boundary), not decode garbage."""
     good = MM.encode_rgb_jpeg(16, 16, bytes((10, 20, 30)) * 256)
     sub = bytearray(good)
     i = 2
     while sub[i + 1] != 0xC0:
         i += 2 + int.from_bytes(sub[i + 2:i + 4], "big")
-    sub[i + 4 + 5 + 1] = 0x22  # Y sampling 2x2 -> 4:2:0
+    sub[i + 4 + 5 + 1] = 0x41  # Y sampling 4x1: out of scope
     assert MM.parse_jpeg_pixels(bytes(sub)) is None
 
 
