@@ -1302,6 +1302,14 @@ class _BitWriter:
             self.acc = self.n = 0
         return bytes(self.buf)
 
+    def write_marker(self, marker: int):
+        """Byte-align (1-padding, stuffing the pad byte if it lands on
+        0xFF) then emit a raw FF xx marker — restart markers are not
+        entropy data and are never stuffed."""
+        self.flush()
+        self.buf.append(0xFF)
+        self.buf.append(marker)
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -1332,6 +1340,17 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart boundary: discard the
+        partial byte (encoder padded it with 1s) and expect 0xFF D0-D7
+        next. The interval structure is the caller's job; here we only
+        re-align and verify the marker class."""
+        self.n = 0
+        if self.i + 2 > len(self.data) or self.data[self.i] != 0xFF \
+                or not (0xD0 <= self.data[self.i + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.i += 2
+
 
 def _category(v: int) -> tuple[int, int]:
     """JPEG magnitude category + additional bits for a coefficient."""
@@ -1349,11 +1368,14 @@ def _decode_extend(extra: int, cat: int) -> int:
     return extra if extra >= (1 << (cat - 1)) else extra - (1 << cat) + 1
 
 
-def encode_grey_jpeg(width: int, height: int, pixels: bytes) -> bytes:
+def encode_grey_jpeg(width: int, height: int, pixels: bytes,
+                     restart_interval: int = 0) -> bytes:
     """Baseline greyscale JPEG encoder: identity quantization table,
     the fixed canonical Huffman tables above (emitted in DHT so any
     spec decoder can read the file), DC prediction, AC run-length with
-    EOB and ZRL. pixels = row-major bytes, edge blocks replicate."""
+    EOB and ZRL. pixels = row-major bytes, edge blocks replicate.
+    restart_interval > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (DC prediction resets per interval, per spec)."""
     import struct
 
     if len(pixels) != width * height:
@@ -1365,6 +1387,12 @@ def encode_grey_jpeg(width: int, height: int, pixels: bytes) -> bytes:
     pred = 0
     for by in range(h8):
         for bx in range(w8):
+            mcu_no = by * w8 + bx
+            if restart_interval and mcu_no \
+                    and mcu_no % restart_interval == 0:
+                bw.write_marker(
+                    0xD0 + (mcu_no // restart_interval - 1) % 8)
+                pred = 0
             block = [[pixels[min(height - 1, by * 8 + y) * width
                              + min(width - 1, bx * 8 + x)]
                       for x in range(8)] for y in range(8)]
@@ -1403,8 +1431,10 @@ def encode_grey_jpeg(width: int, height: int, pixels: bytes) -> bytes:
               + bytes([1, 1, 0x11, 0]))
     dht = (seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
            + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9")
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + ecs + b"\xff\xd9")
 
 
 def parse_jpeg_pixels(data: bytes) -> dict | None:
@@ -1416,9 +1446,10 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
     Huffman tables come from the file's own DQT/DHT segments and the
     SOS scan header assigns them per component — not wired to this
     module's encoder tables, so any spec-conforming file of those
-    shapes decodes. Exotic sampling (>2), progressive, and
-    restart-marker streams return None and remain the declared stub
-    boundary."""
+    shapes decodes, including DRI/RSTn restart-marker streams
+    (byte re-alignment + per-interval DC reset). Exotic sampling
+    (>2) and progressive scans return None and remain the declared
+    stub boundary."""
     import numpy as np
 
     if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
@@ -1426,6 +1457,7 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
     quants: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
+    restart_interval = 0
     comps: list[tuple[int, int]] = []   # (component id, quant table id)
     scan: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
     scan_order: list[int] = []
@@ -1480,7 +1512,9 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
                                   for sym, (c, ln) in codes.items()}
                 j += 17 + nv
         elif marker == 0xDD:
-            return None  # restart intervals: stub boundary
+            if len(body) < 2:
+                return None
+            restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:
             if len(body) < 1 or len(body) < 1 + 2 * body[0]:
                 return None
@@ -1522,12 +1556,25 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # corrupt-header resource guard (fuzz-found): a bit-flipped SOF can
+    # claim 65535x65535 and provoke a ~34 GB plane allocation before
+    # the first entropy read fails. Every block costs >= 1 bit in any
+    # valid stream, so a stream shorter than that is corrupt — bail
+    # BEFORE allocating pixel planes.
+    n_blocks = mcux * mcuy * sum(hs * vs for _, hs, vs, _tq in comps)
+    if n_blocks > len(br.data) * 8:
+        return None
     planes = [np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int64)
               for _, hs, vs, _tq in comps]
     preds = [0] * nc
     try:
         for my in range(mcuy):
             for mx in range(mcux):
+                mcu_no = my * mcux + mx
+                if restart_interval and mcu_no \
+                        and mcu_no % restart_interval == 0:
+                    br.restart()
+                    preds = [0] * nc  # DC prediction resets per interval
                 for ci, (cid, hs, vs, tq) in enumerate(comps):
                     td, ta = scan[cid]
                     quant = quants[tq]

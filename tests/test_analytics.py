@@ -605,6 +605,30 @@ def test_jpeg_color_420_subsampled_decode():
         assert abs(d[ch] - truth) <= 0.01 * truth + 32 * 24 * 2
 
 
+def test_jpeg_restart_markers_decode():
+    """DRI/RSTn streams (common in real files) must decode to the
+    identical result as the unrestarted stream: byte re-alignment at
+    each boundary, marker class check, and per-interval DC prediction
+    reset."""
+    import random
+
+    rng = random.Random(8)
+    w, h = 40, 24  # 15 MCUs
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    plain = MM.parse_jpeg_pixels(MM.encode_grey_jpeg(w, h, px))
+    for ri in [1, 2, 4, 7]:
+        d = MM.parse_jpeg_pixels(
+            MM.encode_grey_jpeg(w, h, px, restart_interval=ri))
+        assert d == plain, ri
+    # a corrupted restart marker fails closed (None), not garbage
+    data = bytearray(MM.encode_grey_jpeg(w, h, px, restart_interval=2))
+    for i in range(len(data) - 1):
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            data[i + 1] = 0xC8  # not a restart class marker
+            break
+    assert MM.parse_jpeg_pixels(bytes(data)) is None
+
+
 def test_jpeg_exotic_sampling_is_stub_boundary():
     """Sampling factors beyond 2 must return None (the declared
     boundary), not decode garbage."""
