@@ -785,3 +785,174 @@ def random_projection_signs(
             F.lit(0).cast("long"), lambda acc, v: acc + v)
         cols.append(pj.alias(f"p{j}"))
     return projected.select(*cols)
+
+
+# -- product quantization (PQ) ------------------------------------------------
+#
+# The memory-scale tier below IVF: vectors compress to m uint8 codes
+# (one per subspace) against per-subspace codebooks, and search runs
+# as asymmetric distance computation (ADC) — the query precomputes an
+# m x k distance table, each candidate scores as m table lookups
+# instead of a dim-length dot product (Jegou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"). At 100 TB this is the
+# difference between shuffling 768 floats and m bytes per vector.
+# Training reuses the integer-exact kmeans (same quantize-floor
+# discipline), so codes are bit-reproducible across engines and runs.
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 2,
+    scale: int = 100,
+) -> list[list[list[int]]]:
+    """Train per-subspace codebooks: the embedding splits into m
+    contiguous subvectors; each subspace runs the integer-exact Lloyd
+    kmeans. Returns codebooks[sub][centroid] = int vector (quantized
+    at ``scale``), small enough to ship in a closure (m*k*subdim
+    ints — the same budget class as IVF centroids). Requires dim % m
+    == 0."""
+    head = corpus.select(vec_col).first()
+    if head is None:
+        raise ValueError("pq_train: corpus is empty")
+    dim = len(head[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        piece = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("sv"))
+        # reuse the corpus-side kmeans: assignments are discarded, the
+        # centroid table is what we keep — recovered by re-running the
+        # seeding+update loop through kmeans_quantized's machinery
+        books.append(_kmeans_centroids(piece, "sv", k, rounds, scale))
+    return books
+
+
+def _kmeans_centroids(frame: DataFrame, vec_col: str, k: int,
+                      rounds: int, scale: int) -> list[list[int]]:
+    """The centroid table of kmeans_quantized (which returns only
+    assignments): same seeding, same integer update, same k-row
+    pivoted collection."""
+    first_col = frame.columns[0]
+    q = frame.select(
+        F.col(first_col).alias("_id"),
+        F.expr(
+            f"transform({vec_col}, v -> greatest(-127L, least(127L, "
+            f"CAST(floor(CAST(v AS DOUBLE) * {int(scale)}) AS BIGINT))))"
+        ).alias("qv")).persist()
+    try:
+        seeds = q.orderBy("_id").limit(int(k)).collect()
+        if not seeds:
+            raise ValueError("empty subspace frame")
+        centroids = [list(r["qv"]) for r in seeds]
+        kk = len(centroids)
+        for _ in range(int(rounds)):
+            C = np.asarray(centroids, dtype=np.int64)
+            c2 = (C * C).sum(axis=1)
+
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("long")
+            def _nearest(qv: pd.Series) -> pd.Series:
+                X = np.stack(qv.to_numpy()).astype(np.int64)
+                D = -2 * (X @ C.T) + c2[None, :]
+                return pd.Series(np.argmin(D, axis=1).astype(np.int64))
+
+            sums = (q.withColumn("cid", _nearest(F.col("qv")))
+                    .select("cid", F.posexplode("qv").alias("pos", "v"))
+                    .groupBy("cid", "pos")
+                    .agg(F.sum("v").alias("s"), F.count("*").alias("n")))
+            rows = (sums.select("cid", "pos", F.expr("s div n").alias("c"))
+                    .groupBy("cid")
+                    .agg(F.array_sort(
+                        F.collect_list(F.struct("pos", "c"))).alias("pc"))
+                    .select("cid", F.col("pc.c").alias("cvec"))
+                    .collect())
+            upd = {int(r["cid"]): [int(v) for v in r["cvec"]] for r in rows}
+            centroids = [upd.get(ci, centroids[ci]) for ci in range(kk)]
+        return centroids
+    finally:
+        q.unpersist()
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100,
+) -> DataFrame:
+    """Map-only encode: each vector becomes m uint8-range codes
+    (nearest centroid per subspace, ties to the lowest id — argmin
+    first-match). No exchange touches the corpus; the codebooks ride
+    in the closure like IVF centroids. Output: (id, code_0..code_{m-1})
+    as one scalar column per subspace, driver-hashable and joinable."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    Cs = [np.asarray(b, dtype=np.int64) for b in codebooks]
+    c2s = [(C * C).sum(axis=1) for C in Cs]
+    sub = Cs[0].shape[1]
+
+    @pandas_udf("array<long>")
+    def _codes(qv: pd.Series) -> pd.Series:
+        X = np.stack(qv.to_numpy()).astype(np.int64)
+        out = np.empty((X.shape[0], m), dtype=np.int64)
+        for s in range(m):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            D = -2 * (Xs @ Cs[s].T) + c2s[s][None, :]
+            out[:, s] = np.argmin(D, axis=1)
+        return pd.Series(list(out))
+
+    q = corpus.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, v -> greatest(-127L, least(127L, "
+            f"CAST(floor(CAST(v AS DOUBLE) * {int(scale)}) AS BIGINT))))"
+        ).alias("qv"))
+    coded = q.select(F.col(id_col), _codes(F.col("qv")).alias("codes"))
+    cols = [F.col(id_col)] + [
+        F.col("codes")[s].cast("int").alias(f"code_{s}") for s in range(m)]
+    return coded.select(*cols)
+
+
+def pq_adc_topk(
+    query_vec: list[float],
+    encoded: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    scale: int = 100,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query builds an m x k integer
+    distance table on the driver (tiny), every encoded row scores as m
+    integer lookups via a codegen CASE-free expression (element_at on
+    a literal array per subspace), and one global top-k window ranks.
+    Returns (rank, neighbor_id, adc_dist) — integer-exact, so rank
+    order is engine-reproducible with ties to the lowest id."""
+    qv = np.asarray(
+        [max(-127, min(127, int(np.floor(float(v) * scale))))
+         for v in query_vec], dtype=np.int64)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    tables = []
+    for s in range(m):
+        C = np.asarray(codebooks[s], dtype=np.int64)
+        d = ((qv[s * sub:(s + 1) * sub][None, :] - C) ** 2).sum(axis=1)
+        tables.append([int(x) for x in d])
+    dist = None
+    for s in range(m):
+        arr = F.array(*[F.lit(x) for x in tables[s]])
+        term = F.element_at(arr, F.col(f"code_{s}") + 1)
+        dist = term if dist is None else dist + term
+    scored = encoded.withColumn("adc_dist", dist.cast("long"))
+    w = Window.orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select("rank", F.col(id_col).alias("neighbor_id"),
+                    "adc_dist"))

@@ -224,6 +224,37 @@ def test_ivf_search_non_broadcast_path(spark, emb):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_pq_encode_roundtrip_and_adc_recall(spark, emb):
+    """Product quantization end-to-end: codebooks train per subspace
+    with the integer-exact kmeans, encode is map-only and
+    deterministic (same corpus -> identical codes across runs and
+    partitionings), and ADC top-k over the codes must recover most of
+    the exact cosine top-k — the memory-scale tier's recall bar."""
+    books = S.pq_train(emb, m=8, k=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+
+    def codes_of(df):
+        return {r.vec_id: tuple(r[f"code_{s}"] for s in range(8))
+                for r in S.pq_encode(df, books).collect()}
+
+    codes1 = codes_of(emb)
+    codes2 = codes_of(emb.repartition(7))
+    assert codes1 == codes2, "codes must not depend on partitioning"
+    assert all(0 <= c < 16 for cs in codes1.values() for c in cs)
+
+    qrow = emb.filter(F.col("vec_id") == 3).first()
+    encoded = S.pq_encode(emb.filter(F.col("vec_id") != 3), books)
+    approx = {r.neighbor_id
+              for r in S.pq_adc_topk(list(qrow.embedding), encoded,
+                                     books, k=10).collect()}
+    exact = {r.neighbor_id for r in S.cosine_topk(
+        emb.filter(F.col("vec_id") == 3), emb, k=10).collect()}
+    # unit-norm fixture vectors: L2 ranking == cosine ranking, so the
+    # only loss is quantization (8 subspaces x 16 centroids)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"ADC recall@10 {recall} too low for m=8,k=16"
+
+
 def test_ivf_near_dup_recall_vs_all_pairs(spark, emb):
     """The registered IVF-bucketed near-dup vs the exact all-pairs
     baseline (which survives ONLY as this cross-check): within-bucket
