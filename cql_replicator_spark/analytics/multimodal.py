@@ -474,24 +474,60 @@ def fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [int.from_bytes(h[4 * i: 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
+def real_features(data: bytes, dim: int = FEATURE_DIM) -> list[float] | None:
+    """REAL media features from the in-repo codecs, no model: images
+    (BMP/PNG/GIF/JPEG) -> [width, height, n_px, mean_r, mean_g,
+    mean_b, 1, 0]; audio (PCM / G.711 WAV) -> [channels, sample_rate,
+    n_samples, rms, peak, 0, 0, 1]. None when nothing decodes — an
+    honest null, not a hash pretending to be a feature. Fixed layout
+    so image and audio rows share one vector space for downstream
+    similarity/dedup plumbing."""
+    import math
+
+    if data is None or len(data) < 4:
+        return None
+    if data[:1] == b"\x89" or data[:3] == b"GIF" or data[:2] == b"BM" \
+            or data[:2] == b"\xff\xd8":
+        d = (parse_png_pixels(data) if data[:1] == b"\x89"
+             else parse_gif_pixels(data) if data[:3] == b"GIF"
+             else parse_jpeg_pixels(data) if data[:2] == b"\xff\xd8"
+             else parse_bmp_pixels(data))
+        if d is None or not d["n_px"]:
+            return None
+        n = d["n_px"]
+        out = [float(d["width"]), float(d["height"]), float(n),
+               d["sum_r"] / n, d["sum_g"] / n, d["sum_b"] / n, 1.0, 0.0]
+    elif data[:4] == b"RIFF":
+        d = parse_wav_samples(data)
+        if d is None or not d["n_samples"]:
+            return None
+        out = [float(d["channels"]), float(d["sample_rate"]),
+               float(d["n_samples"]),
+               math.sqrt(d["sum_sq"] / d["n_samples"]),
+               float(d["peak"]), 0.0, 0.0, 1.0]
+    else:
+        return None
+    return out[:dim] + [0.0] * max(0, dim - len(out))
+
+
 def extract_features(df: DataFrame, use_fake: bool = True) -> DataFrame:
     """media binary -> feature vectors via Arrow-batched mapInPandas.
 
-    The pandas function sees columnar batches; media decode happens
-    per-cell inside the batch, feature output is narrow. With a real
-    decoder, swap fake_features for decode_*+model inference.
-    """
-    if not use_fake:
-        raise NotImplementedError("real extractors not available in this environment")
+    use_fake=True keeps the deterministic hash stand-in (for fixtures
+    that are not real containers). use_fake=False runs REAL extraction
+    through the in-repo codecs (real_features above): decoded pixel /
+    sample statistics per payload, null for undecodable media. A
+    learned-model embedding would slot into the same batch shape."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = fake_features if use_fake else real_features
         for pdf in batches:
             out = pd.DataFrame({
                 "id": pdf["id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": pdf["media"].map(lambda b: len(b) if b is not None else 0).astype("int64"),
                 "features": pdf["media"].map(
-                    lambda b: fake_features(bytes(b)) if b is not None else None),
+                    lambda b: fn(bytes(b)) if b is not None else None),
             })
             yield out
 
@@ -527,10 +563,18 @@ def fake_resize(data: bytes, width: int, height: int) -> bytes:
     return (data * reps)[:target]
 
 
-def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_media(df: DataFrame, width: int, height: int,
+                 real: bool = False) -> DataFrame:
     """Distributed media resize: mapInPandas batch pipeline that rewrites
     the media payload and patches meta.width/height. Output keeps the
-    MEDIA_SCHEMA convention so resize composes with extract_features."""
+    MEDIA_SCHEMA convention so resize composes with extract_features.
+
+    real=True routes decodable images (BMP/PNG/GIF) through the
+    in-repo codecs: decode raster -> nearest-neighbor resample ->
+    re-encode 24-bit BMP (resize_image_real below); payloads with no
+    raster decode come back null rather than silently fake-resized.
+    The default stays the deterministic fake for fixtures that are not
+    real containers."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -539,11 +583,17 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
                 "duration_ms": [m["duration_ms"] if m else None for m in pdf["meta"]],
                 "codec": [m["codec"] if m else None for m in pdf["meta"]],
             })
+            if real:
+                media = pdf["media"].map(
+                    lambda b: resize_image_real(bytes(b), width, height)
+                    if b is not None else None)
+            else:
+                media = pdf["media"].map(
+                    lambda b: fake_resize(bytes(b), width, height)
+                    if b is not None else None)
             yield pd.DataFrame({
                 "id": pdf["id"],
-                "media": pdf["media"].map(
-                    lambda b: fake_resize(bytes(b), width, height)
-                    if b is not None else None),
+                "media": media,
                 "media_type": pdf["media_type"],
                 "meta": meta.to_dict("records"),
             })
@@ -1889,3 +1939,187 @@ def encode_rgb_jpeg(width: int, height: int, rgb: bytes,
            + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9")
+
+
+# -- full-raster decode (resize / feature extraction) -------------------------
+#
+# The parse_*_pixels functions return exact aggregates (the
+# oracle-checkable shape). Operators that need the actual raster —
+# real resize, real feature extraction — decode to an (h, w, 3) RGB
+# numpy array here. Rasters and aggregates are produced by separate
+# code paths on purpose: a pytest cross-check asserts raster sums ==
+# parse_*_pixels sums per format, so the duplication is a consistency
+# check rather than a hazard.
+
+def _bmp_raster(data: bytes):
+    import numpy as np
+
+    d = parse_bmp_pixels(data)
+    if d is None:
+        return None
+    w, h = d["width"], d["height"]
+    off = int.from_bytes(data[10:14], "little")
+    signed_h = int.from_bytes(data[22:26], "little", signed=True)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        data[off:off + row_bytes * h], dtype=np.uint8
+    ).reshape(h, row_bytes)[:, :w * 3].reshape(h, w, 3)
+    bgr = rows if signed_h < 0 else rows[::-1]  # bottom-up default
+    return bgr[:, :, ::-1].astype(np.int64)  # BGR -> RGB
+
+
+def _png_raster(data: bytes):
+    import zlib
+
+    import numpy as np
+
+    if data is None or len(data) < 45 or data[:8] != b"\x89PNG\r\n\x1a\n" \
+            or data[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    bit_depth, color_type, interlace = data[24], data[25], data[28]
+    if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) \
+            or interlace != 0:
+        return None
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    idat = bytearray()
+    plte = None
+    i = 8
+    while i + 8 <= len(data):
+        size = int.from_bytes(data[i:i + 4], "big")
+        ctype = data[i + 4:i + 8]
+        if ctype == b"IDAT":
+            idat += data[i + 8:i + 8 + size]
+        elif ctype == b"PLTE":
+            plte = data[i + 8:i + 8 + size]
+        if ctype == b"IEND":
+            break
+        i += 12 + size
+    if not idat or (color_type == 3 and not plte):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + w * bpp):
+        return None
+    px = np.frombuffer(bytes(_png_unfilter(raw, w, h, bpp)),
+                       dtype=np.uint8).reshape(h, w, bpp)
+    if color_type in (0, 4):
+        return np.repeat(px[:, :, :1], 3, axis=2).astype(np.int64)
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if px.max() * 3 + 2 >= len(pal):
+            return None
+        return pal.reshape(-1, 3)[px[:, :, 0]].astype(np.int64)
+    return px[:, :, :3].astype(np.int64)
+
+
+def _gif_raster(data: bytes):
+    import numpy as np
+
+    if data is None or len(data) < 13 or data[:6] not in (b"GIF87a",
+                                                          b"GIF89a"):
+        return None
+    packed = data[10]
+    gct = None
+    i = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[13:13 + 3 * n]
+        i = 13 + 3 * n
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:
+            i += 2
+            while i < len(data) and data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:
+            if i + 10 > len(data):
+                return None
+            w = int.from_bytes(data[i + 5:i + 7], "little")
+            h = int.from_bytes(data[i + 7:i + 9], "little")
+            ipacked = data[i + 9]
+            i += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = data[i:i + 3 * n]
+                i += 3 * n
+            if table is None or i >= len(data):
+                return None
+            min_code = data[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(data) and data[i] != 0:
+                size = data[i]
+                lzw += data[i + 1:i + 1 + size]
+                i += 1 + size
+            try:
+                idx = _gif_lzw_decode(min_code, bytes(lzw))[:w * h]
+            except (ValueError, KeyError):
+                return None
+            if len(idx) < w * h:
+                return None
+            pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+            arr = np.asarray(idx, dtype=np.int64)
+            if arr.max() >= pal.shape[0]:
+                return None
+            return pal[arr].reshape(h, w, 3).astype(np.int64)
+        else:
+            return None
+    return None
+
+
+def decode_image_rgb(data: bytes):
+    """Full-raster image decode to an (h, w, 3) int64 RGB array, or
+    None — BMP / PNG / GIF via the in-repo codecs; JPEG goes through
+    the aggregate decoder only (its IDCT pipeline does not keep the
+    raster), so JPEG returns None here and resize/features fall back
+    to aggregate-only handling."""
+    if data is None or len(data) < 4:
+        return None
+    if data[:1] == b"\x89":
+        return _png_raster(data)
+    if data[:3] == b"GIF":
+        return _gif_raster(data)
+    if data[:2] == b"BM":
+        return _bmp_raster(data)
+    return None
+
+
+def encode_bmp_rgb(raster) -> bytes:
+    """24-bit bottom-up BMP writer for an (h, w, 3) RGB array — the
+    re-encode half of real resize, symmetric with parse_bmp_pixels."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(raster, dtype=np.int64)
+    h, w = arr.shape[0], arr.shape[1]
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y, :, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(body), 0, 0, 0, 0) + bytes(body))
+
+
+def resize_image_real(data: bytes, width: int, height: int) -> bytes | None:
+    """Real image resize: decode raster -> nearest-neighbor resample
+    (deterministic integer index map, no filtering kernel to disagree
+    about) -> re-encode as 24-bit BMP. None when the payload has no
+    raster decode (JPEG, corrupt, non-image)."""
+    import numpy as np
+
+    raster = decode_image_rgb(data)
+    if raster is None:
+        return None
+    h, w = raster.shape[0], raster.shape[1]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return encode_bmp_rgb(raster[ys][:, xs])

@@ -807,6 +807,94 @@ def test_video_frame_stats_through_spark(spark):
             assert got[(vid, k)] == ((vid * 7 + k * 11) % 256) * 64
 
 
+def test_raster_decode_cross_validates_aggregate_decoders():
+    """decode_image_rgb and parse_*_pixels are separate code paths on
+    purpose: raster channel sums must equal the aggregate decoders'
+    sums for every format, turning the duplication into a consistency
+    check."""
+    import random
+
+    rng = random.Random(21)
+    pix = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(5)] for _ in range(4)]
+    bmp = _ref_bmp(5, 4, pix)
+    png = _ref_png(6, 3, [[(rng.randrange(256),) * 3 for _ in range(6)]
+                          for _ in range(3)], [0, 2, 4])
+    gif = _ref_gif(7, 5, [(250, 1, 2), (3, 240, 5), (6, 7, 230)],
+                   [rng.randrange(3) for _ in range(35)])
+    for blob, parse in [(bmp, MM.parse_bmp_pixels),
+                        (png, MM.parse_png_pixels),
+                        (gif, MM.parse_gif_pixels)]:
+        agg = parse(blob)
+        ras = MM.decode_image_rgb(blob)
+        assert ras is not None and ras.shape == (agg["height"],
+                                                 agg["width"], 3)
+        assert (int(ras[:, :, 0].sum()), int(ras[:, :, 1].sum()),
+                int(ras[:, :, 2].sum())) == \
+            (agg["sum_r"], agg["sum_g"], agg["sum_b"]), parse.__name__
+
+
+def test_bmp_raster_roundtrip_preserves_orientation():
+    """encode_bmp_rgb(decode) must reproduce the exact raster — in
+    particular row ORDER (bottom-up storage flips twice, not once):
+    an image with a distinct top row must keep it on top."""
+    import numpy as np
+
+    raster = np.zeros((4, 3, 3), dtype=np.int64)
+    raster[0, :, :] = 200  # bright top row
+    raster[3, :, :] = 10
+    back = MM.decode_image_rgb(MM.encode_bmp_rgb(raster))
+    assert (back == raster).all()
+
+
+def test_real_resize_through_spark(spark):
+    """resize_media(real=True): decodable images come back as real
+    BMPs at the target raster with nearest-neighbor content (solid
+    stays solid, exactly); undecodable payloads come back null."""
+    import numpy as np
+
+    solid = MM.encode_bmp_rgb(np.full((8, 6, 3), 37, dtype=np.int64))
+    rows = [(1, bytearray(solid), "image",
+             {"width": 6, "height": 8, "duration_ms": 0, "codec": "bmp"}),
+            (2, bytearray(b"not media at all"), "image",
+             {"width": 0, "height": 0, "duration_ms": 0, "codec": "raw"})]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r.id: r for r in MM.resize_media(df, 4, 4, real=True).collect()}
+    resized = MM.parse_bmp_pixels(bytes(out[1].media))
+    assert resized == {"width": 4, "height": 4, "n_px": 16,
+                       "sum_r": 37 * 16, "sum_g": 37 * 16,
+                       "sum_b": 37 * 16}
+    assert out[2].media is None
+    assert out[1].meta.width == 4 and out[1].meta.height == 4
+
+
+def test_real_feature_extraction(spark):
+    """extract_features(use_fake=False) computes REAL decoded
+    statistics: image rows get (w, h, n_px, channel means, 1, 0),
+    audio rows get (channels, rate, n, rms, peak, 0, 0, 1), and
+    undecodable media gets null features."""
+    import struct
+
+    import numpy as np
+
+    img = MM.encode_bmp_rgb(np.full((4, 5, 3), 100, dtype=np.int64))
+    body = b"".join(struct.pack("<h", s) for s in [300, -400])
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+           + b"fmt \x10\x00\x00\x00"
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", len(body)) + body)
+    rows = [(1, bytearray(img), "image", None),
+            (2, bytearray(wav), "audio", None),
+            (3, bytearray(b"plain text"), "text", None)]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.id: r.features
+           for r in MM.extract_features(df, use_fake=False).collect()}
+    assert got[1] == [5.0, 4.0, 20.0, 100.0, 100.0, 100.0, 1.0, 0.0]
+    rms = (((300 ** 2) + 400 ** 2) / 2) ** 0.5
+    assert got[2] == [1.0, 8000.0, 2.0, rms, 400.0, 0.0, 0.0, 1.0]
+    assert got[3] is None
+
+
 def test_g711_companded_wav_decode():
     """A-law / mu-law WAV data chunks (format tags 6 and 7) expand to
     linear through the spec's arithmetic. Pin the known table extremes
@@ -858,7 +946,9 @@ def test_media_parsers_are_total_on_arbitrary_bytes():
                MM.parse_video_header, MM.parse_bmp_pixels,
                MM.parse_png_pixels, MM.parse_gif_pixels,
                MM.parse_jpeg_pixels, MM.parse_wav_samples,
-               MM.parse_avi_mjpeg, MM.parse_png_text_chunks]
+               MM.parse_avi_mjpeg, MM.parse_png_text_chunks,
+               MM.decode_image_rgb, MM.real_features,
+               lambda b: MM.resize_image_real(b, 4, 4)]
 
     rng = random.Random(99)
     w, h = 9, 6
