@@ -911,9 +911,10 @@ def parse_wav_samples(data: bytes) -> dict | None:
     """Decode WAV samples to exact integer aggregates: {channels,
     sample_rate, n_samples, sum_sq, peak} (n_samples counts frames x
     channels; peak = max |sample|; sum_sq is the integer energy —
-    callers derive RMS). Handles format tag 1 (16-bit PCM) and the
-    G.711 companded encodings — tag 6 (A-law) and tag 7 (mu-law),
-    expanded by the spec's pure-arithmetic tables. Other encodings
+    callers derive RMS). Handles format tag 1 (16-bit PCM), the G.711
+    companded encodings — tag 6 (A-law) and tag 7 (mu-law), expanded
+    by the spec's pure-arithmetic tables — and tag 0x11 (mono IMA
+    ADPCM, delegated to parse_ima_adpcm_samples). Other encodings
     keep the decode_audio stub."""
     if data is None or len(data) < 12 or data[:4] != b"RIFF" \
             or data[8:12] != b"WAVE":
@@ -936,6 +937,8 @@ def parse_wav_samples(data: bytes) -> dict | None:
         i += 8 + size + (size & 1)
     if not channels or not rate or body is None:
         return None
+    if fmt_tag == 0x11:
+        return parse_ima_adpcm_samples(data)
     if fmt_tag in (6, 7) and bits == 8:
         expand = _alaw_to_linear if fmt_tag == 6 else _ulaw_to_linear
         sum_sq = 0
@@ -2123,3 +2126,151 @@ def resize_image_real(data: bytes, width: int, height: int) -> bytes | None:
     ys = (np.arange(height) * h) // height
     xs = (np.arange(width) * w) // width
     return encode_bmp_rgb(raster[ys][:, xs])
+
+
+# -- IMA ADPCM (WAV format tag 0x11, mono) ------------------------------------
+#
+# 4-bit differential PCM from the IMA Digital Audio Compatibility
+# recommendations: a shared 89-entry step-size table (geometric,
+# ~1.1x per index — a test asserts that growth property so a
+# transcription slip in the constants cannot hide), per-block headers
+# carrying the decoder state (predictor + table index), low nibble
+# first. Encoder and decoder are exact inverses of each other's state
+# machines; compression error is bounded by the step size.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(n: int, pred: int, index: int) -> tuple[int, int]:
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[n & 7]))
+    return pred, index
+
+
+def _ima_encode_sample(s: int, pred: int, index: int) -> tuple[int, int, int]:
+    step = _IMA_STEPS[index]
+    delta = s - pred
+    n = 8 if delta < 0 else 0
+    if delta < 0:
+        delta = -delta
+    if delta >= step:
+        n |= 4
+        delta -= step
+    if delta >= step >> 1:
+        n |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        n |= 1
+    pred, index = _ima_decode_nibble(n, pred, index)
+    return n, pred, index
+
+
+def encode_ima_adpcm_wav(samples: list[int], sample_rate: int = 8000,
+                         block_samples: int = 505) -> bytes:
+    """Mono IMA ADPCM WAV writer: block = 4-byte state header
+    (predictor int16 LE = the block's first sample, step index, 0)
+    followed by 4-bit codes, low nibble first. block_samples counts
+    the header sample plus the coded ones (505 -> 256-byte blocks,
+    the conventional 8 kHz layout)."""
+    import struct
+
+    if block_samples < 2 or (block_samples - 1) % 2:
+        raise ValueError("block_samples must be odd and >= 3")
+    index = 0
+    body = bytearray()
+    i = 0
+    while i < len(samples):
+        chunk = samples[i:i + block_samples]
+        i += block_samples
+        pred = max(-32768, min(32767, int(chunk[0])))
+        body += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            n, pred, index = _ima_encode_sample(int(s), pred, index)
+            nibbles.append(n)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for a, b in zip(nibbles[0::2], nibbles[1::2]):
+            body += bytes([(b << 4) | a])
+    block_align = 4 + (block_samples - 1) // 2
+    byte_rate = sample_rate * block_align // block_samples
+    return (b"RIFF" + struct.pack("<I", 40 + len(body)) + b"WAVE"
+            + b"fmt \x14\x00\x00\x00"
+            + struct.pack("<HHIIHHHH", 0x11, 1, sample_rate, byte_rate,
+                          block_align, 4, 2, block_samples)
+            + b"data" + struct.pack("<I", len(body)) + bytes(body))
+
+
+def parse_ima_adpcm_samples(data: bytes) -> dict | None:
+    """Decode a mono IMA ADPCM WAV to the same exact aggregates as
+    parse_wav_samples: {channels, sample_rate, n_samples, sum_sq,
+    peak}. Stereo and other block layouts return None."""
+    if data is None or len(data) < 12 or data[:4] != b"RIFF" \
+            or data[8:12] != b"WAVE":
+        return None
+    fmt_tag = channels = rate = block_align = bits = None
+    block_samples = None
+    body = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        size = int.from_bytes(data[i + 4:i + 8], "little")
+        chunk = data[i + 8:i + 8 + size]
+        if cid == b"fmt " and len(chunk) >= 16:
+            fmt_tag = int.from_bytes(chunk[0:2], "little")
+            channels = int.from_bytes(chunk[2:4], "little")
+            rate = int.from_bytes(chunk[4:8], "little")
+            block_align = int.from_bytes(chunk[12:14], "little")
+            bits = int.from_bytes(chunk[14:16], "little")
+            if len(chunk) >= 20:
+                block_samples = int.from_bytes(chunk[18:20], "little")
+        elif cid == b"data":
+            body = chunk
+        i += 8 + size + (size & 1)
+    if fmt_tag != 0x11 or channels != 1 or bits != 4 or body is None \
+            or not rate or not block_align or block_align < 5:
+        return None
+    n_samples = 0
+    sum_sq = 0
+    peak = 0
+    expect = block_samples or (block_align - 4) * 2 + 1
+    for off in range(0, len(body), block_align):
+        block = body[off:off + block_align]
+        if len(block) < 4:
+            return None
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = block[2]
+        if index > 88:
+            return None
+        produced = 1
+        sum_sq += pred * pred
+        peak = max(peak, abs(pred))
+        for byte in block[4:]:
+            for n in (byte & 0x0F, byte >> 4):
+                if produced >= expect:
+                    break
+                pred, index = _ima_decode_nibble(n, pred, index)
+                sum_sq += pred * pred
+                peak = max(peak, abs(pred))
+                produced += 1
+        n_samples += produced
+    return {"channels": 1, "sample_rate": rate, "n_samples": n_samples,
+            "sum_sq": sum_sq, "peak": peak}
