@@ -116,9 +116,12 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
 
 
 def decode_image(data: bytes) -> dict:
-    """Minimal-real image decode: header metadata (format, width,
-    height) parses pure-Python via parse_image_header; PIXEL decoding
-    still requires an image library (PIL/opencv), absent here."""
+    """Image metadata decode: (format, width, height) via
+    parse_image_header. Pixel-level decode is ALSO in-repo now —
+    exact channel aggregates via parse_bmp_pixels / parse_png_pixels /
+    parse_gif_pixels / parse_jpeg_pixels, full rasters via
+    decode_image_rgb; only formats outside those codecs (progressive
+    JPEG, WebP, ...) need an external library."""
     hdr = parse_image_header(data)
     if hdr is None:
         raise NotImplementedError(
@@ -295,9 +298,10 @@ def parse_audio_header(data: bytes) -> tuple[str, int, int, int] | None:
 
 
 def decode_audio(data: bytes) -> dict:
-    """Minimal-real audio decode: WAV header metadata parses
-    pure-Python via parse_audio_header; SAMPLE decoding still requires
-    soundfile/librosa, absent here."""
+    """Audio metadata decode via parse_audio_header. Sample-level
+    decode is ALSO in-repo for PCM, G.711 and mono IMA ADPCM
+    (parse_wav_samples); modern compressed codecs (MP3/AAC/Opus)
+    need soundfile/librosa."""
     hdr = parse_audio_header(data)
     if hdr is None:
         raise NotImplementedError(
@@ -430,9 +434,10 @@ def synthesize_video_table(documents: DataFrame) -> DataFrame:
 
 
 def decode_video(data: bytes) -> dict:
-    """Minimal-real video decode: ISO-BMFF header metadata parses
-    pure-Python via parse_video_header; FRAME decoding still requires
-    ffmpeg bindings, absent here."""
+    """Video metadata decode via parse_video_header (ISO-BMFF box
+    tree). Frame-level decode is ALSO in-repo for MJPEG AVIs
+    (sample_frames / video_frame_stats); inter-coded codecs (H.264 &
+    co) need ffmpeg bindings."""
     hdr = parse_video_header(data)
     if hdr is None:
         raise NotImplementedError(
@@ -625,8 +630,10 @@ def sample_media_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     Frame count comes from meta.duration_ms / every_ms; output is
     (id, frame_idx, ts_ms, frame) — the binary column is per-frame, so
     downstream per-frame feature extraction parallelizes past the
-    per-video row boundary. Swap fake_frame for ffmpeg seeking in
-    production (sample_frames stub above)."""
+    per-video row boundary. This duration-sliced fake keeps synthetic
+    fixtures cheap; real MJPEG AVIs go through sample_frames /
+    video_frame_stats, and inter-coded codecs would swap in ffmpeg
+    seeking with the same output shape."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -296,10 +296,12 @@ def test_multimodal_feature_extraction(spark, docs):
     assert all(again[r.id] == r.features for r in rows)
 
 
-def test_multimodal_real_decoders_are_stubbed():
-    # still-stubbed boundaries: JPEG/GIF pixel codecs, frame sampling
+def test_multimodal_out_of_scope_codecs_raise():
+    # the remaining declared boundaries raise loudly on unrecognized /
+    # out-of-scope payloads rather than returning garbage: truncated
+    # containers, and inter-coded video (MPEG-PS signature)
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+        MM.decode_image(b"\x89PNG")  # truncated: not parseable
     with pytest.raises(NotImplementedError):
         MM.decode_audio(b"RIFF")
     with pytest.raises(NotImplementedError):
