@@ -956,3 +956,40 @@ def pq_adc_topk(
             .filter(F.col("rank") <= int(k))
             .select("rank", F.col(id_col).alias("neighbor_id"),
                     "adc_dist"))
+
+
+def ivfpq_search(
+    query_vec: list[float],
+    indexed_encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    scale: int = 100,
+) -> DataFrame:
+    """IVF-PQ composition (the FAISS-standard shape): the coarse IVF
+    quantizer restricts candidates to the nprobe nearest buckets, and
+    within them ranking is PQ asymmetric distance — m table lookups
+    per candidate instead of a dim-length dot product. Input is the
+    join of ivf_build's bucket assignment with pq_encode's codes
+    (id, centroid_id, code_0..code_{m-1}); at 100 TB that frame is
+    m bytes + a bucket id per vector, the only thing this search ever
+    scans. Returns (rank, neighbor_id, adc_dist)."""
+    cent = _as_double(
+        centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("centv")),
+        "centv")
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    probe_ids = [
+        r[centroid_id_col]
+        for r in (cent
+                  .withColumn("cos", cosine(qlit, F.col("centv")))
+                  .orderBy(F.desc("cos"), F.asc(centroid_id_col))
+                  .limit(int(nprobe))
+                  .collect())]
+    bucket = indexed_encoded.filter(
+        F.col(centroid_id_col).isin([int(p) for p in probe_ids]))
+    return pq_adc_topk(query_vec, bucket, codebooks, k=k,
+                       id_col=id_col, scale=scale)

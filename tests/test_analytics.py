@@ -255,6 +255,44 @@ def test_pq_encode_roundtrip_and_adc_recall(spark, emb):
     assert recall >= 0.5, f"ADC recall@10 {recall} too low for m=8,k=16"
 
 
+def test_ivfpq_composed_search(spark, emb):
+    """IVF-PQ composition: coarse quantizer restricts candidates to
+    nprobe buckets, PQ ADC ranks within them. The composed search
+    must (a) return only vectors from the probed buckets, and (b)
+    agree with running plain ADC restricted to those same buckets —
+    the composition adds routing, never different math."""
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    indexed = S.ivf_build(emb, centroids).select("vec_id", "centroid_id",
+                                                 "embedding")
+    books = S.pq_train(emb, m=8, k=16)
+    enc = S.pq_encode(emb, books).join(
+        indexed.select("vec_id", "centroid_id"), "vec_id")
+    q = emb.filter(F.col("vec_id") == 5).first()
+    got = S.ivfpq_search(list(q.embedding), enc, centroids, books,
+                         k=8, nprobe=3).collect()
+    assert len(got) == 8 and got[0].rank == 1
+    # (a) results live in the probed buckets — recompute the probe
+    # set directly: top-3 centroids by cosine, ties to lowest id
+    bucket_of = {r.vec_id: r.centroid_id
+                 for r in indexed.select("vec_id", "centroid_id").collect()}
+    import numpy as np
+    qv = np.array(q.embedding)
+    cents = {r.centroid_id: np.array(r.embedding)
+             for r in centroids.collect()}
+    sims = sorted(((float(qv @ v / (np.linalg.norm(qv)
+                                    * np.linalg.norm(v))), -cid)
+                   for cid, v in cents.items()), reverse=True)
+    probe_set = {-negcid for _, negcid in sims[:3]}
+    assert all(bucket_of[r.neighbor_id] in probe_set for r in got)
+    # (b) equals plain ADC on the restricted candidate set
+    restricted = enc.filter(F.col("centroid_id").isin(
+        [int(p) for p in probe_set]))
+    direct = S.pq_adc_topk(list(q.embedding), restricted, books, k=8)
+    assert [(r.rank, r.neighbor_id) for r in got] == \
+        [(r.rank, r.neighbor_id) for r in direct.collect()]
+
+
 def test_ivf_near_dup_recall_vs_all_pairs(spark, emb):
     """The registered IVF-bucketed near-dup vs the exact all-pairs
     baseline (which survives ONLY as this cross-check): within-bucket
