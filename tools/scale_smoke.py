@@ -38,6 +38,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from cql_replicator_spark.analytics import dedup as D
+    from cql_replicator_spark.analytics import multimodal as MM
     from cql_replicator_spark.analytics import text as TX
     from cql_replicator_spark.session import get_spark, load_tables
 
@@ -68,6 +69,12 @@ def main() -> None:
             d, k=3, w=4, min_shared=5, max_df=25),
         "bigram_logprob": lambda d: TX.bigram_logprob(d),
         "doc_line_dedup": lambda d: TX.dedup_chunks_within_doc(d),
+        # the media-decode family: per-doc JPEG encode+decode is pure
+        # Python inside Arrow batches — strictly per-row work, so the
+        # smoke pins that it scales linearly with corpus size (no
+        # hidden shuffle or driver accumulation in the batch path)
+        "jpeg_encode_decode": lambda d: MM.image_pixel_stats(
+            MM.synthesize_jpeg_table(d)),
     }
 
     docs.select("doc_id").limit(100).count()  # warm
