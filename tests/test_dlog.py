@@ -74,6 +74,25 @@ def test_unknown_version_raises(spark, tbl):
         tbl.read(spark, 7)
 
 
+def test_empty_table_read_raises(spark, tbl):
+    with pytest.raises(ValueError, match="no commits"):
+        tbl.read(spark)
+    assert tbl.latest_version() is None
+    assert tbl.versions() == [] and tbl.history() == []
+
+
+def test_non_log_files_in_log_dir_are_ignored(spark, tbl):
+    """Foreign files in _delta_log (editor droppings, checksums other
+    writers emit) must not break version discovery or replay."""
+    tbl.commit_overwrite(_df(spark, [(1, 10)]))
+    log_dir = os.path.join(tbl.path, "_delta_log")
+    for name in ["_commit.crc", "notes.txt", "0000abc.json"]:
+        with open(os.path.join(log_dir, name), "w") as f:
+            f.write("junk")
+    assert tbl.versions() == [0]
+    assert {r.pk for r in tbl.read(spark, 0).collect()} == {1}
+
+
 def test_empty_overwrite_reads_schema_correct_empty(spark, tbl):
     tbl.commit_overwrite(_df(spark, [(1, 10)]))
     tbl.commit_overwrite(_df(spark, []).filter("pk > 0"))
