@@ -163,6 +163,11 @@ def test_check_priority_order_is_valid():
     if len(never) <= 50:
         assert not out, \
             f"never-driver-checked queries outside the window: {out}"
+        # the overflow acknowledgement is a per-round decision: once
+        # the backlog fits the window again it must be reset, or a
+        # future registration wave could overflow silently
+        assert not getattr(Q, "_WINDOW_OVERFLOW_ACK", False), \
+            "_WINDOW_OVERFLOW_ACK left True with no overflow; reset it"
     else:
         # The window arithmetic: "every registered query driver-green"
         # is reachable only if (touched + never-checked backlog + new
