@@ -211,18 +211,14 @@ def k_core(
                .groupBy("n").agg(F.count("*").alias("deg")))
         low = deg.filter(F.col("deg") < k)
         if low.isEmpty():
-            e.unpersist()
             return deg.select(F.col("n").alias("node"), "deg")
-        prev = e
         e = (e.join(low.select(F.col("n").alias("u")), "u", "anti")
              .join(low.select(F.col("n").alias("v")), "v", "anti")
              .select("u", "v")
              .localCheckpoint(eager=True))
-        # release the previous round's checkpoint blocks once the new
-        # one is materialized (eager=True above) — without this, every
-        # peeling round leaves a cached edge copy for the
-        # ContextCleaner to find, same discipline as
-        # connected_components' per-round backing.unpersist()
-        prev.unpersist()
-    e.unpersist()
+        # localCheckpoint blocks are RDD-level persists, which
+        # Dataset.unpersist does NOT release (it only drops
+        # CacheManager entries); prior rounds' blocks are reclaimed by
+        # the ContextCleaner once the superseded frame is out of scope
+        # — which the rebinding of `e` above guarantees each round.
     raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

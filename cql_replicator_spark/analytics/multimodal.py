@@ -1174,12 +1174,13 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
             if prev is not None and next_code < 4096:
                 table[next_code] = prev + [entry[0]]
                 next_code += 1
-            # width growth tracks the ENCODER's entry counter, which
-            # runs one ahead of this table (the decoder adds nothing
-            # for the first code after a clear) — the classic LZW
-            # off-by-one: grow when the encoder's next entry id
-            # (next_code + 1) hits the width boundary
-            if next_code + 1 == (1 << width) and width < 12:
+            # width growth follows the giflib/Pillow/browser schedule:
+            # once the next free dictionary slot itself would need an
+            # extra bit (next_code == 1 << width), subsequent codes are
+            # read one bit wider. The encoder's table runs one entry
+            # ahead of the decoder's, so both sides cross this
+            # boundary at the same code position.
+            if next_code == (1 << width) and width < 12:
                 width += 1
             prev = entry
     return out
@@ -1234,11 +1235,14 @@ def parse_gif_pixels(data: bytes) -> dict | None:
                 idx = _gif_lzw_decode(min_code, bytes(lzw))[:w * h]
             except (ValueError, KeyError):
                 return None  # corrupt stream: undecodable, not fatal
-            if len(idx) < w * h:
+            if w <= 0 or h <= 0 or len(idx) < w * h:
                 return None
-            sum_r = sum(table[3 * k] for k in idx)
-            sum_g = sum(table[3 * k + 1] for k in idx)
-            sum_b = sum(table[3 * k + 2] for k in idx)
+            try:
+                sum_r = sum(table[3 * k] for k in idx)
+                sum_g = sum(table[3 * k + 1] for k in idx)
+                sum_b = sum(table[3 * k + 2] for k in idx)
+            except IndexError:
+                return None  # palette index out of range: corrupt
             return {"width": w, "height": h, "n_px": w * h,
                     "sum_r": sum_r, "sum_g": sum_g, "sum_b": sum_b}
         elif b == 0x3B:  # trailer
@@ -1525,6 +1529,12 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
     ecs_start = None
     while i + 4 <= len(data):
         if data[i] != 0xFF:
+            return None
+        # spec B.1.1.2: any number of optional 0xFF fill bytes may
+        # pad before a marker id; encoders that pad are still baseline
+        while i + 4 <= len(data) and data[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(data):
             return None
         marker = data[i + 1]
         if marker == 0xD9:
@@ -1990,7 +2000,9 @@ def _png_raster(data: bytes):
     h = int.from_bytes(data[20:24], "big")
     bit_depth, color_type, interlace = data[24], data[25], data[28]
     if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) \
-            or interlace != 0:
+            or interlace != 0 or w <= 0 or h <= 0:
+        # zero dims would make the length check vacuous and crash
+        # px.max() / downstream raster indexing on empty arrays
         return None
     bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     idat = bytearray()
@@ -2071,11 +2083,13 @@ def _gif_raster(data: bytes):
                 idx = _gif_lzw_decode(min_code, bytes(lzw))[:w * h]
             except (ValueError, KeyError):
                 return None
-            if len(idx) < w * h:
+            if w <= 0 or h <= 0 or len(idx) < w * h:
+                # w*h == 0 would make the truncation check vacuous and
+                # leave an empty array reaching arr.max() below.
                 return None
             pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
             arr = np.asarray(idx, dtype=np.int64)
-            if arr.max() >= pal.shape[0]:
+            if arr.size == 0 or arr.max() >= pal.shape[0]:
                 return None
             return pal[arr].reshape(h, w, 3).astype(np.int64)
         else:
@@ -2130,6 +2144,8 @@ def resize_image_real(data: bytes, width: int, height: int) -> bytes | None:
     if raster is None:
         return None
     h, w = raster.shape[0], raster.shape[1]
+    if h <= 0 or w <= 0 or width <= 0 or height <= 0:
+        return None  # empty raster: index map below would go out of range
     ys = (np.arange(height) * h) // height
     xs = (np.arange(width) * w) // width
     return encode_bmp_rgb(raster[ys][:, xs])

@@ -817,15 +817,13 @@ def learn_bpe_merges(df: DataFrame, num_merges: int,
             break
         l_, r_, n = top[0]["left"], top[0]["right"], int(top[0]["pair_freq"])
         merges.append((l_, r_, n))
-        prev = cur
         cur = (cur.select("freq", merge_symbol_pair(F.col("syms"), l_, r_)
                           .alias("syms"))
                .localCheckpoint(eager=True))
-        # free the previous round's checkpoint once the new one exists
-        # (eager=True) — k_core/connected_components discipline; merge
-        # rounds otherwise stack one cached vocab copy each
-        prev.unpersist()
-    cur.unpersist()
+        # localCheckpoint blocks are RDD-level persists that
+        # Dataset.unpersist cannot release; rebinding `cur` drops the
+        # last reference to the previous round's frame so the
+        # ContextCleaner reclaims its blocks.
     return merges
 
 

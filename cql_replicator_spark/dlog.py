@@ -178,8 +178,24 @@ class DeltaLogTable:
         try:
             # put-if-absent commit point: link fails if the version
             # exists, so a racing writer cannot silently clobber it
-            os.link(tmp, log_file)
+            try:
+                os.link(tmp, log_file)
+            except FileExistsError:
+                raise
+            except OSError:
+                # filesystem without hard links (some NFS/FUSE/object
+                # mounts): O_EXCL create is the same put-if-absent
+                with open(log_file, "x") as f, open(tmp) as src:
+                    f.write(src.read())
         except FileExistsError:
+            # lost the race: the moved part files are unreachable from
+            # any commit — remove them now instead of leaking until a
+            # vacuum that can never see them
+            for a in adds:
+                try:
+                    os.unlink(os.path.join(self.path, a["add"]["path"]))
+                except OSError:
+                    pass
             raise ConcurrentCommitError(
                 f"version {version} already committed in {self.path}; "
                 f"re-read and re-commit") from None
