@@ -182,6 +182,14 @@ HEADLINE = [
     "multimodal_bmp_pixel_decode",
     "multimodal_wav_pcm_decode",
     "multimodal_jpeg_pixel_decode",
+    # r7 (driver rows for the r6 pytest-only tiers: PQ + the remaining
+    # stdlib codecs)
+    "multimodal_gif_pixel_decode",
+    "multimodal_png_pixel_decode",
+    "multimodal_g711_audio_decode",
+    "multimodal_adpcm_audio_decode",
+    "multimodal_mjpeg_frame_sample",
+    "similarity_pq_recall",
 ]
 
 

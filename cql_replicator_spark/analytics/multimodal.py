@@ -1130,6 +1130,60 @@ def synthesize_pcm_wav_table(documents: DataFrame) -> DataFrame:
                             media.alias("media"))
 
 
+def synthesize_alaw_wav_table(documents: DataFrame) -> DataFrame:
+    """Decodable G.711 A-law WAVs (format tag 6): every compressed
+    byte is the same value b = doc_id % 256, so the decoded aggregates
+    have the closed form sum_sq = expand(b)^2 * n, peak = |expand(b)|
+    — and A-law expansion is pure arithmetic (xor 0x55, 3-bit exponent
+    segment, 4-bit mantissa) that a SQL oracle recomputes exactly.
+    Same JVM-codegen hex-repeat assembly as synthesize_pcm_wav_table;
+    the Python lane only ever decodes."""
+    b = (F.col("doc_id") % F.lit(256)).cast("long")
+    rate = (F.lit(8000) + (F.col("doc_id") % F.lit(5)) * F.lit(1000)) \
+        .cast("long")
+    n = (F.length("text") % F.lit(40) + F.lit(1)).cast("long")
+    data_hex = F.repeat(F.lpad(F.hex(b), 2, "0"), n.cast("int"))
+    riff_size = n + F.lit(36)
+    media = F.concat(
+        F.lit(b"RIFF"), le32(riff_size), F.lit(b"WAVE"),
+        F.lit(b"fmt \x10\x00\x00\x00\x06\x00\x01\x00"),  # tag 6, mono
+        le32(rate), le32(rate),                          # byte_rate = rate
+        F.lit(b"\x01\x00\x08\x00"),                      # block 1, 8 bit
+        F.lit(b"data"), le32(n), F.unhex(data_hex))
+    return documents.select(F.col("doc_id").alias("id"),
+                            media.alias("media"))
+
+
+def synthesize_adpcm_wav_table(documents: DataFrame) -> DataFrame:
+    """Decodable mono IMA ADPCM WAVs (format tag 0x11): one block
+    whose header predictor is a signed per-document value and whose
+    nibbles are all zero. Nibble 0 at step index 0 adds step>>3 =
+    7>>3 = 0, so every decoded sample equals the header predictor
+    exactly and the aggregates have closed forms (sum_sq = p^2 * n,
+    peak = |p|) — the state machine must still walk every nibble and
+    honor the signed 16-bit header to match. JVM-codegen assembly;
+    the predictor's two's-complement wire form is pmod arithmetic."""
+    pred = (F.col("doc_id") % F.lit(30001) - F.lit(15000)).cast("long")
+    pred_wire = ((pred % F.lit(65536)) + F.lit(65536)) % F.lit(65536)
+    rate = F.lit(8000).cast("long")
+    nbytes = (F.length("text") % F.lit(24) + F.lit(1)).cast("long")
+    block_align = nbytes + F.lit(4)
+    block_samples = nbytes * F.lit(2) + F.lit(1)
+    riff_size = block_align + F.lit(40)  # WAVE + (8+20) fmt + 8 + data
+    media = F.concat(
+        F.lit(b"RIFF"), le32(riff_size), F.lit(b"WAVE"),
+        F.lit(b"fmt \x14\x00\x00\x00\x11\x00\x01\x00"),  # size 20, tag 0x11
+        le32(rate), le32(rate),
+        le16(block_align),
+        F.lit(b"\x04\x00\x02\x00"),                      # 4 bit, cbSize 2
+        le16(block_samples),
+        F.lit(b"data"), le32(block_align),
+        le16(pred_wire), F.lit(b"\x00\x00"),             # index 0, reserved
+        F.unhex(F.repeat(F.lit("00"), nbytes.cast("int"))))
+    return documents.select(F.col("doc_id").alias("id"),
+                            media.alias("media"))
+
+
 def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
     """GIF-variant LZW decode (spec appendix F): variable code width
     starting at min_code_size+1 growing to 12 bits, clear code resets
@@ -1250,6 +1304,109 @@ def parse_gif_pixels(data: bytes) -> dict | None:
         else:
             return None
     return None
+
+
+def gif_lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """GIF-variant LZW compress (spec appendix F): dictionary-building
+    greedy-longest-match, clear code first, end-of-information last,
+    codes packed LSB-first with the giflib width schedule (the width
+    bumps when the next free dictionary slot — checked BEFORE this
+    emit's insertion — reaches 1 << width, one emit later than the
+    naive schedule; the committed hand-packed fixture in
+    tests/fixtures/fuzz pins this absolutely). Encoder and decoder
+    consistency is additionally cross-checked by the test suite's own
+    independent packer."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table: dict[tuple[int, ...], int] = {
+        (i,): i for i in range(clear)}
+    next_code = end + 1
+    codes = [clear]
+    buf: tuple[int, ...] = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+        else:
+            codes.append(table[buf])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+            buf = (int(px),)
+    if buf:
+        codes.append(table[buf])
+    codes.append(end)
+
+    out = bytearray()
+    acc = bits = 0
+    width = min_code_size + 1
+    emitted_next = end + 1
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+        if c == clear:
+            width = min_code_size + 1
+            emitted_next = end + 1
+        elif c != end:
+            if emitted_next < 4096:
+                if emitted_next == (1 << width) and width < 12:
+                    width += 1
+                emitted_next += 1
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int,
+               palette: list[tuple[int, int, int]],
+               indices: list[int]) -> bytes:
+    """GIF89a writer over gif_lzw_encode: logical screen + global
+    color table (padded to a power of two) + one image descriptor +
+    sub-blocked LZW data + trailer. Exists to exercise the DECODER
+    from inside the registered pixel-decode query, the same role
+    encode_grey_jpeg plays for JPEG."""
+    import struct
+
+    n_colors = len(palette)
+    min_code = max(2, (n_colors - 1).bit_length())
+    pal = b"".join(bytes(c) for c in palette)
+    pal += b"\x00" * (3 * (1 << min_code) - len(pal))
+    lzw = gif_lzw_encode(min_code, indices)
+    blocks = b""
+    rest = lzw
+    while rest:
+        blocks += bytes([min(255, len(rest))]) + rest[:255]
+        rest = rest[255:]
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + bytes([0x80 | (min_code - 1), 0, 0]) + pal
+            + b"\x2C" + struct.pack("<HHHH", 0, 0, width, height)
+            + b"\x00" + bytes([min_code]) + blocks + b"\x00" + b"\x3B")
+
+
+def encode_png_rgb(width: int, height: int,
+                   rgb: tuple[int, int, int]) -> bytes:
+    """Solid-color truecolor (color type 2) PNG writer: signature +
+    IHDR + one zlib-deflated IDAT of filter-0 scanlines + IEND, with
+    REAL chunk CRCs (zlib.crc32) so any PNG reader accepts the file.
+    Solid color keeps the channel sums closed-form (sum_c = c*w*h)
+    for the registered oracle; the five scanline filters are decoder
+    territory and stay pinned by the pytest fixtures."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width
+    idat = zlib.compress(row * height)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
 
 
 # -- baseline JPEG (greyscale) ------------------------------------------------
@@ -1728,6 +1885,88 @@ def synthesize_jpeg_table(documents: DataFrame) -> DataFrame:
                 h = did % 13 + 4
                 g = did % 256
                 media.append(encode_grey_jpeg(w, h, bytes([g]) * (w * h)))
+            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                                "media": media})
+
+    return documents.select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
+
+
+def synthesize_gif_table(documents: DataFrame) -> DataFrame:
+    """Decodable GIF89a images from the documents table: a two-color
+    checkerboard (indices alternate 0,1,0,1,... in raster order) whose
+    dims/palette derive arithmetically from document columns, so the
+    channel sums have the closed form c0*ceil(n/2) + c1*floor(n/2).
+    The alternation forces real LZW dictionary growth across code-width
+    boundaries — the bug class the r6/r7 schedule fixes address — on
+    every row. Encode runs in mapInPandas (LZW bit-packing is not
+    column codegen), exercising the DECODER like the JPEG fixture."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            lens = pdf["tlen"].tolist()
+            media = []
+            for did, tl in zip(ids, lens):
+                w = did % 14 + 2
+                h = did % 9 + 2
+                c0 = (did % 251, tl % 253, (did + tl) % 255)
+                c1 = ((did * 3 + 7) % 256, (tl * 5 + 11) % 256,
+                      (did + 2 * tl) % 256)
+                idx = [i % 2 for i in range(w * h)]
+                media.append(encode_gif(w, h, [c0, c1], idx))
+            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                                "media": media})
+
+    return (documents
+            .select("doc_id", F.length("text").cast("long").alias("tlen"))
+            .mapInPandas(run, schema=JPEG_SCHEMA))
+
+
+def synthesize_png_pixel_table(documents: DataFrame) -> DataFrame:
+    """Decodable truecolor PNGs (real zlib IDAT, real CRCs) from the
+    documents table: solid color, dims/RGB from document columns, so
+    sum_c = c*w*h in closed form. mapInPandas because deflate is not
+    column codegen; completes the BMP/JPEG/GIF/PNG pixel-decode
+    square through the same oracle pattern."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            lens = pdf["tlen"].tolist()
+            media = []
+            for did, tl in zip(ids, lens):
+                w = did % 15 + 2
+                h = did % 10 + 2
+                rgb = (did % 249, (did + tl) % 250, tl % 247)
+                media.append(encode_png_rgb(w, h, rgb))
+            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                                "media": media})
+
+    return (documents
+            .select("doc_id", F.length("text").cast("long").alias("tlen"))
+            .mapInPandas(run, schema=JPEG_SCHEMA))
+
+
+def synthesize_mjpeg_avi_table(documents: DataFrame) -> DataFrame:
+    """Decodable MJPEG AVIs from the documents table: doc_id%4+1
+    solid-grey baseline JPEG frames (grey_i = (doc_id + 31*i) % 256)
+    in a RIFF/AVI container at 10 fps. Every frame is DC-only, so the
+    per-frame decoded sum has the closed form grey_i * w * h for the
+    frame-sampling oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            media = []
+            for did in ids:
+                w = did % 9 + 8
+                h = did % 7 + 8
+                nf = did % 4 + 1
+                frames = [
+                    encode_grey_jpeg(
+                        w, h, bytes([(did + 31 * i) % 256]) * (w * h))
+                    for i in range(nf)]
+                media.append(encode_mjpeg_avi(w, h, frames, fps=10))
             yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
                                 "media": media})
 

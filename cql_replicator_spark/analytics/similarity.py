@@ -807,14 +807,35 @@ def pq_train(
     vec_col: str = "embedding",
     rounds: int = 2,
     scale: int = 100,
+    train_sample: int | None = None,
 ) -> list[list[list[int]]]:
     """Train per-subspace codebooks: the embedding splits into m
     contiguous subvectors; each subspace runs the integer-exact Lloyd
     kmeans. Returns codebooks[sub][centroid] = int vector (quantized
     at ``scale``), small enough to ship in a closure (m*k*subdim
     ints — the same budget class as IVF centroids). Requires dim % m
-    == 0."""
-    head = corpus.select(vec_col).first()
+    == 0.
+
+    Codebook training is BOUNDED: the m sub-space kmeans loops run
+    over a deterministic ``train_sample``-row sample (lowest ids via
+    TakeOrderedAndProject — partial per-partition top-n, no full
+    sort), not the corpus. Training on everything is the classic
+    100 TB mistake — m*rounds full-corpus scans to learn an m*k*subdim
+    table that a bounded sample learns just as well; FAISS caps at a
+    small multiple of k per centroid for the same reason. Default
+    256*k rows (the FAISS max_points_per_centroid default);
+    train_sample=0 opts out and trains on the full corpus. The sample
+    is localCheckpointed once, so the per-subspace loops scan the
+    materialized sample, never the corpus."""
+    if train_sample is None:
+        train_sample = 256 * int(k)
+    if train_sample:
+        train = (corpus.select(F.col(id_col), F.col(vec_col))
+                 .orderBy(id_col).limit(int(train_sample))
+                 .localCheckpoint(eager=True))
+    else:
+        train = corpus
+    head = train.select(vec_col).first()
     if head is None:
         raise ValueError("pq_train: corpus is empty")
     dim = len(head[0])
@@ -823,7 +844,7 @@ def pq_train(
     sub = dim // m
     books = []
     for s in range(m):
-        piece = corpus.select(
+        piece = train.select(
             F.col(id_col),
             F.slice(F.col(vec_col), s * sub + 1, sub).alias("sv"))
         # reuse the corpus-side kmeans: assignments are discarded, the

@@ -1341,23 +1341,36 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything else stalest-evidence-first. tests/test_oracle.py asserts the
 # computed order actually has this shape.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r6: implementation-touched only. The r5 registration wave (89 new
-    # vs a ~50-slot window) left 39 queries with zero driver evidence;
-    # emptying this list makes the evidence-based ordering front ALL of
-    # them (evidence = -1 sorts before every real round number), then
-    # the stalest r2 rows fill the window's tail. Only genuinely
-    # touched-this-round names belong here.
-    "text_inverted_index",   # r5 err row: array output scalarized to
-                             # a comma-joined string (driver hasher
-                             # cannot sort/hash array cells)
-    "snapshot_time_travel",  # new: Delta-protocol log replay
-                             # (dlog.py) versionAsOf round-trip
-    "multimodal_bmp_pixel_decode",  # new: REAL pixel decode (24-bit
-                                    # BMP), closed-form channel sums
-    "multimodal_wav_pcm_decode",    # new: REAL PCM sample decode,
-                                    # closed-form energy/peak
-    "multimodal_jpeg_pixel_decode", # new: from-spec baseline JPEG
-                                    # decode, DC-only-exact fixtures
+    # r7: new registrations for the r6 pytest-only tiers (VERDICT item
+    # 2) plus the two implementation-touched queries. 8 touched + the
+    # 13 r2-stale + 29 oldest r3 rows fill the ~50-row window; every
+    # other name falls through to the evidence-based stalest-first
+    # ordering.
+    "multimodal_jpeg_pixel_decode",  # touched: parse_jpeg_pixels now
+                                     # skips spec-legal 0xFF fill bytes
+    "snapshot_time_travel",          # touched: dlog commit gained the
+                                     # O_EXCL fallback + loser cleanup
+    "multimodal_gif_pixel_decode",   # new: REAL GIF LZW decode,
+                                     # checkerboard closed-form sums
+    "multimodal_png_pixel_decode",   # new: REAL PNG decode (zlib IDAT
+                                     # + CRCs), solid-color closed form
+    "multimodal_g711_audio_decode",  # new: G.711 A-law expansion,
+                                     # oracle recomputes the spec math
+    "multimodal_adpcm_audio_decode", # new: IMA ADPCM state machine,
+                                     # predictor-exact closed form
+    "multimodal_mjpeg_frame_sample", # new: RIFF walk + per-frame JPEG
+                                     # decode via video_frame_stats
+    "similarity_pq_recall",          # new: PQ ADC top-5 vs exact,
+                                     # integer-exact SQL replay
+]
+
+_TOUCHED_R6: list[str] = [
+    # r6's list, kept for the ledger (all five got green r6 rows).
+    "text_inverted_index",
+    "snapshot_time_travel",
+    "multimodal_bmp_pixel_decode",
+    "multimodal_wav_pcm_decode",
+    "multimodal_jpeg_pixel_decode",
 ]
 
 # Deliberate-overflow acknowledgement for the driver-window arithmetic:

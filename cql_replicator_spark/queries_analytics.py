@@ -1267,6 +1267,169 @@ def multimodal_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_pixel_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, length(text) AS tl,
+         doc_id % 14 + 2 AS w, doc_id % 9 + 2 AS h
+  FROM documents
+)
+SELECT doc_id AS id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST((doc_id % 251) * ((w * h + 1) // 2)
+            + ((doc_id * 3 + 7) % 256) * ((w * h) // 2) AS BIGINT) AS sum_r,
+       CAST((tl % 253) * ((w * h + 1) // 2)
+            + ((tl * 5 + 11) % 256) * ((w * h) // 2) AS BIGINT) AS sum_g,
+       CAST(((doc_id + tl) % 255) * ((w * h + 1) // 2)
+            + ((doc_id + 2 * tl) % 256) * ((w * h) // 2) AS BIGINT) AS sum_b
+FROM d
+""",
+    doc="REAL GIF pixel decode, no image library: two-color "
+        "checkerboards are LZW-compressed in mapInPandas "
+        "(multimodal.encode_gif, giflib width schedule) and decoded "
+        "back index-by-index by the pure-Python LZW decoder "
+        "(parse_gif_pixels). The alternating indices force dictionary "
+        "growth across code-width boundaries on every row — the exact "
+        "bug class the r7 schedule fix addressed — and the channel "
+        "sums have the closed form c0*ceil(n/2) + c1*floor(n/2) the "
+        "oracle recomputes. Absolute schedule correctness is pinned "
+        "separately by the hand-packed byte fixture in "
+        "tests/fixtures/fuzz",
+)
+def multimodal_gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.image_pixel_stats(MM.synthesize_gif_table(docs))
+
+
+@register(
+    "multimodal_png_pixel_decode",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(doc_id % 15 + 2 AS INTEGER) AS width,
+       CAST(doc_id % 10 + 2 AS INTEGER) AS height,
+       CAST((doc_id % 15 + 2) * (doc_id % 10 + 2) AS BIGINT) AS n_px,
+       CAST((doc_id % 249) * (doc_id % 15 + 2) * (doc_id % 10 + 2)
+            AS BIGINT) AS sum_r,
+       CAST(((doc_id + length(text)) % 250) * (doc_id % 15 + 2)
+            * (doc_id % 10 + 2) AS BIGINT) AS sum_g,
+       CAST((length(text) % 247) * (doc_id % 15 + 2) * (doc_id % 10 + 2)
+            AS BIGINT) AS sum_b
+FROM documents
+""",
+    doc="REAL PNG pixel decode through the registered gate (pytest "
+        "already pins the five scanline filters; this puts the "
+        "zlib-inflate + unfilter + truecolor path under the driver "
+        "oracle too): solid-color truecolor PNGs with real IDAT "
+        "deflate and real chunk CRCs are encoded in mapInPandas "
+        "(multimodal.encode_png_rgb) and decoded back by "
+        "parse_png_pixels; sum_c = c*w*h in closed form",
+)
+def multimodal_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.image_pixel_stats(MM.synthesize_png_pixel_table(docs))
+
+
+@register(
+    "multimodal_g711_audio_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, length(text) % 40 + 1 AS n,
+         xor(doc_id % 256, 85) AS a
+  FROM documents
+), m AS (
+  SELECT doc_id, n,
+         CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+              ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+         END AS mag
+  FROM d
+)
+SELECT doc_id AS id,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(mag * mag * n AS BIGINT) AS sum_sq,
+       CAST(mag AS INTEGER) AS peak
+FROM m
+""",
+    doc="REAL G.711 A-law decode (format tag 6): WAVs whose every "
+        "compressed byte is doc_id % 256 are synthesized JVM-side "
+        "(hex-repeat codegen, tag-6 fmt chunk) and expanded "
+        "sample-by-sample by the pure-arithmetic spec expansion "
+        "(multimodal._alaw_to_linear). A-law expansion is xor 0x55, "
+        "3-bit exponent segment, 4-bit mantissa — pure integer "
+        "arithmetic the oracle recomputes literally, so a single "
+        "wrong bit in the expander (sign convention, bias, segment "
+        "shift) mismatches every row",
+)
+def multimodal_g711_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.audio_sample_stats(MM.synthesize_alaw_wav_table(docs))
+
+
+@register(
+    "multimodal_adpcm_audio_decode",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST((length(text) % 24 + 1) * 2 + 1 AS BIGINT) AS n_samples,
+       CAST((doc_id % 30001 - 15000) * (doc_id % 30001 - 15000)
+            * ((length(text) % 24 + 1) * 2 + 1) AS BIGINT) AS sum_sq,
+       CAST(abs(doc_id % 30001 - 15000) AS INTEGER) AS peak
+FROM documents
+""",
+    doc="REAL IMA ADPCM decode (format tag 0x11) through the "
+        "registered gate: one-block WAVs whose signed 16-bit header "
+        "predictor varies per document and whose nibbles are all zero "
+        "(nibble 0 at step index 0 adds 7>>3 = 0, so every decoded "
+        "sample equals the predictor EXACTLY — closed form, yet the "
+        "state machine still walks every nibble, honors the signed "
+        "header, block_samples, and the index clamp). The adaptive "
+        "step/index tables are separately pinned by the codec pytest",
+)
+def multimodal_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.audio_sample_stats(MM.synthesize_adpcm_wav_table(docs))
+
+
+@register(
+    "multimodal_mjpeg_frame_sample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 9 + 8 AS w, doc_id % 7 + 8 AS h,
+         doc_id % 4 + 1 AS nf
+  FROM documents
+)
+SELECT doc_id AS id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(((doc_id + 31 * i) % 256) * w * h AS BIGINT) AS sum_grey
+FROM d, unnest(generate_series(0, nf - 1)) AS t(i)
+""",
+    doc="REAL video frame sampling through the registered gate: MJPEG "
+        "AVIs (doc_id%4+1 solid-grey baseline JPEG frames in a RIFF "
+        "container at 10 fps) are built in mapInPandas and run through "
+        "the real pipeline — RIFF walk -> avih-timed frame selection "
+        "(every_ms=100 samples every frame) -> per-frame baseline JPEG "
+        "decode (multimodal.video_frame_stats). DC-only frames decode "
+        "exactly, so each sampled frame's sum has the closed form "
+        "grey_i * w * h the oracle recomputes via generate_series",
+)
+def multimodal_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.video_frame_stats(MM.synthesize_mjpeg_avi_table(docs),
+                                every_ms=100)
+
+
+@register(
     "multimodal_video_headers",
     oracle="""
 SELECT doc_id AS id, 'mp4' AS format,

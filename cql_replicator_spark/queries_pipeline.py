@@ -1424,6 +1424,121 @@ def _register_recall_audit():
 _register_recall_audit()
 
 
+_PQ_RECALL_ORACLE = """
+WITH qc AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> greatest(-127, least(127,
+           CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)))) AS qv
+  FROM embeddings
+),
+subs AS (SELECT s FROM (VALUES (0), (1)) t(s)),
+-- rounds=0 codebooks: centroid cid of subspace s is the quantized
+-- subvector of vec_id = cid (seeding = lowest-k ids of the capped
+-- train frame, k=4 <= train_sample=64)
+books AS (
+  SELECT s.s, q.vec_id AS cid,
+         q.qv[(s.s * 32 + 1):((s.s + 1) * 32)] AS cv
+  FROM qc q CROSS JOIN subs s WHERE q.vec_id < 4
+),
+pieces AS (
+  SELECT q.vec_id, s.s, q.qv[(s.s * 32 + 1):((s.s + 1) * 32)] AS sv
+  FROM qc q CROSS JOIN subs s
+),
+enc AS (
+  SELECT vec_id, s, cid AS code FROM (
+    SELECT p.vec_id, p.s, b.cid,
+           row_number() OVER (PARTITION BY p.vec_id, p.s ORDER BY
+             list_dot_product(p.sv, p.sv)
+               - 2 * list_dot_product(p.sv, b.cv)
+               + list_dot_product(b.cv, b.cv), b.cid) AS rn
+    FROM pieces p JOIN books b ON b.s = p.s)
+  WHERE rn = 1
+),
+tab AS (
+  SELECT p.vec_id AS query_id, b.s, b.cid,
+         list_dot_product(p.sv, p.sv)
+           - 2 * list_dot_product(p.sv, b.cv)
+           + list_dot_product(b.cv, b.cv) AS d
+  FROM pieces p JOIN books b ON b.s = p.s
+  WHERE p.vec_id IN (3, 11, 42)
+),
+cand AS (
+  SELECT t.query_id, e.vec_id, sum(t.d) AS adc
+  FROM enc e JOIN tab t ON t.s = e.s AND t.cid = e.code
+  WHERE e.vec_id <> t.query_id
+  GROUP BY t.query_id, e.vec_id
+),
+ann AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS rank
+    FROM cand)
+  WHERE rank <= 5
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding, c.embedding)
+               / (sqrt(list_dot_product(q.embedding, q.embedding))
+                  * sqrt(list_dot_product(c.embedding, c.embedding))) DESC,
+             c.vec_id) AS rn
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id IN (3, 11, 42))
+  WHERE rn <= 5
+)
+SELECT a.query_id,
+       CAST(count(*) AS BIGINT) AS n_ann,
+       round(CAST(count(e.neighbor_id) AS DOUBLE) / 5, 6) AS recall_at_5
+FROM ann a LEFT JOIN exact e
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY a.query_id
+"""
+
+
+@register(
+    "similarity_pq_recall",
+    oracle=_PQ_RECALL_ORACLE,
+    doc="PQ recall@5 audit — the product-quantization twin of "
+        "similarity_recall_at_k: asymmetric-distance top-5 over "
+        "pq_encode codes (m=2 subspaces, k=4 centroids) scored "
+        "against the exact brute-force top-5, recall = overlap/5. "
+        "Codebooks are rounds=0 seeds (quantized subvectors of the "
+        "lowest-k ids of the train_sample cap) so the whole chain — "
+        "quantize-floor, subspace slice, argmin encode with "
+        "lowest-cid ties, integer ADC table, rank-window ties — is "
+        "deterministic integer arithmetic the oracle replays literally "
+        "in SQL; the Lloyd update those seeds would feed is the same "
+        "code kmeans_quantized runs under its own driver-green "
+        "queries. Encode is map-only (codebooks ride the closure); "
+        "ADC scans code columns, never embeddings",
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import similarity as S
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    books = S.pq_train(emb, m=2, k=4, rounds=0, train_sample=64)
+    enc = S.pq_encode(emb, books)
+    parts = []
+    for qid in (3, 11, 42):
+        qrow = emb.filter(F.col("vec_id") == qid).first()
+        parts.append(
+            S.pq_adc_topk(list(qrow.embedding),
+                          enc.filter(F.col("vec_id") != qid), books, k=5)
+            .withColumn("query_id", F.lit(qid).cast("long"))
+            .select("query_id", "neighbor_id"))
+    ann = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    exact = (S.cosine_topk(emb.filter(F.col("vec_id").isin(3, 11, 42)),
+                           emb, k=5)
+             .select("query_id", "neighbor_id")
+             .withColumn("hit", F.lit(1)))
+    return (ann.join(exact, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_ann"),
+                 F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                         .cast("double") / 5, 6).alias("recall_at_5")))
+
+
 # -- RFM customer segmentation -------------------------------------------------
 
 @register(

@@ -255,6 +255,33 @@ def test_pq_encode_roundtrip_and_adc_recall(spark, emb):
     assert recall >= 0.5, f"ADC recall@10 {recall} too low for m=8,k=16"
 
 
+def test_pq_train_sample_cap(spark, emb):
+    """Codebook training must be bounded by train_sample (the FAISS
+    discipline): rows beyond the cap may not influence the codebooks.
+    Proven semantically — a corpus whose tail is adversarially extreme
+    trains identical codebooks to the capped prefix alone, and
+    different ones when the cap is lifted — which implies the training
+    scans at most the cap, whatever the plan looks like."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(32)]
+    rows += [(i, [100.0 * (1 if i % 2 else -1)] * 8) for i in range(32, 200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = S.pq_train(df, m=4, k=4, train_sample=32)
+    prefix_only = S.pq_train(df.filter(F.col("vec_id") < 32), m=4, k=4,
+                             train_sample=0)
+    assert capped == prefix_only, \
+        "rows beyond train_sample leaked into codebook training"
+    uncapped = S.pq_train(df, m=4, k=4, train_sample=0)
+    assert capped != uncapped, \
+        "extreme tail should shift full-corpus codebooks (test is vacuous)"
+    # the default cap is FAISS's 256 points per centroid
+    assert S.pq_train(df, m=4, k=4) == S.pq_train(df, m=4, k=4,
+                                                  train_sample=256 * 4)
+
+
 def test_ivfpq_composed_search(spark, emb):
     """IVF-PQ composition: coarse quantizer restricts candidates to
     nprobe buckets, PQ ADC ranks within them. The composed search
@@ -638,6 +665,44 @@ def test_jpeg_solid_images_decode_exactly():
         assert d == {"width": w, "height": h, "n_px": w * h,
                      "sum_r": g * w * h, "sum_g": g * w * h,
                      "sum_b": g * w * h}, (w, h, g)
+
+
+def test_package_gif_png_encoders_cross_check():
+    """The package's encode_gif (real LZW compressor) and the test
+    suite's _ref_gif are INDEPENDENT implementations of the same
+    giflib schedule; streams from both must decode to identical sums.
+    encode_png_rgb must produce spec-valid chunks (real CRCs) that
+    parse_png_pixels and _png_raster agree on."""
+    import random
+    import struct
+    import zlib
+
+    rng = random.Random(21)
+    palette = [(200, 0, 0), (0, 150, 0), (0, 0, 100), (40, 50, 60)]
+    for w, h in [(7, 5), (24, 18), (2, 2)]:
+        idx = [rng.randrange(4) for _ in range(w * h)]
+        d_pkg = MM.parse_gif_pixels(MM.encode_gif(w, h, palette, idx))
+        d_ref = MM.parse_gif_pixels(_ref_gif(w, h, palette, idx))
+        expect = {"width": w, "height": h, "n_px": w * h,
+                  "sum_r": sum(palette[i][0] for i in idx),
+                  "sum_g": sum(palette[i][1] for i in idx),
+                  "sum_b": sum(palette[i][2] for i in idx)}
+        assert d_pkg == expect and d_ref == expect, (w, h)
+
+    png = MM.encode_png_rgb(6, 4, (10, 200, 30))
+    d = MM.parse_png_pixels(png)
+    assert d == {"width": 6, "height": 4, "n_px": 24,
+                 "sum_r": 240, "sum_g": 4800, "sum_b": 720}
+    raster = MM._png_raster(png)
+    assert [int(raster[:, :, c].sum()) for c in range(3)] == [240, 4800, 720]
+    # chunk CRCs are real: verify every chunk against zlib.crc32
+    i = 8
+    while i + 8 <= len(png):
+        size = struct.unpack(">I", png[i:i + 4])[0]
+        body = png[i + 4:i + 8 + size]
+        crc = struct.unpack(">I", png[i + 8 + size:i + 12 + size])[0]
+        assert crc == (zlib.crc32(body) & 0xFFFFFFFF), body[:4]
+        i += 12 + size
 
 
 def test_jpeg_fill_bytes_before_markers_decode():
@@ -1082,6 +1147,9 @@ def test_media_parsers_are_total_on_arbitrary_bytes():
                  [rng.randrange(2) for _ in range(12)]),
         _ref_png(4, 3, [[(9, 9, 9)] * 4] * 3, [0, 1, 2]),
         MM.encode_mjpeg_avi(8, 8, [MM.encode_grey_jpeg(8, 8, bytes(64))]),
+        MM.encode_gif(5, 4, [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+                      [i % 3 for i in range(20)]),
+        MM.encode_png_rgb(5, 4, (9, 8, 7)),
     ]
 
     @settings(max_examples=250, deadline=None, derandomize=True)
