@@ -190,6 +190,7 @@ HEADLINE = [
     "multimodal_adpcm_audio_decode",
     "multimodal_mjpeg_frame_sample",
     "similarity_pq_recall",
+    "multimodal_progressive_jpeg_decode",
 ]
 
 

@@ -12,10 +12,12 @@ float IDCT), and 16-bit PCM WAV (see the "real pixel / sample
 decoding" and "baseline JPEG" sections), plus G.711 A-law/mu-law
 companded WAV expansion and MJPEG-in-AVI video frame sampling (each
 frame is a standalone JPEG; the RIFF walk + JPEG decoder compose).
-Only the codecs that genuinely require external libraries
-(progressive JPEG, modern compressed audio, inter-coded video like
-H.264) remain stubbed behind ``NotImplementedError`` with a
-deterministic fake for the feature-extraction path.
+Progressive JPEG (SOF2: spectral selection + successive approximation
+with EOBn runs — what libjpeg/browsers emit for most web JPEGs) is
+also decoded in-repo. Only the codecs that genuinely require external
+libraries (modern compressed audio, inter-coded video like H.264)
+remain stubbed behind ``NotImplementedError`` with a deterministic
+fake for the feature-extraction path.
 
 Schema convention for a multimodal table:
     id BIGINT, media BINARY, media_type STRING,
@@ -119,9 +121,9 @@ def decode_image(data: bytes) -> dict:
     """Image metadata decode: (format, width, height) via
     parse_image_header. Pixel-level decode is ALSO in-repo now —
     exact channel aggregates via parse_bmp_pixels / parse_png_pixels /
-    parse_gif_pixels / parse_jpeg_pixels, full rasters via
-    decode_image_rgb; only formats outside those codecs (progressive
-    JPEG, WebP, ...) need an external library."""
+    parse_gif_pixels / parse_jpeg_pixels (baseline AND progressive),
+    full rasters via decode_image_rgb; only formats outside those
+    codecs (WebP, AVIF, ...) need an external library."""
     hdr = parse_image_header(data)
     if hdr is None:
         raise NotImplementedError(
@@ -1668,9 +1670,10 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
     SOS scan header assigns them per component — not wired to this
     module's encoder tables, so any spec-conforming file of those
     shapes decodes, including DRI/RSTn restart-marker streams
-    (byte re-alignment + per-interval DC reset). Exotic sampling
-    (>2) and progressive scans return None and remain the declared
-    stub boundary."""
+    (byte re-alignment + per-interval DC reset). Progressive frames
+    (SOF2) dispatch to _parse_progressive_jpeg — the real multi-scan
+    path below. Exotic sampling (>2) returns None and remains the
+    declared stub boundary."""
     import numpy as np
 
     if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
@@ -1722,9 +1725,12 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
                 if hs not in (1, 2) or vs not in (1, 2):
                     return None  # exotic sampling: stub boundary
                 comps.append((cid, hs, vs, body[8 + 3 * c]))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:
+            # progressive DCT (SOF2): real in-repo decode path
+            return _parse_progressive_jpeg(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline SOF
+            return None  # non-baseline/non-progressive SOF
         elif marker == 0xC4:
             j = 0
             while j < len(body):
@@ -1834,6 +1840,17 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
                                 _idct_dequant(zz)
     except ValueError:
         return None
+    return _jpeg_sums_from_planes(planes, comps, hmax, vmax, w, h)
+
+
+def _jpeg_sums_from_planes(planes, comps, hmax, vmax, w, h) -> dict:
+    """Shared decode tail for the baseline and progressive paths:
+    replication-upsample subsampled planes, crop to the frame, and
+    reduce to exact channel sums (greyscale reports the grey sum on
+    all three channels; color converts BT.601/JFIF YCbCr -> RGB,
+    rounded half-even, clamped to [0, 255])."""
+    import numpy as np
+
     full = []
     for ci, (cid, hs, vs, _tq) in enumerate(comps):
         p = planes[ci]
@@ -1842,12 +1859,10 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
         if vs != vmax:
             p = np.repeat(p, vmax // vs, axis=0)
         full.append(p[:h, :w])
-    if nc == 1:
+    if len(comps) == 1:
         total = int(full[0].sum())
         return {"width": w, "height": h, "n_px": w * h,
                 "sum_r": total, "sum_g": total, "sum_b": total}
-    # BT.601/JFIF YCbCr -> RGB, rounded half-even like the rest of the
-    # pipeline, clamped to [0, 255]
     y = full[0].astype(np.float64)
     cb = full[1].astype(np.float64) - 128.0
     cr = full[2].astype(np.float64) - 128.0
@@ -1858,6 +1873,482 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
     return {"width": w, "height": h, "n_px": w * h,
             "sum_r": int(r.sum()), "sum_g": int(g.sum()),
             "sum_b": int(b.sum())}
+
+
+# -- progressive JPEG (SOF2) --------------------------------------------------
+#
+# T.81 Annex G: coefficients arrive over MULTIPLE scans — spectral
+# selection (each AC scan covers a zigzag band of one component) and
+# successive approximation (each scan adds one bit of precision: DC
+# point transform is an arithmetic shift, AC is magnitude truncation,
+# refinements append correction bits per the G.2 algorithms, with
+# EOBn run codes spanning blocks). This is what libjpeg/mozjpeg/
+# browsers emit for most web JPEGs, so "baseline only" would reject
+# the majority of real-world files. The decode accumulates per-block
+# coefficient vectors across scans, then runs the same dequant/IDCT/
+# upsample/color tail as the baseline path.
+
+def _parse_progressive_jpeg(data: bytes) -> dict | None:
+    """Decode a progressive JPEG to the same exact integer pixel sums
+    as parse_jpeg_pixels. Greyscale and YCbCr with 1-2 sampling
+    factors; DC/AC first and refinement scans, EOBn runs, restart
+    intervals, between-scan DHT/DRI redefinition. Returns None for
+    anything corrupt — totality contract of the Arrow-batch lane."""
+    import numpy as np
+
+    if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    quants: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []
+    restart_interval = 0
+    scans = []  # (scan comps [(ci, td, ta)], Ss, Se, Ah, Al, ecs, tables, dri)
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            return None
+        while i + 4 <= len(data) and data[i + 1] == 0xFF:
+            i += 1  # spec B.1.1.2 fill bytes
+        if i + 4 > len(data):
+            return None
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        size = int.from_bytes(data[i + 2:i + 4], "big")
+        body = data[i + 4:i + 2 + size]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0 or len(body) < j + 65:
+                    return None
+                quants[tq] = list(body[j + 1:j + 65])
+                j += 65
+        elif marker == 0xC2:
+            if len(body) < 6 or comps:
+                return None  # truncated or second frame header
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3) or len(body) < 6 + 3 * nc:
+                return None
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hs, vs = body[7 + 3 * c] >> 4, body[7 + 3 * c] & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    return None
+                comps.append((cid, hs, vs, body[8 + 3 * c]))
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1:j + 17])
+                nv = sum(bits)
+                if len(bits) < 16 or len(body) < j + 17 + nv:
+                    return None
+                vals = list(body[j + 17:j + 17 + nv])
+                codes = _canonical_codes(bits, vals)
+                huff[(tc, th)] = {(c, ln): sym
+                                  for sym, (c, ln) in codes.items()}
+                j += 17 + nv
+        elif marker == 0xDD:
+            if len(body) < 2:
+                return None
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:
+            if not comps or len(body) < 4:
+                return None
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                return None
+            in_scan = []
+            cids = [c[0] for c in comps]
+            for c in range(ns):
+                cs = body[1 + 2 * c]
+                if cs not in cids:
+                    return None
+                tt = body[2 + 2 * c]
+                in_scan.append((cids.index(cs), tt >> 4, tt & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            j = i + 2 + size
+            while j + 1 < len(data):
+                if data[j] == 0xFF and data[j + 1] != 0x00 \
+                        and not (0xD0 <= data[j + 1] <= 0xD7):
+                    break
+                j += 1
+            scans.append((in_scan, ss, se, ah, al, data[i + 2 + size:j],
+                          dict(huff), restart_interval))
+            i = j
+            continue
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # mixed frame types
+        i += 2 + size
+    if not quants or None in (w, h) or w <= 0 or h <= 0 \
+            or not comps or not scans:
+        return None
+    for _cid, _hs, _vs, tq in comps:
+        if tq not in quants:
+            return None
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # resource guard (same class as baseline): every block of the DC
+    # scan costs >= 1 bit, so a corrupt SOF claiming huge dims with a
+    # small stream bails before allocating coefficient arrays
+    n_blocks = mcux * mcuy * sum(hs * vs for _, hs, vs, _tq in comps)
+    if n_blocks > sum(len(s[5]) for s in scans) * 8:
+        return None
+    coef = [np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+            for _, hs, vs, _tq in comps]
+    # per-component true block dims (non-interleaved scans traverse
+    # these, NOT the MCU-padded grid — T.81 A.2.2)
+    bdims = []
+    for _cid, hs, vs, _tq in comps:
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        bdims.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    try:
+        for in_scan, ss, se, ah, al, ecs, tables, dri in scans:
+            br = _BitReader(ecs)
+
+            def read_symbol(table):
+                code, ln = 0, 0
+                while ln < 16:
+                    code = (code << 1) | br.bit()
+                    ln += 1
+                    if (code, ln) in table:
+                        return table[(code, ln)]
+                raise ValueError("invalid Huffman code")
+
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan with Se != 0")
+                for ci, td, _ta in in_scan:
+                    if ah == 0 and (0, td) not in tables:
+                        raise ValueError("missing DC table")
+                preds = {ci: 0 for ci, _td, _ta in in_scan}
+
+                def dc_block(ci, td, by, bx):
+                    if ah == 0:
+                        cat = read_symbol(tables[(0, td)])
+                        if cat > 11:
+                            raise ValueError("bad DC category")
+                        preds[ci] += _decode_extend(br.bits(cat), cat)
+                        coef[ci][by, bx, 0] = preds[ci] << al
+                    elif br.bit():
+                        coef[ci][by, bx, 0] |= 1 << al
+
+                if len(in_scan) > 1:
+                    # interleaved DC scan: MCU traversal
+                    n_mcu = 0
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            if dri and n_mcu and n_mcu % dri == 0:
+                                br.restart()
+                                preds = {ci: 0 for ci in preds}
+                            n_mcu += 1
+                            for ci, td, _ta in in_scan:
+                                _cid, hs, vs, _tq = comps[ci]
+                                for byy in range(vs):
+                                    for bxx in range(hs):
+                                        dc_block(ci, td, my * vs + byy,
+                                                 mx * hs + bxx)
+                else:
+                    ci, td, _ta = in_scan[0]
+                    bh_c, bw_c = bdims[ci]
+                    n_blk = 0
+                    for by in range(bh_c):
+                        for bx in range(bw_c):
+                            if dri and n_blk and n_blk % dri == 0:
+                                br.restart()
+                                preds = {ci: 0}
+                            n_blk += 1
+                            dc_block(ci, td, by, bx)
+                continue
+
+            # AC scan: exactly one component (T.81 G.1.1.1.1)
+            if len(in_scan) != 1 or not (1 <= ss <= se <= 63):
+                raise ValueError("bad AC scan header")
+            ci, _td, ta = in_scan[0]
+            if (1, ta) not in tables:
+                raise ValueError("missing AC table")
+            table = tables[(1, ta)]
+            bh_c, bw_c = bdims[ci]
+            eobrun = 0
+            p1, m1 = 1 << al, -1 << al
+            n_blk = 0
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    if dri and n_blk and n_blk % dri == 0:
+                        br.restart()
+                        eobrun = 0
+                    n_blk += 1
+                    blk = coef[ci][by, bx]
+                    if ah == 0:
+                        # first scan of this band (G.2.1)
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = read_symbol(table)
+                            r, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC overrun")
+                            blk[k] = _decode_extend(br.bits(s), s) << al
+                            k += 1
+                    else:
+                        # refinement scan (G.2.2): correction bits for
+                        # history coefficients, +-1<<Al for new ones
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = read_symbol(table)
+                                r, s = sym >> 4, sym & 0x0F
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += br.bits(r)
+                                        break
+                                    newval = 0  # ZRL: 16 zero-history
+                                elif s == 1:
+                                    newval = p1 if br.bit() else m1
+                                else:
+                                    raise ValueError("bad refine symbol")
+                                while k <= se:
+                                    c = int(blk[k])
+                                    if c != 0:
+                                        if br.bit() and (c & p1) == 0:
+                                            blk[k] = c + (p1 if c >= 0
+                                                          else m1)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if s and k <= se:
+                                    blk[k] = newval
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                c = int(blk[k])
+                                if c != 0 and br.bit() and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                                k += 1
+                            eobrun -= 1
+    except (ValueError, IndexError):
+        return None
+
+    planes = [np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int64)
+              for _, hs, vs, _tq in comps]
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        quant = quants[tq]
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                zz = [int(coef[ci][by, bx, k]) * quant[k]
+                      for k in range(64)]
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _idct_dequant(zz)
+    return _jpeg_sums_from_planes(planes, comps, hmax, vmax, w, h)
+
+
+# libjpeg's default greyscale progressive scan script: DC first at
+# reduced precision, low/high AC bands, then AC and DC refinements.
+_PROG_SCRIPT = [
+    (0, 0, 0, 1),     # DC first, Al=1
+    (1, 5, 0, 2),     # AC band 1-5 first, Al=2
+    (6, 63, 0, 2),    # AC band 6-63 first, Al=2
+    (1, 63, 2, 1),    # AC refine Al 2->1
+    (0, 0, 1, 0),     # DC refine
+    (1, 63, 1, 0),    # AC refine Al 1->0
+]
+
+
+def _emit_prog_ac_first(bw, blocks, ss, se, al, ac_codes) -> None:
+    """G.1.2.2: first scan of an AC band at precision Al — run/size
+    symbols over the point-transformed (magnitude-truncated) values,
+    EOBn codes accumulating empty-band runs across blocks."""
+    eobrun = 0
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            t = abs(zz[k]) >> al  # AC point transform: magnitude trunc
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                flush_eobrun()
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            flush_eobrun()
+            cat, extra = _category(t if zz[k] > 0 else -t)
+            code, ln = ac_codes[(r << 4) | cat]
+            bw.write(code, ln)
+            bw.write(extra, cat)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def _emit_prog_ac_refine(bw, blocks, ss, se, al, ac_codes) -> None:
+    """G.1.2.3 (the libjpeg shape): newly-significant coefficients as
+    run/1 symbols + sign bit, correction bits for history coefficients
+    — emitted inline after the next symbol within a block, buffered
+    behind the next EOBn across blocks; ZRL only within the block's
+    newly-significant span."""
+    eobrun = 0
+    be: list[int] = []
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            for bit in be:
+                bw.write(bit, 1)
+            be.clear()
+            eobrun = 0
+
+    for zz in blocks:
+        absv = [abs(zz[k]) >> al for k in range(64)]
+        eob = ss - 1
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eob = k  # last NEWLY significant coefficient
+        r = 0
+        br_bits: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            # runs past the last new coefficient fold into the EOB
+            while r > 15 and k <= eob:
+                flush_eobrun()
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for bit in br_bits:
+                    bw.write(bit, 1)
+                br_bits = []
+            if t > 1:  # history coefficient: correction bit
+                br_bits.append(t & 1)
+                continue
+            flush_eobrun()
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if zz[k] > 0 else 0, 1)
+            for bit in br_bits:
+                bw.write(bit, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be.extend(br_bits)
+            if eobrun == 0x7FFF or len(be) > 900:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def encode_progressive_grey_jpeg(width: int, height: int, pixels: bytes,
+                                 script=None) -> bytes:
+    """Progressive greyscale JPEG encoder (SOF2): the G.1.2 spectral-
+    selection + successive-approximation scan machinery — DC scans at
+    reduced precision with refinement bits, AC band scans with EOBn
+    run codes spanning blocks (buffered correction bits appended after
+    the EOB symbol, ZRL only within the block's newly-significant
+    span), the libjpeg default greyscale script by default. Exists to
+    exercise _parse_progressive_jpeg; the coefficient pipeline
+    (identity quant + _fdct_quant) matches encode_grey_jpeg, so
+    progressive and baseline encodings of the same image must decode
+    identically — the cross-codec equality the tests pin."""
+    import struct
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels length != width*height")
+    script = list(_PROG_SCRIPT if script is None else script)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    w8, h8 = (width + 7) // 8, (height + 7) // 8
+    blocks = []
+    for by in range(h8):
+        for bx in range(w8):
+            block = [[pixels[min(height - 1, by * 8 + y) * width
+                             + min(width - 1, bx * 8 + x)]
+                      for x in range(8)] for y in range(8)]
+            blocks.append(_fdct_quant(block))
+
+    def encode_scan(ss, se, ah, al):
+        bw = _BitWriter()
+        if ss == 0:
+            if ah == 0:  # DC first: predict over point-transformed DC
+                pred = 0
+                for zz in blocks:
+                    v = zz[0] >> al  # DC point transform: arith shift
+                    cat, extra = _category(v - pred)
+                    pred = v
+                    code, ln = dc_codes[cat]
+                    bw.write(code, ln)
+                    if cat:
+                        bw.write(extra, cat)
+            else:  # DC refine: one raw bit per block
+                for zz in blocks:
+                    bw.write((zz[0] >> al) & 1, 1)
+        elif ah == 0:
+            _emit_prog_ac_first(bw, blocks, ss, se, al, ac_codes)
+        else:
+            _emit_prog_ac_refine(bw, blocks, ss, se, al, ac_codes)
+        return bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", height, width)
+               + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    for ss, se, ah, al in script:
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += encode_scan(ss, se, ah, al)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 JPEG_SCHEMA = T.StructType([
@@ -1885,6 +2376,30 @@ def synthesize_jpeg_table(documents: DataFrame) -> DataFrame:
                 h = did % 13 + 4
                 g = did % 256
                 media.append(encode_grey_jpeg(w, h, bytes([g]) * (w * h)))
+            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                                "media": media})
+
+    return documents.select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
+
+
+def synthesize_progressive_jpeg_table(documents: DataFrame) -> DataFrame:
+    """Decodable PROGRESSIVE (SOF2) greyscale JPEGs from the documents
+    table: solid-grey like synthesize_jpeg_table but encoded through
+    the multi-scan successive-approximation script, so the registered
+    query drives the G.2 decode machinery (DC first/refine, AC band
+    first scans with EOBn runs, AC refinements) end to end. Solid
+    images stay DC-only, so sum = grey * w * h in closed form."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            media = []
+            for did in ids:
+                w = did % 19 + 4
+                h = did % 11 + 4
+                g = (did * 7) % 256
+                media.append(encode_progressive_grey_jpeg(
+                    w, h, bytes([g]) * (w * h)))
             yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
                                 "media": media})
 
@@ -2093,17 +2608,11 @@ def video_frame_stats(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.select("id", "media").mapInPandas(run, schema=FRAME_STATS_SCHEMA)
 
 
-def encode_rgb_jpeg(width: int, height: int, rgb: bytes,
-                    subsampling: str = "444") -> bytes:
-    """Baseline color JPEG encoder, 4:4:4 or 4:2:0: RGB row-major
-    bytes (3 per pixel) -> BT.601/JFIF YCbCr (rounded half-even),
-    chroma downsampled by 2x2 mean for 4:2:0, interleaved MCU blocks
-    through the same identity-quant DCT + canonical Huffman machinery
-    as the greyscale encoder (all three components share table pair 0,
-    which the SOS header declares). Exists to exercise the color half
-    of parse_jpeg_pixels."""
-    import struct
-
+def _jpeg_ycbcr_planes(width: int, height: int, rgb: bytes,
+                       subsampling: str):
+    """Shared color-encode front half: RGB row-major bytes ->
+    BT.601/JFIF YCbCr planes (rounded half-even), chroma downsampled
+    by 2x2 mean for 4:2:0. Returns (planes, sampling factors)."""
     import numpy as np
 
     if subsampling not in ("444", "420"):
@@ -2117,7 +2626,6 @@ def encode_rgb_jpeg(width: int, height: int, rgb: bytes,
     cb = np.rint(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
     cr = np.rint(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
     planes = [np.clip(p, 0, 255).astype(np.int64) for p in (y, cb, cr)]
-
     if subsampling == "420":
         samp = [(2, 2), (1, 1), (1, 1)]
         down = []
@@ -2134,6 +2642,23 @@ def encode_rgb_jpeg(width: int, height: int, rgb: bytes,
         planes = down
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
+    return planes, samp
+
+
+def encode_rgb_jpeg(width: int, height: int, rgb: bytes,
+                    subsampling: str = "444") -> bytes:
+    """Baseline color JPEG encoder, 4:4:4 or 4:2:0: RGB row-major
+    bytes (3 per pixel) -> BT.601/JFIF YCbCr (rounded half-even),
+    chroma downsampled by 2x2 mean for 4:2:0, interleaved MCU blocks
+    through the same identity-quant DCT + canonical Huffman machinery
+    as the greyscale encoder (all three components share table pair 0,
+    which the SOS header declares). Exists to exercise the color half
+    of parse_jpeg_pixels."""
+    import struct
+
+    import numpy as np
+
+    planes, samp = _jpeg_ycbcr_planes(width, height, rgb, subsampling)
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
@@ -2198,6 +2723,124 @@ def encode_rgb_jpeg(width: int, height: int, rgb: bytes,
            + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9")
+
+
+# libjpeg's default color progressive script, adapted: interleaved DC
+# first/refine, per-component AC bands with successive approximation.
+# Entries: (component index or None for all-interleaved-DC, Ss, Se,
+# Ah, Al).
+_PROG_SCRIPT_COLOR = [
+    (None, 0, 0, 0, 1),
+    (0, 1, 5, 0, 2),
+    (2, 1, 63, 0, 1),
+    (1, 1, 63, 0, 1),
+    (0, 6, 63, 0, 2),
+    (0, 1, 63, 2, 1),
+    (None, 0, 0, 1, 0),
+    (0, 1, 63, 1, 0),
+    (2, 1, 63, 1, 0),
+    (1, 1, 63, 1, 0),
+]
+
+
+def encode_progressive_rgb_jpeg(width: int, height: int, rgb: bytes,
+                                subsampling: str = "444",
+                                script=None) -> bytes:
+    """Progressive color JPEG encoder (SOF2, 4:4:4 or 4:2:0): the same
+    YCbCr/downsample front half as encode_rgb_jpeg, coefficients
+    emitted over the libjpeg-style color scan script — one interleaved
+    DC scan (MCU order, per-component prediction), per-component AC
+    band scans traversing each component's TRUE block grid (ceil(cw/8),
+    not the MCU-padded grid — the T.81 A.2.2 rule a decoder must also
+    follow), refinements via the shared G.1.2.3 emitters."""
+    import struct
+
+    planes, samp = _jpeg_ycbcr_planes(width, height, rgb, subsampling)
+    script = list(_PROG_SCRIPT_COLOR if script is None else script)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # coefficient grids over the MCU-padded block space (the DC scan
+    # visits dummy edge blocks; AC scans only the true grid)
+    coefs = []
+    bdims = []
+    for ci, plane in enumerate(planes):
+        hs, vs = samp[ci]
+        ph, pw = plane.shape
+        grid = [[None] * (mcux * hs) for _ in range(mcuy * vs)]
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                block = [[int(plane[min(ph - 1, by * 8 + yy),
+                                    min(pw - 1, bx * 8 + xx)])
+                          for xx in range(8)] for yy in range(8)]
+                grid[by][bx] = _fdct_quant(block)
+        coefs.append(grid)
+        bdims.append(((ph + 7) // 8, (pw + 7) // 8))
+
+    def encode_scan(ci, ss, se, ah, al):
+        bw = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                preds = [0, 0, 0]
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for c in range(3):
+                            hs, vs = samp[c]
+                            for byy in range(vs):
+                                for bxx in range(hs):
+                                    zz = coefs[c][my * vs + byy][mx * hs + bxx]
+                                    v = zz[0] >> al
+                                    cat, extra = _category(v - preds[c])
+                                    preds[c] = v
+                                    code, ln = dc_codes[cat]
+                                    bw.write(code, ln)
+                                    if cat:
+                                        bw.write(extra, cat)
+            else:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for c in range(3):
+                            hs, vs = samp[c]
+                            for byy in range(vs):
+                                for bxx in range(hs):
+                                    zz = coefs[c][my * vs + byy][mx * hs + bxx]
+                                    bw.write((zz[0] >> al) & 1, 1)
+        else:
+            bh_c, bw_c = bdims[ci]
+            blocks = [coefs[ci][by][bx]
+                      for by in range(bh_c) for bx in range(bw_c)]
+            if ah == 0:
+                _emit_prog_ac_first(bw, blocks, ss, se, al, ac_codes)
+            else:
+                _emit_prog_ac_refine(bw, blocks, ss, se, al, ac_codes)
+        return bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof_comps = b"".join(
+        bytes([cid, (samp[ci][0] << 4) | samp[ci][1], 0])
+        for ci, cid in enumerate((1, 2, 3)))
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", height, width)
+               + bytes([3]) + sof_comps)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    for ci, ss, se, ah, al in script:
+        if ci is None:
+            hdr = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00,
+                         ss, se, (ah << 4) | al])
+        else:
+            hdr = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+        out += seg(0xDA, hdr)
+        out += encode_scan(ci, ss, se, ah, al)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # -- full-raster decode (resize / feature extraction) -------------------------

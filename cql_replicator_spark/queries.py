@@ -1362,6 +1362,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # decode via video_frame_stats
     "similarity_pq_recall",          # new: PQ ADC top-5 vs exact,
                                      # integer-exact SQL replay
+    "multimodal_progressive_jpeg_decode",  # new: SOF2 multi-scan
+                                     # successive-approximation decode
 ]
 
 _TOUCHED_R6: list[str] = [

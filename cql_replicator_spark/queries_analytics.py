@@ -1267,6 +1267,41 @@ def multimodal_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_progressive_jpeg_decode",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(doc_id % 19 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 11 + 4 AS INTEGER) AS height,
+       CAST((doc_id % 19 + 4) * (doc_id % 11 + 4) AS BIGINT) AS n_px,
+       CAST(((doc_id * 7) % 256) * (doc_id % 19 + 4) * (doc_id % 11 + 4)
+            AS BIGINT) AS sum_r,
+       CAST(((doc_id * 7) % 256) * (doc_id % 19 + 4) * (doc_id % 11 + 4)
+            AS BIGINT) AS sum_g,
+       CAST(((doc_id * 7) % 256) * (doc_id % 19 + 4) * (doc_id % 11 + 4)
+            AS BIGINT) AS sum_b
+FROM documents
+""",
+    doc="REAL progressive JPEG decode (SOF2 — what libjpeg/browsers "
+        "emit for most web JPEGs), from the T.81 Annex G spec with no "
+        "image library: solid-grey images encoded through the "
+        "libjpeg-style multi-scan script (DC first at reduced "
+        "precision, AC band scans with EOBn run codes, successive-"
+        "approximation refinements with correction bits) and decoded "
+        "back by the in-repo multi-scan coefficient accumulator "
+        "(multimodal._parse_progressive_jpeg). DC-only solid images "
+        "round-trip the float DCT exactly, so the oracle recomputes "
+        "sum = grey * w * h in closed form; the refinement bit "
+        "semantics are pinned separately by a hand-derived byte "
+        "fixture and baseline-equality pytest over random images",
+)
+def multimodal_progressive_jpeg_decode(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.image_pixel_stats(MM.synthesize_progressive_jpeg_table(docs))
+
+
+@register(
     "multimodal_gif_pixel_decode",
     oracle="""
 WITH d AS (

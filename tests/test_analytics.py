@@ -667,6 +667,91 @@ def test_jpeg_solid_images_decode_exactly():
                      "sum_b": g * w * h}, (w, h, g)
 
 
+def test_progressive_jpeg_decodes_like_baseline():
+    """Progressive (SOF2) and baseline encodings of the SAME image
+    must decode to identical sums — the two entropy layers share only
+    the DCT, so equality pins spectral selection, successive
+    approximation (DC arithmetic shift vs AC magnitude truncation),
+    EOBn runs, and refinement correction bits all at once. Greyscale
+    and color, 4:4:4 and 4:2:0, dims that make the MCU-padded grid
+    differ from the true per-component block grid (the T.81 A.2.2
+    non-interleaved traversal rule)."""
+    import random
+
+    rng = random.Random(5)
+    for w, h in [(8, 8), (16, 8), (13, 5), (24, 21), (17, 9), (32, 32)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        base = MM.parse_jpeg_pixels(MM.encode_grey_jpeg(w, h, px))
+        prog = MM.parse_jpeg_pixels(MM.encode_progressive_grey_jpeg(w, h, px))
+        assert base is not None and base == prog, (w, h)
+    for sub in ("444", "420"):
+        for w, h in [(16, 16), (13, 5), (17, 9)]:
+            rgb = bytes(rng.randrange(256) for _ in range(3 * w * h))
+            base = MM.parse_jpeg_pixels(MM.encode_rgb_jpeg(w, h, rgb, sub))
+            prog = MM.parse_jpeg_pixels(
+                MM.encode_progressive_rgb_jpeg(w, h, rgb, sub))
+            assert base is not None and base == prog, (sub, w, h)
+
+
+def test_progressive_jpeg_alternative_scan_scripts():
+    """The decoder must accept ANY legal scan script, not just the
+    default: spectral-selection-only (no successive approximation),
+    single full-band AC scan, a deeper Al ladder, and fine band
+    splits must all reproduce the baseline decode."""
+    import random
+
+    rng = random.Random(17)
+    w, h = 19, 11
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    base = MM.parse_jpeg_pixels(MM.encode_grey_jpeg(w, h, px))
+    scripts = [
+        # spectral selection only
+        [(0, 0, 0, 0), (1, 63, 0, 0)],
+        [(0, 0, 0, 0), (1, 5, 0, 0), (6, 20, 0, 0), (21, 63, 0, 0)],
+        # one-step approximation with a single band
+        [(0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 1), (1, 63, 1, 0)],
+        # deeper ladder: Al descends one bit at a time per band
+        [(0, 0, 0, 3), (1, 63, 0, 3), (1, 63, 3, 2),
+         (0, 0, 3, 2), (0, 0, 2, 1), (0, 0, 1, 0),
+         (1, 63, 2, 1), (1, 63, 1, 0)],
+    ]
+    for script in scripts:
+        got = MM.parse_jpeg_pixels(
+            MM.encode_progressive_grey_jpeg(w, h, px, script=script))
+        assert got == base, script
+
+
+def test_progressive_jpeg_hand_derived_refinement_stream():
+    """Mirrored encoder/decoder bugs survive round-trip tests (the r6
+    GIF lesson), so the refinement semantics are pinned by a committed
+    byte fixture whose bit layout was derived BY HAND from T.81 G.2:
+    one 8x8 block, coefficients DC=0, zz[1]=+5, zz[2]=-3, sent over
+    four scans — DC first; AC first at Al=2 (only zz[1] significant:
+    run/1 symbol + sign, then EOB); AC refine 2->1 (zz[1] correction
+    bit 0, zz[2] newly significant negative, EOBRUN absorbing the
+    tail); AC refine 1->0 (both correction bits BUFFERED behind the
+    EOB symbol — the BE path). IDCT of those exact coefficients sums
+    to 8192."""
+    blob = _fuzz_fixture("jpeg_progressive_refine_handpacked.bin")
+    assert MM.parse_jpeg_pixels(blob) == {
+        "width": 8, "height": 8, "n_px": 64,
+        "sum_r": 8192, "sum_g": 8192, "sum_b": 8192}
+    zz = [0] * 64
+    zz[1], zz[2] = 5, -3
+    assert int(MM._idct_dequant(zz).sum()) == 8192
+
+
+def test_progressive_jpeg_solid_closed_form():
+    """Solid images are DC-only, so the float DCT round-trips exactly
+    through the progressive path too: sum = grey * w * h."""
+    for w, h, g in [(8, 8, 0), (8, 8, 255), (13, 5, 200), (24, 21, 1)]:
+        d = MM.parse_jpeg_pixels(
+            MM.encode_progressive_grey_jpeg(w, h, bytes([g]) * (w * h)))
+        assert d == {"width": w, "height": h, "n_px": w * h,
+                     "sum_r": g * w * h, "sum_g": g * w * h,
+                     "sum_b": g * w * h}, (w, h, g)
+
+
 def test_package_gif_png_encoders_cross_check():
     """The package's encode_gif (real LZW compressor) and the test
     suite's _ref_gif are INDEPENDENT implementations of the same
@@ -1150,6 +1235,8 @@ def test_media_parsers_are_total_on_arbitrary_bytes():
         MM.encode_gif(5, 4, [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
                       [i % 3 for i in range(20)]),
         MM.encode_png_rgb(5, 4, (9, 8, 7)),
+        MM.encode_progressive_grey_jpeg(9, 6, bytes(range(54))),
+        MM.encode_progressive_rgb_jpeg(10, 6, bytes(180), "420"),
     ]
 
     @settings(max_examples=250, deadline=None, derandomize=True)
