@@ -1660,7 +1660,7 @@ def encode_grey_jpeg(width: int, height: int, pixels: bytes,
     return (b"\xff\xd8" + dqt + sof + dht + dri + sos + ecs + b"\xff\xd9")
 
 
-def parse_jpeg_pixels(data: bytes) -> dict | None:
+def parse_jpeg_pixels(data: bytes, _planes: bool = False) -> dict | None:
     """Decode a baseline JPEG to exact integer pixel sums: {width,
     height, n_px, sum_r, sum_g, sum_b}. Greyscale (one component,
     grey reported on all three channels) and interleaved YCbCr color
@@ -1727,7 +1727,7 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
                 comps.append((cid, hs, vs, body[8 + 3 * c]))
         elif marker == 0xC2:
             # progressive DCT (SOF2): real in-repo decode path
-            return _parse_progressive_jpeg(data)
+            return _parse_progressive_jpeg(data, _planes=_planes)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline/non-progressive SOF
@@ -1840,15 +1840,17 @@ def parse_jpeg_pixels(data: bytes) -> dict | None:
                                 _idct_dequant(zz)
     except ValueError:
         return None
+    if _planes:
+        return (planes, comps, hmax, vmax, w, h)
     return _jpeg_sums_from_planes(planes, comps, hmax, vmax, w, h)
 
 
-def _jpeg_sums_from_planes(planes, comps, hmax, vmax, w, h) -> dict:
+def _jpeg_rgb_from_planes(planes, comps, hmax, vmax, w, h):
     """Shared decode tail for the baseline and progressive paths:
     replication-upsample subsampled planes, crop to the frame, and
-    reduce to exact channel sums (greyscale reports the grey sum on
-    all three channels; color converts BT.601/JFIF YCbCr -> RGB,
-    rounded half-even, clamped to [0, 255])."""
+    produce the (h, w, 3) int64 RGB raster (greyscale replicates the
+    grey plane; color converts BT.601/JFIF YCbCr -> RGB, rounded
+    half-even, clamped to [0, 255])."""
     import numpy as np
 
     full = []
@@ -1860,9 +1862,7 @@ def _jpeg_sums_from_planes(planes, comps, hmax, vmax, w, h) -> dict:
             p = np.repeat(p, vmax // vs, axis=0)
         full.append(p[:h, :w])
     if len(comps) == 1:
-        total = int(full[0].sum())
-        return {"width": w, "height": h, "n_px": w * h,
-                "sum_r": total, "sum_g": total, "sum_b": total}
+        return np.repeat(full[0][:, :, None], 3, axis=2)
     y = full[0].astype(np.float64)
     cb = full[1].astype(np.float64) - 128.0
     cr = full[2].astype(np.float64) - 128.0
@@ -1870,9 +1870,28 @@ def _jpeg_sums_from_planes(planes, comps, hmax, vmax, w, h) -> dict:
     g = np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr),
                 0, 255).astype(np.int64)
     b = np.clip(np.rint(y + 1.772 * cb), 0, 255).astype(np.int64)
+    return np.stack([r, g, b], axis=2)
+
+
+def _jpeg_sums_from_planes(planes, comps, hmax, vmax, w, h) -> dict:
+    """Exact channel sums over the shared raster tail — the
+    oracle-checkable aggregate the parse_*_pixels contract reports."""
+    rgb = _jpeg_rgb_from_planes(planes, comps, hmax, vmax, w, h)
     return {"width": w, "height": h, "n_px": w * h,
-            "sum_r": int(r.sum()), "sum_g": int(g.sum()),
-            "sum_b": int(b.sum())}
+            "sum_r": int(rgb[:, :, 0].sum()),
+            "sum_g": int(rgb[:, :, 1].sum()),
+            "sum_b": int(rgb[:, :, 2].sum())}
+
+
+def _jpeg_raster(data: bytes):
+    """Full-raster JPEG decode (baseline or progressive) for the
+    resize / feature-extraction lane: the same decode as
+    parse_jpeg_pixels but keeping the planes instead of reducing
+    them. None for anything the aggregate decoder rejects."""
+    out = parse_jpeg_pixels(data, _planes=True)
+    if out is None:
+        return None
+    return _jpeg_rgb_from_planes(*out)
 
 
 # -- progressive JPEG (SOF2) --------------------------------------------------
@@ -1888,7 +1907,7 @@ def _jpeg_sums_from_planes(planes, comps, hmax, vmax, w, h) -> dict:
 # coefficient vectors across scans, then runs the same dequant/IDCT/
 # upsample/color tail as the baseline path.
 
-def _parse_progressive_jpeg(data: bytes) -> dict | None:
+def _parse_progressive_jpeg(data: bytes, _planes: bool = False) -> dict | None:
     """Decode a progressive JPEG to the same exact integer pixel sums
     as parse_jpeg_pixels. Greyscale and YCbCr with 1-2 sampling
     factors; DC/AC first and refinement scans, EOBn runs, restart
@@ -2165,6 +2184,8 @@ def _parse_progressive_jpeg(data: bytes) -> dict | None:
                       for k in range(64)]
                 planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
                     _idct_dequant(zz)
+    if _planes:
+        return (planes, comps, hmax, vmax, w, h)
     return _jpeg_sums_from_planes(planes, comps, hmax, vmax, w, h)
 
 
@@ -2981,10 +3002,10 @@ def _gif_raster(data: bytes):
 
 def decode_image_rgb(data: bytes):
     """Full-raster image decode to an (h, w, 3) int64 RGB array, or
-    None — BMP / PNG / GIF via the in-repo codecs; JPEG goes through
-    the aggregate decoder only (its IDCT pipeline does not keep the
-    raster), so JPEG returns None here and resize/features fall back
-    to aggregate-only handling."""
+    None — BMP / PNG / GIF / JPEG (baseline AND progressive) via the
+    in-repo codecs; the JPEG lane keeps the decoded planes instead of
+    reducing them, so real resize and feature extraction cover JPEG
+    payloads too."""
     if data is None or len(data) < 4:
         return None
     if data[:1] == b"\x89":
@@ -2993,6 +3014,8 @@ def decode_image_rgb(data: bytes):
         return _gif_raster(data)
     if data[:2] == b"BM":
         return _bmp_raster(data)
+    if data[:2] == b"\xff\xd8":
+        return _jpeg_raster(data)
     return None
 
 

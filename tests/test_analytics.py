@@ -1078,9 +1078,15 @@ def test_raster_decode_cross_validates_aggregate_decoders():
                           for _ in range(3)], [0, 2, 4])
     gif = _ref_gif(7, 5, [(250, 1, 2), (3, 240, 5), (6, 7, 230)],
                    [rng.randrange(3) for _ in range(35)])
+    jpg = MM.encode_rgb_jpeg(10, 6, bytes(
+        rng.randrange(256) for _ in range(180)), "420")
+    pjpg = MM.encode_progressive_grey_jpeg(9, 5, bytes(
+        rng.randrange(256) for _ in range(45)))
     for blob, parse in [(bmp, MM.parse_bmp_pixels),
                         (png, MM.parse_png_pixels),
-                        (gif, MM.parse_gif_pixels)]:
+                        (gif, MM.parse_gif_pixels),
+                        (jpg, MM.parse_jpeg_pixels),
+                        (pjpg, MM.parse_jpeg_pixels)]:
         agg = parse(blob)
         ras = MM.decode_image_rgb(blob)
         assert ras is not None and ras.shape == (agg["height"],

@@ -75,6 +75,10 @@ def main() -> None:
         # hidden shuffle or driver accumulation in the batch path)
         "jpeg_encode_decode": lambda d: MM.image_pixel_stats(
             MM.synthesize_jpeg_table(d)),
+        "gif_lzw_encode_decode": lambda d: MM.image_pixel_stats(
+            MM.synthesize_gif_table(d)),
+        "progressive_jpeg_encode_decode": lambda d: MM.image_pixel_stats(
+            MM.synthesize_progressive_jpeg_table(d)),
     }
 
     docs.select("doc_id").limit(100).count()  # warm
