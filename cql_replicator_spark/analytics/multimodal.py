@@ -2306,7 +2306,8 @@ def _emit_prog_ac_refine(bw, blocks, ss, se, al, ac_codes) -> None:
 
 
 def encode_progressive_grey_jpeg(width: int, height: int, pixels: bytes,
-                                 script=None) -> bytes:
+                                 script=None,
+                                 restart_interval: int = 0) -> bytes:
     """Progressive greyscale JPEG encoder (SOF2): the G.1.2 spectral-
     selection + successive-approximation scan machinery — DC scans at
     reduced precision with refinement bits, AC band scans with EOBn
@@ -2316,7 +2317,10 @@ def encode_progressive_grey_jpeg(width: int, height: int, pixels: bytes,
     exercise _parse_progressive_jpeg; the coefficient pipeline
     (identity quant + _fdct_quant) matches encode_grey_jpeg, so
     progressive and baseline encodings of the same image must decode
-    identically — the cross-codec equality the tests pin."""
+    identically — the cross-codec equality the tests pin.
+    restart_interval > 0 emits DRI + RSTn every that many blocks in
+    EVERY scan (DC prediction and EOB runs reset per interval — an
+    EOBn code never crosses a restart boundary, per spec)."""
     import struct
 
     if len(pixels) != width * height:
@@ -2335,24 +2339,31 @@ def encode_progressive_grey_jpeg(width: int, height: int, pixels: bytes,
 
     def encode_scan(ss, se, ah, al):
         bw = _BitWriter()
-        if ss == 0:
-            if ah == 0:  # DC first: predict over point-transformed DC
-                pred = 0
-                for zz in blocks:
-                    v = zz[0] >> al  # DC point transform: arith shift
-                    cat, extra = _category(v - pred)
-                    pred = v
-                    code, ln = dc_codes[cat]
-                    bw.write(code, ln)
-                    if cat:
-                        bw.write(extra, cat)
-            else:  # DC refine: one raw bit per block
-                for zz in blocks:
-                    bw.write((zz[0] >> al) & 1, 1)
-        elif ah == 0:
-            _emit_prog_ac_first(bw, blocks, ss, se, al, ac_codes)
-        else:
-            _emit_prog_ac_refine(bw, blocks, ss, se, al, ac_codes)
+        ri = restart_interval or len(blocks)
+        for ivl, start in enumerate(range(0, len(blocks), ri)):
+            if start:
+                bw.write_marker(0xD0 + (ivl - 1) % 8)
+            chunk = blocks[start:start + ri]
+            if ss == 0:
+                if ah == 0:  # DC first: per-interval prediction reset
+                    pred = 0
+                    for zz in chunk:
+                        v = zz[0] >> al  # DC point transform: arith shift
+                        cat, extra = _category(v - pred)
+                        pred = v
+                        code, ln = dc_codes[cat]
+                        bw.write(code, ln)
+                        if cat:
+                            bw.write(extra, cat)
+                else:  # DC refine: one raw bit per block
+                    for zz in chunk:
+                        bw.write((zz[0] >> al) & 1, 1)
+            elif ah == 0:
+                # per-interval emitter call: EOB runs cannot span the
+                # restart boundary (state resets with the interval)
+                _emit_prog_ac_first(bw, chunk, ss, se, al, ac_codes)
+            else:
+                _emit_prog_ac_refine(bw, chunk, ss, se, al, ac_codes)
         return bw.flush()
 
     def seg(marker, body):
@@ -2365,6 +2376,8 @@ def encode_progressive_grey_jpeg(width: int, height: int, pixels: bytes,
                + bytes([1, 1, 0x11, 0]))
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     for ss, se, ah, al in script:
         out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
         out += encode_scan(ss, se, ah, al)

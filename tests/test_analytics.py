@@ -721,6 +721,23 @@ def test_progressive_jpeg_alternative_scan_scripts():
         assert got == base, script
 
 
+def test_progressive_jpeg_restart_intervals():
+    """DRI/RSTn in progressive streams: every scan restarts at the
+    interval (DC prediction resets, EOB runs cannot span the
+    boundary, the bitstream re-aligns at the marker). All interval
+    sizes must reproduce the baseline decode."""
+    import random
+
+    rng = random.Random(44)
+    for w, h in [(24, 24), (17, 9)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        base = MM.parse_jpeg_pixels(MM.encode_grey_jpeg(w, h, px))
+        for ri in (1, 2, 3, 5):
+            got = MM.parse_jpeg_pixels(MM.encode_progressive_grey_jpeg(
+                w, h, px, restart_interval=ri))
+            assert got == base, (w, h, ri)
+
+
 def test_progressive_jpeg_hand_derived_refinement_stream():
     """Mirrored encoder/decoder bugs survive round-trip tests (the r6
     GIF lesson), so the refinement semantics are pinned by a committed
