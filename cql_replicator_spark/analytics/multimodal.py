@@ -2779,7 +2779,8 @@ _PROG_SCRIPT_COLOR = [
 
 def encode_progressive_rgb_jpeg(width: int, height: int, rgb: bytes,
                                 subsampling: str = "444",
-                                script=None) -> bytes:
+                                script=None,
+                                restart_interval: int = 0) -> bytes:
     """Progressive color JPEG encoder (SOF2, 4:4:4 or 4:2:0): the same
     YCbCr/downsample front half as encode_rgb_jpeg, coefficients
     emitted over the libjpeg-style color scan script — one interleaved
@@ -2817,15 +2818,22 @@ def encode_progressive_rgb_jpeg(width: int, height: int, rgb: bytes,
     def encode_scan(ci, ss, se, ah, al):
         bw = _BitWriter()
         if ss == 0:
-            if ah == 0:
-                preds = [0, 0, 0]
-                for my in range(mcuy):
-                    for mx in range(mcux):
-                        for c in range(3):
-                            hs, vs = samp[c]
-                            for byy in range(vs):
-                                for bxx in range(hs):
-                                    zz = coefs[c][my * vs + byy][mx * hs + bxx]
+            preds = [0, 0, 0]
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and n_mcu \
+                            and n_mcu % restart_interval == 0:
+                        bw.write_marker(
+                            0xD0 + (n_mcu // restart_interval - 1) % 8)
+                        preds = [0, 0, 0]
+                    n_mcu += 1
+                    for c in range(3):
+                        hs, vs = samp[c]
+                        for byy in range(vs):
+                            for bxx in range(hs):
+                                zz = coefs[c][my * vs + byy][mx * hs + bxx]
+                                if ah == 0:
                                     v = zz[0] >> al
                                     cat, extra = _category(v - preds[c])
                                     preds[c] = v
@@ -2833,23 +2841,21 @@ def encode_progressive_rgb_jpeg(width: int, height: int, rgb: bytes,
                                     bw.write(code, ln)
                                     if cat:
                                         bw.write(extra, cat)
-            else:
-                for my in range(mcuy):
-                    for mx in range(mcux):
-                        for c in range(3):
-                            hs, vs = samp[c]
-                            for byy in range(vs):
-                                for bxx in range(hs):
-                                    zz = coefs[c][my * vs + byy][mx * hs + bxx]
+                                else:
                                     bw.write((zz[0] >> al) & 1, 1)
         else:
             bh_c, bw_c = bdims[ci]
             blocks = [coefs[ci][by][bx]
                       for by in range(bh_c) for bx in range(bw_c)]
-            if ah == 0:
-                _emit_prog_ac_first(bw, blocks, ss, se, al, ac_codes)
-            else:
-                _emit_prog_ac_refine(bw, blocks, ss, se, al, ac_codes)
+            ri = restart_interval or len(blocks)
+            for ivl, start in enumerate(range(0, len(blocks), ri)):
+                if start:
+                    bw.write_marker(0xD0 + (ivl - 1) % 8)
+                chunk = blocks[start:start + ri]
+                if ah == 0:
+                    _emit_prog_ac_first(bw, chunk, ss, se, al, ac_codes)
+                else:
+                    _emit_prog_ac_refine(bw, chunk, ss, se, al, ac_codes)
         return bw.flush()
 
     def seg(marker, body):
@@ -2865,6 +2871,8 @@ def encode_progressive_rgb_jpeg(width: int, height: int, rgb: bytes,
                + bytes([3]) + sof_comps)
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     for ci, ss, se, ah, al in script:
         if ci is None:
             hdr = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00,

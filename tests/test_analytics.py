@@ -736,6 +736,14 @@ def test_progressive_jpeg_restart_intervals():
             got = MM.parse_jpeg_pixels(MM.encode_progressive_grey_jpeg(
                 w, h, px, restart_interval=ri))
             assert got == base, (w, h, ri)
+    # color: the interleaved-DC restart path (preds reset per MCU
+    # interval) plus per-component AC scan restarts
+    rgb = bytes(rng.randrange(256) for _ in range(3 * 17 * 9))
+    base = MM.parse_jpeg_pixels(MM.encode_rgb_jpeg(17, 9, rgb, "420"))
+    for ri in (1, 2, 3):
+        got = MM.parse_jpeg_pixels(MM.encode_progressive_rgb_jpeg(
+            17, 9, rgb, "420", restart_interval=ri))
+        assert got == base, ri
 
 
 def test_progressive_jpeg_hand_derived_refinement_stream():
