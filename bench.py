@@ -191,6 +191,7 @@ HEADLINE = [
     "multimodal_mjpeg_frame_sample",
     "similarity_pq_recall",
     "multimodal_progressive_jpeg_decode",
+    "multimodal_flac_audio_decode",
 ]
 
 

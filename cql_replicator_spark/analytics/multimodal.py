@@ -275,7 +275,19 @@ def parse_audio_header(data: bytes) -> tuple[str, int, int, int] | None:
     little-endian u16 channels, u32 sample rate, u32 byte rate) and
     'data' (duration = data_size * 1000 // byte_rate). Pure byte
     arithmetic — the metadata half of audio decode; only sample
-    decoding needs soundfile/librosa. None for unknown containers."""
+    decoding needs soundfile/librosa. FLAC streams report from
+    STREAMINFO (duration = total_samples * 1000 // rate). None for
+    unknown containers."""
+    if data is not None and data[:4] == b"fLaC" and len(data) >= 42 \
+            and data[4] & 0x7F == 0:  # STREAMINFO must be first, per spec
+        info = data[8:42]
+        rate = int.from_bytes(info[10:13], "big") >> 4
+        channels = ((info[12] >> 1) & 0x07) + 1
+        total = ((info[13] & 0x0F) << 32) \
+            | int.from_bytes(info[14:18], "big")
+        if not rate:
+            return None
+        return ("flac", channels, rate, total * 1000 // rate)
     if data is None or len(data) < 12 or data[:4] != b"RIFF" \
             or data[8:12] != b"WAVE":
         return None
@@ -301,9 +313,10 @@ def parse_audio_header(data: bytes) -> tuple[str, int, int, int] | None:
 
 def decode_audio(data: bytes) -> dict:
     """Audio metadata decode via parse_audio_header. Sample-level
-    decode is ALSO in-repo for PCM, G.711 and mono IMA ADPCM
-    (parse_wav_samples); modern compressed codecs (MP3/AAC/Opus)
-    need soundfile/librosa."""
+    decode is ALSO in-repo for PCM, G.711, mono IMA ADPCM
+    (parse_wav_samples) and FLAC (parse_flac_samples — Rice-coded
+    fixed/LPC prediction from the public spec); lossy codecs
+    (MP3/AAC/Opus) need soundfile/librosa."""
     hdr = parse_audio_header(data)
     if hdr is None:
         raise NotImplementedError(
@@ -504,8 +517,9 @@ def real_features(data: bytes, dim: int = FEATURE_DIM) -> list[float] | None:
         n = d["n_px"]
         out = [float(d["width"]), float(d["height"]), float(n),
                d["sum_r"] / n, d["sum_g"] / n, d["sum_b"] / n, 1.0, 0.0]
-    elif data[:4] == b"RIFF":
-        d = parse_wav_samples(data)
+    elif data[:4] == b"RIFF" or data[:4] == b"fLaC":
+        d = (parse_flac_samples(data) if data[:4] == b"fLaC"
+             else parse_wav_samples(data))
         if d is None or not d["n_samples"]:
             return None
         out = [float(d["channels"]), float(d["sample_rate"]),
@@ -1036,12 +1050,16 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
 
 
 def audio_sample_stats(df: DataFrame) -> DataFrame:
-    """media binary -> exact PCM sample aggregates (energy, peak) via
-    Arrow-batched mapInPandas over parse_wav_samples."""
+    """media binary -> exact sample aggregates (energy, peak) via
+    Arrow-batched mapInPandas: WAV family through parse_wav_samples,
+    FLAC through parse_flac_samples."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [parse_wav_samples(bytes(b)) if b is not None else None
+            rows = [(parse_flac_samples(bytes(b))
+                     if bytes(b)[:4] == b"fLaC"
+                     else parse_wav_samples(bytes(b)))
+                    if b is not None else None
                     for b in pdf["media"]]
             yield pd.DataFrame({
                 "id": pdf["id"],
@@ -2416,6 +2434,33 @@ def synthesize_jpeg_table(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
 
 
+def synthesize_flac_table(documents: DataFrame) -> DataFrame:
+    """Decodable FLAC streams from the documents table: a linear ramp
+    s_i = base + i per document (mono, 16 kHz), which the encoder
+    compresses through a real FIXED predictor + Rice path (ramp
+    residuals are constant), so the registered query drives the whole
+    header/warmup/Rice/CRC machinery while the aggregates keep closed
+    forms — sum_sq = n*b^2 + b*n*(n-1) + (n-1)n(2n-1)/6, peak =
+    max(|b|, |b+n-1|)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            lens = pdf["tlen"].tolist()
+            media = []
+            for did, tl in zip(ids, lens):
+                n = tl % 40 + 20
+                base = did % 1001 - 500
+                media.append(encode_flac([base + i for i in range(n)],
+                                         16000, 1))
+            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                                "media": media})
+
+    return (documents
+            .select("doc_id", F.length("text").cast("long").alias("tlen"))
+            .mapInPandas(run, schema=JPEG_SCHEMA))
+
+
 def synthesize_progressive_jpeg_table(documents: DataFrame) -> DataFrame:
     """Decodable PROGRESSIVE (SOF2) greyscale JPEGs from the documents
     table: solid-grey like synthesize_jpeg_table but encoded through
@@ -3223,3 +3268,533 @@ def parse_ima_adpcm_samples(data: bytes) -> dict | None:
         n_samples += produced
     return {"channels": 1, "sample_rate": rate, "n_samples": n_samples,
             "sum_sq": sum_sq, "peak": peak}
+
+
+# -- FLAC (lossless compressed audio) ------------------------------------------
+#
+# The format large speech corpora actually ship (LibriSpeech & co), and
+# — unlike MP3/AAC — fully implementable from the public spec (RFC
+# 9639) with nothing beyond the standard library: Rice-coded residuals
+# of fixed/LPC linear predictors, integer-exact by construction. The
+# decoder covers STREAMINFO + frames with CONSTANT / VERBATIM / FIXED
+# (orders 0-4) / LPC subframes, both Rice methods with escape codes,
+# partition orders, stereo decorrelation (left/side, right/side,
+# mid/side), wasted bits, UTF-8-coded sample numbers, and CRC-8/CRC-16
+# verification. The encoder emits real compressed streams (FIXED
+# predictors + Rice) so round-trip tests exercise the actual bit
+# layout, not a degenerate verbatim path.
+
+def _crc8_flac(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the FLAC
+    frame-header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 —
+    the FLAC whole-frame checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBits:
+    """MSB-first bit reader over a byte range (FLAC is big-endian
+    bit-packed, unlike JPEG's stuffed stream — no unstuffing)."""
+
+    def __init__(self, data: bytes, i: int = 0):
+        self.data = data
+        self.i = i          # byte position
+        self.n = 0          # bits consumed of current byte
+
+    def bit(self) -> int:
+        if self.i >= len(self.data):
+            raise ValueError("flac bitstream exhausted")
+        b = (self.data[self.i] >> (7 - self.n)) & 1
+        self.n += 1
+        if self.n == 8:
+            self.n = 0
+            self.i += 1
+        return b
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sbits(self, k: int) -> int:
+        v = self.bits(k)
+        return v - (1 << k) if v >= (1 << (k - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bit() == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("flac unary runaway")
+        return q
+
+    def align(self) -> None:
+        if self.n:
+            self.n = 0
+            self.i += 1
+
+
+def _flac_utf8_read(br: _FlacBits) -> int:
+    """The frame header's UTF-8-style coded number (up to 36 bits)."""
+    b0 = br.bits(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while (b0 << n) & 0x80:
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("bad utf8 coded number")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = br.bits(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad utf8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+
+
+def _flac_residuals(br: _FlacBits, blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual section (both methods, escape partitions)."""
+    method = br.bits(2)
+    if method > 1:
+        raise ValueError("reserved residual method")
+    plen = 4 + method
+    po = br.bits(4)
+    n_part = 1 << po
+    if blocksize % n_part or (blocksize >> po) == 0:
+        raise ValueError("bad partition order")
+    out: list[int] = []
+    for p in range(n_part):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("partition shorter than predictor order")
+        param = br.bits(plen)
+        if param == (1 << plen) - 1:  # escape: raw k-bit residuals
+            k = br.bits(5)
+            for _ in range(n):
+                out.append(br.sbits(k) if k else 0)
+        else:
+            for _ in range(n):
+                q = br.unary()
+                v = (q << param) | br.bits(param)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag -> signed
+    return out
+
+
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> list[int]:
+    """One subframe -> decoded channel samples."""
+    if br.bit():
+        raise ValueError("subframe pad bit set")
+    ftype = br.bits(6)
+    wasted = 0
+    if br.bit():
+        wasted = 1 + br.unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("wasted bits exceed sample size")
+    if ftype == 0:  # CONSTANT
+        v = br.sbits(eff)
+        out = [v] * blocksize
+    elif ftype == 1:  # VERBATIM
+        out = [br.sbits(eff) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED, order 0-4
+        order = ftype - 8
+        if order > blocksize:
+            raise ValueError("order exceeds blocksize")
+        out = [br.sbits(eff) for _ in range(order)]
+        res = _flac_residuals(br, blocksize, order)
+        coefs = _FLAC_FIXED[order]
+        for i, r in enumerate(res):
+            k = order + i
+            pred = sum(c * out[k - j - 1] for j, c in enumerate(coefs))
+            out.append(r + pred)
+    elif ftype >= 32:  # LPC, order 1-32
+        order = ftype - 31
+        if order > blocksize:
+            raise ValueError("order exceeds blocksize")
+        out = [br.sbits(eff) for _ in range(order)]
+        prec = br.bits(4) + 1
+        if prec == 16:
+            raise ValueError("invalid lpc precision")
+        shift = br.sbits(5)
+        if shift < 0:
+            raise ValueError("negative lpc shift")
+        coefs = [br.sbits(prec) for _ in range(order)]
+        res = _flac_residuals(br, blocksize, order)
+        for i, r in enumerate(res):
+            k = order + i
+            pred = sum(c * out[k - j - 1]
+                       for j, c in enumerate(coefs)) >> shift
+            out.append(r + pred)
+    else:
+        raise ValueError("reserved subframe type")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def parse_flac_samples(data: bytes) -> dict | None:
+    """Decode a FLAC stream to the parse_wav_samples contract:
+    {channels, sample_rate, n_samples, sum_sq, peak} — n_samples
+    counts frames x channels, integer-exact (FLAC is lossless, so
+    these equal the source PCM's aggregates bit-for-bit). None for
+    non-FLAC or corrupt payloads (CRC-8/CRC-16 verified per frame)."""
+    try:
+        if data is None or len(data) < 42 or data[:4] != b"fLaC":
+            return None
+        i = 4
+        info = None
+        while i + 4 <= len(data):
+            hdr = data[i]
+            last = hdr & 0x80
+            btype = hdr & 0x7F
+            size = int.from_bytes(data[i + 1:i + 4], "big")
+            if btype == 0 and size >= 34:
+                info = data[i + 4:i + 4 + 34]
+            i += 4 + size
+            if last:
+                break
+        if info is None or i > len(data):
+            return None
+        rate_si = int.from_bytes(info[10:13], "big") >> 4
+        channels_si = ((info[12] >> 1) & 0x07) + 1
+        bps_si = (((info[12] & 1) << 4) | (info[13] >> 4)) + 1
+        total = ((info[13] & 0x0F) << 32) | int.from_bytes(info[14:18], "big")
+        if not rate_si or channels_si > 8:
+            return None
+
+        n_samples = 0
+        sum_sq = 0
+        peak = 0
+        decoded = 0
+        while i < len(data) and (total == 0 or decoded < total):
+            # frame sync: 14 bits 0b11111111111110
+            if i + 2 > len(data):
+                break
+            if data[i] != 0xFF or (data[i + 1] & 0xFC) != 0xF8:
+                return None
+            hdr_start = i
+            br = _FlacBits(data, i)
+            br.bits(14)
+            if br.bit():
+                return None  # reserved
+            br.bit()  # blocking strategy
+            bs_code = br.bits(4)
+            sr_code = br.bits(4)
+            ch_code = br.bits(4)
+            ss_code = br.bits(3)
+            if br.bit():
+                return None  # reserved
+            _flac_utf8_read(br)
+            if bs_code == 0 or sr_code == 15 or ch_code > 10:
+                return None
+            if bs_code == 6:
+                blocksize = br.bits(8) + 1
+            elif bs_code == 7:
+                blocksize = br.bits(16) + 1
+            else:
+                blocksize = _FLAC_BLOCKSIZES[bs_code]
+            if sr_code == 0:
+                rate = rate_si
+            elif sr_code == 12:
+                rate = br.bits(8) * 1000
+            elif sr_code == 13:
+                rate = br.bits(16)
+            elif sr_code == 14:
+                rate = br.bits(16) * 10
+            else:
+                rate = _FLAC_RATES[sr_code]
+            bps = {0: bps_si, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24,
+                   7: 32}.get(ss_code)
+            if bps is None:
+                return None
+            if br.n:
+                br.align()
+            crc_end = br.i
+            if _crc8_flac(data[hdr_start:crc_end]) != data[crc_end]:
+                return None
+            br.i = crc_end + 1
+
+            if ch_code <= 7:
+                nch = ch_code + 1
+                chans = [_flac_subframe(br, blocksize, bps)
+                         for _ in range(nch)]
+            else:
+                nch = 2
+                if ch_code == 8:    # left/side
+                    left = _flac_subframe(br, blocksize, bps)
+                    side = _flac_subframe(br, blocksize, bps + 1)
+                    chans = [left, [l - s for l, s in zip(left, side)]]
+                elif ch_code == 9:  # right/side
+                    side = _flac_subframe(br, blocksize, bps + 1)
+                    right = _flac_subframe(br, blocksize, bps)
+                    chans = [[r + s for r, s in zip(right, side)], right]
+                else:               # mid/side
+                    mid = _flac_subframe(br, blocksize, bps)
+                    side = _flac_subframe(br, blocksize, bps + 1)
+                    # l+r = 2*mid + parity, and parity(l+r) == parity(side)
+                    left = [(((m << 1) | (s & 1)) + s) >> 1
+                            for m, s in zip(mid, side)]
+                    chans = [left,
+                             [l - s for l, s in zip(left, side)]]
+            br.align()
+            if br.i + 2 > len(data):
+                return None
+            if _crc16_flac(data[hdr_start:br.i]) != \
+                    int.from_bytes(data[br.i:br.i + 2], "big"):
+                return None
+            i = br.i + 2
+            if channels_si != nch:
+                return None
+            for ch in chans:
+                for v in ch:
+                    sum_sq += v * v
+                    if abs(v) > peak:
+                        peak = abs(v)
+                n_samples += len(ch)
+            decoded += blocksize
+        if n_samples == 0:
+            return None
+        return {"channels": channels_si, "sample_rate": rate_si,
+                "n_samples": n_samples, "sum_sq": sum_sq, "peak": peak}
+    except (ValueError, IndexError, KeyError):
+        return None
+
+
+class _FlacBitWriter:
+    """MSB-first bit writer (no stuffing — FLAC frames are raw)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, k: int) -> None:
+        for i in range(k - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc = self.n = 0
+
+    def unary(self, q: int) -> None:
+        for _ in range(q):
+            self.write(0, 1)
+        self.write(1, 1)
+
+    def align(self) -> None:
+        while self.n:
+            self.write(0, 1)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+def _flac_utf8_write(bw: _FlacBitWriter, v: int) -> None:
+    if v < 0x80:
+        bw.write(v, 8)
+        return
+    # count continuation bytes needed
+    for n in range(2, 8):
+        if v < (1 << (1 + 5 * n)) or n == 7:
+            break
+    lead = (0xFF00 >> n) & 0xFF
+    bw.write(lead | (v >> (6 * (n - 1))), 8)
+    for j in range(n - 2, -1, -1):
+        bw.write(0x80 | ((v >> (6 * j)) & 0x3F), 8)
+
+
+def _flac_rice_bits(res: list[int], param: int) -> int:
+    total = 0
+    for r in res:
+        z = (r << 1) ^ (r >> 63) if r >= 0 else ((-r << 1) - 1)
+        total += (z >> param) + 1 + param
+    return total
+
+
+def _flac_write_residuals(bw: _FlacBitWriter, res: list[int]) -> None:
+    """Single-partition Rice method 0, best 4-bit parameter (escape
+    to raw when even the best Rice blows up)."""
+    best_param, best_bits = 0, None
+    for param in range(15):
+        bits = _flac_rice_bits(res, param)
+        if best_bits is None or bits < best_bits:
+            best_param, best_bits = param, bits
+    raw_k = max((abs(r).bit_length() + 1 for r in res), default=1)
+    raw_k = min(raw_k, 31)
+    bw.write(0, 2)   # method 0 (4-bit rice)
+    bw.write(0, 4)   # partition order 0
+    if best_bits > len(res) * (raw_k + 1):
+        bw.write(0xF, 4)        # escape
+        bw.write(raw_k, 5)
+        for r in res:
+            bw.write(r & ((1 << raw_k) - 1), raw_k)
+    else:
+        bw.write(best_param, 4)
+        for r in res:
+            z = (r << 1) if r >= 0 else ((-r << 1) - 1)
+            bw.unary(z >> best_param)
+            bw.write(z & ((1 << best_param) - 1), best_param)
+
+
+def _flac_write_subframe(bw: _FlacBitWriter, ch: list[int],
+                         bps: int) -> None:
+    """CONSTANT when flat, else the best FIXED order 0-2 by Rice cost
+    (warmup + residuals), VERBATIM when prediction loses. Shared low
+    zero bits shift out through the wasted-bits field (header order
+    per spec: pad bit, 6-bit type, wasted flag + unary count)."""
+    wasted = 0
+    if any(ch):
+        while wasted < bps - 1 and all(v & ((2 << wasted) - 1) == 0
+                                       for v in ch):
+            wasted += 1
+    shifted = [v >> wasted for v in ch] if wasted else ch
+    eff = bps - wasted
+
+    def header(ftype: int) -> None:
+        bw.write(0, 1)        # pad
+        bw.write(ftype, 6)    # type
+        if wasted:
+            bw.write(1, 1)
+            bw.unary(wasted - 1)
+        else:
+            bw.write(0, 1)
+
+    if all(v == shifted[0] for v in shifted):
+        header(0)  # CONSTANT
+        bw.write(shifted[0] & ((1 << eff) - 1), eff)
+        return
+    best = None
+    for order in (0, 1, 2):
+        if order >= len(shifted):
+            break
+        res = []
+        for k in range(order, len(shifted)):
+            pred = sum(c * shifted[k - j - 1] for j, c in
+                       enumerate(_FLAC_FIXED[order]))
+            res.append(shifted[k] - pred)
+        cost = order * eff + min(_flac_rice_bits(res, p)
+                                 for p in range(15))
+        if best is None or cost < best[0]:
+            best = (cost, order, res)
+    if best is None or best[0] >= len(shifted) * eff:
+        header(1)  # VERBATIM
+        for v in shifted:
+            bw.write(v & ((1 << eff) - 1), eff)
+        return
+    _cost, order, res = best
+    header(8 + order)  # FIXED
+    for v in shifted[:order]:
+        bw.write(v & ((1 << eff) - 1), eff)
+    _flac_write_residuals(bw, res)
+
+
+def encode_flac(samples: list[int], sample_rate: int = 16000,
+                channels: int = 1, blocksize: int = 4096,
+                stereo_mode: str = "independent") -> bytes:
+    """Real FLAC encoder: 16-bit samples (interleaved when stereo) ->
+    fLaC + STREAMINFO + frames using CONSTANT / FIXED(0-2)+Rice /
+    VERBATIM subframes with wasted-bits detection, UTF-8 frame
+    numbers, CRC-8 header and CRC-16 frame checksums. stereo_mode
+    picks the channel assignment — independent, left_side,
+    right_side, or mid_side (side subframes carry bps+1, per spec) —
+    so every decoder decorrelation path has an encoder that produces
+    it. Decoders that follow the spec (flac, ffmpeg) accept the
+    output."""
+    import struct
+
+    if channels not in (1, 2):
+        raise ValueError("channels must be 1 or 2")
+    modes = {"independent": None, "left_side": 8,
+             "right_side": 9, "mid_side": 10}
+    if stereo_mode not in modes:
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    if stereo_mode != "independent" and channels != 2:
+        raise ValueError("decorrelation requires 2 channels")
+    if len(samples) % channels:
+        raise ValueError("sample count not divisible by channels")
+    bps = 16
+    n_frames_total = len(samples) // channels
+    out = bytearray(b"fLaC")
+    info = bytearray()
+    info += struct.pack(">HH", min(blocksize, max(1, n_frames_total)),
+                        blocksize)
+    info += b"\x00" * 6  # min/max framesize unknown
+    # 20 bits rate | 3 bits channels-1 | 5 bits bps-1 | 36 bits total
+    packed = (sample_rate << 44) | ((channels - 1) << 41) \
+        | ((bps - 1) << 36) | n_frames_total
+    info += packed.to_bytes(8, "big")
+    info += b"\x00" * 16  # md5 unset
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+
+    for fi, start in enumerate(range(0, n_frames_total, blocksize)):
+        nblk = min(blocksize, n_frames_total - start)
+        bw = _FlacBitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)  # reserved
+        bw.write(0, 1)  # fixed blocksize stream
+        bs_code = 12 if nblk == 4096 else 7
+        bw.write(bs_code, 4)
+        bw.write(0, 4)       # rate from STREAMINFO
+        ch_code = modes[stereo_mode]
+        bw.write(channels - 1 if ch_code is None else ch_code, 4)
+        bw.write(4, 3)       # 16-bit
+        bw.write(0, 1)       # reserved
+        _flac_utf8_write(bw, fi)
+        if bs_code == 7:
+            bw.write(nblk - 1, 16)
+        bw.align()
+        hdr = bw.bytes()
+        bw2 = _FlacBitWriter()
+        chans = [list(samples[start * channels + c:
+                              (start + nblk) * channels:channels])
+                 for c in range(channels)]
+        if ch_code is None:
+            for chan in chans:
+                _flac_write_subframe(bw2, chan, bps)
+        else:
+            left, right = chans
+            side = [l - r for l, r in zip(left, right)]
+            if ch_code == 8:    # left/side
+                _flac_write_subframe(bw2, left, bps)
+                _flac_write_subframe(bw2, side, bps + 1)
+            elif ch_code == 9:  # right/side
+                _flac_write_subframe(bw2, side, bps + 1)
+                _flac_write_subframe(bw2, right, bps)
+            else:               # mid/side
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                _flac_write_subframe(bw2, mid, bps)
+                _flac_write_subframe(bw2, side, bps + 1)
+        bw2.align()
+        frame = hdr + bytes([_crc8_flac(hdr)]) + bw2.bytes()
+        out += frame + _crc16_flac(frame).to_bytes(2, "big")
+    return bytes(out)

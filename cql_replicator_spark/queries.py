@@ -1364,6 +1364,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # integer-exact SQL replay
     "multimodal_progressive_jpeg_decode",  # new: SOF2 multi-scan
                                      # successive-approximation decode
+    "multimodal_flac_audio_decode",  # new: Rice/FIXED-predictor FLAC
+                                     # decode, ramp closed forms
 ]
 
 _TOUCHED_R6: list[str] = [

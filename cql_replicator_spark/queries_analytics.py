@@ -1434,6 +1434,44 @@ def multimodal_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_flac_audio_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         length(text) % 40 + 20 AS n,
+         doc_id % 1001 - 500 AS b
+  FROM documents
+)
+SELECT doc_id AS id,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * b * b + b * n * (n - 1)
+            + (n - 1) * n * (2 * n - 1) // 6 AS BIGINT) AS sum_sq,
+       CAST(greatest(abs(b), abs(b + n - 1)) AS INTEGER) AS peak
+FROM d
+""",
+    doc="REAL FLAC decode from the public spec (RFC 9639), no audio "
+        "library — the format speech corpora actually ship "
+        "(LibriSpeech & co): per-document linear ramps are compressed "
+        "by the in-repo encoder through a genuine FIXED-predictor + "
+        "Rice-residual path (ramp residuals are constant, so the "
+        "stream is truly entropy-coded, not verbatim) and decoded "
+        "back sample-exactly by multimodal.parse_flac_samples "
+        "(CRC-8/CRC-16 verified per frame). FLAC is lossless, so the "
+        "aggregates equal the source PCM's and the oracle recomputes "
+        "them in closed form: sum of (b+i)^2 and the ramp-end peak. "
+        "LPC subframes and stereo decorrelation are pinned by pytest "
+        "and a hand-derived byte fixture",
+)
+def multimodal_flac_audio_decode(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.audio_sample_stats(MM.synthesize_flac_table(docs))
+
+
+@register(
     "multimodal_mjpeg_frame_sample",
     oracle="""
 WITH d AS (

@@ -1218,6 +1218,85 @@ def test_g711_companded_wav_decode():
         assert d["peak"] == max(abs(expand(b)) for b in body)
 
 
+def test_flac_roundtrip_exact():
+    """FLAC is lossless: encode -> decode must reproduce the source
+    PCM's aggregates exactly for every signal class (constant, ramp,
+    noise, sine), every stereo mode (independent + all three
+    decorrelations, side at bps+1), wasted bits, and partial final
+    frames. Compression must be real for predictable signals — a
+    verbatim-only encoder would hide Rice/predictor bugs."""
+    import math
+    import random
+
+    rng = random.Random(9)
+
+    def check(samples, sr, ch, **kw):
+        blob = MM.encode_flac(samples, sr, ch, **kw)
+        d = MM.parse_flac_samples(blob)
+        assert d == {"channels": ch, "sample_rate": sr,
+                     "n_samples": len(samples),
+                     "sum_sq": sum(s * s for s in samples),
+                     "peak": max((abs(s) for s in samples), default=0)}, kw
+        return blob
+
+    check([0] * 1000, 8000, 1)
+    ramp = check(list(range(-500, 500)), 16000, 1)
+    assert len(ramp) < 1000 * 2 // 4, "ramp should compress >4x via FIXED"
+    check([rng.randrange(-32768, 32768) for _ in range(5000)], 44100, 1)
+    check([16 * v for v in range(300)], 8000, 1)  # wasted bits
+    sine = check([int(10000 * math.sin(i / 20)) for i in range(3000)],
+                 16000, 1)
+    assert len(sine) < 3000 * 2, "sine should compress"
+    check([5] * 7, 8000, 1)  # partial frame via 16-bit blocksize field
+
+    left = [rng.randrange(-3000, 3000) for _ in range(2000)]
+    inter = [v for pair in zip(left, (l + rng.randrange(-100, 100)
+                                      for l in left)) for v in pair]
+    sizes = {}
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        sizes[mode] = len(check(inter, 16000, 2, stereo_mode=mode))
+    # correlated stereo: decorrelation must beat independent coding
+    assert all(sizes[m] < sizes["independent"]
+               for m in ("left_side", "right_side", "mid_side")), sizes
+
+
+def test_flac_lpc_hand_derived_fixture():
+    """The encoder emits FIXED predictors only, so the LPC decode path
+    is pinned by a committed fixture whose bit layout was derived by
+    hand from the spec: order-1 LPC, precision 4, shift 1, coef +2
+    (pred = prev), warmup 100, Rice(param 3) residuals [+5, -3] ->
+    samples [100, 105, 102]."""
+    blob = _fuzz_fixture("flac_lpc_handpacked.bin")
+    assert MM.parse_flac_samples(blob) == {
+        "channels": 1, "sample_rate": 8000, "n_samples": 3,
+        "sum_sq": 100 ** 2 + 105 ** 2 + 102 ** 2, "peak": 105}
+
+
+def test_flac_crc_rejects_corruption():
+    """Every frame carries CRC-8 (header) and CRC-16 (whole frame);
+    any single bit flip in the frame area must yield None, never a
+    silently wrong decode. The CRC polynomials are pinned by known
+    values so a transcription slip cannot pass its own round-trip."""
+    assert MM._crc8_flac(b"123456789") == 0xF4   # CRC-8/SMBUS check value
+    assert MM._crc16_flac(b"123456789") == 0xFEE8  # CRC-16/BUYPASS check
+    blob = bytearray(MM.encode_flac(list(range(200)), 8000, 1))
+    frame_start = blob.index(b"\xff\xf8", 4)
+    for off in (frame_start + 2, frame_start + 8, len(blob) - 3):
+        b2 = bytearray(blob)
+        b2[off] ^= 0x10
+        assert MM.parse_flac_samples(bytes(b2)) is None, off
+
+
+def test_flac_header_and_feature_dispatch():
+    """fLaC payloads flow through the shared audio lanes:
+    parse_audio_header reports STREAMINFO metadata, real_features the
+    decoded RMS/peak statistics."""
+    blob = MM.encode_flac(list(range(-100, 100)), 16000, 1)
+    assert MM.parse_audio_header(blob) == ("flac", 1, 16000, 12)
+    f = MM.real_features(blob)
+    assert f[:3] == [1.0, 16000.0, 200.0] and f[4] == 100.0
+
+
 def test_media_parsers_are_total_on_arbitrary_bytes():
     """Every parser that runs inside an Arrow batch over corpus bytes
     must be TOTAL: arbitrary/corrupt input returns a value or None,
@@ -1243,7 +1322,7 @@ def test_media_parsers_are_total_on_arbitrary_bytes():
                MM.parse_jpeg_pixels, MM.parse_wav_samples,
                MM.parse_avi_mjpeg, MM.parse_png_text_chunks,
                MM.decode_image_rgb, MM.real_features,
-               MM.parse_ima_adpcm_samples,
+               MM.parse_ima_adpcm_samples, MM.parse_flac_samples,
                lambda b: MM.resize_image_real(b, 4, 4)]
 
     corpus_dir = pathlib.Path(__file__).parent / "fixtures" / "fuzz"
@@ -1268,6 +1347,9 @@ def test_media_parsers_are_total_on_arbitrary_bytes():
         MM.encode_png_rgb(5, 4, (9, 8, 7)),
         MM.encode_progressive_grey_jpeg(9, 6, bytes(range(54))),
         MM.encode_progressive_rgb_jpeg(10, 6, bytes(180), "420"),
+        MM.encode_flac(list(range(-60, 60)), 8000, 1),
+        MM.encode_flac([i % 7 - 3 for i in range(120)], 8000, 2,
+                       stereo_mode="mid_side"),
     ]
 
     @settings(max_examples=250, deadline=None, derandomize=True)

@@ -79,6 +79,8 @@ def main() -> None:
             MM.synthesize_gif_table(d)),
         "progressive_jpeg_encode_decode": lambda d: MM.image_pixel_stats(
             MM.synthesize_progressive_jpeg_table(d)),
+        "flac_encode_decode": lambda d: MM.audio_sample_stats(
+            MM.synthesize_flac_table(d)),
     }
 
     docs.select("doc_id").limit(100).count()  # warm
