@@ -192,6 +192,7 @@ HEADLINE = [
     "similarity_pq_recall",
     "multimodal_progressive_jpeg_decode",
     "multimodal_flac_audio_decode",
+    "source_statementlog_roundtrip",
 ]
 
 

@@ -1366,6 +1366,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # successive-approximation decode
     "multimodal_flac_audio_decode",  # new: Rice/FIXED-predictor FLAC
                                      # decode, ramp closed forms
+    "source_statementlog_roundtrip", # new: V2 cql reader replays the
+                                     # statement log as a source
 ]
 
 _TOUCHED_R6: list[str] = [

@@ -2677,6 +2677,51 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_aggregate(back)
 
 
+_STATEMENTLOG_ORACLE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len
+FROM documents WHERE doc_id % 17 = 0 GROUP BY lang
+"""
+
+
+@register(
+    "source_statementlog_roundtrip",
+    oracle=_STATEMENTLOG_ORACLE,
+    doc="CQL statement-log replay as a V2 SOURCE: documents write "
+        "through df.write.format('cql') (the engine's batched "
+        "INSERT-JSON statement path, one log file per task), then "
+        "spark.read.format('cql') replays the log back into rows — "
+        "one InputPartition per task file, '' unescaping, null "
+        "preservation — and the aggregate must match the parquet "
+        "oracle exactly. This is the DLQ/repair replay shape "
+        "(K:327-354) promoted to a first-class source: the insert "
+        "image of any logged batch can be reconstituted as a "
+        "DataFrame without a live cluster. The doc_id % 17 slice "
+        "bounds the double Python round-trip (statement render + "
+        "parse) — replay fidelity is what's under test, and a real "
+        "replay runs this reader at full scan parallelism anyway",
+)
+def source_statementlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sinks.datasource import CqlDataSource
+
+    spark.dataSource.register(CqlDataSource)
+    docs = (_t(spark, sf_dir, "documents")["documents"]
+            .where(F.col("doc_id") % 17 == 0)
+            .select("doc_id", "text", "lang", "n_chars"))
+    stage = _stage_dir("cql_stmt_log")
+    # a Python V2 writer task costs a worker round-trip; size tasks to
+    # the data (4 log files here), not the upstream scan splits — the
+    # same write-parallelism dial the reference exposes via
+    # coalesce(cores x instances) (K:2225)
+    (docs.coalesce(4).write.format("cql").option("target", "ks.documents")
+     .option("path", stage).mode("append").save())
+    back = (spark.read.format("cql")
+            .schema("doc_id bigint, text string, lang string, n_chars bigint")
+            .option("path", stage).load())
+    return _roundtrip_aggregate(back)
+
+
 @register(
     "source_orc_roundtrip",
     oracle=_SOURCE_ROUNDTRIP_ORACLE,

@@ -42,7 +42,8 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceStreamWriter, DataSourceWriter, WriterCommitMessage,
+    DataSource, DataSourceReader, DataSourceStreamWriter, DataSourceWriter,
+    InputPartition, WriterCommitMessage,
 )
 
 from ..config import WriteConfig
@@ -185,17 +186,147 @@ class CqlStreamWriter(DataSourceStreamWriter):
         pass
 
 
+_INSERT_JSON_RE = None
+
+
+def _insert_json_re():
+    global _INSERT_JSON_RE
+    if _INSERT_JSON_RE is None:
+        import re
+        _INSERT_JSON_RE = re.compile(
+            r"^INSERT INTO \S+ JSON '(.*)'"
+            r"((?: IF NOT EXISTS)?(?: USING [^']*)?)$")
+    return _INSERT_JSON_RE
+
+
+def _parse_insert_statement(line: str):
+    """INSERT ... JSON statement -> (doc dict, writetime, ttl) or None
+    for non-insert lines (deletes, blanks). The payload's CQL ''
+    escaping unescapes back to '."""
+    import json as _json
+    import re
+
+    m = _insert_json_re().match(line.strip())
+    if not m:
+        return None
+    try:
+        doc = _json.loads(m.group(1).replace("''", "'"))
+    except ValueError:
+        return None
+    suffix = m.group(2) or ""
+    ts = re.search(r"TIMESTAMP (\d+)", suffix)
+    ttl = re.search(r"TTL (\d+)", suffix)
+    return (doc, int(ts.group(1)) if ts else None,
+            int(ttl.group(1)) if ttl else None)
+
+
+class _LogFilePartition(InputPartition):
+    def __init__(self, path: str | None):
+        self.path = path
+
+
+class CqlStatementLogReader(DataSourceReader):
+    """``spark.read.format("cql")`` — replay a statement log into a
+    DataFrame. Each sink task wrote one ``task-*.log`` file, so one
+    InputPartition per file preserves the original write parallelism
+    as scan parallelism (at 100 TB the log dir is an object-store
+    prefix and this is the natural split unit). INSERT ... JSON
+    payloads become rows; delete statements are skipped (replay of
+    the insert image — the DLQ/repair semantics). ``ts_col`` /
+    ``ttl_col`` options surface USING TIMESTAMP/TTL as columns, the
+    inverse of the writer's projection."""
+
+    def __init__(self, options: dict, schema):
+        self.options = options
+        self.ts_col = options.get("ts_col")
+        self.ttl_col = options.get("ttl_col")
+        self.fields = [(f.name, f.dataType.simpleString())
+                       for f in schema.fields]
+
+    def partitions(self):
+        import glob
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("cql source: 'path' option required")
+        files = sorted(glob.glob(os.path.join(path, "*.log")))
+        return [_LogFilePartition(p) for p in files] \
+            or [_LogFilePartition(None)]
+
+    def read(self, partition):
+        if partition.path is None:
+            return
+        coerce = {"bigint": int, "int": int, "smallint": int,
+                  "tinyint": int, "double": float, "float": float,
+                  "boolean": bool, "string": str}
+        with open(partition.path) as f:
+            for line in f:
+                parsed = _parse_insert_statement(line)
+                if parsed is None:
+                    continue
+                doc, ts, ttl = parsed
+                row = []
+                for name, typ in self.fields:
+                    if name == self.ts_col:
+                        v = ts
+                    elif name == self.ttl_col:
+                        v = ttl
+                    else:
+                        v = doc.get(name)
+                    if v is not None and typ in coerce:
+                        v = coerce[typ](v)
+                    row.append(v)
+                yield tuple(row)
+
+
 class CqlDataSource(DataSource):
     """Register with ``spark.dataSource.register(CqlDataSource)``; then
     ``df.write.format("cql").option("target", "ks.t").option("path", dir)
-    .mode("append").save()`` or the writeStream equivalent."""
+    .mode("append").save()`` or the writeStream equivalent — and read
+    the statement log back with ``spark.read.format("cql")
+    .schema(ddl).option("path", dir).load()`` (schema inference from
+    the first logged row when no schema is given)."""
 
     @classmethod
     def name(cls) -> str:
         return "cql"
 
     def schema(self) -> str:
-        raise NotImplementedError("cql data source is write-only")
+        """Inferred default schema: JSON runtime types of the first
+        logged insert (int -> bigint, float -> double, bool ->
+        boolean, else string), plus ts_col/ttl_col as bigint when
+        those options are set. Pass an explicit .schema(...) in
+        production — inference reads one row and cannot see types
+        JSON erases (uuid/date render as strings)."""
+        import glob
+        import json as _json
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("cql source: 'path' option required")
+        for fname in sorted(glob.glob(os.path.join(path, "*.log"))):
+            with open(fname) as f:
+                for line in f:
+                    parsed = _parse_insert_statement(line)
+                    if parsed is None:
+                        continue
+                    doc, _ts, _ttl = parsed
+                    ddl = {bool: "boolean", int: "bigint",
+                           float: "double"}
+                    parts = [
+                        f"{k} {ddl.get(type(v), 'string')}"
+                        for k, v in doc.items()]
+                    if self.options.get("ts_col"):
+                        parts.append(f"{self.options['ts_col']} bigint")
+                    if self.options.get("ttl_col"):
+                        parts.append(f"{self.options['ttl_col']} bigint")
+                    return ", ".join(parts)
+        raise ValueError(
+            f"cql source: no insert statements under {path} to infer a "
+            f"schema from; pass .schema(...) explicitly")
+
+    def reader(self, schema):
+        return CqlStatementLogReader(dict(self.options), schema)
 
     def writer(self, schema, overwrite: bool):
         if overwrite:

@@ -469,6 +469,49 @@ def test_cql_datasource_batch_write(spark, tmp_path):
             "path", out).mode("overwrite").save()
 
 
+def test_cql_datasource_read_replays_statement_log(spark, tmp_path):
+    """spark.read.format('cql'): the reader replays INSERT ... JSON
+    statement logs back into rows — one InputPartition per task log
+    file, '' unescaping, null preservation, ts_col/ttl_col restored
+    from USING clauses, delete statements skipped, and schema
+    inference from the first logged row when none is given."""
+    from cql_replicator_spark.sinks.datasource import CqlDataSource
+
+    spark.dataSource.register(CqlDataSource)
+    df = spark.createDataFrame(
+        [(1, "o'hara", 2.5, True, 111), (2, "plain", -1.0, False, 222),
+         (3, None, 0.0, True, 333)],
+        "id bigint, name string, score double, flag boolean, wt bigint")
+    out = str(tmp_path / "log")
+    (df.repartition(2).write.format("cql")
+     .option("target", "ks.t").option("path", out)
+     .option("ts_col", "wt").mode("append").save())
+    # a delete statement in the same dir must be skipped on read
+    (df.limit(1).selectExpr("id").write.format("cql")
+     .option("target", "ks.t").option("path", out)
+     .option("op", "delete").mode("append").save())
+
+    ddl = "id bigint, name string, score double, flag boolean, wt bigint"
+    back = (spark.read.format("cql").schema(ddl)
+            .option("path", out).option("ts_col", "wt").load())
+    rows = sorted((r.id, r.name, r.score, r.flag, r.wt)
+                  for r in back.collect())
+    assert rows == [(1, "o'hara", 2.5, True, 111),
+                    (2, "plain", -1.0, False, 222),
+                    (3, None, 0.0, True, 333)]
+    assert back.rdd.getNumPartitions() >= 2, "one partition per log file"
+
+    inferred = (spark.read.format("cql")
+                .option("path", out).option("ts_col", "wt").load())
+    assert inferred.count() == 3
+    assert dict((f.name, f.dataType.simpleString())
+                for f in inferred.schema.fields)["id"] == "bigint"
+
+    with pytest.raises(Exception):
+        (spark.read.format("cql")
+         .option("path", str(tmp_path / "empty")).load().count())
+
+
 def test_cql_datasource_delete_types(spark, tmp_path):
     """Delete path renders each PK with its declared CQL type from the
     pk_types option; without it, runtime inference must at least get
