@@ -193,6 +193,7 @@ HEADLINE = [
     "multimodal_progressive_jpeg_decode",
     "multimodal_flac_audio_decode",
     "source_statementlog_roundtrip",
+    "source_xml_roundtrip",
 ]
 
 

@@ -1368,6 +1368,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # decode, ramp closed forms
     "source_statementlog_roundtrip", # new: V2 cql reader replays the
                                      # statement log as a source
+    "source_xml_roundtrip",          # new: Spark-4 native XML source
+                                     # completes the file-format matrix
 ]
 
 _TOUCHED_R6: list[str] = [

@@ -2677,6 +2677,29 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_aggregate(back)
 
 
+@register(
+    "source_xml_roundtrip",
+    oracle=_SOURCE_ROUNDTRIP_ORACLE,
+    doc="XML source path (Spark 4 native spark-xml): documents written "
+        "with one <row> element per record, read back with an explicit "
+        "schema and the same rowTag (inference off — at 100 TB schema "
+        "inference is a full extra scan); free text forces entity "
+        "escaping (&amp; &lt; &gt;) and the aggregate must survive the "
+        "round-trip exactly against the parquet oracle. Completes the "
+        "structured-file source matrix (JSON/CSV/ORC/XML) the "
+        "reference's S3 landing zone family implies (P:647, O:709)",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (_t(spark, sf_dir, "documents")["documents"]
+            .select("doc_id", "text", "lang", "n_chars"))
+    stage = _stage_dir("xml_src")
+    (docs.write.mode("overwrite").format("xml")
+     .option("rootTag", "documents").option("rowTag", "row").save(stage))
+    back = (spark.read.schema(docs.schema).format("xml")
+            .option("rowTag", "row").load(stage))
+    return _roundtrip_aggregate(back)
+
+
 _STATEMENTLOG_ORACLE = """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
