@@ -194,6 +194,7 @@ HEADLINE = [
     "multimodal_flac_audio_decode",
     "source_statementlog_roundtrip",
     "source_xml_roundtrip",
+    "embedding_kmeans_train_sample",
 ]
 
 

@@ -509,6 +509,7 @@ def kmeans_quantized(
     k: int = 8,
     rounds: int = 2,
     scale: int = 100,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Lloyd k-means over integer-quantized embeddings — the clustering
     stage of SemDeDup-style semantic dedup (Abbas et al. 2023 cluster
@@ -527,7 +528,17 @@ def kmeans_quantized(
     partial sums collapse each partition to <= k*dim rows, pivoted
     distributed to one array row per cluster before collect. The only
     driver traffic is the k-row centroid table per round — bounded
-    like IVF centroids, never corpus-shaped."""
+    like IVF centroids, never corpus-shaped.
+
+    ``train_sample`` bounds centroid TRAINING the way pq_train does
+    (FAISS max_points_per_centroid): when set, the ``rounds`` update
+    scans run over the ``train_sample`` lowest-id rows only
+    (TakeOrderedAndProject — partial per-partition top-n, one
+    localCheckpoint), and only the final assignment touches the full
+    corpus. At 100 TB that turns rounds+1 corpus scans into rounds
+    sample scans + ONE corpus scan. None (default) keeps full-corpus
+    training — the historical behavior the registered kmeans oracles
+    replay."""
     q = corpus.select(
         F.col(id_col),
         F.expr(
@@ -565,8 +576,13 @@ def kmeans_quantized(
 
         return frame.withColumn("cluster_id", _nearest(F.col("qv")))
 
+    if train_sample:
+        train = (q.orderBy(id_col).limit(int(train_sample))
+                 .localCheckpoint(eager=True))
+    else:
+        train = q
     for _ in range(int(rounds)):
-        assigned = assign(q)
+        assigned = assign(train)
         sums = (assigned.select("cluster_id", F.posexplode("qv").alias("pos", "v"))
                 .groupBy("cluster_id", "pos")
                 .agg(F.sum("v").alias("s"), F.count("*").alias("n")))
@@ -630,6 +646,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     target_cluster_size: int = 1024,
     salt_partitions: int | None = None,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) end-to-end: k-means clusters bound
     the pair space, then exact quantized cosine keeps the true
@@ -663,7 +680,8 @@ def semantic_dedup_pairs(
     # id->cluster rows), so the two self-join sides below read the
     # materialized checkpoint — no extra persist needed, and nothing
     # is left cached in the session (r4 advice).
-    clusters = kmeans_quantized(corpus, id_col, vec_col, k, rounds)
+    clusters = kmeans_quantized(corpus, id_col, vec_col, k, rounds,
+                                train_sample=train_sample)
     if salt_partitions is None:
         maxc = (clusters.groupBy("cluster_id").count()
                 .agg(F.max("count")).first()[0]) or 0

@@ -1370,6 +1370,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # statement log as a source
     "source_xml_roundtrip",          # new: Spark-4 native XML source
                                      # completes the file-format matrix
+    "embedding_kmeans_train_sample", # new: FAISS-style bounded centroid
+                                     # training, oracle-mirrored LIMIT
 ]
 
 _TOUCHED_R6: list[str] = [

@@ -2505,12 +2505,16 @@ def cdc_curated_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.curate(hydrated)
 
 
-def _kmeans_oracle(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
+def _kmeans_oracle(k: int = 8, rounds: int = 2, dim: int = 64,
+                   train_sample: int | None = None) -> str:
     """Lloyd k-means unrolled: c0 -> (assign, update) x rounds -> final
     assignment. All integer arithmetic (floor-quantize, squared dists,
-    truncating centroid division), so both engines are bit-identical."""
+    truncating centroid division), so both engines are bit-identical.
+    train_sample mirrors kmeans_quantized: the update rounds see only
+    the lowest-id sample; the final assignment sees every vector."""
     dist = ("list_sum(list_transform(generate_series(1, {d}), "
             "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))").format(d=dim)
+    tr = "tr" if train_sample else "q"
     parts = [f"""
 q AS (
   SELECT vec_id, list_transform(embedding, v ->
@@ -2522,6 +2526,9 @@ c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
   FROM q ORDER BY vec_id LIMIT {k}
 )"""]
+    if train_sample:
+        parts.append(f"""
+tr AS (SELECT * FROM q ORDER BY vec_id LIMIT {int(train_sample)})""")
     for r in range(rounds):
         parts.append(f"""
 a{r} AS (
@@ -2529,7 +2536,7 @@ a{r} AS (
     SELECT q.vec_id, q.qv, c.cid,
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {dist}, c.cid) AS rn
-    FROM q CROSS JOIN c{r} c) WHERE rn = 1
+    FROM {tr} q CROSS JOIN c{r} c) WHERE rn = 1
 ),
 s{r} AS (
   SELECT cid, i,
@@ -2567,6 +2574,27 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     out = S.kmeans_quantized(emb, k=8, rounds=2, scale=100)
+    return out.withColumn("cluster_id", F.col("cluster_id").cast("long"))
+
+
+@register(
+    "embedding_kmeans_train_sample",
+    oracle=_kmeans_oracle(train_sample=96),
+    doc="Sample-trained k-means (FAISS max_points_per_centroid "
+        "discipline, same as pq_train): the centroid update rounds "
+        "scan only the 96 lowest-id vectors — rounds sample scans "
+        "instead of rounds full-corpus scans — and ONE full-corpus "
+        "pass does the final assignment. At 100 TB this is the "
+        "difference between training centroids in minutes on a "
+        "bounded sample and rescanning the corpus per Lloyd round; "
+        "the oracle replays the identical integer recursion with the "
+        "same LIMIT so every assignment is bit-checked",
+)
+def embedding_kmeans_train_sample(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    out = S.kmeans_quantized(emb, k=8, rounds=2, scale=100,
+                             train_sample=96)
     return out.withColumn("cluster_id", F.col("cluster_id").cast("long"))
 
 

@@ -282,6 +282,40 @@ def test_pq_train_sample_cap(spark, emb):
                                                   train_sample=256 * 4)
 
 
+def test_kmeans_train_sample_cap(spark):
+    """Centroid training must be bounded by train_sample, mirroring the
+    pq_train discipline: rows beyond the cap may not influence the
+    centroids. Proven semantically on cluster ASSIGNMENTS of the
+    prefix rows — with an adversarially extreme tail, the capped run
+    assigns the prefix identically to training on the prefix alone,
+    and differently once the cap is lifted; the tail rows still get
+    (deterministic) final assignments under the capped centroids."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(32)]
+    rows += [(i, [100.0 * (1 if i % 2 else -1)] * 8) for i in range(32, 200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def prefix_assign(out):
+        return sorted((r.vec_id, r.cluster_id)
+                      for r in out.collect() if r.vec_id < 32)
+
+    capped = S.kmeans_quantized(df, k=4, rounds=2, train_sample=32)
+    assert capped.count() == 200, "final assignment must cover the corpus"
+    prefix_only = S.kmeans_quantized(df.filter(F.col("vec_id") < 32),
+                                     k=4, rounds=2)
+    assert prefix_assign(capped) == prefix_assign(prefix_only), \
+        "rows beyond train_sample leaked into centroid training"
+    uncapped = S.kmeans_quantized(df, k=4, rounds=2)
+    assert prefix_assign(capped) != prefix_assign(uncapped), \
+        "extreme tail should shift full-corpus centroids (test is vacuous)"
+    # plumbing: semantic_dedup_pairs forwards the cap
+    pairs = S.semantic_dedup_pairs(df, k=4, rounds=2, threshold=0.99,
+                                   train_sample=32)
+    assert pairs.columns == ["id_a", "id_b", "cos"]
+
+
 def test_ivfpq_composed_search(spark, emb):
     """IVF-PQ composition: coarse quantizer restricts candidates to
     nprobe buckets, PQ ADC ranks within them. The composed search
