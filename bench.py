@@ -195,6 +195,7 @@ HEADLINE = [
     "source_statementlog_roundtrip",
     "source_xml_roundtrip",
     "embedding_kmeans_train_sample",
+    "multimodal_y4m_pixel_decode",
 ]
 
 

@@ -3798,3 +3798,185 @@ def encode_flac(samples: list[int], sample_rate: int = 16000,
         frame = hdr + bytes([_crc8_flac(hdr)]) + bw2.bytes()
         out += frame + _crc16_flac(frame).to_bytes(2, "big")
     return bytes(out)
+
+
+# -- Y4M (YUV4MPEG2) raw video ------------------------------------------------
+#
+# The second video container with REAL pixel decode next to MJPEG AVI:
+# Y4M is the uncompressed interchange format the mjpegtools/ffmpeg
+# world standardized — an ASCII parameter line, then FRAME-delimited
+# raw planar YCbCr. No entropy coding, so the decode lane is pure
+# plane slicing + numpy sums; at 100 TB this is the I/O-bound shape
+# (vs the CPU-bound JPEG lane) and the pair brackets real video work.
+
+_Y4M_CHROMA_DIV = {
+    # colorspace tag -> (x_div, y_div) for the chroma planes
+    "420": (2, 2), "420jpeg": (2, 2), "420mpeg2": (2, 2),
+    "420paldv": (2, 2), "422": (2, 1), "444": (1, 1),
+}
+
+
+def parse_y4m_frames(data: bytes) -> dict | None:
+    """YUV4MPEG2 -> {width, height, fps_num, fps_den, colorspace,
+    frames: [(y, u, v) plane bytes, ...]}. None for anything
+    malformed (wrong magic, bad params, odd dims under 4:2:0,
+    truncated frame payload) — total by contract, and every slice is
+    bounded by len(data) so corrupt headers cannot drive allocation."""
+    try:
+        if data is None or not data.startswith(b"YUV4MPEG2"):
+            return None
+        nl = data.find(b"\n", 0, 2048)
+        if nl < 0:
+            return None
+        w = h = None
+        fps_num, fps_den, cs = 25, 1, "420jpeg"
+        for tok in data[9:nl].split(b" "):
+            if not tok:
+                continue
+            tag, val = tok[:1], tok[1:]
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == b"C":
+                cs = val.decode("ascii", "replace")
+            # Ip/A/X params carry no plane-layout information
+        if not w or not h or w <= 0 or h <= 0 or fps_den <= 0 \
+                or fps_num <= 0:
+            return None
+        div = _Y4M_CHROMA_DIV.get(cs)
+        if div is None:
+            if cs == "mono":
+                div = (0, 0)
+            else:
+                return None
+        if div[0] == 2 and (w % 2 or h % 2) and "420" in cs:
+            return None  # 4:2:0 needs even dims; spec-shaped reject
+        ysz = w * h
+        csz = 0 if div == (0, 0) else (w // div[0]) * (h // div[1])
+        frames = []
+        i = nl + 1
+        while i < len(data):
+            if data[i:i + 5] != b"FRAME":
+                return None
+            fnl = data.find(b"\n", i, i + 2048)
+            if fnl < 0:
+                return None
+            j = fnl + 1
+            if j + ysz + 2 * csz > len(data):
+                return None  # truncated frame payload
+            y = data[j:j + ysz]
+            u = data[j + ysz:j + ysz + csz]
+            v = data[j + ysz + csz:j + ysz + 2 * csz]
+            frames.append((y, u, v))
+            i = j + ysz + 2 * csz
+        if not frames:
+            return None
+        return {"width": w, "height": h, "fps_num": fps_num,
+                "fps_den": fps_den, "colorspace": cs, "frames": frames}
+    except Exception:
+        return None
+
+
+def encode_y4m(width: int, height: int,
+               frames: list[tuple[bytes, bytes, bytes]],
+               fps: tuple[int, int] = (25, 1),
+               colorspace: str = "420jpeg") -> bytes:
+    """Spec-shaped YUV4MPEG2 writer: parameter line + FRAME-delimited
+    raw planes. Any y4m-reading tool (ffmpeg, mjpegtools) sees a
+    valid stream; exists to exercise the parser and the frame-stats
+    lane."""
+    div = _Y4M_CHROMA_DIV[colorspace]
+    ysz, csz = width * height, (width // div[0]) * (height // div[1])
+    head = (f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 "
+            f"C{colorspace}\n").encode()
+    out = bytearray(head)
+    for y, u, v in frames:
+        if len(y) != ysz or len(u) != csz or len(v) != csz:
+            raise ValueError("plane size mismatch")
+        out += b"FRAME\n" + y + u + v
+    return bytes(out)
+
+
+Y4M_FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sum_y", T.LongType()),
+    T.StructField("sum_u", T.LongType()),
+    T.StructField("sum_v", T.LongType()),
+])
+
+
+def y4m_frame_stats(df: DataFrame) -> DataFrame:
+    """media binary (Y4M) -> one row per frame with per-plane sums,
+    Arrow-batched mapInPandas. The uncompressed sibling of
+    video_frame_stats: container walk -> plane slice -> numpy sum,
+    no per-pixel Python. Non-Y4M payloads yield no rows."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, sy, su, sv = [], [], [], [], [], [], []
+            for rid, b in zip(pdf["id"], pdf["media"]):
+                if b is None:
+                    continue
+                d = parse_y4m_frames(bytes(b))
+                if d is None:
+                    continue
+                for idx, (y, u, v) in enumerate(d["frames"]):
+                    ids.append(rid)
+                    idxs.append(idx)
+                    ws.append(d["width"])
+                    hs.append(d["height"])
+                    sy.append(int(np.frombuffer(y, np.uint8)
+                                  .sum(dtype=np.int64)))
+                    su.append(int(np.frombuffer(u, np.uint8)
+                                  .sum(dtype=np.int64)))
+                    sv.append(int(np.frombuffer(v, np.uint8)
+                                  .sum(dtype=np.int64)))
+            yield pd.DataFrame({
+                "id": pd.array(ids, dtype="Int64"),
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "sum_y": pd.array(sy, dtype="Int64"),
+                "sum_u": pd.array(su, dtype="Int64"),
+                "sum_v": pd.array(sv, dtype="Int64"),
+            })
+
+    return df.select("id", "media").mapInPandas(
+        run, schema=Y4M_FRAME_STATS_SCHEMA)
+
+
+def synthesize_y4m_table(documents: DataFrame) -> DataFrame:
+    """Decodable Y4M streams from the documents table: doc_id%3+1
+    solid 4:2:0 frames at even dims w=doc_id%6*2+8, h=doc_id%5*2+8.
+    Plane fills are closed forms of (doc_id, frame_idx) —
+    y=(5*doc_id+17*i)%220+16, u=(3*doc_id+29*i)%225+16,
+    v=(7*doc_id+41*i)%225+16 — so each frame's per-plane sums are
+    fill * plane_size for the oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            media = []
+            for did in ids:
+                w = did % 6 * 2 + 8
+                h = did % 5 * 2 + 8
+                nf = did % 3 + 1
+                ysz, csz = w * h, (w // 2) * (h // 2)
+                frames = [
+                    (bytes([(5 * did + 17 * i) % 220 + 16]) * ysz,
+                     bytes([(3 * did + 29 * i) % 225 + 16]) * csz,
+                     bytes([(7 * did + 41 * i) % 225 + 16]) * csz)
+                    for i in range(nf)]
+                media.append(encode_y4m(w, h, frames, fps=(30, 1)))
+            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                                "media": media})
+
+    return documents.select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)

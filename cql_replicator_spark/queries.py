@@ -1372,6 +1372,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # completes the file-format matrix
     "embedding_kmeans_train_sample", # new: FAISS-style bounded centroid
                                      # training, oracle-mirrored LIMIT
+    "multimodal_y4m_pixel_decode",   # new: YUV4MPEG2 raw-video decode,
+                                     # per-plane closed-form sums
 ]
 
 _TOUCHED_R6: list[str] = [

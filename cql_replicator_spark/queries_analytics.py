@@ -1503,6 +1503,41 @@ def multimodal_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_y4m_pixel_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 6 * 2 + 8 AS w, doc_id % 5 * 2 + 8 AS h,
+         doc_id % 3 + 1 AS nf
+  FROM documents
+)
+SELECT doc_id AS id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(((5 * doc_id + 17 * i) % 220 + 16) * w * h AS BIGINT) AS sum_y,
+       CAST(((3 * doc_id + 29 * i) % 225 + 16) * (w // 2) * (h // 2)
+         AS BIGINT) AS sum_u,
+       CAST(((7 * doc_id + 41 * i) % 225 + 16) * (w // 2) * (h // 2)
+         AS BIGINT) AS sum_v
+FROM d, unnest(generate_series(0, nf - 1)) AS t(i)
+""",
+    doc="REAL raw-video decode: YUV4MPEG2 streams (doc_id%3+1 solid "
+        "4:2:0 frames, even dims) synthesized in mapInPandas and pulled "
+        "apart by the pure-Python Y4M parser — ASCII parameter line, "
+        "FRAME-delimited planar slicing, numpy per-plane sums "
+        "(multimodal.y4m_frame_stats). The uncompressed I/O-bound "
+        "sibling of the MJPEG lane: no entropy coding, so plane sums "
+        "have the exact closed forms fill*plane_size the oracle "
+        "recomputes per frame via generate_series",
+)
+def multimodal_y4m_pixel_decode(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from .analytics import multimodal as MM
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return MM.y4m_frame_stats(MM.synthesize_y4m_table(docs))
+
+
+@register(
     "multimodal_video_headers",
     oracle="""
 SELECT doc_id AS id, 'mp4' AS format,

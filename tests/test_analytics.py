@@ -1080,6 +1080,81 @@ def _ref_linear_to_alaw(s):
     return (sign | out) ^ 0x55
 
 
+def test_y4m_parse_handwritten_fixture():
+    """Independent-path check for the Y4M codec (the GIF lesson:
+    matched encoder/decoder pairs are blind to mirrored bugs): the
+    stream here is composed byte-by-byte from the yuv4mpeg spec text,
+    NOT via encode_y4m, and the parser must recover every field and
+    plane exactly."""
+    # 4x2 C420jpeg, 30000/1001 fps, two frames; second FRAME line
+    # carries an (ignorable) X parameter, as real tools emit
+    y0, u0, v0 = bytes(range(8)), b"\xaa\xab", b"\xbb\xbc"
+    y1, u1, v1 = bytes(range(100, 108)), b"\xcc\xcd", b"\xdd\xde"
+    raw = (b"YUV4MPEG2 W4 H2 F30000:1001 Ip A1:1 C420jpeg "
+           b"XYSCSS=420JPEG\n"
+           b"FRAME\n" + y0 + u0 + v0 +
+           b"FRAME Xsomething\n" + y1 + u1 + v1)
+    d = MM.parse_y4m_frames(raw)
+    assert d is not None
+    assert (d["width"], d["height"]) == (4, 2)
+    assert (d["fps_num"], d["fps_den"]) == (30000, 1001)
+    assert d["colorspace"] == "420jpeg"
+    assert d["frames"] == [(y0, u0, v0), (y1, u1, v1)]
+
+    # colorspace plane geometry: 422 halves x only, 444 neither, mono
+    # has no chroma
+    d422 = MM.parse_y4m_frames(
+        b"YUV4MPEG2 W4 H2 C422\nFRAME\n" + bytes(8) + bytes(4) + bytes(4))
+    assert d422 and len(d422["frames"][0][1]) == 4
+    d444 = MM.parse_y4m_frames(
+        b"YUV4MPEG2 W4 H2 C444\nFRAME\n" + bytes(24))
+    assert d444 and len(d444["frames"][0][2]) == 8
+    dmono = MM.parse_y4m_frames(
+        b"YUV4MPEG2 W4 H2 Cmono\nFRAME\n" + bytes(8))
+    assert dmono and dmono["frames"][0][1] == b""
+
+    # spec-shaped rejects, all total: odd dims under 4:2:0, truncated
+    # frame payload, unknown colorspace, missing FRAME magic
+    assert MM.parse_y4m_frames(
+        b"YUV4MPEG2 W3 H2 C420jpeg\nFRAME\n" + bytes(9)) is None
+    assert MM.parse_y4m_frames(
+        b"YUV4MPEG2 W4 H2 C420jpeg\nFRAME\n" + bytes(5)) is None
+    assert MM.parse_y4m_frames(
+        b"YUV4MPEG2 W4 H2 C410\nFRAME\n" + bytes(12)) is None
+    assert MM.parse_y4m_frames(
+        b"YUV4MPEG2 W4 H2 C420jpeg\nFRAMX\n" + bytes(12)) is None
+
+
+def test_y4m_roundtrip_and_fuzz_hunt():
+    """encode_y4m -> parse_y4m_frames round-trip across colorspaces,
+    then an ad-hoc totality hunt: random bytes, truncated prefixes,
+    and single-bit flips of a valid stream must never raise."""
+    import random
+
+    for cs in ("420jpeg", "422", "444"):
+        div = MM._Y4M_CHROMA_DIV[cs]
+        w, h = 8, 6
+        csz = (w // div[0]) * (h // div[1])
+        frames = [(bytes([40 + i]) * (w * h), bytes([80 + i]) * csz,
+                   bytes([120 + i]) * csz) for i in range(3)]
+        d = MM.parse_y4m_frames(MM.encode_y4m(w, h, frames,
+                                              colorspace=cs))
+        assert d is not None and d["frames"] == frames, cs
+
+    rng = random.Random(13)
+    valid = MM.encode_y4m(
+        8, 6, [(bytes(48), bytes(12), bytes(12))])
+    for _ in range(1500):
+        MM.parse_y4m_frames(bytes(rng.randbytes(rng.randrange(0, 200))))
+    for i in range(len(valid)):
+        MM.parse_y4m_frames(valid[:i])
+    for _ in range(1500):
+        b = bytearray(valid)
+        pos = rng.randrange(len(b))
+        b[pos] ^= 1 << rng.randrange(8)
+        MM.parse_y4m_frames(bytes(b))
+
+
 def test_mjpeg_avi_frame_sampling_real():
     """Frame extraction is REAL for MJPEG AVIs: container walk finds
     the movi chunks, the timestamp stride picks every Nth frame, and
@@ -1357,6 +1432,7 @@ def test_media_parsers_are_total_on_arbitrary_bytes():
                MM.parse_avi_mjpeg, MM.parse_png_text_chunks,
                MM.decode_image_rgb, MM.real_features,
                MM.parse_ima_adpcm_samples, MM.parse_flac_samples,
+               MM.parse_y4m_frames,
                lambda b: MM.resize_image_real(b, 4, 4)]
 
     corpus_dir = pathlib.Path(__file__).parent / "fixtures" / "fuzz"

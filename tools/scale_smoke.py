@@ -81,6 +81,8 @@ def main() -> None:
             MM.synthesize_progressive_jpeg_table(d)),
         "flac_encode_decode": lambda d: MM.audio_sample_stats(
             MM.synthesize_flac_table(d)),
+        "y4m_encode_decode": lambda d: MM.y4m_frame_stats(
+            MM.synthesize_y4m_table(d)),
     }
 
     docs.select("doc_id").limit(100).count()  # warm
