@@ -196,6 +196,7 @@ HEADLINE = [
     "source_xml_roundtrip",
     "embedding_kmeans_train_sample",
     "multimodal_y4m_pixel_decode",
+    "source_statementlog_stream",
 ]
 
 

@@ -1374,6 +1374,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # training, oracle-mirrored LIMIT
     "multimodal_y4m_pixel_decode",   # new: YUV4MPEG2 raw-video decode,
                                      # per-plane closed-form sums
+    "source_statementlog_stream",    # new: streaming V2 cql source,
+                                     # file-granular offsets
 ]
 
 _TOUCHED_R6: list[str] = [

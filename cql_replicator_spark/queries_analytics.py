@@ -2809,6 +2809,43 @@ def source_statementlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "source_statementlog_stream",
+    oracle=_STATEMENTLOG_ORACLE,
+    doc="The statement log as a STREAMING CDC source: documents write "
+        "through the cql sink, then spark.readStream.format('cql') "
+        "consumes the log files as micro-batches (file-granular "
+        "offsets, one InputPartition per new file) into a memory sink, "
+        "and the streamed rows must aggregate to the same parquet "
+        "oracle as the batch replay. This is the reference's "
+        "incremental-replication polling loop (K:2338-2379) as a "
+        "first-class Structured Streaming source — downstream gets "
+        "watermarks, stateful ops, and exactly-once sinks for free",
+)
+def source_statementlog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from .sinks.datasource import CqlDataSource
+
+    spark.dataSource.register(CqlDataSource)
+    docs = (_t(spark, sf_dir, "documents")["documents"]
+            .where(F.col("doc_id") % 17 == 0)
+            .select("doc_id", "text", "lang", "n_chars"))
+    stage = _stage_dir("cql_stmt_stream")
+    (docs.coalesce(4).write.format("cql").option("target", "ks.documents")
+     .option("path", stage).mode("append").save())
+    stream = (spark.readStream.format("cql")
+              .schema("doc_id bigint, text string, lang string, "
+                      "n_chars bigint")
+              .option("path", stage).load())
+    qname = f"stmt_stream_{_uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.format("memory").queryName(qname)
+         .option("checkpointLocation", _stage_dir("cql_stmt_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return _roundtrip_aggregate(spark.table(qname))
+
+
+@register(
     "source_orc_roundtrip",
     oracle=_SOURCE_ROUNDTRIP_ORACLE,
     doc="ORC source path: documents written as ORC (the other columnar "

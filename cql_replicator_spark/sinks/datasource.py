@@ -42,8 +42,9 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, DataSourceStreamWriter, DataSourceWriter,
-    InputPartition, WriterCommitMessage,
+    DataSource, DataSourceReader, DataSourceStreamReader,
+    DataSourceStreamWriter, DataSourceWriter, InputPartition,
+    WriterCommitMessage,
 )
 
 from ..config import WriteConfig
@@ -254,29 +255,86 @@ class CqlStatementLogReader(DataSourceReader):
             or [_LogFilePartition(None)]
 
     def read(self, partition):
-        if partition.path is None:
-            return
-        coerce = {"bigint": int, "int": int, "smallint": int,
-                  "tinyint": int, "double": float, "float": float,
-                  "boolean": bool, "string": str}
-        with open(partition.path) as f:
-            for line in f:
-                parsed = _parse_insert_statement(line)
-                if parsed is None:
-                    continue
-                doc, ts, ttl = parsed
-                row = []
-                for name, typ in self.fields:
-                    if name == self.ts_col:
-                        v = ts
-                    elif name == self.ttl_col:
-                        v = ttl
-                    else:
-                        v = doc.get(name)
-                    if v is not None and typ in coerce:
-                        v = coerce[typ](v)
-                    row.append(v)
-                yield tuple(row)
+        yield from _read_log_file(partition.path, self.fields,
+                                  self.ts_col, self.ttl_col)
+
+
+def _read_log_file(path, fields, ts_col, ttl_col):
+    """Replay one task log file as row tuples (shared by the batch and
+    streaming readers)."""
+    if path is None:
+        return
+    coerce = {"bigint": int, "int": int, "smallint": int,
+              "tinyint": int, "double": float, "float": float,
+              "boolean": bool, "string": str}
+    with open(path) as f:
+        for line in f:
+            parsed = _parse_insert_statement(line)
+            if parsed is None:
+                continue
+            doc, ts, ttl = parsed
+            row = []
+            for name, typ in fields:
+                if name == ts_col:
+                    v = ts
+                elif name == ttl_col:
+                    v = ttl
+                else:
+                    v = doc.get(name)
+                if v is not None and typ in coerce:
+                    v = coerce[typ](v)
+                row.append(v)
+            yield tuple(row)
+
+
+class CqlStatementLogStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("cql")`` — the statement log as a
+    STREAMING source: the sink's append-only task files become a CDC
+    feed. Offsets are the sorted set of fully-written log files, so a
+    micro-batch is exactly the files that appeared since the last
+    batch (one InputPartition each — write parallelism becomes batch
+    scan parallelism), replays are idempotent across restarts from
+    the checkpointed offset, and commit() is a no-op because log
+    files are immutable once written. This is the engine's
+    incremental-replication loop (K:2338-2379 cooldown polling)
+    re-expressed as a first-class Structured Streaming source:
+    downstream gets watermarks, stateful ops, exactly-once sinks for
+    free. Scale note: the offset JSON carries file names; a 100 TB
+    deployment compacts it into a manifest log exactly like Spark's
+    own FileStreamSourceLog — the contract here (files are the unit
+    of progress) is unchanged by that swap."""
+
+    def __init__(self, options: dict, schema):
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cql stream source: 'path' option required")
+        self.ts_col = options.get("ts_col")
+        self.ttl_col = options.get("ttl_col")
+        self.fields = [(f.name, f.dataType.simpleString())
+                       for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        import glob
+
+        return {"files": sorted(
+            glob.glob(os.path.join(self.path, "*.log")))}
+
+    def partitions(self, start: dict, end: dict):
+        seen = set(start.get("files", []))
+        new = [p for p in end.get("files", []) if p not in seen]
+        return [_LogFilePartition(p) for p in new] \
+            or [_LogFilePartition(None)]
+
+    def read(self, partition):
+        yield from _read_log_file(partition.path, self.fields,
+                                  self.ts_col, self.ttl_col)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class CqlDataSource(DataSource):
@@ -327,6 +385,9 @@ class CqlDataSource(DataSource):
 
     def reader(self, schema):
         return CqlStatementLogReader(dict(self.options), schema)
+
+    def streamReader(self, schema):
+        return CqlStatementLogStreamReader(dict(self.options), schema)
 
     def writer(self, schema, overwrite: bool):
         if overwrite:

@@ -512,6 +512,43 @@ def test_cql_datasource_read_replays_statement_log(spark, tmp_path):
          .option("path", str(tmp_path / "empty")).load().count())
 
 
+def test_cql_datasource_stream_read_incremental(spark, tmp_path):
+    """spark.readStream.format('cql'): the statement log is a STREAMING
+    source with file-granular offsets — each micro-batch consumes
+    exactly the log files that appeared since the checkpointed offset,
+    restarts resume from the checkpoint (exactly-once), and an idle
+    batch (no new files) emits nothing."""
+    from cql_replicator_spark.sinks.datasource import CqlDataSource
+
+    spark.dataSource.register(CqlDataSource)
+    log, ckpt, out = (str(tmp_path / d) for d in ("log", "ckpt", "out"))
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                               "id bigint, name string")
+    (df.repartition(2).write.format("cql").option("target", "ks.t")
+     .option("path", log).mode("append").save())
+    stream = (spark.readStream.format("cql")
+              .schema("id bigint, name string").option("path", log).load())
+    assert stream.isStreaming
+
+    def run_once():
+        q = (stream.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+    df2 = spark.createDataFrame([(4, "d"), (5, "e")],
+                                "id bigint, name string")
+    (df2.coalesce(1).write.format("cql").option("target", "ks.t")
+     .option("path", log).mode("append").save())
+    run_once()   # restart from checkpoint: only the new file is read
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == \
+        [1, 2, 3, 4, 5]
+    run_once()   # idle batch: no new files, no new rows
+    assert spark.read.parquet(out).count() == 5
+
+
 def test_cql_datasource_delete_types(spark, tmp_path):
     """Delete path renders each PK with its declared CQL type from the
     pk_types option; without it, runtime inference must at least get
