@@ -934,11 +934,15 @@ def parse_wav_samples(data: bytes) -> dict | None:
     """Decode WAV samples to exact integer aggregates: {channels,
     sample_rate, n_samples, sum_sq, peak} (n_samples counts frames x
     channels; peak = max |sample|; sum_sq is the integer energy —
-    callers derive RMS). Handles format tag 1 (16-bit PCM), the G.711
-    companded encodings — tag 6 (A-law) and tag 7 (mu-law), expanded
-    by the spec's pure-arithmetic tables — and tag 0x11 (mono IMA
-    ADPCM, delegated to parse_ima_adpcm_samples). Other encodings
-    keep the decode_audio stub."""
+    callers derive RMS). Handles format tag 1 PCM at every common
+    width — 8-bit (unsigned, offset-128 per the spec), 16-, 24- and
+    32-bit signed little-endian — the G.711 companded encodings:
+    tag 6 (A-law) and tag 7 (mu-law), expanded by the spec's
+    pure-arithmetic tables, and tag 0x11 (mono IMA ADPCM, delegated
+    to parse_ima_adpcm_samples). Other encodings keep the
+    decode_audio stub. 32-bit energy accumulates in Python ints
+    (s^2 reaches 2^62; a numpy int64 sum could wrap), the narrower
+    widths in vectorized int64."""
     if data is None or len(data) < 12 or data[:4] != b"RIFF" \
             or data[8:12] != b"WAVE":
         return None
@@ -973,16 +977,31 @@ def parse_wav_samples(data: bytes) -> dict | None:
                 peak = abs(s)
         return {"channels": channels, "sample_rate": rate,
                 "n_samples": len(body), "sum_sq": sum_sq, "peak": peak}
-    if fmt_tag != 1 or bits != 16:
+    if fmt_tag != 1 or bits not in (8, 16, 24, 32):
         return None
-    n = len(body) // 2
-    sum_sq = 0
-    peak = 0
-    for k in range(n):
-        s = int.from_bytes(body[2 * k:2 * k + 2], "little", signed=True)
-        sum_sq += s * s
-        if abs(s) > peak:
-            peak = abs(s)
+    import numpy as np
+
+    width = bits // 8
+    n = len(body) // width
+    body = body[:n * width]
+    if bits == 8:
+        s = np.frombuffer(body, np.uint8).astype(np.int64) - 128
+    elif bits == 16:
+        s = np.frombuffer(body, "<i2").astype(np.int64)
+    elif bits == 24:
+        b = np.frombuffer(body, np.uint8).reshape(n, 3).astype(np.int64)
+        s = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        s -= (s >> 23) << 24  # sign-extend bit 23
+    else:
+        s = np.frombuffer(body, "<i4").astype(np.int64)
+    if n == 0:
+        sum_sq, peak = 0, 0
+    elif bits == 32:
+        sum_sq = sum(int(v) * int(v) for v in s)
+        peak = int(np.abs(s).max())
+    else:
+        sum_sq = int((s * s).sum(dtype=np.int64))
+        peak = int(np.abs(s).max())
     return {"channels": channels, "sample_rate": rate, "n_samples": n,
             "sum_sq": sum_sq, "peak": peak}
 

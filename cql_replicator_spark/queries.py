@@ -1376,6 +1376,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # per-plane closed-form sums
     "source_statementlog_stream",    # new: streaming V2 cql source,
                                      # file-granular offsets
+    "multimodal_wav_pcm_decode",     # touched: parse_wav_samples now
+                                     # covers 8/24/32-bit PCM widths
 ]
 
 _TOUCHED_R6: list[str] = [

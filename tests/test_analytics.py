@@ -1045,6 +1045,50 @@ def test_wav_sample_decode_exact_energy():
     assert MM.parse_wav_samples(bytes(alaw)) is None
 
 
+def test_wav_pcm_bit_widths():
+    """PCM decode covers every common width with exact integers:
+    8-bit is UNSIGNED with a 128 offset (per the WAV spec), 24-bit is
+    signed little-endian sign-extended from bit 23, 32-bit energy
+    must not wrap int64 (2^62 per sample -> Python-int accumulation).
+    Each container is hand-built byte-for-byte."""
+    import struct
+
+    def wav(bits, body, ch=1, rate=8000):
+        block = ch * bits // 8
+        return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+                + b"fmt \x10\x00\x00\x00"
+                + struct.pack("<HHIIHH", 1, ch, rate, rate * block,
+                              block, bits)
+                + b"data" + struct.pack("<I", len(body)) + body)
+
+    # 8-bit: raw bytes 0,128,255 -> samples -128,0,127
+    d8 = MM.parse_wav_samples(wav(8, bytes([0, 128, 255])))
+    assert d8["n_samples"] == 3 and d8["peak"] == 128
+    assert d8["sum_sq"] == 128 * 128 + 0 + 127 * 127
+
+    # 24-bit: +5, -5, min (-2^23), max (2^23 - 1)
+    vals24 = [5, -5, -(1 << 23), (1 << 23) - 1]
+    body24 = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals24)
+    d24 = MM.parse_wav_samples(wav(24, body24))
+    assert d24["n_samples"] == 4 and d24["peak"] == 1 << 23
+    assert d24["sum_sq"] == sum(v * v for v in vals24)
+
+    # 32-bit: int64-wrap hazard — two min-value samples sum to 2^63,
+    # one past int64 max; exactness proves Python-int accumulation
+    vals32 = [-(1 << 31), -(1 << 31), 7]
+    body32 = b"".join(struct.pack("<i", v) for v in vals32)
+    d32 = MM.parse_wav_samples(wav(32, body32))
+    assert d32["n_samples"] == 3 and d32["peak"] == 1 << 31
+    assert d32["sum_sq"] == 2 * (1 << 62) + 49 > (1 << 63) - 1
+
+    # trailing partial frame is clipped, empty data total
+    assert MM.parse_wav_samples(wav(24, b"\x01\x02"))["n_samples"] == 0
+    assert MM.parse_wav_samples(wav(16, b""))["sum_sq"] == 0
+    # unsupported width still rejects
+    assert MM.parse_wav_samples(wav(12, bytes(6))) is None
+
+
 def _ref_linear_to_ulaw(s):
     """Reference G.711 mu-law compressor (SUN g711.c shape)."""
     BIAS = 0x84
