@@ -3233,9 +3233,13 @@ def encode_ima_adpcm_wav(samples: list[int], sample_rate: int = 8000,
 
 
 def parse_ima_adpcm_samples(data: bytes) -> dict | None:
-    """Decode a mono IMA ADPCM WAV to the same exact aggregates as
-    parse_wav_samples: {channels, sample_rate, n_samples, sum_sq,
-    peak}. Stereo and other block layouts return None."""
+    """Decode an IMA ADPCM WAV (mono or stereo) to the same exact
+    aggregates as parse_wav_samples: {channels, sample_rate,
+    n_samples, sum_sq, peak} (n_samples counts samples across
+    channels). Stereo blocks follow the registered multichannel
+    layout: one 4-byte state header per channel, then the coded
+    nibbles interleaved in 4-byte (8-sample) groups, left channel
+    group first. Other layouts return None."""
     if data is None or len(data) < 12 or data[:4] != b"RIFF" \
             or data[8:12] != b"WAVE":
         return None
@@ -3258,35 +3262,89 @@ def parse_ima_adpcm_samples(data: bytes) -> dict | None:
         elif cid == b"data":
             body = chunk
         i += 8 + size + (size & 1)
-    if fmt_tag != 0x11 or channels != 1 or bits != 4 or body is None \
-            or not rate or not block_align or block_align < 5:
+    if fmt_tag != 0x11 or channels not in (1, 2) or bits != 4 \
+            or body is None or not rate or not block_align \
+            or block_align < 4 * channels + 1:
         return None
+    ch = channels
     n_samples = 0
     sum_sq = 0
     peak = 0
-    expect = block_samples or (block_align - 4) * 2 + 1
+    expect = block_samples or (block_align - 4 * ch) * 2 // ch + 1
     for off in range(0, len(body), block_align):
         block = body[off:off + block_align]
-        if len(block) < 4:
+        if len(block) < 4 * ch:
             return None
-        pred = int.from_bytes(block[0:2], "little", signed=True)
-        index = block[2]
-        if index > 88:
-            return None
-        produced = 1
-        sum_sq += pred * pred
-        peak = max(peak, abs(pred))
-        for byte in block[4:]:
-            for n in (byte & 0x0F, byte >> 4):
-                if produced >= expect:
-                    break
-                pred, index = _ima_decode_nibble(n, pred, index)
-                sum_sq += pred * pred
-                peak = max(peak, abs(pred))
-                produced += 1
-        n_samples += produced
-    return {"channels": 1, "sample_rate": rate, "n_samples": n_samples,
+        preds, idxs, produced = [], [], []
+        for c in range(ch):
+            pred = int.from_bytes(block[4 * c:4 * c + 2], "little",
+                                  signed=True)
+            index = block[4 * c + 2]
+            if index > 88:
+                return None
+            sum_sq += pred * pred
+            peak = max(peak, abs(pred))
+            preds.append(pred)
+            idxs.append(index)
+            produced.append(1)
+        data_part = block[4 * ch:]
+        for g in range(0, len(data_part), 4):
+            c = (g // 4) % ch
+            for byte in data_part[g:g + 4]:
+                for n in (byte & 0x0F, byte >> 4):
+                    if produced[c] >= expect:
+                        break
+                    preds[c], idxs[c] = _ima_decode_nibble(
+                        n, preds[c], idxs[c])
+                    sum_sq += preds[c] * preds[c]
+                    peak = max(peak, abs(preds[c]))
+                    produced[c] += 1
+        n_samples += sum(produced)
+    return {"channels": ch, "sample_rate": rate, "n_samples": n_samples,
             "sum_sq": sum_sq, "peak": peak}
+
+
+def encode_ima_adpcm_wav_stereo(left: list[int], right: list[int],
+                                sample_rate: int = 8000,
+                                block_samples: int = 505) -> bytes:
+    """Stereo IMA ADPCM WAV writer, registered multichannel layout:
+    per block, one 4-byte state header per channel then the coded
+    nibbles interleaved in 4-byte groups (8 samples left, 8 samples
+    right, ...). block_samples counts per-channel samples including
+    the header sample; the coded count (block_samples - 1) must be a
+    multiple of 8 so groups tile exactly, and the channels must be
+    equal length in whole blocks."""
+    import struct
+
+    if (block_samples - 1) % 8:
+        raise ValueError("block_samples - 1 must be a multiple of 8")
+    if len(left) != len(right) or len(left) % block_samples:
+        raise ValueError("channels must be equal whole-block lengths")
+    idx = [0, 0]
+    body = bytearray()
+    for off in range(0, len(left), block_samples):
+        chans = (left[off:off + block_samples],
+                 right[off:off + block_samples])
+        groups: list[list[int]] = [[], []]
+        for c, chunk in enumerate(chans):
+            pred = max(-32768, min(32767, int(chunk[0])))
+            body += struct.pack("<hBB", pred, idx[c], 0)
+            for sample in chunk[1:]:
+                n, pred, idx[c] = _ima_encode_sample(
+                    int(sample), pred, idx[c])
+                groups[c].append(n)
+        for g in range(0, block_samples - 1, 8):
+            for c in range(2):
+                eight = groups[c][g:g + 8]
+                for a, b in zip(eight[0::2], eight[1::2]):
+                    body += bytes([(b << 4) | a])
+    block_align = 8 + (block_samples - 1)
+    byte_rate = sample_rate * block_align // block_samples
+    return (b"RIFF" + struct.pack("<I", 40 + len(body)) + b"WAVE"
+            + b"fmt \x14\x00\x00\x00"
+            + struct.pack("<HHIIHHHH", 0x11, 2, sample_rate, byte_rate,
+                          block_align, 4, 2, block_samples)
+            + b"data" + struct.pack("<I", len(body)) + bytes(body))
 
 
 # -- FLAC (lossless compressed audio) ------------------------------------------

@@ -1528,6 +1528,40 @@ def test_media_parsers_are_total_on_arbitrary_bytes():
     fuzz()
 
 
+def test_ima_adpcm_stereo():
+    """Stereo IMA ADPCM: one 4-byte state header per channel, coded
+    nibbles interleaved in 4-byte groups. The per-channel state
+    machines are independent, so the stereo decode must aggregate to
+    exactly the SUM of the two mono decodes (mono is already pinned
+    against the spec) — a cross-path check that the interleaved
+    layout routes every nibble to the right channel."""
+    bs = 9  # 8 coded samples per channel per block
+    left = [((i * 37) % 4000) - 2000 for i in range(2 * bs)]
+    right = [((i * 53) % 3000) - 1500 for i in range(2 * bs)]
+    st = MM.parse_ima_adpcm_samples(
+        MM.encode_ima_adpcm_wav_stereo(left, right, block_samples=bs))
+    mL = MM.parse_ima_adpcm_samples(
+        MM.encode_ima_adpcm_wav(left, block_samples=bs))
+    mR = MM.parse_ima_adpcm_samples(
+        MM.encode_ima_adpcm_wav(right, block_samples=bs))
+    assert st is not None and st["channels"] == 2
+    assert st["n_samples"] == mL["n_samples"] + mR["n_samples"] == 4 * bs
+    assert st["sum_sq"] == mL["sum_sq"] + mR["sum_sq"]
+    assert st["peak"] == max(mL["peak"], mR["peak"])
+
+    # byte layout: channel headers live at offsets 0 and 4 of the block
+    wav = MM.encode_ima_adpcm_wav_stereo(left, right, block_samples=bs)
+    data_off = wav.index(b"data") + 8
+    import struct
+    assert struct.unpack_from("<h", wav, data_off)[0] == left[0]
+    assert struct.unpack_from("<h", wav, data_off + 4)[0] == right[0]
+
+    # >2 channels and undersized blocks stay rejected
+    bad = bytearray(wav)
+    bad[22] = 3  # fmt channels field
+    assert MM.parse_ima_adpcm_samples(bytes(bad)) is None
+
+
 def test_ima_adpcm_codec():
     """IMA ADPCM (WAV tag 0x11): the step table's spec-mandated ~1.1x
     geometric growth is asserted (a transcription slip in the 89
@@ -1568,10 +1602,11 @@ def test_ima_adpcm_codec():
     # largest step used on a 3/sample ramp (small indices)
     assert d["peak"] <= max(ramp) + 64
 
-    # stereo and non-ADPCM tags stay out of scope
-    stereo = bytearray(MM.encode_ima_adpcm_wav([0] * 10))
-    stereo[22] = 2
-    assert MM.parse_ima_adpcm_samples(bytes(stereo)) is None
+    # >2 channels and non-ADPCM tags stay out of scope (stereo is now
+    # in scope — test_ima_adpcm_stereo)
+    multi = bytearray(MM.encode_ima_adpcm_wav([0] * 10))
+    multi[22] = 3
+    assert MM.parse_ima_adpcm_samples(bytes(multi)) is None
 
 
 def test_pixel_and_sample_roundtrip_through_spark(spark, docs):
