@@ -839,15 +839,62 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+_ADAM7 = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]
+
+
+def _png_scanlines(raw: bytes, w: int, h: int, bpp: int,
+                   interlace: int) -> bytearray | None:
+    """Inflated IDAT -> unfiltered pixel bytes in raster order, for
+    both layouts: sequential (one filtered image) and Adam7
+    (interlace=1: SEVEN concatenated sub-images, each filtered
+    independently against its own pass geometry, scattered back by
+    the spec's (x0, dx, y0, dy) grids). None on any length mismatch
+    or unknown filter byte — total by contract."""
+    if interlace == 0:
+        if len(raw) != h * (1 + w * bpp):
+            return None
+        try:
+            return _png_unfilter(raw, w, h, bpp)
+        except ValueError:
+            return None
+    out = bytearray(h * w * bpp)
+    pos = 0
+    for x0, dx, y0, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        need = ph * (1 + pw * bpp)
+        sub = raw[pos:pos + need]
+        if len(sub) != need:
+            return None
+        pos += need
+        try:
+            up = _png_unfilter(sub, pw, ph, bpp)
+        except ValueError:
+            return None
+        for py in range(ph):
+            base = y0 + py * dy
+            for pxi in range(pw):
+                src = (py * pw + pxi) * bpp
+                dst = (base * w + x0 + pxi * dx) * bpp
+                out[dst:dst + bpp] = up[src:src + bpp]
+    if pos != len(raw):
+        return None
+    return out
+
+
 def parse_png_pixels(data: bytes) -> dict | None:
-    """Decode an 8-bit non-interlaced PNG of any color type —
+    """Decode an 8-bit PNG (sequential or Adam7-interlaced) of any
+    color type —
     greyscale (0), truecolor (2), palette (3, via PLTE lookup),
     grey+alpha (4), truecolor+alpha (6) — to exact per-channel sums:
     {width, height, n_px, sum_r, sum_g, sum_b}; greyscale reports the
     grey sum on all three channels. IDAT chunks concatenate into one
     zlib stream (stdlib inflate), then the five scanline filters
-    reverse per the spec. Sub-byte bit depths and interlace return
-    None."""
+    reverse per the spec (per Adam7 pass for interlaced files).
+    Sub-byte bit depths return None."""
     import zlib
 
     if data is None or len(data) < 45 or data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -860,7 +907,7 @@ def parse_png_pixels(data: bytes) -> dict | None:
     # 8-bit greyscale (0), truecolor (2), palette (3), grey+alpha (4),
     # truecolor+alpha (6); sub-byte depths and interlace stay out
     if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) \
-            or interlace != 0:
+            or interlace not in (0, 1):
         return None
     bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     idat = bytearray()
@@ -882,9 +929,9 @@ def parse_png_pixels(data: bytes) -> dict | None:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    if len(raw) != h * (1 + w * bpp):
+    px = _png_scanlines(raw, w, h, bpp, interlace)
+    if px is None:
         return None
-    px = _png_unfilter(raw, w, h, bpp)
     if color_type in (0, 4):  # greyscale: every channel is the grey
         s = sum(px[0::bpp])
         sum_r = sum_g = sum_b = s
@@ -2988,7 +3035,7 @@ def _png_raster(data: bytes):
     h = int.from_bytes(data[20:24], "big")
     bit_depth, color_type, interlace = data[24], data[25], data[28]
     if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) \
-            or interlace != 0 or w <= 0 or h <= 0:
+            or interlace not in (0, 1) or w <= 0 or h <= 0:
         # zero dims would make the length check vacuous and crash
         # px.max() / downstream raster indexing on empty arrays
         return None
@@ -3012,10 +3059,10 @@ def _png_raster(data: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    if len(raw) != h * (1 + w * bpp):
+    px = _png_scanlines(raw, w, h, bpp, interlace)
+    if px is None:
         return None
-    px = np.frombuffer(bytes(_png_unfilter(raw, w, h, bpp)),
-                       dtype=np.uint8).reshape(h, w, bpp)
+    px = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, bpp)
     if color_type in (0, 4):
         return np.repeat(px[:, :, :1], 3, axis=2).astype(np.int64)
     if color_type == 3:

@@ -1378,6 +1378,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # file-granular offsets
     "multimodal_wav_pcm_decode",     # touched: parse_wav_samples now
                                      # covers 8/24/32-bit PCM widths
+    "multimodal_png_pixel_decode",   # touched: Adam7 interlace decode
+                                     # + unknown-filter totality fix
 ]
 
 _TOUCHED_R6: list[str] = [

@@ -520,6 +520,113 @@ def _ref_png_typed(w, h, color_type, raw_rows, plte=None):
     return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
+_ADAM7_GRID = [  # PNG spec's published 8x8 pass-number pattern
+    [1, 6, 4, 6, 2, 6, 4, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+    [5, 6, 5, 6, 5, 6, 5, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+    [3, 6, 4, 6, 3, 6, 4, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+    [5, 6, 5, 6, 5, 6, 5, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+]
+
+
+def _make_adam7_png(w, h, rgb_at):
+    """Build an interlaced truecolor PNG INDEPENDENTLY of the module's
+    pass geometry: pixels are grouped by the spec's published 8x8
+    pass-number grid (tiled), each pass serialized row-by-row with
+    filter byte 0. rgb_at(x, y) -> (r, g, b)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        c = ctype + body
+        return (struct.pack(">I", len(body)) + c
+                + struct.pack(">I", zlib.crc32(c)))
+
+    raw = bytearray()
+    for p in range(1, 8):
+        rows = {}
+        for y in range(h):
+            for x in range(w):
+                if _ADAM7_GRID[y % 8][x % 8] == p:
+                    rows.setdefault(y, []).append(rgb_at(x, y))
+        for y in sorted(rows):
+            raw += b"\x00" + bytes(v for px in rows[y] for v in px)
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlace_decode():
+    """Adam7-interlaced PNGs decode to the identical raster as the
+    sequential layout: the fixture serializes passes straight from
+    the spec's 8x8 pass grid (an independent derivation of the pass
+    geometry), at both a grid-aligned size and a ragged one that
+    leaves some passes partial."""
+    import numpy as np
+
+    for w, h in ((8, 8), (5, 3), (9, 10)):
+        def rgb_at(x, y):
+            return ((x * 16 + y) % 256, (7 * x + 3 * y) % 256,
+                    (x ^ y) % 256)
+
+        png = _make_adam7_png(w, h, rgb_at)
+        d = MM.parse_png_pixels(png)
+        assert d is not None and (d["width"], d["height"]) == (w, h)
+        ref = np.array([[rgb_at(x, y) for x in range(w)]
+                        for y in range(h)], dtype=np.int64)
+        assert d["sum_r"] == int(ref[:, :, 0].sum())
+        assert d["sum_g"] == int(ref[:, :, 1].sum())
+        assert d["sum_b"] == int(ref[:, :, 2].sum())
+        raster = MM._png_raster(png)
+        assert raster is not None and (raster == ref).all(), (w, h)
+
+    # truncated pass payload and trailing garbage both reject, total
+    ok = _make_adam7_png(8, 8, lambda x, y: (1, 2, 3))
+    import struct
+    import zlib
+    body_ok = zlib.decompress(
+        ok[ok.index(b"IDAT") + 4:ok.index(b"IEND") - 8])
+    for bad_raw in (body_ok[:-5], body_ok + b"\x00"):
+        bad = _make_adam7_png(8, 8, lambda x, y: (1, 2, 3))
+        # rebuild with the corrupted stream
+        def chunk(ctype, b):
+            c = ctype + b
+            return (struct.pack(">I", len(b)) + c
+                    + struct.pack(">I", zlib.crc32(c)))
+        bad = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1))
+               + chunk(b"IDAT", zlib.compress(bad_raw))
+               + chunk(b"IEND", b""))
+        assert MM.parse_png_pixels(bad) is None
+        assert MM._png_raster(bad) is None
+
+
+def test_png_unknown_filter_byte_total():
+    """A valid zlib stream whose first scanline filter byte is invalid
+    (>4) must return None, not raise — the fuzz corpus misses this
+    class because bit flips usually break zlib first."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        c = ctype + body
+        return (struct.pack(">I", len(body)) + c
+                + struct.pack(">I", zlib.crc32(c)))
+
+    raw = bytes([7, 10, 20, 0, 30, 40])
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    assert MM.parse_png_pixels(png) is None
+    assert MM._png_raster(png) is None
+
+
 def test_png_pixel_decode_greyscale_and_palette():
     # greyscale 3x2: grey sum lands on all three channels
     rows = [bytes([10, 20, 30]), bytes([40, 50, 60])]
