@@ -1446,16 +1446,30 @@ def gif_lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_rows(h: int) -> list[int]:
+    """Display-row order of an interlaced GIF's stored rows (spec
+    appendix E): four passes starting at rows 0/4/2/1 with strides
+    8/8/4/2."""
+    return (list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2)))
+
+
 def encode_gif(width: int, height: int,
                palette: list[tuple[int, int, int]],
-               indices: list[int]) -> bytes:
+               indices: list[int], interlace: bool = False) -> bytes:
     """GIF89a writer over gif_lzw_encode: logical screen + global
     color table (padded to a power of two) + one image descriptor +
     sub-blocked LZW data + trailer. Exists to exercise the DECODER
     from inside the registered pixel-decode query, the same role
-    encode_grey_jpeg plays for JPEG."""
+    encode_grey_jpeg plays for JPEG. interlace=True stores the rows
+    in the spec's four-pass order and sets the descriptor flag;
+    ``indices`` stays display-ordered either way."""
     import struct
 
+    if interlace:
+        rows = _gif_interlace_rows(height)
+        indices = [px for y in rows
+                   for px in indices[y * width:(y + 1) * width]]
     n_colors = len(palette)
     min_code = max(2, (n_colors - 1).bit_length())
     pal = b"".join(bytes(c) for c in palette)
@@ -1469,7 +1483,8 @@ def encode_gif(width: int, height: int,
     return (b"GIF89a" + struct.pack("<HH", width, height)
             + bytes([0x80 | (min_code - 1), 0, 0]) + pal
             + b"\x2C" + struct.pack("<HHHH", 0, 0, width, height)
-            + b"\x00" + bytes([min_code]) + blocks + b"\x00" + b"\x3B")
+            + bytes([0x40 if interlace else 0x00])
+            + bytes([min_code]) + blocks + b"\x00" + b"\x3B")
 
 
 def encode_png_rgb(width: int, height: int,
@@ -3126,7 +3141,12 @@ def _gif_raster(data: bytes):
             arr = np.asarray(idx, dtype=np.int64)
             if arr.size == 0 or arr.max() >= pal.shape[0]:
                 return None
-            return pal[arr].reshape(h, w, 3).astype(np.int64)
+            img = pal[arr].reshape(h, w, 3).astype(np.int64)
+            if ipacked & 0x40:  # interlaced: stored row i is display
+                disp = np.empty_like(img)  # row rows[i] (4-pass order)
+                disp[_gif_interlace_rows(h)] = img
+                img = disp
+            return img
         else:
             return None
     return None

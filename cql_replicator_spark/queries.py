@@ -1380,6 +1380,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # covers 8/24/32-bit PCM widths
     "multimodal_png_pixel_decode",   # touched: Adam7 interlace decode
                                      # + unknown-filter totality fix
+    "multimodal_gif_pixel_decode",   # touched: 4-pass interlace raster
+                                     # support in encoder + raster
 ]
 
 _TOUCHED_R6: list[str] = [

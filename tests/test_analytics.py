@@ -753,6 +753,34 @@ def _fuzz_fixture(name):
             / name).read_bytes()
 
 
+def test_gif_interlace_raster():
+    """Interlaced GIFs raster in DISPLAY order: the 4-pass row
+    permutation (spec appendix E) must be undone by _gif_raster.
+    The expected stored order for 11 rows is hand-derived from the
+    spec's pass table (starts 0/4/2/1, strides 8/8/4/2); sums stay
+    order-invariant by construction."""
+    assert MM._gif_interlace_rows(11) == [0, 8, 4, 2, 6, 10, 1, 3, 5,
+                                          7, 9]
+    w, h = 5, 11
+    pal = [(i, 2 * i, 3 * i) for i in range(16)]
+    idx = [(x + y * 3) % 16 for y in range(h) for x in range(w)]
+    seq = MM.encode_gif(w, h, pal, idx)
+    il = MM.encode_gif(w, h, pal, idx, interlace=True)
+    assert il != seq
+    r_seq, r_il = MM._gif_raster(seq), MM._gif_raster(il)
+    assert r_seq is not None and (r_seq == r_il).all()
+    # the raster really is display-ordered: row y pixel x holds
+    # palette[(x + 3y) % 16]
+    for y, x in ((0, 0), (1, 4), (10, 2)):
+        assert tuple(r_seq[y, x]) == pal[(x + y * 3) % 16]
+        assert tuple(r_il[y, x]) == pal[(x + y * 3) % 16]
+    # sums unchanged by interlacing (row-order invariance)
+    assert MM.parse_gif_pixels(seq) == MM.parse_gif_pixels(il)
+    # resize flows through the display-ordered raster
+    assert MM.resize_image_real(il, 4, 4) == MM.resize_image_real(seq,
+                                                                  4, 4)
+
+
 def test_gif_width_schedule_fixtures():
     """Pin the ABSOLUTE LZW width schedule, not just encoder/decoder
     consistency (a matched-pair round-trip passes even when both sides
