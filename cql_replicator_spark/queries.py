@@ -1350,9 +1350,11 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # skips spec-legal 0xFF fill bytes
     "snapshot_time_travel",          # touched: dlog commit gained the
                                      # O_EXCL fallback + loser cleanup
-    "multimodal_gif_pixel_decode",   # new: REAL GIF LZW decode,
+    "multimodal_gif_pixel_decode",   # new: REAL GIF LZW decode +
+                                     # 4-pass interlace raster,
                                      # checkerboard closed-form sums
-    "multimodal_png_pixel_decode",   # new: REAL PNG decode (zlib IDAT
+    "multimodal_png_pixel_decode",   # new: REAL PNG decode incl Adam7
+                                     # + filter-totality fix (zlib IDAT
                                      # + CRCs), solid-color closed form
     "multimodal_g711_audio_decode",  # new: G.711 A-law expansion,
                                      # oracle recomputes the spec math
@@ -1378,10 +1380,6 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # file-granular offsets
     "multimodal_wav_pcm_decode",     # touched: parse_wav_samples now
                                      # covers 8/24/32-bit PCM widths
-    "multimodal_png_pixel_decode",   # touched: Adam7 interlace decode
-                                     # + unknown-filter totality fix
-    "multimodal_gif_pixel_decode",   # touched: 4-pass interlace raster
-                                     # support in encoder + raster
 ]
 
 _TOUCHED_R6: list[str] = [
