@@ -42,6 +42,12 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "q11_important_parts",
     "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q20_volume_suppliers",
+    "q22_prospects",
     "orders_cube",
     "skew_salted_join",
     "tile_histogram_xxhash64",
