@@ -1270,11 +1270,21 @@ def synthesize_adpcm_wav_table(documents: DataFrame) -> DataFrame:
                             media.alias("media"))
 
 
-def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+def _gif_lzw_decode(min_code_size: int, data: bytes,
+                    max_out: int | None = None) -> list[int]:
     """GIF-variant LZW decode (spec appendix F): variable code width
     starting at min_code_size+1 growing to 12 bits, clear code resets
     the table, codes are packed little-endian-bit-first. Returns the
-    color-index stream."""
+    color-index stream.
+
+    Two resource guards for corrupt input in a scan task (fuzz-found:
+    a bit-flipped size byte provoked a 2^k-entry table build measured
+    at 41 GB RSS): the code-size byte must be a value a conforming
+    encoder can write (2-11, since width <= 12), and ``max_out`` caps
+    the decoded stream — LZW output grows quadratically in input
+    bytes, so callers that only need w*h pixels must bound it."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
 
@@ -1311,6 +1321,8 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
             else:
                 raise ValueError(f"corrupt LZW stream: code {code}")
             out.extend(entry)
+            if max_out is not None and len(out) >= max_out:
+                return out
             if prev is not None and next_code < 4096:
                 table[next_code] = prev + [entry[0]]
                 next_code += 1
@@ -1372,7 +1384,8 @@ def parse_gif_pixels(data: bytes) -> dict | None:
                 lzw += data[i + 1:i + 1 + size]
                 i += 1 + size
             try:
-                idx = _gif_lzw_decode(min_code, bytes(lzw))[:w * h]
+                idx = _gif_lzw_decode(min_code, bytes(lzw),
+                                      max_out=w * h)[:w * h]
             except (ValueError, KeyError):
                 return None  # corrupt stream: undecodable, not fatal
             if w <= 0 or h <= 0 or len(idx) < w * h:
@@ -1634,44 +1647,142 @@ class _BitWriter:
 
 
 class _BitReader:
+    """Accumulator bit reader over a JPEG entropy-coded segment.
+
+    Holds up to a few destuffed bytes in ``acc`` (``n`` valid low
+    bits). Refill never crosses a 0xFF-nonzero boundary, so markers
+    (RSTn, or a stray marker = corrupt stream) are only observed when
+    bits beyond them are actually consumed — the same laziness as a
+    byte-at-a-time reader, but magnitude bits arrive in one ``take``
+    and Huffman decode can ``peek`` 8 bits for a prefix-table hit."""
+
     def __init__(self, data: bytes):
         self.data = data
         self.i = 0
         self.acc = 0
         self.n = 0
+        self.marker = False  # refill stopped at a non-stuffing 0xFF
+
+    def _refill(self, need: int) -> None:
+        data, i, n = self.data, self.i, self.n
+        acc = self.acc
+        ln = len(data)
+        while n < need:
+            if i >= ln or self.marker:
+                break
+            b = data[i]
+            if b == 0xFF:
+                if i + 1 < ln and data[i + 1] == 0x00:
+                    i += 2  # unstuff
+                else:
+                    self.marker = True
+                    break
+            else:
+                i += 1
+            acc = (acc << 8) | b
+            n += 8
+        self.i, self.n, self.acc = i, n, acc
+
+    def take(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._refill(k)
+            if self.n < k:
+                raise ValueError("marker inside entropy stream"
+                                 if self.marker else "bitstream exhausted")
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def peek(self, k: int) -> int:
+        """Next k bits without consuming; zero-padded past the end of
+        the available data (a later ``take`` of more bits than exist
+        still raises)."""
+        if self.n < k:
+            self._refill(k)
+        if self.n >= k:
+            return (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        return (self.acc << (k - self.n)) & ((1 << k) - 1)
 
     def bit(self) -> int:
-        if self.n == 0:
-            if self.i >= len(self.data):
-                raise ValueError("bitstream exhausted")
-            b = self.data[self.i]
-            self.i += 1
-            if b == 0xFF:
-                if self.i < len(self.data) and self.data[self.i] == 0x00:
-                    self.i += 1  # unstuff
-                else:
-                    raise ValueError("marker inside entropy stream")
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        return self.take(1)
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        return self.take(k)
 
     def restart(self) -> None:
         """Consume an RSTn marker at a restart boundary: discard the
-        partial byte (encoder padded it with 1s) and expect 0xFF D0-D7
-        next. The interval structure is the caller's job; here we only
-        re-align and verify the marker class."""
-        self.n = 0
+        pad bits of the final entropy byte (refill never crosses a
+        marker, so that is all ``acc`` can hold on a valid stream)
+        and expect 0xFF D0-D7 next. A whole buffered byte or more
+        means a desynced corrupt interval — a byte-at-a-time reader
+        would still be mid-stream, so reject rather than resync. The
+        interval structure is the caller's job; here we only re-align
+        and verify the marker class."""
+        if self.n >= 8:
+            raise ValueError("expected restart marker")
+        self.acc = self.n = 0
+        self.marker = False
         if self.i + 2 > len(self.data) or self.data[self.i] != 0xFF \
                 or not (0xD0 <= self.data[self.i + 1] <= 0xD7):
             raise ValueError("expected restart marker")
         self.i += 2
+
+
+_LUT16_CACHE: dict[tuple, list[int]] = {}
+
+
+def _huff_lut16(table: dict) -> list[int]:
+    """Full-width (16-bit) Huffman prefix LUT for ``table``
+    ({(code, len): sym}): entry = (sym << 5) | len, 0 = no code with
+    that prefix. Cached at module level keyed by the table CONTENTS —
+    every image written by one encoder shares its DHT, so in a scan
+    task the 65536-entry build happens once per worker process, not
+    once per image. The cache is cleared past 32 distinct tables so a
+    corrupt corpus (each bit-flipped DHT is a new key) cannot grow it
+    without bound."""
+    key = tuple(sorted((k[0], k[1], v) for k, v in table.items()
+                       if isinstance(k, tuple)))
+    lut = _LUT16_CACHE.get(key)
+    if lut is None:
+        if len(_LUT16_CACHE) >= 32:
+            _LUT16_CACHE.clear()
+        lut = [0] * 65536
+        for code, ln, sym in key:
+            if ln <= 16:
+                base = code << (16 - ln)
+                for s in range(1 << (16 - ln)):
+                    lut[base | s] = (sym << 5) | ln
+        _LUT16_CACHE[key] = lut
+    return lut
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    """Decode one Huffman symbol from ``table`` ({(code, len): sym}).
+
+    Fast path: the cached 16-bit prefix LUT resolves every valid code
+    in one peek + one take. Only invalid prefixes (corrupt stream)
+    fall back to the canonical per-bit walk, which raises exactly
+    what the walk alone would. The LUT is prefix-free by
+    construction, and a short-of-bits take raises the same ValueError
+    the per-bit walk would."""
+    lut = table.get(None)
+    if lut is None:
+        lut = _huff_lut16(table)
+        table[None] = lut
+    hit = lut[br.peek(16)]
+    if hit:
+        br.take(hit & 31)
+        return hit >> 5
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.take(1)
+        ln += 1
+        if (code, ln) in table:
+            return table[(code, ln)]
+    raise ValueError("invalid Huffman code")
 
 
 def _category(v: int) -> tuple[int, int]:
@@ -1868,16 +1979,8 @@ def parse_jpeg_pixels(data: bytes, _planes: bool = False) -> dict | None:
             return None
 
     end = data.rfind(b"\xff\xd9")
-    br = _BitReader(data[ecs_start:end if end > ecs_start else len(data)])
-
-    def read_symbol(table):
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | br.bit()
-            ln += 1
-            if (code, ln) in table:
-                return table[(code, ln)]
-        raise ValueError("invalid Huffman code")
+    edata = data[ecs_start:end if end > ecs_start else len(data)]
+    elen = len(edata)
 
     # generic interleaved MCU geometry (covers 4:4:4, 4:2:2, 4:2:0):
     # an MCU is hs_i x vs_i blocks per component; component planes are
@@ -1894,31 +1997,151 @@ def parse_jpeg_pixels(data: bytes, _planes: bool = False) -> dict | None:
     # valid stream, so a stream shorter than that is corrupt — bail
     # BEFORE allocating pixel planes.
     n_blocks = mcux * mcuy * sum(hs * vs for _, hs, vs, _tq in comps)
-    if n_blocks > len(br.data) * 8:
+    if n_blocks > elen * 8:
         return None
     planes = [np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int64)
               for _, hs, vs, _tq in comps]
     preds = [0] * nc
+    # per-component decode kit: cached full-width prefix LUTs
+    # (int-packed as sym << 5 | len; 0 = invalid prefix) plus the
+    # canonical walk dicts for the corrupt-prefix fallback
+    kits = []
+    for cid, hs, vs, tq in comps:
+        td, ta = scan[cid]
+        kit = []
+        for tab in (huff[(0, td)], huff[(1, ta)]):
+            kit.append(_huff_lut16(tab))
+            kit.append(tab)
+        kit.append(quants[tq])
+        kits.append(kit)
+    # The entropy loop keeps the bit accumulator in LOCAL variables
+    # (pos/acc/nbits/marker) instead of a _BitReader: at ~6 bits per
+    # coefficient, per-symbol method dispatch dominates the decode
+    # (A/B'd: the object-based reader measured ~2.4x slower than this
+    # on the registered-query corpus with identical outputs). Refill
+    # tops up to >= 32 bits once per coefficient — enough for the
+    # longest symbol (16) plus magnitude (11) — and never crosses a
+    # 0xFF-nonzero boundary, so markers surface exactly when bits
+    # beyond them are consumed, same as the reader.
+    pos = 0
+    acc = 0
+    nbits = 0
+    marker = False
     try:
         for my in range(mcuy):
             for mx in range(mcux):
                 mcu_no = my * mcux + mx
                 if restart_interval and mcu_no \
                         and mcu_no % restart_interval == 0:
-                    br.restart()
+                    # RSTn: drop the pad bits, expect FF D0-D7. More
+                    # than 7 leftover bits means a desynced (corrupt)
+                    # interval under-consumed — a byte-at-a-time
+                    # reader would still be mid-stream there, so
+                    # reject rather than silently resync at the marker
+                    if nbits >= 8:
+                        raise ValueError("expected restart marker")
+                    acc = nbits = 0
+                    marker = False
+                    if pos + 2 > elen or edata[pos] != 0xFF \
+                            or not (0xD0 <= edata[pos + 1] <= 0xD7):
+                        raise ValueError("expected restart marker")
+                    pos += 2
                     preds = [0] * nc  # DC prediction resets per interval
-                for ci, (cid, hs, vs, tq) in enumerate(comps):
-                    td, ta = scan[cid]
-                    quant = quants[tq]
+                for ci in range(nc):
+                    _cid, hs, vs, _tq = comps[ci]
+                    lut_dc, tab_dc, lut_ac, tab_ac, quant = kits[ci]
                     for byy in range(vs):
                         for bxx in range(hs):
                             zz = [0] * 64
-                            cat = read_symbol(huff[(0, td)])
-                            preds[ci] += _decode_extend(br.bits(cat), cat)
-                            zz[0] = preds[ci] * quant[0]
-                            k = 1
+                            lut, tab = lut_dc, tab_dc
+                            k = 0
                             while k < 64:
-                                sym = read_symbol(huff[(1, ta)])
+                                while nbits < 32 and not marker \
+                                        and pos < elen:
+                                    bb = edata[pos]
+                                    if bb == 0xFF:
+                                        if pos + 1 < elen and \
+                                                edata[pos + 1] == 0x00:
+                                            pos += 2  # unstuff
+                                        else:
+                                            marker = True
+                                            break
+                                    else:
+                                        pos += 1
+                                    acc = (acc << 8) | bb
+                                    nbits += 8
+                                if nbits >= 16:
+                                    hit = lut[(acc >> (nbits - 16))
+                                              & 0xFFFF]
+                                else:
+                                    hit = lut[(acc << (16 - nbits))
+                                              & 0xFFFF]
+                                if hit:
+                                    ln = hit & 31
+                                    if nbits < ln:
+                                        raise ValueError(
+                                            "bitstream exhausted")
+                                    sym = hit >> 5
+                                    nbits -= ln
+                                    acc &= (1 << nbits) - 1
+                                else:  # invalid prefix: per-bit walk
+                                    code = ln = 0
+                                    sym = None
+                                    while ln < 16:
+                                        if nbits < 1:
+                                            raise ValueError(
+                                                "marker inside entropy "
+                                                "stream" if marker else
+                                                "bitstream exhausted")
+                                        nbits -= 1
+                                        code = (code << 1) | \
+                                            ((acc >> nbits) & 1)
+                                        acc &= (1 << nbits) - 1
+                                        ln += 1
+                                        sym = tab.get((code, ln))
+                                        if sym is not None:
+                                            break
+                                    if sym is None:
+                                        raise ValueError(
+                                            "invalid Huffman code")
+                                if k == 0:  # DC coefficient
+                                    cat = sym
+                                    if cat:
+                                        # a corrupt DHT can claim a DC
+                                        # category up to 255 — wider
+                                        # than the 32-bit top-up, so
+                                        # magnitude refills on its own
+                                        # (matching the byte-at-a-time
+                                        # reader, which kept reading)
+                                        while nbits < cat and not marker \
+                                                and pos < elen:
+                                            bb = edata[pos]
+                                            if bb == 0xFF:
+                                                if pos + 1 < elen and \
+                                                        edata[pos + 1] \
+                                                        == 0x00:
+                                                    pos += 2
+                                                else:
+                                                    marker = True
+                                                    break
+                                            else:
+                                                pos += 1
+                                            acc = (acc << 8) | bb
+                                            nbits += 8
+                                        if nbits < cat:
+                                            raise ValueError(
+                                                "bitstream exhausted")
+                                        nbits -= cat
+                                        extra = (acc >> nbits) & \
+                                            ((1 << cat) - 1)
+                                        acc &= (1 << nbits) - 1
+                                        preds[ci] += extra if extra >= (
+                                            1 << (cat - 1)) else \
+                                            extra - (1 << cat) + 1
+                                    zz[0] = preds[ci] * quant[0]
+                                    lut, tab = lut_ac, tab_ac
+                                    k = 1
+                                    continue
                                 if sym == 0x00:  # EOB
                                     break
                                 run, cat = sym >> 4, sym & 0x0F
@@ -1930,8 +2153,14 @@ def parse_jpeg_pixels(data: bytes, _planes: bool = False) -> dict | None:
                                 k += run
                                 if k > 63:
                                     raise ValueError("AC overrun")
-                                zz[k] = _decode_extend(br.bits(cat),
-                                                       cat) * quant[k]
+                                if nbits < cat:
+                                    raise ValueError("bitstream exhausted")
+                                nbits -= cat
+                                extra = (acc >> nbits) & ((1 << cat) - 1)
+                                acc &= (1 << nbits) - 1
+                                zz[k] = (extra if extra >= (1 << (cat - 1))
+                                         else extra - (1 << cat) + 1) \
+                                    * quant[k]
                                 k += 1
                             py = (my * vs + byy) * 8
                             px = (mx * hs + bxx) * 8
@@ -2136,13 +2365,7 @@ def _parse_progressive_jpeg(data: bytes, _planes: bool = False) -> dict | None:
             br = _BitReader(ecs)
 
             def read_symbol(table):
-                code, ln = 0, 0
-                while ln < 16:
-                    code = (code << 1) | br.bit()
-                    ln += 1
-                    if (code, ln) in table:
-                        return table[(code, ln)]
-                raise ValueError("invalid Huffman code")
+                return _huff_decode(br, table)
 
             if ss == 0:
                 if se != 0:
@@ -2668,15 +2891,21 @@ def parse_avi_mjpeg(data: bytes) -> dict | None:
     usec = width = height = None
     frames: list[bytes] = []
 
-    def walk(start: int, end: int):
+    def walk(start: int, end: int, depth: int = 0):
         nonlocal usec, width, height
+        if depth > 32:
+            return  # spec AVIs nest ~3 LISTs deep; corrupt-only guard
+        # clamp to the real data: a corrupt size field can claim up to
+        # 4 GB and would otherwise bound this loop by the CLAIMED size
+        # (fuzz-found: minutes of empty-slice reads per blob)
+        end = min(end, len(data))
         i = start
         while i + 8 <= end:
             cid = data[i:i + 4]
             size = int.from_bytes(data[i + 4:i + 8], "little")
             body_start = i + 8
             if cid == b"LIST":
-                walk(body_start + 4, body_start + size)  # skip list type
+                walk(body_start + 4, body_start + size, depth + 1)
             elif cid == b"avih" and size >= 40:
                 usec = int.from_bytes(data[body_start:body_start + 4],
                                       "little")
@@ -3130,7 +3359,8 @@ def _gif_raster(data: bytes):
                 lzw += data[i + 1:i + 1 + size]
                 i += 1 + size
             try:
-                idx = _gif_lzw_decode(min_code, bytes(lzw))[:w * h]
+                idx = _gif_lzw_decode(min_code, bytes(lzw),
+                                      max_out=w * h)[:w * h]
             except (ValueError, KeyError):
                 return None
             if w <= 0 or h <= 0 or len(idx) < w * h:
