@@ -3658,71 +3658,116 @@ def encode_ima_adpcm_wav_stereo(left: list[int], right: list[int],
 # predictors + Rice) so round-trip tests exercise the actual bit
 # layout, not a degenerate verbatim path.
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top \
+                else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def _crc8_flac(data: bytes) -> int:
     """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the FLAC
-    frame-header checksum."""
+    frame-header checksum (table-driven, one lookup per byte)."""
     crc = 0
+    table = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
-                else (crc << 1) & 0xFF
+        crc = table[crc ^ b]
     return crc
 
 
 def _crc16_flac(data: bytes) -> int:
     """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 —
-    the FLAC whole-frame checksum."""
+    the FLAC whole-frame checksum (table-driven)."""
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ table[(crc >> 8) ^ b]
     return crc
 
 
 class _FlacBits:
     """MSB-first bit reader over a byte range (FLAC is big-endian
-    bit-packed, unlike JPEG's stuffed stream — no unstuffing)."""
+    bit-packed, unlike JPEG's stuffed stream — no unstuffing).
+
+    State is one consumed-BIT position; ``bits`` extracts k bits with
+    a single byte-slice + shift instead of k per-bit calls, and
+    ``unary`` scans whole bytes for the terminating 1 (per-symbol
+    Python dispatch dominated the Rice decode — A/B'd against the
+    per-bit reader with identical aggregates). ``i``/``n`` keep the
+    original byte-position contract for the CRC framing code."""
 
     def __init__(self, data: bytes, i: int = 0):
         self.data = data
-        self.i = i          # byte position
-        self.n = 0          # bits consumed of current byte
+        self._pos = i << 3  # consumed bits from the start of data
+
+    @property
+    def i(self) -> int:
+        return self._pos >> 3
+
+    @i.setter
+    def i(self, v: int) -> None:
+        self._pos = v << 3
+
+    @property
+    def n(self) -> int:
+        return self._pos & 7
 
     def bit(self) -> int:
-        if self.i >= len(self.data):
+        p = self._pos
+        byi = p >> 3
+        if byi >= len(self.data):
             raise ValueError("flac bitstream exhausted")
-        b = (self.data[self.i] >> (7 - self.n)) & 1
-        self.n += 1
-        if self.n == 8:
-            self.n = 0
-            self.i += 1
-        return b
+        self._pos = p + 1
+        return (self.data[byi] >> (7 - (p & 7))) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        p = self._pos
+        end = p + k
+        byte_end = (end + 7) >> 3
+        if byte_end > len(self.data):
+            raise ValueError("flac bitstream exhausted")
+        self._pos = end
+        chunk = int.from_bytes(self.data[p >> 3:byte_end], "big")
+        return (chunk >> ((byte_end << 3) - end)) & ((1 << k) - 1)
 
     def sbits(self, k: int) -> int:
         v = self.bits(k)
         return v - (1 << k) if v >= (1 << (k - 1)) else v
 
     def unary(self) -> int:
+        data = self.data
+        ln = len(data)
+        p = self._pos
         q = 0
-        while self.bit() == 0:
-            q += 1
+        while True:
+            byi = p >> 3
+            if byi >= ln:
+                raise ValueError("flac bitstream exhausted")
+            rem = data[byi] & (0xFF >> (p & 7))
+            if rem:
+                zeros = (8 - rem.bit_length()) - (p & 7)
+                q += zeros
+                if q > 1 << 24:
+                    raise ValueError("flac unary runaway")
+                self._pos = p + zeros + 1
+                return q
+            q += 8 - (p & 7)
+            p += 8 - (p & 7)
             if q > 1 << 24:
                 raise ValueError("flac unary runaway")
-        return q
 
     def align(self) -> None:
-        if self.n:
-            self.n = 0
-            self.i += 1
+        self._pos = (self._pos + 7) & ~7
 
 
 def _flac_utf8_read(br: _FlacBits) -> int:
@@ -3805,11 +3850,31 @@ def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> list[int]:
             raise ValueError("order exceeds blocksize")
         out = [br.sbits(eff) for _ in range(order)]
         res = _flac_residuals(br, blocksize, order)
-        coefs = _FLAC_FIXED[order]
-        for i, r in enumerate(res):
-            k = order + i
-            pred = sum(c * out[k - j - 1] for j, c in enumerate(coefs))
-            out.append(r + pred)
+        # the FIXED polynomial predictors, unrolled (integer-exact;
+        # the generic coefficient sum spent most of the decode in
+        # genexpr dispatch)
+        if order == 0:
+            out = res if not out else out + res
+        elif order == 1:
+            prev = out[-1]
+            for r in res:
+                prev = r + prev
+                out.append(prev)
+        elif order == 2:
+            a, b = out[-1], out[-2]
+            for r in res:
+                a, b = r + 2 * a - b, a
+                out.append(a)
+        elif order == 3:
+            a, b, c = out[-1], out[-2], out[-3]
+            for r in res:
+                a, b, c = r + 3 * a - 3 * b + c, a, b
+                out.append(a)
+        else:  # order 4
+            a, b, c, d = out[-1], out[-2], out[-3], out[-4]
+            for r in res:
+                a, b, c, d = r + 4 * a - 6 * b + 4 * c - d, a, b, c
+                out.append(a)
     elif ftype >= 32:  # LPC, order 1-32
         order = ftype - 31
         if order > blocksize:
