@@ -1618,14 +1618,19 @@ class _BitWriter:
         self.n = 0
 
     def write(self, code: int, length: int):
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.buf.append(self.acc)
-                if self.acc == 0xFF:
-                    self.buf.append(0x00)  # byte stuffing
-                self.acc = self.n = 0
+        # append all bits at once, then emit whole bytes (bit-identical
+        # to the per-bit loop; the loop was ~40% of encode time)
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        n = self.n + length
+        buf = self.buf
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            buf.append(b)
+            if b == 0xFF:
+                buf.append(0x00)  # byte stuffing
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def flush(self):
         if self.n:
@@ -4037,21 +4042,26 @@ class _FlacBitWriter:
         self.n = 0
 
     def write(self, v: int, k: int) -> None:
-        for i in range(k - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((v >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.buf.append(self.acc)
-                self.acc = self.n = 0
+        # batch append + whole-byte emission (bit-identical to the
+        # per-bit loop, same rationale as JPEG's _BitWriter)
+        acc = (self.acc << k) | (v & ((1 << k) - 1))
+        n = self.n + k
+        buf = self.buf
+        while n >= 8:
+            n -= 8
+            buf.append((acc >> n) & 0xFF)
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def unary(self, q: int) -> None:
-        for _ in range(q):
-            self.write(0, 1)
-        self.write(1, 1)
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
 
     def align(self) -> None:
-        while self.n:
-            self.write(0, 1)
+        if self.n:
+            self.write(0, 8 - self.n)
 
     def bytes(self) -> bytes:
         assert self.n == 0
