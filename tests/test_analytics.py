@@ -3476,3 +3476,145 @@ def test_rerun_determinism_hash_stable(spark):
         a = sorted(map(tuple, REGISTRY[name].build(spark, SF_DIR).collect()))
         b = sorted(map(tuple, REGISTRY[name].build(spark, SF_DIR).collect()))
         assert a == b, name
+
+
+# ---------------------------------------------------------------------------
+# fast-path bit I/O: the r7 rewrites must stay behaviorally identical to the
+# per-bit readers/writers they replaced (the A/B harnesses proved it at
+# rewrite time; these pin the contract against future edits)
+# ---------------------------------------------------------------------------
+
+def test_bitwriter_matches_per_bit_reference():
+    """_BitWriter batches whole bytes; its output must equal a per-bit
+    reference (stuffing included) on randomized (code, length) runs."""
+    import random
+
+    rng = random.Random(31337)
+    for _ in range(200):
+        ops = [(rng.randrange(1 << k), k)
+               for k in (rng.randint(1, 16) for _ in range(rng.randint(0, 60)))]
+        bw = MM._BitWriter()
+        # reference: bit-at-a-time with identical stuffing/padding rules
+        ref, acc, n = bytearray(), 0, 0
+        for code, k in ops:
+            bw.write(code, k)
+            for i in range(k - 1, -1, -1):
+                acc = (acc << 1) | ((code >> i) & 1)
+                n += 1
+                if n == 8:
+                    ref.append(acc)
+                    if acc == 0xFF:
+                        ref.append(0x00)
+                    acc = n = 0
+        if n:
+            acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+            ref.append(acc)
+            if acc == 0xFF:
+                ref.append(0x00)
+        assert bw.flush() == bytes(ref)
+
+
+def test_flac_bits_matches_per_bit_reference():
+    """_FlacBits (slice-based) must agree with a per-bit reference on
+    bits/unary/align/position over random data and op sequences."""
+    import random
+
+    class Ref:
+        def __init__(self, data):
+            self.data, self.i, self.n = data, 0, 0
+
+        def bit(self):
+            if self.i >= len(self.data):
+                raise ValueError("exhausted")
+            b = (self.data[self.i] >> (7 - self.n)) & 1
+            self.n += 1
+            if self.n == 8:
+                self.n, self.i = 0, self.i + 1
+            return b
+
+        def bits(self, k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+        def unary(self):
+            q = 0
+            while self.bit() == 0:
+                q += 1
+            return q
+
+        def align(self):
+            if self.n:
+                self.n, self.i = 0, self.i + 1
+
+    for seed in range(40):
+        rng2 = random.Random(seed)
+        data = bytes(rng2.randrange(256) for _ in range(rng2.randint(1, 80)))
+        ops = [(rng2.randrange(3), rng2.randint(0, 12)) for _ in range(300)]
+        br, ref = MM._FlacBits(data), Ref(data)
+        for op, k in ops:
+            ra = rb = ("none",)
+            try:
+                if op == 0:
+                    ra = ("bits", br.bits(k))
+                elif op == 1:
+                    ra = ("unary", br.unary())
+                else:
+                    br.align()
+                    ra = ("align", br.i, br.n)
+            except ValueError:
+                ra = ("raise",)
+            try:
+                if op == 0:
+                    rb = ("bits", ref.bits(k))
+                elif op == 1:
+                    rb = ("unary", ref.unary())
+                else:
+                    ref.align()
+                    rb = ("align", ref.i, ref.n)
+            except ValueError:
+                rb = ("raise",)
+            assert ra == rb
+            assert (br.i, br.n) == (ref.i, ref.n) or ra == ("raise",)
+            if ra == ("raise",):
+                break
+
+
+def test_jpeg_restart_desync_returns_none():
+    """A bit-flip that desyncs one restart interval (pinned fixture)
+    must fail the decode — the accumulator reader may be holding whole
+    buffered bytes at the RST boundary, and silently resyncing there
+    would accept corrupt pixel data a byte-at-a-time reader rejects."""
+    import pathlib
+
+    blob = (pathlib.Path(__file__).parent / "fixtures" / "fuzz" /
+            "jpeg_restart_desync_bitflip.bin").read_bytes()
+    assert MM.parse_jpeg_pixels(blob) is None
+
+
+def test_gif_lzw_resource_guards():
+    """The corrupt-code-size bomb (pinned fixture; 41 GB RSS before the
+    guard) must be rejected, and max_out must bound decode output."""
+    import pathlib
+
+    bomb = (pathlib.Path(__file__).parent / "fixtures" / "fuzz" /
+            "gif_lzw_codesize_bomb.bin").read_bytes()
+    assert MM.parse_gif_pixels(bomb) is None
+    with pytest.raises(ValueError):
+        MM._gif_lzw_decode(13, b"\x00" * 8)
+    # a valid stream decodes identically with and without the cap
+    idx = [i % 4 for i in range(60)]
+    enc = MM.gif_lzw_encode(2, idx)
+    assert MM._gif_lzw_decode(2, enc)[:60] == idx
+    assert MM._gif_lzw_decode(2, enc, max_out=60)[:60] == idx
+
+
+def test_huff_lut16_cache_bounded():
+    """Corrupt corpora mint a new DHT per blob; the module LUT cache
+    must stay bounded (cleared past 32 tables, each build 65k slots)."""
+    for k in range(80):
+        tab = {(0, 1): k % 251, (2, 2): (k + 1) % 251, (3, 2): (k + 2) % 251}
+        lut = MM._huff_lut16(tab)
+        assert lut[(0 << 15) | 0x7FFF] == ((k % 251) << 5) | 1
+        assert len(MM._LUT16_CACHE) <= 32
