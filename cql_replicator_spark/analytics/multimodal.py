@@ -1736,47 +1736,51 @@ class _BitReader:
         self.i += 2
 
 
-_LUT16_CACHE: dict[tuple, list[int]] = {}
+_DHT_CACHE: dict[bytes, tuple[dict, list[int]]] = {}
 
 
-def _huff_lut16(table: dict) -> list[int]:
-    """Full-width (16-bit) Huffman prefix LUT for ``table``
-    ({(code, len): sym}): entry = (sym << 5) | len, 0 = no code with
-    that prefix. Cached at module level keyed by the table CONTENTS —
-    every image written by one encoder shares its DHT, so in a scan
-    task the 65536-entry build happens once per worker process, not
-    once per image. The cache is cleared past 32 distinct tables so a
-    corrupt corpus (each bit-flipped DHT is a new key) cannot grow it
-    without bound."""
-    key = tuple(sorted((k[0], k[1], v) for k, v in table.items()
-                       if isinstance(k, tuple)))
-    lut = _LUT16_CACHE.get(key)
-    if lut is None:
-        if len(_LUT16_CACHE) >= 32:
-            _LUT16_CACHE.clear()
+def _dht_table(seg: bytes, bits: list[int],
+               vals: list[int]) -> tuple[dict, list[int]]:
+    """Parsed Huffman table for one DHT entry: ({(code, len): sym},
+    16-bit prefix LUT with entries (sym << 5) | len, 0 = no code with
+    that prefix). Cached at module level keyed by the RAW 17+nv DHT
+    segment bytes — every image written by one encoder shares its
+    DHT, so in a scan task both the canonical-code build and the
+    65536-entry LUT fill happen once per worker process, not once per
+    image (the per-image build measured as the dominant cost on tiny
+    images). Cleared past 32 distinct segments so a corrupt corpus
+    (each bit-flipped DHT is a new key) cannot grow it without
+    bound."""
+    cached = _DHT_CACHE.get(seg)
+    if cached is None:
+        if len(_DHT_CACHE) >= 32:
+            _DHT_CACHE.clear()
+        tab = {(c, ln): sym
+               for sym, (c, ln) in _canonical_codes(bits, vals).items()}
         lut = [0] * 65536
-        for code, ln, sym in key:
-            if ln <= 16:
+        for (code, ln), sym in tab.items():
+            # an over-subscribed corrupt DHT can assign code >= 2^len;
+            # such codes are unreachable by any bit pattern (the walk
+            # can never produce them), so skip, don't overflow the LUT
+            if ln <= 16 and code < (1 << ln):
                 base = code << (16 - ln)
                 for s in range(1 << (16 - ln)):
                     lut[base | s] = (sym << 5) | ln
-        _LUT16_CACHE[key] = lut
-    return lut
+        cached = (tab, lut)
+        _DHT_CACHE[seg] = cached
+    return cached
 
 
-def _huff_decode(br: _BitReader, table: dict) -> int:
-    """Decode one Huffman symbol from ``table`` ({(code, len): sym}).
+def _huff_decode(br: _BitReader, tablut: tuple[dict, list[int]]) -> int:
+    """Decode one Huffman symbol from a ``_dht_table`` pair.
 
-    Fast path: the cached 16-bit prefix LUT resolves every valid code
-    in one peek + one take. Only invalid prefixes (corrupt stream)
-    fall back to the canonical per-bit walk, which raises exactly
-    what the walk alone would. The LUT is prefix-free by
-    construction, and a short-of-bits take raises the same ValueError
-    the per-bit walk would."""
-    lut = table.get(None)
-    if lut is None:
-        lut = _huff_lut16(table)
-        table[None] = lut
+    Fast path: the 16-bit prefix LUT resolves every valid code in one
+    peek + one take. Only invalid prefixes (corrupt stream) fall back
+    to the canonical per-bit walk, which raises exactly what the walk
+    alone would. The LUT is prefix-free by construction, and a
+    short-of-bits take raises the same ValueError the per-bit walk
+    would."""
+    tab, lut = tablut
     hit = lut[br.peek(16)]
     if hit:
         br.take(hit & 31)
@@ -1785,8 +1789,8 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
     while ln < 16:
         code = (code << 1) | br.take(1)
         ln += 1
-        if (code, ln) in table:
-            return table[(code, ln)]
+        if (code, ln) in tab:
+            return tab[(code, ln)]
     raise ValueError("invalid Huffman code")
 
 
@@ -1955,9 +1959,8 @@ def parse_jpeg_pixels(data: bytes, _planes: bool = False) -> dict | None:
                 if len(bits) < 16 or len(body) < j + 17 + nv:
                     return None  # truncated DHT
                 vals = list(body[j + 17:j + 17 + nv])
-                codes = _canonical_codes(bits, vals)
-                huff[(tc, th)] = {(c, ln): sym
-                                  for sym, (c, ln) in codes.items()}
+                huff[(tc, th)] = _dht_table(
+                    bytes(body[j:j + 17 + nv]), bits, vals)
                 j += 17 + nv
         elif marker == 0xDD:
             if len(body) < 2:
@@ -2013,12 +2016,9 @@ def parse_jpeg_pixels(data: bytes, _planes: bool = False) -> dict | None:
     kits = []
     for cid, hs, vs, tq in comps:
         td, ta = scan[cid]
-        kit = []
-        for tab in (huff[(0, td)], huff[(1, ta)]):
-            kit.append(_huff_lut16(tab))
-            kit.append(tab)
-        kit.append(quants[tq])
-        kits.append(kit)
+        tab_dc, lut_dc = huff[(0, td)]
+        tab_ac, lut_ac = huff[(1, ta)]
+        kits.append((lut_dc, tab_dc, lut_ac, tab_ac, quants[tq]))
     # The entropy loop keeps the bit accumulator in LOCAL variables
     # (pos/acc/nbits/marker) instead of a _BitReader: at ~6 bits per
     # coefficient, per-symbol method dispatch dominates the decode
@@ -2300,9 +2300,8 @@ def _parse_progressive_jpeg(data: bytes, _planes: bool = False) -> dict | None:
                 if len(bits) < 16 or len(body) < j + 17 + nv:
                     return None
                 vals = list(body[j + 17:j + 17 + nv])
-                codes = _canonical_codes(bits, vals)
-                huff[(tc, th)] = {(c, ln): sym
-                                  for sym, (c, ln) in codes.items()}
+                huff[(tc, th)] = _dht_table(
+                    bytes(body[j:j + 17 + nv]), bits, vals)
                 j += 17 + nv
         elif marker == 0xDD:
             if len(body) < 2:

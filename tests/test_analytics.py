@@ -3610,11 +3610,15 @@ def test_gif_lzw_resource_guards():
     assert MM._gif_lzw_decode(2, enc, max_out=60)[:60] == idx
 
 
-def test_huff_lut16_cache_bounded():
-    """Corrupt corpora mint a new DHT per blob; the module LUT cache
-    must stay bounded (cleared past 32 tables, each build 65k slots)."""
+def test_dht_table_cache_bounded():
+    """Corrupt corpora mint a new DHT per blob; the module table cache
+    must stay bounded (cleared past 32 segments, each build a dict +
+    65k-slot LUT)."""
     for k in range(80):
-        tab = {(0, 1): k % 251, (2, 2): (k + 1) % 251, (3, 2): (k + 2) % 251}
-        lut = MM._huff_lut16(tab)
-        assert lut[(0 << 15) | 0x7FFF] == ((k % 251) << 5) | 1
-        assert len(MM._LUT16_CACHE) <= 32
+        bits = [1, 2] + [0] * 14           # one 1-bit code, two 2-bit
+        vals = [k % 251, (k + 1) % 251, (k + 2) % 251]
+        seg = bytes([0x10]) + bytes(bits) + bytes(vals)
+        tab, lut = MM._dht_table(seg, bits, vals)
+        assert tab[(0, 1)] == k % 251
+        assert lut[0x7FFF] == ((k % 251) << 5) | 1
+        assert len(MM._DHT_CACHE) <= 32
