@@ -1659,7 +1659,8 @@ class _BitReader:
     (RSTn, or a stray marker = corrupt stream) are only observed when
     bits beyond them are actually consumed — the same laziness as a
     byte-at-a-time reader, but magnitude bits arrive in one ``take``
-    and Huffman decode can ``peek`` 8 bits for a prefix-table hit."""
+    and Huffman decode can ``peek`` the full 16-bit code width for a
+    single prefix-LUT hit."""
 
     def __init__(self, data: bytes):
         self.data = data
@@ -1737,10 +1738,11 @@ class _BitReader:
 
 
 _DHT_CACHE: dict[bytes, tuple[dict, list[int]]] = {}
+_DHT_SEEN: dict[bytes, dict] = {}
 
 
 def _dht_table(seg: bytes, bits: list[int],
-               vals: list[int]) -> tuple[dict, list[int]]:
+               vals: list[int]) -> tuple[dict, list[int] | None]:
     """Parsed Huffman table for one DHT entry: ({(code, len): sym},
     16-bit prefix LUT with entries (sym << 5) | len, 0 = no code with
     that prefix). Cached at module level keyed by the RAW 17+nv DHT
@@ -1748,15 +1750,29 @@ def _dht_table(seg: bytes, bits: list[int],
     DHT, so in a scan task both the canonical-code build and the
     65536-entry LUT fill happen once per worker process, not once per
     image (the per-image build measured as the dominant cost on tiny
-    images). Cleared past 32 distinct segments so a corrupt corpus
-    (each bit-flipped DHT is a new key) cannot grow it without
-    bound."""
+    images).
+
+    The LUT is only built on the SECOND sighting of a segment: a
+    corpus of optimize-mode JPEGs (one unique DHT per image) or a
+    corrupt corpus (every bit-flipped DHT is a new key) then never
+    pays the 65k fill — decode falls back to the per-bit walk, the
+    pre-LUT cost. Both tiers are bounded (cleared at 32 cached /
+    512 seen segments) so neither can grow without bound."""
     cached = _DHT_CACHE.get(seg)
     if cached is None:
+        seen = _DHT_SEEN.pop(seg, None)
+        if seen is None:
+            # first sighting: parse the table, skip the LUT fill
+            if len(_DHT_SEEN) >= 512:
+                _DHT_SEEN.clear()
+            tab = {(c, ln): sym
+                   for sym, (c, ln) in _canonical_codes(bits,
+                                                        vals).items()}
+            _DHT_SEEN[seg] = tab
+            return (tab, None)
         if len(_DHT_CACHE) >= 32:
             _DHT_CACHE.clear()
-        tab = {(c, ln): sym
-               for sym, (c, ln) in _canonical_codes(bits, vals).items()}
+        tab = seen
         lut = [0] * 65536
         for (code, ln), sym in tab.items():
             # an over-subscribed corrupt DHT can assign code >= 2^len;
@@ -1781,10 +1797,11 @@ def _huff_decode(br: _BitReader, tablut: tuple[dict, list[int]]) -> int:
     short-of-bits take raises the same ValueError the per-bit walk
     would."""
     tab, lut = tablut
-    hit = lut[br.peek(16)]
-    if hit:
-        br.take(hit & 31)
-        return hit >> 5
+    if lut is not None:
+        hit = lut[br.peek(16)]
+        if hit:
+            br.take(hit & 31)
+            return hit >> 5
     code, ln = 0, 0
     while ln < 16:
         code = (code << 1) | br.take(1)
@@ -2075,7 +2092,9 @@ def parse_jpeg_pixels(data: bytes, _planes: bool = False) -> dict | None:
                                         pos += 1
                                     acc = (acc << 8) | bb
                                     nbits += 8
-                                if nbits >= 16:
+                                if lut is None:  # first-sighting DHT
+                                    hit = 0
+                                elif nbits >= 16:
                                     hit = lut[(acc >> (nbits - 16))
                                               & 0xFFFF]
                                 else:
@@ -3858,7 +3877,7 @@ def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> list[int]:
         # the generic coefficient sum spent most of the decode in
         # genexpr dispatch)
         if order == 0:
-            out = res if not out else out + res
+            out = res  # no warmup samples at order 0
         elif order == 1:
             prev = out[-1]
             for r in res:

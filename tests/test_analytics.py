@@ -3611,14 +3611,19 @@ def test_gif_lzw_resource_guards():
 
 
 def test_dht_table_cache_bounded():
-    """Corrupt corpora mint a new DHT per blob; the module table cache
-    must stay bounded (cleared past 32 segments, each build a dict +
-    65k-slot LUT)."""
-    for k in range(80):
+    """Corpora that mint a new DHT per blob (optimize-mode encoders,
+    corrupt streams) must never pay the 65k LUT fill: the LUT builds
+    only on a segment's SECOND sighting, and both cache tiers stay
+    bounded."""
+    for k in range(600):
         bits = [1, 2] + [0] * 14           # one 1-bit code, two 2-bit
         vals = [k % 251, (k + 1) % 251, (k + 2) % 251]
-        seg = bytes([0x10]) + bytes(bits) + bytes(vals)
+        seg = bytes([k % 4]) + bytes(bits) + bytes(vals) + bytes([k // 251])
         tab, lut = MM._dht_table(seg, bits, vals)
         assert tab[(0, 1)] == k % 251
-        assert lut[0x7FFF] == ((k % 251) << 5) | 1
+        assert lut is None                 # first sighting: no LUT
+        tab2, lut2 = MM._dht_table(seg, bits, vals)
+        assert tab2 is tab                 # same parsed table promoted
+        assert lut2[0x7FFF] == ((k % 251) << 5) | 1
         assert len(MM._DHT_CACHE) <= 32
+        assert len(MM._DHT_SEEN) <= 512
