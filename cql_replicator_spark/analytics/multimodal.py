@@ -1574,15 +1574,32 @@ def _fdct_quant(block) -> list[int]:
     return [int(zz[r, c]) for r, c in _ZZ]
 
 
+_IDCT_DC_CACHE: dict[int, "object"] = {}
+
+
 def _idct_dequant(zz: list[int]):
     import numpy as np
 
+    # DC-only blocks (flat regions; EVERY block of a solid image) all
+    # produce the same raster for the same DC value — reuse the exact
+    # computed array instead of redoing the matrix IDCT. Callers only
+    # ever copy it (slice assignment into planes), never mutate it.
+    dc_only = not any(zz[1:])
+    if dc_only:
+        cached = _IDCT_DC_CACHE.get(zz[0])
+        if cached is not None:
+            return cached
     C = np.asarray(_DCT)
     coef = np.zeros((8, 8))
     for k, (r, c) in enumerate(_ZZ):
         coef[r, c] = zz[k]
     s = C.T @ coef @ C
-    return np.clip(np.rint(s) + 128, 0, 255).astype(np.int64)
+    out = np.clip(np.rint(s) + 128, 0, 255).astype(np.int64)
+    if dc_only:
+        if len(_IDCT_DC_CACHE) >= 4096:
+            _IDCT_DC_CACHE.clear()
+        _IDCT_DC_CACHE[zz[0]] = out
+    return out
 
 
 # Huffman tables the ENCODER emits (and any spec decoder can read from
