@@ -3625,17 +3625,43 @@ def parse_ima_adpcm_samples(data: bytes) -> dict | None:
             idxs.append(index)
             produced.append(1)
         data_part = block[4 * ch:]
+        # the nibble state machine, inlined with local variables —
+        # _ima_decode_nibble per nibble plus builtin max/min were the
+        # bulk of decode time (A/B'd, aggregates identical)
+        steps, itab = _IMA_STEPS, _IMA_INDEX
         for g in range(0, len(data_part), 4):
             c = (g // 4) % ch
+            pred, index, prod = preds[c], idxs[c], produced[c]
             for byte in data_part[g:g + 4]:
                 for n in (byte & 0x0F, byte >> 4):
-                    if produced[c] >= expect:
+                    if prod >= expect:
                         break
-                    preds[c], idxs[c] = _ima_decode_nibble(
-                        n, preds[c], idxs[c])
-                    sum_sq += preds[c] * preds[c]
-                    peak = max(peak, abs(preds[c]))
-                    produced[c] += 1
+                    step = steps[index]
+                    diff = step >> 3
+                    if n & 1:
+                        diff += step >> 2
+                    if n & 2:
+                        diff += step >> 1
+                    if n & 4:
+                        diff += step
+                    pred = pred - diff if n & 8 else pred + diff
+                    if pred < -32768:
+                        pred = -32768
+                    elif pred > 32767:
+                        pred = 32767
+                    index += itab[n & 7]
+                    if index < 0:
+                        index = 0
+                    elif index > 88:
+                        index = 88
+                    sum_sq += pred * pred
+                    if pred >= 0:
+                        if pred > peak:
+                            peak = pred
+                    elif -pred > peak:
+                        peak = -pred
+                    prod += 1
+            preds[c], idxs[c], produced[c] = pred, index, prod
         n_samples += sum(produced)
     return {"channels": ch, "sample_rate": rate, "n_samples": n_samples,
             "sum_sq": sum_sq, "peak": peak}
