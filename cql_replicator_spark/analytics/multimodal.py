@@ -977,6 +977,9 @@ def _ulaw_to_linear(u: int) -> int:
     return -v if sign else v
 
 
+_G711_LUTS = None
+
+
 def parse_wav_samples(data: bytes) -> dict | None:
     """Decode WAV samples to exact integer aggregates: {channels,
     sample_rate, n_samples, sum_sq, peak} (n_samples counts frames x
@@ -1014,14 +1017,21 @@ def parse_wav_samples(data: bytes) -> dict | None:
     if fmt_tag == 0x11:
         return parse_ima_adpcm_samples(data)
     if fmt_tag in (6, 7) and bits == 8:
-        expand = _alaw_to_linear if fmt_tag == 6 else _ulaw_to_linear
-        sum_sq = 0
-        peak = 0
-        for b in body:
-            s = expand(b)
-            sum_sq += s * s
-            if abs(s) > peak:
-                peak = abs(s)
+        import numpy as np
+
+        # one-byte codes expand through a 256-entry table — built once
+        # from the scalar spec functions, applied as a vectorized take
+        global _G711_LUTS
+        if _G711_LUTS is None:
+            _G711_LUTS = {
+                6: np.asarray([_alaw_to_linear(i) for i in range(256)],
+                              dtype=np.int64),
+                7: np.asarray([_ulaw_to_linear(i) for i in range(256)],
+                              dtype=np.int64),
+            }
+        s = _G711_LUTS[fmt_tag][np.frombuffer(body, np.uint8)]
+        sum_sq = int((s * s).sum(dtype=np.int64)) if len(s) else 0
+        peak = int(np.abs(s).max()) if len(s) else 0
         return {"channels": channels, "sample_rate": rate,
                 "n_samples": len(body), "sum_sq": sum_sq, "peak": peak}
     if fmt_tag != 1 or bits not in (8, 16, 24, 32):
