@@ -802,6 +802,8 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     Paeth). raw = inflated IDAT: height rows of 1 filter byte +
     width*bpp sample bytes. Sequential by construction — each byte
     depends on left/up/up-left neighbours."""
+    import numpy as np
+
     stride = width * bpp
     out = bytearray(height * stride)
     pos = 0
@@ -810,6 +812,27 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
         pos += 1
         row_start = y * stride
         prev_start = row_start - stride
+        # whole-row vector paths for the filters with no intra-row
+        # nonlinearity (None; Up; Sub as a per-lane mod-256 prefix
+        # sum). Average/Paeth mix left+up through clamps/compares and
+        # stay on the per-byte loop. Byte-exact either way.
+        if ftype == 0:
+            out[row_start:row_start + stride] = raw[pos:pos + stride]
+            pos += stride
+            continue
+        if ftype == 2 and y > 0:
+            v = np.frombuffer(raw[pos:pos + stride], np.uint8)
+            p = np.frombuffer(bytes(out[prev_start:row_start]), np.uint8)
+            out[row_start:row_start + stride] = (v + p).tobytes()
+            pos += stride
+            continue
+        if ftype == 1 and stride % bpp == 0:
+            v = np.frombuffer(raw[pos:pos + stride], np.uint8) \
+                .astype(np.int64).reshape(-1, bpp)
+            r = (np.cumsum(v, axis=0) & 0xFF).astype(np.uint8)
+            out[row_start:row_start + stride] = r.tobytes()
+            pos += stride
+            continue
         for x in range(stride):
             v = raw[pos + x]
             a = out[row_start + x - bpp] if x >= bpp else 0
