@@ -1014,8 +1014,12 @@ def parse_wav_samples(data: bytes) -> dict | None:
     pure-arithmetic tables, and tag 0x11 (mono IMA ADPCM, delegated
     to parse_ima_adpcm_samples). Other encodings keep the
     decode_audio stub. 32-bit energy accumulates in Python ints
-    (s^2 reaches 2^62; a numpy int64 sum could wrap), the narrower
-    widths in vectorized int64."""
+    (s^2 reaches 2^62; a numpy int64 sum could wrap); 24-bit sums
+    int64 chunk partials into a Python int (s^2 reaches 2^46, so a
+    flat int64 sum wraps after ~2^17 full-scale samples — each
+    65536-sample chunk is bounded by 2^62); 8/16-bit stay in one
+    vectorized int64 sum (bounded by n * 2^30 < 2^63 for any
+    physically possible n)."""
     if data is None or len(data) < 12 or data[:4] != b"RIFF" \
             or data[8:12] != b"WAVE":
         return None
@@ -1078,6 +1082,15 @@ def parse_wav_samples(data: bytes) -> dict | None:
         sum_sq, peak = 0, 0
     elif bits == 32:
         sum_sq = sum(int(v) * int(v) for v in s)
+        peak = int(np.abs(s).max())
+    elif bits == 24:
+        # s^2 reaches 2^46, so a flat int64 sum wraps after ~2^17
+        # full-scale samples; 65536-sample chunk partials are each
+        # bounded by 2^62 and accumulate exactly in a Python int
+        sum_sq = 0
+        for i in range(0, n, 65536):
+            c = s[i:i + 65536]
+            sum_sq += int((c * c).sum(dtype=np.int64))
         peak = int(np.abs(s).max())
     else:
         sum_sq = int((s * s).sum(dtype=np.int64))
@@ -4396,8 +4409,11 @@ def parse_y4m_frames(data: bytes) -> dict | None:
                 div = (0, 0)
             else:
                 return None
-        if div[0] == 2 and (w % 2 or h % 2) and "420" in cs:
-            return None  # 4:2:0 needs even dims; spec-shaped reject
+        # a dimension must be divisible by its chroma divisor, or the
+        # floored plane size silently drops chroma columns/rows: 4:2:0
+        # needs both even, 4:2:2 needs even width
+        if (div[0] == 2 and w % 2) or (div[1] == 2 and h % 2):
+            return None
         ysz = w * h
         csz = 0 if div == (0, 0) else (w // div[0]) * (h // div[1])
         frames = []
@@ -4432,8 +4448,18 @@ def encode_y4m(width: int, height: int,
     raw planes. Any y4m-reading tool (ffmpeg, mjpegtools) sees a
     valid stream; exists to exercise the parser and the frame-stats
     lane."""
-    div = _Y4M_CHROMA_DIV[colorspace]
-    ysz, csz = width * height, (width // div[0]) * (height // div[1])
+    if colorspace == "mono":
+        div = None
+    else:
+        div = _Y4M_CHROMA_DIV.get(colorspace)
+        if div is None:
+            raise ValueError(f"unsupported y4m colorspace {colorspace!r}")
+        if (div[0] == 2 and width % 2) or (div[1] == 2 and height % 2):
+            raise ValueError(
+                f"C{colorspace} needs dims divisible by {div}; "
+                f"got {width}x{height}")
+    ysz = width * height
+    csz = 0 if div is None else (width // div[0]) * (height // div[1])
     head = (f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 "
             f"C{colorspace}\n").encode()
     out = bytearray(head)

@@ -73,9 +73,19 @@ class DeltaLogTable:
         for name in os.listdir(d):
             if name.endswith(".json"):
                 try:
-                    out.append(int(name[:-5]))
+                    v = int(name[:-5])
                 except ValueError:
                     continue
+                # a zero-length file is an in-progress (or crashed)
+                # O_EXCL claim whose content rename hasn't landed —
+                # readers treat it as not-yet-committed rather than
+                # corrupt; the committer reclaims it (single writer)
+                try:
+                    if os.path.getsize(os.path.join(d, name)) == 0:
+                        continue
+                except OSError:
+                    continue
+                out.append(v)
         return sorted(out)
 
     def latest_version(self) -> int | None:
@@ -171,6 +181,16 @@ class DeltaLogTable:
         actions.extend(adds)
 
         log_file = _log_path(self.path, version)
+        # reclaim a crashed claim: a zero-length version file is an
+        # O_EXCL create whose content rename never landed (process died
+        # mid-fallback). Under the class's single-writer contract no
+        # live committer can hold it, so remove it rather than wedging
+        # this version behind ConcurrentCommitError forever.
+        try:
+            if os.path.getsize(log_file) == 0:
+                os.unlink(log_file)
+        except OSError:
+            pass
         tmp = log_file + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             for a in actions:
@@ -185,8 +205,15 @@ class DeltaLogTable:
             except OSError:
                 # filesystem without hard links (some NFS/FUSE/object
                 # mounts): O_EXCL create is the same put-if-absent
-                with open(log_file, "x") as f, open(tmp) as src:
-                    f.write(src.read())
+                # CLAIM, but writing content through that fd would let
+                # a concurrent reader observe a partial commit. Claim
+                # with O_EXCL, then publish the full content with an
+                # atomic rename over the claim — readers see either an
+                # empty claim (tolerated as in-progress by _replay /
+                # versions) or the complete file, never a prefix.
+                fd = os.open(log_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                os.replace(tmp, log_file)
         except FileExistsError:
             # lost the race: the moved part files are unreachable from
             # any commit — remove them now instead of leaking until a
@@ -200,7 +227,10 @@ class DeltaLogTable:
                 f"version {version} already committed in {self.path}; "
                 f"re-read and re-commit") from None
         finally:
-            os.unlink(tmp)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass  # the O_EXCL fallback already renamed tmp away
         return version
 
     # -- read -------------------------------------------------------------

@@ -67,9 +67,18 @@ def statement_executor(options: dict):
     os.makedirs(out_dir, exist_ok=True)
 
     def execute(statements: list[str]) -> None:
-        fname = os.path.join(out_dir, f"task-{uuid.uuid4().hex}.log")
-        with open(fname, "a") as f:
+        # Publish atomically: the streaming reader's latestOffset()
+        # globs *.log and, because offsets are file names, never
+        # re-reads a file it has already planned — a *.log that
+        # becomes visible before its content is complete would be
+        # read partial and silently dropped. Writing to a dotted
+        # .tmp name (excluded from the glob) and os.replace-ing into
+        # place makes every *.log fully-written by construction.
+        base = f"task-{uuid.uuid4().hex}.log"
+        tmp = os.path.join(out_dir, f".{base}.tmp")
+        with open(tmp, "w") as f:
             f.write("\n".join(statements) + "\n")
+        os.replace(tmp, os.path.join(out_dir, base))
 
     return execute
 
@@ -290,9 +299,13 @@ def _read_log_file(path, fields, ts_col, ttl_col):
 class CqlStatementLogStreamReader(DataSourceStreamReader):
     """``spark.readStream.format("cql")`` — the statement log as a
     STREAMING source: the sink's append-only task files become a CDC
-    feed. Offsets are the sorted set of fully-written log files, so a
-    micro-batch is exactly the files that appeared since the last
-    batch (one InputPartition each — write parallelism becomes batch
+    feed. Offsets are the sorted set of fully-written log files —
+    an invariant the sink ENFORCES by writing each task file to a
+    dotted .tmp name and os.replace-ing it into its *.log name only
+    when complete (a file planned between open and close would
+    otherwise be read partial and, offsets being file names, never
+    re-read) — so a micro-batch is exactly the files that appeared
+    since the last batch (one InputPartition each — write parallelism becomes batch
     scan parallelism), replays are idempotent across restarts from
     the checkpointed offset, and commit() is a no-op because log
     files are immutable once written. This is the engine's

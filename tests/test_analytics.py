@@ -1217,6 +1217,16 @@ def test_wav_pcm_bit_widths():
     assert d32["n_samples"] == 3 and d32["peak"] == 1 << 31
     assert d32["sum_sq"] == 2 * (1 << 62) + 49 > (1 << 63) - 1
 
+    # 24-bit bulk: 300k full-scale samples wrap a flat int64 sum
+    # (s^2 = 2^46 each; wraps after ~2^17 samples) — the chunked
+    # Python-int accumulation must return the exact 2.1e19 energy,
+    # not the wrapped 2663879179589648384
+    n_bulk = 300_000
+    body_bulk = ((-(1 << 23)) & 0xFFFFFF).to_bytes(3, "little") * n_bulk
+    d24b = MM.parse_wav_samples(wav(24, body_bulk))
+    assert d24b["n_samples"] == n_bulk
+    assert d24b["sum_sq"] == n_bulk * (1 << 46) == 21110623253299200000
+
     # trailing partial frame is clipped, empty data total
     assert MM.parse_wav_samples(wav(24, b"\x01\x02"))["n_samples"] == 0
     assert MM.parse_wav_samples(wav(16, b""))["sum_sq"] == 0
@@ -1302,6 +1312,15 @@ def test_y4m_parse_handwritten_fixture():
         b"YUV4MPEG2 W4 H2 C410\nFRAME\n" + bytes(12)) is None
     assert MM.parse_y4m_frames(
         b"YUV4MPEG2 W4 H2 C420jpeg\nFRAMX\n" + bytes(12)) is None
+    # odd width under 4:2:2 would silently floor the chroma width
+    # (dropping the last column) — spec-shaped reject, like 4:2:0
+    assert MM.parse_y4m_frames(
+        b"YUV4MPEG2 W3 H2 C422\nFRAME\n" + bytes(6) + bytes(2) + bytes(2)
+    ) is None
+    # odd HEIGHT under 4:2:2 is fine (chroma is full-height)
+    d422odd = MM.parse_y4m_frames(
+        b"YUV4MPEG2 W4 H3 C422\nFRAME\n" + bytes(12) + bytes(6) + bytes(6))
+    assert d422odd and len(d422odd["frames"][0][1]) == 6
 
 
 def test_y4m_roundtrip_and_fuzz_hunt():
@@ -1310,15 +1329,24 @@ def test_y4m_roundtrip_and_fuzz_hunt():
     and single-bit flips of a valid stream must never raise."""
     import random
 
-    for cs in ("420jpeg", "422", "444"):
-        div = MM._Y4M_CHROMA_DIV[cs]
+    for cs in ("420jpeg", "422", "444", "mono"):
+        div = MM._Y4M_CHROMA_DIV.get(cs, (0, 0))
         w, h = 8, 6
-        csz = (w // div[0]) * (h // div[1])
+        csz = 0 if div == (0, 0) else (w // div[0]) * (h // div[1])
         frames = [(bytes([40 + i]) * (w * h), bytes([80 + i]) * csz,
                    bytes([120 + i]) * csz) for i in range(3)]
         d = MM.parse_y4m_frames(MM.encode_y4m(w, h, frames,
                                               colorspace=cs))
         assert d is not None and d["frames"] == frames, cs
+
+    # encoder rejects geometry the parser would reject: odd width
+    # under 4:2:2 / 4:2:0, and unknown colorspaces raise ValueError
+    # (not KeyError) with a message naming the problem
+    with pytest.raises(ValueError, match="divisible"):
+        MM.encode_y4m(3, 2, [(bytes(6), bytes(2), bytes(2))],
+                      colorspace="422")
+    with pytest.raises(ValueError, match="colorspace"):
+        MM.encode_y4m(4, 2, [(bytes(8), b"", b"")], colorspace="410")
 
     rng = random.Random(13)
     valid = MM.encode_y4m(

@@ -245,6 +245,29 @@ def test_commit_on_linkless_filesystem_falls_back(spark, tbl, monkeypatch):
         tbl.commit_overwrite(_df(spark, [(3, 30)]))
 
 
+def test_crashed_empty_claim_recovered_not_wedged(spark, tbl, monkeypatch):
+    """A zero-length version file is an O_EXCL claim whose content
+    rename never landed (crash mid-fallback). Readers must treat it as
+    not-yet-committed — latest_version/read ignore it — and the next
+    commit must reclaim the version instead of raising
+    ConcurrentCommitError forever (the wedge the non-atomic fallback
+    used to allow)."""
+    tbl.commit_overwrite(_df(spark, [(1, 10)]))
+    # simulate the crash: claim exists, content never published
+    crashed = os.path.join(tbl.path, "_delta_log",
+                           "00000000000000000001.json")
+    open(crashed, "w").close()
+    assert tbl.latest_version() == 0
+    assert sorted(r.pk for r in tbl.read(spark).collect()) == [1]
+    # retry reclaims version 1 — through the linkless fallback too
+    monkeypatch.setattr(
+        os, "link",
+        lambda s, d: (_ for _ in ()).throw(PermissionError("no links")))
+    assert tbl.commit_overwrite(_df(spark, [(2, 20)])) == 1
+    assert os.path.getsize(crashed) > 0
+    assert sorted(r.pk for r in tbl.read(spark).collect()) == [2]
+
+
 def test_duckdb_independent_log_replay(spark, tbl):
     """Closest-available cross-reader check (DuckDB's delta extension
     needs a network download; delta-rs is absent): replay the

@@ -549,6 +549,118 @@ def test_cql_datasource_stream_read_incremental(spark, tmp_path):
     assert spark.read.parquet(out).count() == 5
 
 
+def test_cql_sink_publishes_log_files_atomically(tmp_path):
+    """The stream reader's offsets are file NAMES, so a *.log that
+    becomes visible before its content is complete would be planned
+    partial and never re-read. The executor must therefore publish
+    atomically: no moment where a *.log exists with partial content.
+    Pin it by (a) verifying in-flight writes go to a dotted .tmp name
+    the readers' globs exclude, and (b) intercepting the rename to
+    observe the invariant at publish time."""
+    from cql_replicator_spark.sinks.datasource import (
+        CqlStatementLogStreamReader, statement_executor)
+
+    out = str(tmp_path / "log")
+    execute = statement_executor({"path": out})
+
+    observed = []
+    real_replace = os.replace
+
+    def spying_replace(src, dst):
+        # at the instant of publish: source is complete, the dir has
+        # no visible *.log yet, and the in-flight name is excluded
+        # from the readers' *.log glob
+        observed.append((os.path.basename(src), os.path.basename(dst),
+                         open(src).read(),
+                         [n for n in os.listdir(out)
+                          if n.endswith(".log")]))
+        real_replace(src, dst)
+
+    os.replace = spying_replace
+    try:
+        execute(["INSERT INTO ks.t JSON '{\"id\":1}'"])
+    finally:
+        os.replace = real_replace
+    (src_name, dst_name, content, visible_at_publish), = observed
+    assert src_name.startswith(".") and src_name.endswith(".tmp")
+    assert dst_name.endswith(".log") and not dst_name.startswith(".")
+    assert content == "INSERT INTO ks.t JSON '{\"id\":1}'\n"
+    assert visible_at_publish == []
+
+    # and a straggler .tmp (crashed task) is invisible to the stream
+    # reader's offset glob and to the batch reader's partition glob
+    open(os.path.join(out, ".task-dead.log.tmp"), "w").write("PARTIAL")
+
+    class _Schema:
+        fields = []
+
+    reader = CqlStatementLogStreamReader({"path": out}, _Schema())
+    files = reader.latestOffset()["files"]
+    assert len(files) == 1 and files[0].endswith(".log")
+
+
+def test_cql_stream_source_crash_between_batches_exactly_once(tmp_path):
+    """Crash-and-resume property for the streaming source, driven at
+    the DataSourceStreamReader API level exactly as the engine does:
+    plan a batch (latestOffset/partitions/read), 'crash' by discarding
+    the reader, append new log files, build a fresh reader and resume
+    from the checkpointed offset dict. Every file's rows must be
+    delivered exactly once across the resumed timeline, and replaying
+    an unacknowledged batch from the same offsets must return the
+    identical rows (idempotent redelivery — the ledger-gate contract
+    K:1391-1476 the checkpointed offsets stand in for)."""
+    from cql_replicator_spark.sinks.datasource import (
+        CqlStatementLogStreamReader, statement_executor)
+
+    out = str(tmp_path / "log")
+    execute = statement_executor({"path": out})
+
+    class _Schema:
+        fields = []
+
+    def new_reader():
+        r = CqlStatementLogStreamReader({"path": out}, _Schema())
+        r.fields = [("id", "bigint")]
+        return r
+
+    def run_batch(reader, start):
+        end = reader.latestOffset()
+        rows = []
+        for part in reader.partitions(start, end):
+            if part.path is not None:
+                rows += list(reader.read(part))
+        return end, rows
+
+    execute(['INSERT INTO ks.t JSON \'{"id":1}\''])
+    execute(['INSERT INTO ks.t JSON \'{"id":2}\''])
+    r1 = new_reader()
+    off1, batch1 = run_batch(r1, r1.initialOffset())
+    assert sorted(v for (v,) in batch1) == [1, 2]
+
+    # crash after the checkpoint recorded off1; new files arrive while
+    # down; a FRESH reader resumes from the persisted offset
+    del r1
+    execute(['INSERT INTO ks.t JSON \'{"id":3}\''])
+    execute(['INSERT INTO ks.t JSON \'{"id":4}\''])
+    r2 = new_reader()
+    off2, batch2 = run_batch(r2, json.loads(json.dumps(off1)))
+    assert sorted(v for (v,) in batch2) == [3, 4], "no loss, no dup"
+
+    # crash BEFORE batch2's commit: the engine replays the same
+    # (start, end) range on restart — redelivery must be identical
+    r3 = new_reader()
+    replay_rows = []
+    for part in r3.partitions(json.loads(json.dumps(off1)),
+                              json.loads(json.dumps(off2))):
+        if part.path is not None:
+            replay_rows += list(r3.read(part))
+    assert sorted(replay_rows) == sorted(batch2)
+
+    # idle resume: nothing new, nothing delivered
+    off3, batch3 = run_batch(r3, off2)
+    assert batch3 == [] and off3 == off2
+
+
 def test_cql_datasource_delete_types(spark, tmp_path):
     """Delete path renders each PK with its declared CQL type from the
     pk_types option; without it, runtime inference must at least get
