@@ -196,6 +196,7 @@ HEADLINE = [
     "multimodal_adpcm_audio_decode",
     "multimodal_mjpeg_frame_sample",
     "similarity_pq_recall",
+    "similarity_ivfpq_recall",
     "multimodal_progressive_jpeg_decode",
     "multimodal_flac_audio_decode",
     "source_statementlog_roundtrip",

@@ -1341,11 +1341,34 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything else stalest-evidence-first. tests/test_oracle.py asserts the
 # computed order actually has this shape.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r7: new registrations for the r6 pytest-only tiers (VERDICT item
-    # 2) plus the two implementation-touched queries. 8 touched + the
-    # 13 r2-stale + 29 oldest r3 rows fill the ~50-row window; every
-    # other name falls through to the evidence-based stalest-first
-    # ordering.
+    # r8: the five queries whose implementations the advisor-fix sweep
+    # touched plus one new registration (the last pytest-only
+    # query-shaped operator, VERDICT r7 item 2). 6 here + the 22
+    # r3-stale rows (17 TPC-H + similarity/sketch tail, VERDICT r7
+    # item 1) + the oldest r4 rows fill the ~50-row window via the
+    # evidence-based stalest-first fallback.
+    "multimodal_wav_pcm_decode",     # touched: 24-bit sum_sq now sums
+                                     # int64 chunk partials into a
+                                     # Python int (overflow fix)
+    "multimodal_y4m_pixel_decode",   # touched: odd-width 4:2:2 reject
+                                     # + mono/ValueError encode path
+    "snapshot_time_travel",          # touched: dlog linkless fallback
+                                     # publishes via atomic rename;
+                                     # empty claims recovered
+    "source_statementlog_roundtrip", # touched: sink log files publish
+                                     # via .tmp + os.replace
+    "source_statementlog_stream",    # touched: same publish-atomicity
+                                     # change feeds its offsets
+    "similarity_ivfpq_recall",       # new: composed IVF-PQ search
+                                     # (coarse quantizer + nprobe
+                                     # restriction + integer ADC)
+                                     # recall@5 vs exact
+]
+
+_TOUCHED_R7: list[str] = [
+    # r7's list, kept for the ledger: 16 names — 14 new registrations
+    # + 2 implementation-touched (all 16 got green r7 rows; the
+    # original in-round comment miscounted this as "8 touched").
     "multimodal_jpeg_pixel_decode",  # touched: parse_jpeg_pixels now
                                      # skips spec-legal 0xFF fill bytes
     "snapshot_time_travel",          # touched: dlog commit gained the

@@ -1539,6 +1539,156 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("double") / 5, 6).alias("recall_at_5")))
 
 
+_IVFPQ_RECALL_ORACLE = """
+WITH qc AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> greatest(-127, least(127,
+           CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)))) AS qv
+  FROM embeddings
+),
+subs AS (SELECT s FROM (VALUES (0), (1)) t(s)),
+-- rounds=0 codebooks, identical to the similarity_pq_recall seeds
+books AS (
+  SELECT s.s, q.vec_id AS cid,
+         q.qv[(s.s * 32 + 1):((s.s + 1) * 32)] AS cv
+  FROM qc q CROSS JOIN subs s WHERE q.vec_id < 4
+),
+pieces AS (
+  SELECT q.vec_id, s.s, q.qv[(s.s * 32 + 1):((s.s + 1) * 32)] AS sv
+  FROM qc q CROSS JOIN subs s
+),
+enc AS (
+  SELECT vec_id, s, cid AS code FROM (
+    SELECT p.vec_id, p.s, b.cid,
+           row_number() OVER (PARTITION BY p.vec_id, p.s ORDER BY
+             list_dot_product(p.sv, p.sv)
+               - 2 * list_dot_product(p.sv, b.cv)
+               + list_dot_product(b.cv, b.cv), b.cid) AS rn
+    FROM pieces p JOIN books b ON b.s = p.s)
+  WHERE rn = 1
+),
+-- coarse IVF layer, identical to the similarity_ann_ivf assignment
+cents AS (
+  SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS centv
+  FROM embeddings WHERE vec_id < 8
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+assigned AS (
+  SELECT vec_id, ccid FROM (
+    SELECT corpus.vec_id, cents.ccid,
+           row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+             list_dot_product(cv, centv)
+               / (sqrt(list_dot_product(cv, cv))
+                  * sqrt(list_dot_product(centv, centv))) DESC,
+             ccid) AS rn
+    FROM corpus, cents)
+  WHERE rn = 1
+),
+qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       FROM embeddings WHERE vec_id IN (3, 11, 42)),
+probes AS (
+  SELECT query_id, ccid FROM (
+    SELECT qf.query_id, cents.ccid,
+           row_number() OVER (PARTITION BY qf.query_id ORDER BY
+             list_dot_product(qv, centv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(centv, centv))) DESC,
+             ccid) AS rn
+    FROM qf, cents)
+  WHERE rn <= 2
+),
+tab AS (
+  SELECT p.vec_id AS query_id, b.s, b.cid,
+         list_dot_product(p.sv, p.sv)
+           - 2 * list_dot_product(p.sv, b.cv)
+           + list_dot_product(b.cv, b.cv) AS d
+  FROM pieces p JOIN books b ON b.s = p.s
+  WHERE p.vec_id IN (3, 11, 42)
+),
+cand AS (
+  SELECT t.query_id, e.vec_id, sum(t.d) AS adc
+  FROM enc e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.ccid = a.ccid
+  JOIN tab t ON t.query_id = p.query_id AND t.s = e.s AND t.cid = e.code
+  WHERE e.vec_id <> t.query_id
+  GROUP BY t.query_id, e.vec_id
+),
+ann AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS rank
+    FROM cand)
+  WHERE rank <= 5
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding, c.embedding)
+               / (sqrt(list_dot_product(q.embedding, q.embedding))
+                  * sqrt(list_dot_product(c.embedding, c.embedding))) DESC,
+             c.vec_id) AS rn
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id IN (3, 11, 42))
+  WHERE rn <= 5
+)
+SELECT a.query_id,
+       CAST(count(*) AS BIGINT) AS n_ann,
+       round(CAST(count(e.neighbor_id) AS DOUBLE) / 5, 6) AS recall_at_5
+FROM ann a LEFT JOIN exact e
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY a.query_id
+"""
+
+
+@register(
+    "similarity_ivfpq_recall",
+    oracle=_IVFPQ_RECALL_ORACLE,
+    doc="IVF-PQ composed search recall@5 — the FAISS-standard shape "
+        "end-to-end (similarity.py ivfpq_search): the coarse quantizer "
+        "restricts candidates to the nprobe=2 nearest of 8 IVF buckets "
+        "and PQ asymmetric distance (m=2, k=4, rounds=0 seed "
+        "codebooks) ranks within them, scored against the exact "
+        "brute-force top-5. The oracle replays BOTH layers literally: "
+        "the similarity_ann_ivf cosine assignment CTEs compose with "
+        "the similarity_pq_recall integer-ADC CTEs, restricted by the "
+        "probe join. The searched frame is codes + a bucket id per "
+        "vector (never embeddings); candidate generation is a "
+        "bucket-membership join — the 100 TB plan is nprobe bucket "
+        "scans of m-byte codes per query",
+)
+def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import similarity as S
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    books = S.pq_train(emb, m=2, k=4, rounds=0, train_sample=64)
+    indexed_encoded = (
+        S.ivf_build(emb, centroids).select("vec_id", "centroid_id")
+        .join(S.pq_encode(emb, books), "vec_id"))
+    parts = []
+    for qid in (3, 11, 42):
+        qrow = emb.filter(F.col("vec_id") == qid).first()
+        parts.append(
+            S.ivfpq_search(list(qrow.embedding),
+                           indexed_encoded.filter(F.col("vec_id") != qid),
+                           centroids, books, k=5, nprobe=2)
+            .withColumn("query_id", F.lit(qid).cast("long"))
+            .select("query_id", "neighbor_id"))
+    ann = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    exact = (S.cosine_topk(emb.filter(F.col("vec_id").isin(3, 11, 42)),
+                           emb, k=5)
+             .select("query_id", "neighbor_id")
+             .withColumn("hit", F.lit(1)))
+    return (ann.join(exact, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_ann"),
+                 F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                         .cast("double") / 5, 6).alias("recall_at_5")))
+
+
 # -- RFM customer segmentation -------------------------------------------------
 
 @register(
