@@ -237,3 +237,39 @@ def test_flagship_plan_scan_counts_pinned():
             f"audited plan, pinned bound {bound} — a subtree is being "
             f"re-scanned; restore the single-pass form or consciously "
             f"re-pin with a docstring explaining the extra scan")
+
+
+def test_correctness_ledger_tool():
+    """tools/correctness_ledger.py is the committed answer to 'what is
+    each query's latest driver evidence' — the judge and the window
+    planner both read it. Pin its contract: every artifact entry is
+    classified, rows-only (err='no_oracle' with a row count) is not a
+    failure, and the exit status is red only on a real latest-evidence
+    mismatch/err."""
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "correctness_ledger", root / "tools" / "correctness_ledger.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod.classify({"err": "no_oracle", "spark_rows": 8}) == "rows-only"
+    assert mod.classify({"err": "boom", "spark_rows": None}) == "err"
+    assert mod.classify({"hash_match": True, "err": None}) == "green"
+    assert mod.classify({"hash_match": False, "rows_match": True,
+                         "err": None}) == "mismatch"
+
+    ledger, registered = mod.build_ledger(root)
+    assert set(registered) == set(REGISTRY)
+    # later rounds supersede earlier evidence
+    for name, rec in ledger.items():
+        assert rec["round"] >= 1
+    # the repo invariant this project defends: nothing red at latest
+    bad = [n for n in registered
+           if n in ledger and ledger[n]["status"] in ("mismatch", "err")]
+    assert not bad, f"latest driver evidence red for: {bad}"
+    # and the render runs
+    out = mod.render(ledger, registered, full=True)
+    assert "Correctness ledger" in out and "| query |" in out
