@@ -1119,29 +1119,40 @@ SAMPLE_STATS_SCHEMA = T.StructType([
 ])
 
 
-def image_pixel_stats(df: DataFrame) -> DataFrame:
+def decode_image_pixels(raw: bytes) -> dict | None:
+    """Default pixel decoder: container-signature dispatch to the
+    in-repo from-spec parsers (PNG zlib+unfilter, GIF LZW, JPEG
+    entropy+IDCT, BMP raw rows). This is the `decoder` injection
+    contract for image_pixel_stats: ``bytes -> {width, height, n_px,
+    sum_r, sum_g, sum_b} | None``, TOTAL (value or None, never raise).
+    On a real cluster a library decoder (Pillow/OpenCV) swaps in behind
+    the same contract — the Spark plumbing (scan, Arrow batching,
+    schema, media projected away before any shuffle) is identical."""
+    if raw[:1] == b"\x89":
+        return parse_png_pixels(raw)
+    if raw[:3] == b"GIF":
+        return parse_gif_pixels(raw)
+    if raw[:2] == b"\xff\xd8":
+        return parse_jpeg_pixels(raw)
+    return parse_bmp_pixels(raw)
+
+
+def image_pixel_stats(df: DataFrame, decoder=decode_image_pixels) -> DataFrame:
     """media binary -> exact per-channel pixel sums via Arrow-batched
-    mapInPandas, dispatching on container signature (BMP raw rows, PNG
-    zlib+unfilter). Same contract as image_header_metadata: nulls for
+    mapInPandas. Same contract as image_header_metadata: nulls for
     undecodable payloads, media projected away in the output so
-    downstream shuffles stats rows, not pixels."""
+    downstream shuffles stats rows, not pixels.
+
+    `decoder` is the per-image decode callable (see
+    decode_image_pixels for the contract); it is closed over into the
+    mapInPandas function and shipped to executors, so any picklable
+    total callable — including a library decoder — slots in without
+    touching the plan shape."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for b in pdf["media"]:
-                if b is None:
-                    rows.append(None)
-                    continue
-                raw = bytes(b)
-                if raw[:1] == b"\x89":
-                    rows.append(parse_png_pixels(raw))
-                elif raw[:3] == b"GIF":
-                    rows.append(parse_gif_pixels(raw))
-                elif raw[:2] == b"\xff\xd8":
-                    rows.append(parse_jpeg_pixels(raw))
-                else:
-                    rows.append(parse_bmp_pixels(raw))
+            rows = [decoder(bytes(b)) if b is not None else None
+                    for b in pdf["media"]]
             yield pd.DataFrame({
                 "id": pdf["id"],
                 "width": pd.array([r["width"] if r else None for r in rows],
@@ -3049,12 +3060,31 @@ FRAME_STATS_SCHEMA = T.StructType([
 ])
 
 
-def video_frame_stats(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+def decode_frame_pixels(frame: bytes) -> dict | None:
+    """Default per-frame decoder for video_frame_stats: the in-repo
+    baseline-JPEG parser. Injection contract: ``bytes -> {width,
+    height, sum_r, ...} | None``, TOTAL — a library decoder (e.g.
+    PyAV/OpenCV frame decode) swaps in behind the same dict shape."""
+    return parse_jpeg_pixels(frame)
+
+
+def video_frame_stats(df: DataFrame, every_ms: int = 1000,
+                      frame_sampler=None,
+                      frame_decoder=decode_frame_pixels) -> DataFrame:
     """media binary (MJPEG AVI) -> one row per SAMPLED frame with its
     decoded pixel sum, via Arrow-batched mapInPandas: the real
     frame-sampling pipeline (container walk -> frame select by
     timestamp stride -> per-frame image decode). Non-AVI payloads
-    yield no rows."""
+    yield no rows.
+
+    `frame_sampler` (``bytes, every_ms -> iter[(idx, frame_bytes)]``,
+    default the in-repo RIFF walk) and `frame_decoder` (see
+    decode_frame_pixels) are injection points: both are closed over
+    into the mapInPandas function and shipped to executors, so a
+    library container/codec pair slots in behind the identical frame
+    contract without changing the plan (one scan, zero shuffle)."""
+    sampler = frame_sampler or (
+        lambda raw, ms: sample_frames(raw, ms, _lenient=True))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3062,9 +3092,8 @@ def video_frame_stats(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for rid, b in zip(pdf["id"], pdf["media"]):
                 if b is None:
                     continue
-                for idx, frame in sample_frames(bytes(b), every_ms,
-                                                _lenient=True):
-                    d = parse_jpeg_pixels(frame)
+                for idx, frame in sampler(bytes(b), every_ms):
+                    d = frame_decoder(frame)
                     if d is None:
                         continue
                     ids.append(rid)

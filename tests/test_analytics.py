@@ -3655,3 +3655,59 @@ def test_dht_table_cache_bounded():
         assert lut2[0x7FFF] == ((k % 251) << 5) | 1
         assert len(MM._DHT_CACHE) <= 32
         assert len(MM._DHT_SEEN) <= 512
+
+
+def test_decoder_injection_swaps_behind_identical_plumbing(spark):
+    """The library-decoder swap contract: image_pixel_stats and
+    video_frame_stats take decoder callables (default = the in-repo
+    from-spec parsers) that ship to executors inside the same
+    mapInPandas plan. A stub decoder must flow through the identical
+    Spark plumbing — same schema, same rows-in/rows-out, stub values
+    in the stats columns — proving a real library decoder (Pillow,
+    PyAV) slots in on a cluster without touching the plan."""
+    docs_df = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(6)], "doc_id long, text string")
+    img = MM.synthesize_bmp_table(docs_df)
+
+    def stub_img_decoder(raw: bytes):
+        # a library decoder returning the contract dict; values derive
+        # only from len(raw) so a wrong-bytes bug would show
+        return {"width": 1, "height": 1, "n_px": len(raw),
+                "sum_r": 7, "sum_g": 8, "sum_b": 9}
+
+    out = MM.image_pixel_stats(img, decoder=stub_img_decoder)
+    default = MM.image_pixel_stats(img)
+    assert out.schema == default.schema
+    rows = out.collect()
+    assert len(rows) == 6
+    lens = {r.id: r["n_px"] for r in rows}
+    for r in img.select("id", F.length("media").alias("L")).collect():
+        assert lens[r.id] == r.L  # stub really saw the media bytes
+    assert all((r.sum_r, r.sum_g, r.sum_b) == (7, 8, 9) for r in rows)
+
+    # video lane: stub sampler + stub frame decoder
+    w, h = 8, 8
+    frames = [MM.encode_grey_jpeg(w, h, bytes([g]) * 64) for g in (10, 20)]
+    vdf = spark.createDataFrame(
+        [(0, bytearray(MM.encode_mjpeg_avi(w, h, frames, fps=1)))],
+        "id long, media binary")
+
+    def stub_sampler(raw: bytes, every_ms: int):
+        yield 0, raw[:4]
+        yield 1, raw[4:8]
+
+    def stub_frame_decoder(frame: bytes):
+        return {"width": len(frame), "height": 2, "sum_r": 5}
+
+    vout = MM.video_frame_stats(vdf, frame_sampler=stub_sampler,
+                                frame_decoder=stub_frame_decoder)
+    assert vout.schema == MM.video_frame_stats(vdf).schema
+    vrows = sorted(vout.collect(), key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.width, r.height, r.sum_grey)
+            for r in vrows] == [(0, 4, 2, 5), (1, 4, 2, 5)]
+
+    # and the defaults are unchanged by the refactor
+    dd = {r.id: r.sum_r for r in MM.image_pixel_stats(img).collect()}
+    for r in docs_df.select("doc_id").collect():
+        assert dd[r.doc_id] == (r.doc_id % 251) * ((r.doc_id % 16 + 3)
+                                                   * (r.doc_id % 8 + 2))
