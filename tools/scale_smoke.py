@@ -85,10 +85,70 @@ def main() -> None:
             MM.synthesize_y4m_table(d)),
     }
 
+    # CDC core (the reference's heart, K:1355-1384 + P:792-857):
+    # snapshot diff (anti-joins + null-safe update detect via one
+    # full-outer join) and broadcast hydration, at amplified KEY
+    # counts. Replica k shifts o_orderkey by k*10^10 so the t0/t1 set
+    # arithmetic (%10 drop / %7 drop / %5 ts-bump — the registered
+    # cdc_changes rules) holds identically at every scale; per-key time
+    # must stay ~linear and the plan must stay one shuffle join (diff)
+    # + one broadcast join, zero extra exchanges (hydrate).
+    from cql_replicator_spark.diff import compute_changes_tagged
+    from cql_replicator_spark.sinks.parquet_sink import hydrate_changes
+
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+
+    def amp_snapshots(n: int):
+        reps = F.explode(F.array(*[F.lit(k) for k in range(n)])).alias("rep")
+        ymd = (F.year("o_orderdate") * 10000 + F.month("o_orderdate") * 100
+               + F.dayofmonth("o_orderdate")).cast("long")
+        base = (orders.select("o_orderkey", "o_orderdate", reps)
+                .select((F.col("o_orderkey")
+                         + F.col("rep") * F.lit(10_000_000_000)).alias("pk"),
+                        ymd.alias("ts")))
+        t0 = base.filter(F.col("pk") % 10 != 0)
+        t1 = base.filter(F.col("pk") % 7 != 0).withColumn(
+            "ts", F.when(F.col("pk") % 5 == 0, F.col("ts") + 1)
+                   .otherwise(F.col("ts")))
+        return t0, t1
+
+    def amp_source(n: int):
+        reps = F.explode(F.array(*[F.lit(k) for k in range(n)])).alias("rep")
+        return (orders.select("o_orderkey", "o_custkey", "o_totalprice",
+                              "o_orderstatus", reps)
+                .select((F.col("o_orderkey")
+                         + F.col("rep") * F.lit(10_000_000_000))
+                        .alias("o_orderkey"),
+                        "o_custkey", "o_totalprice", "o_orderstatus"))
+
+    def cdc_diff(n: int):
+        t0, t1 = amp_snapshots(n)
+        return compute_changes_tagged(curr=t1, prev=t0, pk_cols=["pk"])
+
+    def cdc_hydrate(n: int):
+        # inserts = new keys; hydrate them against the full source via
+        # the production broadcast join (P:809-816)
+        ins = cdc_diff(n).filter(F.col("op") == "insert").select(
+            F.col("pk").alias("o_orderkey"))
+        return hydrate_changes(amp_source(n), ins, ["o_orderkey"])
+
+    def plan_shape(df) -> dict:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        text = buf.getvalue()
+        return {"n_shuffle": text.count("Exchange hashpartitioning"),
+                "n_broadcast": text.count("BroadcastExchange")}
+
+    cdc_ops = {"cdc_diff": cdc_diff, "cdc_hydrate": cdc_hydrate}
+
     docs.select("doc_id").limit(100).count()  # warm
     result: dict[str, dict] = {}
-    for scale, frame in (("base_1x", amplified(1)),
-                         (f"amp_{AMPLIFY}x", amplified(AMPLIFY))):
+    for scale, factor in (("base_1x", 1), (f"amp_{AMPLIFY}x", AMPLIFY)):
+        frame = amplified(factor)
         n = frame.count()
         row = {}
         for name, build in ops.items():
@@ -96,10 +156,17 @@ def main() -> None:
             cnt = build(frame).count()
             row[name] = {"sec": round(time.perf_counter() - t0, 2),
                          "rows_out": cnt}
-        result[scale] = {"n_docs": n, "ops": row}
+        for name, build in cdc_ops.items():
+            df = build(factor)
+            t0 = time.perf_counter()
+            cnt = df.count()
+            row[name] = {"sec": round(time.perf_counter() - t0, 2),
+                         "rows_out": cnt, **plan_shape(df)}
+        result[scale] = {"n_docs": n, "n_keys": orders.count() * factor,
+                         "ops": row}
 
     base, amp = result["base_1x"], result[f"amp_{AMPLIFY}x"]
-    for name in ops:
+    for name in list(ops) + list(cdc_ops):
         b, a = base["ops"][name]["sec"], amp["ops"][name]["sec"]
         ratio = a / b if b else float("nan")
         print(f"{name:22s} 1x={b:7.2f}s {AMPLIFY}x={a:8.2f}s "
