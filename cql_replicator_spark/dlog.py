@@ -27,6 +27,11 @@ Commits are put-if-absent: the log file is hard-linked into place
 (os.link fails with EEXIST when the version already exists), so two
 racing writers cannot both win a version — the loser gets
 ConcurrentCommitError, the protocol's optimistic-concurrency outcome.
+On filesystems without hard links the claim is an O_EXCL create
+published by atomic rename; an empty claim is treated as in-flight
+until it is ``_CLAIM_STALE_SECS`` old, after which it is assumed
+crashed and reclaimed (a committer suspended longer than that between
+claim and publish is outside the guarantee — see commit_overwrite).
 What is deliberately NOT implemented: automatic retry/rebase of the
 losing writer (callers re-read and re-commit, like the reference's
 per-tile single-writer loop), checkpoints (logs here are tiny; replay
@@ -47,6 +52,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_delta_log"
+
+# A zero-length version file is an in-flight O_EXCL claim (linkless-
+# filesystem fallback) until it is this many seconds old; only older
+# claims are treated as crashed and reclaimed. A live committer's
+# claim->publish window is microseconds, so the margin is ~7 orders of
+# magnitude; see commit_overwrite for the residual assumption.
+_CLAIM_STALE_SECS = 60.0
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -183,11 +195,20 @@ class DeltaLogTable:
         log_file = _log_path(self.path, version)
         # reclaim a crashed claim: a zero-length version file is an
         # O_EXCL create whose content rename never landed (process died
-        # mid-fallback). Under the class's single-writer contract no
-        # live committer can hold it, so remove it rather than wedging
-        # this version behind ConcurrentCommitError forever.
+        # mid-fallback). Reclaim only STALE claims (mtime older than
+        # _CLAIM_STALE_SECS): a fresh empty file is a LIVE committer
+        # between its O_EXCL create and its os.replace — unlinking it
+        # would let both writers' renames land and both "win" the
+        # version, silently dropping one commit's adds. With the age
+        # gate, a racing writer sees a fresh claim, leaves it alone,
+        # and loses cleanly at its own O_EXCL create. Residual
+        # assumption (documented, not closed): a claimant suspended
+        # longer than the threshold between claim and publish can
+        # still be reclaimed; the window is ~60 s vs the microsecond
+        # claim->publish path, and crashed claims are recovered.
         try:
-            if os.path.getsize(log_file) == 0:
+            st = os.stat(log_file)
+            if st.st_size == 0 and time.time() - st.st_mtime > _CLAIM_STALE_SECS:
                 os.unlink(log_file)
         except OSError:
             pass

@@ -1341,78 +1341,14 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything else stalest-evidence-first. tests/test_oracle.py asserts the
 # computed order actually has this shape.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r8: the five queries whose implementations the advisor-fix sweep
-    # touched plus one new registration (the last pytest-only
-    # query-shaped operator, VERDICT r7 item 2). 6 here + the 22
-    # r3-stale rows (17 TPC-H + similarity/sketch tail, VERDICT r7
-    # item 1) + the oldest r4 rows fill the ~50-row window via the
-    # evidence-based stalest-first fallback.
-    "multimodal_wav_pcm_decode",     # touched: 24-bit sum_sq now sums
-                                     # int64 chunk partials into a
-                                     # Python int (overflow fix)
-    "multimodal_y4m_pixel_decode",   # touched: odd-width 4:2:2 reject
-                                     # + mono/ValueError encode path
-    "snapshot_time_travel",          # touched: dlog linkless fallback
-                                     # publishes via atomic rename;
-                                     # empty claims recovered
-    "source_statementlog_roundtrip", # touched: sink log files publish
-                                     # via .tmp + os.replace
-    "source_statementlog_stream",    # touched: same publish-atomicity
-                                     # change feeds its offsets
-    "similarity_ivfpq_recall",       # new: composed IVF-PQ search
-                                     # (coarse quantizer + nprobe
-                                     # restriction + integer ADC)
-                                     # recall@5 vs exact
+    # r9: queries whose implementations this round's advisor-fix sweep
+    # touched. The rest of the ~50-row window goes to the stalest
+    # evidence (the 28 r4 rows lead) via the evidence-based fallback.
+    "snapshot_time_travel",          # touched: dlog empty-claim reclaim
+                                     # is now staleness-gated (fresh
+                                     # claims are live committers)
 ]
 
-_TOUCHED_R7: list[str] = [
-    # r7's list, kept for the ledger: 16 names — 14 new registrations
-    # + 2 implementation-touched (all 16 got green r7 rows; the
-    # original in-round comment miscounted this as "8 touched").
-    "multimodal_jpeg_pixel_decode",  # touched: parse_jpeg_pixels now
-                                     # skips spec-legal 0xFF fill bytes
-    "snapshot_time_travel",          # touched: dlog commit gained the
-                                     # O_EXCL fallback + loser cleanup
-    "multimodal_gif_pixel_decode",   # new: REAL GIF LZW decode +
-                                     # 4-pass interlace raster,
-                                     # checkerboard closed-form sums
-    "multimodal_png_pixel_decode",   # new: REAL PNG decode incl Adam7
-                                     # + filter-totality fix (zlib IDAT
-                                     # + CRCs), solid-color closed form
-    "multimodal_g711_audio_decode",  # new: G.711 A-law expansion,
-                                     # oracle recomputes the spec math
-    "multimodal_adpcm_audio_decode", # new: IMA ADPCM state machine,
-                                     # predictor-exact closed form
-    "multimodal_mjpeg_frame_sample", # new: RIFF walk + per-frame JPEG
-                                     # decode via video_frame_stats
-    "similarity_pq_recall",          # new: PQ ADC top-5 vs exact,
-                                     # integer-exact SQL replay
-    "multimodal_progressive_jpeg_decode",  # new: SOF2 multi-scan
-                                     # successive-approximation decode
-    "multimodal_flac_audio_decode",  # new: Rice/FIXED-predictor FLAC
-                                     # decode, ramp closed forms
-    "source_statementlog_roundtrip", # new: V2 cql reader replays the
-                                     # statement log as a source
-    "source_xml_roundtrip",          # new: Spark-4 native XML source
-                                     # completes the file-format matrix
-    "embedding_kmeans_train_sample", # new: FAISS-style bounded centroid
-                                     # training, oracle-mirrored LIMIT
-    "multimodal_y4m_pixel_decode",   # new: YUV4MPEG2 raw-video decode,
-                                     # per-plane closed-form sums
-    "source_statementlog_stream",    # new: streaming V2 cql source,
-                                     # file-granular offsets
-    "multimodal_wav_pcm_decode",     # touched: parse_wav_samples now
-                                     # covers 8/24/32-bit PCM widths
-]
-
-_TOUCHED_R6: list[str] = [
-    # r6's list, kept for the ledger (all five got green r6 rows).
-    "text_inverted_index",
-    "snapshot_time_travel",
-    "multimodal_bmp_pixel_decode",
-    "multimodal_wav_pcm_decode",
-    "multimodal_jpeg_pixel_decode",
-]
 
 # Deliberate-overflow acknowledgement for the driver-window arithmetic:
 # "every registered query driver-green" is reachable only while
@@ -1421,128 +1357,6 @@ _TOUCHED_R6: list[str] = [
 # unless this is flipped to True on purpose for that round.
 _WINDOW_OVERFLOW_ACK: bool = False
 
-_TOUCHED_R5: list[str] = [
-    # r5's list, kept for the ledger (these 51 led the r5 window; the
-    # first ~50 got CORRECTNESS_r05 rows).
-    "lineitem_range_join_windows",  # new: bucketed point-in-interval join
-    "weighted_sample_docs",         # new: A-ES weighted sampling
-    "source_orc_roundtrip",         # new: ORC source leg
-    "compact_small_files",          # new: bin-packing compaction
-    "orders_spend_trend",           # new: SQL:2003 regression aggregates
-    "ivm_grouped_refresh",          # new: delta-based aggregate refresh
-    "cdc_envelope",                 # new: before/after-image change feed
-    "text_inverted_index",          # new: segmented posting lists
-    "snapshot_pruned_read",         # new: manifest min/max data skipping
-    "ivm_stream_refresh",           # new: foreachBatch view maintenance
-    "events_asof_enrich_chunked",   # new: hot-key-safe as-of variant
-    "skew_key_profile",             # new: hot-key diagnostic
-    "events_markov_transitions",    # new: path analytics
-    "text_bm25_scores",             # new: Okapi BM25 retrieval scoring
-    "validate_constraints",       # new: Deequ-style one-pass constraint suite
-    "scd2_user_state",            # new: SCD2 validity intervals from change feed
-    "retrieval_hybrid_rrf",       # new: BM25 + cosine reciprocal-rank fusion
-    "sketch_hll_grouped",         # new: per-group mergeable HLL registers
-    "record_linkage_fuzzy",       # new: blocked levenshtein record linkage
-    "graph_pagerank_suppliers",   # new: integer-exact iterative PageRank
-    "reconcile_merkle_ranges",    # new: Merkle-range anti-entropy diff
-    "events_concurrency_sweep",   # new: interval sweep-line peak concurrency
-    "events_type_bitmap_profile", # new: bit_or presence bitmaps per user
-    "sketch_quantile_grouped",    # new: per-group histogram sketches
-    "sketch_hll_setops",          # new: HLL union algebra + intersection est
-    "dedup_cluster_keepers",      # new: quality-aware keeper policy
-    "orders_revenue_share",       # new: percent-of-total window pattern
-    "curation_report_by_source",  # new: per-provenance filter-rate report
-    "cdc_ingest_dedup",           # new: batch-vs-corpus incremental LSH dedup
-    "events_attribution_journeys", # new: first/last-touch window attribution
-    "quality_bigram_logprob",     # new: word-order-sensitive LM quality
-    "multimodal_image_headers",   # new: container-header parse round-trip
-    "multimodal_audio_headers",   # new: WAV chunk-walk round-trip
-    "multimodal_video_headers",   # new: ISO-BMFF box-tree round-trip
-    # r5 wave 3
-    "sketch_heavy_hitters",       # new: Misra-Gries candidates + exact recount
-    "events_resample_ffill",      # new: hourly gap-fill + forward fill
-    "dedup_ngram_containment",    # new: subset-duplication containment gate
-    "graph_triangle_count",       # new: degree-ordered wedge join
-    "events_anomaly_mad",         # new: median/MAD robust outliers
-    "events_sliding_window_topk", # new: overlapping-window trending top-k
-    "bpe_top_pairs",              # new: BPE merge statistic (learner in pytest)
-    "dsir_importance_weights",    # new: DSIR target-vs-raw importance scores
-    "orders_equidepth_hist",      # new: percentile-boundary equi-depth histogram
-    # r5 wave 4
-    "dedup_prefix_filter_jaccard",   # new: PPJoin lossless prefix filtering
-    "sketch_cms_join_estimate",      # new: CMS inner-product join sizing
-    "quality_token_entropy",         # new: token-distribution entropy gate
-    "embedding_random_projection",   # new: integer-exact JL sign projection
-    "item_cooccurrence_similarity",  # new: market-basket cosine pairs
-    # r5 wave 5
-    "doc_line_dedup",                # new: within-doc C4 chunk dedup
-    "text_sparse_cosine_pairs",      # new: inverted-index TF-IDF cosine join
-    "events_interval_merge",         # new: per-user interval union
-    "quarantine_report_orders",      # new: row-level violations + DLQ report
-    "kanonymity_audit",              # new: quasi-identifier class audit
-    "training_shards_manifest",      # new: deterministic shard manifest
-    "hilbert_layout_key",            # new: Hilbert curve layout key
-    "bucketed_join_colocated",       # new: exchange-free bucketed join
-    # r5 wave 6
-    "doc_winnowing_pairs",           # new: MOSS winnowing fingerprints
-    "layout_pruning_stats",          # new: measured curve-pruning quality
-    "quality_perplexity_buckets",    # new: CCNet head/middle/tail terciles
-    "token_budget_selection",        # new: quality-ranked budget cut
-    "text_keywords_topk",            # new: top-k TF-IDF keywords
-    "source_schema_evolution",       # new: mergeSchema additive evolution
-    # r5 wave 7
-    "ivm_join_refresh",              # new: delta-join view maintenance
-    "scd2_point_in_time_join",       # new: temporal fact-to-SCD2 join
-    "events_grouping_sets_time",     # new: multi-grain one-pass rollup
-    "orders_trailing_90d_spend",     # new: RANGE-frame window
-    "dedup_lsh_tuning_table",        # new: LSH S-curve planner table
-    "documents_langdist_chi2",       # new: chi-squared drift test
-    # r5 wave 8
-    "dedup_minhash_accuracy",        # new: estimator-vs-exact audit
-    "embedding_scalar_quantization", # new: SQ4 equi-depth codes
-    "orders_window_rank_suite",      # new: ranking-function suite
-    "events_freshness_report",       # new: stream lag/high-water report
-    # r5 wave 9
-    "pipeline_end_to_end",           # new: curate|split|shard in one DAG
-    "cdc_orphan_lineitems",          # new: referential orphan audit
-    "similarity_recall_at_k",        # new: ANN recall@5 vs exact audit
-    # r5 wave 10
-    "orders_rfm_segmentation",       # new: quintile RFM lifecycle scores
-    "features_user_behavior",        # new: feature-store wide aggregate
-    "reconcile_rowhash_checksum",    # new: one-pass bucketed checksum
-    "orders_seasonal_dow_index",     # new: dow seasonality profile
-    # r5 wave 11
-    "text_zipf_fit",                 # new: rank-frequency law fit
-    "documents_vocab_growth_heaps",  # new: Heaps vocabulary curve
-    "events_power_users_gini",       # new: activity concentration
-    # r5 wave 12
-    "multimodal_image_text_chunks",  # new: PNG tEXt metadata round-trip
-    "events_conversion_latency",     # new: time-to-convert percentiles
-    # r5 wave 13
-    "events_wau_rolling",            # new: rolling 7-day active users
-    "orders_pareto_8020",            # new: revenue concentration point
-    # r5 wave 14
-    "text_langid_confusion",         # new: classifier confusion audit
-    "embedding_centroid_drift",      # new: embedding-space drift alarm
-    # r5 wave 15
-    "lineitem_ship_lag_distribution", # new: fulfillment latency report
-    # the last 3 r2-stale queries (VERDICT r4 item 1), behind the
-    # never-driver-checked block: zero-evidence queries outrank stale-GREEN
-    # ones for window slots (the test_check_priority_order invariant).
-    # 48 new + these 3 = 51; whichever falls past a 50-row window is
-    # fronted automatically next round by the evidence-based ordering.
-    "ttl_filter_orders",
-    "udt_to_json",
-    "varint_overflow_scan",
-    # NOT listed although touched this round: dedup_clusters,
-    # dedup_semantic, embedding_kmeans_clusters, source_json_roundtrip,
-    # source_csv_roundtrip, sketch_hll_stream, events_enriched_stream,
-    # events_conversion_stream (refactors re-verified green locally).
-    # They carry r4-green driver evidence, so the stalest-first fallback
-    # already ranks them behind the never-checked r2-stale set — listing
-    # them here would push the r2-stale queries out of the ~50-row
-    # driver window (VERDICT r4 item 1: the stale set goes first).
-]
 
 
 def _driver_evidence_rounds() -> dict[str, int]:

@@ -8,9 +8,11 @@ a private format that happens to round-trip."""
 
 import json
 import os
+import time
 
 import pytest
 
+from cql_replicator_spark import dlog
 from cql_replicator_spark.dlog import DeltaLogTable
 
 
@@ -248,15 +250,18 @@ def test_commit_on_linkless_filesystem_falls_back(spark, tbl, monkeypatch):
 def test_crashed_empty_claim_recovered_not_wedged(spark, tbl, monkeypatch):
     """A zero-length version file is an O_EXCL claim whose content
     rename never landed (crash mid-fallback). Readers must treat it as
-    not-yet-committed — latest_version/read ignore it — and the next
-    commit must reclaim the version instead of raising
-    ConcurrentCommitError forever (the wedge the non-atomic fallback
-    used to allow)."""
+    not-yet-committed — latest_version/read ignore it — and, once the
+    claim is STALE (older than _CLAIM_STALE_SECS), the next commit must
+    reclaim the version instead of raising ConcurrentCommitError
+    forever (the wedge the non-atomic fallback used to allow)."""
     tbl.commit_overwrite(_df(spark, [(1, 10)]))
-    # simulate the crash: claim exists, content never published
+    # simulate the crash: claim exists, content never published,
+    # mtime backdated past the staleness threshold
     crashed = os.path.join(tbl.path, "_delta_log",
                            "00000000000000000001.json")
     open(crashed, "w").close()
+    old = time.time() - dlog._CLAIM_STALE_SECS - 5
+    os.utime(crashed, (old, old))
     assert tbl.latest_version() == 0
     assert sorted(r.pk for r in tbl.read(spark).collect()) == [1]
     # retry reclaims version 1 — through the linkless fallback too
@@ -266,6 +271,30 @@ def test_crashed_empty_claim_recovered_not_wedged(spark, tbl, monkeypatch):
     assert tbl.commit_overwrite(_df(spark, [(2, 20)])) == 1
     assert os.path.getsize(crashed) > 0
     assert sorted(r.pk for r in tbl.read(spark).collect()) == [2]
+
+
+def test_fresh_empty_claim_is_live_not_reclaimed(spark, tbl, monkeypatch):
+    """A FRESH zero-length claim is a LIVE committer between its O_EXCL
+    create and its publishing rename. A racing writer must NOT unlink
+    it (that would let both writers' renames land and both return the
+    same version, silently dropping one commit's adds — the r8 advisor
+    race): it must lose cleanly with ConcurrentCommitError and leak no
+    part files, on the link path and the linkless fallback alike."""
+    tbl.commit_overwrite(_df(spark, [(1, 10)]))
+    claim = os.path.join(tbl.path, "_delta_log",
+                         "00000000000000000001.json")
+    open(claim, "w").close()  # fresh mtime: in-flight
+    before = {n for n in os.listdir(tbl.path) if n.endswith(".parquet")}
+    with pytest.raises(dlog.ConcurrentCommitError):
+        tbl.commit_overwrite(_df(spark, [(2, 20)]))
+    monkeypatch.setattr(
+        os, "link",
+        lambda s, d: (_ for _ in ()).throw(PermissionError("no links")))
+    with pytest.raises(dlog.ConcurrentCommitError):
+        tbl.commit_overwrite(_df(spark, [(2, 20)]))
+    assert os.path.getsize(claim) == 0  # claim untouched either way
+    after = {n for n in os.listdir(tbl.path) if n.endswith(".parquet")}
+    assert after == before  # losers cleaned up their moved part files
 
 
 def test_duckdb_independent_log_replay(spark, tbl):

@@ -260,6 +260,12 @@ def test_correctness_ledger_tool():
     assert mod.classify({"hash_match": True, "err": None}) == "green"
     assert mod.classify({"hash_match": False, "rows_match": True,
                          "err": None}) == "mismatch"
+    # r8 advisor: null/missing spark_rows with no hash evidence must NOT
+    # count as rows-only 'the query ran' evidence — and must not TypeError.
+    assert mod.classify({"hash_match": None, "spark_rows": None,
+                         "err": None}) == "unknown"
+    assert mod.classify({}) == "unknown"
+    assert mod.classify({"err": "no_oracle", "spark_rows": None}) == "err"
 
     ledger, registered = mod.build_ledger(root)
     assert set(registered) == set(REGISTRY)

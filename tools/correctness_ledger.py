@@ -46,15 +46,20 @@ def classify(entry: dict) -> str:
     # The driver records oracle-less (rows-only by design) queries as
     # err='no_oracle' with a real spark_rows count — that's evidence the
     # query RAN, not a failure.
-    if entry.get("err") == "no_oracle" and entry.get("spark_rows") is not None:
+    if entry.get("err") == "no_oracle" and isinstance(entry.get("spark_rows"), int):
         return "rows-only"
     if entry.get("err"):
         return "err"
     if entry.get("hash_match") is True:
         return "green"
-    # rows-only queries (no oracle) have hash_match None/absent
-    if entry.get("hash_match") is None and entry.get("spark_rows", 0) >= 0:
-        return "rows-only"
+    # rows-only queries (no oracle) have hash_match None/absent — but only
+    # count them as evidence the query RAN if a real row count is present.
+    # A null/missing spark_rows is NOT evidence of anything: classify it
+    # as 'unknown' (surfaced, not silently green) rather than rows-only.
+    if entry.get("hash_match") is None:
+        if isinstance(entry.get("spark_rows"), int):
+            return "rows-only"
+        return "unknown"
     return "mismatch"
 
 
@@ -95,7 +100,8 @@ def render(ledger: dict, registered: list[str], full: bool) -> str:
         f"Registered: {len(registered)} | with evidence: {len(rows)} "
         f"(green {by_status.get('green', 0)}, rows-only "
         f"{by_status.get('rows-only', 0)}, mismatch "
-        f"{by_status.get('mismatch', 0)}, err {by_status.get('err', 0)}) | "
+        f"{by_status.get('mismatch', 0)}, err {by_status.get('err', 0)}, "
+        f"unknown {by_status.get('unknown', 0)}) | "
         f"pending (newer than every artifact): {len(pending)}"
     )
     lines.append("")
@@ -110,7 +116,7 @@ def render(ledger: dict, registered: list[str], full: bool) -> str:
         lines.append("")
         lines.append("In artifacts but no longer registered: "
                      + ", ".join(f"`{n}`" for n in stranger))
-    bad = [(n, r, s) for n, r, s in rows if s in ("mismatch", "err")]
+    bad = [(n, r, s) for n, r, s in rows if s in ("mismatch", "err", "unknown")]
     if bad:
         lines.append("")
         lines.append("## FAILING at latest evidence")
@@ -142,7 +148,8 @@ def main() -> int:
         args.markdown.write_text(report)
 
     bad = [n for n in registered
-           if n in ledger and ledger[n]["status"] in ("mismatch", "err")]
+           if n in ledger and ledger[n]["status"] in ("mismatch", "err",
+                                                      "unknown")]
     return 1 if bad else 0
 
 
