@@ -70,6 +70,77 @@ def _log_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _LOG_DIR, f"{version:020d}.json")
 
 
+def _publish_commit(table_path: str, version: int, actions: list[dict],
+                    adds: list[dict]) -> None:
+    """The put-if-absent commit point, factored out of commit_overwrite
+    so the multi-process race test (tests/test_dlog_race.py) can hammer
+    the file protocol directly without a SparkSession per process.
+    Publishes ``actions`` as version ``version`` or raises
+    ConcurrentCommitError, cleaning up the already-moved part files in
+    ``adds`` on loss (they are unreachable from any commit)."""
+    os.makedirs(os.path.join(table_path, _LOG_DIR), exist_ok=True)
+    log_file = _log_path(table_path, version)
+    # reclaim a crashed claim: a zero-length version file is an
+    # O_EXCL create whose content rename never landed (process died
+    # mid-fallback). Reclaim only STALE claims (mtime older than
+    # _CLAIM_STALE_SECS): a fresh empty file is a LIVE committer
+    # between its O_EXCL create and its os.replace — unlinking it
+    # would let both writers' renames land and both "win" the
+    # version, silently dropping one commit's adds. With the age
+    # gate, a racing writer sees a fresh claim, leaves it alone,
+    # and loses cleanly at its own O_EXCL create. Residual
+    # assumption (documented, not closed): a claimant suspended
+    # longer than the threshold between claim and publish can
+    # still be reclaimed; the window is ~60 s vs the microsecond
+    # claim->publish path, and crashed claims are recovered.
+    try:
+        st = os.stat(log_file)
+        if st.st_size == 0 and time.time() - st.st_mtime > _CLAIM_STALE_SECS:
+            os.unlink(log_file)
+    except OSError:
+        pass
+    tmp = log_file + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        # put-if-absent commit point: link fails if the version
+        # exists, so a racing writer cannot silently clobber it
+        try:
+            os.link(tmp, log_file)
+        except FileExistsError:
+            raise
+        except OSError:
+            # filesystem without hard links (some NFS/FUSE/object
+            # mounts): O_EXCL create is the same put-if-absent
+            # CLAIM, but writing content through that fd would let
+            # a concurrent reader observe a partial commit. Claim
+            # with O_EXCL, then publish the full content with an
+            # atomic rename over the claim — readers see either an
+            # empty claim (tolerated as in-progress by _replay /
+            # versions) or the complete file, never a prefix.
+            fd = os.open(log_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            os.replace(tmp, log_file)
+    except FileExistsError:
+        # lost the race: the moved part files are unreachable from
+        # any commit — remove them now instead of leaking until a
+        # vacuum that can never see them
+        for a in adds:
+            try:
+                os.unlink(os.path.join(table_path, a["add"]["path"]))
+            except OSError:
+                pass
+        raise ConcurrentCommitError(
+            f"version {version} already committed in {table_path}; "
+            f"re-read and re-commit") from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass  # the O_EXCL fallback already renamed tmp away
+
+
 class DeltaLogTable:
     """One transaction-log table rooted at ``path``. Single writer."""
 
@@ -192,66 +263,7 @@ class DeltaLogTable:
                 }})
         actions.extend(adds)
 
-        log_file = _log_path(self.path, version)
-        # reclaim a crashed claim: a zero-length version file is an
-        # O_EXCL create whose content rename never landed (process died
-        # mid-fallback). Reclaim only STALE claims (mtime older than
-        # _CLAIM_STALE_SECS): a fresh empty file is a LIVE committer
-        # between its O_EXCL create and its os.replace — unlinking it
-        # would let both writers' renames land and both "win" the
-        # version, silently dropping one commit's adds. With the age
-        # gate, a racing writer sees a fresh claim, leaves it alone,
-        # and loses cleanly at its own O_EXCL create. Residual
-        # assumption (documented, not closed): a claimant suspended
-        # longer than the threshold between claim and publish can
-        # still be reclaimed; the window is ~60 s vs the microsecond
-        # claim->publish path, and crashed claims are recovered.
-        try:
-            st = os.stat(log_file)
-            if st.st_size == 0 and time.time() - st.st_mtime > _CLAIM_STALE_SECS:
-                os.unlink(log_file)
-        except OSError:
-            pass
-        tmp = log_file + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
-        try:
-            # put-if-absent commit point: link fails if the version
-            # exists, so a racing writer cannot silently clobber it
-            try:
-                os.link(tmp, log_file)
-            except FileExistsError:
-                raise
-            except OSError:
-                # filesystem without hard links (some NFS/FUSE/object
-                # mounts): O_EXCL create is the same put-if-absent
-                # CLAIM, but writing content through that fd would let
-                # a concurrent reader observe a partial commit. Claim
-                # with O_EXCL, then publish the full content with an
-                # atomic rename over the claim — readers see either an
-                # empty claim (tolerated as in-progress by _replay /
-                # versions) or the complete file, never a prefix.
-                fd = os.open(log_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                os.replace(tmp, log_file)
-        except FileExistsError:
-            # lost the race: the moved part files are unreachable from
-            # any commit — remove them now instead of leaking until a
-            # vacuum that can never see them
-            for a in adds:
-                try:
-                    os.unlink(os.path.join(self.path, a["add"]["path"]))
-                except OSError:
-                    pass
-            raise ConcurrentCommitError(
-                f"version {version} already committed in {self.path}; "
-                f"re-read and re-commit") from None
-        finally:
-            try:
-                os.unlink(tmp)
-            except FileNotFoundError:
-                pass  # the O_EXCL fallback already renamed tmp away
+        _publish_commit(self.path, version, actions, adds)
         return version
 
     # -- read -------------------------------------------------------------
