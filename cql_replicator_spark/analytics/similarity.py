@@ -40,7 +40,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL when either vector has zero norm (try_divide): cosine is
+    undefined there, and a plain `/` under Spark 4's default ANSI mode
+    would fail the whole job on one poison row (a zeroed embedding from
+    a failed encoder is routine at corpus scale). NULL ranks LAST under
+    the desc orderings every top-k here uses — zero-norm neighbors sort
+    after all real scores — and matches DuckDB, where 1.0/0.0 is NULL,
+    keeping the oracle comparable."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _as_double(df: DataFrame, col: str) -> DataFrame:
@@ -102,10 +109,17 @@ def ivf_build(
         norm(F.col("centv")).alias("cnorm")))).alias("cents"))
     # row norm hoisted to a projected column: computed once per vector,
     # not once per (vector, centroid) inside the argmax lambda
+    # try_divide + coalesce(-2.0) keeps the argmax total under ANSI
+    # mode: a zero-norm vector or centroid scores below any real cosine
+    # (∈[-1,1]) instead of crashing the scan, so poison rows assign
+    # deterministically to the lowest centroid id via the negcid tiebreak
     best = F.array_max(F.transform(
         F.col("cents"),
         lambda ct: F.struct(
-            (dot(F.col("cv"), ct["centv"]) / (F.col("cn") * ct["cnorm"])).alias("cos"),
+            F.coalesce(
+                F.try_divide(dot(F.col("cv"), ct["centv"]),
+                             F.col("cn") * ct["cnorm"]),
+                F.lit(-2.0)).alias("cos"),
             (-ct["cid"]).alias("negcid"))))
     return (
         c.withColumn("cn", norm(F.col("cv")))
@@ -329,7 +343,12 @@ def quantized_cosine(va: Column, vb: Column) -> Column:
     dot = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), zero, lambda a, x: a + x)
     na = F.aggregate(F.transform(qa, lambda x: x * x), zero, lambda a, x: a + x)
     nb = F.aggregate(F.transform(qb, lambda x: x * x), zero, lambda a, x: a + x)
-    return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    # try_divide: NULL (not an ANSI crash) for zero-norm inputs, same
+    # contract as cosine() — and NULL never passes a `>= threshold`
+    # verify filter, unlike NaN (Spark orders NaN above every double)
+    return F.try_divide(
+        dot.cast("double"),
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
 
 
 def quantized_cosine_np() -> Column:
@@ -350,7 +369,15 @@ def quantized_cosine_np() -> Column:
         dot = (A * B).sum(axis=1).astype(np.float64)
         na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
         nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
-        return pd.Series(dot / (na * nb))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            res = dot / (na * nb)
+        # zero-norm -> SQL NULL (nullable Float64 through Arrow), the
+        # same contract as quantized_cosine's try_divide: a NaN would
+        # instead PASS every `>= threshold` verify filter, since Spark
+        # orders NaN above all doubles
+        out = pd.array(res, dtype="Float64")
+        out[~np.isfinite(res)] = pd.NA
+        return pd.Series(out, dtype="Float64")
 
     return _cos
 
@@ -418,7 +445,8 @@ def cosine_topk_np(
     q_rows = queries.select(id_col, vec_col).collect()  # small by contract
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     bq = queries.sparkSession.sparkContext.broadcast((q_ids, q_norm))
 
     cand_schema = T.StructType([
@@ -434,11 +462,15 @@ def cosine_topk_np(
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             cmat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
-            cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
             sims = qn @ cn.T                            # (|Q|, batch)
             out_q, out_n, out_c = [], [], []
             for i, qid in enumerate(qids):
                 s = sims[i]
+                # np.lexsort places NaN keys last in ascending -s, so
+                # zero-norm candidates are picked after all real scores
+                # — the same NULLS-LAST order the global merge uses
                 order = np.lexsort((cids, -s))          # (-cos, neighbor_id)
                 picked = 0
                 for j in order:
@@ -446,12 +478,17 @@ def cosine_topk_np(
                         continue                        # exclude self
                     out_q.append(qid)
                     out_n.append(cids[j])
-                    out_c.append(s[j])
+                    # zero-norm -> SQL NULL: Spark sorts NaN ABOVE all
+                    # doubles on desc, which would rank poison rows
+                    # first in the global merge; NULL sorts last,
+                    # matching cosine_topk's try_divide contract
+                    out_c.append(float(s[j]) if np.isfinite(s[j]) else None)
                     picked += 1
                     if picked == k:
                         break
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
+                {"query_id": out_q, "neighbor_id": out_n,
+                 "cos": pd.array(out_c, dtype="Float64")})
 
     cand = corpus.select(id_col, vec_col).mapInPandas(local_topk, schema=cand_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -56,9 +56,15 @@ def text_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round((n_chars - n_tokens + 1).cast("double") / n_tokens, 6).alias("avg_token_len"),
-        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
-        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        # try_divide: an empty document has n_chars = 0, and a plain `/`
+        # under Spark 4's default ANSI mode would crash the whole scan
+        # on that one poison row; NULL matches DuckDB's 0/0 for the oracle
+        F.round(F.try_divide((n_chars - n_tokens + 1).cast("double"),
+                             n_tokens), 6).alias("avg_token_len"),
+        F.round(F.try_divide(n_stop.cast("double"), n_tokens), 6)
+         .alias("stopword_ratio"),
+        F.round(F.try_divide(n_punct.cast("double"), n_chars), 6)
+         .alias("punct_ratio"),
     )
 
 
@@ -1065,8 +1071,13 @@ def sparse_cosine_pairs(
             .agg(F.sum("prod").alias("dot"),
                  F.first("na").alias("na"), F.first("nb").alias("nb"))
             .select("id_a", "id_b",
-                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
-                     .alias("cosine"))
+                    # try_divide: a doc whose every surviving term is
+                    # corpus-universal (idf = ln(N/N) = 0) has norm 0 —
+                    # ANSI `/` would crash the job on it; NULL cosine is
+                    # then dropped by the threshold filter below
+                    F.round(F.try_divide(
+                        F.col("dot"),
+                        F.col("na") * F.col("nb")), 6).alias("cosine"))
             .filter(F.col("cosine") >= float(min_sim)))
 
 

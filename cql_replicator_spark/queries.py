@@ -1347,6 +1347,20 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "snapshot_time_travel",          # touched: dlog empty-claim reclaim
                                      # is now staleness-gated (fresh
                                      # claims are live committers)
+    # poison-row sweep: zero-norm/empty-doc divisions now try_divide
+    # (ANSI-safe NULL), verified hash-green vs the oracle at sf0.01
+    "similarity_cosine_topk",        # touched: cosine() NULL contract
+    "similarity_cosine_topk_vectorized",  # touched: np lane emits NULL
+    "similarity_ann_ivf",            # touched: ivf_build argmax floor
+    "similarity_recall_at_k",        # touched: via cosine()/ivf_search
+    "similarity_pq_recall",          # touched: quantized_cosine
+    "similarity_ivfpq_recall",       # touched: same + ivf_build
+    "text_metrics",                  # touched: try_divide ratios
+    "text_sparse_cosine_pairs",      # touched: zero-norm TF-IDF pairs
+    "dedup_embedding_cosine",        # touched: via cosine()
+    "dedup_embedding_lsh_verified",  # touched: via quantized lanes
+    "embedding_kmeans_clusters",     # touched: via similarity helpers
+    "retrieval_hybrid_rrf",          # touched: via cosine()
 ]
 
 

@@ -1,0 +1,159 @@
+"""Poison-row robustness: one bad row must never crash a corpus job.
+
+Spark 4 defaults to ANSI mode, where x/0 raises ArithmeticException and
+kills the whole stage. At 100 TB scale the poison inputs these pin are
+routine — a zeroed embedding from a failed encoder, an empty document,
+a doc whose every term is corpus-universal (idf 0, zero TF-IDF norm).
+The contract fixed in r9 and pinned here:
+
+* cosine of a zero-norm vector is SQL NULL (try_divide), matching
+  DuckDB's 1.0/0.0 = NULL — so oracle parity holds;
+* NULL ranks LAST under the desc orderings every top-k uses, so poison
+  neighbors sort after all real scores (NaN would rank FIRST: Spark
+  orders NaN above every double — also why the numpy lanes emit
+  nullable Float64, never NaN);
+* a `cosine >= threshold` verify filter drops NULL (NaN would pass);
+* ivf_build stays total: zero-norm rows assign to the lowest centroid
+  id deterministically via the coalesce(-2.0) argmax floor;
+* text_metrics on an empty document yields NULL punct_ratio, not a
+  crash.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cql_replicator_spark.analytics import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # vec 1 and 4 are zero-norm poison; 2/3/5 are real
+    return spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.9, 0.1, 0.0]),
+         (4, [0.0, 0.0, 0.0]), (5, [-1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+
+
+def _topk_map(rows):
+    out = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        out.setdefault(r.query_id, []).append(r.neighbor_id)
+    return out
+
+
+def test_cosine_zero_norm_is_null_not_crash(spark, emb):
+    a = emb.alias("a")
+    b = emb.alias("b")
+    rows = (a.crossJoin(b)
+            .select(F.col("a.vec_id").alias("ia"),
+                    F.col("b.vec_id").alias("ib"),
+                    similarity.cosine(F.col("a.embedding"),
+                                      F.col("b.embedding")).alias("c"))
+            .collect())
+    zeroes = {1, 4}
+    for r in rows:
+        if r.ia in zeroes or r.ib in zeroes:
+            assert r.c is None, f"({r.ia},{r.ib}) expected NULL, got {r.c}"
+        else:
+            assert r.c is not None
+
+
+def test_cosine_topk_ranks_poison_last(spark, emb):
+    got = _topk_map(similarity.cosine_topk(emb, emb, k=4).collect())
+    # real queries: real neighbors first (by cosine), zero vectors last
+    # (NULL cos -> desc nulls last, tie by neighbor_id)
+    assert got[2] == [3, 5, 1, 4]
+    assert got[5] == [3, 2, 1, 4]
+    # zero-norm query: all cos NULL -> deterministic neighbor_id order
+    assert got[1] == [2, 3, 4, 5]
+
+
+def test_cosine_topk_np_matches_column_path_on_poison(spark, emb):
+    col_path = _topk_map(similarity.cosine_topk(emb, emb, k=4).collect())
+    np_path = _topk_map(similarity.cosine_topk_np(emb, emb, k=4).collect())
+    assert np_path == col_path
+
+
+def test_quantized_cosine_null_fails_threshold_filter(spark, emb):
+    pairs = (emb.alias("a").crossJoin(emb.alias("b"))
+             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("ia"),
+                     F.col("b.vec_id").alias("ib"),
+                     similarity.quantized_cosine(
+                         F.col("a.embedding"), F.col("b.embedding"))
+                     .alias("c")))
+    passed = {(r.ia, r.ib) for r in
+              pairs.filter(F.col("c") >= 0.5).collect()}
+    # only the genuinely-similar real pair passes; nothing involving a
+    # zero vector leaks through the gate (a NaN there WOULD pass)
+    assert passed == {(2, 3)}
+
+
+def test_quantized_cosine_np_emits_null_not_nan(spark, emb):
+    qc = similarity.quantized_cosine_np()
+    rows = (emb.alias("a").crossJoin(emb.alias("b"))
+            .select(F.col("a.vec_id").alias("ia"),
+                    F.col("b.vec_id").alias("ib"),
+                    qc(F.col("a.embedding"), F.col("b.embedding"))
+                    .alias("c"))
+            .collect())
+    import math
+    for r in rows:
+        if r.ia in (1, 4) or r.ib in (1, 4):
+            assert r.c is None
+        else:
+            assert r.c is not None and not math.isnan(r.c)
+
+
+def test_ivf_build_total_on_zero_norm(spark, emb):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0])],
+        "centroid_id bigint, embedding array<double>")
+    got = {r.vec_id: r.centroid_id
+           for r in similarity.ivf_build(emb, cents).collect()}
+    # every vector assigned; poison rows (and every row vs the poison
+    # centroid) floor to -2.0 and tie-break to the LOWEST centroid id
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] == 0 and got[4] == 0
+    assert got[2] == 0 and got[3] == 0  # genuinely nearest to centroid 0
+
+
+def test_ivf_search_runs_with_poison_rows(spark, emb):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id bigint, embedding array<double>")
+    indexed = similarity.ivf_build(emb, cents)
+    out = similarity.ivf_search(emb, indexed, cents, k=2, nprobe=2)
+    assert out.count() > 0  # no ANSI crash end-to-end
+
+
+def test_text_metrics_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "hello world"), (3, None)],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r for r in text.text_metrics(docs).collect()}
+    assert got[1].n_chars == 0
+    assert got[1].punct_ratio is None  # 0/0 -> NULL, not a crash
+    assert got[2].n_tokens == 2 and got[2].punct_ratio == 0.0
+
+
+def test_sparse_cosine_zero_norm_doc_dropped(spark):
+    # every term of every doc is corpus-universal: idf = ln(3/3) = 0,
+    # all TF-IDF weights 0, all norms 0 — pairs exist but every cosine
+    # is 0/0. Must not crash; NULL cosine fails the >= threshold gate.
+    docs = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here"),
+         (3, "same words here")],
+        "id bigint, text string")
+    out = text.sparse_cosine_pairs(docs, id_col="id", text_col="text",
+                                   min_sim=0.1)
+    assert out.count() == 0
+
+
+def test_edge_docs_run_clean_through_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a"), (4, None), (5, "x y z x y z")],
+        "doc_id bigint, text string")
+    assert dedup.minhash_lsh_dedup_pairs(docs).count() >= 0
+    assert dedup.simhash_hamming_pairs(docs).count() >= 0
+    assert dedup.ngram_jaccard_pairs(docs, n=3).count() >= 0
