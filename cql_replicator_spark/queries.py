@@ -1361,6 +1361,10 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "dedup_embedding_lsh_verified",  # touched: via quantized lanes
     "embedding_kmeans_clusters",     # touched: via similarity helpers
     "retrieval_hybrid_rrf",          # touched: via cosine()
+    "reconcile_rowhash_checksum",    # touched: bucket checksum is now
+                                     # bit_xor (additive 32-bit-hash sum
+                                     # overflows BIGINT at 2^31 rows/
+                                     # bucket under ANSI)
 ]
 
 

@@ -1811,13 +1811,13 @@ def features_user_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_CDC_BASE_SQL_REF.strip()},
 h0 AS (
   SELECT {_md5h32_sql("CAST(pk AS VARCHAR)")} % 16 AS bucket,
-         sum({_md5h32_sql("CAST(pk AS VARCHAR) || '|' || CAST(ts AS VARCHAR)")})
+         bit_xor({_md5h32_sql("CAST(pk AS VARCHAR) || '|' || CAST(ts AS VARCHAR)")})
            AS csum, count(*) AS n
   FROM t0 GROUP BY 1
 ),
 h1 AS (
   SELECT {_md5h32_sql("CAST(pk AS VARCHAR)")} % 16 AS bucket,
-         sum({_md5h32_sql("CAST(pk AS VARCHAR) || '|' || CAST(ts AS VARCHAR)")})
+         bit_xor({_md5h32_sql("CAST(pk AS VARCHAR) || '|' || CAST(ts AS VARCHAR)")})
            AS csum, count(*) AS n
   FROM t1 GROUP BY 1
 )
@@ -1828,9 +1828,12 @@ SELECT COALESCE(h0.bucket, h1.bucket) AS bucket,
 FROM h0 FULL OUTER JOIN h1 ON h1.bucket = h0.bucket
 """,
     doc="One-pass bucketed checksum reconcile — the cheap companion to "
-        "the Merkle anti-entropy tree: an order-independent additive "
-        "row-hash checksum per hash bucket (sum of md5h32(pk|ts), 16 "
-        "buckets) computed in a single aggregation pass per side; "
+        "the Merkle anti-entropy tree: an order-independent XOR "
+        "row-hash checksum per hash bucket (bit_xor of md5h32(pk|ts), "
+        "16 buckets — XOR, not sum: summing 32-bit hashes overflows "
+        "BIGINT at ~2^31 rows/bucket, an ANSI-mode crash at 100 TB "
+        "row counts; XOR never widens) in a single aggregation pass "
+        "per side; "
         "mismatched buckets localize drift to 1/16 of the key space "
         "with NO tree levels and no re-scans. Use this every cycle; "
         "escalate to the Merkle tree (log-localization) only on "
@@ -1844,9 +1847,15 @@ def reconcile_rowhash_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(t: DataFrame, n_name: str) -> DataFrame:
         rh = md5h32(F.concat(F.col("pk").cast("string"), F.lit("|"),
                              F.col("ts").cast("string")))
+        # bit_xor, not sum: md5h32 values are 32-bit, and an additive
+        # checksum overflows BIGINT at ~2^31 rows per bucket — a
+        # job-killing ArithmeticException under Spark 4's default ANSI
+        # mode at 100 TB row counts. XOR is order-independent, never
+        # widens, and localizes drift identically (both sides compute
+        # the same function).
         return (t.groupBy(F.pmod(md5h32(F.col("pk").cast("string")),
                                  F.lit(16)).alias("bucket"))
-                .agg(F.sum(rh).alias(f"__c_{n_name}"),
+                .agg(F.bit_xor(rh).alias(f"__c_{n_name}"),
                      F.count("*").cast("long").alias(n_name)))
 
     s0 = side(t0, "n_source")
