@@ -658,7 +658,11 @@ def sample_media_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             # 1->N explode itself is per-cell work either way
             ids, idxs, tss, frames = [], [], [], []
             for rid, media, meta in zip(pdf["id"], pdf["media"], pdf["meta"]):
-                duration = (meta["duration_ms"] or 0) if meta else 0
+                raw = meta.get("duration_ms") if meta else None
+                # NaN-safe coercion: Arrow hands a struct int field with
+                # NULLs to pandas as float NaN, and NaN is truthy — the
+                # old `or 0` let it through and `[rid] * n` threw
+                duration = int(raw) if raw is not None and raw == raw else 0
                 n = max(1, duration // every_ms)
                 data = bytes(media) if media is not None else b""
                 ids.extend([rid] * n)
@@ -2858,7 +2862,12 @@ def synthesize_flac_table(documents: DataFrame) -> DataFrame:
                                 "media": media})
 
     return (documents
-            .select("doc_id", F.length("text").cast("long").alias("tlen"))
+            .select("doc_id",
+                    # coalesce: a NULL-text poison doc otherwise turns
+                    # the whole Arrow batch's tlen into float64 NaN and
+                    # the int-only encoder math below throws TypeError
+                    F.coalesce(F.length("text"), F.lit(0))
+                     .cast("long").alias("tlen"))
             .mapInPandas(run, schema=JPEG_SCHEMA))
 
 
@@ -2913,7 +2922,12 @@ def synthesize_gif_table(documents: DataFrame) -> DataFrame:
                                 "media": media})
 
     return (documents
-            .select("doc_id", F.length("text").cast("long").alias("tlen"))
+            .select("doc_id",
+                    # coalesce: a NULL-text poison doc otherwise turns
+                    # the whole Arrow batch's tlen into float64 NaN and
+                    # the int-only encoder math below throws TypeError
+                    F.coalesce(F.length("text"), F.lit(0))
+                     .cast("long").alias("tlen"))
             .mapInPandas(run, schema=JPEG_SCHEMA))
 
 
@@ -2938,7 +2952,12 @@ def synthesize_png_pixel_table(documents: DataFrame) -> DataFrame:
                                 "media": media})
 
     return (documents
-            .select("doc_id", F.length("text").cast("long").alias("tlen"))
+            .select("doc_id",
+                    # coalesce: a NULL-text poison doc otherwise turns
+                    # the whole Arrow batch's tlen into float64 NaN and
+                    # the int-only encoder math below throws TypeError
+                    F.coalesce(F.length("text"), F.lit(0))
+                     .cast("long").alias("tlen"))
             .mapInPandas(run, schema=JPEG_SCHEMA))
 
 

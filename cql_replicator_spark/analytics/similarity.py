@@ -54,6 +54,19 @@ def _as_double(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
 
+def well_formed(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Drop malformed vectors (NULL or wrong length) ahead of a
+    fixed-dimension numpy lane. At corpus scale a failed encoder emits
+    NULL/ragged embedding rows routinely, and np.stack over a ragged
+    Arrow batch crashes the whole task — one poison row kills the job.
+    A declarative filter instead: Catalyst pushes the IsNotNull to the
+    scan, the size() check is a cheap array-header read, and malformed
+    rows are excluded deterministically (the column-expression lanes
+    get the same outcome via NULL-propagating dot/try_divide)."""
+    return df.filter(F.col(vec_col).isNotNull()
+                     & (F.size(F.col(vec_col)) == int(dim)))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -300,8 +313,8 @@ def embedding_lsh_candidates(
                         for b in range(bands)])
         return pd.Series(out)
 
-    sig = corpus.select(F.col(id_col),
-                        _band_keys(F.col(vec_col)).alias("band_keys"))
+    sig = well_formed(corpus, vec_col, dim).select(
+        F.col(id_col), _band_keys(F.col(vec_col)).alias("band_keys"))
     if persist_signatures:
         # the 100 TB switch (same rationale as minhash_lsh_dedup_pairs):
         # persisting the per-vector band keys lets a composed pipeline
@@ -362,19 +375,41 @@ def quantized_cosine_np() -> Column:
     inside single-pass column plans (e.g. IVF scoring)."""
     from pyspark.sql.functions import pandas_udf
 
+    def _pair(a, b):
+        # ragged fallback: NULL/mismatched-length poison pair -> NULL
+        if a is None or b is None:
+            return np.nan
+        A = np.floor(np.asarray(a, dtype=np.float64) * 1e6).astype(np.int64)
+        B = np.floor(np.asarray(b, dtype=np.float64) * 1e6).astype(np.int64)
+        if A.shape != B.shape or A.size == 0:
+            return np.nan
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return float(A @ B) / (np.sqrt(float(A @ A)) * np.sqrt(float(B @ B))) \
+                if (A @ A) and (B @ B) else np.nan
+
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A = np.floor(np.stack(va.to_numpy()).astype(np.float64) * 1e6).astype(np.int64)
-        B = np.floor(np.stack(vb.to_numpy()).astype(np.float64) * 1e6).astype(np.int64)
-        dot = (A * B).sum(axis=1).astype(np.float64)
-        na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
-        nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            res = dot / (na * nb)
-        # zero-norm -> SQL NULL (nullable Float64 through Arrow), the
-        # same contract as quantized_cosine's try_divide: a NaN would
-        # instead PASS every `>= threshold` verify filter, since Spark
-        # orders NaN above all doubles
+        try:
+            # fast path: whole-batch matmul shape (clean batches pay
+            # nothing for the poison guard)
+            A = np.floor(np.stack(va.to_numpy()).astype(np.float64) * 1e6).astype(np.int64)
+            B = np.floor(np.stack(vb.to_numpy()).astype(np.float64) * 1e6).astype(np.int64)
+            if A.shape != B.shape:
+                raise ValueError("ragged pair batch")
+            dot = (A * B).sum(axis=1).astype(np.float64)
+            na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+            nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                res = dot / (na * nb)
+        except (ValueError, TypeError):
+            # batch contains NULL/ragged vectors: per-row fallback
+            res = np.array([_pair(a, b)
+                            for a, b in zip(va.to_numpy(), vb.to_numpy())],
+                           dtype=np.float64)
+        # zero-norm / malformed -> SQL NULL (nullable Float64 through
+        # Arrow), the same contract as quantized_cosine's try_divide: a
+        # NaN would instead PASS every `>= threshold` verify filter,
+        # since Spark orders NaN above all doubles
         out = pd.array(res, dtype="Float64")
         out[~np.isfinite(res)] = pd.NA
         return pd.Series(out, dtype="Float64")
@@ -443,6 +478,13 @@ def cosine_topk_np(
     from pyspark.sql import types as T
 
     q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    # drop NULL/ragged poison queries: dimension = the first well-formed
+    # row's (the same first-row convention kmeans_quantized uses)
+    d = next((len(r[1]) for r in q_rows if r[1] is not None and len(r[1])),
+             None)
+    if d is None:
+        raise ValueError("cosine_topk_np: no well-formed query vectors")
+    q_rows = [r for r in q_rows if r[1] is not None and len(r[1]) == d]
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -490,7 +532,14 @@ def cosine_topk_np(
                 {"query_id": out_q, "neighbor_id": out_n,
                  "cos": pd.array(out_c, dtype="Float64")})
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(local_topk, schema=cand_schema)
+    # corpus-side poison guard is DECLARATIVE (well_formed): the filter
+    # reaches the scan, and np.stack inside local_topk stays on its
+    # fast path. Exclusion matches the column lane's effective result:
+    # there a ragged neighbor's cos is NULL and never outranks real
+    # scores; top-k output differs only when fewer than k real
+    # neighbors exist.
+    cand = (well_formed(corpus.select(id_col, vec_col), vec_col, d)
+            .mapInPandas(local_topk, schema=cand_schema))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -576,16 +625,20 @@ def kmeans_quantized(
     sample scans + ONE corpus scan. None (default) keeps full-corpus
     training — the historical behavior the registered kmeans oracles
     replay."""
-    q = corpus.select(
+    q_all = corpus.select(
         F.col(id_col),
         F.expr(
             f"transform({vec_col}, v -> greatest(-127L, least(127L, "
             f"CAST(floor(CAST(v AS DOUBLE) * {int(scale)}) AS BIGINT))))"
-        ).alias("qv")).persist()  # read by every round; unpersisted below
-    head = q.select("qv").first()
+        ).alias("qv"))
+    head = q_all.filter(F.col("qv").isNotNull()).select("qv").first()
     if head is None:
         raise ValueError("kmeans_quantized: corpus is empty")
     dim = len(head["qv"])
+    # malformed vectors (NULL/ragged — failed-encoder poison) are
+    # excluded from clustering: they would crash the fixed-dim numpy
+    # assignment lane and cannot meaningfully join any cluster
+    q = well_formed(q_all, "qv", dim).persist()  # read by every round
 
     seeds = (q.orderBy(id_col).limit(int(k)).collect())
     centroids = [list(r["qv"]) for r in seeds]  # cid = seed rank
@@ -915,12 +968,17 @@ def _kmeans_centroids(frame: DataFrame, vec_col: str, k: int,
     assignments): same seeding, same integer update, same k-row
     pivoted collection."""
     first_col = frame.columns[0]
-    q = frame.select(
+    q_all = frame.select(
         F.col(first_col).alias("_id"),
         F.expr(
             f"transform({vec_col}, v -> greatest(-127L, least(127L, "
             f"CAST(floor(CAST(v AS DOUBLE) * {int(scale)}) AS BIGINT))))"
-        ).alias("qv")).persist()
+        ).alias("qv"))
+    head = q_all.filter(F.col("qv").isNotNull()).select("qv").first()
+    if head is None:
+        raise ValueError("empty subspace frame")
+    # exclude NULL/ragged poison rows: same contract as kmeans_quantized
+    q = well_formed(q_all, "qv", len(head["qv"])).persist()
     try:
         seeds = q.orderBy("_id").limit(int(k)).collect()
         if not seeds:
@@ -985,7 +1043,9 @@ def pq_encode(
             out[:, s] = np.argmin(D, axis=1)
         return pd.Series(list(out))
 
-    q = corpus.select(
+    # exclude NULL/ragged poison rows (failed-encoder output): the
+    # subspace slicing below requires exactly m*sub components
+    q = well_formed(corpus, vec_col, m * sub).select(
         F.col(id_col),
         F.expr(
             f"transform({vec_col}, v -> greatest(-127L, least(127L, "

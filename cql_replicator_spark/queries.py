@@ -246,6 +246,12 @@ def reconcile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Analytic surface (aggregations / joins / sorts, TPC-H-shaped)
 # ---------------------------------------------------------------------------
 
+# Money columns go through try_cast(_DEC), never cast: under Spark 4's
+# default ANSI mode a plain cast of one out-of-range poison value (a
+# corrupt 1e30 price) raises NUMERIC_VALUE_OUT_OF_RANGE and kills the
+# whole query; try_cast turns it into SQL NULL, which aggregates skip —
+# and equals cast exactly on every in-range value, so oracle parity on
+# clean data is untouched.
 _DEC = "decimal(18,2)"
 
 
@@ -270,10 +276,10 @@ ORDER BY l_returnflag, l_linestatus
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    qty = F.col("l_quantity").cast(_DEC)
-    price = F.col("l_extendedprice").cast(_DEC)
-    disc = F.col("l_discount").cast(_DEC)
-    tax = F.col("l_tax").cast(_DEC)
+    qty = F.col("l_quantity").try_cast(_DEC)
+    price = F.col("l_extendedprice").try_cast(_DEC)
+    disc = F.col("l_discount").try_cast(_DEC)
+    tax = F.col("l_tax").try_cast(_DEC)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -311,8 +317,8 @@ LIMIT 10
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders", "lineitem")
-    price = F.col("l_extendedprice").cast(_DEC)
-    disc = F.col("l_discount").cast(_DEC)
+    price = F.col("l_extendedprice").try_cast(_DEC)
+    disc = F.col("l_discount").try_cast(_DEC)
     # reduce orders by the broadcast customer-segment filter BEFORE the big
     # fact join: without CBO stats Catalyst keeps the written join order, and
     # lineitem⋈orders first would shuffle the full fact table. The reduced
@@ -355,8 +361,8 @@ ORDER BY revenue DESC, n_name
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
-    price = F.col("l_extendedprice").cast(_DEC)
-    disc = F.col("l_discount").cast(_DEC)
+    price = F.col("l_extendedprice").try_cast(_DEC)
+    disc = F.col("l_discount").try_cast(_DEC)
     # constrain orders through the broadcast dim chain BEFORE touching the
     # fact table: ASIA nations -> ASIA customers -> their orders (~1/5 of
     # orders), so lineitem joins a reduced side. AQE picks the physical
@@ -409,8 +415,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24))
-        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)
-                   * F.col("l_discount").cast(_DEC)).cast("double").alias("revenue"))
+        .agg(F.sum(F.col("l_extendedprice").try_cast(_DEC)
+                   * F.col("l_discount").try_cast(_DEC)).cast("double").alias("revenue"))
     )
 
 
@@ -442,7 +448,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "orders", "customer", "lineitem")
     li = t["lineitem"]
     big = (li.groupBy("l_orderkey")
-           .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__qty"))
+           .agg(F.sum(F.col("l_quantity").try_cast(_DEC)).alias("__qty"))
            .filter(F.col("__qty") > 300)
            .select(F.col("l_orderkey").alias("big_orderkey")))
     return (
@@ -451,7 +457,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("total_qty"))
+        .agg(F.sum(F.col("l_quantity").try_cast(_DEC)).cast("double").alias("total_qty"))
         .select("c_name", "o_custkey", "o_orderkey", "o_orderdate",
                 F.col("o_totalprice").cast("double").alias("o_totalprice"),
                 "total_qty")
@@ -548,15 +554,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "lineitem", "part")
     li = t["lineitem"]
     per_part = li.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
-        F.sum(F.col("l_quantity").cast(_DEC)).alias("qty_sum"),
+        F.sum(F.col("l_quantity").try_cast(_DEC)).alias("qty_sum"),
         F.count("l_quantity").alias("qty_cnt"))
     brand = t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
     return (
         li.join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part, F.col("pp_partkey") == F.col("l_partkey"))
-        .filter(F.col("l_quantity").cast(_DEC) * 5 * F.col("qty_cnt")
+        .filter(F.col("l_quantity").try_cast(_DEC) * 5 * F.col("qty_cnt")
                 < F.col("qty_sum"))
-        .agg((F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0)
+        .agg((F.sum(F.col("l_extendedprice").try_cast(_DEC)).cast("double") / 7.0)
              .cast("double").alias("avg_yearly"))
     )
 
@@ -680,7 +686,7 @@ FROM orders
 )
 def column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")["orders"]
-    price_dec = F.col("o_totalprice").cast(_DEC)
+    price_dec = F.col("o_totalprice").try_cast(_DEC)
     slen = F.length("o_orderstatus")
     return orders.agg(
         F.min("o_totalprice").cast("double").alias("o_totalprice_min"),
@@ -934,7 +940,7 @@ def customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     orders = _t(spark, sf_dir, "orders")["orders"]
     spend = (orders.groupBy("o_custkey")
-             .agg(F.sum(F.col("o_totalprice").cast(_DEC))
+             .agg(F.sum(F.col("o_totalprice").try_cast(_DEC))
                   .cast("double").alias("total_spend")))
     w = Window.orderBy(F.desc("total_spend"))
     return (spend.withColumn("spend_rank", F.dense_rank().over(w))
@@ -989,7 +995,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n_orders"),
-             F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+             F.sum(F.col("o_totalprice").try_cast(_DEC)).cast("double")
              .alias("total_price"),
              F.grouping("o_orderstatus").cast("int").alias("g_status"),
              F.grouping("o_orderpriority").cast("int").alias("g_priority"))
@@ -1142,7 +1148,7 @@ FROM orders
 def row_size_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stats import add_total_columns
     orders = _t(spark, sf_dir, "orders")["orders"]
-    price_dec = F.col("o_totalprice").cast(_DEC)
+    price_dec = F.col("o_totalprice").try_cast(_DEC)
     slen = F.length("o_orderstatus")
     stats = orders.agg(
         F.min("o_totalprice").cast("double").alias("o_totalprice_min"),
@@ -1296,7 +1302,9 @@ def column_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            raw = pdf["o_orderpriority"].map(lambda s: s.encode("utf-8"))
+            # (s or ""): a NULL priority row must round-trip as empty
+            # bytes, not crash the batch with NoneType.encode
+            raw = pdf["o_orderpriority"].map(lambda s: (s or "").encode("utf-8"))
             comp = raw.map(compress)
             yield pd.DataFrame({
                 "o_orderkey": pdf["o_orderkey"],
@@ -1359,12 +1367,25 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "text_sparse_cosine_pairs",      # touched: zero-norm TF-IDF pairs
     "dedup_embedding_cosine",        # touched: via cosine()
     "dedup_embedding_lsh_verified",  # touched: via quantized lanes
-    "embedding_kmeans_clusters",     # touched: via similarity helpers
     "retrieval_hybrid_rrf",          # touched: via cosine()
     "reconcile_rowhash_checksum",    # touched: bucket checksum is now
                                      # bit_xor (additive 32-bit-hash sum
                                      # overflows BIGINT at 2^31 rows/
                                      # bucket under ANSI)
+    # poison-SWEEP fixes (tools/poison_sweep.py found 15 crashers; all
+    # re-verified hash-green on clean sf0.01 after the fix):
+    "embedding_kmeans_clusters",     # touched: well_formed filter ahead
+                                     # of the numpy assignment lane
+    "embedding_kmeans_train_sample", # touched: same filter, train path
+    "dedup_semantic",                # touched: via kmeans_quantized
+    "dedup_embedding_lsh",           # touched: well_formed before LSH
+                                     # signature matmul
+    "multimodal_gif_pixel_decode",   # touched: tlen coalesce(0) for
+                                     # NULL-text docs
+    "multimodal_png_pixel_decode",   # touched: same
+    "multimodal_flac_audio_decode",  # touched: same
+    "multimodal_frames",             # touched: NaN-safe duration_ms
+    "column_compression_roundtrip",  # touched: NULL-priority guard
 ]
 
 

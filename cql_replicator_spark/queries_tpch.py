@@ -28,8 +28,8 @@ from .queries import register, _t, _DEC
 
 
 def _rev() -> F.Column:
-    return (F.col("l_extendedprice").cast(_DEC)
-            * (1 - F.col("l_discount").cast(_DEC)))
+    return (F.col("l_extendedprice").try_cast(_DEC)
+            * (1 - F.col("l_discount").try_cast(_DEC)))
 
 
 _REV_SQL = ("CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -148,7 +148,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ords = (t["orders"]
             .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
             .select("o_orderkey", "o_orderdate"))
-    zero = F.lit(0).cast(_DEC)
+    zero = F.lit(0).try_cast(_DEC)
     nat3 = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(zero)
     return (
         t["lineitem"]
@@ -202,8 +202,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s_nationkey") == F.col("n_nationkey"))
             .select("s_suppkey", "nation"))
     profit_x10 = (_rev() * 10
-                  - F.col("l_quantity").cast(_DEC)
-                  * F.col("p_retailprice").cast(_DEC))
+                  - F.col("l_quantity").try_cast(_DEC)
+                  * F.col("p_retailprice").try_cast(_DEC))
     return (
         t["lineitem"]
         .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
@@ -367,7 +367,7 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "lineitem", "part")
-    zero = F.lit(0).cast(_DEC)
+    zero = F.lit(0).try_cast(_DEC)
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)
     return (
         t["lineitem"]
@@ -517,7 +517,7 @@ def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("supp_qty")))
+        .agg(F.sum(F.col("l_quantity").try_cast(_DEC)).alias("supp_qty")))
     part_total = (part_qty.groupBy(F.col("l_partkey").alias("pt_partkey"))
                   .agg(F.sum("supp_qty").alias("total_qty")))
     return (
@@ -565,7 +565,7 @@ GROUP BY c.c_mktsegment
 )
 def q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders")
-    bal = F.col("c_acctbal").cast(_DEC)
+    bal = F.col("c_acctbal").try_cast(_DEC)
     pos = (t["customer"].filter(F.col("c_acctbal") > 0.0)
            .agg(F.sum(bal).alias("bal_sum"), F.count("*").alias("bal_cnt")))
     return (
@@ -630,7 +630,7 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(size10.select("p_partkey")),
                     F.col("l_partkey") == F.col("p_partkey"), "left_semi")
               .groupBy("l_partkey", "l_suppkey")
-              .agg(F.min(F.col("l_extendedprice").cast(_DEC))
+              .agg(F.min(F.col("l_extendedprice").try_cast(_DEC))
                    .alias("best_price")))
     part_min = (offers.groupBy(F.col("l_partkey").alias("pm_partkey"))
                 .agg(F.min("best_price").alias("min_price")))
@@ -673,7 +673,7 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n_orders"),
-             F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+             F.sum(F.col("o_totalprice").try_cast(_DEC)).cast("double")
               .alias("total_spend"))
     )
 

@@ -150,6 +150,86 @@ def test_sparse_cosine_zero_norm_doc_dropped(spark):
     assert out.count() == 0
 
 
+@pytest.fixture(scope="module")
+def ragged(spark):
+    # NULL, empty, wrong-dim, zero — the failed-encoder output mix the
+    # r9 poison sweep found crashing every numpy embedding lane
+    return spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0]),
+         (3, None), (4, []), (5, [1.0, 2.0]), (6, [0.0, 0.0, 0.0, 0.0]),
+         (7, [0.5, 0.5, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+
+
+def test_ragged_embeddings_excluded_from_lsh(spark, ragged):
+    out = similarity.embedding_lsh_candidates(ragged, dim=4)
+    ids = {i for r in out.collect() for i in (r.id_a, r.id_b)}
+    assert out.count() >= 0            # no np.stack crash
+    assert not ids & {3, 4, 5}         # malformed rows never bucket
+
+
+def test_ragged_embeddings_excluded_from_kmeans(spark, ragged):
+    out = similarity.kmeans_quantized(ragged, k=2, rounds=1)
+    got = {r.vec_id for r in out.collect()}
+    assert got == {1, 2, 6, 7}         # well-formed rows only, no crash
+
+
+def test_ragged_embeddings_excluded_from_pq(spark, ragged):
+    books = similarity.pq_train(ragged, m=2, k=2, rounds=1)
+    coded = similarity.pq_encode(ragged, books)
+    got = {r.vec_id for r in coded.collect()}
+    assert got == {1, 2, 6, 7}
+
+
+def test_ragged_embeddings_topk_np_runs(spark, ragged):
+    out = similarity.cosine_topk_np(ragged, ragged, k=3)
+    rows = out.collect()
+    ids = {r.neighbor_id for r in rows} | {r.query_id for r in rows}
+    assert not ids & {3, 4, 5}         # malformed rows excluded both sides
+
+
+def test_ragged_pair_lane_emits_null(spark, ragged):
+    qc = similarity.quantized_cosine_np()
+    rows = (ragged.alias("a").crossJoin(ragged.alias("b"))
+            .select(F.col("a.vec_id").alias("ia"),
+                    F.col("b.vec_id").alias("ib"),
+                    qc(F.col("a.embedding"), F.col("b.embedding"))
+                    .alias("c"))
+            .collect())
+    # validity is PAIRWISE here (the lane sees two arbitrary columns):
+    # NULL/empty/zero-norm on either side, or mismatched lengths -> NULL;
+    # vec 5 against itself is two equal-length non-zero vectors and
+    # legitimately scores ~1.0
+    for r in rows:
+        if r.ia in (3, 4, 6) or r.ib in (3, 4, 6):
+            assert r.c is None, (r.ia, r.ib, r.c)
+        elif (r.ia == 5) != (r.ib == 5):   # 5 against a 4-dim vector
+            assert r.c is None, (r.ia, r.ib, r.c)
+        else:
+            assert r.c is not None, (r.ia, r.ib)
+
+
+def test_ansi_decimal_poison_price_is_null_not_crash(spark):
+    # one corrupt 1e30 price must not kill a TPC-H money aggregate
+    from cql_replicator_spark.queries import _DEC
+    df = spark.createDataFrame(
+        [(1, 100.0), (2, -1e30), (3, None)], "k bigint, price double")
+    rows = (df.select("k", F.col("price").try_cast(_DEC).alias("p"))
+            .collect())
+    got = {r.k: r.p for r in rows}
+    assert got[1] is not None and got[2] is None and got[3] is None
+
+
+def test_null_text_media_lanes_synthesize(spark):
+    from cql_replicator_spark.analytics import multimodal as M
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None), (3, "")], "doc_id bigint, text string")
+    for fn in (M.synthesize_gif_table, M.synthesize_png_pixel_table,
+               M.synthesize_flac_table):
+        out = fn(docs)
+        assert out.count() == 3        # NULL text -> tlen 0, still encodes
+
+
 def test_edge_docs_run_clean_through_dedup(spark):
     docs = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, "a"), (4, None), (5, "x y z x y z")],
