@@ -317,7 +317,20 @@ class DeltaLogTable:
         expiry contract). The log itself is kept whole: commit files
         are tiny and keeping them preserves history()/audit; reads of
         vacuumed versions fail at the missing-file check. Returns the
-        deleted paths."""
+        deleted paths.
+
+        ORPHAN files — parquet referenced by NO commit in the log — are
+        deleted only once older than ``_CLAIM_STALE_SECS``: a racing
+        committer moves its part files into the table root BEFORE its
+        log publish, so a fresh orphan is (possibly) an in-flight
+        commit, and deleting it would corrupt the version that is about
+        to win. Files referenced by superseded versions are published
+        history and deletable at any age. This is the same
+        in-flight-vs-crashed mtime gate the commit path applies to
+        empty claims, and the file-age analogue of real Delta's
+        retention-hours check, which exists for exactly this race.
+        Crashed losers' leftovers age past the threshold and are
+        reclaimed by the next vacuum."""
         versions = self.versions()
         if not versions:
             return []
@@ -326,11 +339,25 @@ class DeltaLogTable:
         for v in retained:
             live, _ = self._replay(v)
             keep.update(live)
+        ever_added: set[str] = set()
+        for v in versions:
+            for action in self._read_commit(v):
+                if "add" in action:
+                    ever_added.add(action["add"]["path"])
         removed = []
+        now = time.time()
         for name in sorted(os.listdir(self.path)):
             if not name.endswith(".parquet"):
                 continue
-            if name not in keep:
-                os.remove(os.path.join(self.path, name))
-                removed.append(name)
+            if name in keep:
+                continue
+            full = os.path.join(self.path, name)
+            try:
+                if name not in ever_added and \
+                        now - os.stat(full).st_mtime <= _CLAIM_STALE_SECS:
+                    continue  # fresh orphan: possibly an in-flight commit
+                os.remove(full)
+            except OSError:
+                continue  # already gone (racing vacuum/loser cleanup)
+            removed.append(name)
         return removed

@@ -297,6 +297,36 @@ def test_fresh_empty_claim_is_live_not_reclaimed(spark, tbl, monkeypatch):
     assert after == before  # losers cleaned up their moved part files
 
 
+def test_vacuum_spares_fresh_orphans_reclaims_stale(spark, tbl):
+    """An in-flight committer's part files sit in the table root as
+    ORPHANS (referenced by no commit) until its log publish lands; a
+    concurrent vacuum must not delete them — that would corrupt the
+    version about to win. Crashed leftovers age past _CLAIM_STALE_SECS
+    and ARE reclaimed; superseded (published) files are deletable at
+    any age, so normal expiry is unaffected."""
+    tbl.commit_overwrite(_df(spark, [(1, 10)]))
+    v0_files = {n for n in os.listdir(tbl.path) if n.endswith(".parquet")}
+    tbl.commit_overwrite(_df(spark, [(2, 20)]))
+
+    fresh = os.path.join(tbl.path, "part-inflight-fresh.snappy.parquet")
+    stale = os.path.join(tbl.path, "part-crashed-stale.snappy.parquet")
+    for p in (fresh, stale):
+        with open(p, "w") as f:
+            f.write("x")
+    old = time.time() - dlog._CLAIM_STALE_SECS - 5
+    os.utime(stale, (old, old))
+
+    removed = set(tbl.vacuum(retain_versions=1))
+    # superseded v0 file expired despite being fresh; stale orphan
+    # reclaimed; fresh orphan (possible in-flight commit) spared
+    assert v0_files <= removed
+    assert "part-crashed-stale.snappy.parquet" in removed
+    assert "part-inflight-fresh.snappy.parquet" not in removed
+    assert os.path.exists(fresh) and not os.path.exists(stale)
+    # the surviving orphan is invisible to reads (not in any commit)
+    assert sorted(r.pk for r in tbl.read(spark).collect()) == [2]
+
+
 def test_duckdb_independent_log_replay(spark, tbl):
     """Closest-available cross-reader check (DuckDB's delta extension
     needs a network download; delta-rs is absent): replay the
