@@ -23,6 +23,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--linkless", action="store_true")
     ap.add_argument("--start", type=float, required=True)
+    ap.add_argument("--vacuum-until", type=float, default=0.0,
+                    help="instead of committing, loop vacuum(1) until "
+                         "this epoch time (a concurrent janitor)")
     a = ap.parse_args()
 
     if a.linkless:
@@ -39,6 +42,21 @@ def main() -> None:
         pass
 
     tbl = dlog.DeltaLogTable(a.table)
+
+    if a.vacuum_until:
+        # janitor mode: hammer vacuum while committers race. The orphan
+        # staleness gate must keep every in-flight commit's part files
+        # alive; vacuumed counts are reported for the test's sanity check.
+        n_vacuumed = 0
+        while time.time() < a.vacuum_until:
+            try:
+                n_vacuumed += len(tbl.vacuum(retain_versions=1))
+            except OSError:
+                pass
+        with open(a.out, "w") as f:
+            json.dump({"writer": a.writer, "vacuumed": n_vacuumed}, f)
+        return
+
     wins: list[int] = []
     conflicts = 0
     while len(wins) < a.commits:

@@ -127,3 +127,58 @@ def test_race_mixed_capabilities(tmp_path):
     flags = [i % 2 == 0 for i in range(N_WORKERS)]
     table, results = _run_race(tmp_path, flags)
     _assert_invariants(table, results)
+
+
+def test_vacuum_racing_committers_never_corrupts(tmp_path):
+    """A janitor process loops vacuum(retain=1) while committers race.
+    The orphan staleness gate (fresh unreferenced parquet = possibly an
+    in-flight commit) must keep every winning version's data file
+    alive: after the dust settles, the retained version replays with
+    its part file present and the winner's content intact. Without the
+    gate this flakes immediately — vacuum sees a mover's file before
+    its log publish and deletes it."""
+    table = str(tmp_path / "race_table")
+    os.makedirs(table)
+    start = time.time() + 1.5
+    procs, outs = [], []
+    for i in range(3):  # 3 committers
+        out = str(tmp_path / f"w{i}.json")
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, "--table", table, "--writer", f"w{i}",
+             "--commits", str(COMMITS_EACH), "--out", out,
+             "--start", str(start)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+        outs.append(out)
+    vout = str(tmp_path / "janitor.json")
+    procs.append(subprocess.Popen(
+        [sys.executable, WORKER, "--table", table, "--writer", "janitor",
+         "--commits", "0", "--out", vout, "--start", str(start),
+         "--vacuum-until", str(start + 4.0)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs.append(vout)
+    results = []
+    for p, out in zip(procs, outs):
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()
+        with open(out) as f:
+            results.append(json.load(f))
+
+    committers = [r for r in results if "wins" in r]
+    k = sum(len(r["wins"]) for r in committers)
+    assert k == 3 * COMMITS_EACH
+    tbl = dlog.DeltaLogTable(table)
+    assert tbl.versions() == list(range(k))
+    # the latest version must read back intact: its add-file exists and
+    # carries the winning writer's marker (vacuum never ate a winner)
+    live, _ = tbl._replay(k - 1)
+    assert len(live) == 1
+    rel = next(iter(live))
+    path = os.path.join(table, rel)
+    assert os.path.exists(path), "vacuum deleted the live version's file"
+    winner = {v: r["writer"] for r in committers for v in r["wins"]}[k - 1]
+    with open(path) as f:
+        assert f.read() == winner
+    # every retained-window version must also be readable (retain=1 ->
+    # only the newest is guaranteed; older ones may be legally vacuumed)
+    # and no commit file may reference a file vacuum deleted while that
+    # version was newest — spot-checked implicitly by the read above.
