@@ -40,14 +40,18 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """NULL when either vector has zero norm (try_divide): cosine is
-    undefined there, and a plain `/` under Spark 4's default ANSI mode
-    would fail the whole job on one poison row (a zeroed embedding from
-    a failed encoder is routine at corpus scale). NULL ranks LAST under
-    the desc orderings every top-k here uses — zero-norm neighbors sort
-    after all real scores — and matches DuckDB, where 1.0/0.0 is NULL,
-    keeping the oracle comparable."""
-    return F.try_divide(dot(a, b), norm(a) * norm(b))
+    """NULL when either vector has zero norm (try_divide) or any
+    non-finite component (nanvl): cosine is undefined there, and the
+    poison alternatives are worse than NULL in both directions — a
+    plain `/` under Spark 4's default ANSI mode fails the whole job on
+    one zero-norm row, and a NaN result (what a NaN/Inf component
+    yields: inf/inf and 0*inf are NaN) ranks FIRST under every desc
+    top-k ordering, displacing all real neighbors for every query
+    (Spark orders NaN above all doubles). NULL ranks LAST, fails
+    >=-threshold gates, matches DuckDB's 1.0/0.0, and matches the
+    numpy lanes' isfinite guard."""
+    return F.nanvl(F.try_divide(dot(a, b), norm(a) * norm(b)),
+                   F.lit(None).cast("double"))
 
 
 def _as_double(df: DataFrame, col: str) -> DataFrame:
@@ -122,16 +126,21 @@ def ivf_build(
         norm(F.col("centv")).alias("cnorm")))).alias("cents"))
     # row norm hoisted to a projected column: computed once per vector,
     # not once per (vector, centroid) inside the argmax lambda
-    # try_divide + coalesce(-2.0) keeps the argmax total under ANSI
-    # mode: a zero-norm vector or centroid scores below any real cosine
-    # (∈[-1,1]) instead of crashing the scan, so poison rows assign
-    # deterministically to the lowest centroid id via the negcid tiebreak
+    # try_divide + nanvl + coalesce(-2.0) keeps the argmax total under
+    # ANSI mode: a zero-norm OR non-finite vector/centroid scores below
+    # any real cosine (∈[-1,1]) instead of crashing the scan or — worse,
+    # since Spark orders NaN above all doubles — hijacking the argmax
+    # so every vector assigns to one poisoned centroid. Poison rows
+    # assign deterministically to the lowest centroid id via the
+    # negcid tiebreak.
     best = F.array_max(F.transform(
         F.col("cents"),
         lambda ct: F.struct(
             F.coalesce(
-                F.try_divide(dot(F.col("cv"), ct["centv"]),
-                             F.col("cn") * ct["cnorm"]),
+                F.nanvl(
+                    F.try_divide(dot(F.col("cv"), ct["centv"]),
+                                 F.col("cn") * ct["cnorm"]),
+                    F.lit(None).cast("double")),
                 F.lit(-2.0)).alias("cos"),
             (-ct["cid"]).alias("negcid"))))
     return (
@@ -356,12 +365,15 @@ def quantized_cosine(va: Column, vb: Column) -> Column:
     dot = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), zero, lambda a, x: a + x)
     na = F.aggregate(F.transform(qa, lambda x: x * x), zero, lambda a, x: a + x)
     nb = F.aggregate(F.transform(qb, lambda x: x * x), zero, lambda a, x: a + x)
-    # try_divide: NULL (not an ANSI crash) for zero-norm inputs, same
-    # contract as cosine() — and NULL never passes a `>= threshold`
-    # verify filter, unlike NaN (Spark orders NaN above every double)
-    return F.try_divide(
-        dot.cast("double"),
-        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    # try_divide + nanvl: NULL (not an ANSI crash, not a NaN) for
+    # zero-norm or non-finite inputs, same contract as cosine() — and
+    # NULL never passes a `>= threshold` verify filter or outranks a
+    # real score, unlike NaN (Spark orders NaN above every double)
+    return F.nanvl(
+        F.try_divide(
+            dot.cast("double"),
+            F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+        F.lit(None).cast("double"))
 
 
 def quantized_cosine_np() -> Column:

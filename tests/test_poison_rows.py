@@ -230,6 +230,35 @@ def test_null_text_media_lanes_synthesize(spark):
         assert out.count() == 3        # NULL text -> tlen 0, still encodes
 
 
+def test_nan_inf_embeddings_never_outrank_real_neighbors(spark):
+    """A NaN/Inf component yields a NaN cosine, and Spark orders NaN
+    ABOVE every double on desc — so before the nanvl guard, ONE such
+    vector ranked FIRST for EVERY query, displacing all real neighbors
+    corpus-wide. Pinned: non-finite vectors get NULL cosine and rank
+    last; real neighbors keep their ranks."""
+    nan, inf = float("nan"), float("inf")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [nan, 0.0, 0.0]),
+         (4, [inf, 1.0, 0.0]), (5, [0.8, 0.2, 0.0]),
+         (6, [1e300, 1e300, 0.0])],   # finite but dot overflows to inf
+        "vec_id bigint, embedding array<double>")
+    got = _topk_map(similarity.cosine_topk(emb, emb, k=2).collect())
+    # every real query's top-2 are real vectors, never 3/4/6
+    for q in (1, 2, 5):
+        assert not set(got[q]) & {3, 4, 6}, (q, got[q])
+    assert got[1] == [2, 5]
+
+    # the >= threshold verify gate must also drop them
+    pairs = (emb.alias("a").crossJoin(emb.alias("b"))
+             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("ia"),
+                     F.col("b.vec_id").alias("ib"),
+                     similarity.cosine(F.col("a.embedding"),
+                                       F.col("b.embedding")).alias("c")))
+    passed = {(r.ia, r.ib) for r in pairs.filter(F.col("c") >= 0.9).collect()}
+    assert not any(3 in p or 4 in p or 6 in p for p in passed)
+
+
 def test_edge_docs_run_clean_through_dedup(spark):
     docs = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, "a"), (4, None), (5, "x y z x y z")],

@@ -63,6 +63,11 @@ def build_poison_dir(src: str, dst: str) -> None:
         {"vec_id": 9000003, "embedding": [1.0, 2.0], "label": 1},    # wrong dim
         {"vec_id": 9000004, "embedding": None, "label": 2},          # NULL
         {"vec_id": 9000005, "embedding": [-1e30] * 64, "label": 3},  # magnitude bomb
+        {"vec_id": 9000006, "embedding": [float("nan")] + [0.0] * 63,
+         "label": 4},                                                # NaN component
+        {"vec_id": 9000007, "embedding": [float("inf")] + [1.0] * 63,
+         "label": 5},                                                # Inf component
+        {"vec_id": 9000008, "embedding": [1e300] * 64, "label": 6},  # overflow-to-inf dot
     ])
     extend("events", [
         {"event_id": 9000001, "ts": NOW, "user_id": 9000001, "event_type": "",
@@ -73,6 +78,8 @@ def build_poison_dir(src: str, dst: str) -> None:
          "value": -1e30, "props": "{}"},
         {"event_id": 9000004, "ts": FAR, "user_id": 9000002, "event_type": "purchase",
          "value": 1e30, "props": "[]"},
+        {"event_id": 9000005, "ts": NOW, "user_id": 9000003, "event_type": "view",
+         "value": float("nan"), "props": "{}"},
     ])
     extend("orders", [
         {"o_orderkey": 9000001, "o_custkey": 9000001, "o_orderstatus": "",
