@@ -283,6 +283,7 @@ def embedding_lsh_candidates(
     planes: int = RP_PLANES,
     bands: int = 2,
     persist_signatures: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by random-hyperplane LSH banding.
 
@@ -336,11 +337,21 @@ def embedding_lsh_candidates(
         F.posexplode("band_keys").alias("band", "bucket"))
     # bucket-grouped pair emission: one signature scan (the self-join
     # form computed the signature subtree once per side) — same move as
-    # dedup.lsh_candidate_pairs, same identical-pair-set guarantee
+    # dedup.lsh_candidate_pairs, same identical-pair-set guarantee.
+    # max_bucket_size mirrors the minhash variant's cap: per-bucket work
+    # is O(|bucket|²) and the collect_list row is bucket-sized, so at
+    # corpus scale ONE degenerate bucket (a billion byte-identical
+    # vectors, e.g. a default/zero embedding some encoder emits on
+    # failure) otherwise concentrates quadratic work and an unbounded
+    # aggregation row in a single task. Exact copies a capped bucket
+    # skips are what exact/embedding_quantize dedup already catches.
+    grouped = (banded.groupBy("band", "bucket")
+               .agg(F.collect_list(id_col).alias("ids"))
+               .filter(F.size("ids") > 1))
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     return (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
+        grouped
         .select(F.explode(F.expr(
             "filter(flatten(transform(ids, x -> transform(ids, "
             "y -> struct(x AS id_a, y AS id_b)))), p -> p.id_a < p.id_b)"

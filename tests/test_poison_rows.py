@@ -168,6 +168,23 @@ def test_ragged_embeddings_excluded_from_lsh(spark, ragged):
     assert not ids & {3, 4, 5}         # malformed rows never bucket
 
 
+def test_embedding_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """A degenerate bucket (identical vectors — a default embedding an
+    encoder emits on failure) emits |b|^2 pairs in ONE task without the
+    cap. With max_bucket_size, the mega-bucket is dropped while normal
+    buckets still pair — the same 100 TB guard the minhash variant has."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]      # one mega-bucket
+    rows += [(100, [0.0, 1.0, 0.5, 0.0]), (101, [0.0, 1.0, 0.5, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    uncapped = similarity.embedding_lsh_candidates(df, dim=4)
+    capped = similarity.embedding_lsh_candidates(df, dim=4,
+                                                 max_bucket_size=10)
+    assert uncapped.count() >= 40 * 39 / 2
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got           # normal bucket still pairs
+    assert all(a >= 100 for a, _ in got), got  # mega-bucket dropped
+
+
 def test_ragged_embeddings_excluded_from_kmeans(spark, ragged):
     out = similarity.kmeans_quantized(ragged, k=2, rounds=1)
     got = {r.vec_id for r in out.collect()}

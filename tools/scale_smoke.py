@@ -145,6 +145,37 @@ def main() -> None:
 
     cdc_ops = {"cdc_diff": cdc_diff, "cdc_hydrate": cdc_hydrate}
 
+    # Embedding lanes (r9: well_formed scan filter + nanvl guards went
+    # in front of these): LSH candidate generation must stay
+    # bucket-bounded and the kmeans assignment map-only at 20x vectors.
+    # Replica k shifts vec_id and nudges every component by k*1e-4, so
+    # replicas are near-duplicates (banded signatures cluster the
+    # siblings — realistic ANN/dedup structure) but not identical.
+    from cql_replicator_spark.analytics import similarity as SIM
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+
+    def amp_emb(n: int):
+        reps = F.explode(F.array(*[F.lit(k) for k in range(n)])).alias("rep")
+        return (emb.select("vec_id", "embedding", reps)
+                .select((F.col("vec_id") + F.col("rep") * 10_000_000)
+                        .alias("vec_id"),
+                        F.transform(
+                            F.col("embedding").cast("array<double>"),
+                            lambda v: v + F.col("rep") * 1e-4)
+                        .alias("embedding")))
+
+    emb_ops = {
+        # max_bucket_size is the 100 TB-safe configuration: without it a
+        # degenerate bucket emits |b|^2 pairs in one task (the first 20x
+        # run measured 409x pair growth from 20x near-dup data — correct
+        # per-row, but the uncapped tail is the landmine the cap removes)
+        "embedding_lsh_pairs": lambda n: SIM.embedding_lsh_candidates(
+            amp_emb(n), dim=64, bands=2, max_bucket_size=200),
+        "kmeans_assign": lambda n: SIM.kmeans_quantized(
+            amp_emb(n), k=16, rounds=1, train_sample=4096),
+    }
+
     docs.select("doc_id").limit(100).count()  # warm
     result: dict[str, dict] = {}
     for scale, factor in (("base_1x", 1), (f"amp_{AMPLIFY}x", AMPLIFY)):
@@ -162,11 +193,16 @@ def main() -> None:
             cnt = df.count()
             row[name] = {"sec": round(time.perf_counter() - t0, 2),
                          "rows_out": cnt, **plan_shape(df)}
+        for name, build in emb_ops.items():
+            t0 = time.perf_counter()
+            cnt = build(factor).count()
+            row[name] = {"sec": round(time.perf_counter() - t0, 2),
+                         "rows_out": cnt}
         result[scale] = {"n_docs": n, "n_keys": orders.count() * factor,
                          "ops": row}
 
     base, amp = result["base_1x"], result[f"amp_{AMPLIFY}x"]
-    for name in list(ops) + list(cdc_ops):
+    for name in list(ops) + list(cdc_ops) + list(emb_ops):
         b, a = base["ops"][name]["sec"], amp["ops"][name]["sec"]
         ratio = a / b if b else float("nan")
         print(f"{name:22s} 1x={b:7.2f}s {AMPLIFY}x={a:8.2f}s "
