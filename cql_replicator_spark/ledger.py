@@ -22,19 +22,41 @@ Invariants reimplemented exactly (these are the exactly-once gate):
     loaded prev -> delta load between prev.location and curr.location.
   * markReplicationComplete (K:1464-1476) sets curr.load_status=SUCCESS.
 
-Backend: a single JSON file with atomic tmp+rename writes and a process
-lock — ledger rows number tiles×2 (≤2048 by the reference's guardrails)
-so driver-side state is appropriate; swap the backend for a DynamoDB or
-JDBC table in production without touching callers.
+Backend: a single JSON file with atomic tmp+rename writes, guarded by a
+REAL cross-process lock (fcntl.flock on a sidecar .lock file; O_EXCL
+spin fallback where flock is unavailable). The reference's normal
+topology runs discovery and replication as SEPARATE concurrent jobs
+against one ledger (a Keyspaces/DynamoDB table with per-row updates),
+so the file backend must survive the same concurrency: every mutation
+re-reads the file under the exclusive lock before checking its gate and
+flushing, and every read reloads first — otherwise two processes'
+whole-file writes are last-write-wins and a rotation or a
+load_status=SUCCESS silently vanishes, which is exactly the lost-update
+the exactly-once gates exist to prevent. Contract: any number of
+discovery/replication processes, ONE replication consumer per tile
+(the reference's per-tile single-consumer loop, K:1584-1676). Ledger
+rows number tiles×2 (≤2048 by the reference's guardrails) so reloading
+the whole file per operation is trivially cheap; swap the backend for
+a DynamoDB or JDBC table in production without touching callers.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import threading
 import time
 from dataclasses import asdict, dataclass, field
+
+try:
+    import fcntl
+except ImportError:  # non-POSIX: O_EXCL spin fallback below
+    fcntl = None
+
+# An O_EXCL fallback lock older than this is a crashed holder and is
+# broken; flock needs no such gate (the kernel releases it on death).
+_LOCK_STALE_SECS = 60.0
 
 SUCCESS = "SUCCESS"
 EMPTY = ""
@@ -58,26 +80,83 @@ class Ledger:
         self.path = path
         self._lock = threading.Lock()
         self._rows: dict[tuple, dict] = {}
-        if os.path.exists(path):
-            with open(path) as f:
+        self._reload()
+
+    def _reload(self) -> None:
+        """Refresh in-memory rows from disk — the file is only ever
+        published whole via os.replace, so an unlocked read always sees
+        a complete snapshot (possibly one write stale, which the gates
+        tolerate: mutations re-reload under the exclusive lock)."""
+        rows: dict[tuple, dict] = {}
+        try:
+            with open(self.path) as f:
                 for r in json.load(f):
-                    self._rows[(r["ks"], r["tbl"], r["tile"], r["ver"])] = r
+                    rows[(r["ks"], r["tbl"], r["tile"], r["ver"])] = r
+        except FileNotFoundError:
+            pass
+        self._rows = rows
+
+    @contextlib.contextmanager
+    def _file_lock(self):
+        """Cross-process exclusive lock for read-modify-write mutations.
+        flock where available (self-releasing on process death); O_EXCL
+        create with a staleness break elsewhere."""
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        lock_path = self.path + ".lock"
+        if fcntl is not None:
+            fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+            return
+        while True:  # pragma: no cover — non-POSIX fallback
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.stat(lock_path).st_mtime > _LOCK_STALE_SECS:
+                        os.unlink(lock_path)  # crashed holder
+                        continue
+                except OSError:
+                    continue
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock_path)
+            except FileNotFoundError:
+                pass
 
     def _flush(self) -> None:
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        tmp = self.path + ".tmp"
+        tmp = self.path + f".{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump(list(self._rows.values()), f, indent=1)
         os.replace(tmp, self.path)
 
     def get(self, ks: str, tbl: str, tile: int, ver: str) -> LedgerRow | None:
+        self._reload()
+        return self._get_loaded(ks, tbl, tile, ver)
+
+    def _get_loaded(self, ks: str, tbl: str, tile: int,
+                    ver: str) -> LedgerRow | None:
         r = self._rows.get((ks, tbl, tile, ver))
         return LedgerRow(**r) if r else None
 
     # -- discovery side ---------------------------------------------------
     def can_discover(self, ks: str, tbl: str, tile: int) -> bool:
         """K:2263-2271 — skip if an unconsumed curr snapshot exists."""
-        curr = self.get(ks, tbl, tile, "curr")
+        self._reload()
+        return self._can_discover_loaded(ks, tbl, tile)
+
+    def _can_discover_loaded(self, ks: str, tbl: str, tile: int) -> bool:
+        curr = self._get_loaded(ks, tbl, tile, "curr")
         if curr is None or curr.offload_status != SUCCESS:
             return True
         return curr.load_status == SUCCESS
@@ -89,12 +168,16 @@ class Ledger:
         can_discover() is violated — callers must check first, the
         raise protects the invariant under races.
         """
-        with self._lock:
-            if not self.can_discover(ks, tbl, tile):
+        with self._lock, self._file_lock():
+            # re-read under the exclusive lock: the gate must see other
+            # PROCESSES' state (a replicator's load_status, another
+            # discoverer's rotation), not this object's stale snapshot
+            self._reload()
+            if not self._can_discover_loaded(ks, tbl, tile):
                 raise RuntimeError(
                     f"tile {tile}: unconsumed snapshot present; discovery must not rotate"
                 )
-            curr = self.get(ks, tbl, tile, "curr")
+            curr = self._get_loaded(ks, tbl, tile, "curr")
             if curr is not None and curr.offload_status == SUCCESS:
                 prev = LedgerRow(**{**asdict(curr), "ver": "prev"})
                 self._rows[(ks, tbl, tile, "prev")] = asdict(prev)
@@ -116,17 +199,19 @@ class Ledger:
         or {"mode": "delta", "curr": id, "prev": id} — the three-way
         dispatch of dataReplicationProcess (K:1564-1681).
         """
-        curr = self.get(ks, tbl, tile, "curr")
+        self._reload()
+        curr = self._get_loaded(ks, tbl, tile, "curr")
         if curr is None or curr.offload_status != SUCCESS or curr.load_status == SUCCESS:
             return None
-        prev = self.get(ks, tbl, tile, "prev")
+        prev = self._get_loaded(ks, tbl, tile, "prev")
         if prev is None or prev.load_status != SUCCESS:
             return {"mode": "historical", "curr": int(curr.location)}
         return {"mode": "delta", "curr": int(curr.location), "prev": int(prev.location)}
 
     def mark_replication_complete(self, ks: str, tbl: str, tile: int) -> None:
         """markReplicationComplete (K:1464-1476)."""
-        with self._lock:
+        with self._lock, self._file_lock():
+            self._reload()  # merge other processes' rows, not clobber them
             key = (ks, tbl, tile, "curr")
             if key not in self._rows:
                 raise RuntimeError(f"tile {tile}: no curr ledger row to complete")
@@ -135,4 +220,5 @@ class Ledger:
             self._flush()
 
     def rows(self) -> list[LedgerRow]:
+        self._reload()
         return [LedgerRow(**r) for r in self._rows.values()]

@@ -1,0 +1,93 @@
+"""Multi-PROCESS exactly-once test for the Ledger state machine.
+
+The reference coordinates discovery and replication as separate
+concurrent jobs against one ledger table (K:1391-1476, K:2263-2271);
+the file-backed Ledger must survive the same topology. Before the r9
+fix it could not: mutations were guarded only by a threading.Lock and
+flushed the whole file from a per-process in-memory snapshot, so a
+discovery rotation and a replicator's load_status=SUCCESS raced
+last-write-wins — a lost SUCCESS re-replicates a consumed snapshot
+(duplicate delivery), a lost rotation drops a discovered snapshot.
+
+This suite runs a real discovery process and a real replication process
+(plus a two-tile variant with interleaved work) against one ledger file
+and asserts the exactly-once ledger contract:
+
+1. every discovered snapshot is consumed exactly once, in order;
+2. the first consumption of a tile is mode=historical, all later ones
+   mode=delta (prev successfully loaded — the K:1584-1676 dispatch);
+3. the final ledger state is consistent (curr consumed, prev=SUCCESS).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+from cql_replicator_spark.ledger import SUCCESS, Ledger
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "ledger_race_worker.py")
+
+
+def _run(tmp_path, tiles, snapshots):
+    ledger_path = str(tmp_path / "ledger.json")
+    start = time.time() + 1.0
+    procs, outs = [], []
+    for role in ("discover", "replicate"):
+        out = str(tmp_path / f"{role}.json")
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, "--ledger", ledger_path,
+             "--role", role, "--tiles", str(tiles),
+             "--snapshots", str(snapshots), "--out", out,
+             "--start", str(start)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+        outs.append(out)
+    results = {}
+    for p, out in zip(procs, outs):
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()
+        with open(out) as f:
+            r = json.load(f)
+            results[r["role"]] = r
+    return ledger_path, results
+
+
+def _assert_exactly_once(ledger_path, results, tiles, snapshots):
+    produced = [tuple(p) for p in results["discover"]["produced"]]
+    consumed = results["replicate"]["consumed"]
+    # 1. exactly-once, in order, per tile
+    for t in range(tiles):
+        want = [(t, sid) for sid in range(1, snapshots + 1)]
+        got = [(tt, sid) for tt, sid, _ in consumed if tt == t]
+        assert [p for p in produced if p[0] == t] == want
+        assert got == want, f"tile {t}: consumed {got}, want {want}"
+    # 2. historical first, delta after (prev load_status carried over)
+    for t in range(tiles):
+        modes = [m for tt, _, m in consumed if tt == t]
+        assert modes[0] == "historical", modes
+        assert all(m == "delta" for m in modes[1:]), modes
+    # 3. final ledger state consistent
+    led = Ledger(ledger_path)
+    for t in range(tiles):
+        curr = led.get("ks", "tb", t, "curr")
+        assert curr.location == str(snapshots)
+        assert curr.load_status == SUCCESS
+        prev = led.get("ks", "tb", t, "prev")
+        assert prev is not None and prev.load_status == SUCCESS
+
+
+def test_discovery_and_replication_processes_exactly_once(tmp_path):
+    tiles, snapshots = 1, 8
+    ledger_path, results = _run(tmp_path, tiles, snapshots)
+    _assert_exactly_once(ledger_path, results, tiles, snapshots)
+
+
+def test_two_tiles_interleaved_exactly_once(tmp_path):
+    tiles, snapshots = 2, 6
+    ledger_path, results = _run(tmp_path, tiles, snapshots)
+    _assert_exactly_once(ledger_path, results, tiles, snapshots)
+    # sanity: the roles actually contended (discovery hit the gate at
+    # least once while waiting on the consumer)
+    assert results["discover"]["gate_blocks"] > 0
