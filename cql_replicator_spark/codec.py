@@ -47,17 +47,36 @@ def compress(data: bytes, codec: str | None = None, tag: bool = True) -> bytes:
     raise ValueError(f"unknown codec {codec!r}")
 
 
-def decompress(blob: bytes) -> bytes:
+# Declared-length ceiling for decompress: column payloads are bounded
+# well below this (the large-object offload path diverts big blobs), so
+# anything larger is a corrupt or forged prefix. Without the cap, a
+# 4-byte prefix is attacker-controlled up to 4 GiB and BOTH codec paths
+# allocate it before any validation — the decompression-bomb class the
+# r7 mutation hunt caught in the GIF LZW decoder (41 GB RSS).
+MAX_DECOMPRESSED = 256 * 1024 * 1024
+
+
+def decompress(blob: bytes, max_output: int = MAX_DECOMPRESSED) -> bytes:
     codec_id, body = blob[:1], blob[1:]
     (length,) = struct.unpack("<I", body[:4])
+    if length > max_output:
+        raise ValueError(
+            f"declared length {length} exceeds max_output {max_output} "
+            f"(corrupt or forged prefix)")
     payload = body[4:]
     if codec_id == _CODEC_LZ4:
         if _lz4block is None:
             raise RuntimeError("lz4 payload but lz4 package not available")
+        # lz4 allocates exactly uncompressed_size, now capped above
         return _lz4block.decompress(payload, uncompressed_size=length)
     if codec_id == _CODEC_ZLIB:
-        out = zlib.decompress(payload)
-        if len(out) != length:
+        # streaming inflate capped at the declared length: a zlib bomb
+        # (tiny payload, huge expansion) must not allocate beyond the
+        # prefix before the mismatch check fires
+        d = zlib.decompressobj()
+        out = d.decompress(payload, length)
+        overrun = (not d.eof and (d.unconsumed_tail or d.decompress(b"", 1)))
+        if len(out) != length or overrun or d.unused_data:
             raise ValueError("length prefix mismatch")
         return out
     raise ValueError(f"unknown codec tag {codec_id!r}")

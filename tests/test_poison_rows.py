@@ -276,6 +276,40 @@ def test_nan_inf_embeddings_never_outrank_real_neighbors(spark):
     assert not any(3 in p or 4 in p or 6 in p for p in passed)
 
 
+def test_codec_decompression_bombs_rejected_without_allocation():
+    """The 4-byte length prefix is attacker-controlled up to 4 GiB and
+    both codec paths allocated it before any check — the decompression-
+    bomb class the r7 GIF LZW hunt caught (41 GB RSS). Pinned: a forged
+    prefix beyond the cap raises before allocating; a zlib bomb (tiny
+    payload, huge expansion, small declared length) is rejected at the
+    capped streaming inflate, never fully inflated."""
+    import resource
+    import struct
+    import zlib
+
+    from cql_replicator_spark.codec import compress, decompress
+
+    for data in (b"", b"x", b"hello" * 1000):
+        assert decompress(compress(data, codec="zlib")) == data
+
+    forged = bytearray(compress(b"x" * 100, codec="zlib"))
+    struct.pack_into("<I", forged, 1, 2**31)
+    bomb = b"\x02" + struct.pack("<I", 100) + zlib.compress(
+        b"\x00" * (64 * 1024 * 1024))
+    # baseline AFTER constructing the bomb: measure decompress, not the
+    # test's own 64 MB plaintext buffer
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with pytest.raises(ValueError, match="exceeds max_output"):
+        decompress(bytes(forged))
+    with pytest.raises(ValueError, match="length prefix mismatch"):
+        decompress(bomb)
+    grown = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss - before
+    assert grown < 50_000, f"bomb handling grew RSS by {grown} KB"
+
+    with pytest.raises(ValueError):
+        decompress(compress(b"y" * 10000, codec="zlib")[:-10])  # truncated
+
+
 def test_edge_docs_run_clean_through_dedup(spark):
     docs = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, "a"), (4, None), (5, "x y z x y z")],
