@@ -361,15 +361,32 @@ def embedding_lsh_candidates(
     )
 
 
+# Quantized-cosine input domain: every component must be finite with
+# |x| <= 20 (quantized |floor(x*1e6)| <= 2e7), so the int64 dot bound is
+# dim * 4e14 — exact through ~23k dimensions. Outside the domain the
+# int64 exactness claim is void anyway (runtime floor(double->long)
+# SATURATES at +/-2^63-1, and products of saturated values raise
+# ARITHMETIC_OVERFLOW under ANSI — one 1e30-component poison row killed
+# the verify stage), so out-of-domain vectors get NULL, the malformed-
+# input contract every cosine lane shares. Real embedding corpora sit
+# orders of magnitude inside (test corpus max |x| = 0.58).
+_Q_DOMAIN = 20.0
+
+
 def quantized_cosine(va: Column, vb: Column) -> Column:
     """Cosine over floor(x*1e6) integer-quantized vectors.
 
     dot and norms are exact BIGINTs; sqrt/division are single correctly-
     rounded IEEE ops — so the resulting double is bit-identical in any
     engine, making cosine thresholds oracle-safe (a float dot product's
-    summation order is not)."""
+    summation order is not). NULL for vectors outside the quantization
+    domain (see _Q_DOMAIN), zero-norm, or NaN — never a crash or a NaN."""
     def q(v):
         return F.transform(v, lambda x: F.floor(x.cast("double") * 1e6).cast("long"))
+
+    def in_domain(v):
+        return F.forall(v, lambda x: ~F.isnan(x.cast("double"))
+                        & (F.abs(x.cast("double")) <= F.lit(_Q_DOMAIN)))
 
     qa, qb = q(va), q(vb)
     zero = F.lit(0).cast("long")
@@ -379,12 +396,16 @@ def quantized_cosine(va: Column, vb: Column) -> Column:
     # try_divide + nanvl: NULL (not an ANSI crash, not a NaN) for
     # zero-norm or non-finite inputs, same contract as cosine() — and
     # NULL never passes a `>= threshold` verify filter or outranks a
-    # real score, unlike NaN (Spark orders NaN above every double)
-    return F.nanvl(
-        F.try_divide(
-            dot.cast("double"),
-            F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
-        F.lit(None).cast("double"))
+    # real score, unlike NaN (Spark orders NaN above every double).
+    # CASE WHEN keeps the aggregate lazily unevaluated off-domain, so
+    # saturated int64 products are never formed.
+    return F.when(
+        in_domain(va) & in_domain(vb),
+        F.nanvl(
+            F.try_divide(
+                dot.cast("double"),
+                F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            F.lit(None).cast("double")))
 
 
 def quantized_cosine_np() -> Column:
@@ -399,13 +420,19 @@ def quantized_cosine_np() -> Column:
     from pyspark.sql.functions import pandas_udf
 
     def _pair(a, b):
-        # ragged fallback: NULL/mismatched-length poison pair -> NULL
+        # ragged fallback: NULL/mismatched-length/off-domain poison
+        # pair -> NULL
         if a is None or b is None:
             return np.nan
-        A = np.floor(np.asarray(a, dtype=np.float64) * 1e6).astype(np.int64)
-        B = np.floor(np.asarray(b, dtype=np.float64) * 1e6).astype(np.int64)
-        if A.shape != B.shape or A.size == 0:
+        Af = np.asarray(a, dtype=np.float64)
+        Bf = np.asarray(b, dtype=np.float64)
+        if Af.shape != Bf.shape or Af.size == 0:
             return np.nan
+        if not (np.all(np.isfinite(Af)) and np.all(np.abs(Af) <= _Q_DOMAIN)
+                and np.all(np.isfinite(Bf)) and np.all(np.abs(Bf) <= _Q_DOMAIN)):
+            return np.nan
+        A = np.floor(Af * 1e6).astype(np.int64)
+        B = np.floor(Bf * 1e6).astype(np.int64)
         with np.errstate(divide="ignore", invalid="ignore"):
             return float(A @ B) / (np.sqrt(float(A @ A)) * np.sqrt(float(B @ B))) \
                 if (A @ A) and (B @ B) else np.nan
@@ -414,16 +441,28 @@ def quantized_cosine_np() -> Column:
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         try:
             # fast path: whole-batch matmul shape (clean batches pay
-            # nothing for the poison guard)
-            A = np.floor(np.stack(va.to_numpy()).astype(np.float64) * 1e6).astype(np.int64)
-            B = np.floor(np.stack(vb.to_numpy()).astype(np.float64) * 1e6).astype(np.int64)
-            if A.shape != B.shape:
+            # two cheap range checks for the poison guard)
+            Af = np.stack(va.to_numpy()).astype(np.float64)
+            Bf = np.stack(vb.to_numpy()).astype(np.float64)
+            if Af.shape != Bf.shape:
                 raise ValueError("ragged pair batch")
+            # domain mask BEFORE the int64 conversion: floor of an
+            # off-domain double saturates/garbages in int64 and the
+            # products overflow — zero those rows, NULL them after
+            ok = ((np.isfinite(Af).all(axis=1))
+                  & (np.abs(Af) <= _Q_DOMAIN).all(axis=1)
+                  & (np.isfinite(Bf).all(axis=1))
+                  & (np.abs(Bf) <= _Q_DOMAIN).all(axis=1))
+            Af = np.where(ok[:, None], Af, 0.0)
+            Bf = np.where(ok[:, None], Bf, 0.0)
+            A = np.floor(Af * 1e6).astype(np.int64)
+            B = np.floor(Bf * 1e6).astype(np.int64)
             dot = (A * B).sum(axis=1).astype(np.float64)
             na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
             nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
             with np.errstate(divide="ignore", invalid="ignore"):
                 res = dot / (na * nb)
+            res[~ok] = np.nan
         except (ValueError, TypeError):
             # batch contains NULL/ragged vectors: per-row fallback
             res = np.array([_pair(a, b)

@@ -276,6 +276,40 @@ def test_nan_inf_embeddings_never_outrank_real_neighbors(spark):
     assert not any(3 in p or 4 in p or 6 in p for p in passed)
 
 
+def test_quantized_cosine_magnitude_bombs_null_both_lanes(spark):
+    """Runtime floor(double->long) SATURATES at ±2^63-1 (it does not
+    raise), so a 1e30-component vector quantized to saturated int64s
+    made the dot's multiply raise ARITHMETIC_OVERFLOW under ANSI — one
+    poison row killed the verify stage. Pinned: vectors outside the
+    quantization domain (|x| <= 20, finite) are NULL in BOTH lanes,
+    bit-identical to each other, and in-domain values are unchanged."""
+    nan, inf = float("nan"), float("inf")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0]),
+         (3, [-1e30] * 4), (4, [1e300] * 4), (5, [inf] * 4),
+         (6, [nan, 0.0, 0.0, 0.0]), (7, [19.0, 1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    pairs = (emb.alias("a").crossJoin(emb.alias("b"))
+             .filter(F.col("a.vec_id") <= F.col("b.vec_id")))
+    qcnp = similarity.quantized_cosine_np()
+    col = {(r.ia, r.ib): r.c for r in pairs.select(
+        F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+        similarity.quantized_cosine(F.col("a.embedding"),
+                                    F.col("b.embedding")).alias("c")).collect()}
+    npr = {(r.ia, r.ib): r.c for r in pairs.select(
+        F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+        qcnp(F.col("a.embedding"), F.col("b.embedding")).alias("c")).collect()}
+    poison = {3, 4, 5, 6}
+    for k, v in col.items():
+        expect_null = bool(set(k) & poison)
+        assert (v is None) == expect_null, (k, v)
+        n = npr[k]
+        assert (n is None) == (v is None), (k, v, n)
+        if v is not None:
+            assert abs(v - n) < 1e-12, (k, v, n)
+    assert col[(1, 2)] is not None and col[(1, 7)] is not None
+
+
 def test_codec_decompression_bombs_rejected_without_allocation():
     """The 4-byte length prefix is attacker-controlled up to 4 GiB and
     both codec paths allocated it before any check — the decompression-
