@@ -67,14 +67,26 @@ def decompress(blob: bytes, max_output: int = MAX_DECOMPRESSED) -> bytes:
     if codec_id == _CODEC_LZ4:
         if _lz4block is None:
             raise RuntimeError("lz4 payload but lz4 package not available")
-        # lz4 allocates exactly uncompressed_size, now capped above
-        return _lz4block.decompress(payload, uncompressed_size=length)
+        # lz4 allocates exactly uncompressed_size, now capped above.
+        # uncompressed_size<=0 means "trust the stream" in the binding
+        # (unbounded growth), so a forged length-0 prefix must instead
+        # inflate against a 1-byte buffer and prove it produced nothing.
+        try:
+            out = _lz4block.decompress(payload, uncompressed_size=max(length, 1))
+        except Exception as e:  # binding raises on size mismatch
+            raise ValueError("length prefix mismatch") from e
+        if len(out) != length:
+            raise ValueError("length prefix mismatch")
+        return out
     if codec_id == _CODEC_ZLIB:
         # streaming inflate capped at the declared length: a zlib bomb
         # (tiny payload, huge expansion) must not allocate beyond the
-        # prefix before the mismatch check fires
+        # prefix before the mismatch check fires. max_length=0 means
+        # UNLIMITED to zlib, so a forged length-0 prefix would inflate
+        # the whole bomb before the check — ask for one byte instead
+        # and require that none come back.
         d = zlib.decompressobj()
-        out = d.decompress(payload, length)
+        out = d.decompress(payload, max(length, 1))
         overrun = (not d.eof and (d.unconsumed_tail or d.decompress(b"", 1)))
         if len(out) != length or overrun or d.unused_data:
             raise ValueError("length prefix mismatch")

@@ -103,7 +103,10 @@ class Ledger:
         create with a staleness break elsewhere."""
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         lock_path = self.path + ".lock"
-        if fcntl is not None:
+        # CQL_LEDGER_FORCE_FALLBACK_LOCK exists so the non-POSIX branch
+        # is exercisable (unit + cross-process race tests) on POSIX CI.
+        if fcntl is not None and not os.environ.get(
+                "CQL_LEDGER_FORCE_FALLBACK_LOCK"):
             fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX)
@@ -119,10 +122,29 @@ class Ledger:
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.stat(lock_path).st_mtime > _LOCK_STALE_SECS:
-                        os.unlink(lock_path)  # crashed holder
-                        continue
+                    stale = (time.time() - os.stat(lock_path).st_mtime
+                             > _LOCK_STALE_SECS)
                 except OSError:
+                    continue
+                if stale:
+                    # Break the crashed holder's lock by RENAME, not
+                    # unlink: two waiters can both decide "stale", but
+                    # only one rename of the same source succeeds, so
+                    # the loser can never remove the lock a winner (or
+                    # a fresh acquirer) just created — the unlink-based
+                    # break had exactly that TOCTOU (A stats stale, B
+                    # unlinks+recreates, A's unlink removes B's fresh
+                    # lock, two holders inside the critical section).
+                    breaker = f"{lock_path}.break.{os.getpid()}.{time.monotonic_ns()}"
+                    try:
+                        os.rename(lock_path, breaker)
+                    except OSError:
+                        time.sleep(0.01)
+                        continue
+                    try:
+                        os.unlink(breaker)
+                    except OSError:
+                        pass
                     continue
                 time.sleep(0.01)
         try:

@@ -1812,28 +1812,39 @@ WITH {_CDC_BASE_SQL_REF.strip()},
 h0 AS (
   SELECT {_md5h32_sql("CAST(pk AS VARCHAR)")} % 16 AS bucket,
          bit_xor({_md5h32_sql("CAST(pk AS VARCHAR) || '|' || CAST(ts AS VARCHAR)")})
-           AS csum, count(*) AS n
+           AS csum,
+         sum(CAST({_md5h32_sql("CAST(pk AS VARCHAR) || '|' || CAST(ts AS VARCHAR)")}
+             AS DECIMAL(38,0))) AS asum,
+         count(*) AS n
   FROM t0 GROUP BY 1
 ),
 h1 AS (
   SELECT {_md5h32_sql("CAST(pk AS VARCHAR)")} % 16 AS bucket,
          bit_xor({_md5h32_sql("CAST(pk AS VARCHAR) || '|' || CAST(ts AS VARCHAR)")})
-           AS csum, count(*) AS n
+           AS csum,
+         sum(CAST({_md5h32_sql("CAST(pk AS VARCHAR) || '|' || CAST(ts AS VARCHAR)")}
+             AS DECIMAL(38,0))) AS asum,
+         count(*) AS n
   FROM t1 GROUP BY 1
 )
 SELECT COALESCE(h0.bucket, h1.bucket) AS bucket,
        CAST(COALESCE(h0.n, 0) AS BIGINT) AS n_source,
        CAST(COALESCE(h1.n, 0) AS BIGINT) AS n_target,
-       COALESCE(h0.csum, 0) = COALESCE(h1.csum, 0) AS bucket_match
+       COALESCE(h0.csum, 0) = COALESCE(h1.csum, 0)
+         AND COALESCE(h0.asum, 0) = COALESCE(h1.asum, 0) AS bucket_match
 FROM h0 FULL OUTER JOIN h1 ON h1.bucket = h0.bucket
 """,
     doc="One-pass bucketed checksum reconcile — the cheap companion to "
-        "the Merkle anti-entropy tree: an order-independent XOR "
-        "row-hash checksum per hash bucket (bit_xor of md5h32(pk|ts), "
-        "16 buckets — XOR, not sum: summing 32-bit hashes overflows "
-        "BIGINT at ~2^31 rows/bucket, an ANSI-mode crash at 100 TB "
-        "row counts; XOR never widens) in a single aggregation pass "
-        "per side; "
+        "the Merkle anti-entropy tree: per hash bucket, BOTH an XOR "
+        "row-hash checksum (bit_xor of md5h32(pk|ts)) AND an additive "
+        "DECIMAL(38,0) sum of the same hash, 16 buckets. XOR alone "
+        "cancels even-multiplicity duplicates (source {A,A,B} vs "
+        "target {B,C,C}: equal counts AND equal XOR — duplicate-apply "
+        "drift invisible); a BIGINT sum alone overflows at ~2^31 "
+        "rows/bucket under ANSI. DECIMAL(38,0) accumulation is exact "
+        "to ~1e28 rows/bucket in both engines and order-independent, "
+        "and the pair of aggregates closes both failure modes in the "
+        "same single aggregation pass per side; "
         "mismatched buckets localize drift to 1/16 of the key space "
         "with NO tree levels and no re-scans. Use this every cycle; "
         "escalate to the Merkle tree (log-localization) only on "
@@ -1847,25 +1858,30 @@ def reconcile_rowhash_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(t: DataFrame, n_name: str) -> DataFrame:
         rh = md5h32(F.concat(F.col("pk").cast("string"), F.lit("|"),
                              F.col("ts").cast("string")))
-        # bit_xor, not sum: md5h32 values are 32-bit, and an additive
-        # checksum overflows BIGINT at ~2^31 rows per bucket — a
-        # job-killing ArithmeticException under Spark 4's default ANSI
-        # mode at 100 TB row counts. XOR is order-independent, never
-        # widens, and localizes drift identically (both sides compute
-        # the same function).
+        # Two order-independent checksums per bucket: bit_xor (never
+        # widens — a BIGINT sum of 32-bit hashes would overflow at
+        # ~2^31 rows/bucket, an ANSI ArithmeticException at 100 TB row
+        # counts) PLUS an additive DECIMAL(38,0) sum (XOR alone cancels
+        # even-multiplicity duplicates: {A,A,B} vs {B,C,C} match on
+        # count AND xor, hiding duplicate-apply drift; decimal is exact
+        # to ~1e28 rows/bucket). A bucket matches only if both agree.
         return (t.groupBy(F.pmod(md5h32(F.col("pk").cast("string")),
                                  F.lit(16)).alias("bucket"))
                 .agg(F.bit_xor(rh).alias(f"__c_{n_name}"),
+                     F.sum(rh.cast("decimal(38,0)")).alias(f"__a_{n_name}"),
                      F.count("*").cast("long").alias(n_name)))
 
     s0 = side(t0, "n_source")
     s1 = side(t1, "n_target")
+    zero_d = F.lit(0).cast("decimal(38,0)")
     return (s0.join(s1, "bucket", "full_outer")
             .select("bucket",
                     F.coalesce("n_source", F.lit(0)).alias("n_source"),
                     F.coalesce("n_target", F.lit(0)).alias("n_target"),
-                    (F.coalesce("__c_n_source", F.lit(0))
-                     == F.coalesce("__c_n_target", F.lit(0)))
+                    ((F.coalesce("__c_n_source", F.lit(0))
+                      == F.coalesce("__c_n_target", F.lit(0)))
+                     & (F.coalesce("__a_n_source", zero_d)
+                        == F.coalesce("__a_n_target", zero_d)))
                      .alias("bucket_match")))
 
 

@@ -31,10 +31,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "ledger_race_worker.py")
 
 
-def _run(tmp_path, tiles, snapshots):
+def _run(tmp_path, tiles, snapshots, env_extra=None):
     ledger_path = str(tmp_path / "ledger.json")
     start = time.time() + 1.0
     procs, outs = [], []
+    env = dict(os.environ, **(env_extra or {}))
     for role in ("discover", "replicate"):
         out = str(tmp_path / f"{role}.json")
         procs.append(subprocess.Popen(
@@ -42,7 +43,8 @@ def _run(tmp_path, tiles, snapshots):
              "--role", role, "--tiles", str(tiles),
              "--snapshots", str(snapshots), "--out", out,
              "--start", str(start)],
-            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
         outs.append(out)
     results = {}
     for p, out in zip(procs, outs):
@@ -91,3 +93,61 @@ def test_two_tiles_interleaved_exactly_once(tmp_path):
     # sanity: the roles actually contended (discovery hit the gate at
     # least once while waiting on the consumer)
     assert results["discover"]["gate_blocks"] > 0
+
+
+def test_fallback_lock_exactly_once_across_processes(tmp_path):
+    """The same two-process exactly-once topology, forced onto the
+    non-POSIX O_EXCL fallback lock (no flock): the fallback must give
+    the same mutual exclusion, or platforms without fcntl silently get
+    lost-update ledger corruption."""
+    tiles, snapshots = 2, 6
+    ledger_path, results = _run(
+        tmp_path, tiles, snapshots,
+        env_extra={"CQL_LEDGER_FORCE_FALLBACK_LOCK": "1"})
+    _assert_exactly_once(ledger_path, results, tiles, snapshots)
+
+
+def test_fallback_lock_stale_break_single_winner(tmp_path, monkeypatch):
+    """Rename-based stale-lock break: a crashed holder's lock is broken
+    by exactly one waiter (os.rename of one source succeeds once), and
+    contenders never overlap in the critical section. The prior
+    unlink-based break had a TOCTOU: two waiters both decide 'stale',
+    waiter B unlinks+recreates (holding a fresh lock), waiter A's
+    already-decided unlink then removes B's FRESH lock — two processes
+    inside the section, the exact lost-update the lock prevents."""
+    import glob
+    import threading
+
+    from cql_replicator_spark import ledger as L
+
+    monkeypatch.setenv("CQL_LEDGER_FORCE_FALLBACK_LOCK", "1")
+    led = L.Ledger(str(tmp_path / "ledger.json"))
+    lock_path = led.path + ".lock"
+    # plant a crashed holder's lock, aged past the staleness threshold
+    open(lock_path, "w").close()
+    old = time.time() - 10 * 60
+    os.utime(lock_path, (old, old))
+
+    inside, max_inside = 0, 0
+    gate = threading.Lock()
+
+    def worker():
+        nonlocal inside, max_inside
+        with led._file_lock():
+            with gate:
+                inside += 1
+                max_inside = max(max_inside, inside)
+            time.sleep(0.02)
+            with gate:
+                inside -= 1
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+        assert not t.is_alive(), "fallback lock deadlocked"
+    assert max_inside == 1, f"{max_inside} holders inside the section"
+    # break artifacts cleaned up; no lock left behind
+    assert glob.glob(lock_path + ".break.*") == []
+    assert not os.path.exists(lock_path)
