@@ -25,6 +25,7 @@ HEADLINE = [
     "cdc_changes",
     "cdc_hydrate_inserts",
     "cdc_union_distinct",
+    "cdc_ledger_cycle",
     "reconcile_counts",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -259,13 +260,34 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
-    print(json.dumps(result))
-    # The driver records only a bounded stdout tail (r4's got truncated
-    # mid-JSON); persist the full result object so every round's bench
-    # is machine-readable from the repo itself.
+    # The driver records only a bounded stdout TAIL (observed 2000
+    # chars) and parses its last line as JSON. The full 167-query map
+    # is ~5.4 KB compact — it can NEVER fit, so BENCH_r08/r09 both
+    # recorded "parsed": null with the line's head sliced off. Persist
+    # the complete result in the repo, and print as the FINAL stdout
+    # line a compact JSON that provably fits the tail window: total +
+    # as many per-query timings as fit, most expensive first (the rows
+    # with plan-audit signal), plus a pointer to the full artifact.
     (Path(__file__).resolve().parent / "bench_result.json").write_text(
         json.dumps(result, indent=1) + "\n")
     spark.stop()
+
+    line = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "full": "bench_result.json",
+        "queries": {},
+    }
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        line["queries"][name] = timings[name]
+        if len(json.dumps(line, separators=(",", ":"))) > 1800:
+            del line["queries"][name]
+            break
+    # nothing may print after this — it must be the last stdout line
+    print(json.dumps(line, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

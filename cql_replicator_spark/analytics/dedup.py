@@ -18,6 +18,7 @@ DuckDB for the oracle checks — no dependence on Spark-private hashes.
 
 from __future__ import annotations
 
+import time
 import warnings
 
 from pyspark.sql import Column, DataFrame
@@ -271,7 +272,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
                             num_hashes: int = 16, bands: int = 4,
-                            persist_signatures: bool = False) -> DataFrame:
+                            persist_signatures: bool = False,
+                            max_bucket_size: int | None = None) -> DataFrame:
     """persist_signatures=True caches the ~1-narrow-row-per-doc
     signatures (MEMORY_AND_DISK). With bucket-grouped banding the pair
     generation itself scans signatures only once, so the flag matters
@@ -279,12 +281,19 @@ def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     subtree (e.g. banding + a verify stage + cluster stats in one
     pipeline). Off by default. The caller owns the unpersist — the
     returned plan references the cached frame lazily, so eager cleanup
-    here would defeat the cache."""
+    here would defeat the cache.
+
+    max_bucket_size forwards to lsh_candidate_pairs: per-bucket pair
+    work is O(|bucket|²), so at corpus scale ONE degenerate bucket
+    (boilerplate-identical docs) concentrates quadratic work in a
+    single task — the 20x amplification smoke measured a 34x blowup on
+    exactly this shape. Production callers should always cap."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     if persist_signatures:
         from pyspark import StorageLevel
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    return lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    return lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands,
+                               max_bucket_size=max_bucket_size)
 
 
 # -- cluster formation --------------------------------------------------------------
@@ -296,6 +305,7 @@ def connected_components(
     max_iterations: int = 20,
     strict: bool = True,
     algorithm: str = "min_label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pair graph -> components: (doc_id, cluster_id) with
     cluster_id = min doc id in the component — the step that turns
@@ -330,6 +340,11 @@ def connected_components(
 
     algorithm="star" dispatches to connected_components_star (same
     contract, O(log n) rounds on adversarial-diameter graphs).
+
+    stats, if given, is filled with {"rounds": int, "round_secs":
+    [float], "round_changed": [int], "n_edges": int} — the scale smoke
+    uses it to pin that rounds track graph DIAMETER, not corpus size
+    (min_label branch only).
     """
     if algorithm == "star":
         return connected_components_star(
@@ -381,9 +396,13 @@ def connected_components(
               .select(F.col("src").alias("id"), "label")
               .localCheckpoint(eager=False))
     backing = labels  # the checkpointed frame holding current labels
+    if stats is not None:
+        stats.update({"rounds": 0, "round_secs": [],
+                      "round_changed": [], "n_edges": n_edges})
     try:
         changed = None
         for _ in range(max_iterations):
+            _round_t0 = time.perf_counter()
             # change detection FUSED into the round's one groupBy: old
             # labels ride the union tagged is_old, so min(new label) and
             # the old label come out of the same aggregation — no
@@ -407,6 +426,11 @@ def connected_components(
                 .localCheckpoint(eager=False)
             )
             changed = agg.filter(F.col("label") != F.col("old_label")).count()
+            if stats is not None:
+                stats["rounds"] += 1
+                stats["round_secs"].append(
+                    round(time.perf_counter() - _round_t0, 3))
+                stats["round_changed"].append(changed)
             backing.unpersist()
             backing = agg
             labels = agg.select("id", "label")
@@ -947,6 +971,7 @@ def minhash_accuracy_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Estimator-quality audit for the MinHash infrastructure: for
     every LSH candidate pair, the signature-agreement Jaccard estimate
@@ -973,7 +998,8 @@ def minhash_accuracy_pairs(
     # for frames the exchange reuse already deduplicated.
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     pairs = lsh_candidate_pairs(sigs, id_col, bands,
-                                num_hashes // bands)
+                                num_hashes // bands,
+                                max_bucket_size=max_bucket_size)
     sa = sigs.select(F.col(id_col).alias("id_a"),
                      *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)])
     sb = sigs.select(F.col(id_col).alias("id_b"),

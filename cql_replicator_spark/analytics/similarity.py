@@ -486,6 +486,7 @@ def embedding_lsh_verified_pairs(
     dim: int = 64,
     threshold: float = 0.9,
     persist_signatures: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The full near-dup scale pattern: LSH candidates -> exact verify.
 
@@ -498,7 +499,8 @@ def embedding_lsh_verified_pairs(
     its per-pair cost dominates the whole composition.
     """
     cands = embedding_lsh_candidates(corpus, id_col, vec_col, dim,
-                                     persist_signatures=persist_signatures)
+                                     persist_signatures=persist_signatures,
+                                     max_bucket_size=max_bucket_size)
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = quantized_cosine_np()

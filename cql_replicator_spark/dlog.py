@@ -66,6 +66,47 @@ class ConcurrentCommitError(RuntimeError):
     concurrency conflict). Re-read the table state and re-commit."""
 
 
+class CorruptCommitError(RuntimeError):
+    """A NON-latest commit file is torn or missing: replay cannot
+    reconstruct a consistent state by skipping a middle version, so
+    fail loudly instead of silently half-applying the log."""
+
+
+def _commit_complete(path: str) -> bool:
+    """Torn-commit detection. Our writer stamps the head commitInfo
+    with txnActionCount (total action lines), so ANY truncation of a
+    file we wrote is detectable: a prefix either cuts the head line
+    (unparseable / empty claim), cuts mid-line (no trailing newline),
+    or drops whole lines (count mismatch). Files without the stamp
+    (real delta-spark logs, hand-built fixtures) publish via their own
+    atomic rename, so for them complete = non-empty, newline-terminated,
+    last line valid JSON — the strongest check that doesn't reject a
+    foreign writer's legitimate commit."""
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return False
+    if not data:
+        return False  # in-flight (or crashed) O_EXCL claim
+    if not data.endswith(b"\n"):
+        return False  # torn mid-line
+    lines = [ln for ln in data.splitlines() if ln.strip()]
+    if not lines:
+        return True  # an action-less (empty) commit — legal, distinct
+        # from the zero-byte claim handled above
+    try:
+        first = json.loads(lines[0])
+        json.loads(lines[-1])
+    except ValueError:
+        return False
+    if isinstance(first, dict):
+        want = first.get("commitInfo", {}).get("txnActionCount")
+        if want is not None:
+            return len(lines) == want
+    return True
+
+
 def _log_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _LOG_DIR, f"{version:020d}.json")
 
@@ -80,6 +121,16 @@ def _publish_commit(table_path: str, version: int, actions: list[dict],
     ``adds`` on loss (they are unreachable from any commit)."""
     os.makedirs(os.path.join(table_path, _LOG_DIR), exist_ok=True)
     log_file = _log_path(table_path, version)
+    # Stamp the head commitInfo with the total action-line count so a
+    # torn file (any prefix of ours) is detectable — see
+    # _commit_complete. Merged into an existing head commitInfo (one
+    # commitInfo per commit, the customary Delta shape) or prepended.
+    actions = list(actions)
+    if actions and isinstance(actions[0], dict) and "commitInfo" in actions[0]:
+        actions[0] = {"commitInfo": {**actions[0]["commitInfo"],
+                                     "txnActionCount": len(actions)}}
+    else:
+        actions.insert(0, {"commitInfo": {"txnActionCount": len(actions) + 1}})
     # reclaim a crashed claim: a zero-length version file is an
     # O_EXCL create whose content rename never landed (process died
     # mid-fallback). Reclaim only STALE claims (mtime older than
@@ -95,7 +146,11 @@ def _publish_commit(table_path: str, version: int, actions: list[dict],
     # claim->publish path, and crashed claims are recovered.
     try:
         st = os.stat(log_file)
-        if st.st_size == 0 and time.time() - st.st_mtime > _CLAIM_STALE_SECS:
+        # reclaim covers torn non-empty files too (fs-level corruption,
+        # a foreign writer dying mid-write): an INCOMPLETE stale file
+        # is no one's commit; a complete one loses at put-if-absent
+        if (time.time() - st.st_mtime > _CLAIM_STALE_SECS
+                and (st.st_size == 0 or not _commit_complete(log_file))):
             os.unlink(log_file)
     except OSError:
         pass
@@ -160,13 +215,12 @@ class DeltaLogTable:
                 except ValueError:
                     continue
                 # a zero-length file is an in-progress (or crashed)
-                # O_EXCL claim whose content rename hasn't landed —
-                # readers treat it as not-yet-committed rather than
-                # corrupt; the committer reclaims it (single writer)
-                try:
-                    if os.path.getsize(os.path.join(d, name)) == 0:
-                        continue
-                except OSError:
+                # O_EXCL claim whose content rename hasn't landed, and
+                # a torn file (truncated tail, missing action lines vs
+                # the head stamp) is a crashed/corrupt write — readers
+                # treat both as not-yet-committed rather than corrupt;
+                # the committer reclaims them once stale
+                if not _commit_complete(os.path.join(d, name)):
                     continue
                 out.append(v)
         return sorted(out)
@@ -189,6 +243,18 @@ class DeltaLogTable:
             raise ValueError(
                 f"version {version_as_of} not in log for {self.path}; "
                 f"have {versions}")
+        # A gap in the replayed range means a MIDDLE version is torn or
+        # missing: skipping it would half-apply the log (later removes/
+        # adds reference state the hole created). A torn LATEST version
+        # is simply not-yet-committed (excluded by versions()); a torn
+        # middle one is unrecoverable — fail loudly.
+        replayed = [v for v in versions if v <= version_as_of]
+        for a, b in zip(replayed, replayed[1:]):
+            if b != a + 1:
+                raise CorruptCommitError(
+                    f"commit log gap in {self.path}: version {a} is "
+                    f"followed by {b}; a middle commit is torn or "
+                    f"missing and replay cannot skip it")
         live: dict[str, dict] = {}
         schema_string: str | None = None
         for v in versions:

@@ -1349,43 +1349,22 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything else stalest-evidence-first. tests/test_oracle.py asserts the
 # computed order actually has this shape.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r9: queries whose implementations this round's advisor-fix sweep
-    # touched. The rest of the ~50-row window goes to the stalest
-    # evidence (the 28 r4 rows lead) via the evidence-based fallback.
-    "snapshot_time_travel",          # touched: dlog empty-claim reclaim
-                                     # is now staleness-gated (fresh
-                                     # claims are live committers)
-    # poison-row sweep: zero-norm/empty-doc divisions now try_divide
-    # (ANSI-safe NULL), verified hash-green vs the oracle at sf0.01
-    "similarity_cosine_topk",        # touched: cosine() NULL contract
-    "similarity_cosine_topk_vectorized",  # touched: np lane emits NULL
-    "similarity_ann_ivf",            # touched: ivf_build argmax floor
-    "similarity_recall_at_k",        # touched: via cosine()/ivf_search
-    "similarity_pq_recall",          # touched: quantized_cosine
-    "similarity_ivfpq_recall",       # touched: same + ivf_build
-    "text_metrics",                  # touched: try_divide ratios
-    "text_sparse_cosine_pairs",      # touched: zero-norm TF-IDF pairs
-    "dedup_embedding_cosine",        # touched: via cosine()
-    "dedup_embedding_lsh_verified",  # touched: via quantized lanes
-    "retrieval_hybrid_rrf",          # touched: via cosine()
-    "reconcile_rowhash_checksum",    # touched: bucket checksum is now
-                                     # bit_xor (additive 32-bit-hash sum
-                                     # overflows BIGINT at 2^31 rows/
-                                     # bucket under ANSI)
-    # poison-SWEEP fixes (tools/poison_sweep.py found 15 crashers; all
-    # re-verified hash-green on clean sf0.01 after the fix):
-    "embedding_kmeans_clusters",     # touched: well_formed filter ahead
-                                     # of the numpy assignment lane
-    "embedding_kmeans_train_sample", # touched: same filter, train path
-    "dedup_semantic",                # touched: via kmeans_quantized
-    "dedup_embedding_lsh",           # touched: well_formed before LSH
-                                     # signature matmul
-    "multimodal_gif_pixel_decode",   # touched: tlen coalesce(0) for
-                                     # NULL-text docs
-    "multimodal_png_pixel_decode",   # touched: same
-    "multimodal_flac_audio_decode",  # touched: same
-    "multimodal_frames",             # touched: NaN-safe duration_ms
-    "column_compression_roundtrip",  # touched: NULL-priority guard
+    # r10: the LSH degenerate-bucket cap sweep (max_bucket_size=256,
+    # oracle-mirrored — the last uncapped 100x scale-risk plans) plus
+    # the advisor fixes. The rest of the ~50-row window goes to the
+    # stalest evidence (the 47 r5 rows lead) via the fallback.
+    "dedup_minhash_lsh",             # touched: capped, oracle BETWEEN 2 AND 256
+    "dedup_clusters",                # touched: capped candidate stage
+    "dedup_cluster_keepers",         # touched: capped candidate stage
+    "dedup_minhash_accuracy",        # touched: capped candidate stage
+    "cdc_ingest_dedup",              # touched: corpus-side bucket cap
+    "dedup_embedding_lsh",           # touched: capped, oracle-mirrored
+    "dedup_embedding_lsh_verified",  # touched: capped candidate stage
+    "reconcile_rowhash_checksum",    # touched: + additive DECIMAL(38,0)
+                                     # checksum (XOR alone cancels
+                                     # even-multiplicity duplicates)
+    "cdc_ledger_cycle",              # NEW: ledger-gated exactly-once
+                                     # CDC loop as a driver row
 ]
 
 
@@ -1620,3 +1599,100 @@ def cdc_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("s1.mx").alias("ts_max_curr"),
                     F.round(F.col("s1.av") - F.col("s0.av"), 4)
                      .alias("ts_avg_drift")))
+
+
+@register(
+    "cdc_ledger_cycle",
+    oracle=f"""
+WITH {_CDC_BASE_SQL},
+tiles AS (SELECT unnest(generate_series(0, 3)) AS tile),
+h AS (SELECT pk % 4 AS tile, count(*) AS n FROM t0 GROUP BY 1),
+i AS (SELECT pk % 4 AS tile, count(*) AS n FROM t1
+      WHERE pk NOT IN (SELECT pk FROM t0) GROUP BY 1),
+d AS (SELECT pk % 4 AS tile, count(*) AS n FROM t0
+      WHERE pk NOT IN (SELECT pk FROM t1) GROUP BY 1),
+u AS (SELECT t1.pk % 4 AS tile, count(*) AS n
+      FROM t1 JOIN t0 USING (pk)
+      WHERE t1.ts IS DISTINCT FROM t0.ts GROUP BY 1)
+SELECT t.tile,
+       CAST(2 AS BIGINT) AS discovered,
+       CAST(1 AS BIGINT) AS gate_skips,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS hist_inserts,
+       CAST(COALESCE(i.n, 0) AS BIGINT) AS delta_inserts,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS delta_deletes,
+       CAST(COALESCE(u.n, 0) AS BIGINT) AS delta_updates
+FROM tiles t
+LEFT JOIN h USING (tile) LEFT JOIN i USING (tile)
+LEFT JOIN d USING (tile) LEFT JOIN u USING (tile)
+""",
+    doc="The ledger-gated exactly-once CDC loop end-to-end, as a driver "
+        "row (updateLedger K:1391-1476; the unconsumed-snapshot gate "
+        "K:2263-2271; three-way replication dispatch K:1564-1681): two "
+        "full discovery->replicate cycles over the mutating T0->T1 "
+        "fixture, PLUS a discovery attempt while cycle 1's snapshot is "
+        "still unconsumed — which the ledger must refuse on every tile "
+        "(gate_skips=1). Emits the per-tile counts the pipeline "
+        "actually MEASURED (rotations, gate refusals, historical "
+        "inserts, delta insert/delete/update); the oracle recomputes "
+        "all of them from the fixture's modular mutation rules, so a "
+        "double-applied or dropped snapshot anywhere in the state "
+        "machine shows up as a count mismatch. Tiles by pk % 4 (the "
+        "engine-portable tile_of override; production tiling is "
+        "xxhash64, which no oracle engine shares)",
+)
+def cdc_ledger_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .ledger import Ledger
+    from .queries_analytics import _stage_dir
+    from .runner import CdcPipeline, StatsStore
+    from .snapshot import SnapshotStore
+
+    root = _stage_dir("ledger_cycle")
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+    state = {"src": t0}
+    n_tiles = 4
+    pipe = CdcPipeline(
+        spark=spark, keyspace="ks", table="orders_cdc", pk_cols=["pk"],
+        source=lambda: state["src"],
+        pk_source=lambda: state["src"],
+        store=SnapshotStore(os.path.join(root, "snaps"), "ks", "orders_cdc"),
+        ledger=Ledger(os.path.join(root, "ledger.json")),
+        stats=StatsStore(os.path.join(root, "stats")),
+        total_tiles=n_tiles, max_workers=2,
+        tile_of=lambda df: F.pmod(F.col("pk"), F.lit(n_tiles)),
+    )
+
+    discovered = dict.fromkeys(range(n_tiles), 0)
+    gate_skips = dict.fromkeys(range(n_tiles), 0)
+
+    # cycle 1: discover T0, then PROVE the gate holds — a second
+    # discovery before replication consumes the snapshot must rotate
+    # nothing (skipping is the contract, K:2263-2271)
+    for t in pipe.discover():
+        discovered[t] += 1
+    blocked = set(range(n_tiles)) - set(pipe.discover())
+    for t in blocked:
+        gate_skips[t] += 1
+    hist = {s.tile: s for s in pipe.replicate()}
+
+    # cycle 2: the source mutates to T1; discovery rotates, replication
+    # runs the delta dispatch against the consumed prev
+    state["src"] = t1
+    for t in pipe.discover():
+        discovered[t] += 1
+    delta = {s.tile: s for s in pipe.replicate()}
+
+    rows = [
+        (t, discovered[t], gate_skips[t],
+         hist[t].insertedPrimaryKeys if t in hist else 0,
+         delta[t].insertedPrimaryKeys if t in delta else 0,
+         delta[t].deletedPrimaryKeys if t in delta else 0,
+         delta[t].updatedPrimaryKeys if t in delta else 0)
+        for t in range(n_tiles)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "tile BIGINT, discovered BIGINT, gate_skips BIGINT, "
+        "hist_inserts BIGINT, delta_inserts BIGINT, "
+        "delta_deletes BIGINT, delta_updates BIGINT")

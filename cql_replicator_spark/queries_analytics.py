@@ -233,9 +233,18 @@ def _minhash_oracle(
     bands: int = 4,
     tail: str = "SELECT id_a, id_b FROM pairs",
     recursive: bool = False,
+    max_bucket_size: int | None = None,
+    corpus_cap: tuple[str, int] | None = None,
 ) -> str:
     """The MinHash+LSH pair pipeline as SQL, ending in a ``pairs`` CTE;
-    ``tail`` consumes it (recursive=True for closure-based tails)."""
+    ``tail`` consumes it (recursive=True for closure-based tails).
+    max_bucket_size mirrors the Spark side's degenerate-bucket cap
+    (HAVING count(*) BETWEEN 2 AND N, the dedup_simhash_pairs pattern)
+    so the oracle check stays exact on capped lanes. corpus_cap
+    (predicate_sql, N) mirrors cross_corpus_lsh_pairs' one-sided cap
+    instead: only rows matching the predicate (the persisted corpus)
+    count toward the bucket size, matching the Spark side that sizes
+    buckets on the corpus frame alone before the batch join."""
     min_exprs = []
     for j in range(num_hashes):
         a, b_, p = D.MINHASH_A[j], D.MINHASH_B[j], D.MINHASH_P
@@ -249,6 +258,37 @@ def _minhash_oracle(
         band_selects.append(
             f"SELECT doc_id, {b} AS band, {key} AS bucket FROM sig")
     banded = "\nUNION ALL\n".join(band_selects)
+    if max_bucket_size is not None:
+        pairs = f"""ok AS (
+  SELECT band, bucket FROM banded
+  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND {max_bucket_size}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok USING (band, bucket)
+  JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)"""
+    elif corpus_cap is not None:
+        pred, cap = corpus_cap
+        pairs = f"""ok AS (
+  SELECT band, bucket FROM banded WHERE {pred}
+  GROUP BY band, bucket HAVING count(*) <= {cap}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok USING (band, bucket)
+  JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)"""
+    else:
+        pairs = """pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
     return f"""
 WITH {"RECURSIVE " if recursive else ""}{_NEAR_FIXTURE_SQL},
 {_SHINGLE_SQL},
@@ -261,20 +301,22 @@ sig AS (
 banded AS (
 {banded}
 ),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a
-  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
+{pairs}
 {tail}
 """
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_oracle(),
-          doc="MinHash(16) + LSH(4 bands) candidate pairs — the scale path for near-dup")
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(max_bucket_size=256),
+          doc="MinHash(16) + LSH(4 bands) candidate pairs — the scale path "
+              "for near-dup. max_bucket_size=256 drops degenerate "
+              "boilerplate buckets before the O(|b|^2) pair explosion "
+              "(the 20x smoke measured a 34x uncapped blowup on one "
+              "template-identical pile); mirrored in the oracle "
+              "(HAVING count(*) BETWEEN 2 AND 256) so the check is exact")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs(_near_fixture(spark, sf_dir),
-                                     n=3, num_hashes=16, bands=4)
+                                     n=3, num_hashes=16, bands=4,
+                                     max_bucket_size=256)
 
 
 @register(
@@ -283,7 +325,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CTE enumerates reachable labels and takes the min per node — the
     # closure is tiny (near-dup components), so full enumeration is
     # fine SQL-side; the Spark side converges by min-label propagation.
-    oracle=_minhash_oracle(recursive=True, tail="""
+    oracle=_minhash_oracle(recursive=True, max_bucket_size=256, tail="""
 , edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -299,11 +341,13 @@ SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
 """),
     doc="Near-dup cluster formation: connected components over the "
         "MinHash-LSH pair graph (min-id canonical label) — turns pairwise "
-        "candidates into transitive keep/drop groups",
+        "candidates into transitive keep/drop groups. Candidate stage "
+        "capped (max_bucket_size=256, oracle-mirrored)",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_dedup_pairs(_near_fixture(spark, sf_dir),
-                                      n=3, num_hashes=16, bands=4)
+                                      n=3, num_hashes=16, bands=4,
+                                      max_bucket_size=256)
     return D.connected_components(pairs)
 
 
@@ -950,7 +994,8 @@ def dedup_events_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rp_lsh_oracle(dim: int = 64, planes: int = S.RP_PLANES,
-                   bands: int = 2) -> str:
+                   bands: int = 2,
+                   max_bucket_size: int | None = None) -> str:
     per_band = planes // bands
     bit_exprs = []
     for p in range(planes):
@@ -965,6 +1010,14 @@ def _rp_lsh_oracle(dim: int = 64, planes: int = S.RP_PLANES,
         key = " || ".join(f"bit{b * per_band + i}" for i in range(per_band))
         band_selects.append(f"SELECT vec_id, {b} AS band, {key} AS bucket FROM bits")
     banded = "\nUNION ALL\n".join(band_selects)
+    cap_cte, cap_join = "", ""
+    if max_bucket_size is not None:
+        cap_cte = f""",
+ok AS (
+  SELECT band, bucket FROM banded
+  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND {max_bucket_size}
+)"""
+        cap_join = "JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket"
     return f"""
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -978,31 +1031,38 @@ bits AS (
 ),
 banded AS (
 {banded}
-)
+){cap_cte}
 SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
 FROM banded a
+{cap_join}
 JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 """
 
 
 @register(
     "dedup_embedding_lsh",
-    oracle=_rp_lsh_oracle(),
+    oracle=_rp_lsh_oracle(max_bucket_size=256),
     doc="Random-hyperplane LSH near-dup candidates over embeddings — the "
         "bucketed 100 TB path for embedding dedup (map-only signatures, one "
         "band-bucket join). Integer-quantized sign bits make the buckets "
-        "engine-exact; fixture plants an exact copy of every vector",
+        "engine-exact; fixture plants an exact copy of every vector. "
+        "max_bucket_size=256 drops degenerate buckets (a billion "
+        "byte-identical failure-mode vectors would otherwise concentrate "
+        "O(|b|^2) pair work in one task); the cap is mirrored in the "
+        "oracle (HAVING count(*) BETWEEN 2 AND 256) so the check stays "
+        "exact — the dedup_simhash_pairs pattern",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     base = emb.select("vec_id", "embedding")
     corpus = base.unionByName(
         base.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
-    return S.embedding_lsh_candidates(corpus)
+    return S.embedding_lsh_candidates(corpus, max_bucket_size=256)
 
 
-def _rp_lsh_verified_oracle(dim: int = 64, threshold: float = 0.9) -> str:
-    base = _rp_lsh_oracle(dim)
+def _rp_lsh_verified_oracle(dim: int = 64, threshold: float = 0.9,
+                            max_bucket_size: int | None = None) -> str:
+    base = _rp_lsh_oracle(dim, max_bucket_size=max_bucket_size)
     return f"""
 WITH cands AS (
 {base}
@@ -1030,9 +1090,10 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
 
 @register(
     "dedup_embedding_lsh_verified",
-    oracle=_rp_lsh_verified_oracle(),
-    doc="Full near-dup scale pattern: LSH candidate generation -> exact "
-        "cosine verification at threshold 0.9. Quantized-integer cosine is "
+    oracle=_rp_lsh_verified_oracle(max_bucket_size=256),
+    doc="Full near-dup scale pattern: LSH candidate generation (degenerate "
+        "buckets capped at 256, oracle-mirrored) -> exact cosine "
+        "verification at threshold 0.9. Quantized-integer cosine is "
         "bit-identical across engines, so the float column itself is "
         "oracle-checked",
 )
@@ -1041,7 +1102,7 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select("vec_id", "embedding")
     corpus = base.unionByName(
         base.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
-    return S.embedding_lsh_verified_pairs(corpus)
+    return S.embedding_lsh_verified_pairs(corpus, max_bucket_size=256)
 
 
 @register(
@@ -3588,7 +3649,7 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_keepers",
-    oracle=_minhash_oracle(recursive=True, tail="""
+    oracle=_minhash_oracle(recursive=True, max_bucket_size=256, tail="""
 , edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -3624,7 +3685,8 @@ WHERE rn = 1
 )
 def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _near_fixture(spark, sf_dir)
-    pairs = D.minhash_lsh_dedup_pairs(docs, n=3, num_hashes=16, bands=4)
+    pairs = D.minhash_lsh_dedup_pairs(docs, n=3, num_hashes=16, bands=4,
+                                      max_bucket_size=256)
     clusters = D.connected_components(pairs)
     quality = docs.select("doc_id",
                           F.length("text").cast("long").alias("quality"))
@@ -3708,7 +3770,7 @@ def curation_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cdc_ingest_dedup",
-    oracle=_minhash_oracle(tail="""
+    oracle=_minhash_oracle(corpus_cap=("doc_id < 1000000", 256), tail="""
 , cross_pairs AS (
   SELECT id_a AS corpus_id, id_b AS new_id FROM pairs
   WHERE id_a < 1000000 AND id_b >= 1000000
@@ -3739,7 +3801,7 @@ def cdc_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.cross_corpus_lsh_pairs(
         D.minhash_signatures(new, n=3, num_hashes=16),
         D.minhash_signatures(corpus, n=3, num_hashes=16),
-        bands=4, rows_per_band=4)
+        bands=4, rows_per_band=4, max_bucket_size=256)
     best = pairs.groupBy("new_id").agg(
         F.min("corpus_id").alias("matched_corpus_id"))
     return (new.select(F.col("doc_id").alias("new_id"))

@@ -1092,7 +1092,8 @@ def _register_minhash_accuracy():
 
     @register(
         "dedup_minhash_accuracy",
-        oracle=_minhash_oracle(tail=_minhash_accuracy_tail()),
+        oracle=_minhash_oracle(max_bucket_size=256,
+                               tail=_minhash_accuracy_tail()),
         doc="MinHash estimator-quality audit: per LSH candidate pair, "
             "the signature-agreement Jaccard estimate next to the exact "
             "shingle Jaccard and the absolute error — the monitoring "
@@ -1106,7 +1107,8 @@ def _register_minhash_accuracy():
     def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .queries_analytics import _near_fixture
         return D.minhash_accuracy_pairs(_near_fixture(spark, sf_dir),
-                                        n=3, num_hashes=16, bands=4)
+                                        n=3, num_hashes=16, bands=4,
+                                        max_bucket_size=256)
 
 
 _register_minhash_accuracy()

@@ -29,7 +29,7 @@ from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .diff import ChangeSet, changeset_from_tagged, compute_changes_tagged
@@ -136,14 +136,27 @@ class CdcPipeline:
     # K:1845-1847; compute via config.default_partitions_for). None =
     # leave layout to AQE, which is right for local/test runs.
     default_partitions: int | None = None
+    # Tile assignment: None = production xxhash64 tiling (tiling.tile_expr,
+    # K:1832-1843). A Column-returning callable overrides it with an
+    # engine-portable rule (oracle-checked fixtures tile by pk % N —
+    # xxhash64 has no DuckDB equivalent); any deterministic pure
+    # function of the PK columns preserves the ledger/tile invariants.
+    tile_of: Callable[[DataFrame], Column] | None = None
 
     # -- discovery ---------------------------------------------------------
     def discover(self) -> list[int]:
         """One discovery cycle; returns tiles that rotated a snapshot."""
-        tiled = assign_tiles(
-            self.pk_source(), self.pk_cols, self.total_tiles,
-            repartition=self.default_partitions is not None,
-            num_partitions=self.default_partitions)
+        src = self.pk_source()
+        if self.tile_of is not None:
+            tiled = src.withColumn("tile", self.tile_of(src))
+            if self.default_partitions is not None:
+                tiled = tiled.repartition(self.default_partitions,
+                                          F.col("tile"))
+        else:
+            tiled = assign_tiles(
+                src, self.pk_cols, self.total_tiles,
+                repartition=self.default_partitions is not None,
+                num_partitions=self.default_partitions)
         tiled = tiled.persist()
         try:
             tiled.count()  # materialize once; per-tile filters reuse the cache

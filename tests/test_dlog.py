@@ -384,3 +384,161 @@ def test_no_staging_or_tmp_left_behind(spark, tbl):
     assert not [n for n in names if n.startswith(".staging-")]
     log_names = os.listdir(os.path.join(tbl.path, "_delta_log"))
     assert not [n for n in log_names if n.endswith(".tmp")]
+
+
+# -- torn-commit durability (r10) -------------------------------------------
+
+def _pc_actions(v):
+    return [
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+        {"add": {"path": f"part-v{v}-a.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"add": {"path": f"part-v{v}-b.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+    ]
+
+
+def test_torn_commit_every_truncation_is_invisible(tmp_path):
+    """A commit file truncated at ANY byte boundary — including exactly
+    at a line boundary, which parses line-by-line — must read as
+    not-yet-committed, never as a parse error and never as a
+    half-applied version. The head commitInfo's txnActionCount stamp is
+    what catches line-boundary prefixes."""
+    from cql_replicator_spark import dlog
+
+    d = str(tmp_path / "t")
+    dlog._publish_commit(d, 0, _pc_actions(0), adds=[])
+    dlog._publish_commit(d, 1, _pc_actions(1), adds=[])
+    tbl = DeltaLogTable(d)
+    assert tbl.versions() == [0, 1]
+    v0_live, _ = tbl._replay(0)
+    v1_file = os.path.join(d, "_delta_log", f"{1:020d}.json")
+    with open(v1_file, "rb") as f:
+        full = f.read()
+
+    for cut in range(len(full)):
+        with open(v1_file, "wb") as f:
+            f.write(full[:cut])
+        vs = tbl.versions()
+        if cut == 0:
+            # zero bytes = in-flight claim
+            assert vs == [0], cut
+        else:
+            assert vs == [0], (cut, "torn prefix must stay invisible")
+        live, _ = tbl._replay(0)
+        assert live == v0_live, cut
+        assert tbl.latest_version() == 0, cut
+
+    with open(v1_file, "wb") as f:
+        f.write(full)
+    assert tbl.versions() == [0, 1]
+    live, _ = tbl._replay(1)
+    # _pc_actions has no removes, so v1's state is the add union
+    assert set(live) == {"part-v0-a.parquet", "part-v0-b.parquet",
+                         "part-v1-a.parquet", "part-v1-b.parquet"}
+
+
+def test_middle_version_gap_raises_corrupt_not_half_applied(tmp_path):
+    """A torn MIDDLE version cannot be skipped: replay past it would
+    half-apply the log (the hole's removes/adds are lost), so it must
+    raise CorruptCommitError loudly. Versions before the hole stay
+    readable."""
+    import pytest as _pytest
+
+    from cql_replicator_spark import dlog
+    from cql_replicator_spark.dlog import CorruptCommitError
+
+    d = str(tmp_path / "t")
+    for v in range(3):
+        dlog._publish_commit(d, v, _pc_actions(v), adds=[])
+    tbl = DeltaLogTable(d)
+    v1_file = os.path.join(d, "_delta_log", f"{1:020d}.json")
+    with open(v1_file, "rb") as f:
+        full = f.read()
+    with open(v1_file, "wb") as f:
+        f.write(full[: len(full) // 2])
+
+    assert tbl.versions() == [0, 2]
+    with _pytest.raises(CorruptCommitError, match="gap"):
+        tbl._replay(2)
+    live, _ = tbl._replay(0)  # before the hole: still consistent
+    assert set(live) == {"part-v0-a.parquet", "part-v0-b.parquet"}
+
+
+def test_fresh_torn_file_blocks_commit_until_stale(tmp_path):
+    """A torn commit file at the target version behaves like a claim:
+    fresh -> the version is contended, a racing writer loses cleanly;
+    stale -> reclaimed and the version is re-committable."""
+    import pytest as _pytest
+
+    from cql_replicator_spark import dlog
+    from cql_replicator_spark.dlog import ConcurrentCommitError
+
+    d = str(tmp_path / "t")
+    dlog._publish_commit(d, 0, _pc_actions(0), adds=[])
+    v1_file = os.path.join(d, "_delta_log", f"{1:020d}.json")
+    with open(v1_file, "w") as f:
+        f.write('{"commitInfo": {"txnActionCount": 99}}\n{"add"')  # torn
+
+    with _pytest.raises(ConcurrentCommitError):
+        dlog._publish_commit(d, 1, _pc_actions(1), adds=[])
+
+    old = time.time() - 10 * 60
+    os.utime(v1_file, (old, old))
+    dlog._publish_commit(d, 1, _pc_actions(1), adds=[])
+    tbl = DeltaLogTable(d)
+    assert tbl.versions() == [0, 1]
+    live, _ = tbl._replay(1)
+    assert {"part-v1-a.parquet", "part-v1-b.parquet"} <= set(live)
+
+
+def test_crash_injected_committer_never_tears(tmp_path):
+    """Kill a real committer PROCESS at each publish step, on both the
+    hard-link and the linkless (O_EXCL claim + replace) paths. After
+    every crash: readers see exactly the previous version or the
+    complete new one, and the version is recoverable (re-committable
+    once any leftover claim is stale)."""
+    import subprocess
+    import sys as _sys
+
+    from cql_replicator_spark import dlog
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "dlog_torn_worker.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    cases = [
+        ("tmp_partial", False, False),   # dies mid-tmp-write
+        ("before_link", False, False),   # dies before the link lands
+        ("after_link", False, True),     # dies after: commit is visible
+        ("before_link", True, False),    # fallback: dies holding a claim
+        ("after_link", True, True),      # fallback: replace landed
+    ]
+    for crash_at, fallback, committed in cases:
+        d = str(tmp_path / f"t_{crash_at}_{fallback}")
+        dlog._publish_commit(d, 0, _pc_actions(0), adds=[])
+        cmd = [_sys.executable, worker, "--table", d, "--version", "1",
+               "--crash-at", crash_at]
+        if fallback:
+            cmd.append("--fallback")
+        p = subprocess.run(cmd, cwd=repo, capture_output=True, timeout=60)
+        assert p.returncode == 1, (crash_at, fallback, p.stderr.decode())
+
+        tbl = DeltaLogTable(d)
+        if committed:
+            assert tbl.versions() == [0, 1], (crash_at, fallback)
+            live, _ = tbl._replay(1)
+            assert {"part-v1-a.parquet", "part-v1-b.parquet"} <= set(live)
+            continue
+        # crash before the commit point: v1 invisible, v0 intact
+        assert tbl.versions() == [0], (crash_at, fallback)
+        live, _ = tbl._replay(0)
+        assert set(live) == {"part-v0-a.parquet", "part-v0-b.parquet"}
+        # recovery: once any leftover claim/torn file is stale, the
+        # version is re-committable by the next writer
+        v1_file = os.path.join(d, "_delta_log", f"{1:020d}.json")
+        if os.path.exists(v1_file):
+            old = time.time() - 10 * 60
+            os.utime(v1_file, (old, old))
+        dlog._publish_commit(d, 1, _pc_actions(1), adds=[])
+        assert tbl.versions() == [0, 1], (crash_at, fallback)

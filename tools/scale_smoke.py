@@ -176,6 +176,73 @@ def main() -> None:
             amp_emb(n), k=16, rounds=1, train_sample=4096),
     }
 
+    # Iterative-algorithm leg: connected components over the capped LSH
+    # pair graph. The scale claim is that ROUNDS track graph DIAMETER
+    # (near-dup components are small and dense), not corpus size — at
+    # 20x data the round count must stay flat while per-round time
+    # scales ~linearly in edges.
+    def cc_leg(factor: int) -> dict:
+        pairs = D.minhash_lsh_dedup_pairs(
+            amplified(factor), n=3, num_hashes=16, bands=4,
+            max_bucket_size=256)
+        st: dict = {}
+        t0 = time.perf_counter()
+        out = D.connected_components(pairs, stats=st)
+        n = out.count()
+        sec = round(time.perf_counter() - t0, 2)
+        out.unpersist()
+        spark.catalog.clearCache()
+        return {"sec": sec, "rows_out": n, "rounds": st["rounds"],
+                "round_secs": st["round_secs"], "n_edges": st["n_edges"]}
+
+    # Skew leg: one hot key owning ~20% of all rows, joined against a
+    # non-broadcastable dim, salted vs unsalted, with AQE's skew-join
+    # splitter OFF so the measurement isolates the salt itself (the
+    # salt is the tool for the joins AQE can't split: non-sort-merge
+    # shapes, streaming micro-batches, pre-AQE clusters). Reducer-side
+    # balance is measured as the max share of join-output rows landing
+    # in one shuffle partition — the direct proxy for the straggler
+    # task that defines wall-clock at 1000 executors.
+    from cql_replicator_spark.skew import salted_join
+
+    def skew_leg() -> dict:
+        saved = {k: spark.conf.get(k) for k in
+                 ("spark.sql.adaptive.enabled",
+                  "spark.sql.autoBroadcastJoinThreshold")}
+        # AQE fully off for the measurement: its partition COALESCING
+        # merges the small shuffle into one partition (share=1.0 for
+        # both forms — no signal) and its skew splitter is the very
+        # mechanism the salt substitutes for
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            hot = orders.select(
+                F.when(F.col("o_orderkey") % 5 == 0, F.lit(42))
+                 .otherwise(F.col("o_custkey")).alias("o_custkey"),
+                "o_orderkey", "o_totalprice")
+            dim = (hot.select("o_custkey").distinct()
+                   .withColumn("segment",
+                               (F.col("o_custkey") % 10).cast("string")))
+            out = {}
+            for form, joined in (
+                ("unsalted", hot.join(dim, ["o_custkey"])),
+                ("salted", salted_join(hot, dim, ["o_custkey"],
+                                       num_salts=8)),
+            ):
+                t0 = time.perf_counter()
+                parts = (joined.groupBy(F.spark_partition_id().alias("pid"))
+                         .count().collect())
+                sec = round(time.perf_counter() - t0, 2)
+                total = sum(r["count"] for r in parts)
+                mx = max(r["count"] for r in parts)
+                out[form] = {"sec": sec, "rows": total,
+                             "max_partition_share": round(mx / total, 4),
+                             "n_partitions_nonempty": len(parts)}
+            return out
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
     docs.select("doc_id").limit(100).count()  # warm
     result: dict[str, dict] = {}
     for scale, factor in (("base_1x", 1), (f"amp_{AMPLIFY}x", AMPLIFY)):
@@ -198,17 +265,29 @@ def main() -> None:
             cnt = build(factor).count()
             row[name] = {"sec": round(time.perf_counter() - t0, 2),
                          "rows_out": cnt}
+        row["connected_components"] = cc_leg(factor)
         result[scale] = {"n_docs": n, "n_keys": orders.count() * factor,
                          "ops": row}
 
+    skew = skew_leg()
     base, amp = result["base_1x"], result[f"amp_{AMPLIFY}x"]
-    for name in list(ops) + list(cdc_ops) + list(emb_ops):
+    for name in list(ops) + list(cdc_ops) + list(emb_ops) + \
+            ["connected_components"]:
         b, a = base["ops"][name]["sec"], amp["ops"][name]["sec"]
         ratio = a / b if b else float("nan")
         print(f"{name:22s} 1x={b:7.2f}s {AMPLIFY}x={a:8.2f}s "
               f"time-ratio={ratio:6.1f} (linear would be ~{AMPLIFY})")
+    print(f"connected_components rounds: "
+          f"1x={base['ops']['connected_components']['rounds']} "
+          f"{AMPLIFY}x={amp['ops']['connected_components']['rounds']} "
+          f"(diameter-driven: flat is the pass)")
+    print(f"skew_salted_join max-partition-share: "
+          f"unsalted={skew['unsalted']['max_partition_share']} "
+          f"salted={skew['salted']['max_partition_share']} "
+          f"(salt must flatten the hot key's ~0.2 share)")
     (ROOT / "scale_smoke.json").write_text(json.dumps(
-        {"sf_dir": SF_DIR, "amplify": AMPLIFY, "results": result}))
+        {"sf_dir": SF_DIR, "amplify": AMPLIFY, "results": result,
+         "skew_salted_join": skew}))
 
 
 if __name__ == "__main__":
