@@ -100,8 +100,8 @@ def _commit_complete(path: str) -> bool:
         json.loads(lines[-1])
     except ValueError:
         return False
-    if isinstance(first, dict):
-        want = first.get("commitInfo", {}).get("txnActionCount")
+    if isinstance(first, dict) and isinstance(first.get("commitInfo"), dict):
+        want = first["commitInfo"].get("txnActionCount")
         if want is not None:
             return len(lines) == want
     return True

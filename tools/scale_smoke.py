@@ -45,6 +45,10 @@ def main() -> None:
     spark = get_spark("scale_smoke", extra_conf={
         "spark.ui.enabled": "false",
         "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        # the 20x legs build multi-million-row broadcast sides (cdc
+        # hydrate's insert set); the 1g driver default OOMs the
+        # broadcast build when the host is under concurrent load
+        "spark.driver.memory": os.environ.get("SMOKE_DRIVER_MEM", "8g"),
     })
     docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
 
