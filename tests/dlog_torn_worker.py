@@ -17,6 +17,10 @@ def main() -> None:
     ap.add_argument("--crash-at", required=True,
                     choices=["tmp_partial", "before_link", "after_link",
                              "none"])
+    ap.add_argument("--spin", type=float, default=0.0,
+                    help="busy-pad each os-level publish step by this "
+                         "many seconds so an external SIGKILL lands at "
+                         "an effectively random syscall boundary")
     ap.add_argument("--fallback", action="store_true",
                     help="force the linkless O_EXCL+replace publish path")
     a = ap.parse_args()
@@ -36,6 +40,22 @@ def main() -> None:
 
     real_open = open
     real_link = os.link
+
+    if a.spin > 0:
+        # stretch every publish-path step so a parent-issued SIGKILL at
+        # a uniform random delay lands between (not just after) steps:
+        # write -> [spin] -> link/claim -> [spin] -> replace -> [spin]
+        import time as _time
+
+        def slow(fn):
+            def wrapped(*args, **kw):
+                _time.sleep(a.spin)
+                return fn(*args, **kw)
+            return wrapped
+
+        os.link = slow(os.link)
+        os.replace = slow(os.replace)
+        os.unlink = slow(os.unlink)
 
     if a.crash_at == "tmp_partial":
         # die midway through writing the tmp file: emulate by a file

@@ -542,3 +542,72 @@ def test_crash_injected_committer_never_tears(tmp_path):
             os.utime(v1_file, (old, old))
         dlog._publish_commit(d, 1, _pc_actions(1), adds=[])
         assert tbl.versions() == [0, 1], (crash_at, fallback)
+
+
+def test_sigkill_chaos_committer_invariants_hold(tmp_path):
+    """Randomized kill-at-a-random-moment chaos: a committer process
+    whose publish steps are time-stretched is SIGKILLed at a uniform
+    random delay, 16 times. Whatever instant the kill lands on, the
+    invariant must hold: the log lists exactly [0] or [0, 1], every
+    listed version replays without a parse error, and the table is
+    always recoverable (v1 re-committable after staleness). This is
+    the nondeterministic companion to the deterministic injection
+    points above — any kill timing that violates the invariant fails."""
+    import random
+    import signal
+    import subprocess
+    import sys as _sys
+
+    from cql_replicator_spark import dlog
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "dlog_torn_worker.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = random.Random(0xD106)
+
+    # calibrate the kill window to THIS host: one un-killed worker run
+    # measures wall time W (python startup dominates); kills then land
+    # uniformly in (0, W), so the window always straddles the publish
+    # path regardless of host speed
+    cal = str(tmp_path / "chaos_cal")
+    dlog._publish_commit(cal, 0, _pc_actions(0), adds=[])
+    t0 = time.perf_counter()
+    subprocess.run(
+        [_sys.executable, worker, "--table", cal, "--version", "1",
+         "--crash-at", "none", "--spin", "0.05"],
+        cwd=repo, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        timeout=60, check=True)
+    wall = time.perf_counter() - t0
+
+    outcomes = {"committed": 0, "absent": 0}
+    for i in range(16):
+        d = str(tmp_path / f"chaos_{i}")
+        dlog._publish_commit(d, 0, _pc_actions(0), adds=[])
+        p = subprocess.Popen(
+            [_sys.executable, worker, "--table", d, "--version", "1",
+             "--crash-at", "none", "--spin", "0.05"],
+            cwd=repo, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        time.sleep(rng.uniform(0.0, wall))
+        p.send_signal(signal.SIGKILL)
+        p.wait(timeout=30)
+
+        tbl = DeltaLogTable(d)
+        vs = tbl.versions()
+        assert vs in ([0], [0, 1]), (i, vs)
+        for v in vs:
+            live, _ = tbl._replay(v)  # never a parse error
+            assert f"part-v{v}-a.parquet" in live, (i, v)
+        if vs == [0, 1]:
+            outcomes["committed"] += 1
+            continue
+        outcomes["absent"] += 1
+        v1_file = os.path.join(d, "_delta_log", f"{1:020d}.json")
+        if os.path.exists(v1_file):
+            old = time.time() - 10 * 60
+            os.utime(v1_file, (old, old))
+        dlog._publish_commit(d, 1, _pc_actions(1), adds=[])
+        assert tbl.versions() == [0, 1], i
+    # the kill window spans the whole publish path, so both outcomes
+    # should occur across 16 trials; if not, the stretch/delay tuning
+    # rotted and the test is no longer exercising the boundary
+    assert outcomes["committed"] >= 1 and outcomes["absent"] >= 1, outcomes
