@@ -53,11 +53,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_delta_log"
 
-# A zero-length version file is an in-flight O_EXCL claim (linkless-
-# filesystem fallback) until it is this many seconds old; only older
-# claims are treated as crashed and reclaimed. A live committer's
+# An INCOMPLETE version file (zero-length, or a token-stamped claim,
+# or a torn write — anything _commit_complete rejects) is an in-flight
+# O_EXCL claim / crashed write until it is this many seconds old; only
+# older ones are treated as crashed and reclaimed. A live committer's
 # claim->publish window is microseconds, so the margin is ~7 orders of
-# magnitude; see commit_overwrite for the residual assumption.
+# magnitude; a claimant suspended PAST the threshold re-checks claim
+# ownership just before its publishing rename and aborts if reclaimed
+# (see _publish_commit), so the old full-horizon clobber residual is
+# now the microsecond check->rename window.
 _CLAIM_STALE_SECS = 60.0
 
 
@@ -107,6 +111,12 @@ def _commit_complete(path: str) -> bool:
     return True
 
 
+# Test seam: called between the fallback claim write and the ownership
+# re-check, so the suspended-claimant race is simulable in-process.
+# Always None in production.
+_claim_check_hook = None
+
+
 def _log_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _LOG_DIR, f"{version:020d}.json")
 
@@ -131,19 +141,19 @@ def _publish_commit(table_path: str, version: int, actions: list[dict],
                                      "txnActionCount": len(actions)}}
     else:
         actions.insert(0, {"commitInfo": {"txnActionCount": len(actions) + 1}})
-    # reclaim a crashed claim: a zero-length version file is an
-    # O_EXCL create whose content rename never landed (process died
-    # mid-fallback). Reclaim only STALE claims (mtime older than
-    # _CLAIM_STALE_SECS): a fresh empty file is a LIVE committer
-    # between its O_EXCL create and its os.replace — unlinking it
-    # would let both writers' renames land and both "win" the
-    # version, silently dropping one commit's adds. With the age
-    # gate, a racing writer sees a fresh claim, leaves it alone,
-    # and loses cleanly at its own O_EXCL create. Residual
-    # assumption (documented, not closed): a claimant suspended
-    # longer than the threshold between claim and publish can
-    # still be reclaimed; the window is ~60 s vs the microsecond
-    # claim->publish path, and crashed claims are recovered.
+    # reclaim a crashed claim: an INCOMPLETE version file (zero-length
+    # or token-stamped claim, or a torn write) is an O_EXCL create
+    # whose content rename never landed (process died mid-fallback).
+    # Reclaim only STALE ones (mtime older than _CLAIM_STALE_SECS): a
+    # fresh claim is a LIVE committer between its O_EXCL create and
+    # its os.replace — unlinking it would let both writers' renames
+    # land and both "win" the version, silently dropping one commit's
+    # adds. With the age gate, a racing writer sees a fresh claim,
+    # leaves it alone, and loses cleanly at its own O_EXCL create. A
+    # claimant suspended PAST the threshold (so legitimately
+    # reclaimed) detects the loss at the token re-check below and
+    # aborts instead of clobbering the reclaimer's commit — the old
+    # 60 s residual is now the microsecond re-check->rename window.
     try:
         st = os.stat(log_file)
         # reclaim covers torn non-empty files too (fs-level corruption,
@@ -168,14 +178,40 @@ def _publish_commit(table_path: str, version: int, actions: list[dict],
         except OSError:
             # filesystem without hard links (some NFS/FUSE/object
             # mounts): O_EXCL create is the same put-if-absent
-            # CLAIM, but writing content through that fd would let
-            # a concurrent reader observe a partial commit. Claim
-            # with O_EXCL, then publish the full content with an
+            # CLAIM, but writing the commit content through that fd
+            # would let a concurrent reader observe a partial commit.
+            # Claim with O_EXCL, then publish the full content with an
             # atomic rename over the claim — readers see either an
-            # empty claim (tolerated as in-progress by _replay /
-            # versions) or the complete file, never a prefix.
+            # in-progress claim (tolerated by _replay / versions) or
+            # the complete file, never a prefix.
+            #
+            # The claim is stamped with this writer's unique token
+            # (raw hex, no trailing newline, so _commit_complete
+            # classifies it incomplete = invisible, same as the
+            # zero-length form a pre-write crash leaves). A claimant
+            # SUSPENDED past _CLAIM_STALE_SECS whose claim a rival
+            # legitimately reclaimed then re-reads the file just
+            # before its rename: foreign content means the version
+            # was lost — abort instead of clobbering the rival's
+            # published commit. This shrinks the r9-documented
+            # suspended-claimant clobber window from the full 60 s
+            # staleness horizon to the microseconds between the
+            # re-read and the rename.
+            token = uuid.uuid4().hex.encode()
             fd = os.open(log_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            try:
+                os.write(fd, token)
+            finally:
+                os.close(fd)
+            if _claim_check_hook is not None:  # test seam: simulated
+                _claim_check_hook()            # suspension window
+            try:
+                with open(log_file, "rb") as cf:
+                    still_ours = cf.read() == token
+            except OSError:
+                still_ours = False
+            if not still_ours:
+                raise FileExistsError(log_file)
             os.replace(tmp, log_file)
     except FileExistsError:
         # lost the race: the moved part files are unreachable from

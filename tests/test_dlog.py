@@ -611,3 +611,62 @@ def test_sigkill_chaos_committer_invariants_hold(tmp_path):
     # should occur across 16 trials; if not, the stretch/delay tuning
     # rotted and the test is no longer exercising the boundary
     assert outcomes["committed"] >= 1 and outcomes["absent"] >= 1, outcomes
+
+
+def test_suspended_claimant_aborts_instead_of_clobbering(tmp_path, monkeypatch):
+    """The r9-documented residual, now closed to a microsecond window:
+    writer A claims version 1 on the linkless fallback, is suspended
+    past the staleness horizon, and a rival B legitimately reclaims the
+    stale claim and PUBLISHES version 1. When A resumes, its pre-rename
+    ownership re-check must see foreign content and abort with
+    ConcurrentCommitError (cleaning up A's part files) — never rename
+    over B's published commit."""
+    from cql_replicator_spark import dlog
+    from cql_replicator_spark.dlog import ConcurrentCommitError
+
+    d = str(tmp_path / "t")
+    dlog._publish_commit(d, 0, _pc_actions(0), adds=[])
+    v1_file = os.path.join(d, "_delta_log", f"{1:020d}.json")
+
+    def no_link(src, dst):
+        raise PermissionError("no hard links")
+
+    monkeypatch.setattr(os, "link", no_link)
+
+    def simulate_suspension_and_rival():
+        # A is "suspended" here with its token claim on disk: age the
+        # claim past the staleness horizon, then run B's full commit
+        # (B reclaims the stale claim and publishes version 1)
+        old = time.time() - dlog._CLAIM_STALE_SECS - 5
+        os.utime(v1_file, (old, old))
+        dlog._claim_check_hook = None  # B must not recurse into the hook
+        b_actions = [
+            {"commitInfo": {"timestamp": 2, "operation": "WRITE"}},
+            {"add": {"path": "part-B.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 2, "dataChange": True}},
+        ]
+        dlog._publish_commit(d, 1, b_actions, adds=[])
+
+    monkeypatch.setattr(dlog, "_claim_check_hook",
+                        simulate_suspension_and_rival)
+    # A's part file is already moved into the table root (the real
+    # commit path moves parts before publishing) — the abort must
+    # clean it up
+    a_part = os.path.join(d, "part-A.parquet")
+    with open(a_part, "w") as f:
+        f.write("x")
+    a_actions = [
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+        {"add": {"path": "part-A.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+    ]
+    with pytest.raises(ConcurrentCommitError, match="version 1"):
+        dlog._publish_commit(d, 1, a_actions,
+                             adds=[{"add": {"path": "part-A.parquet"}}])
+
+    # B's commit survives byte-for-byte semantics: version 1 is B's
+    tbl = DeltaLogTable(d)
+    assert tbl.versions() == [0, 1]
+    live, _ = tbl._replay(1)
+    assert "part-B.parquet" in live and "part-A.parquet" not in live
+    assert not os.path.exists(a_part), "loser's part file leaked"
