@@ -670,3 +670,33 @@ def test_suspended_claimant_aborts_instead_of_clobbering(tmp_path, monkeypatch):
     live, _ = tbl._replay(1)
     assert "part-B.parquet" in live and "part-A.parquet" not in live
     assert not os.path.exists(a_part), "loser's part file leaked"
+
+
+def test_commit_complete_is_total_on_arbitrary_bytes(tmp_path):
+    """_commit_complete classifies, never raises: random bytes,
+    truncated JSON, binary garbage, huge single lines — every input
+    maps to a bool (readers must never crash on a corrupt log file,
+    the media-parser totality rule applied to the commit log)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cql_replicator_spark.dlog import _commit_complete
+
+    p = str(tmp_path / "blob.json")
+
+    @settings(max_examples=150, deadline=None, derandomize=True)
+    @given(data=st.binary(max_size=512))
+    def check(data):
+        with open(p, "wb") as f:
+            f.write(data)
+        assert _commit_complete(p) in (True, False)
+
+    check()
+    # and the stamped-complete / torn classifications stay pinned
+    with open(p, "w") as f:
+        f.write('{"commitInfo": {"txnActionCount": 2}}\n{"add": {}}\n')
+    assert _commit_complete(p) is True
+    with open(p, "w") as f:
+        f.write('{"commitInfo": {"txnActionCount": 3}}\n{"add": {}}\n')
+    assert _commit_complete(p) is False  # a whole line is missing
+    assert _commit_complete(str(tmp_path / "nope.json")) is False
