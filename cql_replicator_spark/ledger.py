@@ -82,11 +82,11 @@ class Ledger:
         self._rows: dict[tuple, dict] = {}
         self._reload()
 
-    def _reload(self) -> None:
-        """Refresh in-memory rows from disk — the file is only ever
-        published whole via os.replace, so an unlocked read always sees
-        a complete snapshot (possibly one write stale, which the gates
-        tolerate: mutations re-reload under the exclusive lock)."""
+    def _read_rows(self) -> dict[tuple, dict]:
+        """One complete on-disk snapshot — the file is only ever
+        published whole via os.replace, so a read at any moment sees a
+        complete state (possibly one write stale, which the gates
+        tolerate)."""
         rows: dict[tuple, dict] = {}
         try:
             with open(self.path) as f:
@@ -94,7 +94,20 @@ class Ledger:
                     rows[(r["ks"], r["tbl"], r["tile"], r["ver"])] = r
         except FileNotFoundError:
             pass
-        self._rows = rows
+        return rows
+
+    def _reload(self) -> None:
+        """Refresh the SHARED in-memory rows from disk. Call ONLY while
+        holding self._lock: reader methods must use _read_rows() on a
+        local snapshot instead. An unlocked reader that reassigns
+        self._rows while a locked writer sits between its mutation and
+        its _flush() swaps in the pre-mutation disk state, and the
+        flush then serializes THAT — silently dropping the write. The
+        cdc_ledger_cycle stress caught exactly this: a tile's
+        replication mark vanished whenever another tile's thread ran
+        replication_plan()'s reload inside the mark's critical section
+        (threaded tile fan-out, the reference's normal topology)."""
+        self._rows = self._read_rows()
 
     @contextlib.contextmanager
     def _file_lock(self):
@@ -162,26 +175,34 @@ class Ledger:
             json.dump(list(self._rows.values()), f, indent=1)
         os.replace(tmp, self.path)
 
+    @staticmethod
+    def _get_from(rows: dict[tuple, dict], ks: str, tbl: str, tile: int,
+                  ver: str) -> LedgerRow | None:
+        r = rows.get((ks, tbl, tile, ver))
+        return LedgerRow(**r) if r else None
+
     def get(self, ks: str, tbl: str, tile: int, ver: str) -> LedgerRow | None:
-        self._reload()
-        return self._get_loaded(ks, tbl, tile, ver)
+        # local snapshot, never self._rows: see _reload()
+        return self._get_from(self._read_rows(), ks, tbl, tile, ver)
 
     def _get_loaded(self, ks: str, tbl: str, tile: int,
                     ver: str) -> LedgerRow | None:
-        r = self._rows.get((ks, tbl, tile, ver))
-        return LedgerRow(**r) if r else None
+        return self._get_from(self._rows, ks, tbl, tile, ver)
 
     # -- discovery side ---------------------------------------------------
     def can_discover(self, ks: str, tbl: str, tile: int) -> bool:
         """K:2263-2271 — skip if an unconsumed curr snapshot exists."""
-        self._reload()
-        return self._can_discover_loaded(ks, tbl, tile)
+        return self._can_discover_from(self._read_rows(), ks, tbl, tile)
 
-    def _can_discover_loaded(self, ks: str, tbl: str, tile: int) -> bool:
-        curr = self._get_loaded(ks, tbl, tile, "curr")
+    def _can_discover_from(self, rows: dict[tuple, dict], ks: str,
+                           tbl: str, tile: int) -> bool:
+        curr = self._get_from(rows, ks, tbl, tile, "curr")
         if curr is None or curr.offload_status != SUCCESS:
             return True
         return curr.load_status == SUCCESS
+
+    def _can_discover_loaded(self, ks: str, tbl: str, tile: int) -> bool:
+        return self._can_discover_from(self._rows, ks, tbl, tile)
 
     def record_discovery(self, ks: str, tbl: str, tile: int, snapshot_id: int) -> None:
         """Rotate curr->prev (preserving load_status) and write new curr.
@@ -221,11 +242,11 @@ class Ledger:
         or {"mode": "delta", "curr": id, "prev": id} — the three-way
         dispatch of dataReplicationProcess (K:1564-1681).
         """
-        self._reload()
-        curr = self._get_loaded(ks, tbl, tile, "curr")
+        rows = self._read_rows()  # local snapshot, never self._rows
+        curr = self._get_from(rows, ks, tbl, tile, "curr")
         if curr is None or curr.offload_status != SUCCESS or curr.load_status == SUCCESS:
             return None
-        prev = self._get_loaded(ks, tbl, tile, "prev")
+        prev = self._get_from(rows, ks, tbl, tile, "prev")
         if prev is None or prev.load_status != SUCCESS:
             return {"mode": "historical", "curr": int(curr.location)}
         return {"mode": "delta", "curr": int(curr.location), "prev": int(prev.location)}
@@ -242,5 +263,5 @@ class Ledger:
             self._flush()
 
     def rows(self) -> list[LedgerRow]:
-        self._reload()
-        return [LedgerRow(**r) for r in self._rows.values()]
+        # local snapshot, never self._rows: see _reload()
+        return [LedgerRow(**r) for r in self._read_rows().values()]

@@ -151,3 +151,62 @@ def test_fallback_lock_stale_break_single_winner(tmp_path, monkeypatch):
     # break artifacts cleaned up; no lock left behind
     assert glob.glob(lock_path + ".break.*") == []
     assert not os.path.exists(lock_path)
+
+
+def test_reader_methods_never_reassign_shared_rows(tmp_path):
+    """The r10 lost-mark race, pinned mechanically: unlocked reader
+    methods (get / can_discover / replication_plan / rows) must read a
+    LOCAL disk snapshot, never reassign self._rows — a reader reload
+    landing between a locked writer's mutation and its _flush() swaps
+    in the pre-mutation state and the flush serializes that, silently
+    dropping the write (a replication mark vanished under the
+    cdc_ledger_cycle thread fan-out)."""
+    led = Ledger(str(tmp_path / "ledger.json"))
+    led.record_discovery("ks", "tb", 0, snapshot_id=1)
+    shared = led._rows
+    led.get("ks", "tb", 0, "curr")
+    led.can_discover("ks", "tb", 0)
+    led.replication_plan("ks", "tb", 0)
+    led.rows()
+    assert led._rows is shared, \
+        "a reader method reassigned the shared row dict"
+
+
+def test_threaded_marks_survive_concurrent_plan_reads(tmp_path):
+    """Thread-fan-out version of the same race: writer threads mark
+    tiles complete while reader threads hammer replication_plan and
+    can_discover on OTHER tiles. Every mark must survive to the file —
+    before the local-snapshot fix this dropped marks within a few
+    iterations under load."""
+    import threading
+
+    for trial in range(30):
+        led = Ledger(str(tmp_path / f"l{trial}.json"))
+        tiles = range(4)
+        for t in tiles:
+            led.record_discovery("ks", "tb", t, snapshot_id=1)
+        stop = threading.Event()
+
+        def reader():
+            while not stop.is_set():
+                for t in tiles:
+                    led.replication_plan("ks", "tb", t)
+                    led.can_discover("ks", "tb", t)
+
+        readers = [threading.Thread(target=reader) for _ in range(3)]
+        for r in readers:
+            r.start()
+        try:
+            markers = [threading.Thread(
+                target=led.mark_replication_complete, args=("ks", "tb", t))
+                for t in tiles]
+            for m in markers:
+                m.start()
+            for m in markers:
+                m.join(timeout=30)
+        finally:
+            stop.set()
+            for r in readers:
+                r.join(timeout=10)
+        final = {r.tile: r.load_status for r in led.rows() if r.ver == "curr"}
+        assert final == {t: SUCCESS for t in tiles}, (trial, final)
