@@ -19,6 +19,34 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# The driver records a bounded stdout TAIL (observed 2000 chars) and
+# parses its LAST line as JSON; anything longer arrives head-truncated
+# and unparseable (BENCH_r08/r09 both did).
+TAIL_BUDGET = 1800
+
+
+def tail_line(result: dict) -> str:
+    """The final stdout line: a compact JSON that provably fits the
+    driver's tail window — total + as many per-query timings as fit,
+    most expensive first (the rows with plan-audit signal), plus a
+    pointer to the committed full artifact."""
+    timings = result["queries"]
+    line = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "full": "bench_result.json",
+        "queries": {},
+    }
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        line["queries"][name] = timings[name]
+        if len(json.dumps(line, separators=(",", ":"))) > TAIL_BUDGET:
+            del line["queries"][name]
+            break
+    return json.dumps(line, separators=(",", ":"))
+
 # Headline set: CDC core + analytic joins/aggs. Keep in sync with
 # cql_replicator_spark/queries.py REGISTRY (subset chosen for signal).
 HEADLINE = [
@@ -272,22 +300,8 @@ def main() -> None:
         json.dumps(result, indent=1) + "\n")
     spark.stop()
 
-    line = {
-        "metric": result["metric"],
-        "value": total,
-        "unit": "sec",
-        "sf": result["sf"],
-        "n_queries": len(timings),
-        "full": "bench_result.json",
-        "queries": {},
-    }
-    for name in sorted(timings, key=lambda n: -timings[n]):
-        line["queries"][name] = timings[name]
-        if len(json.dumps(line, separators=(",", ":"))) > 1800:
-            del line["queries"][name]
-            break
     # nothing may print after this — it must be the last stdout line
-    print(json.dumps(line, separators=(",", ":")), flush=True)
+    print(tail_line(result), flush=True)
 
 
 if __name__ == "__main__":

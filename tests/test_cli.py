@@ -267,3 +267,33 @@ def test_cli_query_list_and_run(spark, tmp_path, capsys):
 def test_cli_query_unknown_name(capsys):
     from cql_replicator_spark.cli import main
     assert main(["query", "--name", "no_such_query"]) == 2
+
+
+def test_bench_tail_line_fits_driver_window():
+    """The driver captures a 2000-char stdout tail and parses its last
+    line as JSON; bench.py's final line must fit even for the
+    worst-case registry (every registered query name with a max-width
+    timing), or BENCH_rN regresses to 'parsed: null' (r8/r9 did)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    from cql_replicator_spark.queries import REGISTRY, queries
+
+    queries()
+    worst = {name: 9999.999 for name in REGISTRY}
+    result = {"metric": "headline_queries_total_runtime",
+              "value": 99999.999, "unit": "sec", "sf": 0.1,
+              "queries": worst}
+    line = bench.tail_line(result)
+    assert len(line) + 1 <= 2000, len(line)  # +1 for the newline
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == len(REGISTRY)
+    assert parsed["value"] == 99999.999
+    assert len(parsed["queries"]) > 10  # still carries real signal
+    # most expensive first: the kept set is a prefix of the sorted order
+    kept = list(parsed["queries"])
+    assert kept == sorted(kept, key=lambda n: -worst[n])[: len(kept)]
