@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_clusters",
+    "dedup_clusters_star",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_verified",
     "similarity_cosine_topk",

@@ -1365,6 +1365,10 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # even-multiplicity duplicates)
     "cdc_ledger_cycle",              # NEW: ledger-gated exactly-once
                                      # CDC loop as a driver row
+    "dedup_clusters_star",           # NEW: the large-star/small-star CC
+                                     # variant driven through the driver
+                                     # (same closure oracle as
+                                     # dedup_clusters)
 ]
 
 

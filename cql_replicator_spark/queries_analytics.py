@@ -352,6 +352,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_star",
+    # identical result contract to dedup_clusters — the closure of the
+    # same capped pair graph — so the oracle is the same recursive CTE;
+    # what differs is the Spark algorithm under test
+    oracle=_minhash_oracle(recursive=True, max_bucket_size=256, tail="""
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, r.label
+  FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+"""),
+    doc="The large-star/small-star connected-components variant "
+        "(alternating star rounds, O(log n) convergence on adversarial "
+        "long-chain graphs where min-label needs diameter rounds) over "
+        "the same capped MinHash-LSH pair graph — same (doc_id, "
+        "cluster_id=min id) contract as dedup_clusters, so the same "
+        "closure oracle checks it exactly; this row drives the "
+        "alternative algorithm through the driver instead of leaving "
+        "it pytest-only. Two edge-shaped shuffles per (shrinking) "
+        "round, localCheckpoint lineage cuts — the 100 TB path for "
+        "deep pair graphs",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_lsh_dedup_pairs(_near_fixture(spark, sf_dir),
+                                      n=3, num_hashes=16, bands=4,
+                                      max_bucket_size=256)
+    return D.connected_components(pairs, algorithm="star")
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
 WITH toks AS (
