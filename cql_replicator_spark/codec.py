@@ -39,7 +39,11 @@ def compress(data: bytes, codec: str | None = None, tag: bool = True) -> bytes:
     if codec == "lz4":
         if _lz4block is None:
             raise RuntimeError("lz4 package not available; use codec='zlib'")
-        body = prefix + _lz4block.compress(data, store_size=False)
+        # Canonical empty block (single 0x00 end token) emitted directly:
+        # it is what the format specifies for b"" and sidesteps binding
+        # versions that reject empty input.
+        block = b"\x00" if not data else _lz4block.compress(data, store_size=False)
+        body = prefix + block
         return (_CODEC_LZ4 + body) if tag else body
     if codec == "zlib":
         body = prefix + zlib.compress(data)
@@ -65,14 +69,23 @@ def decompress(blob: bytes, max_output: int = MAX_DECOMPRESSED) -> bytes:
             f"(corrupt or forged prefix)")
     payload = body[4:]
     if codec_id == _CODEC_LZ4:
+        # uncompressed_size<=0 means "trust the stream" in the binding
+        # (unbounded growth), so length==0 can't be expressed as an
+        # inflate target at all: asking for 1 byte makes the binding
+        # raise on the legitimate empty block (0 bytes produced != 1
+        # expected). The canonical LZ4 block for b"" is the single
+        # 0x00 end token — match it directly (no binding needed);
+        # anything else under a 0 prefix is a forged prefix over a
+        # real payload.
+        if length == 0:
+            if payload == b"\x00":
+                return b""
+            raise ValueError("length prefix mismatch")
         if _lz4block is None:
             raise RuntimeError("lz4 payload but lz4 package not available")
         # lz4 allocates exactly uncompressed_size, now capped above.
-        # uncompressed_size<=0 means "trust the stream" in the binding
-        # (unbounded growth), so a forged length-0 prefix must instead
-        # inflate against a 1-byte buffer and prove it produced nothing.
         try:
-            out = _lz4block.decompress(payload, uncompressed_size=max(length, 1))
+            out = _lz4block.decompress(payload, uncompressed_size=length)
         except Exception as e:  # binding raises on size mismatch
             raise ValueError("length prefix mismatch") from e
         if len(out) != length:

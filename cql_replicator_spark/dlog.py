@@ -116,6 +116,12 @@ def _commit_complete(path: str) -> bool:
 # Always None in production.
 _claim_check_hook = None
 
+# Test seam: called between the stale-reclaim classification (stat +
+# completeness check) and the reclaim rename, so the double-reclaim
+# TOCTOU (a rival reclaims-claims-publishes in that window) is
+# simulable in-process. Always None in production.
+_reclaim_race_hook = None
+
 
 def _log_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _LOG_DIR, f"{version:020d}.json")
@@ -158,10 +164,42 @@ def _publish_commit(table_path: str, version: int, actions: list[dict],
         st = os.stat(log_file)
         # reclaim covers torn non-empty files too (fs-level corruption,
         # a foreign writer dying mid-write): an INCOMPLETE stale file
-        # is no one's commit; a complete one loses at put-if-absent
+        # is no one's commit; a complete one loses at put-if-absent.
+        #
+        # Reclaim by RENAME to a unique name, not unlink: two writers
+        # can both classify the same crashed claim stale, and with a
+        # bare unlink the slower one's already-decided unlink deletes
+        # whatever the faster one claimed-and-published in between —
+        # a silently lost commit (the exact TOCTOU ledger._file_lock
+        # closed the same way). Only one rename of an inode succeeds;
+        # the winner then verifies by inode identity that it renamed
+        # the very file it classified (not a rival's fresh claim or
+        # published commit that slipped into the slot), restores a
+        # live file put-if-absent if it stole one, and only ever
+        # unlinks its private renamed copy.
         if (time.time() - st.st_mtime > _CLAIM_STALE_SECS
                 and (st.st_size == 0 or not _commit_complete(log_file))):
-            os.unlink(log_file)
+            if _reclaim_race_hook is not None:  # test seam: rival
+                _reclaim_race_hook()            # reclaims+publishes here
+            reclaim = log_file + f".reclaim.{os.getpid()}.{uuid.uuid4().hex}"
+            os.rename(log_file, reclaim)
+            st2 = os.stat(reclaim)
+            if (st2.st_ino, st2.st_size) == (st.st_ino, st.st_size):
+                os.unlink(reclaim)  # the stale file we classified
+            else:
+                # we stole a LIVE file — put it back (put-if-absent so
+                # we never clobber a claim that refilled the slot) and
+                # lose cleanly at our own claim attempt below. If the
+                # slot refilled before the restore, leave the renamed
+                # copy on disk (invisible to versions(); preserves a
+                # possibly-published commit for recovery) rather than
+                # destroy it.
+                try:
+                    os.link(reclaim, log_file)
+                except OSError:
+                    pass
+                else:
+                    os.unlink(reclaim)
     except OSError:
         pass
     tmp = log_file + f".{uuid.uuid4().hex}.tmp"
@@ -285,6 +323,16 @@ class DeltaLogTable:
         # is simply not-yet-committed (excluded by versions()); a torn
         # middle one is unrecoverable — fail loudly.
         replayed = [v for v in versions if v <= version_as_of]
+        # A missing PREFIX is a gap too: a torn/corrupt version 0 is
+        # silently excluded by versions(), leaving replayed=[1..N] with
+        # no internal gap — but v0 carries protocol/metaData (and, for
+        # foreign append-shaped logs, its adds), so replaying without
+        # it is the same half-applied state as a torn middle commit.
+        if not replayed or replayed[0] != 0:
+            raise CorruptCommitError(
+                f"commit log gap in {self.path}: replay starts at "
+                f"{replayed[0] if replayed else 'nothing'} instead of 0; "
+                f"version 0 is torn or missing and replay cannot skip it")
         for a, b in zip(replayed, replayed[1:]):
             if b != a + 1:
                 raise CorruptCommitError(

@@ -465,6 +465,83 @@ def test_middle_version_gap_raises_corrupt_not_half_applied(tmp_path):
     assert set(live) == {"part-v0-a.parquet", "part-v0-b.parquet"}
 
 
+def test_torn_version_zero_is_a_gap_too(tmp_path):
+    """r10 advisor: the gap check compared only consecutive PRESENT
+    versions, so a torn/corrupt version 0 slipped through — versions()
+    silently excludes it, replayed=[1..N] has no internal gap, and
+    replay proceeded without v0's protocol/metaData (schemaString lost;
+    for foreign append-shaped logs, v0's adds silently dropped). A
+    missing PREFIX must raise CorruptCommitError like a missing middle."""
+    from cql_replicator_spark import dlog
+    from cql_replicator_spark.dlog import CorruptCommitError
+
+    d = str(tmp_path / "t")
+    for v in range(3):
+        dlog._publish_commit(d, v, _pc_actions(v), adds=[])
+    tbl = DeltaLogTable(d)
+    v0_file = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    with open(v0_file, "rb") as f:
+        full = f.read()
+    with open(v0_file, "wb") as f:
+        f.write(full[: len(full) // 2])
+
+    assert tbl.versions() == [1, 2]  # torn v0 excluded, no internal gap
+    for v in (1, 2):
+        with pytest.raises(CorruptCommitError, match="gap"):
+            tbl._replay(v)
+    # restore v0: replay consistent again
+    with open(v0_file, "wb") as f:
+        f.write(full)
+    live, _ = tbl._replay(2)
+    assert set(live) == {f"part-v{v}-{s}.parquet"
+                         for v in range(3) for s in "ab"}
+
+
+def test_double_reclaim_cannot_delete_published_commit(tmp_path):
+    """r10 advisor: stale-claim reclaim was stat-then-unlink — two
+    writers both classify the same stale claim, rival A reclaims,
+    claims, and PUBLISHES a complete commit, then B's already-decided
+    unlink deletes A's published commit and B republishes the version:
+    both report success, A's commit silently lost. Reclaim now renames
+    to a unique name (only one renamer wins) and verifies by inode
+    identity that it renamed the file it classified; a stolen live file
+    is restored put-if-absent and B loses cleanly."""
+    from cql_replicator_spark import dlog
+    from cql_replicator_spark.dlog import ConcurrentCommitError
+
+    d = str(tmp_path / "t")
+    dlog._publish_commit(d, 0, _pc_actions(0), adds=[])
+    v1_file = os.path.join(d, "_delta_log", f"{1:020d}.json")
+    # the crashed stale claim both writers classify
+    open(v1_file, "w").close()
+    old = time.time() - dlog._CLAIM_STALE_SECS - 5
+    os.utime(v1_file, (old, old))
+
+    rival_actions = _pc_actions(1)
+
+    def rival_wins_in_the_window():
+        # writer A: reclaims the stale claim and publishes v1 between
+        # B's classification and B's reclaim rename
+        dlog._reclaim_race_hook = None  # A must not recurse
+        dlog._publish_commit(d, 1, rival_actions, adds=[])
+
+    dlog._reclaim_race_hook = rival_wins_in_the_window
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            dlog._publish_commit(d, 1, _pc_actions(99), adds=[])
+    finally:
+        dlog._reclaim_race_hook = None
+
+    # A's published commit survives B's reclaim attempt intact
+    tbl = DeltaLogTable(d)
+    assert tbl.versions() == [0, 1]
+    live, _ = tbl._replay(1)
+    assert "part-v1-a.parquet" in live and "part-v99-a.parquet" not in live
+    # and no stolen copy left behind (restore succeeded on this path)
+    log_names = os.listdir(os.path.join(d, "_delta_log"))
+    assert not [n for n in log_names if ".reclaim." in n]
+
+
 def test_fresh_torn_file_blocks_commit_until_stale(tmp_path):
     """A torn commit file at the target version behaves like a claim:
     fresh -> the version is contended, a racing writer loses cleanly;

@@ -359,6 +359,35 @@ def test_codec_decompression_bombs_rejected_without_allocation():
     assert decompress(compress(b"", codec="zlib")) == b""
 
 
+def test_codec_lz4_empty_payload_roundtrip():
+    """r10 advisor: the length-0 bomb fix (inflate against a 1-byte
+    buffer, require 0 produced) broke the LEGITIMATE empty lz4 payload —
+    python-lz4's block binding raises on any size mismatch, so the
+    canonical empty block (0 bytes produced vs 1 expected) raised too.
+    The regression was latent because only zlib runs in CI. Pinned:
+    the canonical empty LZ4 block (single 0x00 end token per the block
+    format) decodes to b'' WITHOUT the binding; a forged length-0
+    prefix over a real lz4 payload still raises; and, when lz4 is
+    installed, compress(b'', codec='lz4') round-trips."""
+    import struct
+
+    from cql_replicator_spark import codec as codec_mod
+    from cql_replicator_spark.codec import compress, decompress
+
+    # binding-free decode of the canonical empty block
+    empty_blob = b"\x01" + struct.pack("<I", 0) + b"\x00"
+    assert decompress(empty_blob) == b""
+    # forged length-0 prefix over a non-empty block still rejected
+    with pytest.raises(ValueError, match="length prefix mismatch"):
+        decompress(b"\x01" + struct.pack("<I", 0) + b"\x10hello-not-empty")
+
+    if codec_mod._lz4block is not None:  # pragma: no cover - env-dep
+        assert compress(b"", codec="lz4") == empty_blob
+        assert decompress(compress(b"", codec="lz4")) == b""
+        for data in (b"x", b"hello" * 1000):
+            assert decompress(compress(data, codec="lz4")) == data
+
+
 def test_edge_docs_run_clean_through_dedup(spark):
     docs = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, "a"), (4, None), (5, "x y z x y z")],
