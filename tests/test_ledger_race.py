@@ -153,6 +153,137 @@ def test_fallback_lock_stale_break_single_winner(tmp_path, monkeypatch):
     assert not os.path.exists(lock_path)
 
 
+def test_sigkill_chaos_ledger_invariants_hold(tmp_path):
+    """Randomized kill-at-a-random-moment chaos, the ledger-side
+    companion of the dlog suite (test_dlog.py): a discover->consume->
+    mark worker whose lock/flush OS steps are time-stretched is
+    SIGKILLed at a uniform random delay, 20 times, on the fallback
+    (non-flock) lock path — the one that leaves a lock file behind on
+    death. Whatever instant the kill lands on:
+
+    1. the ledger file is never torn (absent or fully parseable, and
+       every row satisfies the state-machine invariants: offload
+       SUCCESS, prev only ever a consumed snapshot, locations
+       sequential);
+    2. a leftover lock is always breakable once stale — recovery
+       never wedges;
+    3. recovery completes the remaining snapshots with no
+       double-consume: the union of consumption journals covers every
+       snapshot exactly once, except at most the single in-flight
+       snapshot whose journal landed but whose mark didn't (the
+       journal-before-mark window recovery legitimately redoes).
+    """
+    import random
+    import signal
+
+    from cql_replicator_spark import ledger as L
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "ledger_chaos_worker.py")
+    rng = random.Random(0x1ED6E2)
+    env = dict(os.environ, CQL_LEDGER_FORCE_FALLBACK_LOCK="1")
+    snapshots = 4
+
+    def check_rows(path):
+        # never torn: parseable whole, rows in machine-valid states
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            rows = {(r["ks"], r["tbl"], r["tile"], r["ver"]): r
+                    for r in json.load(f)}
+        curr = rows.get(("ks", "tb", 0, "curr"))
+        prev = rows.get(("ks", "tb", 0, "prev"))
+        if curr is not None:
+            assert curr["offload_status"] == SUCCESS
+        if prev is not None:
+            assert prev["load_status"] == SUCCESS, \
+                "rotation must preserve only consumed snapshots as prev"
+            assert curr is not None
+            assert int(curr["location"]) == int(prev["location"]) + 1
+        return rows
+
+    # calibrate the kill window: one un-killed run measures wall time
+    cal_led = str(tmp_path / "cal.json")
+    t0 = time.time()
+    subprocess.run(
+        [sys.executable, worker, "--ledger", cal_led,
+         "--events", str(tmp_path / "cal.events"),
+         "--snapshots", str(snapshots), "--spin", "0.02"],
+        cwd=REPO, env=env, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL, timeout=120, check=True)
+    wall = time.time() - t0
+
+    outcomes = {"finished": 0, "killed_midway": 0}
+    for i in range(20):
+        led_path = str(tmp_path / f"chaos_{i}.json")
+        events = str(tmp_path / f"chaos_{i}.events")
+        p = subprocess.Popen(
+            [sys.executable, worker, "--ledger", led_path,
+             "--events", events, "--snapshots", str(snapshots),
+             "--spin", "0.02"],
+            cwd=REPO, env=env, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+        time.sleep(rng.uniform(0.0, wall))
+        p.send_signal(signal.SIGKILL)
+        p.wait(timeout=30)
+
+        check_rows(led_path)  # invariant 1 at the kill instant
+
+        # invariant 2: a leftover lock is stale-breakable — backdate it
+        # (recovery in real time would just wait out _LOCK_STALE_SECS)
+        lock = led_path + ".lock"
+        if os.path.exists(lock):
+            old = time.time() - L._LOCK_STALE_SECS - 5
+            os.utime(lock, (old, old))
+
+        # recovery: a fresh process-equivalent completes the cycle
+        led = Ledger(led_path)
+        recovered = []
+        os.environ["CQL_LEDGER_FORCE_FALLBACK_LOCK"] = "1"
+        try:
+            for sid in range(1, snapshots + 1):
+                curr = led.get("ks", "tb", 0, "curr")
+                if ((curr is None or int(curr.location) < sid)
+                        and led.can_discover("ks", "tb", 0)):
+                    led.record_discovery("ks", "tb", 0, snapshot_id=sid)
+                plan = led.replication_plan("ks", "tb", 0)
+                if plan is not None:
+                    recovered.append(plan)
+                    with open(events, "a") as f:
+                        f.write(json.dumps(
+                            {"sid": plan["curr"], "mode": plan["mode"]})
+                            + "\n")
+                    led.mark_replication_complete("ks", "tb", 0)
+        finally:
+            os.environ.pop("CQL_LEDGER_FORCE_FALLBACK_LOCK", None)
+
+        rows = check_rows(led_path)
+        curr = rows[("ks", "tb", 0, "curr")]
+        assert int(curr["location"]) == snapshots and \
+            curr["load_status"] == SUCCESS, (i, curr)
+
+        # invariant 3: no double-consume beyond the journal-before-mark
+        # window — each snapshot consumed once, at most ONE consumed
+        # twice (the in-flight one the kill interrupted between its
+        # journal line and its mark)
+        with open(events) as f:
+            consumed = [json.loads(line)["sid"] for line in f if line.strip()]
+        from collections import Counter
+        counts = Counter(consumed)
+        assert set(counts) == set(range(1, snapshots + 1)), (i, counts)
+        dups = [s for s, c in counts.items() if c > 1]
+        assert len(dups) <= 1 and all(counts[s] == 2 for s in dups), \
+            (i, counts)
+        if recovered or dups:
+            outcomes["killed_midway"] += 1
+        else:
+            outcomes["finished"] += 1
+    # the kill window spans the whole cycle, so some kills must land
+    # mid-cycle (recovery had work to do); if every run finished before
+    # its kill, the stretch/delay tuning rotted
+    assert outcomes["killed_midway"] >= 1, outcomes
+
+
 def test_reader_methods_never_reassign_shared_rows(tmp_path):
     """The r10 lost-mark race, pinned mechanically: unlocked reader
     methods (get / can_discover / replication_plan / rows) must read a
