@@ -37,6 +37,9 @@ def tail_line(result: dict) -> str:
         "unit": "sec",
         "sf": result["sf"],
         "n_queries": len(timings),
+        "drift_factor": result.get("calibration", {}).get("drift_factor"),
+        "drift_normalized_total":
+            result.get("calibration", {}).get("drift_normalized_total"),
         "full": "bench_result.json",
         "queries": {},
     }
@@ -46,6 +49,28 @@ def tail_line(result: dict) -> str:
             del line["queries"][name]
             break
     return json.dumps(line, separators=(",", ":"))
+
+# Drift calibrators (r10 verdict): run-level totals on this host drift
+# 15-30% between rounds with the machine idle (host-capacity variance
+# invisible from inside the sandbox — see BENCHNOTES_r07/r10), so raw
+# cross-round totals measure the host, not the code. Five FROZEN
+# queries spanning the engine (scan+agg, 3-way join, anti-join diff,
+# text, vector math) run interleaved at window start/middle/end; the
+# median of their ratio-to-reference is recorded as "drift_factor" in
+# the artifact. total/drift_factor is the cross-round-comparable
+# number. References pinned to the r10 driver window (BENCH_r10 /
+# bench_result.json @ f8ef856, sf0.1, local[32], best-of-2) — only
+# meaningful when this run is also sf0.1, else drift_factor is null.
+CALIBRATION_REF = {
+    "q1_pricing_summary": 0.533,
+    "q18_large_volume_customers": 1.607,
+    "cdc_changes": 0.752,
+    "text_metrics": 0.199,
+    "similarity_cosine_topk": 0.804,
+}
+CALIBRATION_REF_SF = 0.1
+CALIBRATION_REF_ROUND = 10
+
 
 # Headline set: CDC core + analytic joins/aggs. Keep in sync with
 # cql_replicator_spark/queries.py REGISTRY (subset chosen for signal).
@@ -267,9 +292,20 @@ def main() -> None:
     w.join(w.withColumnRenamed("o_orderkey", "k"),
            w.o_orderkey == F.col("k")).groupBy().count().count()
 
+    def run_calibration() -> dict[str, float]:
+        out = {}
+        for name in CALIBRATION_REF:
+            t0 = time.perf_counter()
+            REGISTRY[name].build(spark, SF_DIR).count()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
     names = [n for n in HEADLINE if n in REGISTRY]
     # best-of-2 per query: local[N] scheduling jitter is ±25% run-to-run;
-    # the min is the engine's cost, the rest is the scheduler's
+    # the min is the engine's cost, the rest is the scheduler's.
+    # Calibration probes run interleaved at window start/middle/end so
+    # drift during the window itself is sampled, not just its edges.
+    calib_samples = [run_calibration()]
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in names:
@@ -279,15 +315,34 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+        calib_samples.append(run_calibration())
     total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The reference times are best-of-2 warm minima, so compare like
+    # with like: per-query min across the three interleaved samples
+    # (the first is cold — the min discards it), then the median ratio
+    # across the five queries.
+    ratios = sorted(
+        min(s[n] for s in calib_samples) / CALIBRATION_REF[n]
+        for n in CALIBRATION_REF)
+    drift = (round(ratios[len(ratios) // 2], 4)
+             if float(sf) == CALIBRATION_REF_SF else None)
     result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "calibration": {
+            "ref_round": CALIBRATION_REF_ROUND,
+            "ref_sf": CALIBRATION_REF_SF,
+            "ref": CALIBRATION_REF,
+            "samples": calib_samples,
+            "drift_factor": drift,
+            "drift_normalized_total": (round(total / drift, 3)
+                                       if drift else None),
+        },
     }
     # The driver records only a bounded stdout TAIL (observed 2000
     # chars) and parses its last line as JSON. The full 167-query map

@@ -287,12 +287,20 @@ def test_bench_tail_line_fits_driver_window():
     worst = {name: 9999.999 for name in REGISTRY}
     result = {"metric": "headline_queries_total_runtime",
               "value": 99999.999, "unit": "sec", "sf": 0.1,
-              "queries": worst}
+              "queries": worst,
+              "calibration": {"drift_factor": 9.9999,
+                              "drift_normalized_total": 99999.999}}
     line = bench.tail_line(result)
     assert len(line) + 1 <= 2000, len(line)  # +1 for the newline
     parsed = json.loads(line)
     assert parsed["n_queries"] == len(REGISTRY)
     assert parsed["value"] == 99999.999
+    # the r11 drift calibrator rides in the tail line (and the five
+    # calibration queries must stay registered, or the probe dies)
+    assert parsed["drift_factor"] == 9.9999
+    assert parsed["drift_normalized_total"] == 99999.999
+    for name in bench.CALIBRATION_REF:
+        assert name in REGISTRY, name
     assert len(parsed["queries"]) > 10  # still carries real signal
     # most expensive first: the kept set is a prefix of the sorted order
     kept = list(parsed["queries"])
