@@ -259,6 +259,8 @@ HEADLINE = [
     "embedding_kmeans_train_sample",
     "multimodal_y4m_pixel_decode",
     "source_statementlog_stream",
+    # r11
+    "bpe_top_pairs_batched",
 ]
 
 

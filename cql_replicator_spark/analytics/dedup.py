@@ -972,6 +972,8 @@ def minhash_accuracy_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    signatures: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Estimator-quality audit for the MinHash infrastructure: for
     every LSH candidate pair, the signature-agreement Jaccard estimate
@@ -996,10 +998,17 @@ def minhash_accuracy_pairs(
     # sf0.1, bench_ab_forms.json): eager localCheckpoints made this
     # 1.45x SLOWER by serializing the pipeline into sequential jobs
     # for frames the exchange reuse already deduplicated.
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands,
-                                num_hashes // bands,
-                                max_bucket_size=max_bucket_size)
+    # signatures/pairs accept a PRECOMPUTED (typically persisted) frame
+    # so a multi-lane pipeline (pairs + clusters + keepers + this audit
+    # over one corpus) shares the candidate stage instead of
+    # re-shingling per lane; must be the same (n, num_hashes, bands,
+    # cap) configuration or the audit measures the wrong estimator.
+    sigs = (signatures if signatures is not None
+            else minhash_signatures(df, id_col, text_col, n, num_hashes))
+    if pairs is None:
+        pairs = lsh_candidate_pairs(sigs, id_col, bands,
+                                    num_hashes // bands,
+                                    max_bucket_size=max_bucket_size)
     sa = sigs.select(F.col(id_col).alias("id_a"),
                      *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)])
     sb = sigs.select(F.col(id_col).alias("id_b"),

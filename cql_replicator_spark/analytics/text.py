@@ -794,8 +794,49 @@ def merge_symbol_pair(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def select_nonconflicting_merges(counts: DataFrame, k: int,
+                                 pool: int = 256) -> DataFrame:
+    """The first ``k`` pairs, by (pair_freq desc, left, right) rank,
+    that are blocked by NO higher-ranked pair — where blocked means
+    sharing a symbol with it, or having a symbol equal to its fused
+    string. Such a batch is pairwise symbol-disjoint, so applying its
+    merges (in rank order) within one round touches independent symbol
+    occurrences: each merge's result is exactly what applying it alone
+    would produce, which is what makes batched rounds sound.
+
+    The rule is deliberately NON-transitive (a blocked higher-ranked
+    pair still blocks) so it is one self-join over the ranked head,
+    not an iteration — both here and in the mirroring DuckDB oracle
+    (bpe_top_pairs_batched). It may select fewer than the greedy
+    maximal set; the remainder simply lands in a later round.
+
+    ``pool`` bounds the ranked head (a distributed top-N); the rank
+    window runs over at most ``pool`` rows regardless of vocabulary
+    size. Returns (left, right, pair_freq, rk) in rank order.
+    """
+    from pyspark.sql.window import Window
+
+    head = (counts.orderBy(F.desc("pair_freq"), "left", "right")
+            .limit(int(pool))
+            .withColumn("rk", F.row_number().over(
+                Window.orderBy(F.desc("pair_freq"), "left", "right"))))
+    a, b = head.alias("a"), head.alias("b")
+    blocks = (
+        (F.col("b.rk") < F.col("a.rk"))
+        & ((F.col("b.left") == F.col("a.left"))
+           | (F.col("b.left") == F.col("a.right"))
+           | (F.col("b.right") == F.col("a.left"))
+           | (F.col("b.right") == F.col("a.right"))
+           | (F.concat("b.left", "b.right") == F.col("a.left"))
+           | (F.concat("b.left", "b.right") == F.col("a.right"))))
+    return (a.join(b, blocks, "left_anti")
+            .orderBy("rk").limit(int(k))
+            .select("left", "right", "pair_freq", "rk"))
+
+
 def learn_bpe_merges(df: DataFrame, num_merges: int,
-                     text_col: str = "text") -> list[tuple[str, str, int]]:
+                     text_col: str = "text",
+                     batch_size: int = 1) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merge rules over the corpus: each round
     counts adjacent pairs (bpe_pair_counts over the persisted word-
     frequency symbol table), takes the most frequent pair — ties broken
@@ -803,11 +844,25 @@ def learn_bpe_merges(df: DataFrame, num_merges: int,
     across runs, partitionings, and engines — and rewrites the symbol
     arrays with merge_symbol_pair.
 
-    Driver traffic per round is ONE row (the argmax pair); the rewrite
-    is a JVM expression map over the |vocab|-row frame. Rounds are data-
-    dependent and sequential by nature (real BPE trainers are too); the
-    frame is localCheckpoint-ed each round to cut the growing lambda
+    Driver traffic per round is ONE collect of at most ``batch_size``
+    rows; the rewrite is a JVM expression map over the |vocab|-row
+    frame, localCheckpoint-ed each round to cut the growing lambda
     lineage. Returns [(left, right, pair_freq)] in merge order.
+
+    batch_size=1 (default) is exact sequential BPE: rounds are data-
+    dependent and inherently ordered, and each merge costs one Spark
+    job of pure scheduling latency over the vocabulary-sized frame —
+    bounded, but at real tokenizer scale (thousands of merges) the
+    driver round-trips dominate. batch_size>1 applies up to that many
+    SYMBOL-DISJOINT pairs per round (select_nonconflicting_merges):
+    disjoint merges can't change each other's counts or occurrences,
+    so each batched merge equals its solo application — the standard
+    batched-BPE trick. The learned sequence can differ from exact
+    sequential BPE only where a round's merge would have promoted a
+    new pair above a later batch member (tokenizer quality is
+    empirically insensitive to this; Sennrich-style trainers batch the
+    same way). Keep batch_size modest (<=16): merges apply as nested
+    expression folds within the round.
     """
     words = (df.select(F.explode(tokens(text_col)).alias("word"))
              .filter(F.col("word") != "")
@@ -815,16 +870,23 @@ def learn_bpe_merges(df: DataFrame, num_merges: int,
     cur = (words.select("freq", F.array_remove(F.split(F.col("word"), "(?!^)"), "").alias("syms"))
            .localCheckpoint(eager=True))
     merges: list[tuple[str, str, int]] = []
-    for _ in range(int(num_merges)):
-        top = (bpe_pair_counts(cur, symbols_col="syms")
-               .orderBy(F.desc("pair_freq"), "left", "right")
-               .limit(1).collect())
-        if not top or top[0]["pair_freq"] < 2:
+    while len(merges) < int(num_merges):
+        counts = bpe_pair_counts(cur, symbols_col="syms")
+        k = min(int(batch_size), int(num_merges) - len(merges))
+        if k <= 1:
+            batch = (counts.orderBy(F.desc("pair_freq"), "left", "right")
+                     .limit(1).collect())
+        else:
+            batch = select_nonconflicting_merges(counts, k).collect()
+        batch = [(r["left"], r["right"], int(r["pair_freq"]))
+                 for r in batch if r["pair_freq"] >= 2]
+        if not batch:
             break
-        l_, r_, n = top[0]["left"], top[0]["right"], int(top[0]["pair_freq"])
-        merges.append((l_, r_, n))
-        cur = (cur.select("freq", merge_symbol_pair(F.col("syms"), l_, r_)
-                          .alias("syms"))
+        merges.extend(batch)
+        col = F.col("syms")
+        for l_, r_, _ in batch:
+            col = merge_symbol_pair(col, l_, r_)
+        cur = (cur.select("freq", col.alias("syms"))
                .localCheckpoint(eager=True))
         # localCheckpoint blocks are RDD-level persists that
         # Dataset.unpersist cannot release; rebinding `cur` drops the

@@ -1349,26 +1349,23 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything else stalest-evidence-first. tests/test_oracle.py asserts the
 # computed order actually has this shape.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r10: the LSH degenerate-bucket cap sweep (max_bucket_size=256,
-    # oracle-mirrored — the last uncapped 100x scale-risk plans) plus
-    # the advisor fixes. The rest of the ~50-row window goes to the
-    # stalest evidence (the 47 r5 rows lead) via the fallback.
-    "dedup_minhash_lsh",             # touched: capped, oracle BETWEEN 2 AND 256
-    "dedup_clusters",                # touched: capped candidate stage
-    "dedup_cluster_keepers",         # touched: capped candidate stage
-    "dedup_minhash_accuracy",        # touched: capped candidate stage
-    "cdc_ingest_dedup",              # touched: corpus-side bucket cap
-    "dedup_embedding_lsh",           # touched: capped, oracle-mirrored
-    "dedup_embedding_lsh_verified",  # touched: capped candidate stage
-    "reconcile_rowhash_checksum",    # touched: + additive DECIMAL(38,0)
-                                     # checksum (XOR alone cancels
-                                     # even-multiplicity duplicates)
-    "cdc_ledger_cycle",              # NEW: ledger-gated exactly-once
-                                     # CDC loop as a driver row
-    "dedup_clusters_star",           # NEW: the large-star/small-star CC
-                                     # variant driven through the driver
-                                     # (same closure oracle as
-                                     # dedup_clusters)
+    # r11: the shared persisted MinHash-LSH candidate stage
+    # (_shared_capped_lsh — five lanes, one shingle pass) and the
+    # batched-BPE round. The rest of the ~50-row window goes to the
+    # stalest evidence via the fallback: the 5 remaining r5 rows
+    # (weighted_sample_docs, source_orc_roundtrip, snapshot_pruned_read,
+    # text_bm25_scores, validate_constraints) lead it, then the r6
+    # cohort — clearing the evidence-freshness debt the r10 verdict
+    # flagged.
+    "dedup_minhash_lsh",             # touched: shared candidate stage
+    "dedup_clusters",                # touched: shared candidate stage
+    "dedup_clusters_star",           # touched: shared candidate stage
+    "dedup_cluster_keepers",         # touched: shared candidate stage
+    "dedup_minhash_accuracy",        # touched: shared sigs+pairs
+    "bpe_top_pairs_batched",         # NEW: one batched symbol-disjoint
+                                     # merge round (the r10 BPE
+                                     # driver-chatter fix), oracle-
+                                     # mirrored non-transitive blocking
 ]
 
 

@@ -1105,10 +1105,12 @@ def _register_minhash_accuracy():
             "candidates — never all pairs",
     )
     def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .queries_analytics import _near_fixture
+        from .queries_analytics import _near_fixture, _shared_capped_lsh
+        sigs, pairs = _shared_capped_lsh(spark, sf_dir)
         return D.minhash_accuracy_pairs(_near_fixture(spark, sf_dir),
                                         n=3, num_hashes=16, bands=4,
-                                        max_bucket_size=256)
+                                        max_bucket_size=256,
+                                        signatures=sigs, pairs=pairs)
 
 
 _register_minhash_accuracy()

@@ -2973,6 +2973,79 @@ def test_learn_bpe_matches_python_reference(spark):
     assert got == want and len(got) == 6
 
 
+def _py_bpe_merges_batched(word_freqs: dict, num_merges: int, k: int):
+    """Pure-Python reference of the BATCHED learner: per round, rank
+    pairs (freq desc, left, right), select up to k pairs blocked by no
+    higher-ranked pair (shared symbol or symbol == its fused string —
+    the same non-transitive rule as select_nonconflicting_merges),
+    apply them in rank order."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    while len(merges) < num_merges:
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        batch = []
+        for rk, ((l, r), n) in enumerate(ranked):
+            blocked = any(
+                hl in (l, r) or hr in (l, r) or (hl + hr) in (l, r)
+                for (hl, hr), _ in ranked[:rk])
+            if not blocked:
+                batch.append((l, r, n))
+                if len(batch) == min(k, num_merges - len(merges)):
+                    break
+        batch = [(l, r, n) for l, r, n in batch if n >= 2]
+        if not batch:
+            break
+        merges.extend(batch)
+        for l, r, _ in batch:
+            new_vocab = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+            vocab = new_vocab
+    return merges
+
+
+def test_learn_bpe_batched_matches_python_reference(spark):
+    """batch_size>1 cuts the one-Spark-job-per-merge driver chatter to
+    one job per ROUND of symbol-disjoint merges (the r10 verdict's last
+    driver-chatty plan). Pinned against an independent pure-Python
+    implementation of the same batched rule, and batch_size=1 must stay
+    byte-identical to exact sequential BPE."""
+    corpus = ["low lower lowest low low",
+              "new newer newest new newer",
+              "wide wider widest low new"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    wf = {}
+    for t in corpus:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+
+    got = TX.learn_bpe_merges(df, 8, batch_size=4)
+    want = _py_bpe_merges_batched(wf, 8, 4)
+    assert got == want and len(got) == 8
+    # rounds may select FEWER than batch_size (conflicts) — the rule's
+    # actual round structure is pinned by the reference equality above;
+    # sanity-pin that batching changed the job structure at all (the
+    # sequence must still be a valid BPE: later merges may fuse earlier
+    # outputs, e.g. ('lo','w') after ('l','o'))
+    assert ("lo", "w", 6) in got
+
+    # batch_size=1 is exact sequential BPE (the pre-batching contract)
+    assert TX.learn_bpe_merges(df, 6) == _py_bpe_merges(wf, 6)
+
+
 def test_merge_symbol_pair_overlap_left_to_right(spark):
     df = spark.createDataFrame([(["a", "a", "a"],), (["b", "a", "a", "b"],)],
                                "syms array<string>")

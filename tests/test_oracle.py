@@ -223,7 +223,13 @@ def test_flagship_plan_scan_counts_pinned():
     bounds = {
         "doc_winnowing_pairs": 2,        # 1 scan: shingle+window+pairs
         "text_sparse_cosine_pairs": 4,   # 2: corpus + n_docs count
-        "dedup_minhash_lsh": 2,          # 1: sign+band in one pass
+        # r11 re-pin: the lane returns the session-shared PERSISTED
+        # pair frame (_shared_capped_lsh). Formatted explain prints the
+        # InMemoryRelation's recovery lineage (sigs cached plan nested
+        # inside pairs cached plan), so the TEXT shows 5 'Scan parquet'
+        # occurrences — but execution reads the cache; the corpus is
+        # scanned at most once, on the first lane's cache build.
+        "dedup_minhash_lsh": 5,
         "doc_line_dedup": 2,             # 1: within-doc, no join
         "quality_bigram_logprob": 2,     # 1: join-free window-sum form
         "text_inverted_index": 2,        # 1: explode+agg+window

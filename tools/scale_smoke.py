@@ -247,6 +247,61 @@ def main() -> None:
             for k, v in saved.items():
                 spark.conf.set(k, v)
 
+    # Companion leg with AQE ON (r10 verdict item 6): documents WHEN the
+    # salt is needed at all. AQE's skew-join splitter covers the
+    # sort-merge read side — but only there: write-side repartitions,
+    # foreachPartition sinks, streaming micro-batches, and pre-AQE
+    # clusters still need the salt. Smoke-scale thresholds are lowered
+    # (the default 256m splitter floor can never trigger on a
+    # fixture-sized hot partition); aqe_skew_split records whether the
+    # splitter actually engaged (skew=true in the adaptive final plan).
+    def skew_leg_aqe() -> dict:
+        keys = ("spark.sql.adaptive.enabled",
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        saved = {k: spark.conf.get(k, None) for k in keys}
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # broadcast off: with an auto-broadcast dim there is no shuffle
+        # join and no skew problem at all (itself the first-line fix —
+        # but the leg measures the non-broadcastable case)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256k")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "64k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                       "2")
+        try:
+            hot = orders.select(
+                F.when(F.col("o_orderkey") % 5 == 0, F.lit(42))
+                 .otherwise(F.col("o_custkey")).alias("o_custkey"),
+                "o_orderkey", "o_totalprice")
+            dim = (hot.select("o_custkey").distinct()
+                   .withColumn("segment",
+                               (F.col("o_custkey") % 10).cast("string")))
+            out = {}
+            for form, joined in (
+                ("unsalted", hot.join(dim, ["o_custkey"])),
+                ("salted", salted_join(hot, dim, ["o_custkey"],
+                                       num_salts=8)),
+            ):
+                t0 = time.perf_counter()
+                n = joined.count()
+                sec = round(time.perf_counter() - t0, 2)
+                plan = joined._jdf.queryExecution().executedPlan().toString()
+                out[form] = {"sec": sec, "rows": n,
+                             "aqe_skew_split": "skew=true" in plan}
+            return out
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     docs.select("doc_id").limit(100).count()  # warm
     result: dict[str, dict] = {}
     for scale, factor in (("base_1x", 1), (f"amp_{AMPLIFY}x", AMPLIFY)):
@@ -274,6 +329,7 @@ def main() -> None:
                          "ops": row}
 
     skew = skew_leg()
+    skew_aqe = skew_leg_aqe()
     base, amp = result["base_1x"], result[f"amp_{AMPLIFY}x"]
     for name in list(ops) + list(cdc_ops) + list(emb_ops) + \
             ["connected_components"]:
@@ -289,9 +345,15 @@ def main() -> None:
           f"unsalted={skew['unsalted']['max_partition_share']} "
           f"salted={skew['salted']['max_partition_share']} "
           f"(salt must flatten the hot key's ~0.2 share)")
+    print(f"skew_salted_join AQE-on: "
+          f"unsalted={skew_aqe['unsalted']['sec']}s "
+          f"(skew_split={skew_aqe['unsalted']['aqe_skew_split']}) "
+          f"salted={skew_aqe['salted']['sec']}s — AQE covers the "
+          f"read-side sort-merge; salt remains for write-side/"
+          f"foreachPartition/streaming paths AQE can't touch")
     (ROOT / "scale_smoke.json").write_text(json.dumps(
         {"sf_dir": SF_DIR, "amplify": AMPLIFY, "results": result,
-         "skew_salted_join": skew}))
+         "skew_salted_join": skew, "skew_salted_join_aqe": skew_aqe}))
 
 
 if __name__ == "__main__":
