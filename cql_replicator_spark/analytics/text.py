@@ -1174,6 +1174,14 @@ def winnowing_fingerprints(
     key is the doc id — no skew beyond document length), filter,
     distinct. Fingerprint volume is ~2/(w+1) of gram volume.
     """
+    return _winnowing_selected(df, id_col, text_col, k, w).distinct()
+
+
+def _winnowing_selected(df: DataFrame, id_col: str, text_col: str,
+                        k: int, w: int) -> DataFrame:
+    """The selected (id, fp) stream BEFORE the distinct — winnowing_pairs
+    folds the dedup into its groupBy(fp) (collect_set) instead of paying
+    a separate (id, fp) exchange for it."""
     if k < 1 or w < 2:
         raise ValueError(f"need k >= 1 and w >= 2, got k={k} w={w}")
     from pyspark.sql.window import Window
@@ -1195,7 +1203,7 @@ def winnowing_fingerprints(
                 .rowsBetween(-(w - 1), 0)
     sel = (hashed.withColumn("__m", F.min("h").over(win))
            .filter((F.col("pos") >= w - 1) & (F.col("h") == F.col("__m"))))
-    return sel.select(F.col(id_col), F.col("h").alias("fp")).distinct()
+    return sel.select(F.col(id_col), F.col("h").alias("fp"))
 
 
 def winnowing_pairs(
@@ -1220,10 +1228,14 @@ def winnowing_pairs(
     # one groupBy on fp collects each fingerprint's posting list
     # (max_df-capped), pairs explode in-bucket — the self-join
     # formulation would re-derive the explode->window->distinct
-    # fingerprint subtree once per join side (two corpus scans)
-    fps = winnowing_fingerprints(df, id_col, text_col, k, w)
+    # fingerprint subtree once per join side (two corpus scans).
+    # collect_set FUSES winnowing_fingerprints' (id, fp) distinct into
+    # this groupBy's map-side partial aggregation — one exchange of the
+    # fingerprint volume instead of two (r11; interleaved A/B in
+    # bench_ab_winnow.json), same posting lists.
+    fps = _winnowing_selected(df, id_col, text_col, k, w)
     grouped = (fps.groupBy("fp")
-               .agg(F.collect_list(id_col).alias("ids"))
+               .agg(F.collect_set(id_col).alias("ids"))
                .filter((F.size("ids") > 1) & (F.size("ids") <= int(max_df))))
     return (grouped.select(F.explode(F.expr(
                 "flatten(transform(ids, x -> transform("

@@ -100,7 +100,8 @@ def main() -> None:
     from cql_replicator_spark.diff import compute_changes_tagged
     from cql_replicator_spark.sinks.parquet_sink import hydrate_changes
 
-    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    _t = load_tables(spark, SF_DIR, ["orders", "customer"])
+    orders, customer = _t["orders"], _t["customer"]
 
     def amp_snapshots(n: int):
         reps = F.explode(F.array(*[F.lit(k) for k in range(n)])).alias("rep")
@@ -251,10 +252,27 @@ def main() -> None:
     # salt is needed at all. AQE's skew-join splitter covers the
     # sort-merge read side — but only there: write-side repartitions,
     # foreachPartition sinks, streaming micro-batches, and pre-AQE
-    # clusters still need the salt. Smoke-scale thresholds are lowered
-    # (the default 256m splitter floor can never trigger on a
-    # fixture-sized hot partition); aqe_skew_split records whether the
-    # splitter actually engaged (skew=true in the adaptive final plan).
+    # clusters still need the salt. Three preconditions this leg had to
+    # meet before the splitter engaged AT ALL — each one operational
+    # guidance in its own right (bisected empirically, r11):
+    #   1. BYTES: skew is decided from map-output sizes; a fixture-
+    #      scale hot partition is invisible (the rule ran and found "0
+    #      skewed partitions" at base sf0.1 even with threshold=1k,
+    #      factor=1). The leg runs the 20x-amplified frame and lowers
+    #      the 256m default threshold so the smoke shows the mechanism
+    #      without 100 GB.
+    #   2. MAP BOUNDARIES: a skewed partition is split into chunks
+    #      ALONG MAP-OUTPUT BOUNDARIES — a single-mapper stage (one
+    #      file / one parquet row group / one upstream task, exactly
+    #      what sf0.1 orders is) cannot be split no matter how skewed.
+    #      The upstream .repartition(32) gives the exchange real
+    #      mappers, as any real multi-task pipeline stage would.
+    #   3. NO REUSED EXCHANGE: a dim carved out of the fact frame
+    #      shares the fact's exchange and the rule leaves reused
+    #      stages alone — the dim side here is customer-derived
+    #      (independent subtree).
+    # aqe_skew_split records whether the splitter actually engaged
+    # ("skewed" in the materialized adaptive plan).
     def skew_leg_aqe() -> dict:
         keys = ("spark.sql.adaptive.enabled",
                 "spark.sql.autoBroadcastJoinThreshold",
@@ -269,31 +287,38 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "256k")
+            "1m")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                       "64k")
+                       "512k")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
                        "2")
         try:
-            hot = orders.select(
-                F.when(F.col("o_orderkey") % 5 == 0, F.lit(42))
-                 .otherwise(F.col("o_custkey")).alias("o_custkey"),
-                "o_orderkey", "o_totalprice")
-            dim = (hot.select("o_custkey").distinct()
-                   .withColumn("segment",
-                               (F.col("o_custkey") % 10).cast("string")))
+            reps = F.explode(
+                F.array(*[F.lit(k) for k in range(AMPLIFY)])).alias("rep")
+            hot = (orders.repartition(32)
+                   .select("o_orderkey", "o_custkey",
+                           "o_totalprice", reps)
+                   .select(
+                       F.when(F.col("o_orderkey") % 5 == 0, F.lit(42))
+                        .otherwise(F.col("o_custkey")).alias("o_custkey"),
+                       (F.col("o_orderkey") + F.col("rep") * 10_000_000)
+                       .alias("o_orderkey"),
+                       "o_totalprice"))
+            dim = customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"))
             out = {}
             for form, joined in (
                 ("unsalted", hot.join(dim, ["o_custkey"])),
                 ("salted", salted_join(hot, dim, ["o_custkey"],
                                        num_salts=8)),
             ):
+                ep = joined._jdf.queryExecution().executedPlan()
                 t0 = time.perf_counter()
-                n = joined.count()
+                n = ep.execute().count()  # materializes THIS plan tree
                 sec = round(time.perf_counter() - t0, 2)
-                plan = joined._jdf.queryExecution().executedPlan().toString()
                 out[form] = {"sec": sec, "rows": n,
-                             "aqe_skew_split": "skew=true" in plan}
+                             "aqe_skew_split": "skewed" in ep.toString()}
             return out
         finally:
             for k, v in saved.items():
