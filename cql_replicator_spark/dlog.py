@@ -122,6 +122,11 @@ _claim_check_hook = None
 # simulable in-process. Always None in production.
 _reclaim_race_hook = None
 
+# Test seam: called between vacuum's orphan rename and its log
+# re-check, so the orphan-published-mid-vacuum race is simulable
+# in-process. Always None in production.
+_vacuum_recheck_hook = None
+
 
 def _log_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _LOG_DIR, f"{version:020d}.json")
@@ -377,6 +382,16 @@ class DeltaLogTable:
             src = os.path.join(staging, name)
             dst = os.path.join(self.path, rel)
             os.replace(src, dst)
+            # Restart the orphan-age clock AT THE MOVE: rename preserves
+            # mtime, and for a long multi-file Spark write the first
+            # staging file can already be minutes old when it lands in
+            # the table root — old enough for a concurrent vacuum's
+            # stale-orphan gate (_CLAIM_STALE_SECS) to classify it a
+            # crashed leftover and delete it BEFORE this commit's log
+            # publish, corrupting the version about to win. With the
+            # refresh, vacuum's age gate measures time-since-move, which
+            # is what "possibly in-flight" actually means.
+            os.utime(dst, None)
             adds.append({"add": {
                 "path": rel,
                 "partitionValues": {},
@@ -412,6 +427,28 @@ class DeltaLogTable:
                     "dataChange": True,
                 }})
         actions.extend(adds)
+
+        # Abort rather than publish a corrupt version: if a vacuum
+        # reclaimed any of our just-moved parts while we replayed the
+        # log (it classifies >stale-age orphans as crashed leftovers —
+        # the mtime refresh above makes that need a >60s stall RIGHT
+        # HERE, but a suspended process is exactly the case to defend),
+        # publishing would commit references to deleted files. The
+        # re-check shrinks the corrupt-publish window from the full
+        # stall to the microseconds between this scan and the log link,
+        # the same shape as the claim-token re-check in _publish_commit.
+        gone = [a["add"]["path"] for a in adds
+                if not os.path.exists(
+                    os.path.join(self.path, a["add"]["path"]))]
+        if gone:
+            for a in adds:  # drop survivors too: this commit is dead
+                try:
+                    os.unlink(os.path.join(self.path, a["add"]["path"]))
+                except OSError:
+                    pass
+            raise ConcurrentCommitError(
+                f"part files vacuumed while commit {version} was in "
+                f"flight in {self.path}: {gone}; re-read and re-commit")
 
         _publish_commit(self.path, version, actions, adds)
         return version
@@ -503,10 +540,35 @@ class DeltaLogTable:
                 continue
             full = os.path.join(self.path, name)
             try:
-                if name not in ever_added and \
-                        now - os.stat(full).st_mtime <= _CLAIM_STALE_SECS:
+                if name in ever_added:
+                    os.remove(full)  # published history: deletable
+                    removed.append(name)
+                    continue
+                if now - os.stat(full).st_mtime <= _CLAIM_STALE_SECS:
                     continue  # fresh orphan: possibly an in-flight commit
-                os.remove(full)
+                # Stale ORPHAN: reclaim by rename + log re-check, not a
+                # bare unlink. Between our stat and the delete, the
+                # in-flight committer that moved this part may have
+                # PUBLISHED its version (its pre-publish existence check
+                # passed while the file still existed) — an unlink here
+                # would then destroy committed data. Rename wins at most
+                # once; re-reading the log afterwards sees any commit
+                # that published before our rename (the committer's
+                # existence re-check covers publishes after it); part
+                # names are uuid-unique so the restore rename can never
+                # collide.
+                reclaim = full + f".vacuum.{os.getpid()}.{uuid.uuid4().hex}"
+                os.rename(full, reclaim)
+                if _vacuum_recheck_hook is not None:  # test seam
+                    _vacuum_recheck_hook(name)
+                referenced = any(
+                    "add" in a and a["add"]["path"] == name
+                    for v in self.versions()
+                    for a in self._read_commit(v))
+                if referenced:
+                    os.rename(reclaim, full)  # live after all — restore
+                    continue
+                os.remove(reclaim)
             except OSError:
                 continue  # already gone (racing vacuum/loser cleanup)
             removed.append(name)

@@ -327,6 +327,100 @@ def test_vacuum_spares_fresh_orphans_reclaims_stale(spark, tbl):
     assert sorted(r.pk for r in tbl.read(spark).collect()) == [2]
 
 
+def test_commit_refreshes_part_mtime_at_move(spark, tbl, monkeypatch):
+    """A long multi-file Spark write leaves early staging files with
+    old mtimes; rename preserves them, so a moved part could land in
+    the table root already past vacuum's stale-orphan age gate and be
+    deleted BEFORE the log publish (a corrupt published version). The
+    commit path must restart the orphan-age clock at the move."""
+    real_replace = os.replace
+
+    def replace_with_stale_mtime(src, dst):
+        real_replace(src, dst)
+        if dst.endswith(".parquet"):  # simulate a >stale-age-old write
+            old = time.time() - dlog._CLAIM_STALE_SECS - 120
+            os.utime(dst, (old, old))
+
+    monkeypatch.setattr(os, "replace", replace_with_stale_mtime)
+    tbl.commit_overwrite(_df(spark, [(1, 10)]))
+    parts = [n for n in os.listdir(tbl.path) if n.endswith(".parquet")]
+    assert parts
+    for n in parts:
+        age = time.time() - os.stat(os.path.join(tbl.path, n)).st_mtime
+        assert age < dlog._CLAIM_STALE_SECS, (n, age)
+
+
+def test_commit_aborts_if_parts_vacuumed_in_flight(spark, tbl, monkeypatch):
+    """If a vacuum reclaims a just-moved part while the committer is
+    still replaying the log, publishing would commit references to
+    deleted files. The pre-publish existence re-check must abort with
+    ConcurrentCommitError, leave the log at the previous version, and
+    clean up the surviving moved parts."""
+    tbl.commit_overwrite(_df(spark, [(1, 10)]))
+    v0_parts = {n for n in os.listdir(tbl.path) if n.endswith(".parquet")}
+
+    real_replay = DeltaLogTable._replay
+
+    def replay_then_vacuum_steals_a_part(self, v):
+        live, schema = real_replay(self, v)
+        fresh = [n for n in os.listdir(self.path)
+                 if n.endswith(".parquet") and n not in v0_parts]
+        assert fresh, "expected the new commit's moved parts on disk"
+        os.unlink(os.path.join(self.path, fresh[0]))
+        return live, schema
+
+    monkeypatch.setattr(DeltaLogTable, "_replay",
+                        replay_then_vacuum_steals_a_part)
+    with pytest.raises(dlog.ConcurrentCommitError, match="vacuumed"):
+        tbl.commit_overwrite(_df(spark, [(2, 20)]))
+    monkeypatch.setattr(DeltaLogTable, "_replay", real_replay)
+
+    assert tbl.latest_version() == 0  # nothing published
+    assert sorted(r.pk for r in tbl.read(spark).collect()) == [1]
+    # survivors of the dead commit were cleaned up, v0's data untouched
+    left = {n for n in os.listdir(tbl.path) if n.endswith(".parquet")}
+    assert left == v0_parts
+
+
+def test_vacuum_restores_orphan_published_mid_reclaim(tmp_path):
+    """Vacuum's stale-orphan reclaim vs an in-flight committer that
+    PUBLISHES between vacuum's stat and its delete: a bare unlink
+    destroys committed data. Reclaim now renames (one winner), re-reads
+    the log, and restores the file if a commit claimed it."""
+    from cql_replicator_spark import dlog as D
+
+    d = str(tmp_path / "t")
+    D._publish_commit(d, 0, _pc_actions(0), adds=[])
+    tbl = DeltaLogTable(d)
+    orphan = "part-inflight-but-old.snappy.parquet"
+    full = os.path.join(d, orphan)
+    with open(full, "w") as f:
+        f.write("x")
+    old = time.time() - D._CLAIM_STALE_SECS - 5
+    os.utime(full, (old, old))
+
+    def publish_referencing_orphan(name):
+        D._vacuum_recheck_hook = None  # no recursion
+        D._publish_commit(d, 1, [
+            {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+            {"add": {"path": name, "partitionValues": {}, "size": 1,
+                     "modificationTime": 1, "dataChange": True}},
+        ], adds=[])
+
+    D._vacuum_recheck_hook = publish_referencing_orphan
+    try:
+        removed = tbl.vacuum(retain_versions=5)
+    finally:
+        D._vacuum_recheck_hook = None
+
+    assert orphan not in removed
+    assert os.path.exists(full), "published data file was destroyed"
+    live, _ = tbl._replay(1)
+    assert orphan in live
+    # and no .vacuum.* reclaim copies left behind
+    assert not [n for n in os.listdir(d) if ".vacuum." in n]
+
+
 def test_duckdb_independent_log_replay(spark, tbl):
     """Closest-available cross-reader check (DuckDB's delta extension
     needs a network download; delta-rs is absent): replay the
