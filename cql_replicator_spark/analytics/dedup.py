@@ -974,6 +974,7 @@ def minhash_accuracy_pairs(
     max_bucket_size: int | None = None,
     signatures: DataFrame | None = None,
     pairs: DataFrame | None = None,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Estimator-quality audit for the MinHash infrastructure: for
     every LSH candidate pair, the signature-agreement Jaccard estimate
@@ -1020,7 +1021,18 @@ def minhash_accuracy_pairs(
                    F.round(agree / F.lit(float(num_hashes)), 6)
                     .alias("est_jaccard")))
 
-    sh = shingles(df, id_col, text_col, n)
+    # shingle_frame: the exact stage consumes shingles three times
+    # (sizes, side a, side b) through three DIFFERENT exchanges, so
+    # exchange reuse never applies and the corpus is re-scanned per
+    # consumer. A caller-persisted frame makes it one scan, but the
+    # interleaved A/B (bench_ab_accshingles.json: 0.959/0.997 over
+    # 6/10 passes at sf0.1) measured warm-EQUAL — the gram stream is
+    # corpus-sized, so the persist traffic offsets the saved scans.
+    # The parameter exists for callers whose storage tier makes the
+    # trade differently (e.g. memory-resident grams); caller owns the
+    # persist/unpersist lifetime.
+    sh = (shingle_frame if shingle_frame is not None
+          else shingles(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsz"))
     xa = sh.select(F.col(id_col).alias("id_a"), "gram")
     xb = sh.select(F.col(id_col).alias("id_b"), "gram")

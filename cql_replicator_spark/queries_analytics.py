@@ -121,11 +121,40 @@ def _shared_capped_lsh(spark: SparkSession, sf_dir: str,
                                   max_bucket_size=max_bucket_size) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     while len(_LSH_SHARED) >= _LSH_SHARED_MAX:
-        old_sigs, old_pairs = _LSH_SHARED.pop(next(iter(_LSH_SHARED)))
-        old_pairs.unpersist(blocking=False)
-        old_sigs.unpersist(blocking=False)
+        for old in _LSH_SHARED.pop(next(iter(_LSH_SHARED))):
+            old.unpersist(blocking=False)
     _LSH_SHARED[key] = (sigs, pairs)
     return sigs, pairs
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str,
+                     n: int = 3) -> DataFrame:
+    """Session-shared PERSISTED shingle frame over the near-dup
+    fixture, memoized like _shared_capped_lsh (same FIFO, same
+    ownership). Kept separate from the signature/pair memo because
+    the gram stream is corpus-sized — and NOT wired into any
+    registered lane: the estimator-accuracy probe (three shingle
+    consumers, no exchange reuse possible) measured warm-EQUAL with
+    it (bench_ab_accshingles.json: 0.959/0.997 over 6/10 interleaved
+    passes — persist traffic offsets the saved scans). Retained for
+    the A/B tool and for callers whose storage tier makes the trade
+    differently."""
+    import os as _os
+
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir),
+           "shingles", n)
+    hit = _LSH_SHARED.get(key)
+    if hit is not None:
+        return hit[0]
+    sh = D.shingles(_near_fixture(spark, sf_dir), n=n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    while len(_LSH_SHARED) >= _LSH_SHARED_MAX:
+        for old in _LSH_SHARED.pop(next(iter(_LSH_SHARED))):
+            old.unpersist(blocking=False)
+    _LSH_SHARED[key] = (sh,)
+    return sh
 
 
 # -- text analysis -----------------------------------------------------------

@@ -1107,6 +1107,13 @@ def _register_minhash_accuracy():
     def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .queries_analytics import _near_fixture, _shared_capped_lsh
         sigs, pairs = _shared_capped_lsh(spark, sf_dir)
+        # shingle_frame deliberately NOT passed: a persisted gram
+        # stream measured warm-equal (0.997/0.959 over 10/6 interleaved
+        # passes, bench_ab_accshingles.json), and unlike the tiny
+        # signature/pair memo the gram stream is corpus-sized — at
+        # scale the persist write can cost more than the scans it
+        # saves. The parameter stays for callers whose storage tier
+        # makes the trade differently.
         return D.minhash_accuracy_pairs(_near_fixture(spark, sf_dir),
                                         n=3, num_hashes=16, bands=4,
                                         max_bucket_size=256,
