@@ -37,10 +37,16 @@ class ObjectStore:
 
 def local_dir_store(root: str) -> ObjectStore:
     def put(key: str, data: bytes) -> None:
+        # tmp + atomic rename: a writer crashing mid-put must never
+        # leave a torn object that get() silently returns truncated —
+        # the xref column may already reference the key (the S3
+        # production store gives the same all-or-nothing PUT semantics)
         path = os.path.join(root, key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "wb") as f:
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
             f.write(data)
+        os.replace(tmp, path)
 
     def get(key: str) -> bytes:
         with open(os.path.join(root, key), "rb") as f:

@@ -330,6 +330,53 @@ def test_large_object_offload_restore_delete(tmp_path):
         store.get(off["payload"])
 
 
+def test_large_object_put_is_atomic_on_crash(tmp_path, monkeypatch):
+    """A writer crashing mid-put must never leave a torn object:
+    get() on the key must raise (absent), not silently return a
+    truncated blob an xref already references — the S3 production
+    store's all-or-nothing PUT semantics, reproduced via tmp+rename."""
+    import builtins
+
+    store = largeobject.local_dir_store(str(tmp_path))
+    store.put("pre/existing", b"OLD" * 100)
+
+    real_open = builtins.open
+
+    class _DiesMidWrite:
+        def __init__(self, f):
+            self.f = f
+
+        def write(self, data):
+            self.f.write(data[: len(data) // 2])
+            self.f.flush()
+            raise OSError("simulated crash mid-write")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            self.f.close()
+
+    def crashing_open(path, mode="r", *a, **kw):
+        f = real_open(path, mode, *a, **kw)
+        if str(path).endswith(".tmp") and "wb" in mode:
+            return _DiesMidWrite(f)
+        return f
+
+    monkeypatch.setattr(builtins, "open", crashing_open)
+    with pytest.raises(OSError):
+        store.put("obj/new", b"NEW" * 1000)
+    with pytest.raises(OSError):
+        store.put("pre/existing", b"NEW" * 1000)
+    monkeypatch.setattr(builtins, "open", real_open)
+
+    # the new key is absent (never a torn half-file)...
+    with pytest.raises(FileNotFoundError):
+        store.get("obj/new")
+    # ...and an overwrite crash leaves the OLD object fully intact
+    assert store.get("pre/existing") == b"OLD" * 100
+
+
 # -- opensearch -------------------------------------------------------------
 
 def test_opensearch_bulk_actions_and_ids():
