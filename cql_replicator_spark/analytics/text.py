@@ -836,7 +836,8 @@ def select_nonconflicting_merges(counts: DataFrame, k: int,
 
 def learn_bpe_merges(df: DataFrame, num_merges: int,
                      text_col: str = "text",
-                     batch_size: int = 1) -> list[tuple[str, str, int]]:
+                     batch_size: int = 1,
+                     pool: int = 256) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merge rules over the corpus: each round
     counts adjacent pairs (bpe_pair_counts over the persisted word-
     frequency symbol table), takes the most frequent pair — ties broken
@@ -863,6 +864,14 @@ def learn_bpe_merges(df: DataFrame, num_merges: int,
     empirically insensitive to this; Sennrich-style trainers batch the
     same way). Keep batch_size modest (<=16): merges apply as nested
     expression folds within the round.
+
+    ``pool`` bounds the ranked head the batch is selected from (the
+    distributed top-N select_nonconflicting_merges scans) and is PART
+    OF THE ALGORITHM'S DEFINITION, not an invisible cap: a round whose
+    top ``pool`` pairs contain fewer than batch_size unblocked pairs
+    selects a smaller batch and the remainder lands in later rounds —
+    still deterministic, and mirrored by the pure-Python reference
+    (same pool) in tests. Raise it if batch_size approaches pool/2.
     """
     words = (df.select(F.explode(tokens(text_col)).alias("word"))
              .filter(F.col("word") != "")
@@ -877,7 +886,8 @@ def learn_bpe_merges(df: DataFrame, num_merges: int,
             batch = (counts.orderBy(F.desc("pair_freq"), "left", "right")
                      .limit(1).collect())
         else:
-            batch = select_nonconflicting_merges(counts, k).collect()
+            batch = select_nonconflicting_merges(counts, k,
+                                                 pool=pool).collect()
         batch = [(r["left"], r["right"], int(r["pair_freq"]))
                  for r in batch if r["pair_freq"] >= 2]
         if not batch:

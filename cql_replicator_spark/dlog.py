@@ -198,11 +198,30 @@ def _publish_commit(table_path: str, version: int, actions: list[dict],
                 # slot refilled before the restore, leave the renamed
                 # copy on disk (invisible to versions(); preserves a
                 # possibly-published commit for recovery) rather than
-                # destroy it.
+                # destroy it. If the stolen file was a rival's FRESH
+                # token claim, the restored token may sit ownerless
+                # (the rival's ownership re-check can land inside our
+                # rename window and abort it) for one staleness
+                # horizon before the next reclaim — an accepted
+                # availability cost of never destroying a claim.
                 try:
                     os.link(reclaim, log_file)
+                except FileExistsError:
+                    pass  # slot refilled: keep the copy, touch nothing
                 except OSError:
-                    pass
+                    # no-hardlink filesystem (the same mounts the
+                    # O_EXCL publish fallback exists for): put-if-
+                    # absent via an O_EXCL slot claim, then replace it
+                    # with the stolen content — a bare rename-back
+                    # could clobber a claim that refilled the slot.
+                    try:
+                        fd = os.open(log_file,
+                                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    except OSError:
+                        pass  # slot refilled (or unprobeable): keep copy
+                    else:
+                        os.close(fd)
+                        os.replace(reclaim, log_file)
                 else:
                     os.unlink(reclaim)
     except OSError:
@@ -212,6 +231,29 @@ def _publish_commit(table_path: str, version: int, actions: list[dict],
         for a in actions:
             f.write(json.dumps(a) + "\n")
     try:
+        # Vacuumed-parts re-check at the LAST instant before the commit
+        # point: if a vacuum reclaimed any of this commit's moved parts
+        # while the writer was stalled (they age past the stale-orphan
+        # gate after _CLAIM_STALE_SECS), publishing would commit
+        # references to deleted files. Placed here — not earlier in
+        # commit_overwrite — so the unguarded residual is only the
+        # microseconds between this scan and the link. It cannot be
+        # zero without a cross-process lock: a vacuum whose rename and
+        # log re-read both land inside that residual still wins the
+        # file; vacuum's own rename+re-check narrows its side the same
+        # way, so loss needs BOTH micro-windows to coincide.
+        gone = [a["add"]["path"] for a in adds
+                if not os.path.exists(
+                    os.path.join(table_path, a["add"]["path"]))]
+        if gone:
+            for a in adds:  # drop survivors too: this commit is dead
+                try:
+                    os.unlink(os.path.join(table_path, a["add"]["path"]))
+                except OSError:
+                    pass
+            raise ConcurrentCommitError(
+                f"part files vacuumed while commit {version} was in "
+                f"flight in {table_path}: {gone}; re-read and re-commit")
         # put-if-absent commit point: link fails if the version
         # exists, so a racing writer cannot silently clobber it
         try:
@@ -428,28 +470,12 @@ class DeltaLogTable:
                 }})
         actions.extend(adds)
 
-        # Abort rather than publish a corrupt version: if a vacuum
-        # reclaimed any of our just-moved parts while we replayed the
-        # log (it classifies >stale-age orphans as crashed leftovers —
-        # the mtime refresh above makes that need a >60s stall RIGHT
-        # HERE, but a suspended process is exactly the case to defend),
-        # publishing would commit references to deleted files. The
-        # re-check shrinks the corrupt-publish window from the full
-        # stall to the microseconds between this scan and the log link,
-        # the same shape as the claim-token re-check in _publish_commit.
-        gone = [a["add"]["path"] for a in adds
-                if not os.path.exists(
-                    os.path.join(self.path, a["add"]["path"]))]
-        if gone:
-            for a in adds:  # drop survivors too: this commit is dead
-                try:
-                    os.unlink(os.path.join(self.path, a["add"]["path"]))
-                except OSError:
-                    pass
-            raise ConcurrentCommitError(
-                f"part files vacuumed while commit {version} was in "
-                f"flight in {self.path}: {gone}; re-read and re-commit")
-
+        # _publish_commit re-checks the adds still exist at the last
+        # instant before the commit point and aborts with
+        # ConcurrentCommitError if a vacuum reclaimed any (the mtime
+        # refresh above makes that need a >stale-age stall between the
+        # moves and here — a suspended process is exactly the case it
+        # defends).
         _publish_commit(self.path, version, actions, adds)
         return version
 
@@ -553,9 +579,14 @@ class DeltaLogTable:
                 # passed while the file still existed) — an unlink here
                 # would then destroy committed data. Rename wins at most
                 # once; re-reading the log afterwards sees any commit
-                # that published before our rename (the committer's
-                # existence re-check covers publishes after it); part
-                # names are uuid-unique so the restore rename can never
+                # that published before our rename, and a publish after
+                # it usually aborts at the committer's last-instant
+                # existence re-check (the file is renamed away). The
+                # residual is BOTH micro-windows coinciding — committer
+                # scan -> link overlapping our rename -> re-read ->
+                # remove — which no lock-free scheme closes; each side
+                # narrows its own window to microseconds. Part names
+                # are uuid-unique so the restore rename can never
                 # collide.
                 reclaim = full + f".vacuum.{os.getpid()}.{uuid.uuid4().hex}"
                 os.rename(full, reclaim)

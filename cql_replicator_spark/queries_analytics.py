@@ -92,8 +92,30 @@ def _near_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kept only after an interleaved same-session A/B on the registered
 # workload (bench_ab_sharedlsh.json): see BENCHNOTES_r11.
 
-_LSH_SHARED: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_LSH_SHARED: dict[tuple, tuple[DataFrame, ...]] = {}
 _LSH_SHARED_MAX = 8
+# Registered query builders must be thread-safe (the driver and the
+# stress suites fan lanes out across threads); the memo's
+# check-build-evict-insert is a compound mutation, so it runs under
+# one lock. Builds are lazy (persist() only marks — no Spark job), so
+# holding the lock across a build costs microseconds.
+_LSH_SHARED_LOCK = __import__("threading").Lock()
+
+
+def _memo_get_or_put(key: tuple, build) -> tuple[DataFrame, ...]:
+    """Locked lookup-or-insert with FIFO eviction: evicted entries'
+    frames are unpersisted (non-blocking) so pytest's many tmp
+    fixtures can't accumulate executor storage."""
+    with _LSH_SHARED_LOCK:
+        hit = _LSH_SHARED.get(key)
+        if hit is not None:
+            return hit
+        frames = build()
+        while len(_LSH_SHARED) >= _LSH_SHARED_MAX:
+            for old in _LSH_SHARED.pop(next(iter(_LSH_SHARED))):
+                old.unpersist(blocking=False)
+        _LSH_SHARED[key] = frames
+        return frames
 
 
 def _shared_capped_lsh(spark: SparkSession, sf_dir: str,
@@ -110,27 +132,24 @@ def _shared_capped_lsh(spark: SparkSession, sf_dir: str,
 
     key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir),
            n, num_hashes, bands, max_bucket_size)
-    hit = _LSH_SHARED.get(key)
-    if hit is not None:
-        return hit
-    docs = _near_fixture(spark, sf_dir)
-    sigs = D.minhash_signatures(docs, n=n, num_hashes=num_hashes) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = D.lsh_candidate_pairs(sigs, bands=bands,
-                                  rows_per_band=num_hashes // bands,
-                                  max_bucket_size=max_bucket_size) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    while len(_LSH_SHARED) >= _LSH_SHARED_MAX:
-        for old in _LSH_SHARED.pop(next(iter(_LSH_SHARED))):
-            old.unpersist(blocking=False)
-    _LSH_SHARED[key] = (sigs, pairs)
-    return sigs, pairs
+
+    def build():
+        docs = _near_fixture(spark, sf_dir)
+        sigs = D.minhash_signatures(docs, n=n, num_hashes=num_hashes) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = D.lsh_candidate_pairs(sigs, bands=bands,
+                                      rows_per_band=num_hashes // bands,
+                                      max_bucket_size=max_bucket_size) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        return sigs, pairs
+
+    return _memo_get_or_put(key, build)
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str,
                      n: int = 3) -> DataFrame:
     """Session-shared PERSISTED shingle frame over the near-dup
-    fixture, memoized like _shared_capped_lsh (same FIFO, same
+    fixture, memoized like _shared_capped_lsh (same locked FIFO, same
     ownership). Kept separate from the signature/pair memo because
     the gram stream is corpus-sized — and NOT wired into any
     registered lane: the estimator-accuracy probe (three shingle
@@ -145,16 +164,13 @@ def _shared_shingles(spark: SparkSession, sf_dir: str,
 
     key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir),
            "shingles", n)
-    hit = _LSH_SHARED.get(key)
-    if hit is not None:
-        return hit[0]
-    sh = D.shingles(_near_fixture(spark, sf_dir), n=n) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    while len(_LSH_SHARED) >= _LSH_SHARED_MAX:
-        for old in _LSH_SHARED.pop(next(iter(_LSH_SHARED))):
-            old.unpersist(blocking=False)
-    _LSH_SHARED[key] = (sh,)
-    return sh
+
+    def build():
+        sh = D.shingles(_near_fixture(spark, sf_dir), n=n) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        return (sh,)
+
+    return _memo_get_or_put(key, build)[0]
 
 
 # -- text analysis -----------------------------------------------------------

@@ -2981,9 +2981,12 @@ def test_learn_bpe_matches_python_reference(spark):
     assert got == want and len(got) == 6
 
 
-def _py_bpe_merges_batched(word_freqs: dict, num_merges: int, k: int):
+def _py_bpe_merges_batched(word_freqs: dict, num_merges: int, k: int,
+                           pool: int = 256):
     """Pure-Python reference of the BATCHED learner: per round, rank
-    pairs (freq desc, left, right), select up to k pairs blocked by no
+    pairs (freq desc, left, right), keep the top ``pool`` (the pool is
+    part of the algorithm's definition — the Spark side selects from a
+    distributed top-N head), select up to k pairs blocked by no
     higher-ranked pair (shared symbol or symbol == its fused string —
     the same non-transitive rule as select_nonconflicting_merges),
     apply them in rank order."""
@@ -2995,7 +2998,7 @@ def _py_bpe_merges_batched(word_freqs: dict, num_merges: int, k: int):
             for i in range(len(syms) - 1):
                 p = (syms[i], syms[i + 1])
                 counts[p] = counts.get(p, 0) + f
-        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:pool]
         batch = []
         for rk, ((l, r), n) in enumerate(ranked):
             blocked = any(
@@ -3049,6 +3052,12 @@ def test_learn_bpe_batched_matches_python_reference(spark):
     # sequence must still be a valid BPE: later merges may fuse earlier
     # outputs, e.g. ('lo','w') after ('l','o'))
     assert ("lo", "w", 6) in got
+
+    # pool is part of the algorithm's definition: a tiny pool shrinks
+    # rounds' batches identically in both implementations (the Spark
+    # side must not silently diverge when conflicts exhaust the head)
+    assert TX.learn_bpe_merges(df, 8, batch_size=4, pool=3) == \
+        _py_bpe_merges_batched(wf, 8, 4, pool=3)
 
     # batch_size=1 is exact sequential BPE (the pre-batching contract)
     assert TX.learn_bpe_merges(df, 6) == _py_bpe_merges(wf, 6)
@@ -3547,6 +3556,71 @@ def test_rfm_quintile_tie_goes_to_lower_bucket(spark):
 
 
 # -- cross-cutting guards: concurrency + rerun determinism ---------------------
+
+def test_shared_lsh_memo_is_thread_safe():
+    """The session-shared LSH memo is mutated by registered query
+    builders, which must be thread-safe (driver fan-out, the stress
+    suites). Hammer _memo_get_or_put from many threads across more
+    keys than the FIFO cap: no exceptions (the unlocked version raised
+    KeyError in the eviction loop under exactly this load), at most
+    MAX live entries, every evicted frame unpersisted, and no key
+    double-built (a lost duplicate build would leak its persisted
+    frames for the session)."""
+    import threading
+
+    from cql_replicator_spark import queries_analytics as QA
+
+    class FakeFrame:
+        def __init__(self, key):
+            self.key = key
+            self.unpersisted = False
+
+        def unpersist(self, blocking=False):
+            self.unpersisted = True
+
+    built: list[FakeFrame] = []
+    build_lock = threading.Lock()
+    saved = dict(QA._LSH_SHARED)
+    QA._LSH_SHARED.clear()
+    errors: list[BaseException] = []
+
+    def worker(seed):
+        try:
+            for i in range(200):
+                key = ("t", (seed * 7 + i) % (QA._LSH_SHARED_MAX * 3))
+
+                def build(key=key):
+                    f = FakeFrame(key)
+                    with build_lock:
+                        built.append(f)
+                    return (f,)
+
+                (frame,) = QA._memo_get_or_put(key, build)
+                assert frame.key == key
+        except BaseException as e:  # noqa: BLE001 - collect for assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+    finally:
+        live = set()
+        for frames in QA._LSH_SHARED.values():
+            live.update(id(f) for f in frames)
+        QA._LSH_SHARED.clear()
+        QA._LSH_SHARED.update(saved)
+    assert not errors, errors[:3]
+    assert len(live) <= QA._LSH_SHARED_MAX
+    # every build not currently live was evicted AND unpersisted;
+    # and no key was built twice while already cached (double-build
+    # under the lock is impossible; this catches regressions)
+    for f in built:
+        if id(f) not in live:
+            assert f.unpersisted, f.key
+
 
 def test_registry_queries_are_thread_safe(spark):
     """Multiple threads driving DIFFERENT registry queries on one shared

@@ -49,10 +49,10 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     def clear_cache():
+        # entries are variable-length tuples (sigs, pairs) or (sh,)
         while QA._LSH_SHARED:
-            sigs, pairs = QA._LSH_SHARED.pop(next(iter(QA._LSH_SHARED)))
-            pairs.unpersist(blocking=True)
-            sigs.unpersist(blocking=True)
+            for frame in QA._LSH_SHARED.pop(next(iter(QA._LSH_SHARED))):
+                frame.unpersist(blocking=True)
 
     def independent_lane(name):
         """The pre-r11 form of each lane: per-lane candidate rebuild."""
