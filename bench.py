@@ -305,19 +305,23 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     # best-of-2 per query: local[N] scheduling jitter is ±25% run-to-run;
     # the min is the engine's cost, the rest is the scheduler's.
-    # Calibration probes run interleaved at window start/middle/end so
-    # drift during the window itself is sampled, not just its edges.
+    # Calibration probes run interleaved at the window start, mid-pass,
+    # between passes, and end (5 sample sets) so drift during the
+    # window itself is sampled, not just its edges — the r11 artifact's
+    # 3-set calibrator read 0.70 while the 169-query population median
+    # read 0.817; more interleaved samples tighten the min-of-N.
     calib_samples = [run_calibration()]
     timings: dict[str, float] = {}
     for _ in range(2):
-        for name in names:
-            t0 = time.perf_counter()
-            df = REGISTRY[name].build(spark, SF_DIR)
-            df.count()
-            dt = round(time.perf_counter() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
-        calib_samples.append(run_calibration())
+        for half in (names[: len(names) // 2], names[len(names) // 2:]):
+            for name in half:
+                t0 = time.perf_counter()
+                df = REGISTRY[name].build(spark, SF_DIR)
+                df.count()
+                dt = round(time.perf_counter() - t0, 3)
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
+            calib_samples.append(run_calibration())
     total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
