@@ -3063,6 +3063,57 @@ def test_learn_bpe_batched_matches_python_reference(spark):
     assert TX.learn_bpe_merges(df, 6) == _py_bpe_merges(wf, 6)
 
 
+def test_select_nonconflicting_merges_properties(spark):
+    """Property pin for the batch-selection rule on randomized count
+    tables (derandomized per the CI convention): the selected set is
+    always pairwise symbol-disjoint (including fused-string collisions
+    — the soundness precondition for applying a batch in one round),
+    is a subset of the rank head, respects k, and matches the
+    pure-Python selection byte-for-byte."""
+    import random
+
+    rng = random.Random(48879)
+    syms = list("abcdefgh")
+    for trial in range(12):
+        n_pairs = rng.randrange(3, 20)
+        counts, seen = [], set()
+        while len(counts) < n_pairs:
+            p = (rng.choice(syms), rng.choice(syms))
+            if p not in seen:
+                seen.add(p)
+                counts.append((p[0], p[1], rng.randrange(2, 40)))
+        k = rng.randrange(1, 6)
+        pool = rng.choice([3, 8, 256])
+        df = spark.createDataFrame(
+            counts, "left string, right string, pair_freq long")
+        got = [(r["left"], r["right"], r["pair_freq"], r["rk"])
+               for r in TX.select_nonconflicting_merges(df, k, pool=pool)
+               .orderBy("rk").collect()]
+
+        ranked = sorted(counts, key=lambda t: (-t[2], t[0], t[1]))[:pool]
+        want, chosen = [], []
+        for rk, (l, r, n) in enumerate(ranked, start=1):
+            blocked = any(hl in (l, r) or hr in (l, r) or (hl + hr) in (l, r)
+                          for hl, hr, _ in ranked[: rk - 1])
+            if not blocked:
+                want.append((l, r, n, rk))
+                chosen.append((l, r))
+                if len(want) == k:
+                    break
+        assert got == want, (trial, got, want)
+        # pairwise symbol-disjoint, and no higher-ranked pair's fused
+        # string appears as a lower-ranked pair's symbol (the rule's
+        # exact guarantee; the converse direction is harmless — a
+        # later merge minting a symbol equal to an earlier pair's
+        # operand can't affect the earlier, already-applied merge)
+        sym_sets = [set(p) for p in chosen]  # self-pairs like (h,h) ok
+        for i in range(len(chosen)):
+            for j in range(i + 1, len(chosen)):
+                assert not (sym_sets[i] & sym_sets[j]), (trial, chosen)
+                fi = chosen[i][0] + chosen[i][1]
+                assert fi not in chosen[j], (trial, chosen)
+
+
 def test_merge_symbol_pair_overlap_left_to_right(spark):
     df = spark.createDataFrame([(["a", "a", "a"],), (["b", "a", "a", "b"],)],
                                "syms array<string>")
