@@ -1362,6 +1362,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "dedup_clusters_star",           # touched: shared candidate stage
     "dedup_cluster_keepers",         # touched: shared candidate stage
     "dedup_minhash_accuracy",        # touched: shared sigs+pairs
+    "doc_winnowing_pairs",           # touched: distinct fused into the
+                                     # posting-list groupBy
+                                     # (collect_set, one fewer shuffle)
     "bpe_top_pairs_batched",         # NEW: one batched symbol-disjoint
                                      # merge round (the r10 BPE
                                      # driver-chatter fix), oracle-
