@@ -64,6 +64,19 @@ _LOG_DIR = "_delta_log"
 # now the microsecond check->rename window.
 _CLAIM_STALE_SECS = 60.0
 
+# Preserved-copy sweep horizon. The reclaim/vacuum restore-failure
+# paths deliberately leave ``.reclaim.*`` / ``.vacuum.*`` copies on
+# disk rather than destroy possibly-committed bytes; versions() and
+# the data-file scan both ignore those names, so without a sweep they
+# accumulate forever on repeated contention. vacuum() ages them out
+# once they are MANY staleness horizons old — by then every race they
+# were preserving against has resolved (a live committer's whole
+# claim->publish window is microseconds; _CLAIM_STALE_SECS is already
+# ~7 orders of magnitude above that) — after re-checking the slot/log
+# state they were preserving: a copy whose content is still the only
+# surviving bytes of referenced data is RESTORED, never deleted.
+_PRESERVED_SWEEP_SECS = 20 * _CLAIM_STALE_SECS
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first (optimistic
@@ -603,4 +616,88 @@ class DeltaLogTable:
             except OSError:
                 continue  # already gone (racing vacuum/loser cleanup)
             removed.append(name)
+        self._sweep_preserved_copies(now)
         return removed
+
+    def _sweep_preserved_copies(self, now: float) -> None:
+        """Age out ``.reclaim.*`` / ``.vacuum.*`` preserved copies (see
+        _PRESERVED_SWEEP_SECS). Both kinds exist because a restore
+        failed or a slot refilled mid-race; the rule here is the same
+        as everywhere else in this module — re-check the state the
+        copy was preserving, restore put-if-absent when the copy is
+        the only surviving bytes of referenced state, delete only
+        copies that are provably redundant or never-committed:
+
+        * data copy ``<f>.parquet.vacuum.<pid>.<hex>``: if
+          ``<f>.parquet`` exists live the copy is redundant; if the
+          log references ``<f>.parquet`` but the file is gone, the
+          copy is committed data and is restored (put-if-absent);
+          a copy of a file no commit ever referenced is an orphan's
+          orphan.
+        * log copy ``<v>.json.reclaim.<pid>.<hex>``: if the slot
+          holds a COMPLETE commit, a winner published (the preserved
+          content either is that winner or lost the race) — delete;
+          if the slot is empty, restore put-if-absent; an INCOMPLETE
+          slot is a live claim — leave the copy for the next sweep.
+
+        Restores use the same link / O_EXCL-create fallback as the
+        commit path, so a concurrent writer can never be clobbered.
+        Failures skip the copy (next vacuum retries)."""
+
+        def _restore(copy: str, dest: str) -> bool:
+            try:
+                os.link(copy, dest)
+            except FileExistsError:
+                return True  # slot/file refilled: copy now redundant
+            except OSError:
+                try:  # no-hardlink filesystem: O_EXCL claim + replace
+                    fd = os.open(dest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except OSError:
+                    return False  # refilled or unprobeable: retry later
+                os.close(fd)
+                os.replace(copy, dest)
+                return False  # replace consumed the copy
+            return True  # linked: the copy itself is now redundant
+
+        ever_added: set[str] | None = None
+        for name in sorted(os.listdir(self.path)):
+            if ".vacuum." not in name:
+                continue
+            full = os.path.join(self.path, name)
+            try:
+                if now - os.stat(full).st_mtime <= _PRESERVED_SWEEP_SECS:
+                    continue
+                base = name.split(".vacuum.")[0]
+                base_full = os.path.join(self.path, base)
+                if not os.path.exists(base_full):
+                    if ever_added is None:  # lazily, once per sweep
+                        ever_added = {
+                            a["add"]["path"]
+                            for v in self.versions()
+                            for a in self._read_commit(v) if "add" in a}
+                    if base in ever_added and not _restore(full, base_full):
+                        continue
+                os.unlink(full)
+            except OSError:
+                continue
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        try:
+            log_names = sorted(os.listdir(log_dir))
+        except OSError:
+            return
+        for name in log_names:
+            if ".reclaim." not in name:
+                continue
+            full = os.path.join(log_dir, name)
+            try:
+                if now - os.stat(full).st_mtime <= _PRESERVED_SWEEP_SECS:
+                    continue
+                slot = os.path.join(log_dir, name.split(".reclaim.")[0])
+                if os.path.exists(slot):
+                    if not _commit_complete(slot):
+                        continue  # live claim in the slot: not resolved
+                elif not _restore(full, slot):
+                    continue
+                os.unlink(full)
+            except OSError:
+                continue

@@ -105,15 +105,30 @@ _LSH_SHARED_LOCK = __import__("threading").Lock()
 def _memo_get_or_put(key: tuple, build) -> tuple[DataFrame, ...]:
     """Locked lookup-or-insert with FIFO eviction: evicted entries'
     frames are unpersisted (non-blocking) so pytest's many tmp
-    fixtures can't accumulate executor storage."""
+    fixtures can't accumulate executor storage.
+
+    Memo keys lead with the owning applicationId, so entries from a
+    STOPPED SparkContext (same process, new session — pytest does
+    this) are never served, but they used to linger in the dict and
+    count toward the FIFO cap; evicting one then called unpersist()
+    on a frame whose context is gone, which can raise inside an
+    unrelated new-session query build. Dead-session entries are
+    dropped first (their storage died with the context — no unpersist
+    needed), and the eviction unpersist is best-effort."""
+    app_id = key[0]
     with _LSH_SHARED_LOCK:
         hit = _LSH_SHARED.get(key)
         if hit is not None:
             return hit
+        for stale in [k for k in _LSH_SHARED if k[0] != app_id]:
+            _LSH_SHARED.pop(stale)
         frames = build()
         while len(_LSH_SHARED) >= _LSH_SHARED_MAX:
             for old in _LSH_SHARED.pop(next(iter(_LSH_SHARED))):
-                old.unpersist(blocking=False)
+                try:
+                    old.unpersist(blocking=False)
+                except Exception:
+                    pass  # best-effort cleanup; entry is gone either way
         _LSH_SHARED[key] = frames
         return frames
 

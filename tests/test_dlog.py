@@ -871,3 +871,90 @@ def test_commit_complete_is_total_on_arbitrary_bytes(tmp_path):
         f.write('{"commitInfo": {"txnActionCount": 3}}\n{"add": {}}\n')
     assert _commit_complete(p) is False  # a whole line is missing
     assert _commit_complete(str(tmp_path / "nope.json")) is False
+
+
+def test_vacuum_sweeps_aged_preserved_copies(tmp_path):
+    """The reclaim/vacuum restore-failure paths leave .reclaim./.vacuum.
+    copies on disk rather than destroy possibly-committed bytes, but
+    nothing aged them out — versions() and the data scan ignore those
+    names, so repeated contention accumulated them forever. vacuum()
+    now sweeps copies older than _PRESERVED_SWEEP_SECS after
+    re-checking the state each copy was preserving: redundant and
+    never-committed copies are deleted, a copy that is the ONLY
+    surviving bytes of referenced state is restored (put-if-absent),
+    fresh copies and copies shadowed by a live in-flight claim are
+    left for the next sweep."""
+    from cql_replicator_spark import dlog as D
+
+    d = str(tmp_path / "t")
+    D._publish_commit(d, 0, _pc_actions(0), adds=[])
+    D._publish_commit(d, 1, _pc_actions(1), adds=[])
+    tbl = DeltaLogTable(d)
+    log_dir = os.path.join(d, "_delta_log")
+    aged = time.time() - D._PRESERVED_SWEEP_SECS - 5
+
+    def plant(path, content, old=True):
+        with open(path, "w") as f:
+            f.write(content)
+        if old:
+            os.utime(path, (aged, aged))
+
+    # the live data files the retained commits reference (fresh mtime
+    # so the main vacuum loop is exercised realistically)
+    for v in (0, 1):
+        for s in ("a", "b"):
+            plant(os.path.join(d, f"part-v{v}-{s}.parquet"), "DATA",
+                  old=False)
+
+    # (a) data copy whose base exists live -> redundant, swept
+    plant(os.path.join(d, "part-v1-a.parquet.vacuum.1.aa"), "old")
+    # (b) data copy that is the only surviving bytes of a referenced
+    #     file -> restored, not deleted
+    os.unlink(os.path.join(d, "part-v0-b.parquet"))
+    plant(os.path.join(d, "part-v0-b.parquet.vacuum.2.bb"), "ONLYCOPY")
+    # (c) copy of a file no commit ever referenced -> swept
+    plant(os.path.join(d, "part-ghost.parquet.vacuum.3.cc"), "ghost")
+    # (d) fresh copy -> untouched until it ages
+    plant(os.path.join(d, "part-v1-b.parquet.vacuum.4.dd"), "fresh",
+          old=False)
+    # (e) log copy whose slot holds a COMPLETE commit -> a winner
+    #     published; the preserved loser is swept
+    plant(os.path.join(log_dir,
+                       "00000000000000000000.json.reclaim.5.ee"), "lost")
+    # (f) log copy whose slot is EMPTY -> restored put-if-absent
+    commit2 = (
+        '{"commitInfo": {"timestamp": 1, "operation": "WRITE",'
+        ' "txnActionCount": 2}}\n'
+        '{"add": {"path": "part-v1-a.parquet", "partitionValues": {},'
+        ' "size": 1, "modificationTime": 1, "dataChange": true}}\n')
+    plant(os.path.join(log_dir,
+                       "00000000000000000002.json.reclaim.6.ff"), commit2)
+    # (g) log copy shadowed by a live (incomplete) claim in the slot ->
+    #     not resolved yet, left alone
+    plant(os.path.join(log_dir, "00000000000000000003.json"), "",
+          old=False)
+    plant(os.path.join(log_dir,
+                       "00000000000000000003.json.reclaim.7.gg"), "wait")
+
+    removed = tbl.vacuum(retain_versions=5)
+    # return contract unchanged: only data-file names, no copy names
+    assert all(n.endswith(".parquet") for n in removed)
+
+    left_root = sorted(n for n in os.listdir(d) if ".vacuum." in n)
+    left_log = sorted(n for n in os.listdir(log_dir) if ".reclaim." in n)
+    assert left_root == ["part-v1-b.parquet.vacuum.4.dd"], left_root
+    assert left_log == ["00000000000000000003.json.reclaim.7.gg"], left_log
+    # (b) restored: the referenced bytes survive under the real name
+    with open(os.path.join(d, "part-v0-b.parquet")) as f:
+        assert f.read() == "ONLYCOPY"
+    # (f) restored: version 2 is a complete commit again
+    assert tbl.versions() == [0, 1, 2]
+    # (a)/(c)/(e) gone, bases untouched
+    assert os.path.exists(os.path.join(d, "part-v1-a.parquet"))
+    assert not os.path.exists(os.path.join(d, "part-ghost.parquet"))
+
+    # idempotent: a second vacuum changes nothing further
+    tbl.vacuum(retain_versions=5)
+    assert sorted(n for n in os.listdir(d) if ".vacuum." in n) == left_root
+    assert sorted(
+        n for n in os.listdir(log_dir) if ".reclaim." in n) == left_log

@@ -49,10 +49,14 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     def clear_cache():
-        # entries are variable-length tuples (sigs, pairs) or (sh,)
-        while QA._LSH_SHARED:
-            for frame in QA._LSH_SHARED.pop(next(iter(QA._LSH_SHARED))):
-                frame.unpersist(blocking=True)
+        # entries are variable-length tuples (sigs, pairs) or (sh,).
+        # Mutations run under the memo's lock — the tool is single-
+        # threaded today, but it must model the documented invariant,
+        # not an unsafe shortcut the next reader copies.
+        with QA._LSH_SHARED_LOCK:
+            while QA._LSH_SHARED:
+                for frame in QA._LSH_SHARED.pop(next(iter(QA._LSH_SHARED))):
+                    frame.unpersist(blocking=True)
 
     def independent_lane(name):
         """The pre-r11 form of each lane: per-lane candidate rebuild."""
