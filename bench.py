@@ -31,15 +31,22 @@ def tail_line(result: dict) -> str:
     most expensive first (the rows with plan-audit signal), plus a
     pointer to the committed full artifact."""
     timings = result["queries"]
+    cal = result.get("calibration", {})
     line = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": "sec",
         "sf": result["sf"],
         "n_queries": len(timings),
-        "drift_factor": result.get("calibration", {}).get("drift_factor"),
-        "drift_normalized_total":
-            result.get("calibration", {}).get("drift_normalized_total"),
+        # HEADLINE normalizer: population median (per-query ratio vs
+        # the pinned reference over all common queries). The 5-query
+        # probe reads ~0.84x of it (quiet-instant bias, BENCHNOTES_r11
+        # §1) and is kept as the secondary/diagnostic signal.
+        "population_drift_factor": cal.get("population_drift_factor"),
+        "population_normalized_total":
+            cal.get("population_normalized_total"),
+        "probe_drift_factor": cal.get("drift_factor"),
+        "probe_normalized_total": cal.get("drift_normalized_total"),
         "full": "bench_result.json",
         "queries": {},
     }
@@ -53,14 +60,27 @@ def tail_line(result: dict) -> str:
 # Drift calibrators (r10 verdict): run-level totals on this host drift
 # 15-30% between rounds with the machine idle (host-capacity variance
 # invisible from inside the sandbox — see BENCHNOTES_r07/r10), so raw
-# cross-round totals measure the host, not the code. Five FROZEN
-# queries spanning the engine (scan+agg, 3-way join, anti-join diff,
-# text, vector math) run interleaved at window start/middle/end; the
-# median of their ratio-to-reference is recorded as "drift_factor" in
-# the artifact. total/drift_factor is the cross-round-comparable
-# number. References pinned to the r10 driver window (BENCH_r10 /
-# bench_result.json @ f8ef856, sf0.1, local[32], best-of-2) — only
-# meaningful when this run is also sf0.1, else drift_factor is null.
+# cross-round totals measure the host, not the code.
+#
+# HEADLINE normalizer (r11 verdict): population_drift_factor — the
+# median per-query ratio of THIS run's best-of-2 times to the pinned
+# r10 reference over all common queries (bench_ref_r10.json, the full
+# per-query map of the r10 driver window @ f8ef856). It normalizes by
+# the same population it corrects, so the probe's measured ~0.84x
+# quiet-instant bias (five queries timed back-to-back in quiet
+# instants read peak host capacity, the population runs under window
+# churn — BENCHNOTES_r11 §1) cancels out. Queries whose implementation
+# changed in a round bias its median only as ~1/170th of the
+# population each — the median is robust to any realistic per-round
+# touched set.
+#
+# DIAGNOSTIC probe: five FROZEN queries spanning the engine (scan+agg,
+# 3-way join, anti-join diff, text, vector math) run interleaved at
+# window start/middle/end; the median of their ratio-to-reference is
+# "drift_factor". Kept because it is immune to code changes by
+# construction (the five are frozen), at the cost of the instrument
+# bias above. Both normalizers are only meaningful when this run is
+# also sf0.1, else they are null.
 CALIBRATION_REF = {
     "q1_pricing_summary": 0.533,
     "q18_large_volume_customers": 1.607,
@@ -325,15 +345,34 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    at_ref_sf = float(sf) == CALIBRATION_REF_SF
     # The reference times are best-of-2 warm minima, so compare like
-    # with like: per-query min across the three interleaved samples
-    # (the first is cold — the min discards it), then the median ratio
+    # with like: per-query min across the five interleaved sample sets
+    # (one at window start plus one after each of the four half-passes;
+    # the first is cold — the min discards it), then the median ratio
     # across the five queries.
     ratios = sorted(
         min(s[n] for s in calib_samples) / CALIBRATION_REF[n]
         for n in CALIBRATION_REF)
-    drift = (round(ratios[len(ratios) // 2], 4)
-             if float(sf) == CALIBRATION_REF_SF else None)
+    drift = round(ratios[len(ratios) // 2], 4) if at_ref_sf else None
+
+    # Population normalizer (the headline — see the calibrator note):
+    # median per-query best-of-2 ratio vs the pinned r10 reference over
+    # every query both rounds ran.
+    pop_drift = pop_ref_total = None
+    ref_path = Path(__file__).resolve().parent / "bench_ref_r10.json"
+    if at_ref_sf and ref_path.exists():
+        ref_q = json.loads(ref_path.read_text())["queries"]
+        common = sorted(
+            timings[n] / ref_q[n]
+            for n in timings if n in ref_q and ref_q[n] > 0)
+        if common:
+            mid = len(common) // 2
+            med = (common[mid] if len(common) % 2
+                   else (common[mid - 1] + common[mid]) / 2)
+            pop_drift = round(med, 4)
+            pop_ref_total = len(common)
+
     result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -345,6 +384,11 @@ def main() -> None:
             "ref_sf": CALIBRATION_REF_SF,
             "ref": CALIBRATION_REF,
             "samples": calib_samples,
+            "population_ref": "bench_ref_r10.json",
+            "population_n_common": pop_ref_total,
+            "population_drift_factor": pop_drift,
+            "population_normalized_total": (
+                round(total / pop_drift, 3) if pop_drift else None),
             "drift_factor": drift,
             "drift_normalized_total": (round(total / drift, 3)
                                        if drift else None),
