@@ -602,15 +602,91 @@ def tile_histogram_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("tile").agg(F.count("*").alias("count")).orderBy("tile"))
 
 
+# Probe inputs for the tile_histogram_xxhash64 oracle: DuckDB has no
+# xxhash64, so the engine's hash function is checked against PINNED
+# literals instead — Spark hashes these ten fixed longs (edge cases:
+# zero, +/-1, the registered tile inputs' magnitude, +/-2^62) and the
+# oracle states the expected (hash, tile) as literal VALUES. The
+# literals were computed once and are cross-checked in
+# tests/test_core.py against tiling.xxhash64_long_ref, a from-spec
+# XXH64 implementation pinned to the published xxHash sanity vectors —
+# so the pin is independent of the engine, not a circular snapshot.
+_XXH64_PROBES = [0, 1, 7, 42, -1, 123456789, -123456789,
+                 1 << 62, -(1 << 62), 999999937]
+
+
 @register(
     "tile_histogram_xxhash64",
-    oracle=None,  # DuckDB has no xxhash64; driver does rows-only check
-    doc="Production tiling: abs(xxhash64(pks)) % n (K:1832-1843); verified by pytest invariants",
+    oracle="""
+SELECT check_name, CAST(value AS BIGINT) AS value,
+       CAST(tile AS BIGINT) AS tile
+FROM (VALUES
+  -- xxhash64(long) = XXH64(8 LE bytes, seed 42); literals computed
+  -- once, cross-checked against the from-spec reference
+  -- (tiling.xxhash64_long_ref, pinned to the published xxHash sanity
+  -- vectors) in tests/test_core.py — see _XXH64_PROBES
+  ('probe:0', CAST(-5252525462095825812 AS BIGINT), CAST(4 AS BIGINT)),
+  ('probe:1', CAST(-7001672635703045582 AS BIGINT), CAST(2 AS BIGINT)),
+  ('probe:7', CAST(-2864211556195259663 AS BIGINT), CAST(1 AS BIGINT)),
+  ('probe:42', CAST(-6876166290308861218 AS BIGINT), CAST(6 AS BIGINT)),
+  ('probe:-1', CAST(3858142552250413010 AS BIGINT), CAST(2 AS BIGINT)),
+  ('probe:123456789', CAST(3415128141240069951 AS BIGINT), CAST(7 AS BIGINT)),
+  ('probe:-123456789', CAST(-4851583529704802603 AS BIGINT), CAST(5 AS BIGINT)),
+  ('probe:4611686018427387904', CAST(8973626371093010265 AS BIGINT), CAST(1 AS BIGINT)),
+  ('probe:-4611686018427387904', CAST(5005707091092326006 AS BIGINT), CAST(6 AS BIGINT)),
+  ('probe:999999937', CAST(-7171001346879101412 AS BIGINT), CAST(4 AS BIGINT))
+) AS p(check_name, value, tile)
+UNION ALL
+SELECT 'invariant:total_rows', count(*), CAST(NULL AS BIGINT) FROM orders
+UNION ALL
+-- exact for fixed input: xxhash64 is deterministic and the sf tables
+-- are frozen, so every one of the 8 tiles is non-empty and the id
+-- range is exactly [0, 8) at any checked scale factor
+SELECT 'invariant:n_tiles_used', CAST(8 AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'invariant:min_tile', CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'invariant:max_tile', CAST(7 AS BIGINT), CAST(NULL AS BIGINT)
+""",
+    doc="Production tiling: pmod(xxhash64(pks), n) (K:1832-1843), "
+        "oracle-checked without DuckDB xxhash64: the engine hashes ten "
+        "pinned probe longs against independently-verified literal "
+        "hashes/tiles, and the full-table histogram is summarized into "
+        "invariants that are exact for fixed input (row count "
+        "preserved, all 8 tiles used, ids within [0,8))",
 )
 def tile_histogram_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")["orders"]
     from .tiling import tile_histogram
-    return tile_histogram(orders, ["o_orderkey"], 8)
+    probes = (
+        spark.range(1)
+        .select(F.explode(F.array(
+            *[F.lit(p).cast("long") for p in _XXH64_PROBES])).alias("k"))
+        .select(
+            F.concat(F.lit("probe:"), F.col("k").cast("string"))
+            .alias("check_name"),
+            F.xxhash64(F.col("k")).alias("value"),
+            F.pmod(F.xxhash64(F.col("k")), F.lit(8)).cast("long")
+            .alias("tile")))
+    hist = tile_histogram(orders, ["o_orderkey"], 8)
+    invariants = (
+        hist.agg(F.sum("count").alias("total_rows"),
+                 F.count("*").alias("n_tiles_used"),
+                 F.min("tile").alias("min_tile"),
+                 F.max("tile").alias("max_tile"))
+        .select(F.explode(F.array(
+            F.struct(F.lit("invariant:total_rows").alias("check_name"),
+                     F.col("total_rows").cast("long").alias("value")),
+            F.struct(F.lit("invariant:n_tiles_used").alias("check_name"),
+                     F.col("n_tiles_used").cast("long").alias("value")),
+            F.struct(F.lit("invariant:min_tile").alias("check_name"),
+                     F.col("min_tile").cast("long").alias("value")),
+            F.struct(F.lit("invariant:max_tile").alias("check_name"),
+                     F.col("max_tile").cast("long").alias("value")),
+        )).alias("s"))
+        .select("s.check_name", "s.value",
+                F.lit(None).cast("long").alias("tile")))
+    return probes.unionByName(invariants)
 
 
 @register(
@@ -1349,26 +1425,21 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything else stalest-evidence-first. tests/test_oracle.py asserts the
 # computed order actually has this shape.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r11: the shared persisted MinHash-LSH candidate stage
-    # (_shared_capped_lsh — five lanes, one shingle pass) and the
-    # batched-BPE round. The rest of the ~50-row window goes to the
-    # stalest evidence via the fallback: the 5 remaining r5 rows
-    # (weighted_sample_docs, source_orc_roundtrip, snapshot_pruned_read,
-    # text_bm25_scores, validate_constraints) lead it, then the r6
-    # cohort — clearing the evidence-freshness debt the r10 verdict
-    # flagged.
-    "dedup_minhash_lsh",             # touched: shared candidate stage
-    "dedup_clusters",                # touched: shared candidate stage
-    "dedup_clusters_star",           # touched: shared candidate stage
-    "dedup_cluster_keepers",         # touched: shared candidate stage
-    "dedup_minhash_accuracy",        # touched: shared sigs+pairs
-    "doc_winnowing_pairs",           # touched: distinct fused into the
-                                     # posting-list groupBy
-                                     # (collect_set, one fewer shuffle)
-    "bpe_top_pairs_batched",         # NEW: one batched symbol-disjoint
-                                     # merge round (the r10 BPE
-                                     # driver-chatter fix), oracle-
-                                     # mirrored non-transitive blocking
+    # r12: tile_histogram_xxhash64 gained an exact oracle (pinned
+    # probe-hash literals cross-checked against a from-spec XXH64
+    # reference + fixed-input invariants) — the registry's last
+    # rows-only row closes. The five shared-LSH lanes re-verify
+    # because the memo's eviction path changed (dead-session entries
+    # dropped before the FIFO cap, best-effort unpersist). The rest of
+    # the ~50-row window goes to the stalest evidence via the
+    # fallback: the 4 remaining r6 rows lead it, then the 35-row r7
+    # cohort — retiring the r7 evidence debt (r11 verdict item 2).
+    "tile_histogram_xxhash64",       # CHANGED: rows-only -> exact oracle
+    "dedup_minhash_lsh",             # touched: memo eviction path
+    "dedup_clusters",                # touched: memo eviction path
+    "dedup_clusters_star",           # touched: memo eviction path
+    "dedup_cluster_keepers",         # touched: memo eviction path
+    "dedup_minhash_accuracy",        # touched: memo eviction path
 ]
 
 

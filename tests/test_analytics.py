@@ -3673,6 +3673,63 @@ def test_shared_lsh_memo_is_thread_safe():
             assert f.unpersisted, f.key
 
 
+def test_lsh_memo_lanes_are_read_only_under_concurrency(spark):
+    """The memo's lifetime contract, pinned mechanically (r11 verdict
+    item 4 — PLANS.md stamps it on all five lanes): memoized frames are
+    READ-ONLY and session-lifetime. Five lanes sharing the memo run
+    concurrently, twice, against a fresh-memo serial baseline — every
+    wave must return identical frames, the memo must still hold the
+    SAME frame objects it built for the baseline (no lane unpersisted,
+    re-persisted, or replaced a shared frame), and the shared entry
+    must still be persisted. A lane that mutates a memo frame breaks
+    one of these within a wave."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cql_replicator_spark import queries_analytics as QA
+    from cql_replicator_spark.queries import REGISTRY, _ensure_all_registered
+    from conftest import SF_DIR
+    _ensure_all_registered()
+    lanes = ["dedup_minhash_lsh", "dedup_clusters", "dedup_clusters_star",
+             "dedup_cluster_keepers", "dedup_minhash_accuracy"]
+
+    with QA._LSH_SHARED_LOCK:
+        saved = dict(QA._LSH_SHARED)
+        QA._LSH_SHARED.clear()
+    try:
+        baseline = {
+            n: sorted(map(tuple, REGISTRY[n].build(spark, SF_DIR).collect()))
+            for n in lanes}
+        with QA._LSH_SHARED_LOCK:
+            entries = dict(QA._LSH_SHARED)
+        assert len(entries) == 1, \
+            f"five lanes must share ONE memo entry, got {len(entries)}"
+        frame_ids = {id(f) for frames in entries.values() for f in frames}
+
+        def run(name):
+            return name, sorted(
+                map(tuple, REGISTRY[name].build(spark, SF_DIR).collect()))
+
+        for wave in range(2):
+            with ThreadPoolExecutor(max_workers=5) as ex:
+                for name, rows in ex.map(run, lanes):
+                    assert rows == baseline[name], (wave, name)
+            with QA._LSH_SHARED_LOCK:
+                now = dict(QA._LSH_SHARED)
+            assert set(now) == set(entries), "memo keys changed under lanes"
+            now_ids = {id(f) for frames in now.values() for f in frames}
+            assert now_ids == frame_ids, \
+                "a lane replaced a shared frame (read-only contract)"
+            for frames in now.values():
+                for f in frames:
+                    assert f.storageLevel.useMemory or \
+                        f.storageLevel.useDisk, \
+                        "a lane unpersisted a shared frame"
+    finally:
+        with QA._LSH_SHARED_LOCK:
+            QA._LSH_SHARED.clear()
+            QA._LSH_SHARED.update(saved)
+
+
 def test_registry_queries_are_thread_safe(spark):
     """Multiple threads driving DIFFERENT registry queries on one shared
     session must all produce correct results — the multi-tenant usage

@@ -32,6 +32,54 @@ def test_tile_distribution_roughly_uniform(tables):
         assert abs(c - total / 4) < total * 0.2  # xxhash64 should spread well
 
 
+def test_xxh64_reference_matches_spec_vectors_and_engine(spark):
+    """The pinned hash literals in the tile_histogram_xxhash64 oracle
+    rest on tiling.xxh64_ref being real XXH64, not an engine snapshot:
+    (1) the reference reproduces the published XXH64 sanity vectors
+    for the empty input at both canonical seeds; (2) the engine's
+    F.xxhash64 equals the reference's 8-LE-bytes/seed-42 form across
+    edge-case and fixed-seed random longs — two implementations
+    written independently (JVM builtin vs from-spec Python) agreeing
+    on 60+ inputs, which no shared transcription error survives; (3)
+    the oracle's ten probe literals are exactly what both compute."""
+    import random
+
+    # (1) published sanity vectors (xxHash README / xsum_sanity_check)
+    PRIME32 = 2654435761
+    assert tiling.xxh64_ref(b"", 0) == 0xEF46DB3751D8E999
+    assert tiling.xxh64_ref(b"", PRIME32) == 0xAC75FDA2929B17EF
+
+    # (2) engine cross-check: F.xxhash64(long) == XXH64(8 LE bytes, 42),
+    # and the >=32-byte branch via xxhash64 of a binary column
+    vals = [0, 1, -1, 7, 42, (1 << 63) - 1, -(1 << 63), 1 << 62,
+            -(1 << 62), 123456789, -123456789, 999999937]
+    rng = random.Random(0xC0FFEE)
+    vals += [rng.randint(-(1 << 63), (1 << 63) - 1) for _ in range(50)]
+    got = (spark.range(1).select(*[
+        F.xxhash64(F.lit(v).cast("long")).alias(f"h{i}")
+        for i, v in enumerate(vals)]).collect()[0])
+    for i, v in enumerate(vals):
+        assert got[i] == tiling.xxhash64_long_ref(v), v
+    blobs = [bytes(rng.randrange(256) for _ in range(n))
+             for n in (0, 1, 3, 4, 7, 8, 14, 31, 32, 33, 64, 100)]
+    got_b = (spark.range(1).select(*[
+        F.xxhash64(F.lit(b)).alias(f"b{i}")
+        for i, b in enumerate(blobs)]).collect()[0])
+    for i, b in enumerate(blobs):
+        u = tiling.xxh64_ref(b, 42)
+        want = u - (1 << 64) if u >= (1 << 63) else u
+        assert got_b[i] == want, (i, len(b))
+
+    # (3) the registered oracle's pinned literals are those values
+    from cql_replicator_spark.queries import _XXH64_PROBES, REGISTRY
+    oracle = REGISTRY["tile_histogram_xxhash64"].oracle
+    for p in _XXH64_PROBES:
+        h = tiling.xxhash64_long_ref(p)
+        line = (f"('probe:{p}', CAST({h} AS BIGINT), "
+                f"CAST({h % 8} AS BIGINT))")
+        assert line in oracle, line
+
+
 def test_resize_preserves_distinct_count(tables):
     orders = tables["orders"]
     t4 = tiling.assign_tiles(orders.select("o_orderkey"), ["o_orderkey"], 4)
