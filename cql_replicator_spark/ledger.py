@@ -38,6 +38,23 @@ discovery/replication processes, ONE replication consumer per tile
 rows number tiles×2 (≤2048 by the reference's guardrails) so reloading
 the whole file per operation is trivially cheap; swap the backend for
 a DynamoDB or JDBC table in production without touching callers.
+
+Consume-effect contract (the journal-before-mark residual, pinned):
+a consumer's external effect (the data write — replication_plan ->
+load -> mark_replication_complete) and the ledger mark cannot be one
+atomic step without a transactional sink, and no lock-free scheme
+makes them one. The ledger therefore guarantees exactly-once MARKS and
+at-least-once EFFECTS, with the redo bounded at exactly the single
+in-flight snapshot whose effect landed but whose mark did not — a
+recovering consumer re-plans that one snapshot and re-runs its effect;
+it can never re-run an already-marked one (replication_plan returns
+None) and never skip one (the unmarked curr stays consumable). The
+redo carries the identical (ks, tbl, tile, curr-location) key, so an
+idempotent sink keyed by it — every sink in this repo that replays
+(DLQ, parquet overwrite-by-snapshot, CQL upsert) — dedups the pair to
+effectively-once. Pinned deterministically by
+tests/test_ledger_race.py::test_journal_before_mark_residual_bounded
+and at random kill instants by the SIGKILL chaos suite's invariant 3.
 """
 
 from __future__ import annotations

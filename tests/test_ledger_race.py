@@ -341,3 +341,70 @@ def test_threaded_marks_survive_concurrent_plan_reads(tmp_path):
                 r.join(timeout=10)
         final = {r.tile: r.load_status for r in led.rows() if r.ver == "curr"}
         assert final == {t: SUCCESS for t in tiles}, (trial, final)
+
+
+def test_journal_before_mark_residual_bounded(tmp_path):
+    """The at-least-once invariant named by the ledger docstring,
+    pinned DETERMINISTICALLY at both sides of the crash boundary (the
+    SIGKILL chaos suite asserts the same bound at random instants):
+
+    * crash BETWEEN effect and mark — recovery re-plans exactly that
+      one snapshot; its journal shows exactly two lines and they are
+      IDENTICAL records (same (tile, snapshot, mode) idempotency key),
+      so a keyed idempotent sink dedups the pair to effectively-once;
+    * crash AFTER the mark — recovery re-plans nothing (the mark is
+      the exactly-once gate), and the snapshot is consumed once.
+
+    Every other snapshot in both runs is consumed exactly once."""
+    snapshots = 4
+
+    for crash_sid, crash_after_mark in ((2, False), (3, True)):
+        led_path = str(tmp_path / f"l_{crash_sid}_{crash_after_mark}.json")
+        journal: list[tuple] = []
+
+        def consume(led, sid, *, crash_before_mark=False,
+                    crash_after=False):
+            if led.can_discover("ks", "tb", 0):
+                led.record_discovery("ks", "tb", 0, snapshot_id=sid)
+            plan = led.replication_plan("ks", "tb", 0)
+            if plan is None:
+                return False
+            # the EFFECT, with its natural idempotency key
+            journal.append(("ks", "tb", 0, plan["curr"], plan["mode"]))
+            if crash_before_mark:
+                return True  # process dies before the mark lands
+            led.mark_replication_complete("ks", "tb", 0)
+            if crash_after:
+                return True  # process dies after the mark landed
+            return False
+
+        led = Ledger(led_path)
+        for sid in range(1, snapshots + 1):
+            crashed = consume(
+                led, sid,
+                crash_before_mark=(sid == crash_sid
+                                   and not crash_after_mark),
+                crash_after=(sid == crash_sid and crash_after_mark))
+            if crashed:
+                break
+
+        # recovery: a fresh process-equivalent finishes the cycle
+        led2 = Ledger(led_path)
+        for sid in range(1, snapshots + 1):
+            curr = led2.get("ks", "tb", 0, "curr")
+            if curr is not None and int(curr.location) >= sid and \
+                    curr.load_status == SUCCESS:
+                continue  # already fully consumed
+            consume(led2, sid)
+
+        from collections import Counter
+        counts = Counter(journal)
+        expected_twice = {} if crash_after_mark else \
+            {("ks", "tb", 0, crash_sid, "delta" if crash_sid > 1
+              else "historical")}
+        for key, n in counts.items():
+            want = 2 if key in expected_twice else 1
+            assert n == want, (crash_sid, crash_after_mark, key, counts)
+        # every snapshot consumed; the redo is the identical record
+        assert {k[3] for k in counts} == set(range(1, snapshots + 1))
+        assert sum(counts.values()) == snapshots + len(expected_twice)
