@@ -200,6 +200,77 @@ def main() -> None:
         return {"sec": sec, "rows_out": n, "rounds": st["rounds"],
                 "round_secs": st["round_secs"], "n_edges": st["n_edges"]}
 
+    # Shared-LSH cold-family leg (r11 verdict item 6): the five
+    # registered LSH lanes share one persisted signature+pairs stage
+    # (_shared_capped_lsh). The keep decision rests on the structural
+    # argument — exchange reuse never spans jobs, so the independent
+    # form re-shingles the corpus once per lane, and at 100 TB the
+    # corpus passes ARE the bill. This leg is that claim's direct
+    # evidence: time the whole five-lane family COLD (build paid inside
+    # the window), shared vs independent, at 1x and 20x — the gap must
+    # WIDEN with corpus size because the shared form's extra passes are
+    # over row-per-doc signature/pair frames while the independent
+    # form's are over the corpus itself. Parquet read warmed before
+    # both forms so the comparison measures compute, not IO order.
+    from pyspark import StorageLevel
+
+    def sharedlsh_family_leg(frame) -> dict:
+        quality = frame.select(
+            "doc_id", F.length("text").cast("long").alias("quality"))
+
+        def run_family_independent() -> float:
+            t0 = time.perf_counter()
+            D.minhash_lsh_dedup_pairs(
+                frame, n=3, num_hashes=16, bands=4,
+                max_bucket_size=256).count()
+            for algo in (None, "star"):
+                D.connected_components(
+                    D.minhash_lsh_dedup_pairs(
+                        frame, n=3, num_hashes=16, bands=4,
+                        max_bucket_size=256),
+                    **({"algorithm": algo} if algo else {})).count()
+            D.cluster_keepers(
+                D.connected_components(D.minhash_lsh_dedup_pairs(
+                    frame, n=3, num_hashes=16, bands=4,
+                    max_bucket_size=256)), quality).count()
+            D.minhash_accuracy_pairs(
+                frame, n=3, num_hashes=16, bands=4,
+                max_bucket_size=256).count()
+            return round(time.perf_counter() - t0, 2)
+
+        def run_family_shared() -> float:
+            t0 = time.perf_counter()
+            sigs = D.minhash_signatures(frame, n=3, num_hashes=16) \
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            pairs = D.lsh_candidate_pairs(
+                sigs, bands=4, rows_per_band=4, max_bucket_size=256) \
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                pairs.count()
+                D.connected_components(pairs).count()
+                D.connected_components(pairs, algorithm="star").count()
+                D.cluster_keepers(
+                    D.connected_components(pairs), quality).count()
+                D.minhash_accuracy_pairs(
+                    frame, n=3, num_hashes=16, bands=4,
+                    max_bucket_size=256, signatures=sigs,
+                    pairs=pairs).count()
+            finally:
+                sec = round(time.perf_counter() - t0, 2)
+                pairs.unpersist(blocking=True)
+                sigs.unpersist(blocking=True)
+            return sec
+
+        frame.count()  # warm the scan for both forms
+        spark.catalog.clearCache()
+        independent = run_family_independent()
+        spark.catalog.clearCache()
+        shared = run_family_shared()
+        spark.catalog.clearCache()
+        return {"independent_sec": independent, "shared_sec": shared,
+                "independent_over_shared": round(
+                    independent / shared, 3) if shared else None}
+
     # Skew leg: one hot key owning ~20% of all rows, joined against a
     # non-broadcastable dim, salted vs unsalted, with AQE's skew-join
     # splitter OFF so the measurement isolates the salt itself (the
@@ -351,7 +422,8 @@ def main() -> None:
                          "rows_out": cnt}
         row["connected_components"] = cc_leg(factor)
         result[scale] = {"n_docs": n, "n_keys": orders.count() * factor,
-                         "ops": row}
+                         "ops": row,
+                         "sharedlsh_cold_family": sharedlsh_family_leg(frame)}
 
     skew = skew_leg()
     skew_aqe = skew_leg_aqe()
@@ -366,6 +438,14 @@ def main() -> None:
           f"1x={base['ops']['connected_components']['rounds']} "
           f"{AMPLIFY}x={amp['ops']['connected_components']['rounds']} "
           f"(diameter-driven: flat is the pass)")
+    sl_b = base["sharedlsh_cold_family"]
+    sl_a = amp["sharedlsh_cold_family"]
+    print(f"sharedlsh_cold_family independent/shared: "
+          f"1x={sl_b['independent_over_shared']} "
+          f"{AMPLIFY}x={sl_a['independent_over_shared']} "
+          f"(gap must WIDEN with corpus size: the independent form's "
+          f"extra passes are corpus-sized, the shared form's are "
+          f"row-per-doc)")
     print(f"skew_salted_join max-partition-share: "
           f"unsalted={skew['unsalted']['max_partition_share']} "
           f"salted={skew['salted']['max_partition_share']} "
