@@ -288,17 +288,22 @@ def test_bench_tail_line_fits_driver_window():
     result = {"metric": "headline_queries_total_runtime",
               "value": 99999.999, "unit": "sec", "sf": 0.1,
               "queries": worst,
-              "calibration": {"drift_factor": 9.9999,
-                              "drift_normalized_total": 99999.999}}
+              "calibration": {"population_drift_factor": 9.9999,
+                              "population_normalized_total": 99999.999,
+                              "drift_factor": 8.8888,
+                              "drift_normalized_total": 88888.888}}
     line = bench.tail_line(result)
     assert len(line) + 1 <= 2000, len(line)  # +1 for the newline
     parsed = json.loads(line)
     assert parsed["n_queries"] == len(REGISTRY)
     assert parsed["value"] == 99999.999
-    # the r11 drift calibrator rides in the tail line (and the five
+    # both normalizers ride in the tail line: the r12 population-median
+    # headline and the r11 frozen-probe diagnostic (whose five
     # calibration queries must stay registered, or the probe dies)
-    assert parsed["drift_factor"] == 9.9999
-    assert parsed["drift_normalized_total"] == 99999.999
+    assert parsed["population_drift_factor"] == 9.9999
+    assert parsed["population_normalized_total"] == 99999.999
+    assert parsed["probe_drift_factor"] == 8.8888
+    assert parsed["probe_normalized_total"] == 88888.888
     for name in bench.CALIBRATION_REF:
         assert name in REGISTRY, name
     assert len(parsed["queries"]) > 10  # still carries real signal
