@@ -1672,7 +1672,7 @@ def test_media_parsers_are_total_on_arbitrary_bytes():
     @settings(max_examples=250, deadline=None, derandomize=True)
     @given(st.data())
     def fuzz(data):
-        mode = data.draw(st.integers(0, 3))
+        mode = data.draw(st.integers(0, 5))
         if mode == 0:
             blob = data.draw(st.binary(max_size=300))
         elif mode == 1:
@@ -1685,7 +1685,7 @@ def test_media_parsers_are_total_on_arbitrary_bytes():
                 base[data.draw(st.integers(0, len(base) - 1))] ^= \
                     1 << data.draw(st.integers(0, 7))
             blob = bytes(base)
-        else:
+        elif mode == 3:
             # splice: two valid blobs glued at random cut points — a
             # valid header over a different format's body (r11 hunt
             # mode; 25k-trial randomized run found no failures)
@@ -1693,6 +1693,22 @@ def test_media_parsers_are_total_on_arbitrary_bytes():
             b = valid[data.draw(st.integers(0, len(valid) - 1))]
             blob = (a[:data.draw(st.integers(0, len(a)))]
                     + b[data.draw(st.integers(0, len(b))):])
+        elif mode == 4:
+            # trailing garbage after a fully valid stream (r12 hunt
+            # mode; a length-honest parser must stop at the container
+            # end, not walk into the tail; 25k-trial run clean)
+            base = valid[data.draw(st.integers(0, len(valid) - 1))]
+            blob = base + data.draw(st.binary(min_size=1, max_size=63))
+        else:
+            # 4-byte window overwrite — multi-byte corruption of
+            # length/count/dimension fields that single-bit flips
+            # reach only one byte at a time (r12 hunt mode; clean)
+            base = bytearray(valid[data.draw(
+                st.integers(0, len(valid) - 1))])
+            off = data.draw(st.integers(0, max(0, len(base) - 5)))
+            base[off:off + 4] = data.draw(
+                st.binary(min_size=4, max_size=4))
+            blob = bytes(base)
         for p in parsers:
             p(blob)  # any raise fails the test
 
