@@ -642,7 +642,16 @@ class DeltaLogTable:
 
         Restores use the same link / O_EXCL-create fallback as the
         commit path, so a concurrent writer can never be clobbered.
-        Failures skip the copy (next vacuum retries)."""
+        Failures skip the copy (next vacuum retries). Residual on
+        LINKLESS filesystems only: between a restorer's O_EXCL create
+        and its os.replace, a racing sweeper sees the empty placeholder
+        as "base exists" and may delete its own (identical) copy; if
+        the restorer then CRASHES inside that microsecond window with
+        no other copy left, the placeholder stays empty — the same
+        crashed-claim shape the commit path's staleness gate handles,
+        and the same two-micro-windows-coinciding class documented at
+        the reclaim sites. The link path (primary) has no such window:
+        restore is one atomic syscall."""
 
         def _restore(copy: str, dest: str) -> bool:
             try:

@@ -958,3 +958,79 @@ def test_vacuum_sweeps_aged_preserved_copies(tmp_path):
     assert sorted(n for n in os.listdir(d) if ".vacuum." in n) == left_root
     assert sorted(
         n for n in os.listdir(log_dir) if ".reclaim." in n) == left_log
+
+
+def test_preserved_copy_sweep_concurrent_vacuums(tmp_path):
+    """The sweep's restore is put-if-absent (link / O_EXCL fallback),
+    so any number of CONCURRENT vacuums must resolve a field of aged
+    preserved copies to exactly the same end state a single vacuum
+    would: the only-surviving-bytes copy restored exactly once with
+    content intact, every redundant/never-committed copy deleted, the
+    slot-missing log copy republished exactly once, and no crash —
+    even when several copies of the SAME base race their restores."""
+    import threading
+
+    from cql_replicator_spark import dlog as D
+
+    for trial in range(5):
+        d = str(tmp_path / f"t{trial}")
+        D._publish_commit(d, 0, _pc_actions(0), adds=[])
+        D._publish_commit(d, 1, _pc_actions(1), adds=[])
+        tbl = DeltaLogTable(d)
+        log_dir = os.path.join(d, "_delta_log")
+        aged = time.time() - D._PRESERVED_SWEEP_SECS - 5
+
+        def plant(path, content):
+            with open(path, "w") as f:
+                f.write(content)
+            os.utime(path, (aged, aged))
+
+        # live data for v1; v0's part-v0-b exists ONLY as three racing
+        # preserved copies (same bytes — parts are immutable)
+        for s in ("a", "b"):
+            plant(os.path.join(d, f"part-v1-{s}.parquet"), "DATA")
+        plant(os.path.join(d, "part-v0-a.parquet"), "DATA")
+        for i in range(3):
+            plant(os.path.join(d, f"part-v0-b.parquet.vacuum.{i}.r{i}"),
+                  "ONLYCOPY")
+        # redundant + ghost copies
+        plant(os.path.join(d, "part-v1-a.parquet.vacuum.9.zz"), "old")
+        plant(os.path.join(d, "part-ghost.parquet.vacuum.8.yy"), "ghost")
+        # log copies: one lost-race (slot complete), two racing
+        # restores of an empty slot (version 2)
+        plant(os.path.join(
+            log_dir, "00000000000000000001.json.reclaim.1.aa"), "lost")
+        commit2 = (
+            '{"commitInfo": {"timestamp": 1, "operation": "WRITE",'
+            ' "txnActionCount": 2}}\n'
+            '{"add": {"path": "part-v1-a.parquet", "partitionValues":'
+            ' {}, "size": 1, "modificationTime": 1, "dataChange":'
+            ' true}}\n')
+        for i in range(2):
+            plant(os.path.join(
+                log_dir,
+                f"00000000000000000002.json.reclaim.{i}.s{i}"), commit2)
+
+        errors: list[BaseException] = []
+
+        def run():
+            try:
+                tbl.vacuum(retain_versions=5)
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=run) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+            assert not t.is_alive()
+        assert not errors, errors[:3]
+
+        with open(os.path.join(d, "part-v0-b.parquet")) as f:
+            assert f.read() == "ONLYCOPY", trial
+        assert not [n for n in os.listdir(d) if ".vacuum." in n], trial
+        assert not [n for n in os.listdir(log_dir)
+                    if ".reclaim." in n], trial
+        assert tbl.versions() == [0, 1, 2], trial
+        assert not os.path.exists(os.path.join(d, "part-ghost.parquet"))
