@@ -70,6 +70,26 @@ def test_xxh64_reference_matches_spec_vectors_and_engine(spark):
         want = u - (1 << 64) if u >= (1 << 63) else u
         assert got_b[i] == want, (i, len(b))
 
+    # multi-arg chaining — the COMPOSITE-PK tiling path of tile_expr:
+    # each argument's hash seeds the next; strings hash UTF-8 bytes
+    combos = [[42, 7], ["hello", 7], ["ks", "tbl", 3],
+              [-(1 << 62), "x", 0], ["", 1], ["(1,b)", 99]]
+    got_m = (spark.range(1).select(*[
+        F.xxhash64(*[
+            F.lit(v).cast("long") if isinstance(v, int) else F.lit(v)
+            for v in combo]).alias(f"m{i}")
+        for i, combo in enumerate(combos)]).collect()[0])
+    for i, combo in enumerate(combos):
+        assert got_m[i] == tiling.xxhash64_cols_ref(combo), combo
+    # and tile_expr end-to-end on a composite key equals the reference
+    rows = [(1, "a"), (2, "b"), (7, "(x,y)")]
+    df = spark.createDataFrame(rows, "k long, s string")
+    got_t = {(r["k"], r["s"]): r["tile"] for r in df.select(
+        "k", "s", tiling.tile_expr(df, ["k", "s"], 8).alias("tile"))
+        .collect()}
+    for k, s in rows:
+        assert got_t[(k, s)] == tiling.xxhash64_cols_ref([k, s]) % 8
+
     # (3) the registered oracle's pinned literals are those values
     from cql_replicator_spark.queries import _XXH64_PROBES, REGISTRY
     oracle = REGISTRY["tile_histogram_xxhash64"].oracle
