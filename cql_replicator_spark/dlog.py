@@ -668,6 +668,34 @@ class DeltaLogTable:
                 return False  # replace consumed the copy
             return True  # linked: the copy itself is now redundant
 
+        # LOG copies first, then data copies: a preserved log copy can
+        # hold the only reference to a data file whose only bytes are a
+        # preserved data copy — sweeping data first would classify that
+        # data copy as never-committed and delete it, then the log
+        # restore would republish a commit referencing destroyed bytes.
+        # Restoring commits first means the data pass reads the fully
+        # re-established reference set.
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        try:
+            log_names = sorted(os.listdir(log_dir))
+        except OSError:
+            log_names = []
+        for name in log_names:
+            if ".reclaim." not in name:
+                continue
+            full = os.path.join(log_dir, name)
+            try:
+                if now - os.stat(full).st_mtime <= _PRESERVED_SWEEP_SECS:
+                    continue
+                slot = os.path.join(log_dir, name.split(".reclaim.")[0])
+                if os.path.exists(slot):
+                    if not _commit_complete(slot):
+                        continue  # live claim in the slot: not resolved
+                elif not _restore(full, slot):
+                    continue
+                os.unlink(full)
+            except OSError:
+                continue
         ever_added: set[str] | None = None
         for name in sorted(os.listdir(self.path)):
             if ".vacuum." not in name:
@@ -686,27 +714,6 @@ class DeltaLogTable:
                             for a in self._read_commit(v) if "add" in a}
                     if base in ever_added and not _restore(full, base_full):
                         continue
-                os.unlink(full)
-            except OSError:
-                continue
-        log_dir = os.path.join(self.path, _LOG_DIR)
-        try:
-            log_names = sorted(os.listdir(log_dir))
-        except OSError:
-            return
-        for name in log_names:
-            if ".reclaim." not in name:
-                continue
-            full = os.path.join(log_dir, name)
-            try:
-                if now - os.stat(full).st_mtime <= _PRESERVED_SWEEP_SECS:
-                    continue
-                slot = os.path.join(log_dir, name.split(".reclaim.")[0])
-                if os.path.exists(slot):
-                    if not _commit_complete(slot):
-                        continue  # live claim in the slot: not resolved
-                elif not _restore(full, slot):
-                    continue
                 os.unlink(full)
             except OSError:
                 continue

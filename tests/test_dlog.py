@@ -1034,3 +1034,51 @@ def test_preserved_copy_sweep_concurrent_vacuums(tmp_path):
                     if ".reclaim." in n], trial
         assert tbl.versions() == [0, 1, 2], trial
         assert not os.path.exists(os.path.join(d, "part-ghost.parquet"))
+
+
+def test_sweep_restores_log_copy_before_classifying_data_copies(tmp_path):
+    """Cross-kind dependency in the preserved-copy sweep: a preserved
+    LOG copy can hold the ONLY reference to a data file whose only
+    bytes are a preserved DATA copy (both left by restore failures in
+    different epochs). The sweep must restore commits first — a
+    data-first sweep would read the reference set without the missing
+    commit, classify the data copy as never-committed, delete it, and
+    then republish a commit referencing destroyed bytes."""
+    from cql_replicator_spark import dlog as D
+
+    d = str(tmp_path / "t")
+    D._publish_commit(d, 0, _pc_actions(0), adds=[])
+    tbl = DeltaLogTable(d)
+    log_dir = os.path.join(d, "_delta_log")
+    aged = time.time() - D._PRESERVED_SWEEP_SECS - 5
+
+    def plant(path, content):
+        with open(path, "w") as f:
+            f.write(content)
+        os.utime(path, (aged, aged))
+
+    for s in ("a", "b"):  # v0's own files, live
+        plant(os.path.join(d, f"part-v0-{s}.parquet"), "DATA")
+
+    # commit 1 exists ONLY as a preserved log copy, and the file it
+    # references exists ONLY as a preserved data copy
+    commit1 = (
+        '{"commitInfo": {"timestamp": 1, "operation": "WRITE",'
+        ' "txnActionCount": 2}}\n'
+        '{"add": {"path": "part-only-in-copy.parquet",'
+        ' "partitionValues": {}, "size": 1, "modificationTime": 1,'
+        ' "dataChange": true}}\n')
+    plant(os.path.join(log_dir,
+                       "00000000000000000001.json.reclaim.1.aa"), commit1)
+    plant(os.path.join(d, "part-only-in-copy.parquet.vacuum.2.bb"),
+          "PRECIOUS")
+
+    tbl.vacuum(retain_versions=5)
+
+    assert tbl.versions() == [0, 1]
+    with open(os.path.join(d, "part-only-in-copy.parquet")) as f:
+        assert f.read() == "PRECIOUS"
+    live, _ = tbl._replay(1)
+    assert "part-only-in-copy.parquet" in live
+    assert not [n for n in os.listdir(d) if ".vacuum." in n]
+    assert not [n for n in os.listdir(log_dir) if ".reclaim." in n]
