@@ -361,8 +361,11 @@ def main() -> None:
     # every query both rounds ran.
     pop_drift = pop_ref_total = None
     ref_path = Path(__file__).resolve().parent / "bench_ref_r10.json"
-    if at_ref_sf and ref_path.exists():
-        ref_q = json.loads(ref_path.read_text())["queries"]
+    if at_ref_sf:
+        try:  # a missing/corrupt reference degrades the normalizer to
+            ref_q = json.loads(ref_path.read_text())["queries"]  # null,
+        except (OSError, ValueError, KeyError):  # never kills the run
+            ref_q = {}
         common = sorted(
             timings[n] / ref_q[n]
             for n in timings if n in ref_q and ref_q[n] > 0)
