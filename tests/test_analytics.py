@@ -2253,6 +2253,27 @@ def test_zvalue_2d_morton_order(spark):
     assert {out[(x, y)] for x in (0, 1) for y in (0, 1)} == {0, 1, 2, 3}
     assert {out[(x, y)] for x in (2, 3) for y in (2, 3)} == {12, 13, 14, 15}
 
+    # full-width independent reference: pure-Python bit interleave at
+    # the production bits=10, random points (fixed seed)
+    import random
+
+    def morton_ref(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(0x20DEB)
+    pts = [(rng.randrange(1 << 10), rng.randrange(1 << 10))
+           for _ in range(64)] + [(0, 1023), (1023, 0), (1023, 1023)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {(r["x"], r["y"]): r["z"] for r in
+           df.select("x", "y", zvalue_2d("x", "y", bits=10)
+                     .alias("z")).collect()}
+    for x, y in pts:
+        assert got[(x, y)] == morton_ref(x, y, 10), (x, y)
+
 
 def test_bloom_member_predicate_no_false_negatives(spark):
     from cql_replicator_spark.analytics import sketch as SK
