@@ -1440,6 +1440,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "dedup_clusters_star",           # touched: memo eviction path
     "dedup_cluster_keepers",         # touched: memo eviction path
     "dedup_minhash_accuracy",        # touched: memo eviction path
+    "cdc_ledger_cycle",              # touched: discovery lost-race skip
+                                     # + stats-by-snapshot-id in runner
 ]
 
 

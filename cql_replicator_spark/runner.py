@@ -166,8 +166,23 @@ class CdcPipeline:
                     return None  # unconsumed snapshot -> skip (K:2263-2271)
                 part = tiled.filter(F.col("tile") == tile).drop("tile")
                 sid = self.store.write_snapshot(part, tile)
-                self.ledger.record_discovery(self.keyspace, self.table, tile, sid)
-                n = self.store.snapshots(tile)[-1].count
+                try:
+                    self.ledger.record_discovery(
+                        self.keyspace, self.table, tile, sid)
+                except RuntimeError:
+                    # Lost the discovery race: a rival process rotated
+                    # this tile between our gate check and our record
+                    # (the ledger contract allows any number of
+                    # discovery processes; record_discovery re-checks
+                    # under the cross-process lock and raises to
+                    # protect the unconsumed-snapshot invariant). Our
+                    # snapshot is an unreferenced orphan until expiry —
+                    # skip the tile, don't kill the whole cycle.
+                    return None
+                # count of OUR snapshot by id — under the multi-
+                # discoverer contract [-1] could be a rival's newer one
+                n = next(s.count for s in self.store.snapshots(tile)
+                         if s.id == sid)
                 self.stats.put(self.keyspace, self.table,
                                DiscoveryStats(tile, n, time.time()))
                 return tile

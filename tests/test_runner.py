@@ -88,6 +88,43 @@ def test_discovery_skips_unconsumed_tiles(spark, tables, tmp_path):
     assert pipe.discover() == []
 
 
+def test_discovery_lost_race_skips_tile_not_cycle(spark, tables, tmp_path):
+    """The ledger contract allows ANY NUMBER of discovery processes; a
+    rival that rotates a tile between our can_discover gate check and
+    our record_discovery makes the record raise (the cross-process
+    re-check protecting the unconsumed-snapshot invariant). The loser
+    must treat that as 'tile taken' — skip it and rotate the rest —
+    not crash the whole discovery cycle; the rival's unconsumed curr
+    must survive untouched."""
+    pipe, _ = _make_pipeline(spark, tables, tmp_path)
+    rival = Ledger(pipe.ledger.path)
+
+    real_can = pipe.ledger.can_discover
+    raced = []
+
+    def can_then_rival_rotates(ks, tbl, tile):
+        ok = real_can(ks, tbl, tile)
+        if ok and tile == 1 and not raced:
+            raced.append(tile)
+            rival.record_discovery(ks, tbl, tile, snapshot_id=777)
+        return ok
+
+    pipe.ledger.can_discover = can_then_rival_rotates
+    try:
+        rotated = sorted(pipe.discover())  # must NOT raise
+    finally:
+        pipe.ledger.can_discover = real_can
+
+    assert rotated == [0, 2, 3], rotated
+    curr = pipe.ledger.get("tpch", "orders", 1, "curr")
+    assert curr is not None and curr.location == "777", \
+        "loser clobbered the rival's rotation"
+    assert curr.load_status != "SUCCESS"
+    # the lost tile replicates the RIVAL's snapshot id on the next pass
+    plan = pipe.ledger.replication_plan("tpch", "orders", 1)
+    assert plan == {"mode": "historical", "curr": 777}
+
+
 def test_run_loop_with_stop_sentinel(spark, tables, tmp_path):
     pipe, _ = _make_pipeline(spark, tables, tmp_path)
     stop = StopSentinel(str(tmp_path / "stopRequested"))
