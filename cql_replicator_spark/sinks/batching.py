@@ -94,8 +94,13 @@ class FlushingBatch:
             except Exception as e:  # retryable-by-default, like resilience4j's 7 classes
                 last = e
                 self.stats.retries += 1
-                self.sleep(min(backoff, self.cfg.maxBackoffMS / 1000.0))
-                backoff *= self.cfg.backoffMultiplier
+                if attempt + 1 < self.cfg.maxRetries:
+                    # no sleep after the FINAL attempt: the caller is
+                    # about to get the exception (and per-item-fallback
+                    # a failed 29-statement batch) — a trailing backoff
+                    # of up to maxBackoffMS would just stall the raise
+                    self.sleep(min(backoff, self.cfg.maxBackoffMS / 1000.0))
+                    backoff *= self.cfg.backoffMultiplier
         raise last if last else RuntimeError("retry loop exited without error")
 
     def close(self) -> None:

@@ -53,14 +53,23 @@ class IncrementalStatsFlusher:
         return self._last
 
     def flush(self) -> int:
-        """Write the unreported delta, if any; returns it."""
+        """Write the unreported delta, if any; returns it.
+
+        Write-THEN-advance: the watermark moves only after
+        ``write_delta`` returns, so a write that raises leaves its
+        delta unreported and the next trigger retries it. The reverse
+        order silently LOSES the delta forever on a transient write
+        failure. Double-count is impossible as long as the writer is
+        atomic (StatsStore.put publishes via os.replace): success and
+        raise-free are the same event, and triggers serialize on the
+        lock."""
         with self._lock:
             current = self._read()
             if current <= self._last:
                 return 0
             delta = current - self._last
-            self._last = current
             self._write(delta, current)
+            self._last = current
             return delta
 
     # -- trigger wiring ----------------------------------------------------

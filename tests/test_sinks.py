@@ -887,3 +887,51 @@ def test_compact_parquet_guards(spark, tmp_path):
         compact_parquet(spark, str(empty), str(tmp_path / "x"))
     with _pytest.raises(ValueError, match="target_bytes"):
         compact_parquet(spark, str(empty), str(tmp_path / "x"), target_bytes=0)
+
+
+def test_retry_does_not_sleep_after_final_attempt():
+    """A batch that exhausts its retries must raise immediately after
+    the last attempt — the old loop slept one more backoff (up to
+    maxBackoffMS, 64s in production config) before raising, stalling
+    the per-item fallback of every ultimately-failed batch."""
+    sleeps = []
+
+    def always_fails(items):
+        raise RuntimeError("down")
+
+    b = FlushingBatch(always_fails,
+                      WriteConfig(maxRetries=4, backoffMS=10),
+                      on_dead_letter=lambda item, e: None,
+                      sleep=sleeps.append)
+    b.add("x")
+    b.flush()  # batch fails 4x, then per-item fallback fails 4x -> DLQ
+    # 4 attempts = 3 sleeps per retry loop; two loops (batch + item)
+    assert len(sleeps) == 6, sleeps
+    assert b.stats.retries == 8  # retries stat still counts attempts
+
+
+def test_stats_flusher_failed_write_is_retried_not_lost():
+    """Write-THEN-advance: a write_delta that raises must leave the
+    watermark unmoved so the next trigger re-reports the delta —
+    advance-then-write silently lost it forever. With an atomic writer
+    the retry cannot double-count (success == raise-free)."""
+    from cql_replicator_spark.sinks.statsflush import IncrementalStatsFlusher
+
+    counter = {"v": 10}
+    written = []
+    fail_next = {"on": True}
+
+    def write_delta(delta, total):
+        if fail_next["on"]:
+            fail_next["on"] = False
+            raise OSError("disk hiccup")
+        written.append((delta, total))
+
+    f = IncrementalStatsFlusher(lambda: counter["v"], write_delta)
+    with pytest.raises(OSError):
+        f.flush()
+    assert f.last_reported == 0, "watermark advanced past a lost write"
+    assert f.flush() == 10  # retry reports the SAME delta
+    assert written == [(10, 10)]
+    counter["v"] = 17
+    assert f.flush() == 7 and written[-1] == (7, 17)
