@@ -64,7 +64,18 @@ def local_dir_store(root: str) -> ObjectStore:
 def offload_key(cfg: LargeObjects, pk_values: list) -> str:
     if cfg.enableRefByTimeUUID:
         return f"{cfg.prefix}/{uuid.uuid1()}"  # timeUUID ref (K:689-700)
-    return f"{cfg.prefix}/key={':'.join(str(v) for v in pk_values)}/payload"
+    # Deviation (deliberate), same class as the tiling concat fix: the
+    # reference's raw ':'.join layout (docs/keyspaces/README.MD:276-277)
+    # makes ("a:b","c") and ("a","b:c") collide on ONE object key — the
+    # second offload silently overwrites the first row's payload — and
+    # a pk containing '/' or '..' walks outside the store root on a
+    # filesystem-backed store. Percent-encoding each value (':'/'/'
+    # included) keeps the layout shape and readability for plain keys
+    # while making the mapping injective and path-safe.
+    from urllib.parse import quote
+
+    joined = ":".join(quote(str(v), safe="") for v in pk_values)
+    return f"{cfg.prefix}/key={joined}/payload"
 
 
 def offload_column(

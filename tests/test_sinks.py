@@ -935,3 +935,41 @@ def test_stats_flusher_failed_write_is_retried_not_lost():
     assert written == [(10, 10)]
     counter["v"] = 17
     assert f.flush() == 7 and written[-1] == (7, 17)
+
+
+def test_offload_key_is_injective_and_path_safe(tmp_path):
+    """The keyed layout must map distinct pk tuples to distinct object
+    keys — the reference's raw ':'.join makes ("a:b","c") and
+    ("a","b:c") collide, so the second offload silently overwrites the
+    first row's payload — and a pk containing '/' or '..' must not
+    escape a filesystem-backed store's root."""
+    from cql_replicator_spark import largeobject
+    from cql_replicator_spark.config import LargeObjects
+
+    cfg = LargeObjects(prefix="lo", enableRefByTimeUUID=False)
+    assert largeobject.offload_key(cfg, ["a:b", "c"]) != \
+        largeobject.offload_key(cfg, ["a", "b:c"])
+    assert largeobject.offload_key(cfg, ["a/b"]) != \
+        largeobject.offload_key(cfg, ["a", "b"])
+    # plain keys keep the readable reference shape
+    assert largeobject.offload_key(cfg, ["k1", "c1"]) == "lo/key=k1:c1/payload"
+
+    # end-to-end: two colliding-under-raw-join rows keep distinct
+    # payloads, and a traversal-shaped pk stays inside the store root
+    root = tmp_path / "store"
+    root.mkdir()
+    store = largeobject.local_dir_store(str(root))
+    r1 = largeobject.offload_column(
+        {"payload": b"FIRST"}, "payload", cfg, store, ["a:b", "c"])
+    r2 = largeobject.offload_column(
+        {"payload": b"SECOND"}, "payload", cfg, store, ["a", "b:c"])
+    assert largeobject.restore_column(
+        dict(r1), "payload", cfg, store)["payload"] == b"FIRST"
+    assert largeobject.restore_column(
+        dict(r2), "payload", cfg, store)["payload"] == b"SECOND"
+    largeobject.offload_column(
+        {"payload": b"X"}, "payload", cfg, store, ["../../escape"])
+    outside = tmp_path / "escape"
+    assert not outside.exists(), "pk value path-traversed the store root"
+    assert all(str(p).startswith(str(root))
+               for p in root.rglob("*")), "object written outside root"
