@@ -31,13 +31,20 @@ class DeadLetterQueue:
         return os.path.join(self.root, self.keyspace, self.table, "dlq", str(tile), op)
 
     def persist(self, tile: int, op: str, payloads: list[dict]) -> str:
-        """Write failed ops as one JSON-lines log object (K:283-299)."""
+        """Write failed ops as one JSON-lines log object (K:283-299).
+
+        tmp + atomic rename (the house publish pattern): a writer
+        crashing mid-persist must never leave a torn ``log-*.msg`` —
+        replay json-parses every line, so one torn tail line would
+        poison the replay of every later log in the directory."""
         d = self._dir(tile, op)
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"log-{os.getpid()}-{uuid.uuid4().hex[:12]}.msg")
-        with open(path, "w") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             for p in payloads:
                 f.write(json.dumps(p) + "\n")
+        os.replace(tmp, path)
         return path
 
     def read(self, tile: int, op: str) -> Iterator[dict]:

@@ -78,7 +78,17 @@ def create_attribute_value(value, cql_type: str) -> dict:
 
 
 def composite_key(values: list, separator: str = KEY_SEPARATOR) -> str:
-    return separator.join(str(v) for v in values)
+    """Deviation (deliberate), same class as the tiling/large-object
+    concat fixes: the reference's raw separator join (D:1767-1818)
+    collides distinct key tuples — ("a:b","c") and ("a","b:c") map to
+    ONE DynamoDB key, so the second row silently overwrites the first.
+    Percent-encoding each part (separator included) keeps plain keys
+    byte-identical to the reference layout while making the mapping
+    injective."""
+    from urllib.parse import quote
+
+    return separator.join(
+        quote(str(v), safe="") for v in values)
 
 
 def row_to_item(row: dict, schema: dict[str, str]) -> dict:
@@ -96,10 +106,14 @@ class DynamoBatchWriter:
     """
 
     def __init__(self, client, table: str, config: WriteConfig | None = None,
-                 on_dead_letter: Callable[[object, Exception], None] | None = None):
+                 on_dead_letter: Callable[[object, Exception], None] | None = None,
+                 sleep: Callable[[float], None] | None = None):
+        import time as _time
+
         cfg = config or WriteConfig(maxStatementsPerBatch=24)
         self.client = client
         self.table = table
+        self.sleep = sleep if sleep is not None else _time.sleep
         self.batch = FlushingBatch(self._execute, cfg, on_dead_letter=on_dead_letter)
 
     def put(self, item: dict) -> None:
@@ -110,13 +124,22 @@ class DynamoBatchWriter:
 
     def _execute(self, requests: list) -> None:
         pending = list(requests)
-        # service-level partial failure: retry only UnprocessedItems
+        # Service-level partial failure: retry only UnprocessedItems
         # (D:424-441); FlushingBatch adds backoff on raised errors.
-        for _ in range(8):
+        # UnprocessedItems means the table is THROTTLED — the service
+        # contract (and boto3 guidance) is to back off before resending,
+        # so the retries sleep doubling from 50 ms; a tight loop just
+        # re-hammers the table that is already shedding load and burns
+        # the 8 attempts in milliseconds.
+        backoff = 0.05
+        for attempt in range(8):
             resp = self.client.batch_write_item(RequestItems={self.table: pending})
             pending = resp.get("UnprocessedItems", {}).get(self.table, [])
             if not pending:
                 return
+            if attempt + 1 < 8:
+                self.sleep(backoff)
+                backoff = min(backoff * 2, 6.4)
         raise RuntimeError(f"{len(pending)} items unprocessed after retries")
 
     def close(self) -> None:

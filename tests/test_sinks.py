@@ -973,3 +973,38 @@ def test_offload_key_is_injective_and_path_safe(tmp_path):
     assert not outside.exists(), "pk value path-traversed the store root"
     assert all(str(p).startswith(str(root))
                for p in root.rglob("*")), "object written outside root"
+
+
+def test_composite_key_is_injective():
+    """Distinct key tuples must map to distinct DynamoDB keys — the raw
+    separator join collides ('a:b','c') with ('a','b:c'), silently
+    overwriting one row with the other. Plain keys keep the reference
+    layout byte-identical."""
+    assert composite_key(["a:b", "c"]) != composite_key(["a", "b:c"])
+    assert composite_key(["a", 1]) == "a:1"  # reference shape preserved
+
+
+def test_ddb_unprocessed_retry_backs_off():
+    """UnprocessedItems means the table is throttled; the retry loop
+    must back off between resends (doubling from 50ms) instead of
+    burning all 8 attempts in a tight millisecond loop, and must not
+    sleep after the final attempt."""
+    sleeps = []
+    calls = {"n": 0}
+
+    class Throttled:
+        def batch_write_item(self, RequestItems):
+            calls["n"] += 1
+            items = RequestItems["tbl"]
+            return {"UnprocessedItems": {"tbl": items}}  # never drains
+
+    w = DynamoBatchWriter(Throttled(), "tbl",
+                          WriteConfig(maxRetries=1, backoffMS=0),
+                          on_dead_letter=lambda item, e: None,
+                          sleep=sleeps.append)
+    w.put({"pk": {"S": "x"}})
+    w.close()  # batch path + per-item fallback, both exhaust retries
+    assert calls["n"] == 16  # 8 attempts x (batch + single-item)
+    assert len(sleeps) == 14  # 7 per exhausted loop — none after last
+    assert sleeps[:3] == [0.05, 0.1, 0.2]  # doubling
+    assert max(sleeps) <= 6.4
