@@ -30,8 +30,18 @@ ID_SEPARATOR = ":"
 
 
 def doc_id(row: dict, pk_cols: list[str]) -> str:
-    """Composite document _id from the primary-key columns."""
-    return ID_SEPARATOR.join(str(row[c]) for c in pk_cols)
+    """Composite document _id from the primary-key columns.
+
+    Parts are percent-encoded (same deliberate deviation as the
+    tiling/large-object/DynamoDB key fixes): a raw join collides
+    distinct key tuples — ('a:b','c') and ('a','b:c') share one _id,
+    so the second index overwrites the first document and a delete for
+    either kills both. Plain ids stay byte-identical to the reference
+    layout; index and delete both route through here, so replays stay
+    idempotent per actual row."""
+    from urllib.parse import quote
+
+    return ID_SEPARATOR.join(quote(str(row[c]), safe="") for c in pk_cols)
 
 
 def bulk_index_action(index: str, row: dict, pk_cols: list[str]) -> str:

@@ -1008,3 +1008,14 @@ def test_ddb_unprocessed_retry_backs_off():
     assert len(sleeps) == 14  # 7 per exhausted loop — none after last
     assert sleeps[:3] == [0.05, 0.1, 0.2]  # doubling
     assert max(sleeps) <= 6.4
+
+
+def test_opensearch_doc_id_is_injective():
+    """Distinct pk tuples -> distinct _ids (a raw join collides
+    ('a:b','c') with ('a','b:c'): one document, cross-row deletes);
+    plain ids keep the reference shape, index/delete agree."""
+    from cql_replicator_spark.sinks.opensearch_sink import doc_id
+
+    assert doc_id({"a": "a:b", "b": "c"}, ["a", "b"]) != \
+        doc_id({"a": "a", "b": "b:c"}, ["a", "b"])
+    assert doc_id({"a": "k1", "b": 7}, ["a", "b"]) == "k1:7"
