@@ -196,8 +196,10 @@ class ReconcileJob:
         path = os.path.join(self.workdir, "report.json")
         os.makedirs(self.workdir, exist_ok=True)
         from dataclasses import asdict
-        with open(path, "w") as f:
+        tmp = f"{path}.{os.getpid()}.tmp"  # atomic publish (house rule):
+        with open(tmp, "w") as f:          # operators act on this file;
             json.dump(asdict(result), f, indent=1, default=str)
+        os.replace(tmp, path)              # a torn report misleads them
         return path
 
 

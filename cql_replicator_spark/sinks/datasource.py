@@ -162,10 +162,12 @@ class CqlWriter(DataSourceWriter):
         if stats_path:
             import json
             os.makedirs(os.path.dirname(stats_path) or ".", exist_ok=True)
-            with open(stats_path, "w") as f:
+            tmp = f"{stats_path}.{os.getpid()}.tmp"  # atomic publish
+            with open(tmp, "w") as f:
                 json.dump({"items_ok": total,
                            "items_failed": sum(m.items_failed for m in messages
                                                if m is not None)}, f)
+            os.replace(tmp, stats_path)
 
     def abort(self, messages):
         pass  # statement log files from failed attempts are inert
@@ -189,8 +191,12 @@ class CqlStreamWriter(DataSourceStreamWriter):
             import json
             os.makedirs(commits_dir, exist_ok=True)
             total = sum(m.items_ok for m in messages if m is not None)
-            with open(os.path.join(commits_dir, f"epoch-{batchId}.json"), "w") as f:
-                json.dump({"batch_id": batchId, "items_ok": total}, f)
+            path = os.path.join(commits_dir, f"epoch-{batchId}.json")
+            tmp = f"{path}.{os.getpid()}.tmp"  # atomic publish: epoch
+            with open(tmp, "w") as f:          # files are the external
+                json.dump({"batch_id": batchId,  # bookkeeping hook
+                           "items_ok": total}, f)
+            os.replace(tmp, path)
 
     def abort(self, messages, batchId):
         pass

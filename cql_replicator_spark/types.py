@@ -122,7 +122,9 @@ def render_cql_value(value, cql_type: str) -> str:
     if t in ("text", "varchar", "ascii", "inet", "uuid", "timeuuid"):
         return f"'{escape_sql_string(str(value))}'"
     if t == "date":
-        return f"'{value}'"  # quoted date (K:1085)
+        # quoted date (K:1085); escaped like every quoted literal — a
+        # string-carried date is user data, not a trusted token
+        return f"'{escape_sql_string(str(value))}'"
     if t == "timestamp":
         return str(normalize_timestamp_millis(value))  # epoch millis (K:1086-1107)
     if t == "time":
