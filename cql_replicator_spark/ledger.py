@@ -79,6 +79,68 @@ SUCCESS = "SUCCESS"
 EMPTY = ""
 
 
+@contextlib.contextmanager
+def file_mutex(lock_path: str):
+    """Cross-process exclusive lock for read-modify-write mutations —
+    flock where available (self-releasing on process death); O_EXCL
+    create with a staleness break elsewhere. Module-level so other
+    file-backed stores (SnapshotStore's manifest) reuse the exact
+    battle-tested implementation the ledger's chaos suites pin, rather
+    than growing subtly-divergent copies."""
+    os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
+    # CQL_LEDGER_FORCE_FALLBACK_LOCK exists so the non-POSIX branch
+    # is exercisable (unit + cross-process race tests) on POSIX CI.
+    if fcntl is not None and not os.environ.get(
+            "CQL_LEDGER_FORCE_FALLBACK_LOCK"):
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+        return
+    while True:  # pragma: no cover — non-POSIX fallback
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                stale = (time.time() - os.stat(lock_path).st_mtime
+                         > _LOCK_STALE_SECS)
+            except OSError:
+                continue
+            if stale:
+                # Break the crashed holder's lock by RENAME, not
+                # unlink: two waiters can both decide "stale", but
+                # only one rename of the same source succeeds, so
+                # the loser can never remove the lock a winner (or
+                # a fresh acquirer) just created — the unlink-based
+                # break had exactly that TOCTOU (A stats stale, B
+                # unlinks+recreates, A's unlink removes B's fresh
+                # lock, two holders inside the critical section).
+                breaker = f"{lock_path}.break.{os.getpid()}.{time.monotonic_ns()}"
+                try:
+                    os.rename(lock_path, breaker)
+                except OSError:
+                    time.sleep(0.01)
+                    continue
+                try:
+                    os.unlink(breaker)
+                except OSError:
+                    pass
+                continue
+            time.sleep(0.01)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock_path)
+        except FileNotFoundError:
+            pass
+
+
 @dataclass
 class LedgerRow:
     ks: str
@@ -128,62 +190,8 @@ class Ledger:
 
     @contextlib.contextmanager
     def _file_lock(self):
-        """Cross-process exclusive lock for read-modify-write mutations.
-        flock where available (self-releasing on process death); O_EXCL
-        create with a staleness break elsewhere."""
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        lock_path = self.path + ".lock"
-        # CQL_LEDGER_FORCE_FALLBACK_LOCK exists so the non-POSIX branch
-        # is exercisable (unit + cross-process race tests) on POSIX CI.
-        if fcntl is not None and not os.environ.get(
-                "CQL_LEDGER_FORCE_FALLBACK_LOCK"):
-            fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX)
-                yield
-            finally:
-                fcntl.flock(fd, fcntl.LOCK_UN)
-                os.close(fd)
-            return
-        while True:  # pragma: no cover — non-POSIX fallback
-            try:
-                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    stale = (time.time() - os.stat(lock_path).st_mtime
-                             > _LOCK_STALE_SECS)
-                except OSError:
-                    continue
-                if stale:
-                    # Break the crashed holder's lock by RENAME, not
-                    # unlink: two waiters can both decide "stale", but
-                    # only one rename of the same source succeeds, so
-                    # the loser can never remove the lock a winner (or
-                    # a fresh acquirer) just created — the unlink-based
-                    # break had exactly that TOCTOU (A stats stale, B
-                    # unlinks+recreates, A's unlink removes B's fresh
-                    # lock, two holders inside the critical section).
-                    breaker = f"{lock_path}.break.{os.getpid()}.{time.monotonic_ns()}"
-                    try:
-                        os.rename(lock_path, breaker)
-                    except OSError:
-                        time.sleep(0.01)
-                        continue
-                    try:
-                        os.unlink(breaker)
-                    except OSError:
-                        pass
-                    continue
-                time.sleep(0.01)
-        try:
+        with file_mutex(self.path + ".lock"):
             yield
-        finally:
-            try:
-                os.unlink(lock_path)
-            except FileNotFoundError:
-                pass
 
     def _flush(self) -> None:
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)

@@ -1442,6 +1442,10 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "dedup_minhash_accuracy",        # touched: memo eviction path
     "cdc_ledger_cycle",              # touched: discovery lost-race skip
                                      # + stats-by-snapshot-id in runner
+                                     # + per-tile manifest mutex
+    "snapshot_time_travel",          # touched: per-tile manifest mutex
+    "snapshot_pruned_read",          # touched: per-tile manifest mutex
+    "resize_tiles_count_invariant",  # touched: per-tile manifest mutex
 ]
 
 

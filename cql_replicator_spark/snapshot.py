@@ -114,10 +114,29 @@ class SnapshotStore:
     def _write_manifest(self, tile: int, entries: list[dict]) -> None:
         p = self._manifest_path(tile)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
+        tmp = f"{p}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump(entries, f, indent=1)
         os.replace(tmp, p)  # atomic commit, like Iceberg's metadata swap
+
+    def _tile_mutex(self, tile: int):
+        """Cross-process mutex serializing this tile's manifest
+        read-modify-write sections (write_snapshot, expire_snapshots,
+        gc_orphans). Without it two racing discoverers — legal under
+        the ledger's any-number-of-discovery-processes contract — read
+        the same manifest, pick the SAME next snapshot id, overwrite
+        one another's snap-{id} directory mid-write, and the
+        last-write-wins manifest swap silently drops the other's entry
+        (and an expire racing a writer drops the fresh entry). Same
+        battle-tested lock as the ledger (ledger.file_mutex); holding
+        it across the Spark write is fine — contention exists only
+        when two processes rotate ONE tile simultaneously, and
+        serializing them is exactly the intended outcome (the second
+        one's record_discovery loses at the ledger gate and the runner
+        skips the tile)."""
+        from .ledger import file_mutex
+
+        return file_mutex(self._manifest_path(tile) + ".lock")
 
     # -- API ------------------------------------------------------------
     def write_snapshot(self, df: DataFrame, tile: int,
@@ -138,6 +157,13 @@ class SnapshotStore:
         aggregate over the just-written files (it replaces the count
         read-back, so it costs nothing extra) and its output is one row
         per FILE, never data-sized."""
+        with self._tile_mutex(tile):
+            return self._write_snapshot_locked(
+                df, tile, files_per_snapshot, stats_cols)
+
+    def _write_snapshot_locked(self, df: DataFrame, tile: int,
+                               files_per_snapshot: int,
+                               stats_cols: list[str] | None) -> int:
         entries = self._read_manifest(tile)
         new_id = (max(e["id"] for e in entries) + 1) if entries else 1
         if self.fmt == "delta":
@@ -274,24 +300,26 @@ class SnapshotStore:
         versions remain in the transaction log until Delta's own
         VACUUM/log-retention reclaims them — Delta cannot drop a
         selected old version eagerly."""
-        entries = self._read_manifest(tile)
-        if len(entries) <= retain_last:
-            return 0
-        keep = entries[-retain_last:]
-        expired = entries[:-retain_last]
-        if self.fmt == "dlog":
-            # one shared log per tile: reclaim data files unreachable
-            # from the retained versions (vacuum); the commit log keeps
-            # full history, reads of expired ids fail at the manifest
-            from .dlog import DeltaLogTable
+        with self._tile_mutex(tile):
+            entries = self._read_manifest(tile)
+            if len(entries) <= retain_last:
+                return 0
+            keep = entries[-retain_last:]
+            expired = entries[:-retain_last]
+            if self.fmt == "dlog":
+                # one shared log per tile: reclaim data files
+                # unreachable from the retained versions (vacuum); the
+                # commit log keeps full history, reads of expired ids
+                # fail at the manifest
+                from .dlog import DeltaLogTable
 
-            DeltaLogTable(entries[-1]["path"]).vacuum(
-                retain_versions=retain_last)
-        elif self.fmt != "delta":
-            for e in expired:
-                shutil.rmtree(e["path"], ignore_errors=True)
-        self._write_manifest(tile, keep)
-        return len(expired)
+                DeltaLogTable(entries[-1]["path"]).vacuum(
+                    retain_versions=retain_last)
+            elif self.fmt != "delta":
+                for e in expired:
+                    shutil.rmtree(e["path"], ignore_errors=True)
+            self._write_manifest(tile, keep)
+            return len(expired)
 
     def snapshots(self, tile: int) -> list[SnapshotInfo]:
         return [SnapshotInfo(
@@ -307,23 +335,27 @@ class SnapshotStore:
         crashed cycles silently accrete storage. Only ``snap-*`` dirs
         are candidates; the manifest itself and the Delta table dir are
         never touched. Returns the removed paths. Safe against a
-        concurrent writer because the manifest is the commit point: any
-        dir present in the CURRENT manifest is kept, and an in-flight
-        write that has not committed yet should not run concurrently
-        with gc (same single-writer rule Iceberg's procedure has)."""
+        concurrent writer: the manifest is the commit point, and gc
+        runs under the same per-tile mutex as write_snapshot — a
+        writer holds the lock from its data write through its manifest
+        swap, so gc can never classify a mid-flight (uncommitted but
+        about to commit) snapshot dir as orphan; it sees the dir
+        either before the write starts or after the manifest lists
+        it."""
         tdir = self._tile_dir(tile)
         if not os.path.isdir(tdir):
             return []
-        live = {os.path.basename(e["path"])
-                for e in self._read_manifest(tile)}
-        removed = []
-        for name in sorted(os.listdir(tdir)):
-            if name.startswith("snap-") and name not in live:
-                p = os.path.join(tdir, name)
-                if os.path.isdir(p):
-                    shutil.rmtree(p, ignore_errors=True)
-                    removed.append(p)
-        return removed
+        with self._tile_mutex(tile):
+            live = {os.path.basename(e["path"])
+                    for e in self._read_manifest(tile)}
+            removed = []
+            for name in sorted(os.listdir(tdir)):
+                if name.startswith("snap-") and name not in live:
+                    p = os.path.join(tdir, name)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                        removed.append(p)
+            return removed
 
 
 def migrate_legacy_snapshots(

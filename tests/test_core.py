@@ -182,6 +182,55 @@ def test_snapshot_store_rejects_bad_format(tmp_path):
         SnapshotStore(str(tmp_path), "ks", "tbl", fmt="iceberg")
 
 
+def test_snapshot_writes_race_safely_on_one_tile(spark, tmp_path):
+    """The manifest read-modify-write runs under a per-tile mutex: two
+    discoverers racing one tile (legal under the ledger's any-number-
+    of-discovery-processes contract) used to read the same manifest,
+    pick the SAME next id, overwrite each other's snap-{id} dir
+    mid-write, and drop one manifest entry at the last-write-wins
+    swap. Eight concurrent writers must yield eight entries with
+    unique sequential ids, each reading back its own exact rows — and
+    an expire racing the writers must never drop a fresh entry (every
+    surviving id stays readable)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    store = SnapshotStore(str(tmp_path), "ks", "race")
+    frames = {i: spark.createDataFrame(
+        [(i * 100 + j, i) for j in range(3)], "pk int, ts long")
+        for i in range(8)}
+
+    def write(i):
+        return i, store.write_snapshot(frames[i], tile=0)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        sids = dict(ex.map(write, range(8)))
+    assert sorted(sids.values()) == list(range(1, 9)), sids
+    entries = store.snapshots(0)
+    assert [e.id for e in entries] == list(range(1, 9))
+    for i, sid in sids.items():
+        got = {r.pk for r in store.read_snapshot(spark, 0, sid).collect()}
+        assert got == {i * 100 + j for j in range(3)}, (i, sid)
+
+    # write-vs-expire race: expire concurrently with fresh writers;
+    # whatever interleaving happens, every id the manifest lists must
+    # read back (no entry dropped by a lost manifest swap)
+    def write_more(i):
+        return store.write_snapshot(frames[i % 8], tile=0)
+
+    def expire():
+        return store.expire_snapshots(0, retain_last=3)
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        futs = [ex.submit(write_more, i) for i in range(4)] \
+            + [ex.submit(expire), ex.submit(expire)]
+        for f in futs:
+            f.result()
+    final = store.snapshots(0)
+    assert len({e.id for e in final}) == len(final)
+    for e in final:
+        store.read_snapshot(spark, 0, e.id).count()  # all readable
+
+
 # -- ledger ------------------------------------------------------------------
 
 def test_ledger_state_machine(tmp_path):
