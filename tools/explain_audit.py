@@ -23,6 +23,52 @@ KEEP = re.compile(
     r"|Scan parquet|^\s*\(\d+\) |Exchange|SortMergeJoin|ShuffledHashJoin"
     r"|HashAggregate|WindowExec|\bWindow\b|Generate|MapInPandas")
 
+# Marker emitted under a query's section for every partition-less Window
+# node in its FULL plan (the audit's kept lines alone can't show this:
+# the Arguments line that carries the partition spec isn't kept).
+# tests/test_oracle.py fails any section carrying this marker unless the
+# query is whitelisted as bounded — the gate the r12 verdict prescribed
+# after eight data-proportional single-partition windows survived twelve
+# rounds of by-hand plan review.
+GLOBAL_WINDOW_MARK = "GLOBAL-WINDOW (partition-less):"
+
+
+def _top_level_groups(s: str) -> int:
+    """Count top-level [...] groups in a formatted-explain Arguments line
+    (brackets nest inside literal arrays / cast types, so track depth)."""
+    depth = 0
+    groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return groups
+
+
+def global_window_args(plan: str) -> list[str]:
+    """Arguments lines of partition-less Window nodes in a formatted
+    plan. A Window detail block renders
+    ``Arguments: [windowExprs], [partitionSpec], [orderSpec]`` — three
+    top-level bracket groups — when a partition spec exists; a global
+    ordered window renders two, an empty-over() running frame renders
+    one. WindowGroupLimit nodes are not gated (they are the pushed-down
+    rank FILTER, bounded by construction)."""
+    out = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.match(r"\(\d+\) Window(InPandas)?\b", ln.strip()):
+            continue
+        for nxt in lines[i + 1:i + 6]:
+            nxt = nxt.strip()
+            if nxt.startswith("Arguments: "):
+                if _top_level_groups(nxt) < 3:
+                    out.append(nxt[:200])
+                break
+    return out
+
 # Hand-curated audit notes for plans whose cost shape is NOT visible in
 # the static skeleton (driver-side loops, cross-query shared frames).
 # Emitted verbatim under the query's section.
@@ -110,6 +156,8 @@ def main() -> None:
             out += [f"## {name}", "", f"ERROR: {exc}", ""]
             continue
         kept = [ln.rstrip()[:160] for ln in plan.splitlines() if KEEP.search(ln)]
+        kept += [f"{GLOBAL_WINDOW_MARK} {args}"
+                 for args in global_window_args(plan)]
         out += [f"## {name}", ""]
         if name in NOTES:
             out += [NOTES[name], ""]
