@@ -1132,9 +1132,13 @@ def pq_adc_topk(
     """Asymmetric-distance top-k: the query builds an m x k integer
     distance table on the driver (tiny), every encoded row scores as m
     integer lookups via a codegen CASE-free expression (element_at on
-    a literal array per subspace), and one global top-k window ranks.
-    Returns (rank, neighbor_id, adc_dist) — integer-exact, so rank
-    order is engine-reproducible with ties to the lowest id."""
+    a literal array per subspace), and the top-k cut is a distributed
+    ``orderBy().limit(k)`` (TakeOrderedAndProject — each partition
+    keeps a k-row heap, the driver merges heaps; no stage ever holds
+    more than k rows of ordered state). Only the k survivors are then
+    ranked, so the rank window is bounded by the config literal k, not
+    the corpus. Returns (rank, neighbor_id, adc_dist) — integer-exact,
+    so rank order is engine-reproducible with ties to the lowest id."""
     qv = np.asarray(
         [max(-127, min(127, int(np.floor(float(v) * scale))))
          for v in query_vec], dtype=np.int64)
@@ -1151,9 +1155,14 @@ def pq_adc_topk(
         term = F.element_at(arr, F.col(f"code_{s}") + 1)
         dist = term if dist is None else dist + term
     scored = encoded.withColumn("adc_dist", dist.cast("long"))
+    # TakeOrderedAndProject (distributed per-partition top-k heaps),
+    # NOT a partition-less row_number window over the full corpus: a
+    # global ordered window funnels every encoded row into ONE
+    # partition — the serial-bottleneck plan shape the r12 audit
+    # banned. The row_number below runs over <= k rows.
+    top = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(int(k))
     w = Window.orderBy(F.asc("adc_dist"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= int(k))
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", F.col(id_col).alias("neighbor_id"),
                     "adc_dist"))
 

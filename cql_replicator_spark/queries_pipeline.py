@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from .analytics import dedup as D
 from .analytics import text as TX
 from .analytics import validate as V
+from .distrank import global_rank_cumsum
 from .queries import register, _t
 from .queries_analytics import _NEAR_FIXTURE_SQL, _SHINGLE_SQL, _md5h32_sql
 from .temporal import merge_intervals
@@ -511,26 +512,42 @@ FROM spans GROUP BY layout
         "bucket range); Z-order averages (66.6, 41.3); Hilbert "
         "(38.9, 39.2) — tighter and balanced, the "
         "no-quadrant-boundary-jumps property made measurable. The "
-        "100 TB analogue replaces ntile with range partitioning; the "
-        "metric is identical",
+        "tiling is EXACT ntile semantics computed distributed: "
+        "distrank's two-pass global rank (range partition, parallel "
+        "per-partition windows, broadcast offsets) plus the SQL ntile "
+        "bucket formula — first n%%64 tiles get ceil(n/64) rows, the "
+        "rest floor(n/64) — so no layout branch ever funnels the "
+        "table into a single-partition sort",
 )
 def layout_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from .tiling import zvalue_2d
     orders = _t(spark, sf_dir, "orders")["orders"]
     base = orders.select(
         "o_orderkey",
         (F.col("o_custkey") % 256).alias("x"),
         (F.col("o_orderkey") % 256).alias("y"))
-    keyed = hilbert_2d(base, "x", "y", bits=8) \
-        .withColumn("zval", zvalue_2d("x", "y", bits=8))
+    keyed = (hilbert_2d(base, "x", "y", bits=8)
+             .withColumn("zval", zvalue_2d("x", "y", bits=8))
+             .localCheckpoint())  # 3 layout branches + the count below
+    # exact ntile(64) from the global rank: q/rem are driver literals,
+    # tile = ceil-sized buckets first (SQL ntile's row distribution)
+    n = keyed.count()
+    q, rem = divmod(n, 64)
     branches = []
     for label, key in (("natural", "o_orderkey"), ("zorder", "zval"),
                        ("hilbert", "hval")):
-        tiled = keyed.select(
-            "x", "y",
-            F.ntile(64).over(Window.orderBy(key, "o_orderkey")).alias("tile"))
+        ranked = global_rank_cumsum(
+            keyed.select("x", "y", key, *(
+                [] if key == "o_orderkey" else ["o_orderkey"])),
+            order=[(key, False), ("o_orderkey", False)], rank_col="_r")
+        head = rem * (q + 1)
+        if q == 0:  # fewer rows than tiles: ntile gives row r bucket r
+            tile = F.expr("CAST(_r AS INT)")
+        else:  # integer DIV keeps the bucket boundary exact at any n
+            tile = F.expr(
+                f"CAST(CASE WHEN _r <= {head} THEN (_r - 1) DIV {q + 1} + 1 "
+                f"ELSE {rem} + (_r - {head} - 1) DIV {q} + 1 END AS INT)")
+        tiled = ranked.select("x", "y", tile.alias("tile"))
         branches.append(
             tiled.groupBy("tile")
             .agg((F.max("x") - F.min("x")).alias("x_span"),
@@ -637,21 +654,20 @@ FROM run WHERE cum_tokens <= 10000
         "admitted in rank order until the 10k-token training budget is "
         "exhausted — the 'best data first under a budget' selection "
         "every data-constrained training run makes. The running sum is "
-        "a single ordered window here; at 100 TB the same cut comes "
-        "from quality-quantile tiers (select whole tiers, binary-search "
-        "the boundary tier) so no global total order is materialized — "
-        "documented trade, same semantics",
+        "distrank's two-pass distributed cumsum (range partition by "
+        "quality, per-partition windows, broadcast prefix offsets) — "
+        "exact because token counts are integers — so no global total "
+        "order is ever funneled into one partition",
 )
 def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
     docs = _t(spark, sf_dir, "documents")["documents"]
     counted = (TX.unigram_logprob(docs)
                .select("doc_id", F.col("avg_neg_logprob").alias("s"),
                        "n_tokens"))
-    w = Window.orderBy("s", "doc_id") \
-              .rowsBetween(Window.unboundedPreceding, 0)
-    return (counted
-            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    ranked = global_rank_cumsum(
+        counted, order=[("s", False), ("doc_id", False)],
+        sum_cols={"cum_tokens": "n_tokens"}, rank_col="_r")
+    return (ranked
             .filter(F.col("cum_tokens") <= 10000)
             .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
                     F.col("cum_tokens").cast("long").alias("cum_tokens")))
@@ -1956,18 +1972,17 @@ FROM ranked
         "ln(freq) on ln(rank) (natural text sits near -1; templated or "
         "synthetic corpora deviate — a cheap distribution-shift alarm "
         "for an intake pipeline) plus the fit R². One token explode -> "
-        "vocab-sized count, one rank window over the VOCAB (not the "
-        "stream), one co-moment regression aggregate — the SQL:2003 "
-        "regr_* family both engines implement bit-compatibly after "
-        "round-6",
+        "vocab-sized count, one distributed rank over the VOCAB (not "
+        "the stream; distrank two-pass, no single-partition window), "
+        "one co-moment regression aggregate — the SQL:2003 regr_* "
+        "family both engines implement bit-compatibly after round-6",
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
     docs = _t(spark, sf_dir, "documents")["documents"]
     freq = (docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
             .groupBy("tok").agg(F.count("*").cast("double").alias("f")))
-    ranked = freq.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("tok"))))
+    ranked = global_rank_cumsum(
+        freq, order=[("f", True), ("tok", False)], rank_col="r")
     lr, lf = F.log(F.col("r").cast("double")), F.log("f")
     return ranked.agg(
         F.count("*").cast("long").alias("vocab_size"),
@@ -2004,20 +2019,22 @@ FROM cohorts
         "growth curve. Sub-linear growth = natural text; a linear "
         "curve flags id-like/noisy token streams. The 100 TB shape: "
         "the only corpus-sized step is the one shingle aggregation "
-        "every dedup op already pays",
+        "every dedup op already pays; the cohort running sum is "
+        "distrank's two-pass distributed cumsum (exact — integer "
+        "counts), since the cohort frame itself grows with the corpus",
 )
 def documents_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
     docs = _t(spark, sf_dir, "documents")["documents"]
     first_seen = (D.shingles(docs)
                   .groupBy("gram").agg(F.min("doc_id").alias("fs")))
     cohorts = (first_seen
                .groupBy((F.col("fs") / 50).cast("long").alias("cohort"))
                .agg(F.count("*").cast("long").alias("new_terms")))
-    w = Window.orderBy("cohort").rowsBetween(Window.unboundedPreceding, 0)
-    return cohorts.select(
-        "cohort", "new_terms",
-        F.sum("new_terms").over(w).cast("long").alias("vocab_size"))
+    ranked = global_rank_cumsum(
+        cohorts, order=[("cohort", False)],
+        sum_cols={"vocab_size": "new_terms"}, rank_col="_r")
+    return ranked.select(
+        "cohort", "new_terms", F.col("vocab_size").cast("long"))
 
 
 # -- Gini concentration of user activity ---------------------------------------
@@ -2038,16 +2055,17 @@ FROM r
         "few users generate everything; capacity planning and abuse "
         "detection both read this dial). Exact rank formulation "
         "G = 2·Σ i·x_i / (n·Σx) - (n+1)/n over ascending counts, "
-        "deterministic via the user-id tiebreak; the rank window runs "
-        "over the per-user aggregate (users, not events)",
+        "deterministic via the user-id tiebreak; the rank runs over "
+        "the per-user aggregate (users, not events) through distrank's "
+        "two-pass distributed formulation, not a single-partition "
+        "global window",
 )
 def events_power_users_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
     events = _t(spark, sf_dir, "events")["events"]
     c = (events.groupBy("user_id")
          .agg(F.count("*").cast("double").alias("x")))
-    r = c.withColumn("i", F.row_number().over(
-        Window.orderBy(F.asc("x"), F.asc("user_id"))))
+    r = global_rank_cumsum(
+        c, order=[("x", False), ("user_id", False)], rank_col="i")
     return r.agg(
         F.count("*").cast("long").alias("n_users"),
         F.round((2.0 * F.sum(F.col("i") * F.col("x")))
@@ -2198,24 +2216,28 @@ FROM ranked WHERE cum >= 0.8 * tot
         "count and as a fraction of the customer base — the "
         "concentration dial next to the Gini coefficient (Gini "
         "summarizes the whole curve; this names the actionable "
-        "prefix). Rank/cumsum windows run over the per-customer "
-        "AGGREGATE (customers, not orders); unique-id tiebreak keeps "
-        "the prefix deterministic cross-engine",
+        "prefix). Rank/cumsum run over the per-customer AGGREGATE "
+        "(customers, not orders) via distrank's two-pass distributed "
+        "formulation — range partition, parallel per-partition "
+        "windows, broadcast prefix offsets — never a single-partition "
+        "global window; unique-id tiebreak keeps the prefix "
+        "deterministic cross-engine",
 )
 def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
     orders = _t(spark, sf_dir, "orders")["orders"]
     spend = (orders.groupBy("o_custkey")
              .agg(F.sum("o_totalprice").alias("s")))
-    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
-    ranked = (spend
-              .withColumn("r", F.row_number().over(w))
-              .withColumn("cum", F.sum("s").over(
-                  w.rowsBetween(Window.unboundedPreceding, 0)))
-              .withColumn("n", F.count("*").over(
-                  Window.partitionBy()))
-              .withColumn("tot", F.sum("s").over(Window.partitionBy())))
-    return (ranked.filter(F.col("cum") >= 0.8 * F.col("tot"))
+    # distributed rank + running sum (distrank two-pass: range
+    # partition, per-partition window, broadcast prefix offsets) —
+    # replaces the r12-banned partition-less window; n/tot come from a
+    # 1-row aggregate over the ranked frame (max rank = customer
+    # count, max inclusive cumsum = total spend) broadcast back in
+    ranked = global_rank_cumsum(
+        spend, order=[("s", True), ("o_custkey", False)],
+        sum_cols={"cum": "s"}, rank_col="r")
+    totals = ranked.agg(F.max("r").alias("n"), F.max("cum").alias("tot"))
+    return (ranked.crossJoin(F.broadcast(totals))
+            .filter(F.col("cum") >= 0.8 * F.col("tot"))
             .agg(F.min("r").cast("long").alias("customers_for_80pct"),
                  F.max("n").cast("long").alias("n_customers"),
                  F.round(F.min("r").cast("double") / F.max("n"), 6)
