@@ -642,15 +642,15 @@ class DeltaLogTable:
 
         Restores use the same link / O_EXCL-create fallback as the
         commit path, so a concurrent writer can never be clobbered.
-        Failures skip the copy (next vacuum retries). Residual on
-        LINKLESS filesystems only: between a restorer's O_EXCL create
-        and its os.replace, a racing sweeper sees the empty placeholder
-        as "base exists" and may delete its own (identical) copy; if
-        the restorer then CRASHES inside that microsecond window with
-        no other copy left, the placeholder stays empty — the same
-        crashed-claim shape the commit path's staleness gate handles,
-        and the same two-micro-windows-coinciding class documented at
-        the reclaim sites. The link path (primary) has no such window:
+        Failures skip the copy (next vacuum retries). Zero-length
+        bases are never treated as live data: a crashed or
+        replace-failed restorer's O_EXCL placeholder (linkless
+        filesystems only) is detected by size in the data pass and
+        atomically replaced with the preserved copy's bytes (any LIVE
+        racing restorer holds an identical copy, so either replace
+        order lands the same content); the log pass was always safe —
+        an empty slot placeholder fails _commit_complete and the copy
+        is kept. The link path (primary) has no placeholder at all:
         restore is one atomic syscall."""
 
         def _restore(copy: str, dest: str) -> bool:
@@ -664,7 +664,17 @@ class DeltaLogTable:
                 except OSError:
                     return False  # refilled or unprobeable: retry later
                 os.close(fd)
-                os.replace(copy, dest)
+                try:
+                    os.replace(copy, dest)
+                except OSError:
+                    # don't leave the empty O_EXCL placeholder behind:
+                    # a later data-pass sweep would read "base exists"
+                    # and delete the only surviving copy of the bytes
+                    try:
+                        os.unlink(dest)
+                    except OSError:
+                        pass
+                    return False  # copy survives: retry next sweep
                 return False  # replace consumed the copy
             return True  # linked: the copy itself is now redundant
 
@@ -706,14 +716,30 @@ class DeltaLogTable:
                     continue
                 base = name.split(".vacuum.")[0]
                 base_full = os.path.join(self.path, base)
-                if not os.path.exists(base_full):
+                try:
+                    base_size = os.stat(base_full).st_size
+                except OSError:
+                    base_size = None
+                # A ZERO-length base is never committed data (every
+                # data file carries parquet bytes) — it is a crashed
+                # restorer's O_EXCL placeholder. Treating it as "base
+                # exists" would classify this copy as redundant and
+                # delete the only surviving bytes.
+                if base_size is None or base_size == 0:
                     if ever_added is None:  # lazily, once per sweep
                         ever_added = {
                             a["add"]["path"]
                             for v in self.versions()
                             for a in self._read_commit(v) if "add" in a}
-                    if base in ever_added and not _restore(full, base_full):
-                        continue
+                    if base in ever_added:
+                        if base_size == 0:
+                            # replace the placeholder atomically; a
+                            # LIVE racing restorer holds an identical
+                            # copy, so either order lands same bytes
+                            os.replace(full, base_full)
+                            continue
+                        if not _restore(full, base_full):
+                            continue
                 os.unlink(full)
             except OSError:
                 continue

@@ -141,6 +141,14 @@ def file_mutex(lock_path: str):
             pass
 
 
+class DiscoveryRaceLost(RuntimeError):
+    """record_discovery's under-lock gate failed: a rival discoverer
+    rotated the tile between the caller's can_discover() check and its
+    record. A benign, contract-legal outcome callers may skip — typed
+    so they don't have to catch bare RuntimeError (which would also
+    swallow unrelated ledger failures)."""
+
+
 @dataclass
 class LedgerRow:
     ks: str
@@ -242,7 +250,7 @@ class Ledger:
             # discoverer's rotation), not this object's stale snapshot
             self._reload()
             if not self._can_discover_loaded(ks, tbl, tile):
-                raise RuntimeError(
+                raise DiscoveryRaceLost(
                     f"tile {tile}: unconsumed snapshot present; discovery must not rotate"
                 )
             curr = self._get_loaded(ks, tbl, tile, "curr")

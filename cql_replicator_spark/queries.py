@@ -1437,27 +1437,27 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything else stalest-evidence-first. tests/test_oracle.py asserts the
 # computed order actually has this shape.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r12: tile_histogram_xxhash64 gained an exact oracle (pinned
-    # probe-hash literals cross-checked against a from-spec XXH64
-    # reference + fixed-input invariants) — the registry's last
-    # rows-only row closes. The five shared-LSH lanes re-verify
-    # because the memo's eviction path changed (dead-session entries
-    # dropped before the FIFO cap, best-effort unpersist). The rest of
-    # the ~50-row window goes to the stalest evidence via the
-    # fallback: the 4 remaining r6 rows lead it, then the 35-row r7
-    # cohort — retiring the r7 evidence debt (r11 verdict item 2).
-    "tile_histogram_xxhash64",       # CHANGED: rows-only -> exact oracle
-    "dedup_minhash_lsh",             # touched: memo eviction path
-    "dedup_clusters",                # touched: memo eviction path
-    "dedup_clusters_star",           # touched: memo eviction path
-    "dedup_cluster_keepers",         # touched: memo eviction path
-    "dedup_minhash_accuracy",        # touched: memo eviction path
-    "cdc_ledger_cycle",              # touched: discovery lost-race skip
-                                     # + stats-by-snapshot-id in runner
-                                     # + per-tile manifest mutex
-    "snapshot_time_travel",          # touched: per-tile manifest mutex
-    "snapshot_pruned_read",          # touched: per-tile manifest mutex
-    "resize_tiles_count_invariant",  # touched: per-tile manifest mutex
+    # r13: the partition-less-window kill (r12 verdict items 1/3) —
+    # every lane whose plan changed from a single-partition global
+    # window to a distributed formulation re-verifies, even though the
+    # oracle SQL is unchanged (plan change, not semantics change).
+    # The rest of the 50-row window goes to the stalest evidence via
+    # the fallback: the 39 remaining r8 rows (customer_spend_rank is
+    # both touched and r8) — retiring the r8 evidence debt (r12
+    # verdict item 4) — then the oldest r9 rows.
+    "similarity_pq_recall",          # pq_adc_topk: TakeOrdered top-k
+    "similarity_ivfpq_recall",       # same ranker via ivfpq_search
+    "customer_spend_rank",           # top-50 distinct + broadcast join
+    "orders_pareto_8020",            # distrank rank+cumsum
+    "events_power_users_gini",       # distrank rank
+    "text_zipf_fit",                 # distrank rank
+    "token_budget_selection",        # distrank integer cumsum
+    "documents_vocab_growth_heaps",  # distrank integer cumsum
+    "layout_pruning_stats",          # distrank rank + exact ntile math
+    "cdc_ledger_cycle",              # touched: typed DiscoveryRaceLost
+                                     # + missing-snapshot stats skip
+    "snapshot_time_travel",          # touched: dlog zero-length-base
+                                     # sweep + placeholder cleanup
 ]
 
 

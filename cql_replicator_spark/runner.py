@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .diff import ChangeSet, changeset_from_tagged, compute_changes_tagged
-from .ledger import Ledger
+from .ledger import DiscoveryRaceLost, Ledger
 from .snapshot import SnapshotStore
 from .tiling import assign_tiles
 
@@ -169,22 +169,28 @@ class CdcPipeline:
                 try:
                     self.ledger.record_discovery(
                         self.keyspace, self.table, tile, sid)
-                except RuntimeError:
+                except DiscoveryRaceLost:
                     # Lost the discovery race: a rival process rotated
                     # this tile between our gate check and our record
                     # (the ledger contract allows any number of
                     # discovery processes; record_discovery re-checks
-                    # under the cross-process lock and raises to
-                    # protect the unconsumed-snapshot invariant). Our
-                    # snapshot is an unreferenced orphan until expiry —
-                    # skip the tile, don't kill the whole cycle.
+                    # under the cross-process lock and raises the TYPED
+                    # race exception to protect the unconsumed-snapshot
+                    # invariant — any other RuntimeError is a real
+                    # failure and propagates). Our snapshot is an
+                    # unreferenced orphan until expiry — skip the tile,
+                    # don't kill the whole cycle.
                     return None
                 # count of OUR snapshot by id — under the multi-
-                # discoverer contract [-1] could be a rival's newer one
-                n = next(s.count for s in self.store.snapshots(tile)
-                         if s.id == sid)
-                self.stats.put(self.keyspace, self.table,
-                               DiscoveryStats(tile, n, time.time()))
+                # discoverer contract [-1] could be a rival's newer
+                # one, and a rival may legally have EXPIRED our
+                # just-written snapshot already: skip the stats put
+                # rather than crash the cycle on the missing id
+                n = next((s.count for s in self.store.snapshots(tile)
+                          if s.id == sid), None)
+                if n is not None:
+                    self.stats.put(self.keyspace, self.table,
+                                   DiscoveryStats(tile, n, time.time()))
                 return tile
 
             with ThreadPoolExecutor(max_workers=self.max_workers) as pool:

@@ -38,7 +38,19 @@ def doc_id(row: dict, pk_cols: list[str]) -> str:
     so the second index overwrites the first document and a delete for
     either kills both. Plain ids stay byte-identical to the reference
     layout; index and delete both route through here, so replays stay
-    idempotent per actual row."""
+    idempotent per actual row.
+
+    ID-SCHEME BREAK (r12): key values containing ':', '/', '%', etc.
+    now produce a DIFFERENT _id than the pre-r12 raw-join scheme.
+    Against an index populated before the change, replayed deletes and
+    updates for such keys recompute the new _id and silently miss the
+    documents written under the old ids. Fine for a pre-release
+    framework; an upgraded deployment must reindex (full re-replication
+    of affected tables) or run a one-off migration that re-keys
+    documents whose _id decodes differently under percent-encoding.
+    The same note applies to the DynamoDB composite key and the
+    large-object offload key, which switched schemes in the same
+    round."""
     from urllib.parse import quote
 
     return ID_SEPARATOR.join(quote(str(row[c]), safe="") for c in pk_cols)

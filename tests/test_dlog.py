@@ -1082,3 +1082,94 @@ def test_sweep_restores_log_copy_before_classifying_data_copies(tmp_path):
     assert "part-only-in-copy.parquet" in live
     assert not [n for n in os.listdir(d) if ".vacuum." in n]
     assert not [n for n in os.listdir(log_dir) if ".reclaim." in n]
+
+
+def test_sweep_treats_zero_length_base_as_missing(tmp_path):
+    """A crashed (or replace-failed) linkless-fs restorer leaves an
+    EMPTY O_EXCL placeholder at the base path. The data pass used to
+    read "base exists" off the placeholder and delete the only
+    surviving copy of referenced bytes; it now detects the zero-length
+    base by size and atomically replaces it with the preserved copy's
+    content. A zero-length base of a NEVER-referenced file still just
+    loses its copy (orphan's orphan)."""
+    from cql_replicator_spark import dlog as D
+
+    d = str(tmp_path / "t")
+    D._publish_commit(d, 0, _pc_actions(0), adds=[])
+    tbl = DeltaLogTable(d)
+    aged = time.time() - D._PRESERVED_SWEEP_SECS - 5
+
+    def plant(path, content, old=True):
+        with open(path, "w") as f:
+            f.write(content)
+        if old:
+            os.utime(path, (aged, aged))
+
+    plant(os.path.join(d, "part-v0-a.parquet"), "DATA", old=False)
+    # referenced base exists but is ZERO bytes (crashed placeholder);
+    # the aged copy holds the only real bytes
+    plant(os.path.join(d, "part-v0-b.parquet"), "", old=False)
+    plant(os.path.join(d, "part-v0-b.parquet.vacuum.1.aa"), "ONLYCOPY")
+    # never-referenced zero-length base + aged copy -> copy swept
+    plant(os.path.join(d, "part-ghost.parquet"), "", old=False)
+    plant(os.path.join(d, "part-ghost.parquet.vacuum.2.bb"), "ghost")
+
+    tbl.vacuum(retain_versions=5)
+
+    with open(os.path.join(d, "part-v0-b.parquet")) as f:
+        assert f.read() == "ONLYCOPY"
+    left = [n for n in os.listdir(d) if ".vacuum." in n]
+    assert left == [], left
+
+
+def test_restore_replace_failure_leaves_no_placeholder(tmp_path,
+                                                       monkeypatch):
+    """Linkless-fs restore is O_EXCL-create + os.replace. If the
+    replace FAILS the placeholder must not survive as an empty base —
+    a later sweep would classify the copy as redundant against it.
+    The copy must survive the failed attempt and restore cleanly on
+    the next sweep."""
+    from cql_replicator_spark import dlog as D
+
+    d = str(tmp_path / "t")
+    D._publish_commit(d, 0, _pc_actions(0), adds=[])
+    tbl = DeltaLogTable(d)
+    aged = time.time() - D._PRESERVED_SWEEP_SECS - 5
+
+    def plant(path, content, old=True):
+        with open(path, "w") as f:
+            f.write(content)
+        if old:
+            os.utime(path, (aged, aged))
+
+    plant(os.path.join(d, "part-v0-a.parquet"), "DATA", old=False)
+    # base missing; only bytes live in the aged copy
+    copy = os.path.join(d, "part-v0-b.parquet.vacuum.1.aa")
+    plant(copy, "ONLYCOPY")
+
+    base = os.path.join(d, "part-v0-b.parquet")
+    real_replace = os.replace
+    failed = []
+
+    def no_link(*a, **k):  # force the linkless fallback
+        raise OSError("no hardlinks here")
+
+    def flaky_replace(src, dst):
+        if dst == base and not failed:
+            failed.append(1)
+            raise OSError("simulated replace failure")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "link", no_link)
+    monkeypatch.setattr(os, "replace", flaky_replace)
+
+    tbl.vacuum(retain_versions=5)
+    # failed attempt: copy intact, no empty placeholder left behind
+    assert os.path.exists(copy)
+    assert not os.path.exists(base)
+
+    tbl.vacuum(retain_versions=5)
+    # second sweep restores for real
+    with open(base) as f:
+        assert f.read() == "ONLYCOPY"
+    assert not os.path.exists(copy)

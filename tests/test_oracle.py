@@ -203,6 +203,63 @@ def test_plans_audit_in_sync_and_no_cartesian():
     assert "CartesianProduct" not in text, "cartesian product in an audited plan"
 
 
+# Queries whose audited plan carries a partition-less Window that is
+# PROVABLY bounded: the windowed frame's row count is a config literal
+# or a tiny fixed domain, never proportional to the data. Everything
+# else with the mark fails test_no_unbounded_global_windows — the gate
+# the r12 verdict prescribed after eight data-proportional
+# single-partition windows survived twelve rounds of by-hand review.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # rank over <= pool rows: orderBy().limit(pool) precedes the window
+    # (text.py bpe_top_pairs_batched, pinned bounded head)
+    "bpe_top_pairs_batched",
+    # rank over <= 50 DISTINCT spend values post-limit(50); the
+    # corpus-sized frame is never windowed (queries.py)
+    "customer_spend_rank",
+    # 8 config rows (divisors of 128) — a planner table, not data
+    "dedup_lsh_tuning_table",
+    # one row per DISTINCT event_type — a schema-sized enum domain
+    "events_type_bitmap_profile",
+    # one row per nation (25) — dimension-table-sized by construction
+    "orders_revenue_share",
+    # two rank windows, each over a limit(100) candidate list
+    "retrieval_hybrid_rrf",
+    # cumulative walk over <= bins histogram rows (sketch constant)
+    "sketch_quantile_histogram",
+}
+
+
+def test_no_unbounded_global_windows():
+    """A Window with no partition spec moves EVERY input row into one
+    partition ("WARN WindowExec: No Partition Defined..."). — correct,
+    but a serial bottleneck that grows with the data, the plan-shape
+    class the r12 audit found in 8 lanes after it had survived twelve
+    rounds unflagged. tools/explain_audit.py stamps a GLOBAL-WINDOW
+    marker under every audited section whose full plan contains one;
+    this gate fails any marked section that is not in the
+    justified-bounded whitelist above, and fails STALE whitelist
+    entries too (an entry whose plan no longer carries the mark must
+    be removed, so the list can only shrink unless a new bounded use
+    is argued in review)."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "PLANS.md").read_text()
+    parts = re.split(r"^## (\S+)\s*$", text, flags=re.M)
+    marked = {parts[i] for i in range(1, len(parts), 2)
+              if "GLOBAL-WINDOW (partition-less):" in parts[i + 1]}
+    unbounded = sorted(marked - _BOUNDED_GLOBAL_WINDOWS)
+    assert not unbounded, (
+        f"partition-less Window over a data-proportional frame in: "
+        f"{unbounded}. Fix the plan (distrank.global_rank_cumsum / "
+        f"orderBy().limit(k)) or justify boundedness in "
+        f"_BOUNDED_GLOBAL_WINDOWS.")
+    stale = sorted(_BOUNDED_GLOBAL_WINDOWS - marked)
+    assert not stale, (
+        f"whitelist entries whose plans no longer carry the mark: "
+        f"{stale} — remove them so the whitelist stays tight.")
+
+
 def test_flagship_plan_scan_counts_pinned():
     """Structural perf regression guard: the expensive flagship queries
     earn their cost with SINGLE-PASS plan shapes (one corpus scan, df /

@@ -33,28 +33,41 @@ KEEP = re.compile(
 GLOBAL_WINDOW_MARK = "GLOBAL-WINDOW (partition-less):"
 
 
-def _top_level_groups(s: str) -> int:
-    """Count top-level [...] groups in a formatted-explain Arguments line
-    (brackets nest inside literal arrays / cast types, so track depth)."""
+def _top_level_group_bodies(s: str) -> list[str]:
+    """Contents of top-level [...] groups in a formatted-explain
+    Arguments line (brackets nest inside literal arrays / cast types,
+    so track depth)."""
+    bodies: list[str] = []
     depth = 0
-    groups = 0
-    for ch in s:
+    start = 0
+    for i, ch in enumerate(s):
         if ch == "[":
             if depth == 0:
-                groups += 1
+                start = i + 1
             depth += 1
         elif ch == "]":
             depth = max(0, depth - 1)
-    return groups
+            if depth == 0:
+                bodies.append(s[start:i])
+    return bodies
+
+
+_SORT_MARKER = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b")
 
 
 def global_window_args(plan: str) -> list[str]:
     """Arguments lines of partition-less Window nodes in a formatted
-    plan. A Window detail block renders
-    ``Arguments: [windowExprs], [partitionSpec], [orderSpec]`` — three
-    top-level bracket groups — when a partition spec exists; a global
-    ordered window renders two, an empty-over() running frame renders
-    one. WindowGroupLimit nodes are not gated (they are the pushed-down
+    plan. A Window detail block renders up to three top-level bracket
+    groups — ``[windowExprs], [partitionSpec], [orderSpec]`` — but
+    EMPTY specs are omitted from the rendering, so the group count
+    alone is ambiguous at two: ``[exprs], [partitionSpec]`` is a
+    partitioned-but-unordered window (parallel — fine), while
+    ``[exprs], [orderSpec]`` is a globally ordered one (single
+    partition — flagged). The two are told apart by the sort markers
+    only an orderSpec carries (``ASC/DESC NULLS FIRST/LAST``). One
+    group = global unordered aggregate frame (also single partition —
+    flagged); three groups = partition spec present (fine).
+    WindowGroupLimit nodes are not gated (they are the pushed-down
     rank FILTER, bounded by construction)."""
     out = []
     lines = plan.splitlines()
@@ -64,7 +77,11 @@ def global_window_args(plan: str) -> list[str]:
         for nxt in lines[i + 1:i + 6]:
             nxt = nxt.strip()
             if nxt.startswith("Arguments: "):
-                if _top_level_groups(nxt) < 3:
+                groups = _top_level_group_bodies(nxt)
+                partition_less = len(groups) == 1 or (
+                    len(groups) == 2
+                    and _SORT_MARKER.search(groups[1]) is not None)
+                if partition_less:
                     out.append(nxt[:200])
                 break
     return out
