@@ -1139,6 +1139,28 @@ def pq_adc_topk(
     ranked, so the rank window is bounded by the config literal k, not
     the corpus. Returns (rank, neighbor_id, adc_dist) — integer-exact,
     so rank order is engine-reproducible with ties to the lowest id."""
+    scored = adc_scored(query_vec, encoded, codebooks, scale=scale)
+    # TakeOrderedAndProject (distributed per-partition top-k heaps),
+    # NOT a partition-less row_number window over the full corpus: a
+    # global ordered window funnels every encoded row into ONE
+    # partition — the serial-bottleneck plan shape the r12 audit
+    # banned. The row_number below runs over <= k rows.
+    top = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", F.col(id_col).alias("neighbor_id"),
+                    "adc_dist"))
+
+
+def adc_scored(
+    query_vec: list[float],
+    encoded: DataFrame,
+    codebooks: list[list[list[int]]],
+    scale: int = 100,
+) -> DataFrame:
+    """The ADC scoring stage of pq_adc_topk, exposed separately so
+    ranking strategies can be compared on byte-identical scores (the
+    scale-smoke A/B leg) — encoded plus an integer ``adc_dist``."""
     qv = np.asarray(
         [max(-127, min(127, int(np.floor(float(v) * scale))))
          for v in query_vec], dtype=np.int64)
@@ -1154,17 +1176,7 @@ def pq_adc_topk(
         arr = F.array(*[F.lit(x) for x in tables[s]])
         term = F.element_at(arr, F.col(f"code_{s}") + 1)
         dist = term if dist is None else dist + term
-    scored = encoded.withColumn("adc_dist", dist.cast("long"))
-    # TakeOrderedAndProject (distributed per-partition top-k heaps),
-    # NOT a partition-less row_number window over the full corpus: a
-    # global ordered window funnels every encoded row into ONE
-    # partition — the serial-bottleneck plan shape the r12 audit
-    # banned. The row_number below runs over <= k rows.
-    top = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(int(k))
-    w = Window.orderBy(F.asc("adc_dist"), F.asc(id_col))
-    return (top.withColumn("rank", F.row_number().over(w))
-            .select("rank", F.col(id_col).alias("neighbor_id"),
-                    "adc_dist"))
+    return encoded.withColumn("adc_dist", dist.cast("long"))
 
 
 def ivfpq_search(

@@ -181,6 +181,48 @@ def main() -> None:
             amp_emb(n), k=16, rounds=1, train_sample=4096),
     }
 
+    # PQ ADC rank-strategy leg (r12 verdict item 5): byte-identical ADC
+    # scores (adc_scored on a checkpointed encoded frame), two rank
+    # formulations interleaved — the pre-r13 partition-less row_number
+    # window (every encoded row funneled into ONE partition) vs the r13
+    # orderBy().limit(k) TakeOrderedAndProject (per-partition k-row
+    # heaps). The class claim: the window form's cost is a corpus-sized
+    # single-partition sort, so its penalty must GROW with the corpus
+    # while the TakeOrdered form stays flat-per-row.
+    def pq_rank_leg(factor: int) -> dict:
+        import statistics
+
+        from pyspark.sql.window import Window
+        books = SIM.pq_train(emb, m=2, k=4, rounds=0, train_sample=64)
+        qrow = emb.filter(F.col("vec_id") == 3).first()
+        enc = SIM.pq_encode(amp_emb(factor), books).localCheckpoint()
+        n_enc = enc.count()
+        scored = SIM.adc_scored(list(qrow.embedding), enc, books)
+
+        def window_form():
+            w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+            return (scored.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= 5))
+
+        def takeordered_form():
+            return scored.orderBy(
+                F.asc("adc_dist"), F.asc("vec_id")).limit(5)
+
+        forms = {"window": window_form, "takeordered": takeordered_form}
+        times: dict[str, list[float]] = {f: [] for f in forms}
+        for p in range(3):
+            order = list(forms) if p % 2 == 0 else list(forms)[::-1]
+            for name in order:
+                t0 = time.perf_counter()
+                forms[name]().count()
+                times[name].append(round(time.perf_counter() - t0, 3))
+        med = {f: statistics.median(v) for f, v in times.items()}
+        enc.unpersist()
+        return {"n_encoded": n_enc, "raw": times, "medians": med,
+                "window_over_takeordered": round(
+                    med["window"] / med["takeordered"], 3)
+                if med["takeordered"] else None}
+
     # Iterative-algorithm leg: connected components over the capped LSH
     # pair graph. The scale claim is that ROUNDS track graph DIAMETER
     # (near-dup components are small and dense), not corpus size — at
@@ -423,6 +465,7 @@ def main() -> None:
         row["connected_components"] = cc_leg(factor)
         result[scale] = {"n_docs": n, "n_keys": orders.count() * factor,
                          "ops": row,
+                         "pq_adc_rank": pq_rank_leg(factor),
                          "sharedlsh_cold_family": sharedlsh_family_leg(frame)}
 
     skew = skew_leg()
@@ -438,6 +481,12 @@ def main() -> None:
           f"1x={base['ops']['connected_components']['rounds']} "
           f"{AMPLIFY}x={amp['ops']['connected_components']['rounds']} "
           f"(diameter-driven: flat is the pass)")
+    pq_b, pq_a = base["pq_adc_rank"], amp["pq_adc_rank"]
+    print(f"pq_adc_rank window/takeordered: "
+          f"1x={pq_b['window_over_takeordered']} "
+          f"{AMPLIFY}x={pq_a['window_over_takeordered']} "
+          f"(the window form's single-partition sort penalty must "
+          f"grow with the corpus; TakeOrdered stays flat-per-row)")
     sl_b = base["sharedlsh_cold_family"]
     sl_a = amp["sharedlsh_cold_family"]
     print(f"sharedlsh_cold_family independent/shared: "
