@@ -113,3 +113,66 @@ def test_detector_flags_partitionless_window(spark):
     plan = bad._jdf.queryExecution().explainString(emode)
     flagged = mod.global_window_args(plan)
     assert len(flagged) == 1 and "row_number" in flagged[0]
+
+
+def _formatted(df):
+    emode = df.sparkSession._jvm.org.apache.spark.sql.execution \
+        .ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(emode)
+
+
+def test_exchange_detector_flags_single_partition_shapes(spark):
+    """The sibling serial-funnel shape: Exchange SinglePartition (and
+    explicit 1-partition partitionings) must be flagged — the kept
+    "(N) Exchange" tree line in PLANS.md cannot show it, which is how
+    a repartition(1) or un-rewritten global limit would hide from the
+    window gate. Both directions, same pattern as the window tests."""
+    mod = _load_explain_audit()
+    df = spark.range(50).select((F.col("id") % 5).alias("k"))
+
+    # global ordered window -> Exchange SinglePartition upstream
+    bad = df.withColumn("r", F.row_number().over(Window.orderBy("k")))
+    assert len(mod.single_partition_exchange_args(_formatted(bad))) == 1
+
+    # repartition(1) -> Exchange RoundRobinPartitioning(1)
+    one = df.repartition(1).groupBy("k").count()
+    assert len(mod.single_partition_exchange_args(_formatted(one))) >= 1
+
+    # explicit 1-partition hash exchange
+    hashed = df.repartition(1, "k").groupBy("k").count()
+    assert len(mod.single_partition_exchange_args(_formatted(hashed))) >= 1
+
+
+def test_exchange_detector_passes_parallel_shapes(spark):
+    """Negative direction: ordinary parallel exchanges (hash shuffle for
+    a groupBy, multi-partition range exchange for a sort) must NOT be
+    flagged, or the gate would drown in false positives."""
+    mod = _load_explain_audit()
+    df = spark.range(1000).select((F.col("id") % 37).alias("k"),
+                                  F.col("id").alias("uid"))
+    agg = df.groupBy("k").count()
+    assert mod.single_partition_exchange_args(_formatted(agg)) == []
+    rng = df.repartitionByRange(8, "k", "uid").withColumn(
+        "r", F.row_number().over(Window.partitionBy("k").orderBy("uid")))
+    assert mod.single_partition_exchange_args(_formatted(rng)) == []
+
+
+def test_exchange_detector_exempts_bounded_funnels(spark):
+    """Two single-partition exchanges that are bounded by CONSTRUCTION
+    must not be flagged: the global-aggregate funnel (partial agg with
+    no keys -> one row per upstream partition) and the GlobalLimit
+    pattern (LocalLimit cuts each partition to the literal first).
+    Without these exemptions the gate would flag the textbook
+    distributed plan for df.agg(...) in ~40 lanes."""
+    mod = _load_explain_audit()
+    df = spark.range(1000).select((F.col("id") % 37).alias("k"),
+                                  F.col("id").alias("uid"))
+    tot = df.agg(F.sum("uid").alias("s"), F.count("*").alias("n"))
+    plan = _formatted(tot)
+    assert "SinglePartition" in plan  # the funnel exists...
+    assert mod.single_partition_exchange_args(plan) == []  # ...exempt
+
+    lim = df.limit(7).groupBy("k").count()
+    plan = _formatted(lim)
+    if "SinglePartition" in plan:  # GlobalLimit pattern planned
+        assert mod.single_partition_exchange_args(plan) == []

@@ -260,6 +260,58 @@ def test_no_unbounded_global_windows():
         f"{stale} — remove them so the whitelist stays tight.")
 
 
+# Queries whose audited plan carries an Exchange with SinglePartition
+# (or numPartitions=1) output partitioning that is PROVABLY bounded:
+# the exchanged frame is at most a config-literal number of rows
+# (post-limit(k) window passes, enum/config domains) — never
+# proportional to the data. Same contract as the window whitelist:
+# stale entries fail, so the list only shrinks unless a new bounded
+# use is argued in review.
+_BOUNDED_SINGLE_PARTITION_EXCHANGES = {
+    # All four exchanges feed the already-whitelisted bounded global
+    # windows of the same lanes (the detector auto-exempts the two
+    # bounded-by-construction funnels — keyless partial aggregates and
+    # LocalLimit — so only genuinely windowed frames reach this list):
+    # 8 config rows (divisors of 128) — a planner table, not data
+    "dedup_lsh_tuning_table",
+    # one row per DISTINCT event_type — a schema-sized enum domain
+    "events_type_bitmap_profile",
+    # one row per nation (25) — dimension-table-sized by construction
+    "orders_revenue_share",
+    # cumulative walk over <= bins histogram rows (sketch constant)
+    "sketch_quantile_histogram",
+}
+
+
+def test_no_single_partition_exchanges():
+    """The sibling serial-funnel shape to a partition-less Window: an
+    Exchange whose output partitioning is SinglePartition funnels every
+    upstream row through one task. The kept "(N) Exchange" tree line in
+    PLANS.md cannot show the partitioning (it lives on the un-kept
+    Arguments detail line), which is exactly how a repartition(1) or an
+    un-rewritten global limit would hide from the window gate —
+    tools/explain_audit.py now stamps a SINGLE-PARTITION-EXCHANGE
+    marker and this gate fails any marked section that is not in the
+    justified-bounded whitelist above."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "PLANS.md").read_text()
+    parts = re.split(r"^## (\S+)\s*$", text, flags=re.M)
+    marked = {parts[i] for i in range(1, len(parts), 2)
+              if "SINGLE-PARTITION-EXCHANGE:" in parts[i + 1]}
+    unbounded = sorted(marked - _BOUNDED_SINGLE_PARTITION_EXCHANGES)
+    assert not unbounded, (
+        f"single-partition Exchange over a data-proportional frame in: "
+        f"{unbounded}. Fix the plan (distrank / orderBy().limit(k) / "
+        f"a partitioned exchange) or justify boundedness in "
+        f"_BOUNDED_SINGLE_PARTITION_EXCHANGES.")
+    stale = sorted(_BOUNDED_SINGLE_PARTITION_EXCHANGES - marked)
+    assert not stale, (
+        f"whitelist entries whose plans no longer carry the mark: "
+        f"{stale} — remove them so the whitelist stays tight.")
+
+
 def test_flagship_plan_scan_counts_pinned():
     """Structural perf regression guard: the expensive flagship queries
     earn their cost with SINGLE-PASS plan shapes (one corpus scan, df /

@@ -32,6 +32,18 @@ KEEP = re.compile(
 # rounds of by-hand plan review.
 GLOBAL_WINDOW_MARK = "GLOBAL-WINDOW (partition-less):"
 
+# Sibling marker for the OTHER serial-funnel plan node: an Exchange
+# whose output partitioning is SinglePartition (or any partitioning
+# with numPartitions=1). Same failure mode as a partition-less Window
+# — every upstream row flows through one task — but reached via
+# different APIs (global limit not rewritten to TakeOrdered, Window
+# frames, repartition(1), 1-partition range exchange). The tree line
+# the audit keeps is just "(N) Exchange"; the partitioning lives on
+# the Arguments detail line, so without this mark the shape is
+# invisible in PLANS.md. Gated by
+# tests/test_oracle.py::test_no_single_partition_exchanges.
+SINGLE_PARTITION_MARK = "SINGLE-PARTITION-EXCHANGE:"
+
 
 def _top_level_group_bodies(s: str) -> list[str]:
     """Contents of top-level [...] groups in a formatted-explain
@@ -84,6 +96,80 @@ def global_window_args(plan: str) -> list[str]:
                 if partition_less:
                     out.append(nxt[:200])
                 break
+    return out
+
+
+# hashpartitioning(k#1, 1) / rangepartitioning(k#1 ASC NULLS FIRST, 1)
+# (trailing arg is numPartitions) and RoundRobinPartitioning(1)
+# (repartition(1) — numPartitions is the ONLY arg).
+_NUM_PARTITIONS_ONE = re.compile(
+    r"partitioning\([^()]*(?:\([^()]*\)[^()]*)*,\s*1\)"
+    r"|RoundRobinPartitioning\(1\)")
+
+
+def _detail_blocks(plan: str) -> dict[int, tuple[str, str]]:
+    """Formatted-explain detail blocks: node number -> (node name, block
+    text). Node numbering is depth-first with children numbered before
+    parents, so a UNARY node's child is always node (k-1)."""
+    blocks: dict[int, tuple[str, str]] = {}
+    cur_num, cur_name, cur_lines = None, None, []
+    for ln in plan.splitlines():
+        m = re.match(r"\((\d+)\) (\S+)", ln.strip())
+        if m:
+            if cur_num is not None:
+                blocks[cur_num] = (cur_name, "\n".join(cur_lines))
+            cur_num, cur_name, cur_lines = int(m.group(1)), m.group(2), []
+        elif cur_num is not None:
+            cur_lines.append(ln.strip())
+    if cur_num is not None:
+        blocks[cur_num] = (cur_name, "\n".join(cur_lines))
+    return blocks
+
+
+def single_partition_exchange_args(plan: str) -> list[str]:
+    """Arguments lines of Exchange nodes whose output partitioning is
+    SinglePartition or an explicit 1-partition hash/range partitioning
+    — the serial-funnel shape a kept "(N) Exchange" tree line cannot
+    reveal. AQE's final plan may coalesce small shuffles at runtime,
+    but an Exchange that is single-partition in the STATIC plan is
+    single-partition at any scale, so the static audit is the right
+    place to flag it.
+
+    Two child shapes are exempt because the exchanged frame is bounded
+    by CONSTRUCTION, not by the data (the formatted tree numbers a
+    unary node's child k-1, so the Exchange's input node is findable):
+
+    - a partial aggregate with NO grouping keys (``Keys: []``): the
+      global-aggregate funnel carries one pre-aggregated row per
+      upstream partition — #partitions rows, a config constant. This
+      is the textbook distributed plan for ``df.agg(...)``, not a
+      serial sort of the data.
+    - ``LocalLimit``: each upstream partition was already cut to the
+      limit literal, so the exchange carries <= limit x #partitions
+      rows regardless of data size (the GlobalLimit pattern).
+    """
+    out = []
+    blocks = _detail_blocks(plan)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        m = re.match(r"\((\d+)\) Exchange\b", ln.strip())
+        if not m:
+            continue
+        for nxt in lines[i + 1:i + 6]:
+            nxt = nxt.strip()
+            if not nxt.startswith("Arguments: "):
+                continue
+            if ("SinglePartition" in nxt
+                    or _NUM_PARTITIONS_ONE.search(nxt)):
+                child_name, child_block = blocks.get(
+                    int(m.group(1)) - 1, ("?", ""))
+                bounded = (
+                    ("Aggregate" in child_name
+                     and re.search(r"^Keys: \[\]$", child_block, re.M))
+                    or child_name == "LocalLimit")
+                if not bounded:
+                    out.append(f"[child {child_name}] {nxt}"[:220])
+            break
     return out
 
 # Hand-curated audit notes for plans whose cost shape is NOT visible in
@@ -175,6 +261,8 @@ def main() -> None:
         kept = [ln.rstrip()[:160] for ln in plan.splitlines() if KEEP.search(ln)]
         kept += [f"{GLOBAL_WINDOW_MARK} {args}"
                  for args in global_window_args(plan)]
+        kept += [f"{SINGLE_PARTITION_MARK} {args}"
+                 for args in single_partition_exchange_args(plan)]
         out += [f"## {name}", ""]
         if name in NOTES:
             out += [NOTES[name], ""]

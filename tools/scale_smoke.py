@@ -195,7 +195,25 @@ def main() -> None:
         from pyspark.sql.window import Window
         books = SIM.pq_train(emb, m=2, k=4, rounds=0, train_sample=64)
         qrow = emb.filter(F.col("vec_id") == 3).first()
-        enc = SIM.pq_encode(amp_emb(factor), books).localCheckpoint()
+        # The sf0.1 embeddings table is tiny (~2k vectors); at 20x both
+        # rank forms are scheduler-latency-bound (~50 ms) and the leg
+        # shows nothing. This leg's claim is about the RANK stage, so
+        # it gets its own amplifier (sequence+explode, not a literal
+        # array — 1500 literals would bloat the plan) sized so the
+        # ranked frame reaches the millions of rows where a
+        # single-partition sort is visibly serial: 75x at the 1x leg
+        # (~150k rows), 1500x at the 20x leg (~3M rows).
+        boost = factor * 75
+        reps = F.explode(
+            F.sequence(F.lit(0), F.lit(boost - 1))).alias("rep")
+        big = (emb.select("vec_id", "embedding", reps)
+               .select((F.col("vec_id") + F.col("rep") * 10_000_000)
+                       .alias("vec_id"),
+                       F.transform(
+                           F.col("embedding").cast("array<double>"),
+                           lambda v: v + F.col("rep") * 1e-4)
+                       .alias("embedding")))
+        enc = SIM.pq_encode(big, books).localCheckpoint()
         n_enc = enc.count()
         scored = SIM.adc_scored(list(qrow.embedding), enc, books)
 
