@@ -181,65 +181,102 @@ def main() -> None:
             amp_emb(n), k=16, rounds=1, train_sample=4096),
     }
 
-    # PQ ADC rank-strategy leg (r12 verdict item 5): byte-identical ADC
-    # scores (adc_scored on a checkpointed encoded frame), two rank
-    # formulations interleaved — the pre-r13 partition-less row_number
-    # window (every encoded row funneled into ONE partition) vs the r13
-    # orderBy().limit(k) TakeOrderedAndProject (per-partition k-row
-    # heaps). The class claim: the window form's cost is a corpus-sized
-    # single-partition sort, so its penalty must GROW with the corpus
-    # while the TakeOrdered form stays flat-per-row.
+    # Rank-strategy leg (r12 verdict item 5): byte-identical ADC scores
+    # (adc_scored, projected to a NARROW checkpointed frame), the
+    # partition-less-window formulations the r13 rework removed vs
+    # their distributed replacements, interleaved. Two sub-legs:
+    #
+    # - topk: pre-r13 global row_number + filter(rank<=k) vs the r13
+    #   orderBy().limit(k). (Spark 4 does NOT plan WindowGroupLimit
+    #   for this shape here — verified in the executed plan — so the
+    #   window form really funnels every row into one partition.)
+    # - cumsum: a global running sum (the shape of the five reworked
+    #   rank/cumsum lanes — no rank filter, so nothing bounds the
+    #   windowed frame) vs distrank.global_rank_cumsum.
+    #
+    # The class claim is about GROWTH, not the 1x ratio: the window
+    # forms' cost is a single-partition sort+scan of the full frame —
+    # serial on one core — so its time-ratio across 1x -> 20x must be
+    # SUPER-linear (>20), while the distributed forms stay ~linear or
+    # below (parallel passes). At sf0.1-native sizes both forms are
+    # scheduler-bound, hence the leg's own amplifier.
     def pq_rank_leg(factor: int) -> dict:
         import statistics
 
         from pyspark.sql.window import Window
+
+        from cql_replicator_spark.distrank import global_rank_cumsum
         books = SIM.pq_train(emb, m=2, k=4, rounds=0, train_sample=64)
         qrow = emb.filter(F.col("vec_id") == 3).first()
-        # The sf0.1 embeddings table is tiny (~2k vectors); at 20x both
-        # rank forms are scheduler-latency-bound (~50 ms) and the leg
-        # shows nothing. This leg's claim is about the RANK stage, so
-        # it gets its own amplifier (sequence+explode, not a literal
-        # array — 1500 literals would bloat the plan) sized so the
-        # ranked frame reaches the millions of rows where a
-        # single-partition sort is visibly serial: 75x at the 1x leg
-        # (~150k rows), 1500x at the 20x leg (~3M rows).
-        boost = factor * 75
+        # The sf0.1 embeddings table is tiny (~2k vectors); this leg's
+        # claim is about the RANK stage, so it gets its own amplifier
+        # (sequence+explode — literals would bloat the plan) sized so
+        # the ranked frame reaches the tens of millions of rows where
+        # a single-partition pass over even a NARROW frame (vec_id +
+        # adc_dist) is visibly serial: 750x at the 1x leg (~1.5M
+        # rows), 15000x at the 20x leg (~30M rows).
+        boost = factor * 750
         reps = F.explode(
             F.sequence(F.lit(0), F.lit(boost - 1))).alias("rep")
+        # rep * 10M tops out at ~15e9 for the 20x leg — past int32, so
+        # the id arithmetic must be long or ANSI mode kills the leg
         big = (emb.select("vec_id", "embedding", reps)
-               .select((F.col("vec_id") + F.col("rep") * 10_000_000)
+               .select((F.col("vec_id").cast("long")
+                        + F.col("rep").cast("long") * F.lit(10_000_000))
                        .alias("vec_id"),
                        F.transform(
                            F.col("embedding").cast("array<double>"),
                            lambda v: v + F.col("rep") * 1e-4)
                        .alias("embedding")))
         enc = SIM.pq_encode(big, books).localCheckpoint()
-        n_enc = enc.count()
-        scored = SIM.adc_scored(list(qrow.embedding), enc, books)
+        scored = (SIM.adc_scored(list(qrow.embedding), enc, books)
+                  .select("vec_id", "adc_dist").localCheckpoint())
+        n_enc = scored.count()
+        enc.unpersist()  # only the narrow scored frame stays resident
 
-        def window_form():
-            w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+
+        def topk_window():
             return (scored.withColumn("rank", F.row_number().over(w))
                     .filter(F.col("rank") <= 5))
 
-        def takeordered_form():
+        def topk_takeordered():
             return scored.orderBy(
                 F.asc("adc_dist"), F.asc("vec_id")).limit(5)
 
-        forms = {"window": window_form, "takeordered": takeordered_form}
-        times: dict[str, list[float]] = {f: [] for f in forms}
-        for p in range(3):
-            order = list(forms) if p % 2 == 0 else list(forms)[::-1]
-            for name in order:
-                t0 = time.perf_counter()
-                forms[name]().count()
-                times[name].append(round(time.perf_counter() - t0, 3))
-        med = {f: statistics.median(v) for f, v in times.items()}
-        enc.unpersist()
-        return {"n_encoded": n_enc, "raw": times, "medians": med,
-                "window_over_takeordered": round(
-                    med["window"] / med["takeordered"], 3)
-                if med["takeordered"] else None}
+        def cumsum_window():
+            return (scored.withColumn("cum", F.sum("adc_dist").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+                .filter(F.col("cum") < 0))  # selective: times the
+            # window, not a 30M-row count materialization
+
+        def cumsum_distrank():
+            return global_rank_cumsum(
+                scored, [("adc_dist", False), ("vec_id", False)],
+                sum_cols={"cum": "adc_dist"}).filter(F.col("cum") < 0)
+
+        out: dict = {"n_rows": n_enc}
+        for sub, forms, passes in (
+                ("topk", {"window": topk_window,
+                          "takeordered": topk_takeordered}, 3),
+                ("cumsum", {"window": cumsum_window,
+                            "distrank": cumsum_distrank}, 2)):
+            times: dict[str, list[float]] = {f: [] for f in forms}
+            for p in range(passes):
+                order = list(forms) if p % 2 == 0 else list(forms)[::-1]
+                for name in order:
+                    t0 = time.perf_counter()
+                    forms[name]().count()
+                    times[name].append(
+                        round(time.perf_counter() - t0, 3))
+            med = {f: statistics.median(v) for f, v in times.items()}
+            fixed = [f for f in forms if f != "window"][0]
+            out[sub] = {"raw": times, "medians": med,
+                        "window_over_fixed": round(
+                            med["window"] / med[fixed], 3)
+                        if med[fixed] else None}
+        scored.unpersist()
+        return out
 
     # Iterative-algorithm leg: connected components over the capped LSH
     # pair graph. The scale claim is that ROUNDS track graph DIAMETER
@@ -500,11 +537,17 @@ def main() -> None:
           f"{AMPLIFY}x={amp['ops']['connected_components']['rounds']} "
           f"(diameter-driven: flat is the pass)")
     pq_b, pq_a = base["pq_adc_rank"], amp["pq_adc_rank"]
-    print(f"pq_adc_rank window/takeordered: "
-          f"1x={pq_b['window_over_takeordered']} "
-          f"{AMPLIFY}x={pq_a['window_over_takeordered']} "
-          f"(the window form's single-partition sort penalty must "
-          f"grow with the corpus; TakeOrdered stays flat-per-row)")
+    n_ratio = pq_a["n_rows"] / pq_b["n_rows"]
+    for sub in ("topk", "cumsum"):
+        mb, ma = pq_b[sub]["medians"], pq_a[sub]["medians"]
+        growth = {f: round(ma[f] / mb[f], 1) for f in mb if mb[f]}
+        print(f"pq_adc_rank/{sub}: window_over_fixed "
+              f"1x={pq_b[sub]['window_over_fixed']} "
+              f"{AMPLIFY}x={pq_a[sub]['window_over_fixed']}; "
+              f"time-growth at {n_ratio:.0f}x rows: {growth} "
+              f"(the single-partition window form must grow "
+              f"SUPER-linearly — serial sort+scan; the distributed "
+              f"form ~linear or below)")
     sl_b = base["sharedlsh_cold_family"]
     sl_a = amp["sharedlsh_cold_family"]
     print(f"sharedlsh_cold_family independent/shared: "
