@@ -24,7 +24,14 @@ The result is identical to the single-partition window form whenever
 running-sum columns are integer-typed (integer addition is associative, so
 per-partition-then-offset grouping equals sequential accumulation; float
 running sums would differ in the last ulp from a sequential window — keep
-those on exact integer scales, e.g. cents).
+those on exact integer scales, e.g. cents). NULLs are handled with the
+window's exact semantics: null ORDER keys sort where the window sorts them
+(asc = nulls first, desc = nulls last — ``repartitionByRange`` and
+``Window.orderBy`` share SortOrder), and a running sum over a column WITH
+nulls is NULL until the first non-null value globally, then carries the
+prior sum through null rows (the per-partition offset stays NULL until a
+prior partition saw a non-null, and the output coalesces local/offset
+parts — see the inline notes).
 
 Scale shape: two shuffles (range exchange + the _pid hash exchange for the
 local window), one ``n_ranges``-row collect, one broadcast join. No stage
@@ -84,18 +91,24 @@ def global_rank_cumsum(
         return float(v) if isinstance(src_fields[src],
                                       (DoubleType, FloatType)) else v
 
+    # A partition's sum is None iff it holds ZERO non-null values. The
+    # offset stays None until some prior partition saw a non-null, so
+    # the output can reproduce the window's null semantics exactly: a
+    # running sum is NULL only until the first non-null value GLOBALLY,
+    # after which null inputs carry the previous sum forward.
     rows: list[tuple] = []
     rank_off = 0
-    sum_off = {out: 0 for out in sum_cols}
+    sum_off: dict[str, int | float | None] = {out: None for out in sum_cols}
     for r in stats:
         rows.append((int(r["_pid"]), rank_off,
-                     *[_coerce(sum_off[out], src)
+                     *[None if sum_off[out] is None
+                       else _coerce(sum_off[out], src)
                        for out, src in sum_cols.items()]))
         rank_off += r["_cnt"]
         for out in sum_cols:
             v = r[f"_s_{out}"]
             if v is not None:
-                sum_off[out] += v
+                sum_off[out] = (sum_off[out] or 0) + v
     off_schema = StructType(
         [StructField("_pid", IntegerType(), False),
          StructField("_rank_off", LongType(), False)]
@@ -113,8 +126,15 @@ def global_rank_cumsum(
               .withColumn(rank_col,
                           (F.col("_lr") + F.col("_rank_off")).cast("long")))
     for out in sum_cols:
+        # coalesce reproduces the window's null semantics: both parts
+        # non-null -> sum; local sum still NULL (partition's leading
+        # rows all-null) -> carry the offset (itself NULL when no
+        # prior partition saw a non-null — matching a window running
+        # sum that is NULL until the first non-null value globally);
+        # offset NULL but local sum present -> the local sum alone.
         out_df = out_df.withColumn(
-            out, F.col(f"_lc_{out}") + F.col(f"_off_{out}"))
+            out, F.coalesce(F.col(f"_lc_{out}") + F.col(f"_off_{out}"),
+                            F.col(f"_lc_{out}"), F.col(f"_off_{out}")))
     drop = ["_pid", "_lr", "_rank_off"] + \
         [f"_lc_{out}" for out in sum_cols] + \
         [f"_off_{out}" for out in sum_cols]

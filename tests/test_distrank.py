@@ -70,6 +70,69 @@ def test_empty_frame(spark):
     assert {"k", "v", "rank", "cum"} <= set(out.columns)
 
 
+def _assert_same_nullsafe(df, order, sum_cols, n_ranges=7):
+    """Like _assert_same but tolerant of None in the compared values
+    (tuple< between int and None raises in plain sorted())."""
+    def canon(rows):
+        return sorted(
+            (tuple((k, (v is None, v))
+                   for k, v in sorted(r.asDict().items()))
+             for r in rows), key=repr)
+    got = global_rank_cumsum(df, order, sum_cols=sum_cols,
+                             n_ranges=n_ranges).collect()
+    want = _reference(df, order, sum_cols, "rank").collect()
+    assert canon(got) == canon(want)
+
+
+def test_null_order_keys_match_window_reference(spark):
+    """NULL order keys must land where the window puts them (asc =
+    nulls first, desc = nulls last — repartitionByRange and
+    Window.orderBy share SortOrder semantics), in both directions."""
+    df = spark.range(200).select(
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") % 13).alias("k"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 3 + 1).alias("v"))
+    _assert_same_nullsafe(df, [("k", False), ("uid", False)],
+                          {"cum": "v"})
+    _assert_same_nullsafe(df, [("k", True), ("uid", False)],
+                          {"cum": "v"})
+
+
+def test_null_sum_values_match_window_reference(spark):
+    """A running sum over a column WITH nulls is NULL until the first
+    non-null value globally, then carries the prior sum through null
+    rows. The distributed form must reproduce this exactly — the
+    failure mode is a range partition whose LEADING rows are all-null:
+    its local running sum is NULL and a naive local+offset addition
+    propagates the NULL instead of carrying the offset. Found by this
+    test; fixed with a NULL-until-seen offset plus a coalesce of the
+    local/offset parts."""
+    df = spark.range(200).select(
+        (F.col("id") % 13).alias("k"), F.col("id").alias("uid"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id") % 3 + 1).alias("v"))
+    _assert_same_nullsafe(df, [("k", False), ("uid", False)],
+                          {"cum": "v"})
+    # nulls in BOTH the order key and the summed column
+    both = df.withColumn(
+        "k", F.when(F.col("uid") % 11 == 0, None).otherwise(F.col("k")))
+    _assert_same_nullsafe(both, [("k", False), ("uid", False)],
+                          {"cum": "v"})
+
+
+def test_all_null_sum_column_stays_null(spark):
+    """Degenerate direction: summing an all-NULL column gives NULL for
+    every row (the window reference does), never 0."""
+    df = spark.range(60).select(
+        (F.col("id") % 13).alias("k"), F.col("id").alias("uid"),
+        F.lit(None).cast("long").alias("v"))
+    out = global_rank_cumsum(df, [("k", False), ("uid", False)],
+                             {"cum": "v"})
+    assert out.filter(F.col("cum").isNotNull()).count() == 0
+    assert out.count() == 60
+
+
 def _load_explain_audit():
     import importlib.util
     from pathlib import Path
