@@ -125,7 +125,19 @@ def refresh_aggregate(
     full-outer join on the group keys, additive merge, and groups whose
     count reaches zero disappear (exactly as a recompute would drop
     them). Output schema matches the input state, so refreshes chain
-    across cycles."""
+    across cycles.
+
+    DOCUMENTED NULL BOUND (pinned by
+    test_refresh_all_null_group_reads_zero_not_null): SQL ``sum`` over
+    a group whose values are ALL NULL is NULL; after a refresh the
+    same group reads 0, because the delta path coalesces NULL
+    contributions to 0 (change_deltas) and this merge coalesces the
+    state side — the information "zero non-null values seen" is not in
+    the (sum, count) state and cannot be recovered from it. Groups
+    with at least one non-null value are exact. If the NULL/0
+    distinction matters for a view, maintain a non-null counter as a
+    second self-maintainable aggregate (count of ``v IS NOT NULL``
+    deltas) and null the sum where it is 0 at read time."""
     d = deltas.select(
         *group_cols, F.col("d_sum").alias("__ds"), F.col("d_count").alias("__dn"))
     merged = state.join(d, group_cols, "full_outer")

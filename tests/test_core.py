@@ -691,6 +691,31 @@ def test_ivm_refresh_matches_recompute(spark):
     assert "d" not in got, "emptied group must disappear like a recompute"
 
 
+def test_refresh_all_null_group_reads_zero_not_null(spark):
+    """The documented NULL bound of refresh_aggregate (see its
+    docstring): SQL sum over an all-NULL group is NULL, but after a
+    refresh the group reads 0 — the (sum, count) state cannot encode
+    "zero non-null values seen". This pins the DEVIATION so a future
+    schema change (adding a non-null counter) must consciously retire
+    it; groups with any non-null value stay exact (asserted too)."""
+    from cql_replicator_spark.ivm import change_deltas, refresh_aggregate
+
+    prev = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5)], "pk INT, grp STRING, v INT")
+    curr = spark.createDataFrame(
+        [(1, "a", None), (3, "a", None), (2, "b", 7)],
+        "pk INT, grp STRING, v INT")
+    state0 = prev.groupBy("grp").agg(
+        F.sum("v").alias("sum_v"), F.count("*").alias("n"))
+    deltas = change_deltas(curr, prev, ["pk"], ["grp"], "v")
+    got = {r.grp: (r.sum_v, r.n) for r in
+           refresh_aggregate(state0, deltas, ["grp"]).collect()}
+    # recompute would read {"a": (None, 2)}; the refresh reads 0 —
+    # the pinned bound
+    assert got["a"] == (0, 2)
+    assert got["b"] == (7, 1)  # any non-null value -> exact
+
+
 def test_ivm_deltas_are_change_sized(spark):
     """The delta frame must collapse to touched groups only — unchanged
     keys contribute nothing (the whole point of the incremental path)."""
