@@ -1458,6 +1458,12 @@ _TOUCHED_THIS_ROUND: list[str] = [
                                      # + missing-snapshot stats skip
     "snapshot_time_travel",          # touched: dlog zero-length-base
                                      # sweep + placeholder cleanup
+    "events_asof_enrich",            # touched: matched-row struct fill
+                                     # (NULL payload semantics fix)
+    "events_asof_enrich_chunked",    # touched: same fix, chunked form
+    # 13 touched + 39 r8-evidence rows = 52 candidates for the ~50-row
+    # window: the 2 stalest-by-name r8 rows carry to r14, where the
+    # evidence-based fallback fronts them automatically.
 ]
 
 

@@ -51,6 +51,14 @@ def asof_join(
     Ordering within a timestamp tie: the right row sorts first, so a
     left row at exactly t sees a right update at t — matching the
     inclusive ``>=`` of the native forms.
+
+    NULL payload values carry AS the matched row's values: the fill
+    runs over ONE struct of (rts, payload...) — non-null whenever a
+    right row exists — so a NULL field in the matched row stays NULL
+    in the output, exactly like DuckDB/kdb/pandas merge_asof. (A
+    per-column ``last(ignorenulls)`` fill would instead pull each
+    NULL field from an OLDER right row, tearing the matched row — the
+    original formulation had exactly that bug.)
     """
     keys = [on] if isinstance(on, str) else list(on)
     payload = payload if payload is not None else [
@@ -58,36 +66,43 @@ def asof_join(
     overlap = set(payload) & set(left.columns)
     if overlap:
         raise ValueError(f"payload columns collide with left: {sorted(overlap)}")
+    if "__rts" in payload:
+        raise ValueError("payload column name '__rts' is reserved")
 
     left_cols = [c for c in left.columns if c not in keys]
-    fill_cols = payload + ["__rts"]
+    r_struct = F.struct(F.col(right_ts).alias("__rts"),
+                        *[F.col(c) for c in payload])
+    r_struct_type = right.select(r_struct.alias("__r")) \
+        .schema["__r"].dataType
 
     l_side = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).alias(c) for c in payload],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__rts"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_side = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
-        *[F.col(c) for c in payload],
-        F.col(right_ts).alias("__rts"),
+        r_struct.alias("__r"),
     )
     w = (Window.partitionBy(*keys).orderBy("__ts", "__side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     merged = l_side.unionByName(r_side).select(
         *keys, "__ts", "__side", *left_cols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    # left_ts rides along inside left_cols; __ts/__side/__rts are
-    # bookkeeping only
+    # left_ts rides along inside left_cols; __ts/__side are bookkeeping
+    # only; a left row with no prior right row has __r NULL, so every
+    # projected field below is NULL — LEFT semantics
     out = [*keys, *left_cols, *payload]
-    result = merged.filter(F.col("__side") == 1)
+    result = merged.filter(F.col("__side") == 1).select(
+        *keys, *left_cols,
+        *[F.col("__r").getField(c).alias(c) for c in payload],
+        F.col("__r").getField("__rts").alias("__rts"))
     if matched_ts_col is not None:
         result = result.withColumn(matched_ts_col, F.col("__rts"))
         out.append(matched_ts_col)
@@ -129,56 +144,53 @@ def asof_join_chunked(
     overlap = set(payload) & set(left.columns)
     if overlap:
         raise ValueError(f"payload columns collide with left: {sorted(overlap)}")
+    if "__rts" in payload:
+        raise ValueError("payload column name '__rts' is reserved")
     if chunk_width <= 0:
         raise ValueError("chunk_width must be positive")
 
     W = F.lit(chunk_width).cast("long")
     left_cols = [c for c in left.columns if c not in keys]
-    fill_cols = payload + ["__rts"]
-    rts_type = dict(right.dtypes)[right_ts]
+    r_struct = F.struct(F.col(right_ts).alias("__rts"),
+                        *[F.col(c) for c in payload])
+    r_struct_type = right.select(r_struct.alias("__r")) \
+        .schema["__r"].dataType
 
     l_side = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).alias(c) for c in payload],
-        F.lit(None).cast(rts_type).alias("__rts"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_side = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
-        *[F.col(c) for c in payload],
-        F.col(right_ts).alias("__rts"),
+        r_struct.alias("__r"),
     )
     # within-chunk fill: the ONLY timeline-sized window, and its
-    # partitions are (key, chunk) -> bounded at chunk_width of activity
+    # partitions are (key, chunk) -> bounded at chunk_width of activity.
+    # One struct fills atomically (matched-ROW semantics — see
+    # asof_join's NULL note; per-column fills would tear the row).
     w = (Window.partitionBy(*keys, "__chunk").orderBy("__ts", "__side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     merged = (
         l_side.unionByName(r_side)
         .withColumn("__chunk", F.floor(F.col("__ts") / W))
         .select(*keys, "__chunk", "__ts", "__side", *left_cols,
-                *[F.last(c, ignorenulls=True).over(w).alias(c)
-                  for c in fill_cols])
+                F.last("__r", ignorenulls=True).over(w).alias("__r"))
     )
     lrows = merged.filter(F.col("__side") == 1)
 
-    # per-(key, chunk) summary: PER COLUMN, the chunk's latest NON-NULL
-    # value (max_by keyed on ts only where the column is set). A single
-    # latest-row max_by here would discard an older non-null value when
-    # the chunk's last row carries NULL in that column — but the plain
-    # form's last(ignorenulls) fill carries it forward, and the seed
-    # as-of below also fills per column, so per-column summaries are
-    # exactly what makes chunked == plain under null payloads.
+    # per-(key, chunk) summary: the chunk's LATEST right row, whole
+    # (one max_by struct keyed on ts — matched-row semantics means a
+    # later row's NULL field shadows an older non-null, exactly as the
+    # plain form's struct fill behaves)
     summ = (
         right.groupBy(*keys, F.floor(F.col(right_ts) / W).alias("__chunk"))
-        .agg(*[F.max_by(F.col(c),
-                        F.when(F.col(c).isNotNull(), F.col(right_ts)))
-               .alias(f"__seed_{c}") for c in payload],
-             F.max(F.col(right_ts)).alias("__seed___rts"))
+        .agg(F.max_by(r_struct, F.col(right_ts)).alias("__seed_r"))
     )
     # seed for chunk c = summary as-of chunk c-1 (chunk-granular as-of:
     # summary frames are chunk-counts per key, never timeline-sized)
@@ -186,16 +198,17 @@ def asof_join_chunked(
                .withColumn("__pc", F.col("__chunk") - 1))
     seeds = asof_join(
         lchunks, summ, on=keys, left_ts="__pc", right_ts="__chunk",
-        payload=[f"__seed_{c}" for c in fill_cols], matched_ts_col=None,
+        payload=["__seed_r"], matched_ts_col=None,
     ).drop("__pc")
 
     out = [*keys, *left_cols, *payload]
-    result = lrows.join(seeds, [*keys, "__chunk"], "left").select(
-        *keys, *left_cols,
-        *[F.coalesce(F.col(c), F.col(f"__seed_{c}")).alias(c)
-          for c in payload],
-        F.coalesce(F.col("__rts"), F.col("__seed___rts")).alias("__rts"),
-    )
+    result = (lrows.join(seeds, [*keys, "__chunk"], "left")
+              .withColumn("__r", F.coalesce(F.col("__r"),
+                                            F.col("__seed_r")))
+              .select(*keys, *left_cols,
+                      *[F.col("__r").getField(c).alias(c)
+                        for c in payload],
+                      F.col("__r").getField("__rts").alias("__rts")))
     if matched_ts_col is not None:
         result = result.withColumn(matched_ts_col, F.col("__rts"))
         out.append(matched_ts_col)

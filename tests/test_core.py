@@ -535,6 +535,32 @@ def test_asof_join_payload_collision_raises(spark):
         asof_join(left, right, on="k")
 
 
+def test_asof_join_null_payload_is_matched_rows_null(spark):
+    """A NULL field in the MATCHED right row must come through as NULL
+    — DuckDB ASOF JOIN / kdb aj / pandas merge_asof all carry the
+    matched row whole. The original per-column last(ignorenulls)
+    formulation instead pulled each NULL field from an OLDER right
+    row, tearing the matched row (and silently diverging from the
+    registered lanes' own DuckDB oracle wherever payloads can be
+    null). Both forms, multi-column payload so tearing would show."""
+    from cql_replicator_spark.temporal import asof_join, asof_join_chunked
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2")], "k INT, ts INT, name STRING")
+    right = spark.createDataFrame(
+        [(1, 5, 100, "old"), (1, 15, None, "new")],
+        "k INT, ts INT, a INT, b STRING")
+    want = {
+        "e1": (100, "old", 5),    # matched row 5 whole
+        "e2": (None, "new", 15),  # matched row 15 whole: a stays NULL
+    }
+    for fn in (asof_join,
+               lambda l, r, on: asof_join_chunked(l, r, on, chunk_width=7)):
+        out = {r.name: (r.a, r.b, r.asof_ts)
+               for r in fn(left, right, "k").collect()}
+        assert out == want
+
+
 def test_range_join_exact_pairs(spark):
     """Every (point, interval) containment pair exactly once — including
     an interval straddling a bucket boundary (covers 2 buckets) and a
@@ -827,8 +853,11 @@ def test_asof_chunked_equals_plain(spark, lefts, right_ts, width):
     any timeline and any chunk width (fills are associative; seeded
     chunk fills compose to the global fill) — including left rows whose
     chunk saw no right row (seed from earlier chunks), keys with no
-    right rows at all, and NULL payload values (the plain form's
-    last(ignorenulls) fill skips them; the chunked seed must too)."""
+    right rows at all, and NULL payload values (matched-ROW semantics:
+    a matched row's NULL field stays NULL in both forms; the chunked
+    seed is the chunk's latest whole row, so a later row's NULL
+    shadows an older non-null exactly as the plain struct fill
+    does)."""
     from cql_replicator_spark.temporal import asof_join, asof_join_chunked
 
     left = spark.createDataFrame(
