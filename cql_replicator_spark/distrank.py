@@ -35,11 +35,24 @@ parts — see the inline notes).
 
 Scale shape: two shuffles (range exchange + the _pid hash exchange for the
 local window), one ``n_ranges``-row collect, one broadcast join. No stage
-sees more than ~1/n_ranges of the data in a single task. Used by the
-registered lanes that previously ranked/cumsum-ed per-entity aggregates
-through a partition-less window (customer_spend_rank, orders_pareto_8020,
-events_power_users_gini, text_zipf_fit, token_budget_selection,
-layout_pruning_stats, documents_vocab_growth_heaps).
+sees more than ~1/n_ranges of the data in a single task. ``n_ranges``
+defaults to the session's ``spark.sql.shuffle.partitions`` so the rank
+stage's parallelism scales with the cluster configuration instead of a
+module literal; pass it explicitly to trade collect size against task
+granularity. Used by the registered lanes that previously ranked/cumsum-ed
+per-entity aggregates through a partition-less window (customer_spend_rank,
+orders_pareto_8020, events_power_users_gini, text_zipf_fit,
+token_budget_selection, layout_pruning_stats, documents_vocab_growth_heaps).
+
+Fault-tolerance trade: ``localCheckpoint`` truncates lineage by pinning the
+range-exchanged blocks on the executors that computed them — it is NOT
+fault-tolerant. Losing an executor between the two passes fails the job
+(no lineage to recompute from) instead of silently re-running the range
+exchange, which could RE-SAMPLE partition bounds and desynchronize the
+broadcast offsets from the partitions pass 2 reads — a wrong-answer mode.
+Failing fast is the chosen side of that trade; re-run the query on
+executor loss (a reliable checkpoint() directory would remove the restart
+at the price of a distributed write per call).
 """
 
 from __future__ import annotations
@@ -50,6 +63,16 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 __all__ = ["global_rank_cumsum"]
+
+
+def _default_n_ranges(df: DataFrame) -> int:
+    """Session shuffle parallelism as the range count (min 2 so the
+    form stays genuinely distributed even under a degenerate config)."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = 64  # non-numeric (e.g. 'auto'): a safe wide literal
+    return max(2, n)
 
 
 def _sort_exprs(order: list[tuple[str, bool]]):
@@ -64,14 +87,17 @@ def global_rank_cumsum(
     order: list[tuple[str, bool]],
     sum_cols: dict[str, str] | None = None,
     rank_col: str = "rank",
-    n_ranges: int = 64,
+    n_ranges: int | None = None,
 ) -> DataFrame:
     """Add a global ``row_number`` (``rank_col``, long, 1-based) and optional
     inclusive running sums (``sum_cols``: {out_col: src_col}) over the total
     order ``order`` ([(col_name, descending?), ...]), computed distributed
-    (see module docstring). Returns the input columns plus the new ones;
-    row order of the result is unspecified (sort downstream if needed)."""
+    (see module docstring). ``n_ranges`` defaults to the session's
+    ``spark.sql.shuffle.partitions``. Returns the input columns plus the
+    new ones; row order of the result is unspecified (sort downstream)."""
     sum_cols = dict(sum_cols or {})
+    if n_ranges is None:
+        n_ranges = _default_n_ranges(df)
     exprs = _sort_exprs(order)
     part = (df.repartitionByRange(int(n_ranges), *exprs)
             .withColumn("_pid", F.spark_partition_id())
@@ -80,15 +106,22 @@ def global_rank_cumsum(
     aggs = [F.count("*").cast("long").alias("_cnt")]
     for out, src in sum_cols.items():
         aggs.append(F.sum(src).alias(f"_s_{out}"))
-    stats = sorted(part.groupBy("_pid").agg(*aggs).collect(),
-                   key=lambda r: r["_pid"])
+    agg_df = part.groupBy("_pid").agg(*aggs)
+    stats = sorted(agg_df.collect(), key=lambda r: r["_pid"])
 
-    # exclusive prefix offsets, driver-side over <= n_ranges rows
+    # exclusive prefix offsets, driver-side over <= n_ranges rows.
+    # Offsets carry the AGGREGATE's widened type (int -> long,
+    # decimal(p,s) -> decimal(p+10,s)), read off the agg frame's own
+    # schema — typing them as the narrower SOURCE type overflows
+    # createDataFrame once a cumulative total passes the source
+    # type's range (int32 at ~2.1e9: exactly the large-corpus regime
+    # this module exists for, e.g. token_budget_selection's int
+    # n_tokens).
     from pyspark.sql.types import DoubleType, FloatType
-    src_fields = {f.name: f.dataType for f in part.schema.fields}
+    sum_fields = {f.name: f.dataType for f in agg_df.schema.fields}
 
-    def _coerce(v, src):
-        return float(v) if isinstance(src_fields[src],
+    def _coerce(v, out):
+        return float(v) if isinstance(sum_fields[f"_s_{out}"],
                                       (DoubleType, FloatType)) else v
 
     # A partition's sum is None iff it holds ZERO non-null values. The
@@ -102,8 +135,8 @@ def global_rank_cumsum(
     for r in stats:
         rows.append((int(r["_pid"]), rank_off,
                      *[None if sum_off[out] is None
-                       else _coerce(sum_off[out], src)
-                       for out, src in sum_cols.items()]))
+                       else _coerce(sum_off[out], out)
+                       for out in sum_cols]))
         rank_off += r["_cnt"]
         for out in sum_cols:
             v = r[f"_s_{out}"]
@@ -112,8 +145,8 @@ def global_rank_cumsum(
     off_schema = StructType(
         [StructField("_pid", IntegerType(), False),
          StructField("_rank_off", LongType(), False)]
-        + [StructField(f"_off_{out}", src_fields[src], True)
-           for out, src in sum_cols.items()])
+        + [StructField(f"_off_{out}", sum_fields[f"_s_{out}"], True)
+           for out in sum_cols])
     off = F.broadcast(
         df.sparkSession.createDataFrame(rows, schema=off_schema))
 

@@ -133,6 +133,49 @@ def test_all_null_sum_column_stays_null(spark):
     assert out.count() == 60
 
 
+def test_int_source_offsets_survive_int32_overflow(spark):
+    """The broadcast prefix offsets must carry the AGGREGATE's widened
+    type (int -> long), not the source column's: an IntegerType source
+    whose cumulative total passes 2^31 is exactly the large-corpus
+    regime the module targets (token_budget_selection sums an int
+    n_tokens). With source-typed offsets createDataFrame raised on the
+    driver once any partition boundary crossed int32."""
+    df = spark.range(120).select(
+        F.col("id").alias("uid"),
+        F.lit(100_000_000).cast("int").alias("v"))  # total 1.2e10 >> 2^31
+    out = global_rank_cumsum(df, [("uid", False)], {"cum": "v"},
+                             n_ranges=7)
+    top = out.orderBy(F.desc("rank")).first()
+    assert top["cum"] == 120 * 100_000_000
+    _assert_same(df, [("uid", False)], {"cum": "v"})
+
+
+def test_decimal_sums_stay_exact(spark):
+    """Decimal running sums (the exact-scale path the module contract
+    prescribes for money) must match the window reference digit for
+    digit, with offsets typed as the widened decimal aggregate."""
+    df = spark.range(90).select(
+        F.col("id").alias("uid"),
+        (F.col("id") * 37 % 101).cast("decimal(18,2)").alias("v"))
+    _assert_same(df, [("uid", False)], {"cum": "v"})
+
+
+def test_default_n_ranges_tracks_shuffle_partitions(spark):
+    """With n_ranges omitted the range count must come from the
+    session's spark.sql.shuffle.partitions (min 2), not a module
+    literal — a literal caps rank-stage parallelism at 100x scale."""
+    from cql_replicator_spark.distrank import _default_n_ranges
+    df = spark.range(10)
+    want = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    assert _default_n_ranges(df) == want
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert _default_n_ranges(df) == 5
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _load_explain_audit():
     import importlib.util
     from pathlib import Path
