@@ -669,9 +669,22 @@ class DeltaLogTable:
                 except OSError:
                     # don't leave the empty O_EXCL placeholder behind:
                     # a later data-pass sweep would read "base exists"
-                    # and delete the only surviving copy of the bytes
+                    # and delete the only surviving copy of the bytes.
+                    # But NEVER delete a dest that holds bytes — a
+                    # concurrent sweeper may have restored real data
+                    # over our placeholder (consuming ITS copy) between
+                    # our failed replace and this cleanup; an
+                    # unconditional unlink would destroy the freshly
+                    # restored base while our own copy was already
+                    # reclaimed — both copies gone, referenced data
+                    # unrecoverable. Re-stat and remove only a
+                    # still-empty placeholder: this narrows the
+                    # exposure back to the documented
+                    # two-micro-windows-coinciding class with no
+                    # live-data deletion path.
                     try:
-                        os.unlink(dest)
+                        if os.stat(dest).st_size == 0:
+                            os.unlink(dest)
                     except OSError:
                         pass
                     return False  # copy survives: retry next sweep

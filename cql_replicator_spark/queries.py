@@ -1025,13 +1025,18 @@ def customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (orders.groupBy("o_custkey")
              .agg(F.sum(F.col("o_totalprice").try_cast(_DEC))
                   .cast("double").alias("total_spend")))
-    vals = (spend.select("total_spend").distinct()
-            .orderBy(F.desc("total_spend")).limit(50))
+    vals = (spend.select(F.col("total_spend").alias("_val")).distinct()
+            .orderBy(F.desc("_val")).limit(50))
     # 50-row frame (post-limit) — the global window here is bounded by
     # the config literal, not the data
-    w = Window.orderBy(F.desc("total_spend"))
+    w = Window.orderBy(F.desc("_val"))
     ranked_vals = vals.withColumn("spend_rank", F.row_number().over(w))
-    return (spend.join(F.broadcast(ranked_vals), "total_spend")
+    # eqNullSafe, not "=": a NULL aggregate (all order prices uncastable)
+    # ranks LAST under desc on both engines and dense_rank keeps it when
+    # fewer than 50 distinct values exist — an equality join would
+    # silently drop that row and diverge from the oracle
+    return (spend.join(F.broadcast(ranked_vals),
+                       F.col("total_spend").eqNullSafe(F.col("_val")))
             .select("o_custkey", "total_spend", "spend_rank"))
 
 

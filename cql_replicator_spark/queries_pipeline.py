@@ -2195,21 +2195,23 @@ def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_pareto_8020",
     oracle="""
 WITH spend AS (
-  SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY o_custkey
+  SELECT o_custkey,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+  FROM orders GROUP BY o_custkey
 ),
+tot AS (SELECT count(*) AS n, sum(s) AS tot FROM spend),
 ranked AS (
   SELECT s,
          row_number() OVER (ORDER BY s DESC, o_custkey) AS r,
          sum(s) OVER (ORDER BY s DESC, o_custkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum,
-         count(*) OVER () AS n, sum(s) OVER () AS tot
+           AS cum
   FROM spend
 )
 SELECT CAST(min(r) AS BIGINT) AS customers_for_80pct,
-       CAST(max(n) AS BIGINT) AS n_customers,
-       round(CAST(min(r) AS DOUBLE) / max(n), 6) AS pareto_fraction
-FROM ranked WHERE cum >= 0.8 * tot
+       CAST(max(t.n) AS BIGINT) AS n_customers,
+       round(CAST(min(r) AS DOUBLE) / max(t.n), 6) AS pareto_fraction
+FROM ranked CROSS JOIN tot t WHERE 5 * cum >= 4 * t.tot
 """,
     doc="Pareto 80/20 concentration point: the smallest top-customer "
         "prefix whose cumulative spend reaches 80%% of revenue, as a "
@@ -2218,26 +2220,31 @@ FROM ranked WHERE cum >= 0.8 * tot
         "summarizes the whole curve; this names the actionable "
         "prefix). Rank/cumsum run over the per-customer AGGREGATE "
         "(customers, not orders) via distrank's two-pass distributed "
-        "formulation — range partition, parallel per-partition "
-        "windows, broadcast prefix offsets — never a single-partition "
-        "global window; unique-id tiebreak keeps the prefix "
-        "deterministic cross-engine",
+        "formulation — never a single-partition global window. Spend "
+        "is summed in CENTS AS LONG (exact integer scale, distrank's "
+        "own contract: a double running sum can differ from a "
+        "sequential window in the last ulp and flip the boundary "
+        "row), the 80%% test is the integer comparison 5*cum >= 4*tot "
+        "(no float multiply on either engine), and n/tot come from a "
+        "plain 1-row aggregate over spend — max(cum) equals total "
+        "spend only when every per-customer sum is non-negative, "
+        "which poisoned inputs violate",
 )
 def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")["orders"]
-    spend = (orders.groupBy("o_custkey")
-             .agg(F.sum("o_totalprice").alias("s")))
+    cents = (F.col("o_totalprice").try_cast("decimal(18,2)") * 100) \
+        .cast("long")
+    spend = orders.groupBy("o_custkey").agg(F.sum(cents).alias("s"))
     # distributed rank + running sum (distrank two-pass: range
     # partition, per-partition window, broadcast prefix offsets) —
-    # replaces the r12-banned partition-less window; n/tot come from a
-    # 1-row aggregate over the ranked frame (max rank = customer
-    # count, max inclusive cumsum = total spend) broadcast back in
+    # replaces the r12-banned partition-less window
     ranked = global_rank_cumsum(
         spend, order=[("s", True), ("o_custkey", False)],
         sum_cols={"cum": "s"}, rank_col="r")
-    totals = ranked.agg(F.max("r").alias("n"), F.max("cum").alias("tot"))
+    totals = spend.agg(F.count("*").cast("long").alias("n"),
+                       F.sum("s").alias("tot"))
     return (ranked.crossJoin(F.broadcast(totals))
-            .filter(F.col("cum") >= 0.8 * F.col("tot"))
+            .filter(F.col("cum") * 5 >= F.col("tot") * 4)
             .agg(F.min("r").cast("long").alias("customers_for_80pct"),
                  F.max("n").cast("long").alias("n_customers"),
                  F.round(F.min("r").cast("double") / F.max("n"), 6)

@@ -1173,3 +1173,63 @@ def test_restore_replace_failure_leaves_no_placeholder(tmp_path,
     with open(base) as f:
         assert f.read() == "ONLYCOPY"
     assert not os.path.exists(copy)
+
+
+def test_restore_cleanup_never_deletes_refilled_base(tmp_path,
+                                                     monkeypatch):
+    """The failed-replace cleanup used to unlink dest unconditionally.
+    If a RACING restorer published real bytes over our empty O_EXCL
+    placeholder (consuming ITS copy) between our failed replace and
+    the cleanup, that unlink destroyed the freshly restored base —
+    with the racer's copy already consumed, referenced data was
+    unrecoverable. The cleanup now re-stats dest and unlinks only a
+    still-zero-length placeholder: a base holding bytes is never
+    deleted, whatever the interleaving."""
+    from cql_replicator_spark import dlog as D
+
+    d = str(tmp_path / "t")
+    D._publish_commit(d, 0, _pc_actions(0), adds=[])
+    tbl = DeltaLogTable(d)
+    aged = time.time() - D._PRESERVED_SWEEP_SECS - 5
+
+    def plant(path, content, old=True):
+        with open(path, "w") as f:
+            f.write(content)
+        if old:
+            os.utime(path, (aged, aged))
+
+    plant(os.path.join(d, "part-v0-a.parquet"), "DATA", old=False)
+    copy = os.path.join(d, "part-v0-b.parquet.vacuum.1.aa")
+    plant(copy, "ONLYCOPY")
+
+    base = os.path.join(d, "part-v0-b.parquet")
+    real_replace = os.replace
+    failed = []
+
+    def no_link(*a, **k):  # force the linkless fallback
+        raise OSError("no hardlinks here")
+
+    def racing_replace(src, dst):
+        if dst == base and not failed:
+            failed.append(1)
+            # the racing restorer wins between our failed replace and
+            # the cleanup: dest now holds REAL bytes (its copy consumed)
+            with open(base, "w") as f:
+                f.write("RACED")
+            raise OSError("simulated replace failure")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "link", no_link)
+    monkeypatch.setattr(os, "replace", racing_replace)
+
+    tbl.vacuum(retain_versions=5)
+    # the racer's restored bytes must survive our cleanup
+    with open(base) as f:
+        assert f.read() == "RACED"
+    assert os.path.exists(copy)  # our copy untouched, retried next sweep
+
+    tbl.vacuum(retain_versions=5)
+    # next sweep sees the live base and classifies our copy redundant
+    with open(base) as f:
+        assert f.read() == "RACED"
+    assert not os.path.exists(copy)
