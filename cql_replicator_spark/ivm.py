@@ -6,10 +6,13 @@ The reference keeps running stats incrementally (aggregation-on-write
 job counters; the same idea applied to USER aggregates is what makes a
 100 TB materialized view operable — after a discovery cycle finds 0.1%
 changed keys, the per-group refresh should cost O(changes), not
-O(table). Sum/count (and anything derivable: mean, totals) are
-self-maintainable: each changed key contributes ``+new - old`` to its
-group, and merging those deltas into the previous aggregate state is
-one change-sized join.
+O(table). Sum/count/non-null-count (and anything derivable: mean,
+totals) are self-maintainable: each changed key contributes
+``+new - old`` to its group, and merging those deltas into the
+previous aggregate state is one change-sized join. The non-null
+counter (``nn``/``d_nn``) is what makes the refresh SQL-exact for
+NULL values: sum over a group with zero non-null values reads NULL,
+exactly as a recompute would.
 
 Shape at scale: ``change_deltas`` is the SAME single full-outer join
 the tagged diff already does (diff.compute_changes_tagged) — one
@@ -62,12 +65,25 @@ def change_deltas(
     neg = ch.filter(F.col("__in_p").isNotNull()).select(
         *[F.col(f"__pg_{g}").alias(g) for g in group_cols],
         F.col("__pv").alias("__v"), F.lit(-1).alias("__w"))
+    return _signed_deltas(pos.unionByName(neg), group_cols)
+
+
+def _signed_deltas(rows: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse signed (``__v``, ``__w``) contribution rows to one
+    ``(d_sum, d_count, d_nn)`` row per touched group. ``d_nn`` is the
+    signed count of NON-NULL value contributions — the third
+    self-maintainable aggregate that lets refresh_aggregate
+    distinguish "group sums to 0" from "group never saw a non-null
+    value" (SQL: NULL), closing the all-NULL-group bound."""
     return (
-        pos.unionByName(neg)
-        .groupBy(*group_cols)
+        rows.groupBy(*group_cols)
         .agg(F.coalesce(F.sum(F.col("__w") * F.col("__v")), F.lit(0))
               .alias("d_sum"),
-             F.sum("__w").alias("d_count"))
+             F.sum("__w").alias("d_count"),
+             F.coalesce(
+                 F.sum(F.col("__w")
+                       * F.col("__v").isNotNull().cast("int")),
+                 F.lit(0)).alias("d_nn"))
     )
 
 
@@ -105,13 +121,7 @@ def deltas_from_envelope(
     neg = env.filter(F.col(op_col) != "insert").select(
         *[F.col(b).alias(g) for b, g in zip(bg, group_cols)],
         F.col(before_col).alias("__v"), F.lit(-1).alias("__w"))
-    return (
-        pos.unionByName(neg)
-        .groupBy(*group_cols)
-        .agg(F.coalesce(F.sum(F.col("__w") * F.col("__v")), F.lit(0))
-              .alias("d_sum"),
-             F.sum("__w").alias("d_count"))
-    )
+    return _signed_deltas(pos.unionByName(neg), group_cols)
 
 
 def refresh_aggregate(
@@ -120,6 +130,7 @@ def refresh_aggregate(
     group_cols: list[str],
     sum_col: str = "sum_v",
     count_col: str = "n",
+    nonnull_col: str = "nn",
 ) -> DataFrame:
     """Merge a delta frame into the previous aggregate state: one
     full-outer join on the group keys, additive merge, and groups whose
@@ -127,24 +138,47 @@ def refresh_aggregate(
     them). Output schema matches the input state, so refreshes chain
     across cycles.
 
-    DOCUMENTED NULL BOUND (pinned by
-    test_refresh_all_null_group_reads_zero_not_null): SQL ``sum`` over
-    a group whose values are ALL NULL is NULL; after a refresh the
-    same group reads 0, because the delta path coalesces NULL
-    contributions to 0 (change_deltas) and this merge coalesces the
-    state side — the information "zero non-null values seen" is not in
-    the (sum, count) state and cannot be recovered from it. Groups
-    with at least one non-null value are exact. If the NULL/0
-    distinction matters for a view, maintain a non-null counter as a
-    second self-maintainable aggregate (count of ``v IS NOT NULL``
-    deltas) and null the sum where it is 0 at read time."""
-    d = deltas.select(
-        *group_cols, F.col("d_sum").alias("__ds"), F.col("d_count").alias("__dn"))
+    NULL exactness: when the state carries ``nonnull_col`` (a running
+    count of non-null values — build it as ``F.count(val_col)`` at
+    state init; change_deltas/deltas_from_envelope emit the matching
+    ``d_nn``), the refreshed ``sum_col`` is NULL for any group whose
+    non-null count is 0 — exactly SQL ``sum`` over an all-NULL group.
+    The NULL state sum round-trips: the merge coalesces it back to 0,
+    which IS the group's non-null contribution total, so refreshes
+    chain without drift.
+
+    LEGACY (sum, count) STATES — documented degraded mode, pinned by
+    test_refresh_legacy_state_reads_zero_not_null: without the
+    non-null counter, an all-NULL group reads 0 where SQL says NULL
+    ("zero non-null values seen" is not representable in two columns).
+    A state WITH ``nonnull_col`` but deltas WITHOUT ``d_nn`` raises —
+    silently dropping the counter would corrupt it."""
+    track_nn = nonnull_col in state.columns
+    if track_nn and "d_nn" not in deltas.columns:
+        raise ValueError(
+            f"state carries {nonnull_col!r} but deltas have no d_nn "
+            f"column — build deltas with change_deltas/"
+            f"deltas_from_envelope (or add a signed non-null count)")
+    d_cols = [F.col("d_sum").alias("__ds"), F.col("d_count").alias("__dn")]
+    if track_nn:
+        d_cols.append(F.col("d_nn").alias("__dnn"))
+    d = deltas.select(*group_cols, *d_cols)
     merged = state.join(d, group_cols, "full_outer")
     new_sum = (F.coalesce(F.col(sum_col), F.lit(0))
                + F.coalesce(F.col("__ds"), F.lit(0)))
     new_n = (F.coalesce(F.col(count_col), F.lit(0))
              + F.coalesce(F.col("__dn"), F.lit(0)))
+    if track_nn:
+        new_nn = (F.coalesce(F.col(nonnull_col), F.lit(0))
+                  + F.coalesce(F.col("__dnn"), F.lit(0)))
+        return (
+            merged.select(
+                *group_cols,
+                F.when(new_nn > 0, new_sum).alias(sum_col),
+                new_n.alias(count_col),
+                new_nn.alias(nonnull_col))
+            .filter(F.col(count_col) > 0)
+        )
     return (
         merged.select(*group_cols, new_sum.alias(sum_col), new_n.alias(count_col))
         .filter(F.col(count_col) > 0)

@@ -1587,9 +1587,12 @@ def ivm_grouped_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (F.col("pk") % 100).alias("grp")
     t0g, t1g = t0.select("pk", "ts", g), t1.select("pk", "ts", g)
     state0 = t0g.groupBy("grp").agg(
-        F.sum("ts").alias("sum_v"), F.count("*").cast("long").alias("n"))
+        F.sum("ts").alias("sum_v"), F.count("*").cast("long").alias("n"),
+        F.count("ts").cast("long").alias("nn"))
     deltas = change_deltas(t1g, t0g, ["pk"], ["grp"], "ts")
-    return refresh_aggregate(state0, deltas, ["grp"])
+    # nn (non-null counter) rides in the state for SQL-exact NULL
+    # semantics (all-NULL group -> NULL sum) and drops from the view
+    return refresh_aggregate(state0, deltas, ["grp"]).drop("nn")
 
 
 @register(

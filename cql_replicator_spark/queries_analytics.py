@@ -1103,7 +1103,8 @@ def ivm_stream_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state_root = _stage_dir("ivm_state")
     (t0.select("ts", grp).groupBy("grp")
-     .agg(F.sum("ts").alias("sum_v"), F.count("*").cast("long").alias("n"))
+     .agg(F.sum("ts").alias("sum_v"), F.count("*").cast("long").alias("n"),
+          F.count("ts").cast("long").alias("nn"))
      .write.parquet(os.path.join(state_root, "v0")))
     latest = {"v": 0}
 
@@ -1120,7 +1121,10 @@ def ivm_stream_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events_from_dir(spark, stage, env.schema)
     q = foreach_batch_cdc(stream, refresh, _stage_dir("ivm_ckpt"))
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(state_root, f"v{latest['v']}"))
+    # nn (non-null counter) lives in the versioned state for SQL-exact
+    # NULL semantics across refreshes; the served view drops it
+    return (spark.read.parquet(os.path.join(state_root, f"v{latest['v']}"))
+            .drop("nn"))
 
 
 @register(

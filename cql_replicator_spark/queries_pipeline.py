@@ -808,9 +808,11 @@ def ivm_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(F.broadcast(dim), "dk")
                 .select("pk", "g", (F.col("ts") * F.col("w")).alias("v")))
 
-    # V0: the materialized state (the only full-fact join, done once)
+    # V0: the materialized state (the only full-fact join, done once);
+    # nn = non-null counter for SQL-exact NULL semantics on refresh
     v0 = joined(t0).groupBy("g").agg(
-        F.sum("v").alias("sum_v"), F.count("*").alias("n"))
+        F.sum("v").alias("sum_v"), F.count("*").alias("n"),
+        F.count("v").alias("nn"))
 
     # refresh path: change-set-sized all the way
     ch = compute_changes_tagged(t1, t0, ["pk"])
@@ -823,8 +825,13 @@ def ivm_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = (joined(old_upd).unionByName(joined(deletes))
            .select("g", "v", F.lit(-1).alias("s")))
     deltas = (pos.unionByName(neg).groupBy("g")
-              .agg(F.sum(F.col("s") * F.col("v")).alias("d_sum"),
-                   F.sum("s").alias("d_count")))
+              .agg(F.coalesce(F.sum(F.col("s") * F.col("v")), F.lit(0))
+                    .alias("d_sum"),
+                   F.sum("s").alias("d_count"),
+                   F.coalesce(
+                       F.sum(F.col("s")
+                             * F.col("v").isNotNull().cast("int")),
+                       F.lit(0)).alias("d_nn")))
     v1 = refresh_aggregate(v0, deltas, ["g"])
     return v1.select("g", F.col("sum_v").cast("long").alias("sum_v"),
                      F.col("n").cast("long").alias("n"))

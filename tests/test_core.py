@@ -717,13 +717,52 @@ def test_ivm_refresh_matches_recompute(spark):
     assert "d" not in got, "emptied group must disappear like a recompute"
 
 
-def test_refresh_all_null_group_reads_zero_not_null(spark):
-    """The documented NULL bound of refresh_aggregate (see its
-    docstring): SQL sum over an all-NULL group is NULL, but after a
-    refresh the group reads 0 — the (sum, count) state cannot encode
-    "zero non-null values seen". This pins the DEVIATION so a future
-    schema change (adding a non-null counter) must consciously retire
-    it; groups with any non-null value stay exact (asserted too)."""
+def test_refresh_all_null_group_reads_null_exact(spark):
+    """The r13-pinned all-NULL-group bound is CLOSED: with the
+    non-null counter in the state (nn = count of non-null values;
+    change_deltas emits the matching signed d_nn), sum over a group
+    whose every value is NULL reads NULL after a delta refresh —
+    exactly what a recompute (SQL sum) says. The NULL sum round-trips
+    across chained refreshes (merge coalesces it back to 0, which IS
+    the group's non-null contribution total)."""
+    from cql_replicator_spark.ivm import change_deltas, refresh_aggregate
+
+    prev = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5)], "pk INT, grp STRING, v INT")
+    curr = spark.createDataFrame(
+        [(1, "a", None), (3, "a", None), (2, "b", 7)],
+        "pk INT, grp STRING, v INT")
+    state0 = prev.groupBy("grp").agg(
+        F.sum("v").alias("sum_v"), F.count("*").alias("n"),
+        F.count("v").alias("nn"))
+    deltas = change_deltas(curr, prev, ["pk"], ["grp"], "v")
+    v1 = refresh_aggregate(state0, deltas, ["grp"])
+    got = {r.grp: (r.sum_v, r.n) for r in v1.collect()}
+    assert got["a"] == (None, 2)  # SQL-exact: all-NULL group -> NULL
+    assert got["b"] == (7, 1)
+
+    # chain a second refresh through the NULL state: a non-null value
+    # arrives in "a", a's sum must come back from NULL exactly
+    nxt = spark.createDataFrame(
+        [(1, "a", None), (3, "a", 4), (2, "b", 7)],
+        "pk INT, grp STRING, v INT")
+    v2 = refresh_aggregate(
+        v1, change_deltas(nxt, curr, ["pk"], ["grp"], "v"), ["grp"])
+    got2 = {r.grp: (r.sum_v, r.n) for r in v2.collect()}
+    assert got2["a"] == (4, 2)
+    # ...and back to all-NULL again
+    v3 = refresh_aggregate(
+        v2, change_deltas(curr, nxt, ["pk"], ["grp"], "v"), ["grp"])
+    assert {r.grp: (r.sum_v, r.n) for r in v3.collect()}["a"] == (None, 2)
+
+
+def test_refresh_legacy_state_reads_zero_not_null(spark):
+    """Degraded mode, still documented: a legacy (sum, count) state
+    WITHOUT the non-null counter cannot represent "zero non-null
+    values seen", so an all-NULL group reads 0 — and a state that
+    carries nn but is fed counterless deltas must raise rather than
+    silently corrupt the counter."""
+    import pytest
     from cql_replicator_spark.ivm import change_deltas, refresh_aggregate
 
     prev = spark.createDataFrame(
@@ -736,10 +775,14 @@ def test_refresh_all_null_group_reads_zero_not_null(spark):
     deltas = change_deltas(curr, prev, ["pk"], ["grp"], "v")
     got = {r.grp: (r.sum_v, r.n) for r in
            refresh_aggregate(state0, deltas, ["grp"]).collect()}
-    # recompute would read {"a": (None, 2)}; the refresh reads 0 —
-    # the pinned bound
-    assert got["a"] == (0, 2)
-    assert got["b"] == (7, 1)  # any non-null value -> exact
+    assert got["a"] == (0, 2)  # the two-column state's best answer
+    assert got["b"] == (7, 1)
+
+    with_nn = prev.groupBy("grp").agg(
+        F.sum("v").alias("sum_v"), F.count("*").alias("n"),
+        F.count("v").alias("nn"))
+    with pytest.raises(ValueError, match="d_nn"):
+        refresh_aggregate(with_nn, deltas.drop("d_nn"), ["grp"])
 
 
 def test_ivm_deltas_are_change_sized(spark):
@@ -898,18 +941,23 @@ def test_asof_chunked_guards(spark):
 )
 def test_ivm_property_random_changes(spark, prev_rows, curr_rows):
     """For ANY pair of keyed snapshots (values double as group ids, so
-    updates frequently MOVE groups), delta-refresh == direct recompute."""
+    updates frequently MOVE groups; value 5 maps to NULL so all-NULL
+    groups occur), delta-refresh with the non-null counter == direct
+    recompute, INCLUDING SQL NULL-sum semantics."""
     from cql_replicator_spark.ivm import change_deltas, refresh_aggregate
 
     prev = spark.createDataFrame(
-        [(k, v % 3, v * 10) for k, v in prev_rows.items()] or [(None,) * 3],
+        [(k, v % 3, None if v == 5 else v * 10)
+         for k, v in prev_rows.items()] or [(None,) * 3],
         "pk INT, grp INT, v INT").filter("pk IS NOT NULL")
     curr = spark.createDataFrame(
-        [(k, v % 3, v * 10) for k, v in curr_rows.items()] or [(None,) * 3],
+        [(k, v % 3, None if v == 5 else v * 10)
+         for k, v in curr_rows.items()] or [(None,) * 3],
         "pk INT, grp INT, v INT").filter("pk IS NOT NULL")
 
     state0 = prev.groupBy("grp").agg(
-        F.sum("v").alias("sum_v"), F.count("*").alias("n"))
+        F.sum("v").alias("sum_v"), F.count("*").alias("n"),
+        F.count("v").alias("nn"))
     got = {(r.grp, r.sum_v, r.n) for r in refresh_aggregate(
         state0, change_deltas(curr, prev, ["pk"], ["grp"], "v"),
         ["grp"]).collect()}
