@@ -999,16 +999,20 @@ def events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .session import load_tables
     from .streaming.windows import (
-        enrich_with_dim, run_stream_to_memory, stream_events_from_dir,
+        enrich_with_dim, run_stream_to_memory, stage_microbatches,
+        stream_events_from_dir,
     )
 
     t = load_tables(spark, sf_dir, ["events", "customer"])
     events = t["events"].select("event_id", "user_id", "event_type")
     stage = _stage_dir("enrich_stream")
-    # two staged files -> two micro-batches through the same static dim
-    for cond in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
-        events.filter(cond).coalesce(1).write.mode("append").parquet(stage)
-    stream = stream_events_from_dir(spark, stage, events.schema)
+    # two staged micro-batches through the same static dim, each
+    # written by k parallel tasks (never a coalesce(1) funnel)
+    k = stage_microbatches(
+        [events.filter(c) for c in (F.col("event_id") % 2 == 0,
+                                    F.col("event_id") % 2 == 1)], stage)
+    stream = stream_events_from_dir(spark, stage, events.schema,
+                                    max_files_per_trigger=k)
     enriched = enrich_with_dim(stream, t["customer"])
     qname = f"enriched_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(enriched, qname, output_mode="append")
@@ -1037,7 +1041,8 @@ def events_conversion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .session import load_tables
     from .streaming.windows import (
-        interval_join, run_stream_to_memory, stream_events_from_dir,
+        interval_join, run_stream_to_memory, stage_microbatches,
+        stream_events_from_dir,
     )
 
     ev = (load_tables(spark, sf_dir, ["events"])["events"]
@@ -1048,10 +1053,13 @@ def events_conversion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_dir("conv_stream")
     # time-ordered micro-batches: event time advances across batches, so
     # the 1h watermark can never mark batch-2 rows late while boundary
-    # views stay buffered for their 30min match window
-    for cond in (F.col("ts") <= F.lit(mid), F.col("ts") > F.lit(mid)):
-        ev.filter(cond).coalesce(1).write.mode("append").parquet(stage)
-    stream = stream_events_from_dir(spark, stage, ev.schema)
+    # views stay buffered for their 30min match window; each batch is
+    # staged by k parallel tasks (never a coalesce(1) funnel)
+    k = stage_microbatches(
+        [ev.filter(c) for c in (F.col("ts") <= F.lit(mid),
+                                F.col("ts") > F.lit(mid))], stage)
+    stream = stream_events_from_dir(spark, stage, ev.schema,
+                                    max_files_per_trigger=k)
     joined = interval_join(
         stream.filter(F.col("event_type") == "view"),
         stream.filter(F.col("event_type") == "purchase"))
@@ -1091,15 +1099,18 @@ def ivm_stream_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .diff import compute_changes_envelope
     from .ivm import deltas_from_envelope, refresh_aggregate
     from .queries import _cdc_snapshots
-    from .streaming.windows import foreach_batch_cdc, stream_events_from_dir
+    from .streaming.windows import (
+        foreach_batch_cdc, stage_microbatches, stream_events_from_dir,
+    )
 
     t0, t1 = _cdc_snapshots(spark, sf_dir)
     grp = (F.col("pk") % 100).alias("grp")
     env = compute_changes_envelope(t1, t0, ["pk"]).select("*", grp)
 
     stage = _stage_dir("ivm_stream")
-    for cond in (F.col("pk") % 2 == 0, F.col("pk") % 2 == 1):
-        env.filter(cond).coalesce(1).write.mode("append").parquet(stage)
+    k = stage_microbatches(
+        [env.filter(c) for c in (F.col("pk") % 2 == 0,
+                                 F.col("pk") % 2 == 1)], stage)
 
     state_root = _stage_dir("ivm_state")
     (t0.select("ts", grp).groupBy("grp")
@@ -1118,7 +1129,8 @@ def ivm_stream_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(state_root, f"v{latest['v'] + 1}"))
         latest["v"] += 1
 
-    stream = stream_events_from_dir(spark, stage, env.schema)
+    stream = stream_events_from_dir(spark, stage, env.schema,
+                                    max_files_per_trigger=k)
     q = foreach_batch_cdc(stream, refresh, _stage_dir("ivm_ckpt"))
     q.awaitTermination()
     # nn (non-null counter) lives in the versioned state for SQL-exact
@@ -2673,15 +2685,20 @@ def sketch_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .analytics import sketch as SK
     from .session import load_tables
-    from .streaming.windows import run_stream_to_memory, stream_events_from_dir
+    from .streaming.windows import (
+        run_stream_to_memory, stage_microbatches, stream_events_from_dir,
+    )
 
     t = load_tables(spark, sf_dir, ["events"])
     users = t["events"].select("user_id")
     stage = _stage_dir("hll_stream")
-    # two staged files -> two micro-batches maintaining one sketch state
-    for cond in (F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1):
-        users.filter(cond).coalesce(1).write.mode("append").parquet(stage)
-    stream = stream_events_from_dir(spark, stage, users.schema)
+    # two staged micro-batches maintaining one sketch state, each
+    # written by k parallel tasks (never a coalesce(1) funnel)
+    k = stage_microbatches(
+        [users.filter(c) for c in (F.col("user_id") % 2 == 0,
+                                   F.col("user_id") % 2 == 1)], stage)
+    stream = stream_events_from_dir(spark, stage, users.schema,
+                                    max_files_per_trigger=k)
     built = (SK.hll_rho_frame(stream, "user_id", 256)
              .groupBy("register_id")
              .agg(F.max("rho").cast("int").alias("max_rho")))

@@ -122,17 +122,20 @@ def sessionize_events_stream(
     """Run stateful sessionization over the events table as a real
     Structured Streaming job and return the closed sessions.
 
-    Stages the table into ``num_batches`` time-ordered parquet files
-    (each = one micro-batch via maxFilesPerTrigger=1) plus two far-future
-    sentinel batches that advance the watermark far enough to time out —
-    and therefore emit — every real session, making the streamed result
-    deterministically equal to the batch sessionization of the same data.
+    Stages the table into ``num_batches`` time-ordered micro-batches
+    (k parquet files each, written in parallel and replayed via
+    maxFilesPerTrigger=k) plus two far-future sentinel batches that
+    advance the watermark far enough to time out — and therefore emit —
+    every real session, making the streamed result deterministically
+    equal to the batch sessionization of the same data.
     """
     import tempfile
     import uuid
 
     from ..session import load_tables
-    from .windows import run_stream_to_memory, stream_events_from_dir
+    from .windows import (
+        run_stream_to_memory, stage_microbatches, stream_events_from_dir,
+    )
 
     events = load_tables(spark, sf_dir, ["events"])["events"].select(
         "event_id", "ts", "user_id")
@@ -153,17 +156,20 @@ def sessionize_events_stream(
             cond = cond & (F.col("ts") < F.lit(c))
         ranges.append(cond)
         prev = c
-    # sequential appends -> increasing mtimes -> in-order micro-batches
-    for cond in ranges:
-        events.filter(cond).coalesce(1).write.mode("append").parquet(stage)
+    batches = [events.filter(cond) for cond in ranges]
     sentinel_base = hi
     for i, uid in enumerate((-1, -2)):
-        sent = spark.createDataFrame(
-            [(-(i + 1), sentinel_base, uid)], "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG"
-        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {10 * (i + 1)} DAYS"))
-        sent.coalesce(1).write.mode("append").parquet(stage)
+        batches.append(spark.createDataFrame(
+            [(-(i + 1), sentinel_base, uid)],
+            "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG"
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {10 * (i + 1)} DAYS")))
+    # parallel k-file staging with stamped per-batch mtimes -> in-order
+    # micro-batches without a coalesce(1) single-task funnel (the 1-row
+    # sentinel batches pad to k with empty schema-only files)
+    k = stage_microbatches(batches, stage)
 
-    stream = stream_events_from_dir(spark, stage, events.schema)
+    stream = stream_events_from_dir(spark, stage, events.schema,
+                                    max_files_per_trigger=k)
     sessions = sessionize_stateful(stream, gap=gap)
     qname = f"sessions_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(sessions, qname, output_mode="append")
@@ -204,16 +210,23 @@ def dedup_events_stream(
     import uuid
 
     from ..session import load_tables
-    from .windows import run_stream_to_memory, stream_events_from_dir
+    from .windows import (
+        run_stream_to_memory, stage_microbatches, stream_events_from_dir,
+    )
 
     keys = key_cols or ["event_id"]
     events = load_tables(spark, sf_dir, ["events"])["events"].select(
         "event_id", "ts", "user_id")
     stage = input_dir or tempfile.mkdtemp(prefix="dedup_stream_")
-    for _ in range(2):
-        events.coalesce(1).write.mode("append").parquet(stage)
+    # two identical micro-batches, each staged by k parallel tasks
+    # (never a coalesce(1) funnel); batch order matters — the full
+    # first copy must land before the watermark advances, or unseen
+    # keys in the second batch would be dropped as late instead of
+    # deduped
+    k = stage_microbatches([events, events], stage)
 
-    stream = stream_events_from_dir(spark, stage, events.schema)
+    stream = stream_events_from_dir(spark, stage, events.schema,
+                                    max_files_per_trigger=k)
     deduped = (
         stream.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)

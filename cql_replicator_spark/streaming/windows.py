@@ -51,12 +51,81 @@ def stream_events_from_dir(
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """File-source stream over a parquet directory (each file = one
-    micro-batch with maxFilesPerTrigger=1 — deterministic replay)."""
+    micro-batch with maxFilesPerTrigger=1 — deterministic replay; pair
+    with stage_microbatches and pass its return value for k-file
+    batches written in parallel)."""
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+
+def stage_microbatches(
+    batches: "list[DataFrame]",
+    stage: str,
+    files_per_batch: int = 8,
+) -> int:
+    """Stage each DataFrame in ``batches`` as EXACTLY
+    ``files_per_batch`` parquet data files under ``stage``, with
+    strictly increasing per-batch mtimes, so a file-source stream over
+    ``stage`` with ``maxFilesPerTrigger=files_per_batch`` replays them
+    as deterministic micro-batches in list order. Returns
+    ``files_per_batch`` (pass it to stream_events_from_dir).
+
+    This replaces the r13-flagged ``coalesce(1).write`` staging form:
+    coalesce(1) funneled every staged batch through ONE task — a
+    data-proportional serial write, the exact concentrating shape the
+    window/exchange plan gates ban, hiding in a write action the
+    returned-plan audit could not see. Here each batch is written by
+    ``files_per_batch`` parallel tasks (round-robin repartition, which
+    also guarantees every partition is non-empty whenever the batch
+    has >= files_per_batch rows); smaller batches are padded to
+    exactly ``files_per_batch`` files with empty schema-only parquet
+    files (0 rows — invisible to the stream) so trigger boundaries
+    stay exact; per-batch mtime stamping (base+i seconds) makes the
+    file source's oldest-first ordering deterministic even on
+    coarse-mtime filesystems."""
+    import glob as _glob
+    import os
+    import time
+    import uuid
+
+    import pyarrow as pa  # noqa: F401  (schema round-trip below)
+    import pyarrow.parquet as pq
+
+    k = int(files_per_batch)
+    if k < 1:
+        raise ValueError(f"files_per_batch must be >= 1, got {k}")
+    base = time.time()
+    seen: set[str] = set()
+    schema_src: str | None = None
+    for i, b in enumerate(batches):
+        b.repartition(k).write.mode("append").parquet(stage)
+        new = sorted(
+            set(_glob.glob(os.path.join(stage, "*.parquet"))) - seen)
+        if new:
+            schema_src = new[0]
+        if len(new) > k:
+            raise RuntimeError(
+                f"batch {i} wrote {len(new)} files for repartition({k}) "
+                f"— trigger boundaries would merge batches")
+        if len(new) < k:
+            if schema_src is None:
+                raise ValueError(
+                    f"batch {i} is empty and no earlier batch supplies "
+                    f"a schema to pad with")
+            pad_schema = pq.read_schema(schema_src)
+            for _ in range(k - len(new)):
+                pad = os.path.join(
+                    stage, f"part-pad-{i}-{uuid.uuid4().hex}.parquet")
+                pq.write_table(pad_schema.empty_table(), pad)
+                new.append(pad)
+        ts = base + i
+        for p in new:
+            os.utime(p, (ts, ts))
+        seen.update(new)
+    return k
 
 
 def enrich_with_dim(

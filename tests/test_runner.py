@@ -305,6 +305,47 @@ def test_reconcile_partial_report_on_failure(spark, tables, tmp_path):
 
 # -- streaming ------------------------------------------------------------------
 
+def test_stage_microbatches_parallel_files_and_boundaries(spark, tmp_path):
+    """The staging helper that replaced the coalesce(1) funnels: each
+    batch must land as EXACTLY k parquet files (parallel write; small
+    batches padded with empty schema-only files), per-batch mtimes
+    strictly increasing, and a maxFilesPerTrigger=k replay must
+    reproduce the batch boundaries file-for-file — including a 1-row
+    batch whose k-1 pad files carry no rows."""
+    import collections
+    import glob
+    import os
+
+    from cql_replicator_spark.streaming.windows import (
+        stage_microbatches, stream_events_from_dir,
+    )
+
+    df = spark.range(63).select(F.col("id"), F.lit("x").alias("s"))
+    batches = [df.filter("id < 60"),
+               df.filter("id >= 60 and id < 62"),   # pads 2 -> 4 files
+               df.filter("id >= 62")]               # pads 1 -> 4 files
+    stage = str(tmp_path / "st")
+    k = stage_microbatches(batches, stage, files_per_batch=4)
+    assert k == 4
+    files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+    assert len(files) == 12
+    stamps = collections.Counter(
+        round(os.path.getmtime(f), 3) for f in files)
+    assert sorted(stamps.values()) == [4, 4, 4], stamps
+
+    got = []
+    stream = stream_events_from_dir(spark, stage, df.schema,
+                                    max_files_per_trigger=k)
+    q = (stream.writeStream
+         .foreachBatch(lambda bdf, bid: got.append(
+             (bid, sorted(r.id for r in bdf.collect()))))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert [ids for _, ids in sorted(got)] == [
+        list(range(60)), [60, 61], [62]]
+
+
 def test_windowed_counts_batch_equals_streaming(spark, tables, tmp_path):
     events = tables["events"]
     batch = windowed_event_counts(events).orderBy("wstart", "event_type")
