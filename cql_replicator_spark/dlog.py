@@ -414,16 +414,22 @@ class DeltaLogTable:
         return live, schema_string
 
     # -- write ------------------------------------------------------------
-    def commit_overwrite(self, df: DataFrame, max_files: int = 1) -> int:
+    def commit_overwrite(self, df: DataFrame, max_files: int | None = None) -> int:
         """Commit ``df`` as the next version, logically replacing all
         live files (the mode="overwrite" shape the snapshot store
         needs). Data files are written by Spark into a staging dir and
         moved into the table root under unique names — immutable, never
         rewritten; the commit point is the atomic rename of the log
-        file. Returns the new version."""
+        file. Returns the new version. ``max_files`` defaults to the
+        session's shuffle parallelism (the old literal 1 serialized a
+        data-proportional write through one task — coalesce never
+        widens, so small frames still commit as few files)."""
         prev = self.latest_version()
         version = 0 if prev is None else prev + 1
         now_ms = int(time.time() * 1000)
+        if max_files is None:
+            from .session import default_write_files
+            max_files = default_write_files(df)
 
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         df.coalesce(max_files).write.mode("overwrite").parquet(staging)

@@ -108,3 +108,16 @@ def _nano_ts_columns(path: str) -> list[str]:
 
     schema = pq.read_schema(path)
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def default_write_files(df) -> int:
+    """Write fan-out default: the session's shuffle parallelism (min 1).
+    Used where a writer bounds its output file count via coalesce(n) —
+    a literal 1 there is a data-proportional single-task write (the
+    shape the plan gates ban); coalesce never widens a narrow input,
+    so small frames still produce few files under this default."""
+    try:
+        return max(1, int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        return 16  # non-numeric config (e.g. 'auto'): safe wide literal

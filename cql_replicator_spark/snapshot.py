@@ -47,6 +47,8 @@ import shutil
 import time
 from dataclasses import dataclass
 
+from .session import default_write_files as _default_write_files
+
 
 def _stat_json(v):
     """Manifest-safe stats value: JSON primitives pass through; date /
@@ -140,13 +142,18 @@ class SnapshotStore:
 
     # -- API ------------------------------------------------------------
     def write_snapshot(self, df: DataFrame, tile: int,
-                       files_per_snapshot: int = 1,
+                       files_per_snapshot: int | None = None,
                        stats_cols: list[str] | None = None) -> int:
         """Persist df as the tile's next snapshot; returns new snapshot id.
 
-        Mirrors writeIcebergTileSnapshot (K:1328-1334). Coalesce keeps the
-        per-tile file count bounded (per-tile snapshots are small relative
-        to the table: PKs + ts only).
+        Mirrors writeIcebergTileSnapshot (K:1328-1334). Coalesce keeps
+        the per-tile file count bounded; ``files_per_snapshot`` defaults
+        to the session's ``spark.sql.shuffle.partitions`` so the write
+        runs with the session's parallelism (coalesce never widens, so
+        narrow inputs still produce few files). The old literal default
+        of 1 was a data-proportional single-task write per tile — the
+        r14 action audit's first catch; pass 1 explicitly only for
+        frames that are small by construction.
 
         ``stats_cols`` (parquet backend only) turns on Iceberg-style
         file-level data skipping: rows are range-partitioned by those
@@ -157,6 +164,8 @@ class SnapshotStore:
         aggregate over the just-written files (it replaces the count
         read-back, so it costs nothing extra) and its output is one row
         per FILE, never data-sized."""
+        if files_per_snapshot is None:
+            files_per_snapshot = _default_write_files(df)
         with self._tile_mutex(tile):
             return self._write_snapshot_locked(
                 df, tile, files_per_snapshot, stats_cols)

@@ -263,6 +263,47 @@ def test_exchange_detector_passes_parallel_shapes(spark):
     assert mod.single_partition_exchange_args(_formatted(rng)) == []
 
 
+def test_coalesce_detector_flags_single_task_shapes(spark):
+    """coalesce(1) — the NARROWING serial funnel (no Exchange node, so
+    the exchange detector is blind to it) — must be flagged in both
+    directions; coalesce(k>1) and the bounded keyless-aggregate child
+    must not be."""
+    mod = _load_explain_audit()
+    df = spark.range(200).select((F.col("id") % 5).alias("k"))
+
+    one = df.coalesce(1)
+    assert len(mod.single_task_coalesce_args(_formatted(one))) == 1
+    several = df.coalesce(4)
+    assert mod.single_task_coalesce_args(_formatted(several)) == []
+    bounded = df.agg(F.sum("k").alias("s")).coalesce(1)
+    assert mod.single_task_coalesce_args(_formatted(bounded)) == []
+
+
+def test_action_capture_sees_intra_lane_writes(spark, tmp_path):
+    """The r13 gate blind spot, closed: an execution triggered INSIDE a
+    lane body (a .write action) must be captured from the SQL status
+    store and run through the same detectors — a coalesce(1).write of
+    a data-proportional frame yields an ACTION-prefixed mark even
+    though the returned plan never shows it, and a repartition(k)
+    write yields none. Expression ids are normalized so repeated
+    executions dedupe to one stable line."""
+    mod = _load_explain_audit()
+    df = spark.range(500).select((F.col("id") % 9).alias("k"))
+
+    wm = mod.exec_watermark(spark)
+    df.coalesce(1).write.parquet(str(tmp_path / "bad"))
+    df.repartition(4).write.parquet(str(tmp_path / "good"))
+    marks = mod.action_marks(mod.action_plans(spark, wm))
+    assert any(m.startswith("ACTION SINGLE-TASK-COALESCE:")
+               for m in marks), marks
+    assert all("#N" in m or "#" not in m for m in marks), marks
+    assert not any("GLOBAL-WINDOW" in m for m in marks)
+
+    wm = mod.exec_watermark(spark)
+    df.repartition(4).write.parquet(str(tmp_path / "good2"))
+    assert mod.action_marks(mod.action_plans(spark, wm)) == []
+
+
 def test_exchange_detector_exempts_bounded_funnels(spark):
     """Two single-partition exchanges that are bounded by CONSTRUCTION
     must not be flagged: the global-aggregate funnel (partial agg with

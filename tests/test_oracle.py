@@ -312,6 +312,51 @@ def test_no_single_partition_exchanges():
         f"{stale} — remove them so the whitelist stays tight.")
 
 
+# Queries whose audited plan (returned OR any action execution)
+# carries a Coalesce(1) over a PROVABLY bounded frame: at most a
+# config-bounded amount of work per task, never data-proportional.
+# Same shrink-only contract as the other two whitelists.
+_BOUNDED_SINGLE_TASK_COALESCES = {
+    # the bin-packer writes ceil(total_bytes/target_bytes) files —
+    # coalesce(1) appears only because the fixture total is below ONE
+    # target_bytes (1 MiB in the lane); each output task is bounded by
+    # the target size by construction, and at scale the same formula
+    # yields thousands of parallel writers (parquet_sink.compact_parquet)
+    "compact_small_files",
+}
+
+
+def test_no_single_task_coalesces():
+    """Third serial-funnel shape: coalesce(1) narrows the ENTIRE
+    upstream stage — scan included — into one task, without an
+    Exchange node, so neither sibling gate can see it. It never shows
+    in a returned plan's kept lines when a lane only uses it inside a
+    .write action, which is exactly where the r13 audit found six
+    data-proportional staging funnels. tools/explain_audit.py now
+    stamps SINGLE-TASK-COALESCE for returned plans AND (ACTION-
+    prefixed) for every execution a lane triggers while building,
+    captured from the SQL status store; this gate fails any marked
+    section not whitelisted as bounded, and fails stale whitelist
+    entries."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "PLANS.md").read_text()
+    parts = re.split(r"^## (\S+)\s*$", text, flags=re.M)
+    marked = {parts[i] for i in range(1, len(parts), 2)
+              if "SINGLE-TASK-COALESCE:" in parts[i + 1]}
+    unbounded = sorted(marked - _BOUNDED_SINGLE_TASK_COALESCES)
+    assert not unbounded, (
+        f"coalesce(1) over a data-proportional frame in: {unbounded}. "
+        f"Write with repartition(k) (streaming staging: "
+        f"stage_microbatches) or justify boundedness in "
+        f"_BOUNDED_SINGLE_TASK_COALESCES.")
+    stale = sorted(_BOUNDED_SINGLE_TASK_COALESCES - marked)
+    assert not stale, (
+        f"whitelist entries whose plans no longer carry the mark: "
+        f"{stale} — remove them so the whitelist stays tight.")
+
+
 def test_flagship_plan_scan_counts_pinned():
     """Structural perf regression guard: the expensive flagship queries
     earn their cost with SINGLE-PASS plan shapes (one corpus scan, df /

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Repeated-pass variance readout for the r13 bench watch items.
+
+The r13 verdict flagged two lanes at ~1.3x normalized vs r12 —
+`source_statementlog_roundtrip` (1.34x) and `dedup_embedding_lsh`
+(1.30x) — with the caveat "neither was touched this round; both ~1-2s
+absolute; likely jitter but unclassified". The per-round driver bench
+times every lane ONCE per session, so a 1-2s lane's single sample
+carries cold-path noise (first-use codegen, catalog/file-listing
+cache, memo warmup) that cross-round normalization cannot remove.
+
+This harness classifies the pair: N timed passes of each watch lane in
+ONE session, interleaved with a stable control (`q1_pricing_summary`)
+that tracks session aging. Readouts per lane: per-pass curve, median,
+MAD, cold(first)-vs-warm(median of rest) ratio. Classification rule:
+if the cross-round delta (~30%) sits inside the lane's own
+cold-vs-warm or MAD spread, it is bench-sampling jitter, not a code
+regression — the r14 tree contains no change to either lane's path.
+
+Run: python3 tools/ab_watch.py   (SPARK_GRAFT_SF_DIR / _CPUS as bench.py)
+Writes bench_ab_watch.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PASSES = int(os.environ.get("AB_PASSES", "8"))
+
+LANES = ["source_statementlog_roundtrip", "dedup_embedding_lsh"]
+CONTROL = "q1_pricing_summary"
+
+
+def main() -> None:
+    from cql_replicator_spark.queries import REGISTRY, _ensure_all_registered
+    from cql_replicator_spark.session import get_spark
+
+    _ensure_all_registered()
+    spark = get_spark("ab_watch", extra_conf={
+        "spark.ui.enabled": "false",
+        "spark.sql.shuffle.partitions": os.environ.get(
+            "SPARK_GRAFT_CPUS", "32"),
+    })
+
+    names = [*LANES, CONTROL]
+    times: dict[str, list[float]] = {n: [] for n in names}
+    for p in range(PASSES):
+        for n in names:
+            t0 = time.monotonic()
+            REGISTRY[n].build(spark, SF_DIR).collect()
+            dt = round(time.monotonic() - t0, 3)
+            times[n].append(dt)
+        print(f"pass {p}: " + " ".join(
+            f"{n}={times[n][-1]}" for n in names))
+
+    out = {"sf_dir": SF_DIR, "passes": PASSES, "control": CONTROL,
+           "lanes": {}}
+    for n in names:
+        t = times[n]
+        warm = t[1:] or t
+        med = statistics.median(t)
+        mad = statistics.median([abs(x - med) for x in t])
+        out["lanes"][n] = {
+            "per_pass": t,
+            "median": round(med, 3),
+            "mad": round(mad, 3),
+            "cold_over_warm": round(t[0] / statistics.median(warm), 3),
+            "warm_median": round(statistics.median(warm), 3),
+        }
+    (ROOT / "bench_ab_watch.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out["lanes"], indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,14 @@
 For each `queries()` entry: the formatted plan's scan/exchange/join
 skeleton plus PushedFilters and ReadSchema lines — the artifacts that
 prove predicate pushdown, column pruning, and broadcast strategy
-survived Catalyst. Regenerate after plan-affecting changes:
+survived Catalyst — plus serial-funnel markers for the returned plan
+AND (prefixed ACTION) for every execution the lane triggered while
+building, captured from the SQL status store: writes, collects,
+checkpoint jobs, and streaming micro-batches are audited with the same
+three detectors (partition-less Window, single-partition Exchange,
+Coalesce(1)), closing the r13 blind spot where data-proportional
+coalesce(1) staging writes hid inside lane bodies. Regenerate after
+plan-affecting changes:
 
     python3 tools/explain_audit.py
 """
@@ -67,6 +74,44 @@ def _top_level_group_bodies(s: str) -> list[str]:
 _SORT_MARKER = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b")
 
 
+def _final_plan_scope(plan: str) -> set[int] | None:
+    """Node numbers reachable in the FINAL plan tree, or None when the
+    plan has no Final/Initial split (static explains, non-AQE plans —
+    audit everything). An EXECUTED AQE plan's description renders both
+    trees over one shared detail-block list; the Initial tree's
+    operator copies must not be audited: they were never run, their
+    final-plan twins are audited in place, and the depth-first
+    child-is-(k-1) rule the bounded-child exemption relies on does not
+    hold across the Final/Initial boundary (an Initial Exchange's k-1
+    block is the Final tree's LAST node — found as a false
+    SINGLE-PARTITION flag on keyless-aggregate funnels under AQE).
+    Tree lines carry the node number TRAILING the name ("HashAggregate
+    (6)"); detail headers lead with it ("(6) HashAggregate") and are
+    skipped. Subquery sections restart scope collection."""
+    scope: set[int] = set()
+    in_initial = False
+    saw_split = False
+    for ln in plan.splitlines():
+        s = ln.strip()
+        if "== Initial Plan ==" in s:
+            in_initial = True
+            saw_split = True
+            continue
+        if "== Final Plan ==" in s or s.startswith("Subquery"):
+            in_initial = False
+            continue
+        if s.startswith("("):
+            continue  # detail-block header
+        m = re.search(r"\((\d+)\)", s)
+        if m and not in_initial:
+            scope.add(int(m.group(1)))
+    return scope if saw_split else None
+
+
+def _in_scope(scope: set[int] | None, num: int) -> bool:
+    return scope is None or num in scope
+
+
 def global_window_args(plan: str) -> list[str]:
     """Arguments lines of partition-less Window nodes in a formatted
     plan. A Window detail block renders up to three top-level bracket
@@ -82,9 +127,11 @@ def global_window_args(plan: str) -> list[str]:
     WindowGroupLimit nodes are not gated (they are the pushed-down
     rank FILTER, bounded by construction)."""
     out = []
+    scope = _final_plan_scope(plan)
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
-        if not re.match(r"\(\d+\) Window(InPandas)?\b", ln.strip()):
+        m = re.match(r"\((\d+)\) Window(InPandas)?\b", ln.strip())
+        if not m or not _in_scope(scope, int(m.group(1))):
             continue
         for nxt in lines[i + 1:i + 6]:
             nxt = nxt.strip()
@@ -98,6 +145,24 @@ def global_window_args(plan: str) -> list[str]:
                 break
     return out
 
+
+# Third sibling marker: a Coalesce node collapsing to ONE partition.
+# coalesce(1) is not an Exchange (no shuffle — it narrows existing
+# partitions into a single task), so the exchange detector cannot see
+# it, and it never appears in a RETURNED plan's kept lines when the
+# lane only uses it inside a .write action — which is exactly where
+# the r13 audit found six data-proportional staging funnels hiding.
+# Stamped for returned plans AND (prefixed ACTION) for every execution
+# a lane triggers while building; gated by
+# tests/test_oracle.py::test_no_single_task_coalesces.
+COALESCE_ONE_MARK = "SINGLE-TASK-COALESCE:"
+
+# Prefix for markers found in ACTION plans (executions a lane triggered
+# while building — writes, collects, checkpoint jobs, streaming
+# micro-batches) rather than in the returned DataFrame's static plan.
+# The gates match on the base marker substring, so an ACTION-prefixed
+# mark trips the same whitelist contract.
+ACTION_PREFIX = "ACTION "
 
 # hashpartitioning(k#1, 1) / rangepartitioning(k#1 ASC NULLS FIRST, 1)
 # (trailing arg is numPartitions) and RoundRobinPartitioning(1)
@@ -149,11 +214,12 @@ def single_partition_exchange_args(plan: str) -> list[str]:
       rows regardless of data size (the GlobalLimit pattern).
     """
     out = []
+    scope = _final_plan_scope(plan)
     blocks = _detail_blocks(plan)
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         m = re.match(r"\((\d+)\) Exchange\b", ln.strip())
-        if not m:
+        if not m or not _in_scope(scope, int(m.group(1))):
             continue
         for nxt in lines[i + 1:i + 6]:
             nxt = nxt.strip()
@@ -161,16 +227,112 @@ def single_partition_exchange_args(plan: str) -> list[str]:
                 continue
             if ("SinglePartition" in nxt
                     or _NUM_PARTITIONS_ONE.search(nxt)):
-                child_name, child_block = blocks.get(
-                    int(m.group(1)) - 1, ("?", ""))
-                bounded = (
-                    ("Aggregate" in child_name
-                     and re.search(r"^Keys: \[\]$", child_block, re.M))
-                    or child_name == "LocalLimit")
+                child_name, bounded = _bounded_child(
+                    blocks, int(m.group(1)))
                 if not bounded:
                     out.append(f"[child {child_name}] {nxt}"[:220])
             break
     return out
+
+
+def _bounded_child(blocks: dict, node_num: int) -> tuple[str, bool]:
+    """(child name, bounded-by-construction?) for a UNARY node: a
+    keyless partial aggregate (one row per upstream partition) or a
+    LocalLimit (<= limit x #partitions rows) feeds a constant-size
+    frame whatever the data volume."""
+    child_name, child_block = blocks.get(node_num - 1, ("?", ""))
+    bounded = (
+        ("Aggregate" in child_name
+         and re.search(r"^Keys: \[\]$", child_block, re.M))
+        or child_name == "LocalLimit")
+    return child_name, bool(bounded)
+
+
+def single_task_coalesce_args(plan: str) -> list[str]:
+    """Argument lines of ``Coalesce`` nodes whose target partition
+    count is 1 — the narrowing (no-shuffle) serial funnel:
+    ``coalesce(1)`` runs the ENTIRE upstream stage, scan included, as
+    one task. Same bounded-by-construction child exemptions as the
+    exchange detector. Coalesce to >1 partitions is not flagged (it
+    is the standard output-file-count control)."""
+    out = []
+    scope = _final_plan_scope(plan)
+    blocks = _detail_blocks(plan)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        m = re.match(r"\((\d+)\) Coalesce\b", ln.strip())
+        if not m or not _in_scope(scope, int(m.group(1))):
+            continue
+        for nxt in lines[i + 1:i + 6]:
+            nxt = nxt.strip()
+            if not nxt.startswith("Arguments: "):
+                continue
+            if re.fullmatch(r"Arguments: 1\b.*", nxt):
+                child_name, bounded = _bounded_child(
+                    blocks, int(m.group(1)))
+                if not bounded:
+                    out.append(f"[child {child_name}] {nxt}"[:220])
+            break
+    return out
+
+
+def _drain_listener_bus(spark) -> None:
+    """Block until queued listener events are processed, so the SQL
+    status store reflects every execution the just-built lane ran."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:  # pragma: no cover - test-only API moved
+        import time
+        time.sleep(2)
+
+
+def exec_watermark(spark) -> int:
+    """Highest SQL execution id currently in the status store (-1 when
+    empty). Executions with a larger id afterwards are the lane's."""
+    _drain_listener_bus(spark)
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    return max((lst.apply(i).executionId() for i in range(lst.size())),
+               default=-1)
+
+
+def action_plans(spark, watermark: int) -> list[str]:
+    """Physical-plan descriptions of every SQL execution with id >
+    ``watermark`` — the executions a lane triggered while BUILDING
+    (writes, collects, localCheckpoint jobs, streaming micro-batches).
+    This is the audit surface the returned-plan explain cannot see:
+    the r13 verdict found six data-proportional coalesce(1) staging
+    writes hiding exactly here. The store's retention cap only evicts
+    OLDEST entries, so reading incrementally per lane never loses the
+    lane's own executions."""
+    _drain_listener_bus(spark)
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    out = []
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() > watermark:
+            out.append(e.physicalPlanDescription())
+    return out
+
+
+_EXPR_ID = re.compile(r"#\d+")
+
+
+def action_marks(plans: list[str]) -> list[str]:
+    """Deduplicated, ACTION-prefixed marker lines for a lane's
+    executions. Expression ids (#123) are normalized so the same
+    logical plan executed across N micro-batches yields ONE stable
+    line instead of N id-churned ones."""
+    marks = set()
+    for ap in plans:
+        for a in global_window_args(ap):
+            marks.add(f"{ACTION_PREFIX}{GLOBAL_WINDOW_MARK} {a}")
+        for a in single_partition_exchange_args(ap):
+            marks.add(f"{ACTION_PREFIX}{SINGLE_PARTITION_MARK} {a}")
+        for a in single_task_coalesce_args(ap):
+            marks.add(f"{ACTION_PREFIX}{COALESCE_ONE_MARK} {a}")
+    return sorted(_EXPR_ID.sub("#N", m) for m in marks)
 
 # Hand-curated audit notes for plans whose cost shape is NOT visible in
 # the static skeleton (driver-side loops, cross-query shared frames).
@@ -239,6 +401,9 @@ def main() -> None:
     spark = get_spark(extra_conf={
         "spark.ui.enabled": "false",
         "spark.sql.shuffle.partitions": "8",
+        # headroom for the per-lane action capture: eviction only drops
+        # the oldest executions, but keep the window generous anyway
+        "spark.sql.ui.retainedExecutions": "2000",
     })
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
@@ -253,8 +418,10 @@ def main() -> None:
     ]
     for name in sorted(REGISTRY):
         try:
+            wm = exec_watermark(spark)
             df = REGISTRY[name].build(spark, SF_DIR)
             plan = df._jdf.queryExecution().explainString(mode)
+            acts = action_plans(spark, wm)
         except Exception as exc:  # pragma: no cover
             out += [f"## {name}", "", f"ERROR: {exc}", ""]
             continue
@@ -263,6 +430,9 @@ def main() -> None:
                  for args in global_window_args(plan)]
         kept += [f"{SINGLE_PARTITION_MARK} {args}"
                  for args in single_partition_exchange_args(plan)]
+        kept += [f"{COALESCE_ONE_MARK} {args}"
+                 for args in single_task_coalesce_args(plan)]
+        kept += action_marks(acts)
         out += [f"## {name}", ""]
         if name in NOTES:
             out += [NOTES[name], ""]
