@@ -69,10 +69,16 @@ def pagerank_scaled(
 
     n = nodes.count()
     if n == 0:
+        # empty edge list: the rank of no nodes is no rows — return the
+        # schema-correct empty frame (recompute semantics; an empty
+        # graph must not fail the pipeline)
+        out = (nodes.select("node",
+                            F.lit(0).cast("long").alias("rank_scaled"))
+               .filter(F.lit(False)).localCheckpoint(eager=True))
         e.unpersist()
         nodes.unpersist()
         deg.unpersist()
-        raise ValueError("pagerank_scaled on an empty edge list")
+        return out
     base = ((damping_den - damping_num) * scale // damping_den) // n
     init = scale // n
 

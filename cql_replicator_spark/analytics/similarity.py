@@ -547,7 +547,11 @@ def cosine_topk_np(
     d = next((len(r[1]) for r in q_rows if r[1] is not None and len(r[1])),
              None)
     if d is None:
-        raise ValueError("cosine_topk_np: no well-formed query vectors")
+        # empty (or all-malformed) query side: the top-k of nothing is
+        # nothing — return the schema-correct empty frame (recompute
+        # semantics; an empty tile must not fail the pipeline)
+        return queries.sparkSession.createDataFrame(
+            [], "query_id LONG, rank INT, neighbor_id LONG")
     q_rows = [r for r in q_rows if r[1] is not None and len(r[1]) == d]
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -697,7 +701,13 @@ def kmeans_quantized(
         ).alias("qv"))
     head = q_all.filter(F.col("qv").isNotNull()).select("qv").first()
     if head is None:
-        raise ValueError("kmeans_quantized: corpus is empty")
+        # empty or all-NULL corpus: no centroids are derivable — return
+        # the schema-correct EMPTY assignment (joins/aggregates over it
+        # are empty, matching a recompute) instead of an exception that
+        # fails the pipeline over an empty tile
+        return (q_all.select(F.col(id_col),
+                             F.lit(0).cast("long").alias("cluster_id"))
+                .filter(F.lit(False)))
     dim = len(head["qv"])
     # malformed vectors (NULL/ragged — failed-encoder poison) are
     # excluded from clustering: they would crash the fixed-dim numpy

@@ -48,10 +48,14 @@ def completeness(col: str, at_least: float = 1.0) -> Check:
 
 
 def uniqueness(col: str, at_least: float = 1.0) -> Check:
-    """Distinct values / total rows for ``col`` (1.0 = key-like)."""
+    """Distinct values / total rows for ``col`` (1.0 = key-like).
+    try_divide: over an EMPTY frame the ratio is NULL (no evidence —
+    metric NULL, passed NULL), matching the other aggregate checks'
+    avg-over-nothing semantics instead of an ANSI DIVIDE_BY_ZERO."""
     return Check(
         f"uniqueness_{col}",
-        F.countDistinct(F.col(col)).cast("double") / F.count(F.lit(1)),
+        F.try_divide(F.countDistinct(F.col(col)).cast("double"),
+                     F.count(F.lit(1))),
         lo=at_least,
     )
 
@@ -135,10 +139,16 @@ def referential_integrity(
                 F.count("__hit").alias("__matched"))
            .collect()[0])
     total, matched = row["__total"], row["__matched"]
-    if total == 0:
-        raise ValueError("referential_integrity on an empty child frame")
-    frac = matched / total
     spark = child.sparkSession
+    if total == 0:
+        # zero child rows: vacuously satisfied (no row can violate the
+        # reference); the coverage metric is NULL, exactly as an avg
+        # over an empty frame — an empty tile must not fail the suite
+        return spark.createDataFrame(
+            [(f"ref_{child_col}", None, True)],
+            "check STRING, metric DOUBLE, passed BOOLEAN",
+        )
+    frac = matched / total
     return spark.createDataFrame(
         [(f"ref_{child_col}", round(frac, 6), frac >= at_least)],
         "check STRING, metric DOUBLE, passed BOOLEAN",

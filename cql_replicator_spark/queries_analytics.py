@@ -1049,6 +1049,12 @@ def events_conversion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("event_id", "user_id", "event_type",
                   F.col("ts").cast("timestamp").alias("ts")))
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:
+        # empty events: nothing to stream; the interval join of
+        # nothing is the oracle's zero rows, not a NoneType crash
+        return spark.createDataFrame(
+            [], "view_id LONG, purchase_id LONG, user_id LONG, "
+                "view_ts TIMESTAMP, purchase_ts TIMESTAMP")
     mid = lo + (hi - lo) / 2
     stage = _stage_dir("conv_stream")
     # time-ordered micro-batches: event time advances across batches, so
@@ -3209,7 +3215,12 @@ def partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_chars"))
     stage = _stage_dir("part_lang")
     docs.write.mode("overwrite").partitionBy("lang").parquet(stage)
-    back = spark.read.parquet(stage).filter(F.col("lang").isin("en", "de"))
+    # explicit schema on the read-back: schema inference needs at least
+    # one data file (an EMPTY input writes none and the read would
+    # throw UNABLE_TO_INFER_SCHEMA), and skipping inference is the
+    # scale-right default anyway — one less listing+footer pass
+    back = (spark.read.schema(docs.schema).parquet(stage)
+            .filter(F.col("lang").isin("en", "de")))
     return (back.groupBy("lang")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("total_chars")))

@@ -1551,6 +1551,12 @@ GROUP BY a.query_id
 def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import similarity as S
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    if emb.select("vec_id").first() is None:
+        # empty embeddings: no model is trainable (pq_train correctly
+        # refuses) and no query vectors exist — recall over nothing is
+        # the oracle's zero rows, not an exception
+        return spark.createDataFrame(
+            [], "query_id LONG, n_ann LONG, recall_at_5 DOUBLE")
     books = S.pq_train(emb, m=2, k=4, rounds=0, train_sample=64)
     enc = S.pq_encode(emb, books)
     parts = []
@@ -1696,6 +1702,11 @@ GROUP BY a.query_id
 def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import similarity as S
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    if emb.select("vec_id").first() is None:
+        # empty embeddings: see similarity_pq_recall — zero rows, like
+        # the oracle, not an exception
+        return spark.createDataFrame(
+            [], "query_id LONG, n_ann LONG, recall_at_5 DOUBLE")
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
     books = S.pq_train(emb, m=2, k=4, rounds=0, train_sample=64)

@@ -144,6 +144,10 @@ def sessionize_events_stream(
     bounds = events.agg(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
     lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        # empty events: no sessions exist and no watermark sentinels
+        # are needed — zero rows, like the batch form, not a crash
+        return spark.createDataFrame([], SESSION_OUTPUT_SCHEMA)
     span = (hi - lo) / num_batches
     cuts = [lo + span * i for i in range(1, num_batches)]
     ranges = []

@@ -2656,8 +2656,11 @@ def test_referential_integrity_counts_orphans(spark):
     row = V.referential_integrity(child, "fk", parent, "pk").collect()[0]
     assert row["check"] == "ref_fk"
     assert row["metric"] == 0.75 and not row["passed"]
-    with pytest.raises(ValueError, match="empty child"):
-        V.referential_integrity(child.filter("fk < 0"), "fk", parent, "pk")
+    # r14: empty child is vacuously satisfied (no row can violate),
+    # metric NULL like an avg over nothing — no longer a ValueError
+    empty = V.referential_integrity(
+        child.filter("fk < 0"), "fk", parent, "pk").collect()[0]
+    assert empty["passed"] is True and empty["metric"] is None
 
 
 def test_rrf_fuse_semantics(spark):
@@ -2748,8 +2751,10 @@ def test_pagerank_scaled_star_graph(spark):
     assert 0.99 * 10**12 < total <= 10**12
     with pytest.raises(ValueError, match="iterations"):
         pagerank_scaled(edges, iterations=0)
-    with pytest.raises(ValueError, match="empty"):
-        pagerank_scaled(edges.filter("src < 0"))
+    # r14: empty edges return the schema-correct EMPTY frame (recompute
+    # semantics), no longer a ValueError — an empty tile must not fail
+    # the pipeline (see test_empty_input_returns_empty_not_crash)
+    assert pagerank_scaled(edges.filter("src < 0")).count() == 0
 
 
 def test_concurrency_sweep_half_open_ties(spark):
@@ -4011,3 +4016,41 @@ def test_decoder_injection_swaps_behind_identical_plumbing(spark):
     for r in docs_df.select("doc_id").collect():
         assert dd[r.doc_id] == (r.doc_id % 251) * ((r.doc_id % 16 + 3)
                                                    * (r.doc_id % 8 + 2))
+
+
+# -- r14 empty-input class (tools/empty_sweep.py found 11 lanes) ---------------
+
+def test_empty_input_returns_empty_not_crash(spark):
+    """Recompute semantics on EMPTY input: the oracle SQL over zero-row
+    tables returns zero rows (or NULL aggregates), so lanes and library
+    operators must too — at 100 TB an empty tile/partition is routine
+    and must not fail the job. Pins the r14 empty-sweep fixes: kmeans
+    assignment, brute-force top-k, pagerank, referential integrity
+    (vacuous pass, NULL metric), and the uniqueness check's try_divide
+    (was an ANSI DIVIDE_BY_ZERO). The full gate is
+    tools/empty_sweep.py over all registered lanes."""
+    from cql_replicator_spark.analytics import graph as G
+    from cql_replicator_spark.analytics import similarity as S
+    from cql_replicator_spark.analytics import validate as V
+
+    emb0 = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    km = S.kmeans_quantized(emb0, k=4)
+    assert km.count() == 0
+    assert set(km.columns) == {"vec_id", "cluster_id"}
+
+    tk = S.cosine_topk_np(emb0, emb0, k=3)
+    assert tk.count() == 0
+    assert tk.columns == ["query_id", "rank", "neighbor_id"]
+
+    edges0 = spark.createDataFrame([], "src LONG, dst LONG")
+    pr = G.pagerank_scaled(edges0, iterations=2)
+    assert pr.count() == 0
+    assert pr.columns == ["node", "rank_scaled"]
+
+    child0 = spark.createDataFrame([], "ck LONG")
+    parent = spark.createDataFrame([(1,)], "pk LONG")
+    row = V.referential_integrity(child0, "ck", parent, "pk").first()
+    assert row["passed"] is True and row["metric"] is None
+
+    suite = V.validate(child0, [V.uniqueness("ck")]).first()
+    assert suite["metric"] is None  # try_divide, not DIVIDE_BY_ZERO

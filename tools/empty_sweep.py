@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Empty-input sweep: run every registered query against ZERO-ROW
+copies of the test tables and report crashes.
+
+The degenerate sibling of the poison sweep: at 100 TB an empty input
+is routine — a tile with no rows after a filter, a partition with no
+new data in a discovery cycle, a just-created table. A lane that
+crashes on it (driver-side ``.first()`` unpacking None, ``[0]`` on an
+empty collect, division by a zero count that feeds Python, np.stack
+over zero arrays) fails the whole job for a state that is not an
+error. Returning an EMPTY (or empty-aggregate) frame is the correct
+behavior; this sweep is the regression gate for that class.
+
+Usage:
+    python3 tools/empty_sweep.py [--src SF_DIR] [--dst EMPTY_DIR]
+
+Builds DST from SRC (default /root/testdata/sf0.001 -> /tmp/empty_sf)
+as schema-identical zero-row parquet per table, runs all registered
+queries against it, prints one line per query, exits 1 on any crash.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def build_empty_dir(src: str, dst: str) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(src, t + ".parquet"))
+        pq.write_table(schema.empty_table(),
+                       os.path.join(dst, t + ".parquet"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.001")
+    ap.add_argument("--dst", default="/tmp/empty_sf")
+    ap.add_argument("queries", nargs="*",
+                    help="subset of query names (default: all)")
+    args = ap.parse_args()
+
+    build_empty_dir(args.src, args.dst)
+
+    from cql_replicator_spark.queries import REGISTRY, queries
+    from cql_replicator_spark.session import get_spark
+
+    queries()
+    spark = get_spark(extra_conf={
+        "spark.ui.enabled": "false",
+        "spark.sql.shuffle.partitions": "4",
+    })
+
+    names = args.queries or sorted(REGISTRY)
+    ok = fails = 0
+    failed: list[str] = []
+    for name in names:
+        try:
+            n = REGISTRY[name].build(spark, args.dst).count()
+            print(f"OK   {name}: {n}", flush=True)
+            ok += 1
+        except Exception as exc:
+            msg = str(exc).splitlines()[0][:160] if str(exc) else repr(exc)
+            print(f"FAIL {name}: {type(exc).__name__}: {msg}", flush=True)
+            fails += 1
+            failed.append(name)
+    print(f"DONE ok={ok} fail={fails}")
+    if failed:
+        print("failed:", " ".join(failed))
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -495,6 +495,65 @@ def main() -> None:
                 else:
                     spark.conf.set(k, v)
 
+    # Staging leg (r14 item 1): the six streaming lanes' micro-batch
+    # staging moved from coalesce(1).write (one task writes the whole
+    # batch) to stage_microbatches' repartition(k) + pad + mtime stamp.
+    # The sf0.1 A/B (bench_ab_staging.json) records the fixed overhead
+    # at tiny scale (1.13x); THIS leg records the growth shape the fix
+    # buys: the serial form's wall time is linear in batch bytes on ONE
+    # core, the parallel form divides the same bytes across k writers,
+    # so coalesce1_over_staged must WIDEN from ~sub-1 toward ~k as the
+    # staged frame grows.
+    def staging_leg(factor: int) -> dict:
+        import shutil
+        import statistics
+        import tempfile
+
+        from cql_replicator_spark.streaming.windows import stage_microbatches
+
+        ev = load_tables(spark, SF_DIR, ["events"])["events"].select(
+            "event_id", "user_id", "event_type")
+        reps = F.explode(F.array(*[F.lit(k) for k in range(factor)])
+                         ).alias("rep")
+        big = (ev.select("event_id", "user_id", "event_type", reps)
+               .select((F.col("event_id") + F.col("rep") * 100_000_000)
+                       .alias("event_id"), "user_id", "event_type")
+               .localCheckpoint())  # stage once; time WRITES, not lineage
+        halves = [big.filter(F.col("event_id") % 2 == 0),
+                  big.filter(F.col("event_id") % 2 == 1)]
+        n_rows = big.count()
+
+        def run_coalesce1(d: str) -> None:
+            for h in halves:
+                h.coalesce(1).write.mode("append").parquet(d)
+
+        def run_staged(d: str) -> None:
+            stage_microbatches(halves, d, files_per_batch=8)
+
+        root = tempfile.mkdtemp(prefix="smoke_staging_")
+        times: dict[str, list[float]] = {"coalesce1": [], "staged_k8": []}
+        try:
+            i = 0
+            for p in range(2):
+                forms = [("coalesce1", run_coalesce1),
+                         ("staged_k8", run_staged)]
+                for label, fn in forms if p % 2 == 0 else forms[::-1]:
+                    d = os.path.join(root, f"{label}_{i}")
+                    i += 1
+                    t0 = time.perf_counter()
+                    fn(d)
+                    times[label].append(
+                        round(time.perf_counter() - t0, 3))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+            big.unpersist()
+        med = {k: round(statistics.median(v), 3)
+               for k, v in times.items()}
+        return {"n_rows": n_rows, "raw": times, "medians": med,
+                "coalesce1_over_staged": round(
+                    med["coalesce1"] / med["staged_k8"], 3)
+                if med["staged_k8"] else None}
+
     docs.select("doc_id").limit(100).count()  # warm
     result: dict[str, dict] = {}
     for scale, factor in (("base_1x", 1), (f"amp_{AMPLIFY}x", AMPLIFY)):
@@ -521,7 +580,8 @@ def main() -> None:
         result[scale] = {"n_docs": n, "n_keys": orders.count() * factor,
                          "ops": row,
                          "pq_adc_rank": pq_rank_leg(factor),
-                         "sharedlsh_cold_family": sharedlsh_family_leg(frame)}
+                         "sharedlsh_cold_family": sharedlsh_family_leg(frame),
+                         "microbatch_staging": staging_leg(factor)}
 
     skew = skew_leg()
     skew_aqe = skew_leg_aqe()
@@ -556,6 +616,13 @@ def main() -> None:
           f"(gap must WIDEN with corpus size: the independent form's "
           f"extra passes are corpus-sized, the shared form's are "
           f"row-per-doc)")
+    st_b = base["microbatch_staging"]
+    st_a = amp["microbatch_staging"]
+    print(f"microbatch_staging coalesce1/staged_k8: "
+          f"1x={st_b['coalesce1_over_staged']} "
+          f"{AMPLIFY}x={st_a['coalesce1_over_staged']} "
+          f"(the serial form's single-task write is linear in batch "
+          f"bytes; the ratio must WIDEN toward k as the batch grows)")
     print(f"skew_salted_join max-partition-share: "
           f"unsalted={skew['unsalted']['max_partition_share']} "
           f"salted={skew['salted']['max_partition_share']} "
