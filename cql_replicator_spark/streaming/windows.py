@@ -78,14 +78,21 @@ def stage_microbatches(
     data-proportional serial write, the exact concentrating shape the
     window/exchange plan gates ban, hiding in a write action the
     returned-plan audit could not see. Here each batch is written by
-    ``files_per_batch`` parallel tasks (round-robin repartition, which
-    also guarantees every partition is non-empty whenever the batch
-    has >= files_per_batch rows); smaller batches are padded to
-    exactly ``files_per_batch`` files with empty schema-only parquet
-    files (0 rows — invisible to the stream) so trigger boundaries
-    stay exact; per-batch mtime stamping (base+i seconds) makes the
-    file source's oldest-first ordering deterministic even on
-    coarse-mtime filesystems."""
+    up to ``files_per_batch`` parallel tasks via ``coalesce(k)`` — a
+    NARROW merge, no shuffle: the first smoke used ``repartition(k)``
+    and its full shuffle (plus round-robin's determinism sort) made
+    the staged form SLOWER than the serial one at 20x
+    (scale_smoke.json caught it); coalesce writes the same k-way
+    parallel files for free. Effective parallelism is
+    min(k, upstream partitions) — at scale pick ``files_per_batch``
+    from batch size the way compact_parquet does. Batches producing
+    fewer than k files (narrow sources, tiny/empty batches like the
+    sessionize lane's 1-row watermark sentinels) are padded to
+    exactly ``files_per_batch`` with empty schema-only parquet files
+    (0 rows — invisible to the stream) so trigger boundaries stay
+    exact; per-batch mtime stamping (base+i seconds) makes the file
+    source's oldest-first ordering deterministic even on coarse-mtime
+    filesystems."""
     import glob as _glob
     import os
     import time
@@ -101,7 +108,7 @@ def stage_microbatches(
     seen: set[str] = set()
     schema_src: str | None = None
     for i, b in enumerate(batches):
-        b.repartition(k).write.mode("append").parquet(stage)
+        b.coalesce(k).write.mode("append").parquet(stage)
         new = sorted(
             set(_glob.glob(os.path.join(stage, "*.parquet"))) - seen)
         if new:

@@ -497,13 +497,20 @@ def main() -> None:
 
     # Staging leg (r14 item 1): the six streaming lanes' micro-batch
     # staging moved from coalesce(1).write (one task writes the whole
-    # batch) to stage_microbatches' repartition(k) + pad + mtime stamp.
-    # The sf0.1 A/B (bench_ab_staging.json) records the fixed overhead
-    # at tiny scale (1.13x); THIS leg records the growth shape the fix
-    # buys: the serial form's wall time is linear in batch bytes on ONE
-    # core, the parallel form divides the same bytes across k writers,
-    # so coalesce1_over_staged must WIDEN from ~sub-1 toward ~k as the
-    # staged frame grows.
+    # batch) to stage_microbatches' coalesce(k) + pad + mtime stamp —
+    # coalesce, not repartition: the first smoke run measured the
+    # repartition form SLOWER than the serial one at 20x (full shuffle
+    # + round-robin determinism sort of every staged byte), which is
+    # what bought the narrow-merge rewrite. The sf0.1 A/B
+    # (bench_ab_staging.json) records parity at tiny scale; THIS leg
+    # records the growth shape the fix buys: the serial form reads and
+    # writes every batch byte on ONE core, the coalesce(k) form splits
+    # the same work across k writers with no shuffle, so
+    # coalesce1_over_staged must WIDEN toward ~k as the staged frame
+    # grows. The staged frame carries MANY upstream partitions (as any
+    # real multi-split source scan does — coalesce parallelism is
+    # min(k, upstream splits); a 1-split fixture scan would serialize
+    # BOTH forms and show nothing).
     def staging_leg(factor: int) -> dict:
         import shutil
         import statistics
@@ -513,11 +520,18 @@ def main() -> None:
 
         ev = load_tables(spark, SF_DIR, ["events"])["events"].select(
             "event_id", "user_id", "event_type")
-        reps = F.explode(F.array(*[F.lit(k) for k in range(factor)])
-                         ).alias("rep")
+        # own amplifier (pq_rank_leg pattern): a staged parquet write
+        # is IO-light, so the serial form's per-task encode cost only
+        # becomes visible in the millions of rows — 5x at the 1x leg
+        # (~500k rows), 100x at the 20x leg (~10M rows)
+        boost = factor * 5
+        reps = F.explode(
+            F.sequence(F.lit(0), F.lit(boost - 1))).alias("rep")
         big = (ev.select("event_id", "user_id", "event_type", reps)
-               .select((F.col("event_id") + F.col("rep") * 100_000_000)
+               .select((F.col("event_id")
+                        + F.col("rep").cast("long") * 100_000_000)
                        .alias("event_id"), "user_id", "event_type")
+               .repartition(64)  # model a real many-split source
                .localCheckpoint())  # stage once; time WRITES, not lineage
         halves = [big.filter(F.col("event_id") % 2 == 0),
                   big.filter(F.col("event_id") % 2 == 1)]
@@ -534,7 +548,7 @@ def main() -> None:
         times: dict[str, list[float]] = {"coalesce1": [], "staged_k8": []}
         try:
             i = 0
-            for p in range(2):
+            for p in range(3):
                 forms = [("coalesce1", run_coalesce1),
                          ("staged_k8", run_staged)]
                 for label, fn in forms if p % 2 == 0 else forms[::-1]:
