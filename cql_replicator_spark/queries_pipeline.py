@@ -1562,12 +1562,19 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for qid in (3, 11, 42):
         qrow = emb.filter(F.col("vec_id") == qid).first()
+        if qrow is None:
+            continue  # probe id absent: the oracle emits no row for it
         parts.append(
             S.pq_adc_topk(list(qrow.embedding),
                           enc.filter(F.col("vec_id") != qid), books, k=5)
             .withColumn("query_id", F.lit(qid).cast("long"))
             .select("query_id", "neighbor_id"))
-    ann = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    if not parts:
+        return spark.createDataFrame(
+            [], "query_id LONG, n_ann LONG, recall_at_5 DOUBLE")
+    ann = parts[0]
+    for p in parts[1:]:
+        ann = ann.unionByName(p)
     exact = (S.cosine_topk(emb.filter(F.col("vec_id").isin(3, 11, 42)),
                            emb, k=5)
              .select("query_id", "neighbor_id")
@@ -1716,13 +1723,20 @@ def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for qid in (3, 11, 42):
         qrow = emb.filter(F.col("vec_id") == qid).first()
+        if qrow is None:
+            continue  # probe id absent: the oracle emits no row for it
         parts.append(
             S.ivfpq_search(list(qrow.embedding),
                            indexed_encoded.filter(F.col("vec_id") != qid),
                            centroids, books, k=5, nprobe=2)
             .withColumn("query_id", F.lit(qid).cast("long"))
             .select("query_id", "neighbor_id"))
-    ann = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    if not parts:
+        return spark.createDataFrame(
+            [], "query_id LONG, n_ann LONG, recall_at_5 DOUBLE")
+    ann = parts[0]
+    for p in parts[1:]:
+        ann = ann.unionByName(p)
     exact = (S.cosine_topk(emb.filter(F.col("vec_id").isin(3, 11, 42)),
                            emb, k=5)
              .select("query_id", "neighbor_id")

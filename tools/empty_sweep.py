@@ -11,11 +11,16 @@ over zero arrays) fails the whole job for a state that is not an
 error. Returning an EMPTY (or empty-aggregate) frame is the correct
 behavior; this sweep is the regression gate for that class.
 
+``--rows N`` (default 0) keeps the first N rows of each table instead:
+N=1 is the single-row degenerate class (stddev/variance over one
+sample, regression denominators, n-1 divisors), distinct from empty.
+
 Usage:
     python3 tools/empty_sweep.py [--src SF_DIR] [--dst EMPTY_DIR]
+                                 [--rows N] [query ...]
 
 Builds DST from SRC (default /root/testdata/sf0.001 -> /tmp/empty_sf)
-as schema-identical zero-row parquet per table, runs all registered
+as schema-identical N-row parquet per table, runs all registered
 queries against it, prints one line per query, exits 1 on any crash.
 """
 
@@ -32,25 +37,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def build_empty_dir(src: str, dst: str) -> None:
+def build_empty_dir(src: str, dst: str, rows: int = 0) -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
-        schema = pq.read_schema(os.path.join(src, t + ".parquet"))
-        pq.write_table(schema.empty_table(),
-                       os.path.join(dst, t + ".parquet"))
+        path = os.path.join(src, t + ".parquet")
+        if rows > 0:
+            table = pq.read_table(path).slice(0, rows)
+        else:
+            table = pq.read_schema(path).empty_table()
+        pq.write_table(table, os.path.join(dst, t + ".parquet"))
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")
     ap.add_argument("--dst", default="/tmp/empty_sf")
+    ap.add_argument("--rows", type=int, default=0,
+                    help="rows kept per table (0 = empty)")
     ap.add_argument("queries", nargs="*",
                     help="subset of query names (default: all)")
     args = ap.parse_args()
 
-    build_empty_dir(args.src, args.dst)
+    build_empty_dir(args.src, args.dst, rows=args.rows)
 
     from cql_replicator_spark.queries import REGISTRY, queries
     from cql_replicator_spark.session import get_spark
