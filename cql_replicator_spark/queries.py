@@ -1442,33 +1442,43 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything else stalest-evidence-first. tests/test_oracle.py asserts the
 # computed order actually has this shape.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r13: the partition-less-window kill (r12 verdict items 1/3) —
-    # every lane whose plan changed from a single-partition global
-    # window to a distributed formulation re-verifies, even though the
-    # oracle SQL is unchanged (plan change, not semantics change).
-    # The rest of the 50-row window goes to the stalest evidence via
-    # the fallback: the 39 remaining r8 rows (customer_spend_rank is
-    # both touched and r8) — retiring the r8 evidence debt (r12
-    # verdict item 4) — then the oldest r9 rows.
-    "similarity_pq_recall",          # pq_adc_topk: TakeOrdered top-k
-    "similarity_ivfpq_recall",       # same ranker via ivfpq_search
-    "customer_spend_rank",           # top-50 distinct + broadcast join
-    "orders_pareto_8020",            # distrank rank+cumsum
-    "events_power_users_gini",       # distrank rank
-    "text_zipf_fit",                 # distrank rank
-    "token_budget_selection",        # distrank integer cumsum
-    "documents_vocab_growth_heaps",  # distrank integer cumsum
-    "layout_pruning_stats",          # distrank rank + exact ntile math
-    "cdc_ledger_cycle",              # touched: typed DiscoveryRaceLost
-                                     # + missing-snapshot stats skip
-    "snapshot_time_travel",          # touched: dlog zero-length-base
-                                     # sweep + placeholder cleanup
-    "events_asof_enrich",            # touched: matched-row struct fill
-                                     # (NULL payload semantics fix)
-    "events_asof_enrich_chunked",    # touched: same fix, chunked form
-    # 13 touched + 39 r8-evidence rows = 52 candidates for the ~50-row
-    # window: the 2 stalest-by-name r8 rows carry to r14, where the
-    # evidence-based fallback fronts them automatically.
+    # r14: every lane whose implementation or plan changed this round
+    # re-verifies (oracles mostly unchanged — plan/NULL-semantics
+    # changes, not semantics changes, except orders_pareto_8020 whose
+    # oracle moved to exact cents with the lane). The rest of the
+    # ~50-row window goes to the stalest evidence via the fallback,
+    # which fronts the 2 remaining r8 rows
+    # (source_statementlog_roundtrip / _stream) automatically — the
+    # r13 verdict item 3 refresh — then the oldest r9 rows.
+    "orders_pareto_8020",            # cents-as-long + 1-row totals
+    "customer_spend_rank",           # eqNullSafe value join-back
+    "ivm_grouped_refresh",           # nn non-null counter in state
+    "ivm_join_refresh",              # nn + d_nn in hand-built deltas
+    "ivm_stream_refresh",            # nn + parallel k-file staging
+    "events_enriched_stream",        # stage_microbatches (coalesce k)
+    "events_conversion_stream",      # same + empty short-circuit
+    "sketch_hll_stream",             # stage_microbatches
+    "dedup_events_stream",           # stage_microbatches
+    "events_sessionize_stateful",    # stage_microbatches + sentinels
+    "cdc_ledger_cycle",              # parallel snapshot-write default
+    "snapshot_time_travel",          # parallel dlog-commit default
+    "resize_tiles_count_invariant",  # write_snapshot default change
+    "events_power_users_gini",       # distrank n_ranges/offset types
+    "text_zipf_fit",                 # distrank n_ranges/offset types
+    "token_budget_selection",        # distrank (the int32 overflow fix)
+    "documents_vocab_growth_heaps",  # distrank n_ranges/offset types
+    "layout_pruning_stats",          # distrank n_ranges/offset types
+    "similarity_pq_recall",          # empty/absent-probe short-circuit
+    "similarity_ivfpq_recall",       # empty/absent-probe short-circuit
+    "similarity_cosine_topk_vectorized",  # empty-query empty frame
+    "dedup_semantic",                # kmeans empty-corpus empty frame
+    "embedding_kmeans_clusters",     # kmeans empty-corpus empty frame
+    "embedding_kmeans_train_sample",  # kmeans empty-corpus empty frame
+    "graph_pagerank_suppliers",      # pagerank empty-edges empty frame
+    "partitioned_write_pruning",     # explicit-schema read-back
+    "validate_constraints",          # uniqueness try_divide + ref empty
+    # 27 touched + the 2 r8 statementlog rows = 29; the window's
+    # remainder reaches into the r9 cohort stalest-first.
 ]
 
 
