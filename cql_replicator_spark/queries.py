@@ -1453,6 +1453,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "orders_pareto_8020",            # cents-as-long + 1-row totals
     "customer_spend_rank",           # eqNullSafe value join-back
     "ivm_grouped_refresh",           # nn non-null counter in state
+    "ivm_null_groups_refresh",       # NEW: all-NULL-group exactness
     "ivm_join_refresh",              # nn + d_nn in hand-built deltas
     "ivm_stream_refresh",            # nn + parallel k-file staging
     "events_enriched_stream",        # stage_microbatches (coalesce k)
@@ -1602,6 +1603,51 @@ def ivm_grouped_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = change_deltas(t1g, t0g, ["pk"], ["grp"], "ts")
     # nn (non-null counter) rides in the state for SQL-exact NULL
     # semantics (all-NULL group -> NULL sum) and drops from the view
+    return refresh_aggregate(state0, deltas, ["grp"]).drop("nn")
+
+
+@register(
+    "ivm_null_groups_refresh",
+    oracle=f"""
+WITH {_CDC_BASE_SQL},
+n1 AS (SELECT pk, CASE WHEN pk % 100 = 42 THEN NULL ELSE ts END AS ts
+       FROM t1)
+SELECT pk % 100 AS grp,
+       CAST(sum(ts) AS BIGINT) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n
+FROM n1 GROUP BY pk % 100
+""",
+    doc="The r14 NULL-exactness proof for incremental view maintenance, "
+        "driver-checked on a GUARANTEED all-NULL group: every value in "
+        "group 42 (pk %% 100 = 42) is nulled in both snapshots, so the "
+        "recompute oracle reads sum_v = NULL for that group while the "
+        "counts stay exact. The lane refreshes the T0 aggregate to T1 "
+        "through the change set with the (sum, count, nn) state — the "
+        "non-null counter added this round — and must land on the "
+        "oracle's NULL, not the 0 the two-column state used to read "
+        "(the r13-documented bound, now closed). Same O(changes) "
+        "refresh shape as ivm_grouped_refresh; the fixture tables "
+        "carry no NULLs of their own, which is exactly why this lane "
+        "synthesizes the group deterministically in both engines",
+)
+def ivm_null_groups_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ivm import change_deltas, refresh_aggregate
+
+    t0, t1 = _cdc_snapshots(spark, sf_dir)
+
+    def nullify(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "ts", F.when(F.col("pk") % 100 == 42,
+                         F.lit(None).cast("long"))
+                   .otherwise(F.col("ts")))
+
+    g = (F.col("pk") % 100).alias("grp")
+    t0g = nullify(t0).select("pk", "ts", g)
+    t1g = nullify(t1).select("pk", "ts", g)
+    state0 = t0g.groupBy("grp").agg(
+        F.sum("ts").alias("sum_v"), F.count("*").cast("long").alias("n"),
+        F.count("ts").cast("long").alias("nn"))
+    deltas = change_deltas(t1g, t0g, ["pk"], ["grp"], "ts")
     return refresh_aggregate(state0, deltas, ["grp"]).drop("nn")
 
 
