@@ -149,11 +149,17 @@ class SnapshotStore:
         Mirrors writeIcebergTileSnapshot (K:1328-1334). Coalesce keeps
         the per-tile file count bounded; ``files_per_snapshot`` defaults
         to the session's ``spark.sql.shuffle.partitions`` so the write
-        runs with the session's parallelism (coalesce never widens, so
+        can use the session's parallelism (coalesce never widens, so
         narrow inputs still produce few files). The old literal default
-        of 1 was a data-proportional single-task write per tile — the
-        r14 action audit's first catch; pass 1 explicitly only for
-        frames that are small by construction.
+        of 1 was an UNCONDITIONAL single-task write — the r14 action
+        audit's first catch; pass 1 explicitly only for frames that are
+        small by construction. Honest bound: when the caller's frame is
+        hash-partitioned BY TILE (the runner's discovery layout), one
+        tile's rows live in one partition and its write is still one
+        task regardless of this default — that concentration is bounded
+        by TILE SIZING (the reference's parallelism unit; resize_tiles
+        is the knob), not by this coalesce, and the parallel axis is
+        across tiles.
 
         ``stats_cols`` (parquet backend only) turns on Iceberg-style
         file-level data skipping: rows are range-partitioned by those
