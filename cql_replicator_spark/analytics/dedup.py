@@ -935,25 +935,46 @@ def prefix_filter_jaccard_pairs(
         toks.join(gdf, "tok")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ord")))
+    # localCheckpoint: three consumers read this row-per-doc frame (the
+    # prefix stream and the two array re-attach sides) and Spark plans
+    # no exchange reuse across them — without the checkpoint each one
+    # re-derives the scan->df-join->collect_list subtree (8 corpus
+    # scans in the audited plan; 2 with it). Same fail-fast trade as
+    # distrank: executor loss re-runs the query, never a re-sampled
+    # subtree.
     sized = ordered.select(
         F.col(id_col),
         F.expr("transform(ord, s -> s.tok)").alias("toks"),
-        F.size("ord").alias("sz"))
+        F.size("ord").alias("sz")).localCheckpoint()
     # prefix length |A| - ceil(t|A|) + 1, all-integer ceil (true div —
     # float division would lose exactness on huge set sizes)
     plen = F.col("sz") - F.expr(f"({tn} * sz + {td - 1}) div {td}") + 1
-    pref = (sized.select(F.col(id_col), "toks", "sz",
-                         F.explode(F.slice("toks", F.lit(1), plen)).alias("ptok")))
+    # NARROW candidate stream (the standard PPJoin layout, and the r14
+    # sf0.1 OOM fix): the prefix explode and the prefix self-join carry
+    # (id, ptok) ONLY. The previous form exploded the FULL token array
+    # alongside every prefix token (a 40-prefix doc stored its array 40
+    # times) and shuffled BOTH arrays through the candidate dedup — a
+    # hot prefix token's F^2 candidate rows were each two full arrays
+    # wide, which is what blew a 1 GiB heap at sf0.1 while the narrow
+    # form's worst row is 16 bytes. Token arrays re-attach AFTER the
+    # (id_a, id_b) dedup, by two corpus-sized joins whose output feeds
+    # the verification filter in the same stage (arrays never shuffle).
+    pref = sized.select(
+        F.col(id_col),
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("ptok"))
     a, b = pref.alias("a"), pref.alias("b")
-    cand = (a.join(b, (F.col("a.ptok") == F.col("b.ptok"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.toks").alias("toks_a"),
-                    F.col("b.toks").alias("toks_b"),
-                    F.col("a.sz").alias("size_a"),
-                    F.col("b.sz").alias("size_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand_ids = (a.join(b, (F.col("a.ptok") == F.col("b.ptok"))
+                       & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+    sa = sized.select(F.col(id_col).alias("id_a"),
+                      F.col("toks").alias("toks_a"),
+                      F.col("sz").alias("size_a"))
+    sb = sized.select(F.col(id_col).alias("id_b"),
+                      F.col("toks").alias("toks_b"),
+                      F.col("sz").alias("size_b"))
+    cand = cand_ids.join(sa, "id_a").join(sb, "id_b")
     common = F.size(F.array_intersect("toks_a", "toks_b"))
     keep = (F.lit(td) * common
             >= F.lit(tn) * (F.col("size_a") + F.col("size_b") - common))

@@ -389,6 +389,11 @@ def test_flagship_plan_scan_counts_pinned():
         "text_inverted_index": 2,        # 1: explode+agg+window
         "q1_pricing_summary": 2,         # 1: scan+agg
         "dedup_cluster_keepers": 2,      # 1: LSH+CC over checkpoints
+        # r14: the returned plan reads the localCheckpoint-ed sized
+        # frame (0 scans; the checkpoint action itself costs 2) — the
+        # un-checkpointed form re-derived the scan->df-join->
+        # collect_list subtree per consumer (8 corpus scans)
+        "dedup_prefix_filter_jaccard": 0,
     }
     for name, bound in bounds.items():
         assert name in scans, f"{name} missing from PLANS.md"
