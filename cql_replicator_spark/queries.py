@@ -1478,7 +1478,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "graph_pagerank_suppliers",      # pagerank empty-edges empty frame
     "partitioned_write_pruning",     # explicit-schema read-back
     "validate_constraints",          # uniqueness try_divide + ref empty
-    # 27 touched + the 2 r8 statementlog rows = 29; the window's
+    "dedup_prefix_filter_jaccard",   # narrow PPJoin + checkpointed sets
+    "quality_perplexity_buckets",    # cuts on the scores' 6dp grid
+    # 29 touched + the 2 r8 statementlog rows = 31; the window's
     # remainder reaches into the r9 cohort stalest-first.
 ]
 

@@ -586,8 +586,8 @@ langd AS (
 WITH {_UNIGRAM_SCORE_SQL.strip()},
 cuts AS (
   SELECT lang,
-         quantile_cont(s, 0.3333333333333333) AS p33,
-         quantile_cont(s, 0.6666666666666666) AS p67
+         round(quantile_cont(s, 0.3333333333333333), 6) AS p33,
+         round(quantile_cont(s, 0.6666666666666666), 6) AS p67
   FROM langd GROUP BY lang
 )
 SELECT l.lang,
@@ -615,9 +615,16 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (TX.unigram_logprob(docs)
               .select("doc_id", F.col("avg_neg_logprob").alias("s"))
               .join(docs.select("doc_id", "lang"), "doc_id"))
+    # cuts rounded to the SAME 6dp grid as the scores (both engines):
+    # the interpolated percentile differs between engines in the last
+    # ulp, and a doc whose s sits exactly on a cut then flips buckets —
+    # found by the r14 full-registry sf0.1 oracle run (two 'es' docs
+    # swapped head/middle; invisible at sf0.01 where no doc lands on a
+    # cut). Thirds of 6dp values never fall near a rounding midpoint,
+    # so the shared grid absorbs the ulp divergence completely.
     cuts = scored.groupBy("lang").agg(
-        F.percentile("s", F.lit(1.0 / 3)).alias("p33"),
-        F.percentile("s", F.lit(2.0 / 3)).alias("p67"))
+        F.round(F.percentile("s", F.lit(1.0 / 3)), 6).alias("p33"),
+        F.round(F.percentile("s", F.lit(2.0 / 3)), 6).alias("p67"))
     bucket = (F.when(F.col("s") <= F.col("p33"), "head")
               .when(F.col("s") <= F.col("p67"), "middle")
               .otherwise("tail"))

@@ -102,9 +102,16 @@ def main() -> None:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # CHECK_DRIVER_MEM: the driver profile (sf0.01) fits the default
+    # heap; a FULL-REGISTRY pass at sf0.1 accumulates session state
+    # across 200+ lanes (shared-LSH persisted stage, checkpoint blocks,
+    # collected result spikes) in local mode's single JVM — size the
+    # heap for the scale being checked (e.g. CHECK_DRIVER_MEM=8g).
+    import os
     spark = get_spark(extra_conf={
         "spark.ui.enabled": "false",
         "spark.sql.shuffle.partitions": "8",
+        "spark.driver.memory": os.environ.get("CHECK_DRIVER_MEM", "1g"),
     })
     con = duckdb.connect()
     for t in TABLES:
@@ -139,6 +146,18 @@ def main() -> None:
             failed.append((name, [f"DUCK ERROR: {exc!r}"]))
             print(f"FAIL  {name}: duck error {exc!r}")
             continue
+        # release per-lane session residue: streaming lanes leave
+        # uuid-named MEMORY-SINK tables (full result sets in driver
+        # heap) behind after their compare — dropping them bounds the
+        # session's accumulation across a full-registry pass. The ten
+        # source views (TABLES) stay; persisted/memoized frames are
+        # governed by their own contracts and are not touched.
+        try:
+            for tbl in spark.catalog.listTables():
+                if tbl.isTemporary and tbl.name not in TABLES:
+                    spark.catalog.dropTempView(tbl.name)
+        except Exception:  # noqa: BLE001 - best-effort cleanup
+            pass
         problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
         if problems:
             failed.append((name, problems))
