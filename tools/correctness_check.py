@@ -97,8 +97,11 @@ def main() -> None:
     import __spark_entry__ as entry
     from cql_replicator_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--json=")), None)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
@@ -171,6 +174,15 @@ def main() -> None:
 
     print(f"\n== {len(passed)} pass, {len(rows_only)} rows-only, "
           f"{len(failed)} fail ==")
+    if json_out:
+        import json
+        Path(json_out).write_text(json.dumps({
+            "sf_dir": sf_dir,
+            "pass": sorted(passed),
+            "rows_only": sorted(rows_only),
+            "fail": {n: p for n, p in failed},
+        }, indent=1))
+        print(f"wrote {json_out}")
     if failed:
         print("failed:", ", ".join(n for n, _ in failed))
         sys.exit(1)
