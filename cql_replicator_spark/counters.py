@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import WriteConfig
+from .planaudit import guard_sink_input
 from .sinks.batching import FlushingBatch
 from .sinks.cql_sink import counter_update_statement, delete_statement
 
@@ -139,6 +140,9 @@ def write_counter_deltas(
                 if stmt is not None:
                     batch.add(stmt)
 
+    # RDD-action sink: no SQL execution for the audit to see — gate a
+    # funneled input statically (planaudit module docstring).
+    guard_sink_input(deltas, "write_counter_deltas")
     deltas.foreachPartition(process_partition)
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import Transformation, WriteConfig
+from ..planaudit import guard_sink_input
 from ..types import escape_sql_string, render_cql_value
 from .batching import FlushingBatch
 
@@ -168,4 +169,8 @@ def write_inserts(
         if acc_failed is not None:
             acc_failed.add(batch.stats.items_failed)
 
+    # foreachPartition runs as an RDD job — no SQL execution, so the
+    # PLANS.md action audit cannot see a funneled input; gate it here
+    # (planaudit module docstring has the full story).
+    guard_sink_input(df, "write_inserts")
     df.foreachPartition(process_partition)

@@ -24,6 +24,7 @@ import json
 from collections.abc import Callable
 
 from ..config import WriteConfig
+from ..planaudit import guard_sink_input
 from .batching import FlushingBatch
 
 ID_SEPARATOR = ":"
@@ -119,6 +120,9 @@ def write_changes_to_opensearch(changes, pk_cols: list[str], index: str,
                 d = r.asDict(recursive=True)
                 (w.delete_row if op == "delete" else w.index_row)(d)
             w.close()
+        # RDD-action sink: no SQL execution for the audit to see —
+        # gate a funneled input statically (planaudit docstring).
+        guard_sink_input(df, f"write_changes_to_opensearch[{op}]")
         df.rdd.foreachPartition(run)
 
     _send(changes.inserts, "index")

@@ -1019,3 +1019,107 @@ def test_opensearch_doc_id_is_injective():
     assert doc_id({"a": "a:b", "b": "c"}, ["a", "b"]) != \
         doc_id({"a": "a", "b": "b:c"}, ["a", "b"])
     assert doc_id({"a": "k1", "b": 7}, ["a", "b"]) == "k1:7"
+
+
+# -- RDD-action sink gate (r14 verdict item 1) ------------------------------
+# foreachPartition sinks run as RDD jobs with NO SQL execution, so the
+# PLANS.md action audit (tools/explain_audit.py) is blind to a frame
+# funneled to one partition before a sink write — exactly the shape the
+# r13 (staging writes) and r14 (snapshot/dlog writes) audits found one
+# layer below the gates' sight line. guard_sink_input closes the layer:
+# every RDD-action sink statically audits its input frame's plan.
+
+def _noop_executor_factory():
+    def execute(statements):
+        pass
+    return execute
+
+
+def test_funneled_frame_to_write_inserts_raises(spark):
+    """A deliberately coalesce(1)-funneled data-proportional frame fed
+    to write_inserts must fail the gate BEFORE the RDD job runs."""
+    from cql_replicator_spark.planaudit import SerialSinkInputError
+
+    df = spark.range(500).select(F.col("id").alias("pk")).coalesce(1)
+    cfg = CqlWriterConfig(target="ks.t", write=WriteConfig())
+    with pytest.raises(SerialSinkInputError, match="write_inserts"):
+        write_inserts(df, cfg, _noop_executor_factory)
+
+
+def test_repartition1_frame_to_counter_sink_raises(spark):
+    """repartition(1) is the Exchange flavor of the same funnel — the
+    counter sink's gate must catch it too."""
+    from cql_replicator_spark.counters import write_counter_deltas
+    from cql_replicator_spark.planaudit import SerialSinkInputError
+
+    deltas = (spark.range(200)
+              .select(F.col("id").alias("pk"),
+                      F.lit(1).cast("long").alias("c_delta"))
+              .repartition(1))
+    with pytest.raises(SerialSinkInputError, match="write_counter_deltas"):
+        write_counter_deltas(deltas, "ks.t", ["pk"], {"pk": "bigint"},
+                             ["c"], _noop_executor_factory)
+
+
+def test_funneled_frame_to_opensearch_raises(spark):
+    from cql_replicator_spark.diff import ChangeSet
+    from cql_replicator_spark.planaudit import SerialSinkInputError
+    from cql_replicator_spark.sinks.opensearch_sink import (
+        write_changes_to_opensearch,
+    )
+
+    empty = spark.createDataFrame([], "pk int, v string")
+    bad = (spark.range(300)
+           .select(F.col("id").alias("pk"),
+                   F.col("id").cast("string").alias("v"))
+           .coalesce(1))
+    with pytest.raises(SerialSinkInputError,
+                       match=r"write_changes_to_opensearch\[index\]"):
+        write_changes_to_opensearch(
+            ChangeSet(inserts=bad, deletes=empty, updates=empty),
+            ["pk"], "docs", lambda: (lambda payload: {"errors": False}))
+
+
+def test_naturally_narrow_frame_passes_sink_gate(spark, tmp_path):
+    """The gate is STATIC on plan nodes, not partition counts: a small
+    frame that is single-partition by nature (one-file scan, local
+    rows) carries no funnel node and must pass — partition count alone
+    cannot tell a small input from a funneled one."""
+    out_dir = str(tmp_path / "t")
+    os.makedirs(out_dir)
+    src = str(tmp_path / "one_file")
+    (spark.range(10).select(F.col("id").alias("pk"))
+     .coalesce(1).write.parquet(src))
+    one_file = spark.read.parquet(src)  # 1 partition, no funnel node
+    assert one_file.rdd.getNumPartitions() == 1
+
+    def executor_factory():
+        def execute(statements):
+            path = os.path.join(out_dir, f"{os.getpid()}_{uuid.uuid4().hex}")
+            with open(path, "w") as f:
+                f.write("\n".join(statements))
+        return execute
+
+    cfg = CqlWriterConfig(target="ks.t", write=WriteConfig())
+    write_inserts(one_file, cfg, executor_factory)  # must not raise
+    n = sum(len(open(os.path.join(out_dir, fn)).read().splitlines())
+            for fn in os.listdir(out_dir))
+    assert n == 10
+
+
+def test_salting_does_not_launder_an_upstream_funnel(spark):
+    """Salting AFTER a coalesce(1) re-fans the write but the scan stage
+    still runs as one task — the Coalesce node stays in the plan and
+    the gate must keep flagging it (the fix is removing the funnel,
+    not appending a shuffle). A wide frame salted normally passes."""
+    from cql_replicator_spark.planaudit import (
+        formatted_plan, serial_funnel_marks,
+    )
+
+    funneled = spark.range(500).select(F.col("id").alias("pk")).coalesce(1)
+    still_bad = salted_shuffle(funneled, 8)
+    assert any("SINGLE-TASK-COALESCE" in m
+               for m in serial_funnel_marks(formatted_plan(still_bad)))
+
+    wide = spark.range(500).select(F.col("id").alias("pk"))
+    assert serial_funnel_marks(formatted_plan(salted_shuffle(wide, 8))) == []
