@@ -67,12 +67,12 @@ __all__ = ["global_rank_cumsum"]
 
 def _default_n_ranges(df: DataFrame) -> int:
     """Session shuffle parallelism as the range count (min 2 so the
-    form stays genuinely distributed even under a degenerate config)."""
-    try:
-        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n = 64  # non-numeric (e.g. 'auto'): a safe wide literal
-    return max(2, n)
+    form stays genuinely distributed even under a degenerate config).
+    Derives from session.shuffle_parallelism — the one shared source
+    for parallelism defaults (r14 advice: this and default_write_files
+    had quietly diverged on the non-numeric fallback)."""
+    from .session import shuffle_parallelism
+    return shuffle_parallelism(df, floor=2)
 
 
 def _sort_exprs(order: list[tuple[str, bool]]):

@@ -110,14 +110,24 @@ def _nano_ts_columns(path: str) -> list[str]:
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
 
+def shuffle_parallelism(df, floor: int = 1, fallback: int = 64) -> int:
+    """The session's shuffle parallelism (spark.sql.shuffle.partitions),
+    clamped to ``floor``; ``fallback`` when the config is non-numeric
+    (e.g. 'auto'). THE single source for every 'session parallelism'
+    default — default_write_files and distrank._default_n_ranges both
+    derive from it, so the two can never silently disagree on the
+    fallback again (they did: 16 vs 64, r14 advice)."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = fallback
+    return max(floor, n)
+
+
 def default_write_files(df) -> int:
     """Write fan-out default: the session's shuffle parallelism (min 1).
     Used where a writer bounds its output file count via coalesce(n) —
     a literal 1 there is a data-proportional single-task write (the
     shape the plan gates ban); coalesce never widens a narrow input,
     so small frames still produce few files under this default."""
-    try:
-        return max(1, int(df.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions")))
-    except (TypeError, ValueError):
-        return 16  # non-numeric config (e.g. 'auto'): safe wide literal
+    return shuffle_parallelism(df, floor=1)

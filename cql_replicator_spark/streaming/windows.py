@@ -61,38 +61,85 @@ def stream_events_from_dir(
     )
 
 
+# Staged-file size target for the derived files_per_batch (the
+# compact_parquet formula): one file per ~32 MB (DEFAULT_TARGET_FILE_MB) of estimated batch
+# bytes. Shared constant lives with the size-controlled writer family.
+_STAGE_FILES_FLOOR = 8
+
+
+def _derive_files_per_batch(batches: "list[DataFrame]",
+                            target_bytes: int | None = None) -> int:
+    """Bytes-derived per-batch file count, the compact_parquet formula
+    applied to Catalyst's optimizedPlan size estimate over the LARGEST
+    batch (all batches must share one k — trigger boundaries):
+    ceil(bytes/target), floored at a small parallel constant (a k of 1
+    would re-create the single-task staging funnel the plan gates ban,
+    so tiny batches still stage with cheap parallelism — coalesce never
+    widens a narrow input, the floor costs nothing) and capped at the
+    session's shuffle parallelism so a mis-estimate cannot explode the
+    file count."""
+    from ..session import shuffle_parallelism
+    from ..sinks.parquet_sink import DEFAULT_TARGET_FILE_MB
+
+    if target_bytes is None:
+        target_bytes = DEFAULT_TARGET_FILE_MB * 1024 * 1024
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    est = 0
+    for b in batches:
+        est = max(est, int(
+            b._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    k = max(1, -(-est // target_bytes))
+    cap = max(_STAGE_FILES_FLOOR, shuffle_parallelism(batches[0]))
+    return min(max(_STAGE_FILES_FLOOR, k), cap)
+
+
 def stage_microbatches(
     batches: "list[DataFrame]",
     stage: str,
-    files_per_batch: int = 8,
+    files_per_batch: int | None = None,
 ) -> int:
-    """Stage each DataFrame in ``batches`` as EXACTLY
-    ``files_per_batch`` parquet data files under ``stage``, with
-    strictly increasing per-batch mtimes, so a file-source stream over
-    ``stage`` with ``maxFilesPerTrigger=files_per_batch`` replays them
-    as deterministic micro-batches in list order. Returns
-    ``files_per_batch`` (pass it to stream_events_from_dir).
+    """LOCAL-FILESYSTEM CONTRACT: ``stage`` must be a local (POSIX)
+    path — ordering is pinned with ``os.utime`` mtimes, which object
+    stores don't honor; a non-local scheme raises. ``stage`` must also
+    hold no pre-existing ``*.parquet`` files: the staging loop counts
+    every not-yet-seen file as the current batch's, so pre-existing
+    files would be absorbed (and mtime-restamped) into batch 0,
+    silently corrupting trigger boundaries — fail loud instead.
+
+    Stage each DataFrame in ``batches`` as EXACTLY k parquet data
+    files under ``stage`` (k = ``files_per_batch``, or derived from
+    the largest batch's Catalyst size estimate at one file per ~32 MB
+    — the compact_parquet formula — floored at 8 for cheap parallelism
+    and capped at session shuffle parallelism), with strictly
+    increasing per-batch mtimes, so a file-source stream over
+    ``stage`` with ``maxFilesPerTrigger=k`` replays them as
+    deterministic micro-batches in list order. Returns k (pass it to
+    stream_events_from_dir).
 
     This replaces the r13-flagged ``coalesce(1).write`` staging form:
     coalesce(1) funneled every staged batch through ONE task — a
     data-proportional serial write, the exact concentrating shape the
     window/exchange plan gates ban, hiding in a write action the
     returned-plan audit could not see. Here each batch is written by
-    up to ``files_per_batch`` parallel tasks via ``coalesce(k)`` — a
-    NARROW merge, no shuffle: the first smoke used ``repartition(k)``
-    and its full shuffle (plus round-robin's determinism sort) made
-    the staged form SLOWER than the serial one at 20x
-    (scale_smoke.json caught it); coalesce writes the same k-way
-    parallel files for free. Effective parallelism is
-    min(k, upstream partitions) — at scale pick ``files_per_batch``
-    from batch size the way compact_parquet does. Batches producing
+    up to k parallel tasks via ``coalesce(k)`` — a NARROW merge, no
+    shuffle: the first smoke used ``repartition(k)`` and its full
+    shuffle (plus round-robin's determinism sort) made the staged form
+    SLOWER than the serial one at 20x (scale_smoke.json caught it);
+    coalesce writes the same k-way parallel files for free. Effective
+    parallelism is min(k, upstream partitions). Batches producing
     fewer than k files (narrow sources, tiny/empty batches like the
     sessionize lane's 1-row watermark sentinels) are padded to
-    exactly ``files_per_batch`` with empty schema-only parquet files
-    (0 rows — invisible to the stream) so trigger boundaries stay
-    exact; per-batch mtime stamping (base+i seconds) makes the file
-    source's oldest-first ordering deterministic even on coarse-mtime
-    filesystems."""
+    exactly k with empty schema-only parquet files (0 rows — invisible
+    to the stream) so trigger boundaries stay exact; per-batch mtime
+    stamping (base+i seconds) makes the file source's oldest-first
+    ordering deterministic even on coarse-mtime filesystems.
+
+    INCOMPATIBLE with ``spark.sql.files.maxRecordsPerFile``: under it
+    one task may emit several files, so a batch can legitimately
+    exceed k files — this helper treats >k as boundary corruption and
+    raises rather than guessing which files belong to which trigger.
+    Unset that conf around staging (none of our sessions set it)."""
     import glob as _glob
     import os
     import time
@@ -101,7 +148,22 @@ def stage_microbatches(
     import pyarrow as pa  # noqa: F401  (schema round-trip below)
     import pyarrow.parquet as pq
 
-    k = int(files_per_batch)
+    if "://" in stage and not stage.startswith("file:"):
+        raise ValueError(
+            f"stage_microbatches requires a LOCAL path (mtime ordering "
+            f"has no contract on object stores), got {stage!r}")
+    pre = sorted(_glob.glob(os.path.join(stage, "*.parquet")))
+    if pre:
+        raise ValueError(
+            f"stage dir {stage!r} already holds {len(pre)} parquet "
+            f"file(s) — they would be absorbed into batch 0 and "
+            f"restamped; stage into an empty directory")
+    if not batches:
+        raise ValueError("stage_microbatches needs at least one batch")
+    if files_per_batch is None:
+        k = _derive_files_per_batch(batches)
+    else:
+        k = int(files_per_batch)
     if k < 1:
         raise ValueError(f"files_per_batch must be >= 1, got {k}")
     base = time.time()
@@ -115,8 +177,9 @@ def stage_microbatches(
             schema_src = new[0]
         if len(new) > k:
             raise RuntimeError(
-                f"batch {i} wrote {len(new)} files for repartition({k}) "
-                f"— trigger boundaries would merge batches")
+                f"batch {i} wrote {len(new)} files for coalesce({k}) "
+                f"— trigger boundaries would merge batches (is "
+                f"spark.sql.files.maxRecordsPerFile set? see docstring)")
         if len(new) < k:
             if schema_src is None:
                 raise ValueError(

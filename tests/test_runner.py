@@ -346,6 +346,63 @@ def test_stage_microbatches_parallel_files_and_boundaries(spark, tmp_path):
         list(range(60)), [60, 61], [62]]
 
 
+def test_stage_microbatches_contract_guards(spark, tmp_path):
+    """r14 advice hardening: a pre-populated stage dir raises (its
+    files would be absorbed into batch 0 and mtime-restamped, silently
+    corrupting trigger boundaries) and a non-local scheme raises (the
+    mtime ordering contract is POSIX-only)."""
+    from cql_replicator_spark.streaming.windows import stage_microbatches
+
+    df = spark.range(10).select(F.col("id"))
+    pre = str(tmp_path / "pre")
+    df.write.parquet(pre)
+    with pytest.raises(ValueError, match="already holds"):
+        stage_microbatches([df], pre, files_per_batch=2)
+
+    with pytest.raises(ValueError, match="LOCAL path"):
+        stage_microbatches([df], "s3a://bucket/stage", files_per_batch=2)
+
+    with pytest.raises(ValueError, match="at least one batch"):
+        stage_microbatches([], str(tmp_path / "empty"))
+
+
+def test_stage_microbatches_derived_sizing(spark, tmp_path):
+    """files_per_batch=None derives k from the largest batch's Catalyst
+    size estimate with the compact_parquet formula: tiny batches floor
+    at 8 (k=1 would re-create the single-task staging funnel), a small
+    byte target scales k up with the estimate, and the session shuffle
+    parallelism caps it."""
+    from cql_replicator_spark.session import shuffle_parallelism
+    from cql_replicator_spark.streaming.windows import (
+        _derive_files_per_batch, stage_microbatches,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(20000).selectExpr(
+        "id", "repeat('x', 64) AS pad").write.parquet(src)
+    df = spark.read.parquet(src)  # parquet scan -> real size estimate
+    est = int(df._jdf.queryExecution().optimizedPlan()
+              .stats().sizeInBytes())
+    assert est > 0
+
+    # tiny batch vs the 32 MB default target -> the parallel floor
+    assert _derive_files_per_batch([df]) == 8
+
+    # target sized to a fraction of the estimate -> bytes-derived k,
+    # capped at session parallelism
+    cap = max(8, shuffle_parallelism(df))
+    want = min(max(8, -(-est // (est // 10))), cap)
+    assert _derive_files_per_batch([df], target_bytes=est // 10) == want
+
+    # and the derived default drives a real staging round end-to-end
+    stage = str(tmp_path / "derived")
+    k = stage_microbatches([df.filter("id < 5")], stage)
+    assert k == 8
+    import glob as _g
+    import os as _o
+    assert len(_g.glob(_o.path.join(stage, "*.parquet"))) == 8
+
+
 def test_windowed_counts_batch_equals_streaming(spark, tables, tmp_path):
     events = tables["events"]
     batch = windowed_event_counts(events).orderBy("wstart", "event_type")
