@@ -520,6 +520,7 @@ def cosine_topk_np(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Brute-force cosine top-k via mapInPandas + numpy matmul —
     corpus-distributed.
@@ -536,12 +537,26 @@ def cosine_topk_np(
     how the corpus is partitioned (each is one length-d numpy
     reduction), so results are bit-stable vs the single-matrix form.
     Ranking ties break by neighbor id, matching cosine_topk.
+
+    The "queries are small" contract is ENFORCED, not assumed: the
+    collect is capped at ``max_queries`` rows and a larger frame
+    raises before anything is pulled to the driver (a mis-called
+    corpus-sized query frame would otherwise OOM it). Raise
+    ``max_queries`` deliberately when you really have more probes —
+    driver memory spent is ~|Q|·d·8 bytes — or swap the sides.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    q_rows = (queries.select(id_col, vec_col)
+              .limit(max_queries + 1).collect())
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_np: query frame exceeds max_queries="
+            f"{max_queries} — the query side is collected and "
+            f"broadcast; pass a bounded probe frame (or raise "
+            f"max_queries deliberately / swap query and corpus sides)")
     # drop NULL/ragged poison queries: dimension = the first well-formed
     # row's (the same first-row convention kmeans_quantized uses)
     d = next((len(r[1]) for r in q_rows if r[1] is not None and len(r[1])),

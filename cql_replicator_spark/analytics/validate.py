@@ -122,10 +122,18 @@ def referential_integrity(
     parent: DataFrame,
     parent_col: str,
     at_least: float = 1.0,
+    require_rows: bool = False,
 ) -> DataFrame:
     """Fraction of child rows whose ``child_col`` exists in
     ``parent[parent_col]`` — long-form single row, schema-compatible
     with ``validate`` for unioning into one suite result.
+
+    A ZERO-ROW child passes VACUOUSLY by default (passed=True, metric
+    NULL — the avg-over-empty convention): an empty tile is routine at
+    scale and must not fail a suite. But an unexpectedly empty child
+    can mask upstream data loss — when emptiness itself is an error,
+    set ``require_rows=True`` (empty child -> passed=False) or pair
+    the suite with an explicit min-row-count check.
 
     Built as ONE left join + ONE aggregation counting total and matched
     rows together — the child (fact, the 100 TB side) scans once;
@@ -144,8 +152,9 @@ def referential_integrity(
         # zero child rows: vacuously satisfied (no row can violate the
         # reference); the coverage metric is NULL, exactly as an avg
         # over an empty frame — an empty tile must not fail the suite
+        # unless the caller opted into require_rows (see docstring)
         return spark.createDataFrame(
-            [(f"ref_{child_col}", None, True)],
+            [(f"ref_{child_col}", None, not require_rows)],
             "check STRING, metric DOUBLE, passed BOOLEAN",
         )
     frac = matched / total

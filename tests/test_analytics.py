@@ -4054,3 +4054,84 @@ def test_empty_input_returns_empty_not_crash(spark):
 
     suite = V.validate(child0, [V.uniqueness("ck")]).first()
     assert suite["metric"] is None  # try_divide, not DIVIDE_BY_ZERO
+
+
+# -- r14 single-row class (tools/empty_sweep.py --rows 1 found 2 lanes) --------
+
+def _one_row_sf_dir(tmp_path, tables):
+    """Materialize a 1-row slice of each named sf0.001 table so lane
+    functions can run against it (the sweep's --rows 1 semantics)."""
+    import pyarrow.parquet as _pq
+
+    d = tmp_path / "sf_one_row"
+    d.mkdir()
+    for t in tables:
+        tbl = _pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        _pq.write_table(tbl.slice(0, 1), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_single_row_input_degenerate_semantics(spark, tmp_path):
+    """Pin the single-row degenerate class the r14 sweep
+    (tools/empty_sweep.py --rows 1) found and fixed: a 1-row corpus has
+    NONE of the pinned probe ids (3/11/42), so both pq-recall lanes
+    must skip absent probes and return a schema-correct empty frame —
+    exactly what their oracles' CTEs emit — instead of dereferencing
+    .first() into a TypeError. Also pins the adjacent one-sample
+    shapes: regression aggregates are undefined at zero x-variance
+    (the lane's HAVING filters them, zero rows not a crash) and kmeans
+    over one vector degenerates to one cluster, not an error. Fails if
+    a .first()-dereference crasher returns."""
+    from cql_replicator_spark.analytics import similarity as S
+    from cql_replicator_spark.queries import REGISTRY, queries
+
+    queries()
+    sf = _one_row_sf_dir(tmp_path, ["embeddings", "orders"])
+
+    for lane in ("similarity_pq_recall", "similarity_ivfpq_recall"):
+        out = REGISTRY[lane].build(spark, sf)
+        assert out.columns == ["query_id", "n_ann", "recall_at_5"], lane
+        assert out.count() == 0, f"{lane}: absent probes must emit no rows"
+
+    trend = REGISTRY["orders_spend_trend"].build(spark, sf)
+    assert trend.count() == 0  # one order: n>=8 / >=2 dates filter it
+
+    one_vec = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    km = S.kmeans_quantized(one_vec, k=4)
+    rows = km.collect()
+    assert len(rows) == 1 and rows[0]["vec_id"] == 0
+
+
+def test_cosine_topk_np_enforces_query_cap(spark):
+    """The 'queries are small' contract is enforced, not assumed: a
+    corpus-sized query frame raises BEFORE the driver collect (was a
+    silent OOM path), and the collect itself is limit-capped so the
+    check never materializes the oversized frame either. A frame at
+    the cap still works."""
+    from cql_replicator_spark.analytics import similarity as S
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"),
+                (F.col("id") * 2).cast("double")).alias("embedding"))
+    with pytest.raises(ValueError, match="max_queries"):
+        S.cosine_topk_np(emb, emb, k=3, max_queries=10)
+    ok = S.cosine_topk_np(emb.limit(10), emb, k=3, max_queries=10)
+    assert ok.count() == 30
+
+
+def test_referential_integrity_require_rows_flag(spark):
+    """Vacuous pass on an empty child is the default (empty tiles are
+    routine), but require_rows=True makes emptiness itself a failure —
+    the opt-in for suites where an empty child means upstream data
+    loss (r14 advice)."""
+    from cql_replicator_spark.analytics import validate as V
+
+    child0 = spark.createDataFrame([], "ck LONG")
+    parent = spark.createDataFrame([(1,)], "pk LONG")
+    vac = V.referential_integrity(child0, "ck", parent, "pk").first()
+    assert vac["passed"] is True and vac["metric"] is None
+    strict = V.referential_integrity(
+        child0, "ck", parent, "pk", require_rows=True).first()
+    assert strict["passed"] is False and strict["metric"] is None
