@@ -1442,46 +1442,30 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything else stalest-evidence-first. tests/test_oracle.py asserts the
 # computed order actually has this shape.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r14: every lane whose implementation or plan changed this round
-    # re-verifies (oracles mostly unchanged — plan/NULL-semantics
-    # changes, not semantics changes, except orders_pareto_8020 whose
-    # oracle moved to exact cents with the lane). The rest of the
-    # ~50-row window goes to the stalest evidence via the fallback,
-    # which fronts the 2 remaining r8 rows
-    # (source_statementlog_roundtrip / _stream) automatically — the
-    # r13 verdict item 3 refresh — then the oldest r9 rows.
-    "orders_pareto_8020",            # cents-as-long + 1-row totals
-    "customer_spend_rank",           # eqNullSafe value join-back
-    "ivm_grouped_refresh",           # nn non-null counter in state
-    "ivm_null_groups_refresh",       # NEW: all-NULL-group exactness
-    "ivm_join_refresh",              # nn + d_nn in hand-built deltas
-    "ivm_stream_refresh",            # nn + parallel k-file staging
-    "events_enriched_stream",        # stage_microbatches (coalesce k)
-    "events_conversion_stream",      # same + empty short-circuit
-    "sketch_hll_stream",             # stage_microbatches
-    "dedup_events_stream",           # stage_microbatches
-    "events_sessionize_stateful",    # stage_microbatches + sentinels
-    "cdc_ledger_cycle",              # parallel snapshot-write default
-    "snapshot_time_travel",          # parallel dlog-commit default
-    "resize_tiles_count_invariant",  # write_snapshot default change
-    "events_power_users_gini",       # distrank n_ranges/offset types
-    "text_zipf_fit",                 # distrank n_ranges/offset types
-    "token_budget_selection",        # distrank (the int32 overflow fix)
-    "documents_vocab_growth_heaps",  # distrank n_ranges/offset types
-    "layout_pruning_stats",          # distrank n_ranges/offset types
-    "similarity_pq_recall",          # empty/absent-probe short-circuit
-    "similarity_ivfpq_recall",       # empty/absent-probe short-circuit
-    "similarity_cosine_topk_vectorized",  # empty-query empty frame
-    "dedup_semantic",                # kmeans empty-corpus empty frame
-    "embedding_kmeans_clusters",     # kmeans empty-corpus empty frame
-    "embedding_kmeans_train_sample",  # kmeans empty-corpus empty frame
-    "graph_pagerank_suppliers",      # pagerank empty-edges empty frame
-    "partitioned_write_pruning",     # explicit-schema read-back
-    "validate_constraints",          # uniqueness try_divide + ref empty
-    "dedup_prefix_filter_jaccard",   # narrow PPJoin + checkpointed sets
-    "quality_perplexity_buckets",    # cuts on the scores' 6dp grid
-    # 29 touched + the 2 r8 statementlog rows = 31; the window's
-    # remainder reaches into the r9 cohort stalest-first.
+    # r15: every lane whose implementation or plan changed this round
+    # re-verifies (all are contract/plan-shape changes, not semantics
+    # changes — oracles unchanged). The rest of the ~50-row window
+    # goes to the stalest evidence via the fallback, which fronts the
+    # 19 remaining r9 rows (reconcile_counts, writetime_greatest,
+    # sketch_quantile_histogram, tile_histogram_mod, ...) — the r14
+    # verdict item 5 refresh — then reaches into the r10 cohort.
+    "ivm_stream_refresh",            # stage_microbatches derived k
+    "events_enriched_stream",        # stage_microbatches derived k
+    "events_conversion_stream",      # stage_microbatches derived k
+    "sketch_hll_stream",             # stage_microbatches derived k
+    "dedup_events_stream",           # stage_microbatches derived k
+    "events_sessionize_stateful",    # stage_microbatches derived k
+    "similarity_cosine_topk_vectorized",  # max_queries limit in plan
+    "validate_constraints",          # referential require_rows param
+    "events_power_users_gini",       # shared shuffle_parallelism
+    "text_zipf_fit",                 # shared shuffle_parallelism
+    "token_budget_selection",        # shared shuffle_parallelism
+    "documents_vocab_growth_heaps",  # shared shuffle_parallelism
+    "layout_pruning_stats",          # shared shuffle_parallelism
+    "customer_spend_rank",           # shared shuffle_parallelism
+    "orders_pareto_8020",            # shared shuffle_parallelism
+    # 15 touched; the window's remainder covers the full 19-row r9
+    # cohort and reaches into r10 stalest-first.
 ]
 
 

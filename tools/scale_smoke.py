@@ -568,6 +568,60 @@ def main() -> None:
                     med["coalesce1"] / med["staged_k8"], 3)
                 if med["staged_k8"] else None}
 
+    # PPJoin prefix-filter growth (the r14 narrow-layout rewrite): the
+    # win of prefix filtering is CANDIDATE count — brute force joins on
+    # every shared token (stopword-df-driven, ~quadratic in df), the
+    # prefix form only on each doc's rarest |A|-ceil(t|A|)+1 tokens.
+    # Both candidate counts are computed EXACTLY from token document
+    # frequencies (sum of C(df,2) per join token — the pre-dedup
+    # candidate-row count of the respective self-join) so the brute
+    # side never has to materialize its own explosion at 20x. NOTE on
+    # the yardstick: the amplifier makes replicas NEAR-DUPLICATES, so
+    # the TRUE pair count itself grows quadratically in replicas by
+    # construction and no candidate generator can beat its own output —
+    # "sub-quadratic" here means OUTPUT-PROPORTIONAL: the pass is
+    # cand_per_true_pair staying FLAT (the candidate stream tracks the
+    # answer, not docs^2) and the brute/prefix prune ratio holding or
+    # widening, plus the narrow pipeline's wall time staying
+    # ~output-linear.
+    def ppjoin_leg(frame) -> dict:
+        tn, td = 1, 2  # the registered lane's threshold (J >= 1/2)
+        toks = frame.select(
+            "doc_id",
+            F.explode(F.array_distinct(
+                F.split(D.normalized("text"), " "))).alias("tok"))
+        gdf = toks.groupBy("tok").agg(F.count("*").alias("df"))
+        brute_cand = (gdf.agg(F.sum(
+            F.expr("CAST(df AS BIGINT) * (df - 1) div 2")).alias("c"))
+            .first()["c"]) or 0
+        ordered = (toks.join(gdf, "tok")
+                   .groupBy("doc_id")
+                   .agg(F.sort_array(
+                       F.collect_list(F.struct("df", "tok"))).alias("ord")))
+        plen = (F.size("ord")
+                - F.expr(f"({tn} * size(ord) + {td - 1}) div {td}") + 1)
+        pref = ordered.select(
+            "doc_id",
+            F.explode(F.slice(F.expr("transform(ord, s -> s.tok)"),
+                              F.lit(1), plen)).alias("ptok"))
+        prefix_cand = (pref.groupBy("ptok")
+                       .agg(F.count("*").alias("pdf"))
+                       .agg(F.sum(F.expr(
+                           "CAST(pdf AS BIGINT) * (pdf - 1) div 2"))
+                           .alias("c")).first()["c"]) or 0
+        t0 = time.perf_counter()
+        n_pairs = D.prefix_filter_jaccard_pairs(
+            frame, threshold_num=tn, threshold_den=td).count()
+        sec = round(time.perf_counter() - t0, 2)
+        return {"brute_candidates": int(brute_cand),
+                "prefix_candidates": int(prefix_cand),
+                "prune_ratio": round(brute_cand / prefix_cand, 1)
+                if prefix_cand else None,
+                "verified_pairs": n_pairs,
+                "cand_per_true_pair": round(prefix_cand / n_pairs, 1)
+                if n_pairs else None,
+                "narrow_pipeline_sec": sec}
+
     docs.select("doc_id").limit(100).count()  # warm
     result: dict[str, dict] = {}
     for scale, factor in (("base_1x", 1), (f"amp_{AMPLIFY}x", AMPLIFY)):
@@ -595,7 +649,8 @@ def main() -> None:
                          "ops": row,
                          "pq_adc_rank": pq_rank_leg(factor),
                          "sharedlsh_cold_family": sharedlsh_family_leg(frame),
-                         "microbatch_staging": staging_leg(factor)}
+                         "microbatch_staging": staging_leg(factor),
+                         "ppjoin_prefix_filter": ppjoin_leg(frame)}
 
     skew = skew_leg()
     skew_aqe = skew_leg_aqe()
@@ -637,6 +692,18 @@ def main() -> None:
           f"{AMPLIFY}x={st_a['coalesce1_over_staged']} "
           f"(the serial form's single-task write is linear in batch "
           f"bytes; the ratio must WIDEN toward k as the batch grows)")
+    pp_b, pp_a = base["ppjoin_prefix_filter"], amp["ppjoin_prefix_filter"]
+    print(f"ppjoin_prefix_filter: prune_ratio (brute/prefix cands) "
+          f"1x={pp_b['prune_ratio']} {AMPLIFY}x={pp_a['prune_ratio']} "
+          f"(must hold or widen); cand_per_true_pair "
+          f"1x={pp_b['cand_per_true_pair']} "
+          f"{AMPLIFY}x={pp_a['cand_per_true_pair']} (must stay FLAT — "
+          f"candidates track the answer, not docs^2; true pairs are "
+          f"quadratic in replicas by construction); narrow pipeline "
+          f"1x={pp_b['narrow_pipeline_sec']}s "
+          f"{AMPLIFY}x={pp_a['narrow_pipeline_sec']}s "
+          f"for {pp_b['verified_pairs']} -> {pp_a['verified_pairs']} "
+          f"pairs")
     print(f"skew_salted_join max-partition-share: "
           f"unsalted={skew['unsalted']['max_partition_share']} "
           f"salted={skew['salted']['max_partition_share']} "
