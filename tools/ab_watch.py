@@ -36,7 +36,13 @@ sys.path.insert(0, str(ROOT))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PASSES = int(os.environ.get("AB_PASSES", "8"))
 
-LANES = ["source_statementlog_roundtrip", "dedup_embedding_lsh"]
+# r15 watch items: cdc_ledger_cycle moved 1.34x drift-normalized vs
+# r14 (3.26s -> 4.78s; its path is snapshot writes + dlog commits —
+# untouched this round beyond the shared default_write_files refactor,
+# which resolves to the same value) and source_statementlog_roundtrip
+# recurred at 1.25x (the known 11x cold/warm lane, classified jitter in
+# r14). Same classification harness.
+LANES = ["cdc_ledger_cycle", "source_statementlog_roundtrip"]
 CONTROL = "q1_pricing_summary"
 
 
