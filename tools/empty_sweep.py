@@ -14,6 +14,10 @@ behavior; this sweep is the regression gate for that class.
 ``--rows N`` (default 0) keeps the first N rows of each table instead:
 N=1 is the single-row degenerate class (stddev/variance over one
 sample, regression denominators, n-1 divisors), distinct from empty.
+``--rows N --clone`` builds the ALL-TIES class: row 0 replicated N
+times with only the first (key) column rewritten — the
+boilerplate-dominated corpus shape (tie-heavy percentiles/ranks,
+one-bucket similarity joins, zero variance, single-point kmeans).
 
 Usage:
     python3 tools/empty_sweep.py [--src SF_DIR] [--dst EMPTY_DIR]
@@ -37,13 +41,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def build_empty_dir(src: str, dst: str, rows: int = 0) -> None:
+def build_empty_dir(src: str, dst: str, rows: int = 0,
+                    clone: bool = False) -> None:
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         path = os.path.join(src, t + ".parquet")
-        if rows > 0:
+        if clone and rows > 0:
+            # the ALL-TIES class: row 0 replicated `rows` times, first
+            # column rewritten 0..rows-1 for key uniqueness — N keys,
+            # every other value IDENTICAL. The boilerplate-dominated
+            # corpus shape: tie-heavy percentile cuts and rank windows,
+            # one-bucket LSH/SimHash/fingerprint joins (the caps'
+            # stress case), zero-variance aggregates, single-point
+            # kmeans, one giant session, complete candidate graphs.
+            one = pq.read_table(path).slice(0, 1)
+            table = pa.concat_tables([one] * rows)
+            first = table.schema.field(0)
+            ids = pa.array(range(rows), type=pa.int64()).cast(first.type)
+            table = table.set_column(0, first, ids)
+        elif rows > 0:
             table = pq.read_table(path).slice(0, rows)
         else:
             table = pq.read_schema(path).empty_table()
@@ -56,11 +75,15 @@ def main() -> int:
     ap.add_argument("--dst", default="/tmp/empty_sf")
     ap.add_argument("--rows", type=int, default=0,
                     help="rows kept per table (0 = empty)")
+    ap.add_argument("--clone", action="store_true",
+                    help="replicate row 0 --rows times (unique first "
+                         "column, all other values identical — the "
+                         "all-ties degenerate class)")
     ap.add_argument("queries", nargs="*",
                     help="subset of query names (default: all)")
     args = ap.parse_args()
 
-    build_empty_dir(args.src, args.dst, rows=args.rows)
+    build_empty_dir(args.src, args.dst, rows=args.rows, clone=args.clone)
 
     from cql_replicator_spark.queries import REGISTRY, queries
     from cql_replicator_spark.session import get_spark
