@@ -533,10 +533,17 @@ def cosine_topk_np(
     the old form (which collect()ed the corpus on the driver — a hard
     512 MB ceiling and a single-machine bottleneck); here corpus size
     is unbounded and the shuffle is proportional to partitions·|Q|·k,
-    not to data. Per-element dot products are identical regardless of
-    how the corpus is partitioned (each is one length-d numpy
-    reduction), so results are bit-stable vs the single-matrix form.
-    Ranking ties break by neighbor id, matching cosine_topk.
+    not to data. Ranking ties break by neighbor id, matching
+    cosine_topk — ON A 12-DECIMAL SCORE GRID: BLAS gemm blocking makes
+    the matmul's rounding depend on a candidate's POSITION in its
+    batch (the r15 all-ties sweep measured two different bit patterns
+    for IDENTICAL vector pairs inside one matmul), so raw scores are
+    not comparable across partitionings in the last ulp and exact ties
+    would scramble. Scores are rounded to 12dp before both the local
+    pick and the global rank — far below any meaningful cosine
+    distinction (the grid cost is id-tie-breaking pairs closer than
+    1e-12), far above the ~1e-16 blocking noise; the oracle ranks on
+    the same grid (the quality_perplexity_buckets precedent).
 
     The "queries are small" contract is ENFORCED, not assumed: the
     collect is capped at ``max_queries`` rows and a larger frame
@@ -589,7 +596,11 @@ def cosine_topk_np(
             cmat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-            sims = qn @ cn.T                            # (|Q|, batch)
+            # 12dp grid BEFORE any ordering decision (docstring): the
+            # local pick and the global window must rank on the same
+            # key, or a partition could locally drop the global
+            # rank-k member its own blocking noise demoted
+            sims = np.round(qn @ cn.T, 12)              # (|Q|, batch)
             out_q, out_n, out_c = [], [], []
             for i, qid in enumerate(qids):
                 s = sims[i]

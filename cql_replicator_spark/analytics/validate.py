@@ -217,8 +217,12 @@ def quarantine_report(
     flagged = row_violations(df, rules)
     per_rule = (flagged.select(F.explode("violations").alias("reason"))
                 .groupBy("reason").agg(F.count("*").cast("long").alias("n")))
+    # count(when(...)), not sum(when/otherwise): totals are COUNTS and
+    # a count over zero rows is 0 — sum() over an empty frame is SQL
+    # NULL, which NULL-poisoned both summary rows on empty input
+    # (r15 empty-fixture oracle sweep)
     totals = flagged.agg(
-        F.sum(F.when(F.col("quarantined"), 1).otherwise(0))
+        F.count(F.when(F.col("quarantined"), 1))
          .cast("long").alias("nq"),
         F.count(F.lit(1)).cast("long").alias("nt"))
     summary = totals.select(F.explode(F.array(

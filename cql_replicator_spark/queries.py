@@ -233,12 +233,16 @@ def reconcile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = trg.distinct().select("pk", F.lit(True).alias("in_trg"))
     j = s.join(t, "pk", "full_outer")
     both = F.col("in_src").isNotNull() & F.col("in_trg").isNotNull()
+    # count(when(...)) not sum(cast): these are COUNTS, and a count
+    # over zero rows is 0 — sum() over an empty frame is SQL NULL,
+    # which diverged from the oracle's count(*) forms on an empty
+    # source (r15 empty-fixture oracle sweep)
     return j.agg(
         F.count(F.col("in_src")).alias("source_count"),
         F.count(F.col("in_trg")).alias("target_count"),
-        F.sum(both.cast("long")).alias("intersection_count"),
-        F.sum((F.col("in_trg").isNull()).cast("long")).alias("source_minus_target"),
-        F.sum((F.col("in_src").isNull()).cast("long")).alias("target_minus_source"),
+        F.count(F.when(both, 1)).alias("intersection_count"),
+        F.count(F.when(F.col("in_trg").isNull(), 1)).alias("source_minus_target"),
+        F.count(F.when(F.col("in_src").isNull(), 1)).alias("target_minus_source"),
     )
 
 
@@ -1079,20 +1083,34 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
     doc="Hierarchical grouping-sets aggregation (ROLLUP): detail, "
-        "per-status subtotal, and grand total in one pass — Catalyst "
-        "expands the sets, partial aggregation still combines map-side; "
-        "grouping() flags disambiguate subtotal rows from real nulls",
+        "per-status subtotal from one expand+aggregate pass; the grand "
+        "total is an explicit ungrouped aggregate unioned on — ANSI "
+        "defines the () grain as exactly that, and Spark's Expand-based "
+        "plan loses its row on EMPTY input while the standard (and the "
+        "oracle) emit it unconditionally (r15 empty-fixture oracle "
+        "sweep). grouping() flags disambiguate subtotal rows from real "
+        "nulls; the grand row carries them as the literals ANSI "
+        "assigns the () set (1, 1)",
 )
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")["orders"]
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"),
-             F.sum(F.col("o_totalprice").try_cast(_DEC)).cast("double")
-             .alias("total_price"),
+    aggs = [F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").try_cast(_DEC)).cast("double")
+            .alias("total_price")]
+    keyed = (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"]],
+            "o_orderstatus", "o_orderpriority")
+        .agg(*aggs,
              F.grouping("o_orderstatus").cast("int").alias("g_status"),
              F.grouping("o_orderpriority").cast("int").alias("g_priority"))
     )
+    grand = orders.agg(*aggs).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_orders", "total_price",
+        F.lit(1).alias("g_status"), F.lit(1).alias("g_priority"))
+    return keyed.unionByName(grand)
 
 
 @register(
@@ -1111,14 +1129,19 @@ GROUP BY o_orderpriority
 )
 def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")["orders"]
+    # coalesce to 0: Spark's pivot-count yields NULL for an absent
+    # (priority, status) cell, but COUNT of an empty set is 0 — the
+    # oracle's count(*) FILTER semantics. Invisible on data where every
+    # status occurs under every priority; found by the r15 all-ties
+    # oracle sweep (single-status fixture left two columns NULL).
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
         .select("o_orderpriority",
-                F.col("F").alias("status_f"),
-                F.col("O").alias("status_o"),
-                F.col("P").alias("status_p"))
+                F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("status_f"),
+                F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("status_o"),
+                F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("status_p"))
     )
 
 
@@ -1226,12 +1249,18 @@ def resize_tiles_count_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "row_size_totals",
+    # per-stat COALESCE(..., 0) mirrors add_total_columns' null-coalesce
+    # (the reference's addTotalColumns contract, K:1684-1717): on an
+    # empty table the row-size model degrades to the fixed per-row
+    # overhead (the 8-byte date), not NULL — a sizing model that goes
+    # NULL would NULL-poison estimateAndCoalesce downstream. Identical
+    # on any non-empty input (r15 empty-fixture oracle sweep).
     oracle="""
 SELECT
-  CAST(min(o_totalprice) AS DOUBLE) + CAST(min(length(o_orderstatus)) AS DOUBLE) + CAST(8 AS DOUBLE) AS row_min_total,
-  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
-    + round(CAST(sum(length(o_orderstatus)) AS DOUBLE) / count(*), 4) + CAST(8 AS DOUBLE) AS row_avg_total,
-  CAST(max(o_totalprice) AS DOUBLE) + CAST(max(length(o_orderstatus)) AS DOUBLE) + CAST(8 AS DOUBLE) AS row_max_total
+  COALESCE(CAST(min(o_totalprice) AS DOUBLE), 0) + COALESCE(CAST(min(length(o_orderstatus)) AS DOUBLE), 0) + CAST(8 AS DOUBLE) AS row_min_total,
+  COALESCE(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4), 0)
+    + COALESCE(round(CAST(sum(length(o_orderstatus)) AS DOUBLE) / count(*), 4), 0) + CAST(8 AS DOUBLE) AS row_avg_total,
+  COALESCE(CAST(max(o_totalprice) AS DOUBLE), 0) + COALESCE(CAST(max(length(o_orderstatus)) AS DOUBLE), 0) + CAST(8 AS DOUBLE) AS row_max_total
 FROM orders
 """,
     doc="Row-size model totals (addTotalColumns K:1684-1717): sum per-column "
@@ -1464,8 +1493,23 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "layout_pruning_stats",          # shared shuffle_parallelism
     "customer_spend_rank",           # shared shuffle_parallelism
     "orders_pareto_8020",            # shared shuffle_parallelism
-    # 15 touched; the window's remainder covers the full 19-row r9
-    # cohort and reaches into r10 stalest-first.
+    # the r15 all-ties ORACLE sweep's three finds (semantics fixes):
+    "orders_status_pivot",           # absent pivot cell NULL -> 0
+    "sketch_hll_setops",             # densify over declared segs
+    # (similarity_cosine_topk_vectorized already fronted above: 12dp
+    # rank grid on both engines — the BLAS blocking tie fix)
+    # the r15 EMPTY-fixture ORACLE sweep's finds (empty-input
+    # aggregate semantics; oracles unchanged on non-empty data):
+    "orders_cube",                   # ANSI () grain via explicit union
+    "orders_rollup",                 # ANSI () grain via explicit union
+    "events_grouping_sets_time",     # ANSI () grain via explicit union
+    "parquet_agg_pushdown",          # statless-file pushdown guard
+    "quarantine_report_orders",      # count(when), not sum -> NULL
+    "reconcile_counts",              # count(when), not sum -> NULL
+    "row_size_totals",               # oracle mirrors null-coalesce
+    "sketch_quantile_histogram",     # oracle keeps requested qs rows
+    # 25 touched; the window's remainder still covers the full 19-row
+    # r9 cohort (25 + 19 = 44 <= ~50) and reaches into r10.
 ]
 
 

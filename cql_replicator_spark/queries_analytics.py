@@ -856,14 +856,30 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_cosine_topk_vectorized",
+    # this oracle ranks on round(cos, 12), NOT raw cos like _COS_SQL:
+    # the lane's numpy matmul rounds position-dependently (BLAS gemm
+    # blocking — the r15 all-ties sweep measured two bit patterns for
+    # identical vector pairs in one matmul), so the lane ranks on a
+    # 12dp score grid and the oracle must rank on the same grid or
+    # exact ties resolve differently. The exact lane
+    # (similarity_cosine_topk) keeps the raw-cos oracle: its Spark
+    # expression fold is bit-identical to DuckDB's list_dot_product.
     oracle=f"""
-WITH {_COS_SQL}
-SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+WITH {_COS_SQL},
+grid_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cos, 12) DESC, neighbor_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM grid_ranked WHERE rank <= 5
 """,
     doc="Vectorized Pandas-UDF top-k: Arrow batches + numpy matmul against "
         "the broadcast corpus matrix — the high-throughput exact path "
-        "(~100x the per-row expression fold). Ranks match the sequential-"
-        "sum oracle on this data; a near-tie could differ in the last ulp",
+        "(~100x the per-row expression fold). Ranks on a 12dp score grid "
+        "with id tie-break (see cosine_topk_np's docstring for why raw "
+        "BLAS scores are not comparable across partitionings)",
 )
 def similarity_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
@@ -2365,9 +2381,12 @@ WITH h AS (
 c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
 n AS (SELECT max(cum) AS n FROM c),
 qs(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)),
+-- LEFT JOIN from qs: each requested quantile yields a row even over
+-- an EMPTY sketch (estimate NULL — quantile of nothing), matching the
+-- lane's explode-of-requested-qs shape (r15 empty-fixture sweep)
 e AS (
   SELECT q, min(CASE WHEN cum >= ceil(n * q) THEN bin END) AS b
-  FROM c CROSS JOIN n CROSS JOIN qs GROUP BY q
+  FROM qs LEFT JOIN (SELECT * FROM c CROSS JOIN n) ON TRUE GROUP BY q
 )
 SELECT CAST(q AS DOUBLE) AS q,
        round(0.0 + (b + 1) * (600000.0 / 128), 6) AS estimate
@@ -3241,16 +3260,48 @@ FROM orders
         "queries every pipeline runs first. Requires the v2 parquet "
         "reader (useV1SourceList=''), scoped to this plan's "
         "construction and restored; aggregatePushdown alone (the "
-        "SCALE_CONF default) is inert under the v1 reader",
+        "SCALE_CONF default) is inert under the v1 reader. GUARDED: "
+        "Spark's pushdown THROWS at execution on a stats-less parquet "
+        "file (zero row groups — 'No min/max found', found by the r15 "
+        "empty-fixture oracle sweep), so the lane footer-checks the "
+        "dataset first (driver metadata read, no data) and falls back "
+        "to the ordinary scan-side aggregate when any file lacks row "
+        "groups — an empty part file in a 100 TB dataset must not "
+        "kill the profiling query",
 )
 def parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
-    spark.conf.set("spark.sql.sources.useV1SourceList", "")
-    try:
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/orders.parquet"
+    files = (sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+             if _os.path.isdir(path) else [path])
+
+    def _stats_complete(f: str) -> bool:
+        md = _pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            return False  # a 0-row file carries a statless row group
+        return all(
+            md.row_group(g).column(c).statistics is not None
+            for g in range(md.num_row_groups)
+            for c in range(md.row_group(g).num_columns))
+
+    pushdown_safe = all(_stats_complete(f) for f in files)
+
+    def build():
         orders = _t(spark, sf_dir, "orders")["orders"]
         return orders.agg(F.count("*").cast("long").alias("n_rows"),
                           F.min("o_orderkey").cast("long").alias("min_key"),
                           F.max("o_orderkey").cast("long").alias("max_key"))
+
+    if not pushdown_safe:
+        return build()  # plain aggregate: count 0 / NULL min-max
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        return build()
     finally:
         if old_v1 is None:
             spark.conf.unset("spark.sql.sources.useV1SourceList")
@@ -3273,7 +3324,7 @@ WITH m AS (
   FROM orders
 ),
 r AS (
-  SELECT CAST(count(c.c_custkey) AS DOUBLE) / count(*) AS frac
+  SELECT count(*) AS n, count(c.c_custkey) AS matched
   FROM orders o
   LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
     ON o.o_custkey = c.c_custkey
@@ -3286,7 +3337,14 @@ UNION ALL SELECT 'max_o_totalprice', round(m3, 6), m3 <= 1000000.0 FROM m
 UNION ALL SELECT 'compliance_set_o_orderstatus', round(m4, 6), m4 >= 1.0 FROM m
 UNION ALL SELECT 'compliance_pattern_o_orderpriority', round(m5, 6),
                  m5 >= 1.0 FROM m
-UNION ALL SELECT 'ref_o_custkey', round(frac, 6), frac >= 1.0 FROM r
+-- zero-row child: vacuous pass with NULL metric — the documented
+-- referential_integrity contract (an empty tile must not fail the
+-- suite); the n=0 CASE encodes it so both engines agree on the edge
+UNION ALL SELECT 'ref_o_custkey',
+                 CASE WHEN n = 0 THEN NULL
+                      ELSE round(CAST(matched AS DOUBLE) / n, 6) END,
+                 CASE WHEN n = 0 THEN TRUE
+                      ELSE CAST(matched AS DOUBLE) / n >= 1.0 END FROM r
 """,
     doc="Deequ-style declared-constraint suite (analytics.validate): six "
         "row-level constraints (completeness, uniqueness, bounds, set "
@@ -3818,7 +3876,24 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_regs = (grouped.groupBy("register_id")
                   .agg(F.max("max_rho").alias("max_rho"))
                   .select(F.lit("union").alias("seg"), "register_id", "max_rho"))
-    return grouped.unionByName(union_regs)
+    # densify over the DECLARED segment domain, not the observed one:
+    # hll_registers_grouped emits m rows per segment PRESENT IN THE
+    # DATA, but the "3 x 64 rows" contract (and the oracle's fixed seg
+    # list) holds even when a segment has zero events — an all-zero
+    # register table IS that segment's sketch (estimate 0), and overlap
+    # analysis downstream must not lose a leg because a tile had no
+    # purchases. Found by the r15 all-ties oracle sweep (single-type
+    # fixture -> 0 rows vs the oracle's 192). The grid is 3x64 literal
+    # rows — bounded, broadcast-sized by construction.
+    segs = spark.createDataFrame(
+        [("click",), ("purchase",), ("union",)], "seg STRING")
+    grid = segs.crossJoin(
+        spark.range(64).select(F.col("id").cast("long").alias("register_id")))
+    return (grid.join(grouped.unionByName(union_regs),
+                      ["seg", "register_id"], "left")
+            .select("seg", "register_id",
+                    F.coalesce(F.col("max_rho"), F.lit(0).cast("int"))
+                     .alias("max_rho")))
 
 
 @register(

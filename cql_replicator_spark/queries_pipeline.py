@@ -932,11 +932,14 @@ GROUP BY GROUPING SETS ((strftime(CAST(ts AS DATE), '%Y-%m-%d'), event_type),
                         (strftime(CAST(ts AS DATE), '%Y-%m-%d')),
                         (event_type), ())
 """,
-    doc="Multi-grain rollup in ONE pass via GROUPING SETS: "
-        "(day x type), day, type, and grand total from a single scan "
-        "with partial aggregation — four independent GROUP BYs would "
-        "scan and shuffle four times; grouping sets expands rows once "
-        "map-side. Super-aggregate rows carry NULL group keys (the "
+    doc="Multi-grain rollup via GROUPING SETS: (day x type), day, and "
+        "type from a single expand+aggregate scan — four independent "
+        "GROUP BYs would scan and shuffle four times. The grand-total "
+        "grain is an explicit ungrouped aggregate unioned on: ANSI "
+        "defines the () set as exactly that, and Spark's Expand-based "
+        "plan loses its row on EMPTY input while the standard (and the "
+        "oracle) emit it unconditionally (r15 empty-fixture oracle "
+        "sweep). Super-aggregate rows carry NULL group keys (the "
         "distinct null patterns separate grains; no natural NULLs "
         "exist in either column)",
 )
@@ -951,7 +954,11 @@ def events_grouping_sets_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view}
         GROUP BY GROUPING SETS ((date_format(ts, 'yyyy-MM-dd'), event_type),
                                 (date_format(ts, 'yyyy-MM-dd')),
-                                (event_type), ())
+                                (event_type))
+        UNION ALL
+        SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
+               CAST(count(*) AS BIGINT), round(sum(value), 2)
+        FROM {view}
     """)
 
 

@@ -663,19 +663,33 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     doc="CUBE grouping sets over (status, priority): all four grouping "
-        "combinations in one pass — Spark expands the cube into a "
-        "single expand+aggregate (rows replicate 4x into one shuffle), "
-        "not four scans. Null grouping markers match ANSI semantics on "
-        "both engines; spend accumulates in exact decimal",
+        "combinations in one logical pass — the three keyed sets expand "
+        "into a single expand+aggregate shuffle; the () grain is an "
+        "explicit ungrouped aggregate unioned on, because ANSI defines "
+        "it as exactly that and Spark's Expand-based plan loses its row "
+        "on EMPTY input (no rows in, no rows out) while the standard — "
+        "and the oracle — emit the grand total unconditionally (found "
+        "by the r15 empty-fixture oracle sweep). Cost-neutral: one "
+        "fewer Expand copy per row buys one bounded keyless aggregate. "
+        "Null grouping markers match ANSI on both engines; spend "
+        "accumulates in exact decimal",
 )
 def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")["orders"]
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"),
-             F.sum(F.col("o_totalprice").try_cast(_DEC)).cast("double")
-              .alias("total_spend"))
-    )
+    aggs = [F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").try_cast(_DEC)).cast("double")
+             .alias("total_spend")]
+    keyed = (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"],
+             ["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus", "o_orderpriority")
+        .agg(*aggs))
+    grand = orders.agg(*aggs).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_orders", "total_spend")
+    return keyed.unionByName(grand)
 
 
 # ---------------------------------------------------------------------------

@@ -4135,3 +4135,53 @@ def test_referential_integrity_require_rows_flag(spark):
     strict = V.referential_integrity(
         child0, "ck", parent, "pk", require_rows=True).first()
     assert strict["passed"] is False and strict["metric"] is None
+
+
+def test_all_ties_oracle_semantics(spark, tmp_path):
+    """Pin the three r15 all-ties oracle finds (value divergences the
+    crash sweeps could not see — found by running the DuckDB comparison
+    on the --clone fixture):
+
+    - orders_status_pivot: an absent (priority, status) pivot cell is
+      COUNT-of-nothing = 0, not NULL (the oracle's count FILTER).
+    - sketch_hll_setops: densified over the DECLARED segment domain —
+      a segment with zero events still gets its 64 all-zero registers
+      (estimate 0), 3 x 64 rows always.
+    - cosine_topk_np: identical vectors rank purely by neighbor id —
+      BLAS gemm blocking makes raw matmul scores position-dependent in
+      the last ulp, so ranking happens on a 12dp score grid; without
+      it exact ties scramble across partitionings.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cql_replicator_spark.analytics import similarity as S
+    from cql_replicator_spark.queries import REGISTRY, queries
+
+    queries()
+    d = tmp_path / "ties"
+    d.mkdir()
+    for t in ("orders", "events", "embeddings"):
+        one = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, 1)
+        tbl = pa.concat_tables([one] * 40)
+        first = tbl.schema.field(0)
+        ids = pa.array(range(40), type=pa.int64()).cast(first.type)
+        pq.write_table(tbl.set_column(0, first, ids), str(d / f"{t}.parquet"))
+
+    piv = REGISTRY["orders_status_pivot"].build(spark, str(d)).first()
+    cells = [piv["status_f"], piv["status_o"], piv["status_p"]]
+    assert sorted(cells) == [0, 0, 40], cells  # absent cells 0, not NULL
+
+    hll = REGISTRY["sketch_hll_setops"].build(spark, str(d))
+    assert hll.count() == 192  # 3 x 64 whatever the event_type mix
+    segs = {r["seg"] for r in hll.select("seg").distinct().collect()}
+    assert segs == {"click", "purchase", "union"}
+
+    emb = spark.read.parquet(str(d / "embeddings.parquet"))
+    out = S.cosine_topk_np(emb.filter(F.col("vec_id") < 3),
+                           emb.repartition(7), k=5)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted((q, r + 1, n)
+                  for q in range(3)
+                  for r, n in enumerate(i for i in range(6) if i != q))
+    assert got == want  # pure id tie-break, partitioning-independent
