@@ -981,8 +981,18 @@ def random_projection_signs(
     projection: the sign matrix constant-folds into the plan, nothing
     shuffles. Output columns p0..p{out_dim-1}.
     """
-    q = F.transform(F.col(vec_col),
-                    lambda x: F.floor(x.cast("double") * scale).cast("long"))
+    # clamp in DOUBLE space before the long cast: a poison component
+    # (±1e32 from a failed encoder) would otherwise CAST_OVERFLOW under
+    # ANSI — or survive the cast near ±2^63 and overflow the sign
+    # multiply/fold below (found by the r15 forced-evaluation poison
+    # sweep; .count() pruning had hidden it). ±2^31 saturation keeps
+    # the 64-term signed sum within 2^37 — far inside long — and is
+    # far beyond any real quantized embedding component.
+    _B = float(1 << 31)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.least(F.greatest(F.floor(x.cast("double") * scale),
+                                     F.lit(-_B)), F.lit(_B)).cast("long"))
     projected = corpus.select(F.col(id_col), q.alias("_q"))
     cols = [F.col(id_col)]
     for j in range(int(out_dim)):

@@ -41,7 +41,26 @@ def write_bucketed_table(
 
     Sorting within buckets lets the downstream SortMergeJoin skip its
     sort as well — the join becomes a pure merge of pre-sorted,
-    co-partitioned files (zero Exchange, zero Sort in the plan)."""
+    co-partitioned files (zero Exchange, zero Sort in the plan).
+
+    Stale-location hardening: mode=overwrite only replaces a table the
+    CATALOG knows about; a managed-table directory orphaned by a killed
+    run (catalog entry gone, files on disk) makes saveAsTable raise
+    LOCATION_ALREADY_EXISTS in a fresh session. Drop the catalog entry
+    and remove an orphaned default-warehouse dir first."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    if mode == "overwrite" and "." not in name:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        for prefix in ("file:", ""):
+            if wh.startswith(prefix) and prefix:
+                wh = wh[len(prefix):]
+        if wh and os.path.isdir(wh):
+            shutil.rmtree(os.path.join(wh, name.lower()),
+                          ignore_errors=True)
     writer = (df.write.format("parquet").mode(mode)
               .bucketBy(num_buckets, *bucket_cols))
     if sort_cols:

@@ -798,7 +798,10 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy(F.date_trunc("day", F.col("ts")).alias("wstart"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"))
+             # try_cast: the r9 poison discipline — one out-of-range
+             # value must NULL out, not kill the job (ANSI); this site
+             # had been hidden from the sweep by .count() pruning
+             F.sum(F.col("value").try_cast("decimal(18,4)")).cast("double").alias("total_value"))
         .orderBy("wstart", "event_type")
     )
 
@@ -1508,8 +1511,15 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "reconcile_counts",              # count(when), not sum -> NULL
     "row_size_totals",               # oracle mirrors null-coalesce
     "sketch_quantile_histogram",     # oracle keeps requested qs rows
-    # 25 touched; the window's remainder still covers the full 19-row
-    # r9 cohort (25 + 19 = 44 <= ~50) and reaches into r10.
+    # the r15 FORCED-EVALUATION poison sweep's finds (ANSI crashers
+    # hidden for six rounds by .count() projection pruning):
+    "embedding_random_projection",   # quantize clamp before long cast
+    "events_concurrency_sweep",      # try_cast interval end
+    "events_windowed_agg",           # try_cast decimal (r9 discipline)
+    "orders_moving_avg",             # try_cast decimal (r9 discipline)
+    "orders_revenue_share",          # try_cast decimal (r9 discipline)
+    # 30 touched; the window's remainder still covers the full 19-row
+    # r9 cohort (30 + 19 = 49 <= ~50).
 ]
 
 

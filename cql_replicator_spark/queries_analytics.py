@@ -1917,7 +1917,9 @@ def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     orders = _t(spark, sf_dir, "orders")["orders"]
     base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    price = F.col("o_totalprice").cast("decimal(18,2)")
+    # try_cast: the r9 poison discipline (one corrupt price NULLs out
+    # instead of killing the window job under ANSI)
+    price = F.col("o_totalprice").try_cast("decimal(18,2)")
     return orders.select(
         "o_orderkey", "o_custkey",
         F.sum(price).over(base.rowsBetween(Window.unboundedPreceding, 0))
@@ -3763,9 +3765,12 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")["events"]
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    # try_cast: a poison value (±1e32) makes the duration un-castable —
+    # the interval ends up NULL-bounded and drops out of the sweep
+    # instead of CAST_OVERFLOW killing the job (r9 ANSI discipline)
     iv = events.select(
         "event_id", "event_type", ms.alias("s"),
-        (ms + F.round(F.col("value") * 1000).cast("long")).alias("e"))
+        (ms + F.round(F.col("value") * 1000).try_cast("long")).alias("e"))
     return interval_peak_concurrency(iv, "event_type")
 
 
@@ -3975,7 +3980,7 @@ def orders_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(t["nation"]),
                  F.col("n_nationkey") == F.col("c_nationkey"))
            .groupBy("n_name")
-           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+           .agg(F.sum(F.col("o_totalprice").try_cast("decimal(18,2)"))
                 .alias("nation_rev")))
     total = F.sum("nation_rev").over(Window.partitionBy())
     return rev.select(
@@ -4667,8 +4672,11 @@ def quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH q AS (
   SELECT vec_id,
+         -- clamp mirrors random_projection_signs' ±2^31 saturation
+         -- (poison components would overflow the BIGINT cast)
          list_transform(embedding,
-           v -> CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)) AS qv
+           v -> CAST(least(greatest(floor(CAST(v AS DOUBLE) * 100),
+                                    -2147483648.0), 2147483648.0) AS BIGINT)) AS qv
   FROM embeddings
 )
 SELECT vec_id,

@@ -39,7 +39,9 @@ def windowed_event_counts(
     return (
         df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
         .agg(F.count("*").alias("n_events"),
-             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"))
+             # try_cast: one poison value must NULL out, not kill the
+             # stream (the r9 ANSI discipline)
+             F.sum(F.col("value").try_cast("decimal(18,4)")).cast("double").alias("total_value"))
         .select(F.col("w.start").alias("wstart"), key_col, "n_events", "total_value")
     )
 

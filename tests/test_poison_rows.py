@@ -395,3 +395,56 @@ def test_edge_docs_run_clean_through_dedup(spark):
     assert dedup.minhash_lsh_dedup_pairs(docs).count() >= 0
     assert dedup.simhash_hamming_pairs(docs).count() >= 0
     assert dedup.ngram_jaccard_pairs(docs, n=3).count() >= 0
+
+
+def _tools_import(name):
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        name, root / "tools" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_forced_count_defeats_projection_pruning(spark):
+    """The r15 sweep blind spot, pinned: .count() lets Catalyst prune a
+    crashing projection (the lane 'passes' without its expressions ever
+    running), while sweeplib.forced_count evaluates the full row and
+    surfaces the crash. Built from the exact shape that hid four
+    executor crashers for six rounds: an ANSI-overflowing cast in the
+    output projection."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    sweeplib = _tools_import("sweeplib")
+    df = spark.createDataFrame([(1.0,), (-1e32,)], "v double")
+    bad = df.select((F.col("v") * 1000).cast("long").alias("q"))
+    assert bad.count() == 2  # pruned: the cast never runs
+    with _pytest.raises(Exception, match="CAST_OVERFLOW|ARITHMETIC"):
+        sweeplib.forced_count(bad)
+    ok = df.select((F.col("v") * 1000).try_cast("long").alias("q"))
+    assert sweeplib.forced_count(ok) == 2
+
+
+def test_poison_hardened_lanes_fully_evaluate(spark, tmp_path):
+    """Pin the four r15 ANSI crashers (found by forcing evaluation on
+    the poison fixture): random-projection quantize clamps before its
+    long cast, and the three un-try'd casts (two decimal windows/aggs,
+    one double->long interval end) now NULL out a poison value instead
+    of killing the job. Evaluation is FORCED — a .count() regression
+    test would pass even with the bugs present."""
+    from cql_replicator_spark.queries import REGISTRY, queries
+
+    sweeplib = _tools_import("sweeplib")
+    ps = _tools_import("poison_sweep")
+    queries()
+    d = str(tmp_path / "poison")
+    ps.build_poison_dir("/root/testdata/sf0.001", d)
+    for lane in ("embedding_random_projection", "events_concurrency_sweep",
+                 "events_windowed_agg", "orders_moving_avg",
+                 "orders_revenue_share"):
+        n = sweeplib.forced_count(REGISTRY[lane].build(spark, d))
+        assert n >= 0, lane

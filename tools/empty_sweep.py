@@ -94,12 +94,17 @@ def main() -> int:
         "spark.sql.shuffle.partitions": "4",
     })
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sweeplib import forced_count
+
     names = args.queries or sorted(REGISTRY)
     ok = fails = 0
     failed: list[str] = []
     for name in names:
         try:
-            n = REGISTRY[name].build(spark, args.dst).count()
+            # forced evaluation, NOT count(): count's projection pruning
+            # green-lit four executor crashers for six rounds (sweeplib)
+            n = forced_count(REGISTRY[name].build(spark, args.dst))
             print(f"OK   {name}: {n}", flush=True)
             ok += 1
         except Exception as exc:

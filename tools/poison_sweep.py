@@ -130,9 +130,13 @@ def main() -> int:
     qs = e.queries()
     names = args.only or sorted(qs)
     failures = []
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sweeplib import forced_count
     for name in names:
         try:
-            n = qs[name](spark, args.dst).count()
+            # forced evaluation, NOT count(): count's projection pruning
+            # green-lit four executor crashers for six rounds (sweeplib)
+            n = forced_count(qs[name](spark, args.dst))
             print(f"OK   {name}: {n}", flush=True)
         except Exception as ex:  # noqa: BLE001 — the sweep's whole point
             first = str(ex).split("\n")[0][:200]
