@@ -29,6 +29,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _strip_file_scheme(uri: str) -> str:
+    return uri[len("file:"):] if uri.startswith("file:") else uri
+
+
+def _catalog_owns_location(spark: SparkSession, path: str) -> bool:
+    """True if any table in the CURRENT database resolves to `path`.
+
+    The guard that keeps orphan cleanup from deleting a live table's
+    data: an EXTERNAL table may be parked at exactly the managed-layout
+    path a new table name would claim — rmtree'ing it would destroy its
+    files while leaving its catalog entry dangling."""
+    import os
+
+    target = os.path.abspath(path)
+    db = spark.catalog.currentDatabase()
+    for t in spark.catalog.listTables(db):
+        if t.isTemporary:
+            continue
+        try:
+            rows = spark.sql(
+                f"DESCRIBE TABLE EXTENDED {db}.`{t.name}`").collect()
+        except Exception:  # noqa: BLE001 - a concurrently-dropped table
+            continue
+        for r in rows:
+            if r.col_name == "Location" and os.path.abspath(
+                    _strip_file_scheme(r.data_type)) == target:
+                return True
+    return False
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,
@@ -43,28 +73,40 @@ def write_bucketed_table(
     sort as well — the join becomes a pure merge of pre-sorted,
     co-partitioned files (zero Exchange, zero Sort in the plan).
 
-    Stale-location hardening: mode=overwrite only replaces a table the
-    CATALOG knows about; a managed-table directory orphaned by a killed
-    run (catalog entry gone, files on disk) makes saveAsTable raise
-    LOCATION_ALREADY_EXISTS in a fresh session. Drop the catalog entry
-    and remove an orphaned default-warehouse dir first."""
+    Stale-location hardening, done LAZILY: a managed-table directory
+    orphaned by a killed run (catalog entry gone, files on disk) makes
+    saveAsTable raise LOCATION_ALREADY_EXISTS in a fresh session. The
+    eager variant (rmtree <warehouse>/<name> before writing) is a data
+    hazard: DROP TABLE resolves against the CURRENT database while that
+    path is the DEFAULT database's layout, so with a non-default
+    current database it deletes a different table's files. Instead:
+    drop via the catalog (managed drops remove their own files), let
+    saveAsTable fail, resolve the location from the current database's
+    locationUri, verify no catalog table owns it, remove, retry once.
+    """
     import os
     import shutil
 
     spark = df.sparkSession
-    if mode == "overwrite" and "." not in name:
+    if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "")
-        for prefix in ("file:", ""):
-            if wh.startswith(prefix) and prefix:
-                wh = wh[len(prefix):]
-        if wh and os.path.isdir(wh):
-            shutil.rmtree(os.path.join(wh, name.lower()),
-                          ignore_errors=True)
     writer = (df.write.format("parquet").mode(mode)
               .bucketBy(num_buckets, *bucket_cols))
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    try:
+        writer.saveAsTable(name)
+        return
+    except Exception as exc:  # noqa: BLE001 - filtered to the orphan class
+        if mode != "overwrite" or "LOCATION_ALREADY_EXISTS" not in str(exc):
+            raise
+        db = spark.catalog.currentDatabase()
+        db_loc = _strip_file_scheme(
+            spark.catalog.getDatabase(db).locationUri)
+        target = os.path.join(db_loc, name.split(".")[-1].lower())
+        if not os.path.isdir(target) or _catalog_owns_location(spark, target):
+            raise  # not the orphan shape — never delete owned/unknown data
+        shutil.rmtree(target)
     writer.saveAsTable(name)
 
 

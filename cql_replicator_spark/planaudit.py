@@ -169,12 +169,30 @@ def global_window_args(plan: str) -> list[str]:
     return out
 
 
-# hashpartitioning(k#1, 1) / rangepartitioning(k#1 ASC NULLS FIRST, 1)
-# (trailing arg is numPartitions) and RoundRobinPartitioning(1)
-# (repartition(1) — numPartitions is the ONLY arg).
-_NUM_PARTITIONS_ONE = re.compile(
-    r"partitioning\([^()]*(?:\([^()]*\)[^()]*)*,\s*1\)"
-    r"|RoundRobinPartitioning\(1\)")
+def _partitioning_num_one(text: str) -> bool:
+    """True if any ``*artitioning(...)`` call in `text` carries a
+    trailing numPartitions argument of 1 — hashpartitioning(k#1, 1),
+    rangepartitioning(k#1 ASC NULLS FIRST, 1), RoundRobinPartitioning(1)
+    (repartition(1): numPartitions is the ONLY arg). Bracket-depth
+    scan, not a fixed-depth regex: the partitioning expression nests
+    arbitrarily (e.g. hashpartitioning(coalesce(cast(x#1 as int), 0),
+    1)), and a single-partition exchange keyed on a doubly-nested
+    expression must not escape the gate."""
+    for m in re.finditer(r"[Pp]artitioning\(", text):
+        depth, i = 1, m.end()
+        last_arg_start = m.end()
+        while i < len(text) and depth:
+            ch = text[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                last_arg_start = i + 1
+            i += 1
+        if depth == 0 and text[last_arg_start:i - 1].strip() == "1":
+            return True
+    return False
 
 
 def _detail_blocks(plan: str) -> dict[int, tuple[str, str]]:
@@ -231,7 +249,7 @@ def single_partition_exchange_args(plan: str) -> list[str]:
             if not nxt.startswith("Arguments: "):
                 continue
             if ("SinglePartition" in nxt
-                    or _NUM_PARTITIONS_ONE.search(nxt)):
+                    or _partitioning_num_one(nxt)):
                 child_name, bounded = _bounded_child(
                     blocks, int(m.group(1)))
                 if not bounded:
@@ -371,7 +389,8 @@ def serial_funnel_marks(plan: str) -> list[str]:
     return marks
 
 
-def guard_sink_input(df, site: str) -> None:
+def guard_sink_input(df, site: str,
+                     max_serial_bytes: int = 256 << 20) -> None:
     """Fail loud when a frame about to drive an RDD-action sink
     (``foreachPartition`` row writers) carries a serial-funnel node:
     the sink's RDD job inherits the frame's partitioning, so a
@@ -385,7 +404,15 @@ def guard_sink_input(df, site: str) -> None:
     volume. A caller that genuinely wants a serial write must
     materialize the funnel first (write + re-read), which routes the
     write through the SQL-execution audit where the coalesce gate can
-    see and whitelist it."""
+    see and whitelist it.
+
+    Size complement (r15 verdict): a frame that is NATURALLY planned
+    as one partition — one giant unsplittable file — carries no funnel
+    node yet still serializes the write. Small 1-partition frames are
+    legitimate, so the residual gate is estimate-based: 1 planned
+    partition AND optimizedPlan stats >= ``max_serial_bytes`` raises.
+    The default (256 MiB) is comfortably above any frame that SHOULD
+    write serially and far below a partition that would stall a sink."""
     marks = serial_funnel_marks(formatted_plan(df))
     if marks:
         raise SerialSinkInputError(
@@ -393,3 +420,18 @@ def guard_sink_input(df, site: str) -> None:
             f"— the foreachPartition write would run as ONE task. "
             f"Remove the funnel (or salt/repartition the frame); flagged: "
             + "; ".join(m[:160] for m in marks))
+    try:
+        n_parts = df.rdd.getNumPartitions()  # plan-only, runs no job
+    except Exception:  # noqa: BLE001 - non-convertible frames stay
+        return          # funnel-gated only
+    if n_parts != 1:
+        return
+    size = int(df._jdf.queryExecution().optimizedPlan()
+               .stats().sizeInBytes())
+    if size >= max_serial_bytes:
+        raise SerialSinkInputError(
+            f"{site}: sink input frame is planned as ONE partition with "
+            f"an optimizer size estimate of {size} bytes "
+            f"(>= {max_serial_bytes}) — a naturally-narrow giant input "
+            f"(e.g. one unsplittable file) would serialize the whole "
+            f"write through one task. repartition() the frame first.")

@@ -1085,34 +1085,48 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
-    doc="Hierarchical grouping-sets aggregation (ROLLUP): detail, "
-        "per-status subtotal from one expand+aggregate pass; the grand "
-        "total is an explicit ungrouped aggregate unioned on — ANSI "
-        "defines the () grain as exactly that, and Spark's Expand-based "
-        "plan loses its row on EMPTY input while the standard (and the "
-        "oracle) emit it unconditionally (r15 empty-fixture oracle "
-        "sweep). grouping() flags disambiguate subtotal rows from real "
-        "nulls; the grand row carries them as the literals ANSI "
-        "assigns the () set (1, 1)",
+    doc="Hierarchical grouping-sets aggregation (ROLLUP), computed as "
+        "grouping sets OVER THE FINEST-GRAIN PRE-AGGREGATE: base = "
+        "groupBy(status, priority) shuffles the fact table once; the "
+        "Expand for the (s,p)/(s) grains copies only base's tiny "
+        "grouped output, and the () grand total is an explicit "
+        "aggregate of base reusing its exchange (count and exact-"
+        "decimal sum are decomposable, so results equal GROUP BY "
+        "ROLLUP). Cost at 100 TB: ONE fact scan and ONE fact-sized "
+        "shuffle (executed plan pinned) — vs Expand-over-fact (2 "
+        "copies of every row through the map-side aggregate: a CPU "
+        "term; map-side combine keeps shuffle bytes low) PLUS the "
+        "r15 union form's second full scan for the () grain. "
+        "The explicit () grain keeps ANSI empty-input semantics "
+        "(Spark's Expand loses the grand row on empty input; the "
+        "standard and the oracle emit it). grouping() flags come "
+        "from the Expand for the keyed grains and the ANSI literals "
+        "(1,1) for the grand row — disambiguating subtotal rows from "
+        "real nulls. Local-cost disclosure (bench_ab_grains.json): "
+        "+~0.07s fixed stage overhead at sf0.1; the keep decision is "
+        "the shuffle-volume term, which dominates at scale",
 )
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")["orders"]
-    aggs = [F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").try_cast(_DEC)).cast("double")
-            .alias("total_price")]
-    keyed = (
-        orders.groupingSets(
-            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"]],
-            "o_orderstatus", "o_orderpriority")
-        .agg(*aggs,
+    base = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").try_cast(_DEC)).alias("price"))
+    null_s = F.lit(None).cast("string")
+
+    keyed = (base.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"]],
+        "o_orderstatus", "o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"),
+             F.sum("price").cast("double").alias("total_price"),
              F.grouping("o_orderstatus").cast("int").alias("g_status"),
-             F.grouping("o_orderpriority").cast("int").alias("g_priority"))
-    )
-    grand = orders.agg(*aggs).select(
-        F.lit(None).cast("string").alias("o_orderstatus"),
-        F.lit(None).cast("string").alias("o_orderpriority"),
-        "n_orders", "total_price",
-        F.lit(1).alias("g_status"), F.lit(1).alias("g_priority"))
+             F.grouping("o_orderpriority").cast("int").alias("g_priority")))
+    grand = (base.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_orders"),
+                      F.sum("price").cast("double").alias("total_price"))
+             .select(null_s.alias("o_orderstatus"),
+                     null_s.alias("o_orderpriority"),
+                     "n_orders", "total_price",
+                     F.lit(1).alias("g_status"),
+                     F.lit(1).alias("g_priority")))
     return keyed.unionByName(grand)
 
 

@@ -3278,7 +3278,12 @@ def parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as _pq
 
     path = f"{sf_dir}/orders.parquet"
-    files = (sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    # recursive glob: a partitioned/nested dataset's files live below
+    # subdirectories, where a top-level *.parquet glob finds NOTHING —
+    # and all([]) is True, which would re-enable pushdown with zero
+    # files checked (the exact crash the guard exists for)
+    files = (sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"),
+                               recursive=True))
              if _os.path.isdir(path) else [path])
 
     def _stats_complete(f: str) -> bool:
@@ -3290,7 +3295,12 @@ def parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             for g in range(md.num_row_groups)
             for c in range(md.row_group(g).num_columns))
 
-    pushdown_safe = all(_stats_complete(f) for f in files)
+    try:
+        # an empty file list is UNVERIFIED, not verified-safe
+        pushdown_safe = bool(files) and all(_stats_complete(f)
+                                            for f in files)
+    except Exception:  # noqa: BLE001 - unreadable footer (non-local path)
+        pushdown_safe = False
 
     def build():
         orders = _t(spark, sf_dir, "orders")["orders"]

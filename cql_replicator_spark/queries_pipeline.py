@@ -932,34 +932,50 @@ GROUP BY GROUPING SETS ((strftime(CAST(ts AS DATE), '%Y-%m-%d'), event_type),
                         (strftime(CAST(ts AS DATE), '%Y-%m-%d')),
                         (event_type), ())
 """,
-    doc="Multi-grain rollup via GROUPING SETS: (day x type), day, and "
-        "type from a single expand+aggregate scan — four independent "
-        "GROUP BYs would scan and shuffle four times. The grand-total "
-        "grain is an explicit ungrouped aggregate unioned on: ANSI "
-        "defines the () set as exactly that, and Spark's Expand-based "
-        "plan loses its row on EMPTY input while the standard (and the "
-        "oracle) emit it unconditionally (r15 empty-fixture oracle "
-        "sweep). Super-aggregate rows carry NULL group keys (the "
-        "distinct null patterns separate grains; no natural NULLs "
-        "exist in either column)",
+    doc="Multi-grain rollup via grouping sets OVER THE FINEST-GRAIN "
+        "PRE-AGGREGATE: base = groupBy(day, type) shuffles the fact "
+        "table once, keeping the RAW double sum; the Expand for the "
+        "(day x type)/(day)/(type) grains copies only base's tiny "
+        "grouped output, the () grain is an explicit aggregate of "
+        "base reusing its exchange, and rounding happens once, at "
+        "the end, per grain. Cost at 100 TB: ONE fact scan and ONE "
+        "fact-sized shuffle (executed plan pinned) — vs Expand-over-"
+        "fact (3 copies of every row through the map-side aggregate: "
+        "a CPU term; map-side combine keeps shuffle bytes low) PLUS "
+        "the r15 union form's second full scan, or four independent "
+        "GROUP BYs scanning four times. "
+        "count is exactly decomposable; the double sum reassociates "
+        "(partial aggregation already sums in arbitrary partition "
+        "order on both engines — the 2dp rounding absorbs it, "
+        "verified against the oracle on clean AND degenerate "
+        "fixtures). The explicit () grain keeps ANSI empty-input "
+        "semantics (Spark's Expand loses the grand row on empty "
+        "input; the standard and the oracle emit it). Super-"
+        "aggregate rows carry NULL group keys (distinct null "
+        "patterns separate grains; no natural NULLs in either "
+        "column). Local-cost disclosure (bench_ab_grains.json): "
+        "+~0.07s fixed stage overhead at sf0.1; the keep decision "
+        "is the shuffle-volume term, which dominates at scale",
 )
 def events_grouping_sets_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")["events"]
-    view = f"__events_gs_{os.getpid()}"
-    events.createOrReplaceTempView(view)
-    return spark.sql(f"""
-        SELECT date_format(ts, 'yyyy-MM-dd') AS d, event_type,
-               CAST(count(*) AS BIGINT) AS n,
-               round(sum(value), 2) AS sum_value
-        FROM {view}
-        GROUP BY GROUPING SETS ((date_format(ts, 'yyyy-MM-dd'), event_type),
-                                (date_format(ts, 'yyyy-MM-dd')),
-                                (event_type))
-        UNION ALL
-        SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
-               CAST(count(*) AS BIGINT), round(sum(value), 2)
-        FROM {view}
-    """)
+    base = (events
+            .select(F.date_format("ts", "yyyy-MM-dd").alias("d"),
+                    "event_type", "value")
+            .groupBy("d", "event_type")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv")))
+    null_s = F.lit(None).cast("string")
+
+    keyed = (base.groupingSets([["d", "event_type"], ["d"], ["event_type"]],
+                               "d", "event_type")
+             .agg(F.sum("cnt").alias("n"),
+                  F.round(F.sum("sv"), 2).alias("sum_value")))
+    grand = (base.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
+                      .alias("n"),
+                      F.round(F.sum("sv"), 2).alias("sum_value"))
+             .select(null_s.alias("d"), null_s.alias("event_type"),
+                     "n", "sum_value"))
+    return keyed.unionByName(grand)
 
 
 # -- RANGE-frame window (value-based frames) -----------------------------------

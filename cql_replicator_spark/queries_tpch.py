@@ -662,33 +662,47 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
-    doc="CUBE grouping sets over (status, priority): all four grouping "
-        "combinations in one logical pass — the three keyed sets expand "
-        "into a single expand+aggregate shuffle; the () grain is an "
-        "explicit ungrouped aggregate unioned on, because ANSI defines "
-        "it as exactly that and Spark's Expand-based plan loses its row "
-        "on EMPTY input (no rows in, no rows out) while the standard — "
-        "and the oracle — emit the grand total unconditionally (found "
-        "by the r15 empty-fixture oracle sweep). Cost-neutral: one "
-        "fewer Expand copy per row buys one bounded keyless aggregate. "
-        "Null grouping markers match ANSI on both engines; spend "
-        "accumulates in exact decimal",
+    doc="CUBE grouping sets over (status, priority), computed as "
+        "grouping sets OVER THE FINEST-GRAIN PRE-AGGREGATE: base = "
+        "groupBy(status, priority) shuffles the fact table once; the "
+        "Expand that materializes the (s,p)/(s)/(p) grains then copies "
+        "only base's tiny grouped output, and the () grain is an "
+        "explicit aggregate of base reusing its exchange. All "
+        "aggregates are decomposable (count->sum, exact decimal "
+        "sum->sum), so results are identical to GROUP BY CUBE. Cost "
+        "at 100 TB: ONE fact scan and ONE fact-sized shuffle "
+        "(executed plan pinned: 1 'Scan parquet', ReusedExchange for "
+        "the () branch) — vs Expand-over-fact (3 copies of every row "
+        "through the map-side aggregate: a CPU term, since map-side "
+        "combine keeps shuffle bytes low for these keys) PLUS the "
+        "r15 union form's second full scan for the () grain. The "
+        "explicit () grain also keeps ANSI empty-input "
+        "semantics: Spark's Expand loses the grand-total row on "
+        "empty input while the standard (and the oracle) emit it — "
+        "count 0 via coalesce, sum NULL. Null grouping markers match "
+        "ANSI on both engines; spend accumulates in exact decimal. "
+        "Local-cost disclosure (bench_ab_grains.json): +~0.07s fixed "
+        "stage overhead at sf0.1 — the keep decision is the shuffle-"
+        "volume term, which dominates at fact-table scale",
 )
 def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")["orders"]
-    aggs = [F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").try_cast(_DEC)).cast("double")
-             .alias("total_spend")]
-    keyed = (
-        orders.groupingSets(
-            [["o_orderstatus", "o_orderpriority"],
-             ["o_orderstatus"], ["o_orderpriority"]],
-            "o_orderstatus", "o_orderpriority")
-        .agg(*aggs))
-    grand = orders.agg(*aggs).select(
-        F.lit(None).cast("string").alias("o_orderstatus"),
-        F.lit(None).cast("string").alias("o_orderpriority"),
-        "n_orders", "total_spend")
+    base = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").try_cast(_DEC)).alias("spend"))
+    null_s = F.lit(None).cast("string")
+
+    keyed = (base.groupingSets(
+        [["o_orderstatus", "o_orderpriority"],
+         ["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus", "o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"),
+             F.sum("spend").cast("double").alias("total_spend")))
+    grand = (base.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_orders"),
+                      F.sum("spend").cast("double").alias("total_spend"))
+             .select(null_s.alias("o_orderstatus"),
+                     null_s.alias("o_orderpriority"),
+                     "n_orders", "total_spend"))
     return keyed.unionByName(grand)
 
 

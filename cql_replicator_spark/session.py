@@ -103,9 +103,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 
 
 def _nano_ts_columns(path: str) -> list[str]:
-    """Columns stored as parquet timestamp[ns] (footer metadata only)."""
+    """Columns stored as parquet timestamp[ns] (footer metadata only).
+
+    A table may be a single file OR a directory dataset (partitioned /
+    multi-part — the layout every real corpus uses); for a directory,
+    any one part file's footer carries the physical type, so probe the
+    first one found recursively. No readable footer -> no remapping."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                 recursive=True))
+        if not parts:
+            return []
+        path = parts[0]
     schema = pq.read_schema(path)
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 

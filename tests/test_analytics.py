@@ -3796,6 +3796,40 @@ def test_registry_queries_are_thread_safe(spark):
     assert got == expected
 
 
+def test_grouping_grains_single_scan_single_fact_shuffle(spark):
+    """The r16 derived-grain rework, pinned structurally: orders_cube /
+    orders_rollup / events_grouping_sets_time compute every grain from
+    the finest-grain pre-aggregate, so the EXECUTED (AQE-final) plan
+    must read the fact table ONCE and serve the derived grains from
+    ReusedExchange over the base shuffle. The alternatives this guards
+    against: Expand (3-4 copies of every fact row through the shuffle)
+    and the r15 union form (a second fact scan for the () grain) —
+    at 100 TB either is the whole bill."""
+    from cql_replicator_spark.queries import REGISTRY, queries
+    from conftest import SF_DIR
+
+    queries()
+    # one ReusedExchange: the () grand-total branch reads the base
+    # aggregate's exchange; the keyed grains sit above the original
+    expected_reuse = {"orders_cube": 1, "orders_rollup": 1,
+                      "events_grouping_sets_time": 1}
+    for lane, n_reuse in expected_reuse.items():
+        df = REGISTRY[lane].build(spark, SF_DIR)
+        rows = df.collect()  # materialize so AQE finalizes the plan
+        assert rows, lane
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("+- == Initial Plan ==")[0]
+        scans = sum(1 for ln in final.splitlines() if "Scan parquet" in ln)
+        reused = sum(1 for ln in final.splitlines()
+                     if "ReusedExchange" in ln)
+        assert scans == 1, (
+            f"{lane}: {scans} fact scans in the final plan — a derived "
+            f"grain re-derived the base subtree instead of reusing its "
+            f"exchange:\n{final[:2000]}")
+        assert reused == n_reuse, (
+            f"{lane}: {reused} ReusedExchange nodes, expected {n_reuse}")
+
+
 def test_rerun_determinism_hash_stable(spark):
     """Three representative non-trivial queries re-run in the same
     session must produce IDENTICAL row sets — guards against

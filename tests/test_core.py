@@ -664,6 +664,91 @@ def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_bucketed_overwrite_nondefault_db_spares_default_table(spark, tables):
+    """Regression (r15 ADVICE medium): the eager overwrite cleanup
+    rmtree'd <warehouse>/<name> — the DEFAULT database's layout — while
+    DROP TABLE resolved against the CURRENT database. With a
+    non-default current database, overwriting `t` silently deleted
+    default.`t`'s data files. The lazy path must leave them intact."""
+    import os
+
+    from cql_replicator_spark.bucketing import (
+        _strip_file_scheme, write_bucketed_table,
+    )
+
+    df = tables["orders"].select("o_orderkey", "o_totalprice").limit(10)
+    spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+    spark.sql("CREATE DATABASE bdb")
+    try:
+        write_bucketed_table(df, "tclash", ["o_orderkey"], 2)  # default db
+        victim_rows = spark.table("default.tclash").count()
+        wh = _strip_file_scheme(
+            spark.catalog.getDatabase("default").locationUri)
+        assert os.path.isdir(os.path.join(wh, "tclash"))
+        spark.catalog.setCurrentDatabase("bdb")
+        write_bucketed_table(df, "tclash", ["o_orderkey"], 2)  # bdb.tclash
+        # the default table's files AND rows survive the bdb overwrite
+        assert os.path.isdir(os.path.join(wh, "tclash"))
+        assert spark.table("default.tclash").count() == victim_rows
+        assert spark.table("bdb.tclash").count() == 10
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP TABLE IF EXISTS default.tclash")
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+def test_bucketed_overwrite_cleans_true_orphan(spark, tables):
+    """The orphan case the hardening exists for: a managed-table dir
+    left by a killed run (files on disk, catalog entry gone) must be
+    cleaned lazily — after saveAsTable raises LOCATION_ALREADY_EXISTS —
+    and the retry must succeed."""
+    import os
+
+    from cql_replicator_spark.bucketing import (
+        _strip_file_scheme, write_bucketed_table,
+    )
+
+    wh = _strip_file_scheme(spark.catalog.getDatabase("default").locationUri)
+    orphan = os.path.join(wh, "orphan_t")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("x")
+    df = tables["orders"].select("o_orderkey", "o_totalprice").limit(5)
+    try:
+        write_bucketed_table(df, "orphan_t", ["o_orderkey"], 2)
+        assert spark.table("orphan_t").count() == 5
+        assert not os.path.exists(os.path.join(orphan, "part-junk.parquet"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orphan_t")
+
+
+def test_bucketed_overwrite_refuses_owned_external_location(spark, tables,
+                                                            tmp_path):
+    """An EXTERNAL table parked at the managed-layout path is OWNED
+    data, not an orphan: the overwrite must re-raise rather than
+    rmtree its files (which would corrupt the catalog entry)."""
+    import os
+
+    from cql_replicator_spark.bucketing import (
+        _strip_file_scheme, write_bucketed_table,
+    )
+
+    df = tables["orders"].select("o_orderkey", "o_totalprice").limit(5)
+    wh = _strip_file_scheme(spark.catalog.getDatabase("default").locationUri)
+    loc = os.path.join(wh, "claimed_t")
+    df.write.parquet(loc)
+    spark.sql(f"CREATE TABLE ext_owner (o_orderkey LONG, o_totalprice "
+              f"DOUBLE) USING parquet LOCATION '{loc}'")
+    try:
+        with pytest.raises(Exception, match="LOCATION_ALREADY_EXISTS"):
+            write_bucketed_table(df, "claimed_t", ["o_orderkey"], 2)
+        assert spark.table("ext_owner").count() == 5  # files intact
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_owner")
+        import shutil
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_apply_changes_roundtrip_and_delete_only(spark):
     from pyspark.sql import functions as F
 

@@ -249,6 +249,51 @@ def test_exchange_detector_flags_single_partition_shapes(spark):
     assert len(mod.single_partition_exchange_args(_formatted(hashed))) >= 1
 
 
+def test_exchange_detector_flags_nested_expression_partitioning(spark):
+    """Regression (r15 ADVICE low): the old fixed-depth regex handled
+    ONE level of nested parentheses, so a 1-partition exchange keyed on
+    a doubly-nested expression — hashpartitioning(coalesce(cast(k as
+    int), 0), 1) — escaped the gate. The bracket-depth scan must flag
+    it, and must not flag the same expression at a parallel count."""
+    from cql_replicator_spark.planaudit import _partitioning_num_one
+
+    mod = _load_explain_audit()
+    df = spark.range(50).select((F.col("id") % 5).alias("k"))
+    keyed = F.coalesce(F.col("k").cast("int"), F.lit(0))
+    # repartition(1, key) normalizes to SinglePartition; the REAL
+    # hashpartitioning(<nested expr>, 1) shape comes from any keyed
+    # shuffle planned at shuffle.partitions=1 — a Window partitionBy
+    # here (its exchange can't be subsumed downstream)
+    bad = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy(keyed).orderBy("k")))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        plan = _formatted(bad)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert "coalesce(cast(" in plan  # the doubly-nested shape is real
+    assert ", 1)" in plan            # ... keyed at ONE partition
+    assert len(mod.single_partition_exchange_args(plan)) >= 1
+    # same nested expression at a parallel count: not flagged (fresh
+    # frame — a DataFrame memoizes its planned queryExecution)
+    ok = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy(keyed).orderBy("k")))
+    assert mod.single_partition_exchange_args(_formatted(ok)) == []
+
+    # unit-level, both directions at arbitrary depth
+    assert _partitioning_num_one(
+        "hashpartitioning(coalesce(cast(x#1 as int), 0), 1)")
+    assert _partitioning_num_one(
+        "rangepartitioning(nvl(substr(cast(x#1 as string), 1, 2), y#2)"
+        " ASC NULLS FIRST, 1)")
+    assert _partitioning_num_one("RoundRobinPartitioning(1)")
+    assert not _partitioning_num_one(
+        "hashpartitioning(coalesce(cast(x#1 as int), 1), 32)")
+    assert not _partitioning_num_one("RoundRobinPartitioning(16)")
+    assert not _partitioning_num_one("hashpartitioning(x#1, 10)")
+
+
 def test_exchange_detector_passes_parallel_shapes(spark):
     """Negative direction: ordinary parallel exchanges (hash shuffle for
     a groupBy, multi-partition range exchange for a sort) must NOT be

@@ -409,6 +409,38 @@ def _tools_import(name):
     return mod
 
 
+def test_agg_pushdown_guard_sees_nested_files(spark, tmp_path):
+    """Regression (r15 ADVICE low): the footer guard globbed only
+    top-level *.parquet, so a partitioned/nested orders dataset yielded
+    files == [] — and all([]) is True, re-enabling pushdown with ZERO
+    files checked, the exact stats-less-file execution crash the guard
+    was added for. The recursive glob must find the nested stats-less
+    file, disable pushdown, and the lane must return the plain result."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cql_replicator_spark.queries import REGISTRY, queries
+
+    queries()
+    src = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    root = tmp_path / "sf" / "orders.parquet"
+    os.makedirs(root / "extra=1")
+    os.makedirs(root / "extra=2")
+    pq.write_table(src, root / "extra=1" / "part-0.parquet")
+    # the poison shape: a zero-row (stats-less) nested part file
+    pq.write_table(src.schema.empty_table(),
+                   root / "extra=2" / "part-0.parquet")
+
+    df = REGISTRY["parquet_agg_pushdown"].build(spark, str(tmp_path / "sf"))
+    row = df.collect()[0]  # with the bug: 'No min/max found' at exec
+    assert row.n_rows == src.num_rows
+    keys = src.column("o_orderkey").to_pylist()
+    assert (row.min_key, row.max_key) == (min(keys), max(keys))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation" not in plan  # guard chose the fallback
+
+
 def test_forced_count_defeats_projection_pruning(spark):
     """The r15 sweep blind spot, pinned: .count() lets Catalyst prune a
     crashing projection (the lane 'passes' without its expressions ever
@@ -427,6 +459,60 @@ def test_forced_count_defeats_projection_pruning(spark):
         sweeplib.forced_count(bad)
     ok = df.select((F.col("v") * 1000).try_cast("long").alias("q"))
     assert sweeplib.forced_count(ok) == 2
+
+
+def test_forced_count_fallback_is_gated_not_silent(spark):
+    """r15 verdict item 3, pinned: a count() fallback in the sweeps is
+    WEAKER evidence (count green-lit four executor crashers for six
+    rounds), so it must be collected and gated, not printed-and-
+    forgotten. No runnable Spark 4.1 output type actually defeats the
+    to_json probe (TIME fails analysis before count() would even run),
+    so the fallback is defensive — pinned here via a stub frame whose
+    agg raises AnalysisException while count succeeds, exactly the
+    probe-unsupported shape:
+
+    * forced_count records the lane name into the fallbacks list and
+      returns the count() answer;
+    * check_fallbacks reports it (whitelist is EMPTY by design — any
+      entry needs a per-lane argument that count() suffices);
+    * both sweep tools wire the gate into their exit status.
+    """
+    from pyspark.errors import AnalysisException
+
+    sweeplib = _tools_import("sweeplib")
+
+    class _ProbeUnsupportedFrame:
+        columns = ["c"]
+
+        def agg(self, *a, **k):
+            raise AnalysisException(
+                "[DATATYPE_MISMATCH.CANNOT_CONVERT_TO_JSON] stub")
+
+        def count(self):
+            return 7
+
+    fallbacks = []
+    n = sweeplib.forced_count(_ProbeUnsupportedFrame(),
+                              name="stub_lane", fallbacks=fallbacks)
+    assert n == 7 and fallbacks == ["stub_lane"]
+    assert sweeplib.check_fallbacks(fallbacks) == ["stub_lane"]
+    assert sweeplib.FORCED_COUNT_FALLBACK_WHITELIST == frozenset()
+    # …and a NON-analysis execution error must re-raise, never fall back
+    class _ExecCrashFrame(_ProbeUnsupportedFrame):
+        def agg(self, *a, **k):
+            raise RuntimeError("executor crash")
+
+    with pytest.raises(RuntimeError):
+        sweeplib.forced_count(_ExecCrashFrame(), name="x", fallbacks=[])
+
+    # both sweeps collect fallbacks and fail on non-whitelisted ones
+    import pathlib
+    tools = pathlib.Path(__file__).resolve().parent.parent / "tools"
+    for tool in ("poison_sweep.py", "empty_sweep.py"):
+        src = (tools / tool).read_text()
+        assert "check_fallbacks" in src, tool
+        assert "fallbacks=fallbacks" in src, tool
+        assert "or offending else 0" in src, tool
 
 
 def test_poison_hardened_lanes_fully_evaluate(spark, tmp_path):

@@ -1107,6 +1107,34 @@ def test_naturally_narrow_frame_passes_sink_gate(spark, tmp_path):
     assert n == 10
 
 
+def test_size_estimate_complement_catches_giant_single_partition(
+        spark, tmp_path):
+    """r15 verdict item 5: a frame NATURALLY planned as one partition
+    (single-file scan — no funnel node for the static gate to see)
+    still serializes the sink write. The residual gate fires on
+    1 planned partition + optimizer size estimate >= threshold; a
+    repartitioned frame of the same size, and the same frame under the
+    default 256 MiB threshold, both pass."""
+    from cql_replicator_spark.planaudit import (
+        SerialSinkInputError, guard_sink_input,
+    )
+
+    src = str(tmp_path / "one_big_file")
+    (spark.range(5000).select(F.col("id").alias("pk"))
+     .coalesce(1).write.parquet(src))
+    one_file = spark.read.parquet(src)
+    assert one_file.rdd.getNumPartitions() == 1
+
+    with pytest.raises(SerialSinkInputError, match="ONE partition"):
+        guard_sink_input(one_file, "test_site", max_serial_bytes=1024)
+    # same bytes, fanned out: the write parallelizes — passes
+    guard_sink_input(one_file.repartition(4), "test_site",
+                     max_serial_bytes=1024)
+    # small frame under the real default threshold: passes (the
+    # naturally-narrow small-frame contract is unchanged)
+    guard_sink_input(one_file, "test_site")
+
+
 def test_salting_does_not_launder_an_upstream_funnel(spark):
     """Salting AFTER a coalesce(1) re-fans the write but the scan stage
     still runs as one task — the Coalesce node stays in the plan and

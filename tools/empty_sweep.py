@@ -95,16 +95,18 @@ def main() -> int:
     })
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from sweeplib import forced_count
+    from sweeplib import check_fallbacks, forced_count
 
     names = args.queries or sorted(REGISTRY)
     ok = fails = 0
     failed: list[str] = []
+    fallbacks: list[str] = []
     for name in names:
         try:
             # forced evaluation, NOT count(): count's projection pruning
             # green-lit four executor crashers for six rounds (sweeplib)
-            n = forced_count(REGISTRY[name].build(spark, args.dst))
+            n = forced_count(REGISTRY[name].build(spark, args.dst),
+                             name=name, fallbacks=fallbacks)
             print(f"OK   {name}: {n}", flush=True)
             ok += 1
         except Exception as exc:
@@ -112,11 +114,16 @@ def main() -> int:
             print(f"FAIL {name}: {type(exc).__name__}: {msg}", flush=True)
             fails += 1
             failed.append(name)
-    print(f"DONE ok={ok} fail={fails}")
+    offending = check_fallbacks(fallbacks)
+    print(f"DONE ok={ok} fail={fails} count_fallbacks={len(fallbacks)}")
     if failed:
         print("failed:", " ".join(failed))
+    if offending:
+        # a count() fallback is weaker evidence, not a pass — gate it
+        print("non-whitelisted count() fallbacks (sweep coverage hole):",
+              " ".join(offending))
     spark.stop()
-    return 1 if fails else 0
+    return 1 if fails or offending else 0
 
 
 if __name__ == "__main__":

@@ -131,21 +131,29 @@ def main() -> int:
     names = args.only or sorted(qs)
     failures = []
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from sweeplib import forced_count
+    from sweeplib import check_fallbacks, forced_count
+    fallbacks: list[str] = []
     for name in names:
         try:
             # forced evaluation, NOT count(): count's projection pruning
             # green-lit four executor crashers for six rounds (sweeplib)
-            n = forced_count(qs[name](spark, args.dst))
+            n = forced_count(qs[name](spark, args.dst),
+                             name=name, fallbacks=fallbacks)
             print(f"OK   {name}: {n}", flush=True)
         except Exception as ex:  # noqa: BLE001 — the sweep's whole point
             first = str(ex).split("\n")[0][:200]
             failures.append(name)
             print(f"FAIL {name}: {type(ex).__name__}: {first}", flush=True)
-    print(f"DONE ok={len(names) - len(failures)} fail={len(failures)}")
+    offending = check_fallbacks(fallbacks)
+    print(f"DONE ok={len(names) - len(failures)} fail={len(failures)} "
+          f"count_fallbacks={len(fallbacks)}")
     if failures:
         print("failing:", ", ".join(failures))
-    return 1 if failures else 0
+    if offending:
+        # a count() fallback is weaker evidence, not a pass — gate it
+        print("non-whitelisted count() fallbacks (sweep coverage hole):",
+              ", ".join(offending))
+    return 1 if failures or offending else 0
 
 
 if __name__ == "__main__":
