@@ -314,7 +314,17 @@ def embedding_lsh_candidates(
     @pandas_udf("array<string>")
     def _band_keys(vecs: pd.Series) -> pd.Series:
         X = np.stack(vecs.to_numpy()).astype(np.float64)
-        bits = (np.floor(X * 1e6).astype(np.int64) @ sign_mat.T) > 0
+        # defined quantization on poison components: NaN -> 0 and
+        # magnitude bombs saturate at the +-_Q_DOMAIN*1e6 cap (raw
+        # astype(int64) of an out-of-range/NaN double is UNDEFINED C
+        # behavior — platform-dependent wrap — which no oracle can
+        # mirror). Clean corpora sit orders of magnitude inside the
+        # cap, so clean buckets are unchanged; the capped sum also
+        # keeps every |dot| <= 64 * 2e7, far from int64 overflow.
+        Qf = np.floor(X * 1e6)
+        Qf = np.where(np.isnan(Qf), 0.0, Qf)
+        cap = _Q_DOMAIN * 1e6
+        bits = (np.clip(Qf, -cap, cap).astype(np.int64) @ sign_mat.T) > 0
         chars = np.where(bits, "1", "0")
         out = []
         for row in chars:

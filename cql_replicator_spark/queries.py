@@ -263,13 +263,13 @@ _DEC = "decimal(18,2)"
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
-  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  CAST(sum(TRY_CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - TRY_CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - TRY_CAST(l_discount AS DECIMAL(18,2))) * (1 + TRY_CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  round(CAST(sum(TRY_CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+  round(CAST(sum(TRY_CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -305,7 +305,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
 SELECT l.l_orderkey,
-  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  CAST(sum(TRY_CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - TRY_CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
   o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -350,7 +350,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
 SELECT n.n_name,
-  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  CAST(sum(TRY_CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - TRY_CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -400,7 +400,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+SELECT CAST(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,2)) * TRY_CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
@@ -431,11 +431,11 @@ WITH big AS (
   SELECT l_orderkey
   FROM lineitem
   GROUP BY l_orderkey
-  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+  HAVING sum(TRY_CAST(l_quantity AS DECIMAL(18,2))) > 300
 )
 SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
        CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
-       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       CAST(sum(TRY_CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM orders o
 JOIN big ON o.o_orderkey = big.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -536,17 +536,17 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_part AS (
   SELECT l_partkey,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+         sum(TRY_CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
          count(l_quantity) AS qty_cnt
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+SELECT CAST(CAST(sum(TRY_CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
        AS DOUBLE) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN per_part pp ON pp.l_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#23'
-  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.qty_cnt < pp.qty_sum
+  AND TRY_CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.qty_cnt < pp.qty_sum
 """,
     doc="Correlated scalar subquery (quantity below 20% of the part's "
         "mean — TPC-H Q17 shape) decorrelated into a per-part aggregate "
@@ -752,7 +752,7 @@ def writetime_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   CAST(min(o_totalprice) AS DOUBLE) AS o_totalprice_min,
-  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS o_totalprice_avg,
+  round(CAST(sum(TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS o_totalprice_avg,
   CAST(max(o_totalprice) AS DOUBLE) AS o_totalprice_max,
   CAST(min(length(o_orderstatus)) AS DOUBLE) AS o_orderstatus_min,
   round(CAST(sum(length(o_orderstatus)) AS DOUBLE) / count(*), 4) AS o_orderstatus_avg,
@@ -786,7 +786,8 @@ def column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart, event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                         AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY date_trunc('day', ts), event_type
 ORDER BY wstart, event_type
@@ -924,7 +925,7 @@ def lineitem_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ordered AS (
   SELECT user_id, event_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_ts
   FROM events
 ),
 flagged AS (
@@ -935,7 +936,7 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts,
-         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                      ROWS UNBOUNDED PRECEDING)
               AS BIGINT) AS session_id
   FROM flagged
@@ -969,11 +970,18 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sessionize_stateful",
+    # streaming-boundary mirror (r16 poison oracle sweep): the
+    # applyInPandasWithState operator never sees a NULL-event-time row
+    # (it has no place on the watermark axis), and a row at-or-below
+    # the stream's initial epoch-zero watermark is late-dropped before
+    # any state is created — both excluded here, exactly the
+    # dedup_events_stream boundary
     oracle="""
 WITH ordered AS (
   SELECT user_id, event_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_ts
   FROM events
+  WHERE ts IS NOT NULL AND ts > TIMESTAMP '1970-01-01 00:00:00'
 ),
 flagged AS (
   SELECT user_id, event_id, ts,
@@ -983,7 +991,7 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
@@ -1007,7 +1015,7 @@ def events_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH spend AS (
   SELECT o_custkey,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+         CAST(sum(TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
   FROM orders GROUP BY o_custkey
 )
 SELECT o_custkey, total_spend,
@@ -1079,7 +1087,7 @@ def column_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(sum(TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
        CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
        CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
 FROM orders
@@ -1165,10 +1173,16 @@ def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_props_json",
     oracle="""
-SELECT event_id,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-       count(*) OVER (PARTITION BY CAST(json_extract(props, '$.k') AS BIGINT)) AS n_same_k
-FROM events
+WITH x AS (
+  -- json_valid guard: Spark's get_json_object returns NULL on
+  -- malformed JSON; DuckDB's json_extract raises on it
+  SELECT event_id,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events
+)
+SELECT event_id, k, count(*) OVER (PARTITION BY k) AS n_same_k
+FROM x
 """,
     doc="JSON field extraction from a string column (json4s field ops "
         "K:171-207 -> from_json/get_json_object) + a count window over the "
@@ -1275,7 +1289,7 @@ def resize_tiles_count_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   COALESCE(CAST(min(o_totalprice) AS DOUBLE), 0) + COALESCE(CAST(min(length(o_orderstatus)) AS DOUBLE), 0) + CAST(8 AS DOUBLE) AS row_min_total,
-  COALESCE(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4), 0)
+  COALESCE(round(CAST(sum(TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4), 0)
     + COALESCE(round(CAST(sum(length(o_orderstatus)) AS DOUBLE) / count(*), 4), 0) + CAST(8 AS DOUBLE) AS row_avg_total,
   COALESCE(CAST(max(o_totalprice) AS DOUBLE), 0) + COALESCE(CAST(max(length(o_orderstatus)) AS DOUBLE), 0) + CAST(8 AS DOUBLE) AS row_max_total
 FROM orders
@@ -1423,7 +1437,7 @@ def timestamp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "column_compression_roundtrip",
     oracle="""
 SELECT o_orderkey,
-       octet_length(encode(o_orderpriority)) AS n_raw,
+       octet_length(encode(COALESCE(o_orderpriority, ''))) AS n_raw,
        true AS roundtrip_ok
 FROM orders
 """,
@@ -1730,8 +1744,9 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ordered AS (
   SELECT user_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_ts
   FROM events
+  WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, ts,
@@ -1741,7 +1756,7 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                                 ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
@@ -1754,7 +1769,9 @@ FROM sess GROUP BY user_id, sid
         "pass, and the same operator works under Structured Streaming "
         "with watermark state eviction). Session boundary is >= gap "
         "(window end exclusive), mirrored in the oracle; events carry "
-        "sub-second jitter so boundary ties cannot occur in the fixture",
+        "sub-second jitter so boundary ties cannot occur in the fixture. "
+        "session_window DROPS NULL-event-time rows (they have no place "
+        "on the event-time axis) — mirrored with ts IS NOT NULL",
 )
 def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")["events"]

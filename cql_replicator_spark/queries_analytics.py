@@ -822,6 +822,26 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- similarity -----------------------------------------------------------------
 
+def _floor_long_sql(x: str) -> str:
+    """DuckDB mirror of Spark's floor(DOUBLE) -> LONG, which follows
+    the JVM (long)double conversion: NaN -> 0, out-of-range saturates
+    to Long.MIN/MAX (verified empirically against Spark 4.1). DuckDB's
+    own CAST errors on overflow and its TRY_CAST errors on NaN (engine
+    quirk), so a poison component would kill the plain-SQL oracle."""
+    return (f"CASE WHEN isnan({x}) THEN 0 "
+            f"WHEN {x} >= 9223372036854775808.0 THEN 9223372036854775807 "
+            f"WHEN {x} <= -9223372036854775808.0 THEN -9223372036854775808 "
+            f"ELSE CAST(floor({x}) AS BIGINT) END")
+
+
+# Poison-hardened cosine, mirroring analytics.similarity.cosine's
+# contract: NULL for a NULL/empty/dimension-mismatched pair (Spark's
+# zip_with/size path), NULL for zero norm (DuckDB x/0.0 is NULL, like
+# try_divide), NULL for a NaN result (inf/overflow components — Spark
+# nanvl). Malformed pairs go through a REAL filter + UNION ALL, not a
+# CASE guard: DuckDB's list_inner_product validates its whole input
+# vector batch, so a CASE branch still crashes on the rows the WHEN
+# excluded — only a WHERE produces clean vectors.
 _COS_SQL = """
 q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id < 5),
@@ -829,9 +849,20 @@ c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
       FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id,
-         list_dot_product(qv, cv)
-           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
-  FROM q, c WHERE query_id <> neighbor_id
+         CASE WHEN isnan(list_dot_product(qv, cv)
+                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+              THEN NULL
+              ELSE list_dot_product(qv, cv)
+                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         END AS cos
+  FROM q, c
+  WHERE query_id <> neighbor_id AND qv IS NOT NULL AND cv IS NOT NULL
+    AND len(qv) = len(cv) AND len(qv) > 0
+  UNION ALL
+  SELECT query_id, neighbor_id, CAST(NULL AS DOUBLE) AS cos
+  FROM q, c
+  WHERE query_id <> neighbor_id AND (qv IS NULL OR cv IS NULL
+    OR len(qv) <> len(cv) OR len(qv) = 0)
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
@@ -903,8 +934,7 @@ assigned AS (
   SELECT vec_id, cid FROM (
     SELECT corpus.vec_id, cents.cid,
            row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
-             list_dot_product(cv, centv)
-               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centv, centv))) DESC,
+             CASE WHEN cv IS NULL OR centv IS NULL OR len(cv) = 0 OR len(cv) <> len(centv) THEN NULL ELSE (CASE WHEN isnan(list_dot_product(cv, centv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centv, centv)))) THEN NULL ELSE list_dot_product(cv, centv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centv, centv))) END) END DESC,
              cid) AS rn
     FROM corpus, cents)
   WHERE rn = 1
@@ -915,16 +945,14 @@ probes AS (
   SELECT query_id, cid FROM (
     SELECT q.query_id, cents.cid,
            row_number() OVER (PARTITION BY q.query_id ORDER BY
-             list_dot_product(qv, centv)
-               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centv, centv))) DESC,
+             CASE WHEN qv IS NULL OR centv IS NULL OR len(qv) = 0 OR len(qv) <> len(centv) THEN NULL ELSE (CASE WHEN isnan(list_dot_product(qv, centv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centv, centv)))) THEN NULL ELSE list_dot_product(qv, centv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centv, centv))) END) END DESC,
              cid) AS rn
     FROM q, cents)
   WHERE rn <= 2
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         list_dot_product(q.qv, c.cv)
-           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+         CASE WHEN q.qv IS NULL OR c.cv IS NULL OR len(q.qv) = 0 OR len(q.qv) <> len(c.cv) THEN NULL ELSE (CASE WHEN isnan(list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) THEN NULL ELSE list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) END) END AS cos
   FROM probes p
   JOIN assigned a ON a.cid = p.cid
   JOIN corpus c ON c.vec_id = a.vec_id
@@ -967,16 +995,14 @@ assigned AS (
   SELECT vec_id, cid FROM (
     SELECT corpus.vec_id, cents.cid,
            row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
-             list_dot_product(cv, centv)
-               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centv, centv))) DESC,
+             CASE WHEN cv IS NULL OR centv IS NULL OR len(cv) = 0 OR len(cv) <> len(centv) THEN NULL ELSE (CASE WHEN isnan(list_dot_product(cv, centv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centv, centv)))) THEN NULL ELSE list_dot_product(cv, centv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centv, centv))) END) END DESC,
              cid) AS rn
     FROM corpus, cents)
   WHERE rn = 1
 ),
 scored AS (
   SELECT ax.vec_id AS id_a, ay.vec_id AS id_b,
-         list_dot_product(x.cv, y.cv)
-           / (sqrt(list_dot_product(x.cv, x.cv)) * sqrt(list_dot_product(y.cv, y.cv))) AS cos
+         CASE WHEN x.cv IS NULL OR y.cv IS NULL OR len(x.cv) = 0 OR len(x.cv) <> len(y.cv) THEN NULL ELSE (CASE WHEN isnan(list_dot_product(x.cv, y.cv) / (sqrt(list_dot_product(x.cv, x.cv)) * sqrt(list_dot_product(y.cv, y.cv)))) THEN NULL ELSE list_dot_product(x.cv, y.cv) / (sqrt(list_dot_product(x.cv, x.cv)) * sqrt(list_dot_product(y.cv, y.cv))) END) END AS cos
   FROM assigned ax
   JOIN assigned ay ON ax.cid = ay.cid AND ax.vec_id <> ay.vec_id
   JOIN corpus x ON x.vec_id = ax.vec_id
@@ -1163,10 +1189,19 @@ def ivm_stream_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_events_stream",
-    oracle="SELECT event_id, ts, user_id FROM events",
+    # watermark-boundary mirror (r16 poison oracle sweep, verified
+    # empirically): Spark's streaming dedup KEEPS NULL-event-time rows
+    # (no event-time predicate applies to them) but DROPS a row whose
+    # event time is at-or-below the stream's initial watermark
+    # (epoch 0) as late — so a 1970-01-01T00:00:00 poison row never
+    # reaches the state store even in the first micro-batch
+    oracle="""SELECT event_id, ts, user_id FROM events
+WHERE ts IS NULL OR ts > TIMESTAMP '1970-01-01 00:00:00'""",
     doc="Streaming exactly-once dedup: dropDuplicates with watermark-bounded "
         "state over a real Structured Streaming job; duplicated input "
-        "micro-batches collapse back to the batch-distinct table",
+        "micro-batches collapse back to the batch-distinct table (minus "
+        "rows at-or-below the initial epoch-zero watermark, which the "
+        "operator late-drops; NULL event times pass through)",
 )
 def dedup_events_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stateful import dedup_events_stream
@@ -1177,12 +1212,18 @@ def _rp_lsh_oracle(dim: int = 64, planes: int = S.RP_PLANES,
                    bands: int = 2,
                    max_bucket_size: int | None = None) -> str:
     per_band = planes // bands
+    cap = int(S._Q_DOMAIN * 1e6)
     bit_exprs = []
     for p in range(planes):
         signs = ", ".join(str(S.rp_sign(p, d, dim)) for d in range(dim))
+        # mirrors the lane's defined quantization: NaN -> 0 and
+        # saturation at +-_Q_DOMAIN*1e6 (_floor_long_sql handles the
+        # NaN/overflow edges DuckDB's plain CAST crashes on)
+        q = (f"greatest(least({_floor_long_sql('(x[1]*1e6)')}, {cap}), "
+             f"-{cap})")
         bit_exprs.append(
             f"CASE WHEN list_sum(list_transform(list_zip(v, [{signs}]), "
-            f"x -> CAST(floor(x[1]*1e6) AS BIGINT) * x[2])) > 0 "
+            f"x -> {q} * x[2])) > 0 "
             f"THEN '1' ELSE '0' END AS bit{p}")
     bits = ",\n    ".join(bit_exprs)
     band_selects = []
@@ -1201,8 +1242,11 @@ ok AS (
     return f"""
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
 ),
 bits AS (
   SELECT vec_id,
@@ -1253,7 +1297,14 @@ vecs AS (
   SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 quant AS (
-  SELECT vec_id, list_transform(v, x -> CAST(floor(x*1e6) AS BIGINT)) AS q FROM vecs
+  -- quantized_cosine's _Q_DOMAIN contract: an off-domain (NaN or
+  -- |x| > 20) vector's cosine is NULL, which the >= threshold verify
+  -- drops — expressed here as an inner-join absence; the filter also
+  -- keeps DuckDB's BIGINT cast in range (it crashes on poison)
+  SELECT vec_id, list_transform(v, x -> CAST(floor(x*1e6) AS BIGINT)) AS q
+  FROM vecs
+  WHERE v IS NOT NULL
+    AND len(list_filter(v, x -> isnan(x) OR abs(x) > 20.0)) = 0
 ),
 scored AS (
   SELECT c.id_a, c.id_b,
@@ -1289,7 +1340,7 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     oracle="""
 SELECT doc_id AS id, 'image' AS media_type,
-       octet_length(encode(text)) AS n_bytes
+       octet_length(encode(COALESCE(text, ''))) AS n_bytes
 FROM documents
 """,
     doc="Multimodal plumbing: binary media column -> Arrow-batched "
@@ -1308,9 +1359,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize",
     oracle="""
 SELECT doc_id AS id,
-       CAST(30 AS BIGINT) AS n_bytes,
+       CASE WHEN text IS NOT NULL THEN CAST(30 AS BIGINT) END AS n_bytes,
        64 AS width, 48 AS height,
-       md5(substr(repeat(text, CAST(30 / length(text) AS INTEGER) + 1), 1, 30))
+       CASE WHEN text IS NULL THEN NULL
+            -- md5 of 30 NUL bytes: fake_resize substitutes b'\\x00'
+            -- for an empty payload before cycling
+            WHEN length(text) = 0 THEN '862dec5c27142824a394bc6464928f48'
+            ELSE md5(substr(repeat(text, CAST(30 / length(text) AS INTEGER)
+                                   + 1), 1, 30)) END
          AS content_md5
 FROM documents
 """,
@@ -1335,14 +1391,17 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frames",
     oracle="""
 WITH base AS (
-  SELECT doc_id AS id, length(text) AS len,
+  -- len counts payload BYTES (the lane slices the utf-8 media
+  -- payload); n derives from CHAR count (duration_ms = 40ms/char in
+  -- the synthesizer's meta) — distinct on multibyte text
+  SELECT doc_id AS id, octet_length(encode(COALESCE(text, ''))) AS len,
          greatest(1, (length(text) * 40) // 1000) AS n
   FROM documents
 )
 SELECT id,
        CAST(n AS BIGINT) AS n_frames,
        CAST((n - 1) * 1000 AS INTEGER) AS last_ts_ms,
-       CAST(n * (len // n) AS BIGINT) AS total_frame_bytes
+       CAST(n * (COALESCE(len, 0) // n) AS BIGINT) AS total_frame_bytes
 FROM base
 """,
     doc="Multimodal frame sampling: per-video 1->N frame explode "
@@ -1365,9 +1424,12 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_image_headers",
     oracle="""
 SELECT doc_id AS id,
-       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
-       CAST(length(text) % 1920 + 1 AS INTEGER) AS width,
-       CAST(length(text) % 1080 + 1 AS INTEGER) AS height
+       CASE WHEN text IS NOT NULL THEN
+         (CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END) END AS format,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(length(text) % 1920 + 1 AS INTEGER) END AS width,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(length(text) % 1080 + 1 AS INTEGER) END AS height
 FROM documents
 """,
     doc="Minimal-REAL image decode (metadata half, no image library): "
@@ -1389,11 +1451,15 @@ def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_audio_headers",
     oracle="""
-SELECT doc_id AS id, 'wav' AS format,
-       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
-       CAST(8000 + (length(text) % 8) * 1000 AS INTEGER) AS sample_rate,
-       CAST(length(text) * 1000 // (8000 + (length(text) % 8) * 1000)
-            AS BIGINT) AS duration_ms
+SELECT doc_id AS id,
+       CASE WHEN text IS NOT NULL THEN 'wav' END AS format,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(8000 + (length(text) % 8) * 1000 AS INTEGER) END AS sample_rate,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(length(text) * 1000 // (8000 + (length(text) % 8) * 1000)
+              AS BIGINT) END AS duration_ms
 FROM documents
 """,
     doc="Minimal-real audio decode (metadata half): PCM WAV containers "
@@ -1415,15 +1481,21 @@ def multimodal_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_bmp_pixel_decode",
     oracle="""
 SELECT doc_id AS id,
-       CAST(doc_id % 16 + 3 AS INTEGER) AS width,
-       CAST(doc_id % 8 + 2 AS INTEGER) AS height,
-       CAST((doc_id % 16 + 3) * (doc_id % 8 + 2) AS BIGINT) AS n_px,
-       CAST((doc_id % 251) * (doc_id % 16 + 3) * (doc_id % 8 + 2)
-            AS BIGINT) AS sum_r,
-       CAST((length(text) % 253) * (doc_id % 16 + 3) * (doc_id % 8 + 2)
-            AS BIGINT) AS sum_g,
-       CAST(((doc_id + length(text)) % 255) * (doc_id % 16 + 3)
-            * (doc_id % 8 + 2) AS BIGINT) AS sum_b
+       CASE WHEN text IS NOT NULL THEN
+         CAST(doc_id % 16 + 3 AS INTEGER) END AS width,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(doc_id % 8 + 2 AS INTEGER) END AS height,
+       CASE WHEN text IS NOT NULL THEN
+         CAST((doc_id % 16 + 3) * (doc_id % 8 + 2) AS BIGINT) END AS n_px,
+       CASE WHEN text IS NOT NULL THEN
+         CAST((doc_id % 251) * (doc_id % 16 + 3) * (doc_id % 8 + 2)
+              AS BIGINT) END AS sum_r,
+       CASE WHEN text IS NOT NULL THEN
+         CAST((length(text) % 253) * (doc_id % 16 + 3) * (doc_id % 8 + 2)
+              AS BIGINT) END AS sum_g,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(((doc_id + length(text)) % 255) * (doc_id % 16 + 3)
+              * (doc_id % 8 + 2) AS BIGINT) END AS sum_b
 FROM documents
 """,
     doc="REAL pixel decode (the data half, no image library): solid-"
@@ -1448,14 +1520,20 @@ def multimodal_bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_wav_pcm_decode",
     oracle="""
 SELECT doc_id AS id,
-       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
-       CAST(8000 + (length(text) % 8) * 1000 AS INTEGER) AS sample_rate,
-       CAST((length(text) % 50 + 1) * (doc_id % 2 + 1) AS BIGINT)
+       CASE WHEN text IS NOT NULL THEN
+         CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(8000 + (length(text) % 8) * 1000 AS INTEGER) END
+           AS sample_rate,
+       CASE WHEN text IS NOT NULL THEN
+         CAST((length(text) % 50 + 1) * (doc_id % 2 + 1) AS BIGINT) END
            AS n_samples,
-       CAST((doc_id % 30000 + 1) * (doc_id % 30000 + 1)
-            * (length(text) % 50 + 1) * (doc_id % 2 + 1) AS BIGINT)
+       CASE WHEN text IS NOT NULL THEN
+         CAST((doc_id % 30000 + 1) * (doc_id % 30000 + 1)
+              * (length(text) % 50 + 1) * (doc_id % 2 + 1) AS BIGINT) END
            AS sum_sq,
-       CAST(doc_id % 30000 + 1 AS INTEGER) AS peak
+       CASE WHEN text IS NOT NULL THEN
+         CAST(doc_id % 30000 + 1 AS INTEGER) END AS peak
 FROM documents
 """,
     doc="REAL PCM sample decode (the data half, no audio library): "
@@ -1546,7 +1624,7 @@ def multimodal_progressive_jpeg_decode(spark: SparkSession,
     "multimodal_gif_pixel_decode",
     oracle="""
 WITH d AS (
-  SELECT doc_id, length(text) AS tl,
+  SELECT doc_id, COALESCE(length(text), 0) AS tl,
          doc_id % 14 + 2 AS w, doc_id % 9 + 2 AS h
   FROM documents
 )
@@ -1589,9 +1667,9 @@ SELECT doc_id AS id,
        CAST((doc_id % 15 + 2) * (doc_id % 10 + 2) AS BIGINT) AS n_px,
        CAST((doc_id % 249) * (doc_id % 15 + 2) * (doc_id % 10 + 2)
             AS BIGINT) AS sum_r,
-       CAST(((doc_id + length(text)) % 250) * (doc_id % 15 + 2)
+       CAST(((doc_id + COALESCE(length(text), 0)) % 250) * (doc_id % 15 + 2)
             * (doc_id % 10 + 2) AS BIGINT) AS sum_g,
-       CAST((length(text) % 247) * (doc_id % 15 + 2) * (doc_id % 10 + 2)
+       CAST((COALESCE(length(text), 0) % 247) * (doc_id % 15 + 2) * (doc_id % 10 + 2)
             AS BIGINT) AS sum_b
 FROM documents
 """,
@@ -1613,22 +1691,23 @@ def multimodal_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_g711_audio_decode",
     oracle="""
 WITH d AS (
-  SELECT doc_id, length(text) % 40 + 1 AS n,
+  SELECT doc_id, text IS NULL AS tnull, length(text) % 40 + 1 AS n,
          xor(doc_id % 256, 85) AS a
   FROM documents
 ), m AS (
-  SELECT doc_id, n,
+  SELECT doc_id, tnull, n,
          CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
               ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
          END AS mag
   FROM d
 )
 SELECT doc_id AS id,
-       CAST(1 AS INTEGER) AS channels,
-       CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS sample_rate,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST(mag * mag * n AS BIGINT) AS sum_sq,
-       CAST(mag AS INTEGER) AS peak
+       CASE WHEN NOT tnull THEN CAST(1 AS INTEGER) END AS channels,
+       CASE WHEN NOT tnull THEN
+         CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) END AS sample_rate,
+       CASE WHEN NOT tnull THEN CAST(n AS BIGINT) END AS n_samples,
+       CASE WHEN NOT tnull THEN CAST(mag * mag * n AS BIGINT) END AS sum_sq,
+       CASE WHEN NOT tnull THEN CAST(mag AS INTEGER) END AS peak
 FROM m
 """,
     doc="REAL G.711 A-law decode (format tag 6): WAVs whose every "
@@ -1651,12 +1730,16 @@ def multimodal_g711_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_adpcm_audio_decode",
     oracle="""
 SELECT doc_id AS id,
-       CAST(1 AS INTEGER) AS channels,
-       CAST(8000 AS INTEGER) AS sample_rate,
-       CAST((length(text) % 24 + 1) * 2 + 1 AS BIGINT) AS n_samples,
-       CAST((doc_id % 30001 - 15000) * (doc_id % 30001 - 15000)
-            * ((length(text) % 24 + 1) * 2 + 1) AS BIGINT) AS sum_sq,
-       CAST(abs(doc_id % 30001 - 15000) AS INTEGER) AS peak
+       CASE WHEN text IS NOT NULL THEN CAST(1 AS INTEGER) END AS channels,
+       CASE WHEN text IS NOT NULL THEN CAST(8000 AS INTEGER) END
+         AS sample_rate,
+       CASE WHEN text IS NOT NULL THEN
+         CAST((length(text) % 24 + 1) * 2 + 1 AS BIGINT) END AS n_samples,
+       CASE WHEN text IS NOT NULL THEN
+         CAST((doc_id % 30001 - 15000) * (doc_id % 30001 - 15000)
+              * ((length(text) % 24 + 1) * 2 + 1) AS BIGINT) END AS sum_sq,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(abs(doc_id % 30001 - 15000) AS INTEGER) END AS peak
 FROM documents
 """,
     doc="REAL IMA ADPCM decode (format tag 0x11) through the "
@@ -1679,7 +1762,7 @@ def multimodal_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
 WITH d AS (
   SELECT doc_id,
-         length(text) % 40 + 20 AS n,
+         COALESCE(length(text), 0) % 40 + 20 AS n,
          doc_id % 1001 - 500 AS b
   FROM documents
 )
@@ -1781,11 +1864,15 @@ def multimodal_y4m_pixel_decode(spark: SparkSession,
 @register(
     "multimodal_video_headers",
     oracle="""
-SELECT doc_id AS id, 'mp4' AS format,
-       CAST(length(text) % 1280 + 1 AS INTEGER) AS width,
-       CAST(length(text) % 720 + 1 AS INTEGER) AS height,
-       CAST(length(text) * 25 * 1000 // (500 + doc_id % 500) AS BIGINT)
-         AS duration_ms
+SELECT doc_id AS id,
+       CASE WHEN text IS NOT NULL THEN 'mp4' END AS format,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(length(text) % 1280 + 1 AS INTEGER) END AS width,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(length(text) % 720 + 1 AS INTEGER) END AS height,
+       CASE WHEN text IS NOT NULL THEN
+         CAST(length(text) * 25 * 1000 // (500 + doc_id % 500) AS BIGINT)
+         END AS duration_ms
 FROM documents
 """,
     doc="Minimal-real video decode (metadata half, completing the "
@@ -1835,22 +1922,23 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_quantize",
-    oracle="""
+    oracle=f"""
 WITH q AS (
   SELECT vec_id,
          CAST(len(embedding) AS INT) AS dim,
          list_transform(embedding, v ->
            greatest(CAST(-127 AS BIGINT),
                     least(CAST(127 AS BIGINT),
-                          CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)))) AS qv,
+                          {_floor_long_sql('(CAST(v AS DOUBLE) * 100)')}))) AS qv,
          list_transform(embedding, v ->
-           CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)) AS rv
+           {_floor_long_sql('(CAST(v AS DOUBLE) * 100)')}) AS rv
   FROM embeddings
 )
 SELECT vec_id, dim,
        list_min(qv) AS qmin,
        list_max(qv) AS qmax,
-       CAST(list_sum(qv) AS BIGINT) AS qsum,
+       CASE WHEN qv IS NULL THEN NULL
+            ELSE COALESCE(CAST(list_sum(qv) AS BIGINT), 0) END AS qsum,
        CAST(len(list_filter(rv, v -> v < -127 OR v > 127)) AS BIGINT) AS n_clipped
 FROM q
 """,
@@ -1872,7 +1960,7 @@ SELECT event_id, user_id,
        epoch_ms(lead(ts) OVER w) - epoch_ms(ts) AS gap_next_ms,
        lag(event_type) OVER w AS prev_type
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 """,
     doc="Per-user event gap features (lead/lag window functions): ms "
         "since previous and until next event plus previous event type — "
@@ -1898,11 +1986,13 @@ def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_moving_avg",
     oracle="""
 SELECT o_orderkey, o_custkey,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       CAST(sum(TRY_CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       CAST(sum(TRY_CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
             AS moving3_spend
 FROM orders
@@ -2372,10 +2462,10 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_quantile_histogram",
-    oracle="""
+    oracle=f"""
 WITH h AS (
   SELECT greatest(0, least(127,
-           CAST(floor((o_totalprice - 0.0) * 128 / 600000.0) AS BIGINT)))
+           {_floor_long_sql('((o_totalprice - 0.0) * 128 / 600000.0)')}))
            AS bin,
          count(*) AS cnt
   FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
@@ -2547,7 +2637,7 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH seq AS (
   SELECT user_id, event_type,
          lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS next_type
+                                ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS next_type
   FROM events
 )
 SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n,
@@ -2803,10 +2893,14 @@ def _kmeans_oracle(k: int = 8, rounds: int = 2, dim: int = 64,
     tr = "tr" if train_sample else "q"
     parts = [f"""
 q AS (
+  -- well_formed mirror (lane excludes NULL/ragged vectors from
+  -- clustering) + Spark's saturating floor->long (NaN -> 0,
+  -- overflow saturates; DuckDB's plain CAST crashes on poison)
   SELECT vec_id, list_transform(embedding, v ->
     greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
-      CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)))) AS qv
+      {_floor_long_sql('(CAST(v AS DOUBLE) * 100)')}))) AS qv
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
 ),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
@@ -2892,10 +2986,16 @@ WITH cl AS (
 {kmeans}
 ),
 vq AS (
+  -- quantized_cosine's _Q_DOMAIN contract (NaN/|x|>20 -> NULL cosine,
+  -- dropped by the >= threshold filter) as an inner-join absence;
+  -- also keeps the BIGINT cast in range (crashes on poison otherwise)
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(floor(x*1e6) AS BIGINT)) AS q
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                        x -> isnan(x) OR abs(x) > 20.0)) = 0
 ),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2984,10 +3084,21 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (_t(spark, sf_dir, "documents")["documents"]
             .select("doc_id", "text", "lang", "n_chars"))
     stage = _stage_dir("csv_src")
+    # explicit null sentinel: CSV cannot otherwise distinguish NULL
+    # from '' (both render as an empty field), so a corpus with both
+    # silently merges them on read-back (r16 poison oracle sweep) —
+    # the sentinel must ride BOTH the writer and the reader
+    # the CSV WRITER trims surrounding whitespace by default
+    # (ignore*WhiteSpace default true on write, false on read) —
+    # whitespace-only and trailing-space text must survive byte-exact
     (docs.write.mode("overwrite")
-     .option("header", "true").option("quoteAll", "true").csv(stage))
+     .option("header", "true").option("quoteAll", "true")
+     .option("ignoreLeadingWhiteSpace", "false")
+     .option("ignoreTrailingWhiteSpace", "false")
+     .option("nullValue", "\\N").csv(stage))
     back = (spark.read.schema(docs.schema)
-            .option("header", "true").csv(stage))
+            .option("header", "true").option("nullValue", "\\N")
+            .option("emptyValue", "").csv(stage))
     return _roundtrip_aggregate(back)
 
 
@@ -3009,8 +3120,14 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_dir("xml_src")
     (docs.write.mode("overwrite").format("xml")
      .option("rootTag", "documents").option("rowTag", "row").save(stage))
+    # ignoreSurroundingSpaces=false: the reader's default TRIMS element
+    # text, so whitespace-only documents collapse to '' and trailing
+    # spaces vanish — corpus text must survive byte-exact (r16 poison
+    # oracle sweep; clean docs carry no surrounding whitespace, so the
+    # clean result is unchanged)
     back = (spark.read.schema(docs.schema).format("xml")
-            .option("rowTag", "row").load(stage))
+            .option("rowTag", "row")
+            .option("ignoreSurroundingSpaces", "false").load(stage))
     return _roundtrip_aggregate(back)
 
 
@@ -3392,9 +3509,9 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
            AS prev_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
   FROM events
 ),
 changes AS (
@@ -3408,7 +3525,7 @@ SELECT user_id, event_type,
        CAST(row_number() OVER w AS BIGINT) AS version,
        lead(ts) OVER w IS NULL AS is_current
 FROM changes
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 """,
     doc="SCD2 dimension build (temporal.scd2_history): each user's "
         "event_type change feed collapses to validity intervals "
@@ -3466,11 +3583,22 @@ lex AS (
 ),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 cosv AS (
+  -- real filter + UNION, not a CASE guard: list_inner_product
+  -- validates its whole input batch (see _COS_SQL)
   SELECT c.vec_id AS doc_id,
-         list_dot_product(qv, cv)
-           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-           AS cos
+         CASE WHEN isnan(list_dot_product(qv, cv)
+                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+              THEN NULL
+              ELSE list_dot_product(qv, cv)
+                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         END AS cos
   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) c, q
+  WHERE qv IS NOT NULL AND cv IS NOT NULL AND len(qv) = len(cv)
+    AND len(qv) > 0
+  UNION ALL
+  SELECT c.vec_id AS doc_id, CAST(NULL AS DOUBLE) AS cos
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) c, q
+  WHERE qv IS NULL OR cv IS NULL OR len(qv) <> len(cv) OR len(qv) = 0
 ),
 sem AS (
   SELECT doc_id,
@@ -3741,7 +3869,9 @@ def reconcile_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH iv AS (
   SELECT event_id, event_type, epoch_ms(ts) AS s,
-         epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e
+         epoch_ms(ts) + TRY_CAST(CASE WHEN isnan(value * 1000) THEN NULL
+                                      ELSE round(value * 1000) END
+                                 AS BIGINT) AS e
   FROM events
 ),
 pts AS (
@@ -3752,7 +3882,8 @@ pts AS (
 run AS (
   SELECT event_type,
          CAST(sum(d) OVER (PARTITION BY event_type
-                           ORDER BY t, d, event_id) AS BIGINT) AS c
+                           ORDER BY t NULLS FIRST, d,
+                                    event_id NULLS FIRST) AS BIGINT) AS c
   FROM pts
 )
 SELECT r.event_type, r.max_concurrent, n.n_intervals
@@ -3776,8 +3907,10 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")["events"]
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     # try_cast: a poison value (±1e32) makes the duration un-castable —
-    # the interval ends up NULL-bounded and drops out of the sweep
-    # instead of CAST_OVERFLOW killing the job (r9 ANSI discipline)
+    # the interval ends up NULL-bounded; its boundary points sort to
+    # the head of the sweep (NULLS FIRST, mirrored in the oracle) and
+    # cancel out before any real timestamp, instead of CAST_OVERFLOW
+    # killing the job (r9 ANSI discipline)
     iv = events.select(
         "event_id", "event_type", ms.alias("s"),
         (ms + F.round(F.col("value") * 1000).try_cast("long")).alias("e"))
@@ -3789,7 +3922,7 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH idx AS (
   SELECT event_type,
-         CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS bit
+         CAST(row_number() OVER (ORDER BY event_type NULLS FIRST) - 1 AS BIGINT) AS bit
   FROM (SELECT DISTINCT event_type FROM events)
 )
 SELECT e.user_id,
@@ -3829,6 +3962,7 @@ SELECT o_orderstatus,
          floor((o_totalprice - 0.0) * 16 / 500000.0))) AS BIGINT) AS bin,
        count(*) AS cnt
 FROM orders
+WHERE o_totalprice IS NOT NULL
 GROUP BY 1, 2
 """,
     doc="Per-group histogram sketches (sketch.quantile_histogram_grouped): "
@@ -3961,7 +4095,7 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rev AS (
   SELECT n.n_name,
-         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nation_rev
+         sum(TRY_CAST(o.o_totalprice AS DECIMAL(18,2))) AS nation_rev
   FROM orders o
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -4007,9 +4141,11 @@ SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
-       round(avg(CASE WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END), 6)
+       round(avg(CASE WHEN n_chars IS NULL THEN NULL
+                      WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END), 6)
          AS pct_short,
-       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en
+       round(avg(CASE WHEN lang IS NULL THEN NULL
+                      WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en
 FROM documents
 GROUP BY source
 """,
@@ -4085,18 +4221,18 @@ WITH ev AS (
 ),
 j AS (
   SELECT *, COALESCE(sum(isp) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
+           PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
   FROM ev
 ),
 t AS (
   SELECT *,
     first_value(click_id IGNORE NULLS) OVER (
-      PARTITION BY user_id, journey ORDER BY ts, event_id
+      PARTITION BY user_id, journey ORDER BY ts NULLS FIRST, event_id NULLS FIRST
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       AS first_click_id,
     last_value(click_id IGNORE NULLS) OVER (
-      PARTITION BY user_id, journey ORDER BY ts, event_id
+      PARTITION BY user_id, journey ORDER BY ts NULLS FIRST, event_id NULLS FIRST
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
     count(click_id) OVER (PARTITION BY user_id, journey) AS n_clicks
   FROM j
@@ -4332,15 +4468,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_anomaly_mad",
     oracle="""
 WITH med AS (
+  -- finite-only model (oracle-mirrored in the lane): one NaN/inf
+  -- poison value must not shift the median, and the engines disagree
+  -- on non-finite ordering inside interpolated percentiles anyway;
+  -- every row still counts in n / n_outliers (NaN adev ranks above
+  -- any 3*MAD fence in both engines' total order)
   SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY event_type
+  FROM events WHERE isfinite(value) GROUP BY event_type
 ),
 d AS (
   SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
   FROM events e JOIN med m USING (event_type)
 ),
 mad AS (
-  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY event_type
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d
+  WHERE isfinite(adev) GROUP BY event_type
 )
 SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
        round(any_value(d.med), 6) AS med,
@@ -4359,12 +4501,19 @@ GROUP BY d.event_type
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")["events"].select("event_type", "value")
-    med = events.groupBy("event_type").agg(
+
+    def finite(c):
+        # oracle-mirrored: non-finite poison must not shift the
+        # median/MAD model (rows still count in n / n_outliers)
+        return ~F.isnan(c) & (F.abs(c) < F.lit(float("inf")))
+
+    med = events.filter(finite(F.col("value"))).groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("med"))
     d = (events.join(F.broadcast(med), "event_type")
          .select("event_type", "med",
                  F.abs(F.col("value") - F.col("med")).alias("adev")))
-    mad = d.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    mad = (d.filter(finite(F.col("adev"))).groupBy("event_type")
+           .agg(F.percentile("adev", 0.5).alias("mad")))
     return (d.join(F.broadcast(mad), "event_type")
             .groupBy("event_type")
             .agg(F.count("*").cast("long").alias("n"),
@@ -4382,11 +4531,13 @@ WITH wc AS (
          event_type, count(*) AS n_events
   FROM events,
        unnest([CAST(0 AS BIGINT), CAST(10800 AS BIGINT)]) AS t(off)
+  WHERE ts IS NOT NULL
   GROUP BY 1, 2
 )
 SELECT wstart, event_type, CAST(n_events AS BIGINT) AS n_events
 FROM (SELECT *, row_number() OVER (
-        PARTITION BY wstart ORDER BY n_events DESC, event_type) AS rk
+        PARTITION BY wstart
+        ORDER BY n_events DESC, event_type NULLS FIRST) AS rk
       FROM wc)
 WHERE rk <= 3
 """,
@@ -4679,14 +4830,21 @@ def quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_random_projection",
-    oracle="""
+    oracle=f"""
 WITH q AS (
   SELECT vec_id,
-         -- clamp mirrors random_projection_signs' ±2^31 saturation
-         -- (poison components would overflow the BIGINT cast)
-         list_transform(embedding,
-           v -> CAST(least(greatest(floor(CAST(v AS DOUBLE) * 100),
-                                    -2147483648.0), 2147483648.0) AS BIGINT)) AS qv
+         -- clamp mirrors random_projection_signs' ±2^31 saturation;
+         -- _floor_long_sql supplies Spark's NaN->0 / overflow-saturate
+         -- floor (DuckDB's own floor keeps NaN, which its least/
+         -- greatest rank ABOVE every number — r16 poison oracle sweep)
+         -- NULL qv for a NULL/ragged vector: the lane's zip_with pads
+         -- the short side with NULL and its aggregate NULL-propagates,
+         -- so every projection is NULL (row KEPT); DuckDB's list_sum
+         -- SKIPS NULLs, so the mirror must null the whole vector
+         CASE WHEN embedding IS NULL OR len(embedding) <> 64 THEN NULL
+              ELSE list_transform(embedding,
+           v -> least(greatest({_floor_long_sql('(CAST(v AS DOUBLE) * 100)')},
+                               -2147483648), 2147483648)) END AS qv
   FROM embeddings
 )
 SELECT vec_id,

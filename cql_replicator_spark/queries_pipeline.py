@@ -21,7 +21,9 @@ from .analytics import text as TX
 from .analytics import validate as V
 from .distrank import global_rank_cumsum
 from .queries import register, _t
-from .queries_analytics import _NEAR_FIXTURE_SQL, _SHINGLE_SQL, _md5h32_sql
+from .queries_analytics import (
+    _NEAR_FIXTURE_SQL, _SHINGLE_SQL, _floor_long_sql, _md5h32_sql,
+)
 from .temporal import merge_intervals
 from .tiling import hilbert_2d, hilbert_sql
 
@@ -62,9 +64,11 @@ kept AS (
          string_agg(chunk, ' ' ORDER BY fi) AS dedup_text
   FROM f GROUP BY doc_id
 )
-SELECT s.doc_id, CAST(s.n_chunks AS INT) AS n_chunks,
+SELECT s0.doc_id, CAST(s.n_chunks AS INT) AS n_chunks,
        CAST(k.n_kept AS INT) AS n_kept, k.dedup_text
-FROM stats s JOIN kept k ON k.doc_id = s.doc_id
+FROM seeded s0
+LEFT JOIN stats s ON s.doc_id = s0.doc_id
+LEFT JOIN kept k ON k.doc_id = s0.doc_id
 """,
     doc="C4-style within-document duplicate-line removal over fixed "
         "10-word chunks (Raffel et al.'s dedupe-lines-in-page rule for "
@@ -142,7 +146,7 @@ WITH iv AS (
 ),
 m AS (
   SELECT user_id, s, e,
-         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+         max(e) OVER (PARTITION BY user_id ORDER BY s NULLS FIRST, e NULLS FIRST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS pme
   FROM iv
@@ -154,7 +158,7 @@ o AS (
 ),
 g AS (
   SELECT user_id, s, e,
-         sum(op) OVER (PARTITION BY user_id ORDER BY s, e
+         sum(op) OVER (PARTITION BY user_id ORDER BY s NULLS FIRST, e NULLS FIRST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS island
   FROM o
@@ -465,7 +469,8 @@ SELECT '{label}' AS layout, tile,
        max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
 FROM (
   SELECT x, y,
-         ntile(64) OVER (ORDER BY {key_expr}, o_orderkey) AS tile
+         ntile(64) OVER (ORDER BY {key_expr} NULLS FIRST,
+                         o_orderkey NULLS FIRST) AS tile
   FROM keyed
 ) GROUP BY tile
 """
@@ -853,9 +858,9 @@ state_feed AS (
 ),
 ordered AS (
   SELECT user_id, event_type, ts, event_id,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
            AS prev_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
   FROM state_feed
 ),
 chg AS (
@@ -867,7 +872,7 @@ iv AS (
          lead(ts) OVER w AS vt,
          row_number() OVER w AS version
   FROM chg
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 )
 """
 
@@ -1187,11 +1192,16 @@ WITH cell AS (
        unnest(generate_series(1, CAST(len(embedding) AS INT))) t(i)
 ),
 cuts AS (
+  -- finite-only cuts: one NaN/inf poison component must not shift a
+  -- dimension's entire codebook (and Spark's percentile and DuckDB's
+  -- quantile_cont disagree on non-finite ordering anyway); codes are
+  -- still emitted for EVERY cell — non-finite v compares against the
+  -- cuts (NaN/inf above all in both engines' total order -> code 15)
   SELECT dim, quantile_cont(v, [0.0625, 0.125, 0.1875, 0.25, 0.3125,
                                 0.375, 0.4375, 0.5, 0.5625, 0.625,
                                 0.6875, 0.75, 0.8125, 0.875, 0.9375])
            AS qs
-  FROM cell GROUP BY dim
+  FROM cell WHERE isfinite(v) GROUP BY dim
 )
 SELECT c.vec_id, CAST(c.dim AS INT) AS dim,
        CAST(len(list_filter(k.qs, q -> c.v >= q)) AS INT) AS code
@@ -1214,7 +1224,11 @@ def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
         F.posexplode(F.col("embedding")).alias("dim0", "v0")
     ).select("vec_id", (F.col("dim0") + 1).alias("dim"),
              F.col("v0").cast("double").alias("v"))
-    cuts = cell.groupBy("dim").agg(
+    # finite-only cuts (oracle-mirrored): a NaN/inf poison component
+    # must not shift the dimension's codebook; codes still cover every
+    # cell (non-finite v ranks above all cuts -> code 15 both engines)
+    finite = ~F.isnan(F.col("v")) & (F.abs(F.col("v")) < F.lit(float("inf")))
+    cuts = cell.filter(finite).groupBy("dim").agg(
         F.percentile("v", F.array(*[F.lit(i / 16.0) for i in range(1, 16)]))
          .alias("qs"))
     code = F.expr("size(filter(qs, q -> v >= q))")
@@ -1434,9 +1448,7 @@ exact AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.query_id, c.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY q.query_id ORDER BY
-             list_dot_product(q.qv, c.cv)
-               / (sqrt(list_dot_product(q.qv, q.qv))
-                  * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             CASE WHEN q.qv IS NULL OR c.cv IS NULL OR len(q.qv) = 0 OR len(q.qv) <> len(c.cv) THEN NULL ELSE (CASE WHEN isnan(list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) THEN NULL ELSE list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) END) END DESC,
              c.vec_id) AS rn
     FROM q CROSS JOIN corpus c
     WHERE c.vec_id <> q.query_id)
@@ -1488,12 +1500,16 @@ def _register_recall_audit():
 _register_recall_audit()
 
 
-_PQ_RECALL_ORACLE = """
+_PQ_RECALL_ORACLE = f"""
 WITH qc AS (
+  -- well_formed mirror (the lane's subspace slicing excludes
+  -- NULL/ragged vectors) + Spark's saturating floor->long (DuckDB's
+  -- plain CAST crashes on poison magnitudes)
   SELECT vec_id,
          list_transform(embedding, v -> greatest(-127, least(127,
-           CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)))) AS qv
+           {_floor_long_sql('(CAST(v AS DOUBLE) * 100)')}))) AS qv
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 subs AS (SELECT s FROM (VALUES (0), (1)) t(s)),
 -- rounds=0 codebooks: centroid cid of subspace s is the quantized
@@ -1544,9 +1560,7 @@ exact AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             list_dot_product(q.embedding, c.embedding)
-               / (sqrt(list_dot_product(q.embedding, q.embedding))
-                  * sqrt(list_dot_product(c.embedding, c.embedding))) DESC,
+             CASE WHEN q.embedding IS NULL OR c.embedding IS NULL OR len(q.embedding) = 0 OR len(q.embedding) <> len(c.embedding) THEN NULL ELSE (CASE WHEN isnan(list_dot_product(q.embedding, c.embedding) / (sqrt(list_dot_product(q.embedding, q.embedding)) * sqrt(list_dot_product(c.embedding, c.embedding)))) THEN NULL ELSE list_dot_product(q.embedding, c.embedding) / (sqrt(list_dot_product(q.embedding, q.embedding)) * sqrt(list_dot_product(c.embedding, c.embedding))) END) END DESC,
              c.vec_id) AS rn
     FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
     WHERE q.vec_id IN (3, 11, 42))
@@ -1616,12 +1630,14 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("double") / 5, 6).alias("recall_at_5")))
 
 
-_IVFPQ_RECALL_ORACLE = """
+_IVFPQ_RECALL_ORACLE = f"""
 WITH qc AS (
+  -- well_formed mirror + saturating floor->long (see _PQ_RECALL_ORACLE)
   SELECT vec_id,
          list_transform(embedding, v -> greatest(-127, least(127,
-           CAST(floor(CAST(v AS DOUBLE) * 100) AS BIGINT)))) AS qv
+           {_floor_long_sql('(CAST(v AS DOUBLE) * 100)')}))) AS qv
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 subs AS (SELECT s FROM (VALUES (0), (1)) t(s)),
 -- rounds=0 codebooks, identical to the similarity_pq_recall seeds
@@ -1654,9 +1670,7 @@ assigned AS (
   SELECT vec_id, ccid FROM (
     SELECT corpus.vec_id, cents.ccid,
            row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
-             list_dot_product(cv, centv)
-               / (sqrt(list_dot_product(cv, cv))
-                  * sqrt(list_dot_product(centv, centv))) DESC,
+             CASE WHEN cv IS NULL OR centv IS NULL OR len(cv) = 0 OR len(cv) <> len(centv) THEN NULL ELSE (CASE WHEN isnan(list_dot_product(cv, centv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centv, centv)))) THEN NULL ELSE list_dot_product(cv, centv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centv, centv))) END) END DESC,
              ccid) AS rn
     FROM corpus, cents)
   WHERE rn = 1
@@ -1667,9 +1681,7 @@ probes AS (
   SELECT query_id, ccid FROM (
     SELECT qf.query_id, cents.ccid,
            row_number() OVER (PARTITION BY qf.query_id ORDER BY
-             list_dot_product(qv, centv)
-               / (sqrt(list_dot_product(qv, qv))
-                  * sqrt(list_dot_product(centv, centv))) DESC,
+             CASE WHEN qv IS NULL OR centv IS NULL OR len(qv) = 0 OR len(qv) <> len(centv) THEN NULL ELSE (CASE WHEN isnan(list_dot_product(qv, centv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centv, centv)))) THEN NULL ELSE list_dot_product(qv, centv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centv, centv))) END) END DESC,
              ccid) AS rn
     FROM qf, cents)
   WHERE rn <= 2
@@ -1703,9 +1715,7 @@ exact AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             list_dot_product(q.embedding, c.embedding)
-               / (sqrt(list_dot_product(q.embedding, q.embedding))
-                  * sqrt(list_dot_product(c.embedding, c.embedding))) DESC,
+             CASE WHEN q.embedding IS NULL OR c.embedding IS NULL OR len(q.embedding) = 0 OR len(q.embedding) <> len(c.embedding) THEN NULL ELSE (CASE WHEN isnan(list_dot_product(q.embedding, c.embedding) / (sqrt(list_dot_product(q.embedding, q.embedding)) * sqrt(list_dot_product(c.embedding, c.embedding)))) THEN NULL ELSE list_dot_product(q.embedding, c.embedding) / (sqrt(list_dot_product(q.embedding, q.embedding)) * sqrt(list_dot_product(c.embedding, c.embedding))) END) END DESC,
              c.vec_id) AS rn
     FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
     WHERE q.vec_id IN (3, 11, 42))
@@ -1980,7 +1990,10 @@ def reconcile_rowhash_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_seasonal_dow_index",
     oracle="""
 WITH d AS (
-  SELECT date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) % 7 AS dow,
+  -- positive mod, mirroring the lane's pmod: a pre-epoch date must
+  -- land in 0..6, not a negative remainder bucket
+  SELECT ((date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) % 7)
+          + 7) % 7 AS dow,
          o_totalprice
   FROM orders
 ),
@@ -2143,6 +2156,7 @@ def events_power_users_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id AS id, 'src' AS key,
        'doc' || CAST(doc_id AS VARCHAR) AS value
 FROM documents
+WHERE text IS NOT NULL
 """,
     doc="Embedded image metadata round-trip: PNGs are SYNTHESIZED "
         "JVM-side carrying a tEXt chunk ('src' -> 'doc<id>'; "
@@ -2258,7 +2272,7 @@ def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH spend AS (
   SELECT o_custkey,
-         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+         sum(CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
   FROM orders GROUP BY o_custkey
 ),
 tot AS (SELECT count(*) AS n, sum(s) AS tot FROM spend),

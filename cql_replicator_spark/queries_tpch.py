@@ -32,8 +32,8 @@ def _rev() -> F.Column:
             * (1 - F.col("l_discount").try_cast(_DEC)))
 
 
-_REV_SQL = ("CAST(l_extendedprice AS DECIMAL(18,2))"
-            " * (1 - CAST(l_discount AS DECIMAL(18,2)))")
+_REV_SQL = ("TRY_CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - TRY_CAST(l_discount AS DECIMAL(18,2)))")
 
 
 def _ts(s: str) -> F.Column:
@@ -171,10 +171,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n.n_name AS nation,
        year(o.o_orderdate) AS o_year,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10
-                - CAST(l.l_quantity AS DECIMAL(18,2))
-                * CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(sum(TRY_CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - TRY_CAST(l.l_discount AS DECIMAL(18,2))) * 10
+                - TRY_CAST(l.l_quantity AS DECIMAL(18,2))
+                * TRY_CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
        / 10.0 AS profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -485,7 +485,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH part_qty AS (
   SELECT l.l_partkey, l.l_suppkey,
-         sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS supp_qty
+         sum(TRY_CAST(l.l_quantity AS DECIMAL(18,2))) AS supp_qty
   FROM lineitem l
   JOIN part p ON p.p_partkey = l.l_partkey
   WHERE p.p_name LIKE 'blue%'
@@ -540,15 +540,15 @@ def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_prospects",
     oracle="""
 WITH pos AS (
-  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+  SELECT sum(TRY_CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
          count(*) AS bal_cnt
   FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c.c_mktsegment,
        count(*) AS numcust,
-       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       CAST(sum(TRY_CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer c, pos
-WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.bal_cnt > pos.bal_sum
+WHERE TRY_CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.bal_cnt > pos.bal_sum
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderpriority = '1-URGENT')
 GROUP BY c.c_mktsegment
@@ -591,7 +591,7 @@ def q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH offers AS (
   SELECT l.l_partkey, l.l_suppkey,
-         min(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS best_price
+         min(TRY_CAST(l.l_extendedprice AS DECIMAL(18,2))) AS best_price
   FROM lineitem l
   GROUP BY l.l_partkey, l.l_suppkey
 ),
@@ -658,7 +658,7 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+       CAST(sum(TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,

@@ -103,10 +103,18 @@ def apply_transformations(df: DataFrame, transforms: list[Transformation]) -> Da
 
 
 def udt_to_json(df: DataFrame, udt_cols: list[str]) -> DataFrame:
-    """Struct (Cassandra UDT) columns -> JSON text (K:187-196)."""
+    """Struct (Cassandra UDT) columns -> JSON text (K:187-196).
+
+    ignoreNullFields=false: a UDT field that is NULL serializes as an
+    explicit ``"f":null`` — Cassandra's own toJson() emits nulls, and a
+    stable JSON shape is what downstream parsers key on. (Spark's
+    default silently DROPS null fields, so two rows of the same UDT
+    could serialize with different schemas — found by the r16 poison
+    oracle sweep.)"""
     out = df
     for c in udt_cols:
-        out = out.withColumn(c, F.to_json(F.col(c)))
+        out = out.withColumn(
+            c, F.to_json(F.col(c), {"ignoreNullFields": "false"}))
     return out
 
 
