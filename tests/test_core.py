@@ -90,14 +90,28 @@ def test_xxh64_reference_matches_spec_vectors_and_engine(spark):
     for k, s in rows:
         assert got_t[(k, s)] == tiling.xxhash64_cols_ref([k, s]) % 8
 
-    # (3) the registered oracle's pinned literals are those values
+    # (3) the registered oracle now IMPLEMENTS XXH64 in DuckDB SQL
+    # (r16: _xxh64_tile_oracle, HUGEINT mod-2^64 pipeline) — execute it
+    # and require the SQL hash to reproduce the from-spec reference for
+    # every probe AND derive the histogram invariants from the input
+    import duckdb
+
     from cql_replicator_spark.queries import _XXH64_PROBES, REGISTRY
-    oracle = REGISTRY["tile_histogram_xxhash64"].oracle
+    con = duckdb.connect()
+    keys = [3, 77, -9000001]
+    con.execute("CREATE TABLE orders(o_orderkey BIGINT)")
+    for k in keys:
+        con.execute("INSERT INTO orders VALUES (?)", [k])
+    res = {r[0]: (r[1], r[2]) for r in con.execute(
+        REGISTRY["tile_histogram_xxhash64"].oracle).fetchall()}
     for p in _XXH64_PROBES:
         h = tiling.xxhash64_long_ref(p)
-        line = (f"('probe:{p}', CAST({h} AS BIGINT), "
-                f"CAST({h % 8} AS BIGINT))")
-        assert line in oracle, line
+        assert res[f"probe:{p}"] == (h, h % 8), p
+    tiles = {tiling.xxhash64_long_ref(k) % 8 for k in keys}
+    assert res["invariant:total_rows"] == (len(keys), None)
+    assert res["invariant:n_tiles_used"] == (len(tiles), None)
+    assert res["invariant:min_tile"] == (min(tiles), None)
+    assert res["invariant:max_tile"] == (max(tiles), None)
 
 
 def test_resize_preserves_distinct_count(tables):

@@ -515,6 +515,107 @@ def test_forced_count_fallback_is_gated_not_silent(spark):
         assert "or offending else 0" in src, tool
 
 
+def test_poison_expectations_table_is_minimal(spark):
+    """ORACLES.md end state, pinned: every oracle-checked lane passes
+    the full value comparison on the poison fixture EXCEPT the single
+    documented divergence. The expectations table is shrink-only —
+    growing it is a conscious, reviewed act (this assertion), and
+    tools/poison_oracle_sweep.py fails on undecided AND stale rows."""
+    from cql_replicator_spark.queries import REGISTRY, queries
+
+    queries()
+    pe = _tools_import("poison_expectations")
+    assert set(pe.EXPECTATIONS) == {"multimodal_resize"}
+    for name, (cls, reason) in pe.EXPECTATIONS.items():
+        assert name in REGISTRY, name
+        assert cls == "divergence" and len(reason) > 40, name
+
+
+def test_resize_divergence_is_exactly_the_documented_shape(spark, tmp_path):
+    """The one documented poison divergence, verified at its edges:
+    multimodal_resize vs its oracle on the poison fixture differ ONLY
+    on content_md5, ONLY for documents whose byte-cycled 30-byte
+    truncation splits a multibyte character. The NULL-payload and
+    empty-payload edges (n_bytes/md5 guards, md5-of-30-NUL-bytes
+    constant) must match — if any other row or column diverges, the
+    expectations entry no longer describes reality."""
+    import duckdb
+
+    from cql_replicator_spark.queries import REGISTRY, queries
+
+    queries()
+    ps = _tools_import("poison_sweep")
+    d = str(tmp_path / "poison")
+    ps.build_poison_dir("/root/testdata/sf0.001", d)
+
+    df = REGISTRY["multimodal_resize"].build(spark, d)
+    srows = {r["id"]: r.asDict() for r in df.collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    res = con.execute(REGISTRY["multimodal_resize"].oracle)
+    cols = [c[0] for c in res.description]
+    orows = {r[cols.index("id")]: dict(zip(cols, r)) for r in res.fetchall()}
+
+    assert set(srows) == set(orows)
+    diverged = []
+    for i in sorted(srows):
+        diff = {c for c in cols if srows[i][c] != orows[i][c]}
+        if diff:
+            assert diff == {"content_md5"}, (i, diff)
+            diverged.append(i)
+    # every diverged doc is multibyte (chars != utf-8 bytes); the
+    # poison fixture plants exactly one
+    texts = dict(con.execute(
+        "SELECT doc_id, text FROM documents").fetchall())
+    assert diverged, "divergence vanished — remove the expectations entry"
+    for i in diverged:
+        assert len(texts[i]) != len(texts[i].encode("utf-8")), i
+
+
+def test_hardened_oracles_match_on_poison_representatives(spark, tmp_path):
+    """One lane per r16 oracle-mirroring idiom (ORACLES.md), compared
+    value-for-value against DuckDB ON THE POISON FIXTURE — the pin
+    that keeps each idiom from silently regressing without waiting for
+    the full sweep: TRY_CAST decimals (q1), NULLS FIRST windows
+    (orders_moving_avg), batch-validated vector guards (cosine top-k),
+    saturating floor->long (embedding_quantize), streaming watermark
+    boundary (dedup_events_stream), NULL-text synthesizer guards
+    (multimodal_wav_pcm_decode)."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    from cql_replicator_spark.queries import REGISTRY, queries
+
+    queries()
+    ps = _tools_import("poison_sweep")
+    d = str(tmp_path / "poison")
+    ps.build_poison_dir("/root/testdata/sf0.001", d)
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import correctness_check as cc
+
+    con = duckdb.connect()
+    for t in cc.TABLES:
+        p = Path(d) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{p}')")
+    lanes = ["q1_pricing_summary", "orders_moving_avg",
+             "similarity_cosine_topk", "embedding_quantize",
+             "dedup_events_stream", "multimodal_wav_pcm_decode"]
+    for lane in lanes:
+        df = REGISTRY[lane].build(spark, d)
+        srows = [tuple(r) for r in df.collect()]
+        res = con.execute(REGISTRY[lane].oracle)
+        dcols = [c[0] for c in res.description]
+        problems = cc.compare(lane, srows, df.columns,
+                              res.fetchall(), dcols)
+        assert not problems, (lane, problems[:3])
+
+
 def test_poison_hardened_lanes_fully_evaluate(spark, tmp_path):
     """Pin the four r15 ANSI crashers (found by forcing evaluation on
     the poison fixture): random-projection quantize clamps before its
