@@ -3096,8 +3096,15 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
      .option("ignoreLeadingWhiteSpace", "false")
      .option("ignoreTrailingWhiteSpace", "false")
      .option("nullValue", "\\N").csv(stage))
+    # multiLine: free text CONTAINS newlines; the writer quotes them
+    # correctly but the default reader treats every physical line as a
+    # record and shreds the row (r16 unicode-storm sweep). Scale note:
+    # multiLine makes each CSV file single-task (no line-boundary
+    # splitting) — the standard Spark CSV tradeoff; size files
+    # accordingly or land newline-bearing text in JSON/parquet instead
     back = (spark.read.schema(docs.schema)
             .option("header", "true").option("nullValue", "\\N")
+            .option("multiLine", "true")
             .option("emptyValue", "").csv(stage))
     return _roundtrip_aggregate(back)
 

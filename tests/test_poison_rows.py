@@ -616,6 +616,42 @@ def test_hardened_oracles_match_on_poison_representatives(spark, tmp_path):
         assert not problems, (lane, problems[:3])
 
 
+def test_unicode_storm_source_roundtrips_match_oracle(spark, tmp_path):
+    """The r16 unicode-storm class, pinned at its sharpest edge: the
+    three structured-source round-trips must value-match the oracle on
+    a corpus with embedded newlines/CR, quote storms, emoji ZWJ,
+    astral-plane chars, RTL and dense CJK. Regression guard for the
+    sweep's real find — Spark's CSV reader shreds newline-bearing
+    quoted fields without multiLine=true (the writer quotes them
+    correctly, so the bug only shows on read-back)."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    from cql_replicator_spark.queries import REGISTRY, queries
+
+    queries()
+    ps = _tools_import("poison_sweep")
+    d = str(tmp_path / "uni")
+    ps.build_unicode_dir("/root/testdata/sf0.001", d)
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import correctness_check as cc
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    for lane in ("source_csv_roundtrip", "source_json_roundtrip",
+                 "source_xml_roundtrip"):
+        df = REGISTRY[lane].build(spark, d)
+        srows = [tuple(r) for r in df.collect()]
+        res = con.execute(REGISTRY[lane].oracle)
+        problems = cc.compare(lane, srows, df.columns, res.fetchall(),
+                              [c[0] for c in res.description])
+        assert not problems, (lane, problems[:3])
+
+
 def test_poison_hardened_lanes_fully_evaluate(spark, tmp_path):
     """Pin the four r15 ANSI crashers (found by forcing evaluation on
     the poison fixture): random-projection quantize clamps before its

@@ -36,13 +36,20 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.001")
     ap.add_argument("--dst", default="/tmp/poison_oracle_sf")
     ap.add_argument("--json", default="/tmp/poison_oracle_sweep.json")
+    ap.add_argument("--unicode", action="store_true",
+                    help="sweep the unicode-storm fixture (emoji/ZWJ, "
+                         "astral, combining, RTL, NBSP, control chars, "
+                         "CJK — the char-vs-byte divergence class) "
+                         "instead of the poison fixture; gated by the "
+                         "same expectations table")
     ap.add_argument("lanes", nargs="*")
     args = ap.parse_args()
 
     from poison_expectations import EXPECTATIONS
-    from poison_sweep import build_poison_dir
+    from poison_sweep import build_poison_dir, build_unicode_dir
 
-    build_poison_dir(args.src, args.dst)
+    (build_unicode_dir if args.unicode else build_poison_dir)(
+        args.src, args.dst)
 
     # correctness_check owns the compare contract (same normalization
     # the driver uses); run it as a subprocess so one sweep run can't

@@ -115,6 +115,45 @@ def build_poison_dir(src: str, dst: str) -> None:
                     os.path.join(dst, t + ".parquet"))
 
 
+def build_unicode_dir(src: str, dst: str) -> None:
+    """The unicode-storm variant (r16): documents whose text stresses
+    char-vs-byte semantics — the divergence class the r16 triage found
+    in CSV/XML round-trips and byte-cycled hashing. Code-point LENGTH
+    agrees across Python/Spark/DuckDB (probed), so n_chars stays
+    len(text); what can diverge is regex tokenization, escaping,
+    substring chunking, and anything hashing BYTES. Every other table
+    copies through unchanged."""
+    import shutil as _sh
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    docs = [
+        ("emoji zwj", "👩‍💻 writes 🧑‍🔬 tests 👨‍👩‍👧‍👦 families"),
+        ("astral", "𝄞 music 𝕊𝕡𝕒𝕣𝕜 and 🂡 cards"),
+        ("combining", "éclair café ñ and å"),
+        ("rtl mix", "שלום world مرحبا spark עברית"),
+        ("nbsp thin", "a b c d the end"),
+        ("controls", "tab\there\nnewline\rreturn and \"quotes\" \\ slash"),
+        ("long word", "w" * 4000),
+        ("cjk dense", "数据处理引擎对比测试 中文分词 没有空格"),
+        ("mixed digits", "user_42 ID-7 3.14159 0xDEAD_beef __init__"),
+        ("quote storm", "'single' \"double\" `back` '''triple''' \"\""),
+    ]
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    rows = [{"doc_id": 9100000 + i, "text": tx, "lang": "xx",
+             "source": "unicode", "n_chars": len(tx)}
+            for i, (_, tx) in enumerate(docs)]
+    extra = pa.Table.from_pylist(rows, schema=t.schema)
+    pq.write_table(pa.concat_tables([t, extra]),
+                   os.path.join(dst, "documents.parquet"))
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "embeddings"):
+        _sh.copy(os.path.join(src, name + ".parquet"),
+                 os.path.join(dst, name + ".parquet"))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")
