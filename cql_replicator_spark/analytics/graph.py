@@ -82,6 +82,12 @@ def pagerank_scaled(
     base = ((damping_den - damping_num) * scale // damping_den) // n
     init = scale // n
 
+    # NOTE (r16): hoisting the constant deg join out of the loop
+    # (persist e⋈deg once, join only rank per iteration) was A/B'd and
+    # REJECTED — bench_ab_pagerank.json: ratio 1.064, the edge-sized
+    # persist of the widened frame costs more than the per-iteration
+    # deg joins it saves, because deg is |src|-sized and AQE broadcasts
+    # it (a map-side join, no edge shuffle). The loop shape stands.
     rank = nodes.select("node", F.lit(init).cast("long").alias("r"))
     for i in range(iterations):
         contrib = (

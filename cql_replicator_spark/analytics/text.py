@@ -697,12 +697,18 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     bigrams and drop out, like sub-n-gram docs in shingling."""
     from pyspark.sql.window import Window
 
-    w = F.split(F.col(text_col), " ")
+    # tokenize ONCE into a column (the quality_repetition rule, r16):
+    # referencing split(...) through the python-side `w` alias inlines
+    # the split into EVERY element_at of the bigram lambda — the text
+    # re-splits per bigram, O(n^2) per doc
+    base = df.select(F.col(id_col),
+                     F.split(F.col(text_col), " ").alias("_w"))
+    w = F.col("_w")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(w) - 1),
         lambda i: F.concat_ws(" ", F.element_at(w, i),
                               F.element_at(w, i + 1)))
-    bg = (df.filter(F.size(w) >= 2)
+    bg = (base.filter(F.size(w) >= 2)
           .select(F.col(id_col), F.explode(pairs).alias("big")))
     k = bg.groupBy(id_col, "big").agg(F.count("*").alias("k"))
     scored = (k.withColumn("c2", F.sum("k").over(Window.partitionBy("big")))
@@ -1010,10 +1016,15 @@ def dedup_chunks_within_doc(
     w = int(chunk_words)
     if w < 1:
         raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
+    # tokenize ONCE into a column (the quality_repetition rule, r16):
+    # split(...) inline in the chunk lambda re-splits the text per
+    # chunk — O(n^2/w) per doc
     chunks = F.expr(
-        f"transform(sequence(0, int((size(split({text_col}, ' ')) - 1) / {w})), "
-        f"i -> array_join(slice(split({text_col}, ' '), i * {w} + 1, {w}), ' '))")
-    out = df.select(F.col(id_col), chunks.alias("__chunks"))
+        f"transform(sequence(0, int((size(_w) - 1) / {w})), "
+        f"i -> array_join(slice(_w, i * {w} + 1, {w}), ' '))")
+    out = (df.select(F.col(id_col),
+                     F.split(F.col(text_col), " ").alias("_w"))
+           .select(F.col(id_col), chunks.alias("__chunks")))
     kept = F.expr(
         "filter(__chunks, (c, i) -> array_position(__chunks, c) = i + 1)")
     return out.select(
@@ -1199,13 +1210,19 @@ def _winnowing_selected(df: DataFrame, id_col: str, text_col: str,
     from .dedup import md5h32
     # CASE guard: size < k would make sequence() run DESCENDING
     # (sequence(0,-1) = [0,-1]) and emit garbage grams — short docs
-    # must contribute an empty gram array instead (posexplode drops them)
+    # must contribute an empty gram array instead (posexplode drops them).
+    # Tokenize ONCE into a column (the quality_repetition rule, r16):
+    # split(...) written inline in the gram lambda re-splits the whole
+    # text per gram position — O(n^2) per doc at scan time
     grams = df.select(
         F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_w"),
+    ).select(
+        F.col(id_col),
         F.posexplode(F.expr(
-            f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {k}), "
-            f"i -> array_join(slice(split({text_col}, ' '), i + 1, {k}), ' ')) "
+            f"CASE WHEN size(_w) >= {k} THEN "
+            f"transform(sequence(0, size(_w) - {k}), "
+            f"i -> array_join(slice(_w, i + 1, {k}), ' ')) "
             f"ELSE array() END"
         )).alias("pos", "gram"))
     hashed = grams.select(id_col, "pos", md5h32(F.col("gram")).alias("h"))

@@ -538,27 +538,43 @@ def layout_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tile = ceil-sized buckets first (SQL ntile's row distribution)
     n = keyed.count()
     q, rem = divmod(n, 64)
-    branches = []
-    for label, key in (("natural", "o_orderkey"), ("zorder", "zval"),
-                       ("hilbert", "hval")):
-        ranked = global_rank_cumsum(
-            keyed.select("x", "y", key, *(
-                [] if key == "o_orderkey" else ["o_orderkey"])),
-            order=[(key, False), ("o_orderkey", False)], rank_col="_r")
-        head = rem * (q + 1)
-        if q == 0:  # fewer rows than tiles: ntile gives row r bucket r
-            tile = F.expr("CAST(_r AS INT)")
-        else:  # integer DIV keeps the bucket boundary exact at any n
-            tile = F.expr(
-                f"CAST(CASE WHEN _r <= {head} THEN (_r - 1) DIV {q + 1} + 1 "
-                f"ELSE {rem} + (_r - {head} - 1) DIV {q} + 1 END AS INT)")
-        tiled = ranked.select("x", "y", tile.alias("tile"))
-        branches.append(
-            tiled.groupBy("tile")
-            .agg((F.max("x") - F.min("x")).alias("x_span"),
-                 (F.max("y") - F.min("y")).alias("y_span"))
-            .select(F.lit(label).alias("layout"), "x_span", "y_span"))
-    spans = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    # ONE stacked distrank pass instead of three (r16): each branch is
+    # a contiguous block of the total order (_layout, key, o_orderkey),
+    # so one global rank serves all three — per-branch rank is
+    # _r - _layout*n (every block holds exactly n rows). Same bytes
+    # through the range exchange as 3 separate passes, but one
+    # localCheckpoint + one offsets collect + one broadcast join
+    # instead of three of each (distrank's fixed per-call barriers were
+    # ~2/3 of this lane's wall time).
+    layouts = (("natural", "o_orderkey"), ("zorder", "zval"),
+               ("hilbert", "hval"))
+    stacked = None
+    for li, (_label, key) in enumerate(layouts):
+        b = keyed.select(
+            F.lit(li).alias("_layout"),
+            F.col(key).cast("long").alias("_key"),
+            "o_orderkey", "x", "y")
+        stacked = b if stacked is None else stacked.unionByName(b)
+    ranked = global_rank_cumsum(
+        stacked,
+        order=[("_layout", False), ("_key", False), ("o_orderkey", False)],
+        rank_col="_r")
+    ranked = ranked.withColumn(
+        "_lr", F.col("_r") - F.col("_layout").cast("long") * F.lit(n))
+    head = rem * (q + 1)
+    if q == 0:  # fewer rows than tiles: ntile gives row r bucket r
+        tile = F.expr("CAST(_lr AS INT)")
+    else:  # integer DIV keeps the bucket boundary exact at any n
+        tile = F.expr(
+            f"CAST(CASE WHEN _lr <= {head} THEN (_lr - 1) DIV {q + 1} + 1 "
+            f"ELSE {rem} + (_lr - {head} - 1) DIV {q} + 1 END AS INT)")
+    label = F.element_at(
+        F.array(*[F.lit(lb) for lb, _ in layouts]), F.col("_layout") + 1)
+    spans = (ranked.select(label.alias("layout"), "x", "y",
+                           tile.alias("tile"))
+             .groupBy("layout", "tile")
+             .agg((F.max("x") - F.min("x")).alias("x_span"),
+                  (F.max("y") - F.min("y")).alias("y_span")))
     return (spans.groupBy("layout")
             .agg(F.round(F.avg("x_span"), 2).alias("avg_x_span"),
                  F.round(F.avg("y_span"), 2).alias("avg_y_span")))
