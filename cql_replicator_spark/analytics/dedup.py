@@ -528,7 +528,12 @@ def connected_components_star(
                    .filter(F.col("src") != F.col("dst"))
                    .repartition(n_part, "src")
                    .distinct()
-                   .localCheckpoint(eager=True))
+                   # lazy: the delta count below is the round's single
+                   # action — it materializes this checkpoint AND
+                   # computes the convergence delta in one job
+                   # (eager=True spent an extra job per round; the
+                   # min-label variant already rode this trick, r16)
+                   .localCheckpoint(eager=False))
             # convergence check width-bounded like everything else in
             # the round: a bare exceptAll would shuffle both sides at
             # the session default (hundreds of tasks for kilobytes of

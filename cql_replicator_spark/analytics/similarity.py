@@ -1006,8 +1006,12 @@ def random_projection_signs(
     projected = corpus.select(F.col(id_col), q.alias("_q"))
     cols = [F.col(id_col)]
     for j in range(int(out_dim)):
-        signs = F.array(*[F.lit(_jl_sign(j, i)).cast("long")
-                          for i in range(int(in_dim))])
+        # one Literal node per row of the sign matrix (r16): the
+        # F.array-of-F.lit form built in_dim Literal nodes per output
+        # dim — out_dim*in_dim analyzer nodes per query build;
+        # F.lit(list) ships the same values as a single ArrayData
+        signs = F.lit([_jl_sign(j, i)
+                       for i in range(int(in_dim))]).cast("array<long>")
         pj = F.aggregate(
             F.zip_with(F.col("_q"), signs, lambda x, s: x * s),
             F.lit(0).cast("long"), lambda acc, v: acc + v)
@@ -1229,7 +1233,9 @@ def adc_scored(
         tables.append([int(x) for x in d])
     dist = None
     for s in range(m):
-        arr = F.array(*[F.lit(x) for x in tables[s]])
+        # single-Literal ADC table (r16): 256 lookup entries per
+        # subspace as one ArrayData instead of 256 Literal nodes
+        arr = F.lit(tables[s]).cast("array<long>")
         term = F.element_at(arr, F.col(f"code_{s}") + 1)
         dist = term if dist is None else dist + term
     return encoded.withColumn("adc_dist", dist.cast("long"))
@@ -1258,7 +1264,7 @@ def ivfpq_search(
     cent = _as_double(
         centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("centv")),
         "centv")
-    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    qlit = F.lit([float(v) for v in query_vec]).cast("array<double>")
     probe_ids = [
         r[centroid_id_col]
         for r in (cent

@@ -466,7 +466,14 @@ def bloom_rf_predicate(value: str | Column, words: list[int],
     This is the Bloom-join runtime filter: apply to the fact side
     BEFORE the join so the shuffle moves only probable matches; false
     positives only, so the exact join keeps results exact."""
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    # ONE array literal node (r16): F.array over m/64 individual
+    # F.lit nodes built a 512-Literal expression tree that the k
+    # probes below reference k times — thousands of nodes for the
+    # analyzer/optimizer to fold on EVERY query build. F.lit(list)
+    # ships the same ArrayData as a single Literal (words are already
+    # two's-complement signed, a legal long each); runtime semantics
+    # identical, plan-build cost collapses.
+    arr = F.lit(words).cast("array<long>")
     h1, h2 = _rf_hashes(value, m)
     hits = None
     for j in range(k):

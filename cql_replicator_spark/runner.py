@@ -146,6 +146,17 @@ class CdcPipeline:
     # -- discovery ---------------------------------------------------------
     def discover(self) -> list[int]:
         """One discovery cycle; returns tiles that rotated a snapshot."""
+        # Gate FIRST (r16): when every tile still holds an unconsumed
+        # snapshot, the cycle must refuse without touching the source —
+        # the old order materialized (persisted + counted) the full
+        # tiled scan before consulting the ledger, so a fully-blocked
+        # cycle paid a complete source pass to do nothing. can_discover
+        # is a read-only ledger probe; per_tile re-checks it under the
+        # write path's race rules, so this pre-filter only skips work,
+        # never changes which tiles rotate.
+        if not any(self.ledger.can_discover(self.keyspace, self.table, t)
+                   for t in range(self.total_tiles)):
+            return []
         src = self.pk_source()
         if self.tile_of is not None:
             tiled = src.withColumn("tile", self.tile_of(src))

@@ -215,13 +215,12 @@ class SnapshotStore:
             from pyspark.sql import functions as F
 
             path = os.path.join(self._tile_dir(tile), f"snap-{new_id:08d}")
-            out = (df.repartitionByRange(files_per_snapshot, *stats_cols)
-                   if stats_cols else df.coalesce(files_per_snapshot))
-            out.write.mode("overwrite").parquet(path)
             entry: dict = {"id": new_id, "committed_at": time.time(),
                            "path": path}
-            back = df.sparkSession.read.parquet(path)
             if stats_cols:
+                out = df.repartitionByRange(files_per_snapshot, *stats_cols)
+                out.write.mode("overwrite").parquet(path)
+                back = df.sparkSession.read.parquet(path)
                 aggs = [F.count("*").alias("__n")]
                 for c in stats_cols:
                     aggs += [F.min(c).alias(f"__lo_{c}"),
@@ -235,7 +234,18 @@ class SnapshotStore:
                     for r in frows]
                 entry["count"] = sum(f["count"] for f in entry["files"])
             else:
-                entry["count"] = back.count()
+                # the committed row count rides the WRITE job itself
+                # (r16): an Observation on the frame being written
+                # replaces the old read-back-and-count — one fewer full
+                # pass over the snapshot per rotation (plus the
+                # read-back's footer/schema job). At 100 TB the
+                # read-back was a second scan of every snapshot tile.
+                from pyspark.sql import Observation
+                obs = Observation()
+                (df.observe(obs, F.count(F.lit(1)).alias("__n"))
+                 .coalesce(files_per_snapshot)
+                 .write.mode("overwrite").parquet(path))
+                entry["count"] = int(obs.get["__n"])
             entries.append(entry)
         self._write_manifest(tile, entries)
         return new_id
