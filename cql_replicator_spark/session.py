@@ -30,6 +30,22 @@ SCALE_CONF: dict[str, str] = {
     # consumers that assume a stable width, which none of ours do.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Join strategy (r16, guide §3.1): allow shuffled hash join when
+    # its size conditions hold instead of always sort-merging — no
+    # sort on either side. Two independent, size-gated paths: the
+    # planner picks SHJ only when the build side's ESTIMATE fits a
+    # local hash map (canBuildLocalHashMap: size < partitions x
+    # autoBroadcastJoinThreshold, and 3x smaller than the other side);
+    # AQE additionally rewrites a planned sort-merge to SHJ at runtime
+    # only when every post-shuffle partition is under the 128 MiB
+    # threshold — a per-partition byte bound, not a local-core tune,
+    # so the rewrite stays safe at any cluster width. Interleaved A/B
+    # over the 16 join-heaviest lanes (bench_ab_shj.json): every lane
+    # 0.69-0.91x, total 0.805x. Risk note: a build partition that
+    # blows past its estimate OOMs where sort-merge would spill; both
+    # gates are byte-bounded, and skew-split (AQE) still applies.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "134217728",
     # Parquet scan granularity: 128m splits keep 100 TB at ~800k tasks,
     # small enough per-task to never spill on 4g executors.
     "spark.sql.files.maxPartitionBytes": "134217728",
