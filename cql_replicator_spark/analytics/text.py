@@ -1115,44 +1115,46 @@ def sparse_cosine_pairs(
                               F.explode(tokens(text_col)).alias("tok"))
     tf = term_rows.groupBy("id", "tok").agg(F.count("*").alias("tf"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
-    # LINEAR pipeline — no self-join, no norm joins: the naive
-    # formulation (postings self-joined on tok + two norm joins)
-    # replicates the scan->shingle->tf subtree once per consumer
-    # (~6 corpus scans in the printed plan); here df and norm are
-    # WINDOW aggregates over the same flowing frame and pairs are
-    # generated in-bucket from a per-token collect (the
-    # lsh_candidate_pairs trick), so the corpus subtree exists ONCE.
-    # Interleaved A/B (bench_ab_forms.json, sf0.1): warm medians equal
-    # within jitter (AQE ReusedExchange covers the old form's
-    # duplicate subtrees), but the linear form is ~2x faster COLD and
-    # does not depend on exchange reuse surviving plan changes — the
-    # same structural argument lsh_candidate_pairs documents.
+    # NORM-BRANCH shape (r16): the posting groupBy("tok") rides the
+    # df-window's HashPartitioning(tok) directly — no second tok
+    # exchange — and norms leave the flowing frame entirely.  The old
+    # linear form computed norms as a WINDOW over id, which shuffles
+    # the FULL posting stream a second time with no map-side combine
+    # (window aggregates cannot partial-agg); here norms are a
+    # map-side-combined groupBy("id") whose shuffle is |docs|-sized,
+    # joined onto the AGGREGATED pair frame (pair-count-sized, far
+    # below the raw posting stream).  gram-scale full-row exchanges:
+    # linear 3 (tok window, id window, tok groupBy) vs branch 1 (tok
+    # window).  The norm branch re-reads the tf/df-window subtree;
+    # ReuseExchange dedupes the shuffles, so the corpus is still
+    # scanned once (scan-count pin holds).  Interleaved A/B
+    # (bench_ab_cosineshape.json, sf0.1, 12 passes): 5.10s -> 4.15s,
+    # ratio 0.814; equivalence asserted row-for-row in the tool.
     from pyspark.sql.window import Window
     dfw = Window.partitionBy("tok")
-    idw = Window.partitionBy("id")
     postings = (tf.crossJoin(F.broadcast(n_docs))
                 .withColumn("df_t", F.count("*").over(dfw))
                 .filter(F.col("df_t") <= int(df_cutoff))
                 .withColumn("w", F.col("tf").cast("double")
                             * F.log(F.col("n_docs").cast("double")
-                                    / F.col("df_t").cast("double")))
-                .withColumn("norm",
-                            F.sqrt(F.sum(F.col("w") * F.col("w")).over(idw))))
+                                    / F.col("df_t").cast("double"))))
     # bucket-grouped pair generation: lists are bounded by df_cutoff,
     # so per-token pair work is <= cutoff^2 by construction
     grouped = (postings.groupBy("tok")
-               .agg(F.collect_list(
-                   F.struct("id", "w", "norm")).alias("ps"))
+               .agg(F.collect_list(F.struct("id", "w")).alias("ps"))
                .filter(F.size("ps") > 1))
     pairs = grouped.select(F.explode(F.expr(
         "flatten(transform(ps, x -> transform("
         "filter(ps, y -> x.id < y.id), "
         "y -> struct(x.id AS id_a, y.id AS id_b, "
-        "x.w * y.w AS prod, x.norm AS na, y.norm AS nb))))"
-    )).alias("p")).select("p.id_a", "p.id_b", "p.prod", "p.na", "p.nb")
-    return (pairs.groupBy("id_a", "id_b")
-            .agg(F.sum("prod").alias("dot"),
-                 F.first("na").alias("na"), F.first("nb").alias("nb"))
+        "x.w * y.w AS prod))))"
+    )).alias("p")).select("p.id_a", "p.id_b", "p.prod")
+    dots = pairs.groupBy("id_a", "id_b").agg(F.sum("prod").alias("dot"))
+    norms = postings.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
             .select("id_a", "id_b",
                     # try_divide: a doc whose every surviving term is
                     # corpus-universal (idf = ln(N/N) = 0) has norm 0 —

@@ -3830,6 +3830,36 @@ def test_grouping_grains_single_scan_single_fact_shuffle(spark):
             f"{lane}: {reused} ReusedExchange nodes, expected {n_reuse}")
 
 
+def test_sparse_cosine_norm_branch_reuses_corpus_subtree(spark):
+    """The r16 norm-branch rewrite of sparse_cosine_pairs, pinned
+    structurally: norms moved off the flowing frame (the old id-window
+    shuffled the FULL posting stream with no map-side combine) into a
+    map-combined groupBy branch that re-reads the tf/df-window subtree.
+    That is only a win if runtime exchange reuse dedupes the re-read —
+    the EXECUTED (AQE-final) plan must scan parquet at most twice
+    (corpus + n_docs count) with the duplicated subtrees served from
+    ReusedExchange. The static explain prints 6 scans; this pins the
+    runtime shape the A/B measured (bench_ab_cosineshape.json, 0.814)."""
+    from cql_replicator_spark.queries import REGISTRY, queries
+    from conftest import SF_DIR
+
+    queries()
+    df = REGISTRY["text_sparse_cosine_pairs"].build(spark, SF_DIR)
+    rows = df.collect()  # materialize so AQE finalizes the plan
+    assert rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    scans = sum(1 for ln in final.splitlines() if "Scan parquet" in ln)
+    reused = sum(1 for ln in final.splitlines() if "ReusedExchange" in ln)
+    assert scans <= 2, (
+        f"sparse_cosine: {scans} scans in the final plan — the norm "
+        f"branch re-derived the corpus subtree instead of reusing its "
+        f"exchange:\n{final[:2000]}")
+    assert reused >= 2, (
+        f"sparse_cosine: only {reused} ReusedExchange nodes — runtime "
+        f"reuse no longer covers the norm branch")
+
+
 def test_rerun_determinism_hash_stable(spark):
     """Three representative non-trivial queries re-run in the same
     session must produce IDENTICAL row sets — guards against

@@ -376,7 +376,16 @@ def test_flagship_plan_scan_counts_pinned():
              for i in range(1, len(parts), 2)}
     bounds = {
         "doc_winnowing_pairs": 2,        # 1 scan: shingle+window+pairs
-        "text_sparse_cosine_pairs": 4,   # 2: corpus + n_docs count
+        # r16 re-pin: the norm-branch shape (norms as a map-combined
+        # groupBy branch instead of a full-stream id-window) prints the
+        # tf/df-window subtree once per consumer in the STATIC plan (6
+        # scans in text), but the EXECUTED plan serves the duplicates
+        # from ReusedExchange and scans the corpus once — pinned at
+        # runtime by test_sparse_cosine_norm_branch_reuses_corpus_subtree
+        # (executed-plan scans <= 2) and evidenced in
+        # plans/r16/text_sparse_cosine_pairs_after_executed.txt.
+        "text_sparse_cosine_pairs": 12,
+
         # r11 re-pin: the lane returns the session-shared PERSISTED
         # pair frame (_shared_capped_lsh). Formatted explain prints the
         # InMemoryRelation's recovery lineage (sigs cached plan nested
