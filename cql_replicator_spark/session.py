@@ -40,8 +40,14 @@ SCALE_CONF: dict[str, str] = {
     # only when every post-shuffle partition is under the 128 MiB
     # threshold — a per-partition byte bound, not a local-core tune,
     # so the rewrite stays safe at any cluster width. Interleaved A/B
-    # over the 16 join-heaviest lanes (bench_ab_shj.json): every lane
-    # 0.69-0.91x, total 0.805x. Risk note: a build partition that
+    # over the 22 lanes whose audited plans contain a SortMergeJoin
+    # (bench_ab_shj.json, order-flipped v2 protocol): total 0.975 —
+    # modest locally because AQE converts most small-SF SMJs to
+    # broadcast anyway; at scale the non-broadcast join population is
+    # what this targets (no sort pass on either side). 14/50 audited
+    # SMJs switch to SHJ statically at sf0.01; dedup_semantic shows the
+    # AQE runtime rewrite in its final plan (plans/r16/). Risk note: a
+    # build partition that
     # blows past its estimate OOMs where sort-merge would spill; both
     # gates are byte-bounded, and skew-split (AQE) still applies.
     "spark.sql.join.preferSortMergeJoin": "false",

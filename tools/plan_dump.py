@@ -38,11 +38,17 @@ def main() -> None:
     from cql_replicator_spark.session import get_spark
 
     queries()
-    spark = get_spark("plan_dump", extra_conf={
+    conf = {
         "spark.ui.enabled": "false",
         "spark.sql.shuffle.partitions": os.environ.get(
             "SPARK_GRAFT_CPUS", "32"),
-    })
+    }
+    # PLAN_DUMP_CONF="k=v;k=v" — extra session conf, e.g. to capture a
+    # 'before' plan under the pre-change join strategy.
+    for kv in filter(None, os.environ.get("PLAN_DUMP_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        conf[k.strip()] = v.strip()
+    spark = get_spark("plan_dump", extra_conf=conf)
     for name in names:
         df = REGISTRY[name].build(spark, SF_DIR)
         buf = io.StringIO()
