@@ -57,6 +57,60 @@ MEDIA_SCHEMA = T.StructType([
 
 FEATURE_DIM = 8
 
+
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Fan a SMALL input out across the cluster before heavyweight
+    per-row Python codec work (guide §4.2/§6.1).
+
+    The scan planner sizes tasks by INPUT bytes (maxPartitionBytes),
+    but an opaque mapInPandas hides its compute cost from that math: a
+    few-hundred-KB single-file table plans ONE task, and the entire
+    synthesize -> decode codec pipeline chained on top of it runs
+    serially on one core while the rest of the cluster idles (measured
+    r16: every multimodal lane's 8-core/32-core bench ratio was ~1.0
+    because the sf0.1 documents table is one 584 KB file — the codec
+    never parallelized at all).
+
+    Byte-bounded, width-independent gate: only an input whose Catalyst
+    size estimate fits inside ONE scan split (maxPartitionBytes) is
+    round-robin repartitioned to the cluster's core count
+    (defaultParallelism). A real at-scale corpus plans thousands of
+    scan tasks and passes through untouched — no exchange is ever
+    added to a large input, and the shuffled bytes in the small case
+    are by definition under one split."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:
+        return df  # estimate unavailable: change nothing
+    spark = df.sparkSession
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try:
+        split_bytes = _parse_bytes(raw)
+    except ValueError:
+        split_bytes = 128 * 1024 * 1024
+    if est >= split_bytes:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string -> bytes ('134217728', '128m', '1g')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                   ("t", 1024**4)):
+        if s.endswith(suf + "b"):
+            s, mult = s[:-2], m
+            break
+        if s.endswith(suf):
+            s, mult = s[:-1], m
+            break
+    if s.endswith("b"):
+        s = s[:-1]
+    return int(s) * mult
+
 FEATURE_SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
     T.StructField("media_type", T.StringType()),
@@ -202,7 +256,7 @@ def synthesize_image_table(documents: DataFrame) -> DataFrame:
         be32(w), be32(h),
         F.lit(b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"))
     gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00\x00\x00"))
-    return documents.select(
+    return _spread_small_scan(documents).select(
         F.col("doc_id").alias("id"),
         F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif).alias("media"))
 
@@ -255,7 +309,7 @@ def synthesize_audio_table(documents: DataFrame) -> DataFrame:
     byte_rate = rate * block
     data_size = (F.length("text").cast("long") * block)
     riff_size = data_size + F.lit(36)           # 4 + (8+16) + 8
-    return documents.select(
+    return _spread_small_scan(documents).select(
         F.col("doc_id").alias("id"),
         F.concat(
             F.lit(b"RIFF"), le32(riff_size), F.lit(b"WAVE"),
@@ -437,7 +491,7 @@ def synthesize_video_table(documents: DataFrame) -> DataFrame:
         be32(dur),
         F.lit(b"\x00" * 16 + _UNITY_MATRIX),
         be32(w * F.lit(65536)), be32(h * F.lit(65536)))
-    return documents.select(
+    return _spread_small_scan(documents).select(
         F.col("doc_id").alias("id"),
         F.concat(
             F.lit(b"\x00\x00\x00\x10ftypisom" + b"\x00" * 4),
@@ -558,7 +612,7 @@ def extract_features(df: DataFrame, use_fake: bool = True) -> DataFrame:
 def synthesize_media_table(spark, documents: DataFrame, media_type: str = "image") -> DataFrame:
     """Build a multimodal fixture from the documents table: the text
     bytes stand in for media payloads with plausible metadata."""
-    return documents.select(
+    return _spread_small_scan(documents).select(
         F.col("doc_id").alias("id"),
         F.encode(F.col("text"), "utf-8").alias("media"),
         F.lit(media_type).alias("media_type"),
@@ -752,7 +806,7 @@ def synthesize_png_with_text(documents: DataFrame) -> DataFrame:
         F.lit(b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"),
         be32(F.length(payload).cast("long")),
         F.lit(b"tEXt"), payload, F.lit(b"\x00\x00\x00\x00"))
-    return documents.select(F.col("doc_id").alias("id"), png.alias("media"))
+    return _spread_small_scan(documents).select(F.col("doc_id").alias("id"), png.alias("media"))
 
 
 # -- real pixel / sample decoding (round 6) -----------------------------------
@@ -1244,7 +1298,7 @@ def synthesize_bmp_table(documents: DataFrame) -> DataFrame:
         le32(data_size),
         F.lit(b"\x00" * 16),                       # ppm + palette fields
         F.unhex(rows_hex))
-    return documents.select(F.col("doc_id").alias("id"),
+    return _spread_small_scan(documents).select(F.col("doc_id").alias("id"),
                             media.alias("media"))
 
 
@@ -1273,7 +1327,7 @@ def synthesize_pcm_wav_table(documents: DataFrame) -> DataFrame:
         le16(ch), le32(rate), le32(byte_rate), le16(block),
         F.lit(b"\x10\x00"),
         F.lit(b"data"), le32(data_size), F.unhex(data_hex))
-    return documents.select(F.col("doc_id").alias("id"),
+    return _spread_small_scan(documents).select(F.col("doc_id").alias("id"),
                             media.alias("media"))
 
 
@@ -1297,7 +1351,7 @@ def synthesize_alaw_wav_table(documents: DataFrame) -> DataFrame:
         le32(rate), le32(rate),                          # byte_rate = rate
         F.lit(b"\x01\x00\x08\x00"),                      # block 1, 8 bit
         F.lit(b"data"), le32(n), F.unhex(data_hex))
-    return documents.select(F.col("doc_id").alias("id"),
+    return _spread_small_scan(documents).select(F.col("doc_id").alias("id"),
                             media.alias("media"))
 
 
@@ -1327,7 +1381,7 @@ def synthesize_adpcm_wav_table(documents: DataFrame) -> DataFrame:
         F.lit(b"data"), le32(block_align),
         le16(pred_wire), F.lit(b"\x00\x00"),             # index 0, reserved
         F.unhex(F.repeat(F.lit("00"), nbytes.cast("int"))))
-    return documents.select(F.col("doc_id").alias("id"),
+    return _spread_small_scan(documents).select(F.col("doc_id").alias("id"),
                             media.alias("media"))
 
 
@@ -1620,6 +1674,19 @@ def _dct_matrix():
 
 _DCT = _dct_matrix()
 
+# module-level numpy constants (r17): np.asarray(_DCT) per _fdct_quant /
+# _idct_dequant call and the per-call zigzag index tuples measured as a
+# third of the per-block transform cost on the tiny fixture images
+def _np_consts():
+    import numpy as np
+
+    zr = np.asarray([r for r, _c in _ZZ], dtype=np.intp)
+    zc = np.asarray([c for _r, c in _ZZ], dtype=np.intp)
+    return np.asarray(_DCT, dtype=np.float64), zr, zc
+
+
+_DCT_NP, _ZZ_R, _ZZ_C = _np_consts()
+
 
 def _fdct_quant(block) -> list[int]:
     """Level-shift, forward DCT, quantize by 1 (identity table), emit
@@ -1628,11 +1695,38 @@ def _fdct_quant(block) -> list[int]:
     numpy matmul: the per-block transform is the codec's hot loop."""
     import numpy as np
 
-    C = np.asarray(_DCT)
+    C = _DCT_NP
     s = np.asarray(block, dtype=np.float64) - 128.0
     coef = C @ s @ C.T
     zz = np.rint(coef).astype(np.int64)
-    return [int(zz[r, c]) for r, c in _ZZ]
+    return zz[_ZZ_R, _ZZ_C].tolist()
+
+
+def _fdct_quant_blocks(width: int, height: int, pixels: bytes):
+    """All 8x8 blocks of a greyscale raster through the forward DCT at
+    once, raster block order, zigzag rows: (n_blocks, 64) int64. Edge
+    blocks replicate via np.pad(mode='edge') — the same min()-clamped
+    pixel the per-block list build produced.
+
+    One np.pad + two stacked matmuls + one fancy-index gather replaces
+    the per-block Python list build (64 min() calls each) and per-block
+    _fdct_quant dispatch, which together were ~70% of encode time on
+    the fixture-sized images (guide §4.2 — batch the native math).
+    Bitwise-identical to the per-block path: each (8,8) slice goes
+    through the same dgemm with the same association order, verified
+    exhaustively in tests."""
+    import numpy as np
+
+    w8, h8 = (width + 7) // 8, (height + 7) // 8
+    arr = np.frombuffer(pixels, dtype=np.uint8) \
+        .reshape(height, width).astype(np.float64)
+    arr = np.pad(arr, ((0, h8 * 8 - height), (0, w8 * 8 - width)),
+                 mode="edge")
+    blocks = arr.reshape(h8, 8, w8, 8).swapaxes(1, 2).reshape(-1, 8, 8) \
+        - 128.0
+    C = _DCT_NP
+    coef = np.matmul(np.matmul(C, blocks), C.T)
+    return np.rint(coef).astype(np.int64)[:, _ZZ_R, _ZZ_C]
 
 
 _IDCT_DC_CACHE: dict[int, "object"] = {}
@@ -1650,10 +1744,9 @@ def _idct_dequant(zz: list[int]):
         cached = _IDCT_DC_CACHE.get(zz[0])
         if cached is not None:
             return cached
-    C = np.asarray(_DCT)
+    C = _DCT_NP
     coef = np.zeros((8, 8))
-    for k, (r, c) in enumerate(_ZZ):
-        coef[r, c] = zz[k]
+    coef[_ZZ_R, _ZZ_C] = zz
     s = C.T @ coef @ C
     out = np.clip(np.rint(s) + 128, 0, 255).astype(np.int64)
     if dc_only:
@@ -1687,6 +1780,13 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
             k += 1
         code <<= 1
     return out
+
+
+# The encoders always emit the fixed tables above; building the
+# canonical maps per encode_*_jpeg call measured ~11% of encode time
+# on fixture-sized images (r17) — the tables are constants, build once.
+_ENC_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
+_ENC_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
 
 
 class _BitWriter:
@@ -1917,47 +2017,43 @@ def encode_grey_jpeg(width: int, height: int, pixels: bytes,
 
     if len(pixels) != width * height:
         raise ValueError("pixels length != width*height")
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
-    w8, h8 = (width + 7) // 8, (height + 7) // 8
+    dc_codes = _ENC_DC_CODES
+    ac_codes = _ENC_AC_CODES
     bw = _BitWriter()
     pred = 0
-    for by in range(h8):
-        for bx in range(w8):
-            mcu_no = by * w8 + bx
-            if restart_interval and mcu_no \
-                    and mcu_no % restart_interval == 0:
-                bw.write_marker(
-                    0xD0 + (mcu_no // restart_interval - 1) % 8)
-                pred = 0
-            block = [[pixels[min(height - 1, by * 8 + y) * width
-                             + min(width - 1, bx * 8 + x)]
-                      for x in range(8)] for y in range(8)]
-            zz = _fdct_quant(block)
-            diff = zz[0] - pred
-            pred = zz[0]
-            cat, extra = _category(diff)
-            code, ln = dc_codes[cat]
+    # all blocks through the DCT in one batched numpy call (r17);
+    # raster block order == the MCU order this loop walks
+    for mcu_no, zz in enumerate(
+            _fdct_quant_blocks(width, height, pixels).tolist()):
+        if restart_interval and mcu_no \
+                and mcu_no % restart_interval == 0:
+            bw.write_marker(
+                0xD0 + (mcu_no // restart_interval - 1) % 8)
+            pred = 0
+        diff = zz[0] - pred
+        pred = zz[0]
+        cat, extra = _category(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(extra, cat)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            cat, extra = _category(zz[k])
+            code, ln = ac_codes[(run << 4) | cat]
             bw.write(code, ln)
-            if cat:
-                bw.write(extra, cat)
+            bw.write(extra, cat)
             run = 0
-            for k in range(1, 64):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                cat, extra = _category(zz[k])
-                code, ln = ac_codes[(run << 4) | cat]
-                bw.write(code, ln)
-                bw.write(extra, cat)
-                run = 0
-            if run:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+        if run:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
     ecs = bw.flush()
 
     def seg(marker, body):
@@ -2749,16 +2845,11 @@ def encode_progressive_grey_jpeg(width: int, height: int, pixels: bytes,
     if len(pixels) != width * height:
         raise ValueError("pixels length != width*height")
     script = list(_PROG_SCRIPT if script is None else script)
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
-    w8, h8 = (width + 7) // 8, (height + 7) // 8
-    blocks = []
-    for by in range(h8):
-        for bx in range(w8):
-            block = [[pixels[min(height - 1, by * 8 + y) * width
-                             + min(width - 1, bx * 8 + x)]
-                      for x in range(8)] for y in range(8)]
-            blocks.append(_fdct_quant(block))
+    dc_codes = _ENC_DC_CODES
+    ac_codes = _ENC_AC_CODES
+    # all blocks through the DCT in one batched numpy call (r17);
+    # raster block order == the scans' block order
+    blocks = _fdct_quant_blocks(width, height, pixels).tolist()
 
     def encode_scan(ss, se, ah, al):
         bw = _BitWriter()
@@ -2836,7 +2927,7 @@ def synthesize_jpeg_table(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
                                 "media": media})
 
-    return documents.select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
+    return _spread_small_scan(documents).select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
 
 
 def synthesize_flac_table(documents: DataFrame) -> DataFrame:
@@ -2861,7 +2952,7 @@ def synthesize_flac_table(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
                                 "media": media})
 
-    return (documents
+    return (_spread_small_scan(documents)
             .select("doc_id",
                     # coalesce: a NULL-text poison doc otherwise turns
                     # the whole Arrow batch's tlen into float64 NaN and
@@ -2892,7 +2983,7 @@ def synthesize_progressive_jpeg_table(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
                                 "media": media})
 
-    return documents.select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
+    return _spread_small_scan(documents).select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
 
 
 def synthesize_gif_table(documents: DataFrame) -> DataFrame:
@@ -2921,7 +3012,7 @@ def synthesize_gif_table(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
                                 "media": media})
 
-    return (documents
+    return (_spread_small_scan(documents)
             .select("doc_id",
                     # coalesce: a NULL-text poison doc otherwise turns
                     # the whole Arrow batch's tlen into float64 NaN and
@@ -2951,7 +3042,7 @@ def synthesize_png_pixel_table(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
                                 "media": media})
 
-    return (documents
+    return (_spread_small_scan(documents)
             .select("doc_id",
                     # coalesce: a NULL-text poison doc otherwise turns
                     # the whole Arrow batch's tlen into float64 NaN and
@@ -2984,7 +3075,7 @@ def synthesize_mjpeg_avi_table(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
                                 "media": media})
 
-    return documents.select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
+    return _spread_small_scan(documents).select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
 
 
 # -- MJPEG-in-AVI frame extraction --------------------------------------------
@@ -4596,4 +4687,4 @@ def synthesize_y4m_table(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
                                 "media": media})
 
-    return documents.select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
+    return _spread_small_scan(documents).select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
