@@ -77,7 +77,17 @@ def _spread_small_scan(df: DataFrame) -> DataFrame:
     (defaultParallelism). A real at-scale corpus plans thousands of
     scan tasks and passes through untouched — no exchange is ever
     added to a large input, and the shuffled bytes in the small case
-    are by definition under one split."""
+    are by definition under one split.
+
+    Applied ONLY in the synthesizers whose per-row Python cost
+    dominates (the bit-serial JPEG/FLAC/Y4M encoder pipelines): the
+    exchange + extra AQE stage costs ~0.5-0.8 s fixed locally, which
+    the interleaved A/B (bench_ab_mm_fanout.json) showed REGRESSES
+    microsecond-per-row lanes (header parses, numpy sample decodes:
+    gif 1.43x, adpcm 1.53x, headers 2.4x) while the heavy codec lanes
+    gain 2.2-4.7x (mjpeg 0.211, progressive 0.295, jpeg 0.442, flac
+    0.447). The rule is cost-per-row, not data size, so it holds at
+    any width."""
     try:
         est = int(df._jdf.queryExecution().optimizedPlan()
                   .stats().sizeInBytes())
@@ -256,7 +266,7 @@ def synthesize_image_table(documents: DataFrame) -> DataFrame:
         be32(w), be32(h),
         F.lit(b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"))
     gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00\x00\x00"))
-    return _spread_small_scan(documents).select(
+    return documents.select(
         F.col("doc_id").alias("id"),
         F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif).alias("media"))
 
@@ -309,7 +319,7 @@ def synthesize_audio_table(documents: DataFrame) -> DataFrame:
     byte_rate = rate * block
     data_size = (F.length("text").cast("long") * block)
     riff_size = data_size + F.lit(36)           # 4 + (8+16) + 8
-    return _spread_small_scan(documents).select(
+    return documents.select(
         F.col("doc_id").alias("id"),
         F.concat(
             F.lit(b"RIFF"), le32(riff_size), F.lit(b"WAVE"),
@@ -491,7 +501,7 @@ def synthesize_video_table(documents: DataFrame) -> DataFrame:
         be32(dur),
         F.lit(b"\x00" * 16 + _UNITY_MATRIX),
         be32(w * F.lit(65536)), be32(h * F.lit(65536)))
-    return _spread_small_scan(documents).select(
+    return documents.select(
         F.col("doc_id").alias("id"),
         F.concat(
             F.lit(b"\x00\x00\x00\x10ftypisom" + b"\x00" * 4),
@@ -612,7 +622,7 @@ def extract_features(df: DataFrame, use_fake: bool = True) -> DataFrame:
 def synthesize_media_table(spark, documents: DataFrame, media_type: str = "image") -> DataFrame:
     """Build a multimodal fixture from the documents table: the text
     bytes stand in for media payloads with plausible metadata."""
-    return _spread_small_scan(documents).select(
+    return documents.select(
         F.col("doc_id").alias("id"),
         F.encode(F.col("text"), "utf-8").alias("media"),
         F.lit(media_type).alias("media_type"),
@@ -806,7 +816,7 @@ def synthesize_png_with_text(documents: DataFrame) -> DataFrame:
         F.lit(b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"),
         be32(F.length(payload).cast("long")),
         F.lit(b"tEXt"), payload, F.lit(b"\x00\x00\x00\x00"))
-    return _spread_small_scan(documents).select(F.col("doc_id").alias("id"), png.alias("media"))
+    return documents.select(F.col("doc_id").alias("id"), png.alias("media"))
 
 
 # -- real pixel / sample decoding (round 6) -----------------------------------
@@ -1298,7 +1308,7 @@ def synthesize_bmp_table(documents: DataFrame) -> DataFrame:
         le32(data_size),
         F.lit(b"\x00" * 16),                       # ppm + palette fields
         F.unhex(rows_hex))
-    return _spread_small_scan(documents).select(F.col("doc_id").alias("id"),
+    return documents.select(F.col("doc_id").alias("id"),
                             media.alias("media"))
 
 
@@ -1327,7 +1337,7 @@ def synthesize_pcm_wav_table(documents: DataFrame) -> DataFrame:
         le16(ch), le32(rate), le32(byte_rate), le16(block),
         F.lit(b"\x10\x00"),
         F.lit(b"data"), le32(data_size), F.unhex(data_hex))
-    return _spread_small_scan(documents).select(F.col("doc_id").alias("id"),
+    return documents.select(F.col("doc_id").alias("id"),
                             media.alias("media"))
 
 
@@ -1351,7 +1361,7 @@ def synthesize_alaw_wav_table(documents: DataFrame) -> DataFrame:
         le32(rate), le32(rate),                          # byte_rate = rate
         F.lit(b"\x01\x00\x08\x00"),                      # block 1, 8 bit
         F.lit(b"data"), le32(n), F.unhex(data_hex))
-    return _spread_small_scan(documents).select(F.col("doc_id").alias("id"),
+    return documents.select(F.col("doc_id").alias("id"),
                             media.alias("media"))
 
 
@@ -1381,7 +1391,7 @@ def synthesize_adpcm_wav_table(documents: DataFrame) -> DataFrame:
         F.lit(b"data"), le32(block_align),
         le16(pred_wire), F.lit(b"\x00\x00"),             # index 0, reserved
         F.unhex(F.repeat(F.lit("00"), nbytes.cast("int"))))
-    return _spread_small_scan(documents).select(F.col("doc_id").alias("id"),
+    return documents.select(F.col("doc_id").alias("id"),
                             media.alias("media"))
 
 
@@ -3012,7 +3022,7 @@ def synthesize_gif_table(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
                                 "media": media})
 
-    return (_spread_small_scan(documents)
+    return (documents
             .select("doc_id",
                     # coalesce: a NULL-text poison doc otherwise turns
                     # the whole Arrow batch's tlen into float64 NaN and
@@ -3042,7 +3052,7 @@ def synthesize_png_pixel_table(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
                                 "media": media})
 
-    return (_spread_small_scan(documents)
+    return (documents
             .select("doc_id",
                     # coalesce: a NULL-text poison doc otherwise turns
                     # the whole Arrow batch's tlen into float64 NaN and
