@@ -1006,12 +1006,17 @@ def random_projection_signs(
     projected = corpus.select(F.col(id_col), q.alias("_q"))
     cols = [F.col(id_col)]
     for j in range(int(out_dim)):
-        # one Literal node per row of the sign matrix (r16): the
+        # one Literal node per row of the sign matrix (r16/r17): the
         # F.array-of-F.lit form built in_dim Literal nodes per output
-        # dim — out_dim*in_dim analyzer nodes per query build;
-        # F.lit(list) ships the same values as a single ArrayData
-        signs = F.lit([_jl_sign(j, i)
-                       for i in range(int(in_dim))]).cast("array<long>")
+        # dim — out_dim*in_dim analyzer nodes per query build. In the
+        # pinned PySpark 4.1, F.lit(list) still expands to
+        # array(lit(x), ...) — the SAME per-element tree (r16's
+        # comment overclaimed); a numpy ndarray is what routes through
+        # one true ArrayData Literal (measured ~1.8x cheaper to
+        # analyze at 512 elements). Runtime semantics identical.
+        signs = F.lit(np.asarray([_jl_sign(j, i)
+                                  for i in range(int(in_dim))],
+                                 dtype=np.int64)).cast("array<long>")
         pj = F.aggregate(
             F.zip_with(F.col("_q"), signs, lambda x, s: x * s),
             F.lit(0).cast("long"), lambda acc, v: acc + v)
@@ -1230,11 +1235,13 @@ def adc_scored(
     for s in range(m):
         C = np.asarray(codebooks[s], dtype=np.int64)
         d = ((qv[s * sub:(s + 1) * sub][None, :] - C) ** 2).sum(axis=1)
-        tables.append([int(x) for x in d])
+        tables.append(d)
     dist = None
     for s in range(m):
-        # single-Literal ADC table (r16): 256 lookup entries per
-        # subspace as one ArrayData instead of 256 Literal nodes
+        # single-Literal ADC table (r16/r17): an int64 ndarray routes
+        # through ONE ArrayData Literal; F.lit(list) in the pinned
+        # PySpark 4.1 still expands to per-element array(lit, ...)
+        # (r16's comment overclaimed — this is the actual fix)
         arr = F.lit(tables[s]).cast("array<long>")
         term = F.element_at(arr, F.col(f"code_{s}") + 1)
         dist = term if dist is None else dist + term
@@ -1264,7 +1271,8 @@ def ivfpq_search(
     cent = _as_double(
         centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("centv")),
         "centv")
-    qlit = F.lit([float(v) for v in query_vec]).cast("array<double>")
+    qlit = F.lit(np.asarray([float(v) for v in query_vec],
+                            dtype=np.float64)).cast("array<double>")
     probe_ids = [
         r[centroid_id_col]
         for r in (cent

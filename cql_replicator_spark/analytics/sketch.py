@@ -466,14 +466,19 @@ def bloom_rf_predicate(value: str | Column, words: list[int],
     This is the Bloom-join runtime filter: apply to the fact side
     BEFORE the join so the shuffle moves only probable matches; false
     positives only, so the exact join keeps results exact."""
-    # ONE array literal node (r16): F.array over m/64 individual
-    # F.lit nodes built a 512-Literal expression tree that the k
-    # probes below reference k times — thousands of nodes for the
-    # analyzer/optimizer to fold on EVERY query build. F.lit(list)
-    # ships the same ArrayData as a single Literal (words are already
-    # two's-complement signed, a legal long each); runtime semantics
-    # identical, plan-build cost collapses.
-    arr = F.lit(words).cast("array<long>")
+    # ONE array literal node (r16, corrected r17): F.array over m/64
+    # individual F.lit nodes built a 512-Literal expression tree that
+    # the k probes below reference k times — thousands of nodes for
+    # the analyzer/optimizer to fold on EVERY query build. r16 swapped
+    # in F.lit(list) claiming a single ArrayData, but in the pinned
+    # PySpark 4.1 lit(list) still expands to array(lit(x), ...) — the
+    # same per-element tree (only the per-element casts were saved).
+    # An int64 ndarray is what actually ships ONE Literal (measured
+    # ~1.8x cheaper to analyze at 512 elements); words are two's-
+    # complement signed, each a legal long. Runtime semantics
+    # identical.
+    import numpy as _np
+    arr = F.lit(_np.asarray(words, dtype=_np.int64)).cast("array<long>")
     h1, h2 = _rf_hashes(value, m)
     hits = None
     for j in range(k):

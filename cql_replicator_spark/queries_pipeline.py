@@ -1611,17 +1611,22 @@ GROUP BY a.query_id
 def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import similarity as S
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-    if emb.select("vec_id").first() is None:
-        # empty embeddings: no model is trainable (pq_train correctly
-        # refuses) and no query vectors exist — recall over nothing is
-        # the oracle's zero rows, not an exception
+    # ONE probe-row collect (r17, guide §5 driver overhead): the old
+    # shape ran an emptiness first() plus one filter+first() job PER
+    # probe id — four scans of the corpus before any real work. No
+    # probe rows covers both the empty-table and absent-probe cases;
+    # either way the declared result is the schema-correct empty frame
+    # (pq_train, which refuses empty input, is then never reached).
+    qrows = {int(r.vec_id): r for r in
+             emb.filter(F.col("vec_id").isin(3, 11, 42)).collect()}
+    if not qrows:
         return spark.createDataFrame(
             [], "query_id LONG, n_ann LONG, recall_at_5 DOUBLE")
     books = S.pq_train(emb, m=2, k=4, rounds=0, train_sample=64)
     enc = S.pq_encode(emb, books)
     parts = []
     for qid in (3, 11, 42):
-        qrow = emb.filter(F.col("vec_id") == qid).first()
+        qrow = qrows.get(qid)
         if qrow is None:
             continue  # probe id absent: the oracle emits no row for it
         parts.append(
@@ -1765,9 +1770,11 @@ GROUP BY a.query_id
 def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import similarity as S
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-    if emb.select("vec_id").first() is None:
-        # empty embeddings: see similarity_pq_recall — zero rows, like
-        # the oracle, not an exception
+    # ONE probe-row collect instead of four scans — see
+    # similarity_pq_recall (r17); same empty-frame contract
+    qrows = {int(r.vec_id): r for r in
+             emb.filter(F.col("vec_id").isin(3, 11, 42)).collect()}
+    if not qrows:
         return spark.createDataFrame(
             [], "query_id LONG, n_ann LONG, recall_at_5 DOUBLE")
     centroids = emb.filter(F.col("vec_id") < 8).select(
@@ -1778,7 +1785,7 @@ def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(S.pq_encode(emb, books), "vec_id"))
     parts = []
     for qid in (3, 11, 42):
-        qrow = emb.filter(F.col("vec_id") == qid).first()
+        qrow = qrows.get(qid)
         if qrow is None:
             continue  # probe id absent: the oracle emits no row for it
         parts.append(
