@@ -1153,12 +1153,21 @@ def ivm_stream_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t0, t1 = _cdc_snapshots(spark, sf_dir)
     grp = (F.col("pk") % 100).alias("grp")
-    env = compute_changes_envelope(t1, t0, ["pk"]).select("*", grp)
-
-    stage = _stage_dir("ivm_stream")
-    k = stage_microbatches(
-        [env.filter(c) for c in (F.col("pk") % 2 == 0,
-                                 F.col("pk") % 2 == 1)], stage)
+    # persist the envelope across the two staged writes (r17): the
+    # envelope is a full-outer snapshot join, and each staged batch is
+    # a filter of it — unpersisted, the diff ran once PER batch write
+    # (profile_streaming.json: staging was the largest phase of this
+    # lane). The frame is change-feed-sized (O(changes), not O(corpus))
+    # so the persist is bounded; released right after staging.
+    env = (compute_changes_envelope(t1, t0, ["pk"]).select("*", grp)
+           .persist())
+    try:
+        stage = _stage_dir("ivm_stream")
+        k = stage_microbatches(
+            [env.filter(c) for c in (F.col("pk") % 2 == 0,
+                                     F.col("pk") % 2 == 1)], stage)
+    finally:
+        env.unpersist()
 
     state_root = _stage_dir("ivm_state")
     (t0.select("ts", grp).groupBy("grp")

@@ -130,11 +130,12 @@ def profile_stmtlog(spark) -> dict:
     q.awaitTermination(300)
     out["stream_total"] = round(t() - p0, 3)
     # per-batch durations from the query's own progress telemetry
+    # (StreamingQueryProgress objects; .json is the serialized form)
     out["progress"] = [
-        {"batchId": pr["batchId"],
+        {"batchId": pr.get("batchId"),
          "durationMs": pr.get("durationMs"),
          "numInputRows": pr.get("numInputRows")}
-        for pr in (json.loads(j) for j in q.recentProgress)]
+        for pr in (json.loads(p.json) for p in q.recentProgress)]
 
     p0 = t()
     _roundtrip_aggregate(spark.table(qname)).count()
