@@ -1087,15 +1087,25 @@ def pq_train(
         # reuse the corpus-side kmeans: assignments are discarded, the
         # centroid table is what we keep — recovered by re-running the
         # seeding+update loop through kmeans_quantized's machinery
-        books.append(_kmeans_centroids(piece, "sv", k, rounds, scale))
+        # dim is proven divisible above, so every subspace slice of a
+        # well-formed vector has exactly `sub` components — pass it
+        # down instead of letting each subspace loop re-probe it with
+        # its own first() job (r17: m probe jobs saved per training
+        # call; the probe only ever measured a row this slice already
+        # validated)
+        books.append(_kmeans_centroids(piece, "sv", k, rounds, scale,
+                                       dim=sub))
     return books
 
 
 def _kmeans_centroids(frame: DataFrame, vec_col: str, k: int,
-                      rounds: int, scale: int) -> list[list[int]]:
+                      rounds: int, scale: int,
+                      dim: int | None = None) -> list[list[int]]:
     """The centroid table of kmeans_quantized (which returns only
     assignments): same seeding, same integer update, same k-row
-    pivoted collection."""
+    pivoted collection. ``dim`` (when the caller already knows the
+    vector width, e.g. pq_train's validated subspace slices) skips the
+    head-probe job; None keeps the probing behavior."""
     first_col = frame.columns[0]
     q_all = frame.select(
         F.col(first_col).alias("_id"),
@@ -1103,11 +1113,13 @@ def _kmeans_centroids(frame: DataFrame, vec_col: str, k: int,
             f"transform({vec_col}, v -> greatest(-127L, least(127L, "
             f"CAST(floor(CAST(v AS DOUBLE) * {int(scale)}) AS BIGINT))))"
         ).alias("qv"))
-    head = q_all.filter(F.col("qv").isNotNull()).select("qv").first()
-    if head is None:
-        raise ValueError("empty subspace frame")
+    if dim is None:
+        head = q_all.filter(F.col("qv").isNotNull()).select("qv").first()
+        if head is None:
+            raise ValueError("empty subspace frame")
+        dim = len(head["qv"])
     # exclude NULL/ragged poison rows: same contract as kmeans_quantized
-    q = well_formed(q_all, "qv", len(head["qv"])).persist()
+    q = well_formed(q_all, "qv", int(dim)).persist()
     try:
         seeds = q.orderBy("_id").limit(int(k)).collect()
         if not seeds:

@@ -240,6 +240,17 @@ class SnapshotStore:
                 # pass over the snapshot per rotation (plus the
                 # read-back's footer/schema job). At 100 TB the
                 # read-back was a second scan of every snapshot tile.
+                # TRADE (r16 ADVICE, documented): the Observation
+                # counts rows streamed through the write, so a
+                # post-write corruption / partial commit that the old
+                # read-back would have surfaced AT ROTATION TIME now
+                # surfaces at first consumer read. The stats_cols
+                # branch above still read-backs (it needs per-file
+                # aggregates) and therefore keeps the implicit
+                # durability check; callers that need rotation-time
+                # verification on the plain branch can run a
+                # footer-only validation over entry["files"] — the
+                # manifest records exactly what must exist.
                 from pyspark.sql import Observation
                 obs = Observation()
                 (df.observe(obs, F.count(F.lit(1)).alias("__n"))

@@ -3844,6 +3844,15 @@ def test_sparse_cosine_norm_branch_reuses_corpus_subtree(spark):
     from conftest import SF_DIR
 
     queries()
+    # the protection below rests ENTIRELY on runtime exchange reuse
+    # (the static scan pin for this lane was loosened 4->12 in r16):
+    # if this conf is ever disabled — or a Spark upgrade changes its
+    # default — the lane silently regresses to 3 gram-scale exchanges.
+    # Fail loudly on the conf instead (r17, per r16 ADVICE).
+    assert spark.conf.get("spark.sql.exchange.reuse", "true") == "true", (
+        "spark.sql.exchange.reuse is disabled — sparse_cosine's norm "
+        "branch depends on runtime exchange reuse; re-evaluate the "
+        "lane's plan shape before turning this off")
     df = REGISTRY["text_sparse_cosine_pairs"].build(spark, SF_DIR)
     rows = df.collect()  # materialize so AQE finalizes the plan
     assert rows
