@@ -1571,26 +1571,22 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything else stalest-evidence-first. tests/test_oracle.py asserts the
 # computed order actually has this shape.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r16: lanes whose IMPLEMENTATION semantics or whole oracle changed
-    # this round re-verify. (The r16 oracle-HARDENING pass — TRY_CAST /
-    # NULLS FIRST / vector guards across ~50 further oracles — is an
-    # identity on clean data, self-verified by full sf0.01 + poison
-    # runs, so those lanes keep their standing evidence and refresh by
-    # staleness.) The window's remainder goes stalest-first, which
-    # fronts the full 32-row r10 cohort — the r15 verdict item 4
-    # refresh: 12 + 32 = 44 <= ~50.
-    "udt_to_json",                   # explicit nulls in UDT JSON
-    "source_csv_roundtrip",          # null sentinel + no writer trim
-    "source_xml_roundtrip",          # ignoreSurroundingSpaces=false
-    "embedding_scalar_quantization",  # finite-only codebook cuts
-    "events_anomaly_mad",            # finite-only median/MAD model
-    "dedup_embedding_lsh",           # defined NaN/magnitude clip
-    "dedup_embedding_lsh_verified",  # same clip via shared signatures
-    "orders_cube",                   # grouping sets over pre-aggregate
-    "orders_rollup",                 # grouping sets over pre-aggregate
-    "events_grouping_sets_time",     # grouping sets over pre-aggregate
-    "parquet_agg_pushdown",          # recursive-glob footer guard
-    "tile_histogram_xxhash64",       # derived SQL-XXH64 oracle
+    # r17 (optimization round): lanes whose PLAN or driver-side job
+    # shape changed this round re-verify first. All changes are
+    # result-identical by construction (equivalence asserted in the
+    # committed A/B harnesses and full 223-lane oracle sweeps at
+    # sf0.01 AND sf0.001), but the driver's own evidence should front
+    # them. The window's remainder goes stalest-first as always.
+    "multimodal_jpeg_pixel_decode",        # fan-out + batched FDCT
+    "multimodal_progressive_jpeg_decode",  # fan-out + batched FDCT
+    "multimodal_mjpeg_frame_sample",       # fan-out + batched FDCT
+    "multimodal_flac_audio_decode",        # fan-out
+    "multimodal_y4m_pixel_decode",         # fan-out
+    "bloom_join_prefilter",                # ndarray single-Literal
+    "embedding_random_projection",         # ndarray single-Literal
+    "similarity_pq_recall",                # 1 probe collect + dim param
+    "similarity_ivfpq_recall",             # 1 probe collect + dim param
+    "ivm_stream_refresh",                  # envelope persist in staging
 ]
 
 
