@@ -138,30 +138,33 @@ def referential_integrity(
     Built as ONE left join + ONE aggregation counting total and matched
     rows together — the child (fact, the 100 TB side) scans once;
     Catalyst/AQE broadcasts the deduplicated parent side when small.
+
+    Fully LAZY: the single-row long-form result is a DataFrame
+    expression over the aggregate, not a collect()+createDataFrame
+    round-trip — unioning it into a validate() suite yields ONE action
+    computing both branches, and the driver never blocks on a child
+    scan at suite-construction time (a full fact-table pass at scale).
+    The zero-row-child edge rides the same expression: try_divide
+    yields NULL for the metric and the CASE pins passed to the
+    vacuous-pass (or require_rows) contract.
     """
     parents = (parent.select(F.col(parent_col).alias(child_col))
                .distinct().withColumn("__hit", F.lit(1)))
-    row = (child.select(child_col)
-           .join(parents, child_col, "left")
-           .agg(F.count(F.lit(1)).alias("__total"),
-                F.count("__hit").alias("__matched"))
-           .collect()[0])
-    total, matched = row["__total"], row["__matched"]
-    spark = child.sparkSession
-    if total == 0:
-        # zero child rows: vacuously satisfied (no row can violate the
-        # reference); the coverage metric is NULL, exactly as an avg
-        # over an empty frame — an empty tile must not fail the suite
-        # unless the caller opted into require_rows (see docstring)
-        return spark.createDataFrame(
-            [(f"ref_{child_col}", None, not require_rows)],
-            "check STRING, metric DOUBLE, passed BOOLEAN",
-        )
-    frac = matched / total
-    return spark.createDataFrame(
-        [(f"ref_{child_col}", round(frac, 6), frac >= at_least)],
-        "check STRING, metric DOUBLE, passed BOOLEAN",
-    )
+    frac = F.try_divide(F.col("__matched").cast("double"), F.col("__total"))
+    return (child.select(child_col)
+            .join(parents, child_col, "left")
+            .agg(F.count(F.lit(1)).alias("__total"),
+                 F.count("__hit").alias("__matched"))
+            .select(
+                F.lit(f"ref_{child_col}").alias("check"),
+                F.round(frac, 6).alias("metric"),
+                F.when(F.col("__total") == 0,
+                       # zero child rows: vacuously satisfied (no row
+                       # can violate the reference) unless the caller
+                       # opted into require_rows (see docstring)
+                       F.lit(not require_rows))
+                 .otherwise(frac >= F.lit(float(at_least)))
+                 .alias("passed")))
 
 
 def row_violations(
