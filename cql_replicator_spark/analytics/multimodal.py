@@ -101,7 +101,19 @@ def _spread_small_scan(df: DataFrame) -> DataFrame:
         split_bytes = 128 * 1024 * 1024
     if est >= split_bytes:
         return df
-    target = spark.sparkContext.defaultParallelism
+    # Width cap (r17 session 2, measured): every Python task pays a
+    # fixed boundary setup (~25 ms warm), and a COLD worker pays
+    # fork + import — and Spark's PythonWorkerFactory hard-kills
+    # workers idle >1 min (IDLE_WORKER_TIMEOUT_NS, not configurable),
+    # so in any run where heavy Python stages are minutes apart the
+    # pool is ALWAYS cold and a width-32 fan-out re-pays a 32-64
+    # worker spawn storm every time (measured 5-25 s; 16-52 s under
+    # host load — worse than the serial shape it replaced). With
+    # W ≈ seconds of codec work and c ≈ per-task setup, runtime is
+    # W/k + c*k, optimal near k = sqrt(W/c) ≈ 8 for these lanes; the
+    # cap costs at most (k/defaultParallelism) of the ideal speedup on
+    # a sub-split input while bounding the spawn storm at any width.
+    target = min(spark.sparkContext.defaultParallelism, 8)
     return df.repartition(target)
 
 
@@ -1218,26 +1230,34 @@ def image_pixel_stats(df: DataFrame, decoder=decode_image_pixels) -> DataFrame:
     touching the plan shape."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [decoder(bytes(b)) if b is not None else None
-                    for b in pdf["media"]]
-            yield pd.DataFrame({
-                "id": pdf["id"],
-                "width": pd.array([r["width"] if r else None for r in rows],
-                                  dtype="Int32"),
-                "height": pd.array([r["height"] if r else None for r in rows],
-                                   dtype="Int32"),
-                "n_px": pd.array([r["n_px"] if r else None for r in rows],
-                                 dtype="Int64"),
-                "sum_r": pd.array([r["sum_r"] if r else None for r in rows],
-                                  dtype="Int64"),
-                "sum_g": pd.array([r["sum_g"] if r else None for r in rows],
-                                  dtype="Int64"),
-                "sum_b": pd.array([r["sum_b"] if r else None for r in rows],
-                                  dtype="Int64"),
-            })
+        return _pixel_stats_batches(batches, decoder)
 
     return df.select("id", "media").mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
+def _pixel_stats_batches(batches: Iterator[pd.DataFrame],
+                         decoder) -> Iterator[pd.DataFrame]:
+    """The decode half of image_pixel_stats as a plain batch
+    transformer, composable with a synthesizer's batch generator into
+    ONE mapInPandas (see the *_fused lane builders)."""
+    for pdf in batches:
+        rows = [decoder(bytes(b)) if b is not None else None
+                for b in pdf["media"]]
+        yield pd.DataFrame({
+            "id": pdf["id"],
+            "width": pd.array([r["width"] if r else None for r in rows],
+                              dtype="Int32"),
+            "height": pd.array([r["height"] if r else None for r in rows],
+                               dtype="Int32"),
+            "n_px": pd.array([r["n_px"] if r else None for r in rows],
+                             dtype="Int64"),
+            "sum_r": pd.array([r["sum_r"] if r else None for r in rows],
+                              dtype="Int64"),
+            "sum_g": pd.array([r["sum_g"] if r else None for r in rows],
+                              dtype="Int64"),
+            "sum_b": pd.array([r["sum_b"] if r else None for r in rows],
+                              dtype="Int64"),
+        })
 
 
 def audio_sample_stats(df: DataFrame) -> DataFrame:
@@ -1245,33 +1265,39 @@ def audio_sample_stats(df: DataFrame) -> DataFrame:
     Arrow-batched mapInPandas: WAV family through parse_wav_samples,
     FLAC through parse_flac_samples."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [(parse_flac_samples(bytes(b))
-                     if bytes(b)[:4] == b"fLaC"
-                     else parse_wav_samples(bytes(b)))
-                    if b is not None else None
-                    for b in pdf["media"]]
-            yield pd.DataFrame({
-                "id": pdf["id"],
-                "channels": pd.array(
-                    [r["channels"] if r else None for r in rows],
-                    dtype="Int32"),
-                "sample_rate": pd.array(
-                    [r["sample_rate"] if r else None for r in rows],
-                    dtype="Int32"),
-                "n_samples": pd.array(
-                    [r["n_samples"] if r else None for r in rows],
-                    dtype="Int64"),
-                "sum_sq": pd.array(
-                    [r["sum_sq"] if r else None for r in rows],
-                    dtype="Int64"),
-                "peak": pd.array(
-                    [r["peak"] if r else None for r in rows],
-                    dtype="Int32"),
-            })
+    return df.select("id", "media").mapInPandas(
+        _sample_stats_batches, schema=SAMPLE_STATS_SCHEMA)
 
-    return df.select("id", "media").mapInPandas(run, schema=SAMPLE_STATS_SCHEMA)
+
+def _sample_stats_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The decode half of audio_sample_stats as a plain batch
+    transformer, composable with a synthesizer's batch generator into
+    ONE mapInPandas (see the *_fused lane builders)."""
+    for pdf in batches:
+        rows = [(parse_flac_samples(bytes(b))
+                 if bytes(b)[:4] == b"fLaC"
+                 else parse_wav_samples(bytes(b)))
+                if b is not None else None
+                for b in pdf["media"]]
+        yield pd.DataFrame({
+            "id": pdf["id"],
+            "channels": pd.array(
+                [r["channels"] if r else None for r in rows],
+                dtype="Int32"),
+            "sample_rate": pd.array(
+                [r["sample_rate"] if r else None for r in rows],
+                dtype="Int32"),
+            "n_samples": pd.array(
+                [r["n_samples"] if r else None for r in rows],
+                dtype="Int64"),
+            "sum_sq": pd.array(
+                [r["sum_sq"] if r else None for r in rows],
+                dtype="Int64"),
+            "peak": pd.array(
+                [r["peak"] if r else None for r in rows],
+                dtype="Int32"),
+        })
 
 
 def synthesize_bmp_table(documents: DataFrame) -> DataFrame:
@@ -2924,20 +2950,22 @@ def synthesize_jpeg_table(documents: DataFrame) -> DataFrame:
     synthesizers this one must run in Python (mapInPandas): Huffman
     bit-packing is not expressible as column codegen — which is fine,
     encode here exists to exercise the DECODER."""
+    return _spread_small_scan(documents).select("doc_id").mapInPandas(
+        _jpeg_synth_batches, schema=JPEG_SCHEMA)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            media = []
-            for did in ids:
-                w = did % 21 + 4
-                h = did % 13 + 4
-                g = did % 256
-                media.append(encode_grey_jpeg(w, h, bytes([g]) * (w * h)))
-            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
-                                "media": media})
 
-    return _spread_small_scan(documents).select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
+def _jpeg_synth_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].tolist()
+        media = []
+        for did in ids:
+            w = did % 21 + 4
+            h = did % 13 + 4
+            g = did % 256
+            media.append(encode_grey_jpeg(w, h, bytes([g]) * (w * h)))
+        yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                            "media": media})
 
 
 def synthesize_flac_table(documents: DataFrame) -> DataFrame:
@@ -2948,28 +2976,33 @@ def synthesize_flac_table(documents: DataFrame) -> DataFrame:
     header/warmup/Rice/CRC machinery while the aggregates keep closed
     forms — sum_sq = n*b^2 + b*n*(n-1) + (n-1)n(2n-1)/6, peak =
     max(|b|, |b+n-1|)."""
+    return (_flac_synth_input(documents)
+            .mapInPandas(_flac_synth_batches, schema=JPEG_SCHEMA))
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            lens = pdf["tlen"].tolist()
-            media = []
-            for did, tl in zip(ids, lens):
-                n = tl % 40 + 20
-                base = did % 1001 - 500
-                media.append(encode_flac([base + i for i in range(n)],
-                                         16000, 1))
-            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
-                                "media": media})
 
+def _flac_synth_input(documents: DataFrame) -> DataFrame:
     return (_spread_small_scan(documents)
             .select("doc_id",
                     # coalesce: a NULL-text poison doc otherwise turns
                     # the whole Arrow batch's tlen into float64 NaN and
                     # the int-only encoder math below throws TypeError
                     F.coalesce(F.length("text"), F.lit(0))
-                     .cast("long").alias("tlen"))
-            .mapInPandas(run, schema=JPEG_SCHEMA))
+                     .cast("long").alias("tlen")))
+
+
+def _flac_synth_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].tolist()
+        lens = pdf["tlen"].tolist()
+        media = []
+        for did, tl in zip(ids, lens):
+            n = tl % 40 + 20
+            base = did % 1001 - 500
+            media.append(encode_flac([base + i for i in range(n)],
+                                     16000, 1))
+        yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                            "media": media})
 
 
 def synthesize_progressive_jpeg_table(documents: DataFrame) -> DataFrame:
@@ -2979,21 +3012,23 @@ def synthesize_progressive_jpeg_table(documents: DataFrame) -> DataFrame:
     query drives the G.2 decode machinery (DC first/refine, AC band
     first scans with EOBn runs, AC refinements) end to end. Solid
     images stay DC-only, so sum = grey * w * h in closed form."""
+    return _spread_small_scan(documents).select("doc_id").mapInPandas(
+        _progressive_synth_batches, schema=JPEG_SCHEMA)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            media = []
-            for did in ids:
-                w = did % 19 + 4
-                h = did % 11 + 4
-                g = (did * 7) % 256
-                media.append(encode_progressive_grey_jpeg(
-                    w, h, bytes([g]) * (w * h)))
-            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
-                                "media": media})
 
-    return _spread_small_scan(documents).select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
+def _progressive_synth_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].tolist()
+        media = []
+        for did in ids:
+            w = did % 19 + 4
+            h = did % 11 + 4
+            g = (did * 7) % 256
+            media.append(encode_progressive_grey_jpeg(
+                w, h, bytes([g]) * (w * h)))
+        yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                            "media": media})
 
 
 def synthesize_gif_table(documents: DataFrame) -> DataFrame:
@@ -3068,24 +3103,26 @@ def synthesize_mjpeg_avi_table(documents: DataFrame) -> DataFrame:
     in a RIFF/AVI container at 10 fps. Every frame is DC-only, so the
     per-frame decoded sum has the closed form grey_i * w * h for the
     frame-sampling oracle."""
+    return _spread_small_scan(documents).select("doc_id").mapInPandas(
+        _mjpeg_synth_batches, schema=JPEG_SCHEMA)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            media = []
-            for did in ids:
-                w = did % 9 + 8
-                h = did % 7 + 8
-                nf = did % 4 + 1
-                frames = [
-                    encode_grey_jpeg(
-                        w, h, bytes([(did + 31 * i) % 256]) * (w * h))
-                    for i in range(nf)]
-                media.append(encode_mjpeg_avi(w, h, frames, fps=10))
-            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
-                                "media": media})
 
-    return _spread_small_scan(documents).select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
+def _mjpeg_synth_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].tolist()
+        media = []
+        for did in ids:
+            w = did % 9 + 8
+            h = did % 7 + 8
+            nf = did % 4 + 1
+            frames = [
+                encode_grey_jpeg(
+                    w, h, bytes([(did + 31 * i) % 256]) * (w * h))
+                for i in range(nf)]
+            media.append(encode_mjpeg_avi(w, h, frames, fps=10))
+        yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                            "media": media})
 
 
 # -- MJPEG-in-AVI frame extraction --------------------------------------------
@@ -3207,29 +3244,39 @@ def video_frame_stats(df: DataFrame, every_ms: int = 1000,
         lambda raw, ms: sample_frames(raw, ms, _lenient=True))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, ws, hs, sums = [], [], [], [], []
-            for rid, b in zip(pdf["id"], pdf["media"]):
-                if b is None:
-                    continue
-                for idx, frame in sampler(bytes(b), every_ms):
-                    d = frame_decoder(frame)
-                    if d is None:
-                        continue
-                    ids.append(rid)
-                    idxs.append(idx)
-                    ws.append(d["width"])
-                    hs.append(d["height"])
-                    sums.append(d["sum_r"])
-            yield pd.DataFrame({
-                "id": pd.array(ids, dtype="Int64"),
-                "frame_idx": pd.array(idxs, dtype="Int32"),
-                "width": pd.array(ws, dtype="Int32"),
-                "height": pd.array(hs, dtype="Int32"),
-                "sum_grey": pd.array(sums, dtype="Int64"),
-            })
+        return _frame_stats_batches(batches, sampler, frame_decoder,
+                                    every_ms)
 
     return df.select("id", "media").mapInPandas(run, schema=FRAME_STATS_SCHEMA)
+
+
+def _frame_stats_batches(batches: Iterator[pd.DataFrame], sampler,
+                         frame_decoder,
+                         every_ms: int) -> Iterator[pd.DataFrame]:
+    """The sample+decode half of video_frame_stats as a plain batch
+    transformer, composable with a synthesizer's batch generator into
+    ONE mapInPandas (see the *_fused lane builders)."""
+    for pdf in batches:
+        ids, idxs, ws, hs, sums = [], [], [], [], []
+        for rid, b in zip(pdf["id"], pdf["media"]):
+            if b is None:
+                continue
+            for idx, frame in sampler(bytes(b), every_ms):
+                d = frame_decoder(frame)
+                if d is None:
+                    continue
+                ids.append(rid)
+                idxs.append(idx)
+                ws.append(d["width"])
+                hs.append(d["height"])
+                sums.append(d["sum_r"])
+        yield pd.DataFrame({
+            "id": pd.array(ids, dtype="Int64"),
+            "frame_idx": pd.array(idxs, dtype="Int32"),
+            "width": pd.array(ws, dtype="Int32"),
+            "height": pd.array(hs, dtype="Int32"),
+            "sum_grey": pd.array(sums, dtype="Int64"),
+        })
 
 
 def _jpeg_ycbcr_planes(width: int, height: int, rgb: bytes,
@@ -4635,40 +4682,45 @@ def y4m_frame_stats(df: DataFrame) -> DataFrame:
     Arrow-batched mapInPandas. The uncompressed sibling of
     video_frame_stats: container walk -> plane slice -> numpy sum,
     no per-pixel Python. Non-Y4M payloads yield no rows."""
+    return df.select("id", "media").mapInPandas(
+        _y4m_stats_batches, schema=Y4M_FRAME_STATS_SCHEMA)
+
+
+def _y4m_stats_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The parse half of y4m_frame_stats as a plain batch transformer,
+    composable with a synthesizer's batch generator into ONE
+    mapInPandas (see the *_fused lane builders)."""
     import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, ws, hs, sy, su, sv = [], [], [], [], [], [], []
-            for rid, b in zip(pdf["id"], pdf["media"]):
-                if b is None:
-                    continue
-                d = parse_y4m_frames(bytes(b))
-                if d is None:
-                    continue
-                for idx, (y, u, v) in enumerate(d["frames"]):
-                    ids.append(rid)
-                    idxs.append(idx)
-                    ws.append(d["width"])
-                    hs.append(d["height"])
-                    sy.append(int(np.frombuffer(y, np.uint8)
-                                  .sum(dtype=np.int64)))
-                    su.append(int(np.frombuffer(u, np.uint8)
-                                  .sum(dtype=np.int64)))
-                    sv.append(int(np.frombuffer(v, np.uint8)
-                                  .sum(dtype=np.int64)))
-            yield pd.DataFrame({
-                "id": pd.array(ids, dtype="Int64"),
-                "frame_idx": pd.array(idxs, dtype="Int32"),
-                "width": pd.array(ws, dtype="Int32"),
-                "height": pd.array(hs, dtype="Int32"),
-                "sum_y": pd.array(sy, dtype="Int64"),
-                "sum_u": pd.array(su, dtype="Int64"),
-                "sum_v": pd.array(sv, dtype="Int64"),
-            })
-
-    return df.select("id", "media").mapInPandas(
-        run, schema=Y4M_FRAME_STATS_SCHEMA)
+    for pdf in batches:
+        ids, idxs, ws, hs, sy, su, sv = [], [], [], [], [], [], []
+        for rid, b in zip(pdf["id"], pdf["media"]):
+            if b is None:
+                continue
+            d = parse_y4m_frames(bytes(b))
+            if d is None:
+                continue
+            for idx, (y, u, v) in enumerate(d["frames"]):
+                ids.append(rid)
+                idxs.append(idx)
+                ws.append(d["width"])
+                hs.append(d["height"])
+                sy.append(int(np.frombuffer(y, np.uint8)
+                              .sum(dtype=np.int64)))
+                su.append(int(np.frombuffer(u, np.uint8)
+                              .sum(dtype=np.int64)))
+                sv.append(int(np.frombuffer(v, np.uint8)
+                              .sum(dtype=np.int64)))
+        yield pd.DataFrame({
+            "id": pd.array(ids, dtype="Int64"),
+            "frame_idx": pd.array(idxs, dtype="Int32"),
+            "width": pd.array(ws, dtype="Int32"),
+            "height": pd.array(hs, dtype="Int32"),
+            "sum_y": pd.array(sy, dtype="Int64"),
+            "sum_u": pd.array(su, dtype="Int64"),
+            "sum_v": pd.array(sv, dtype="Int64"),
+        })
 
 
 def synthesize_y4m_table(documents: DataFrame) -> DataFrame:
@@ -4678,23 +4730,89 @@ def synthesize_y4m_table(documents: DataFrame) -> DataFrame:
     y=(5*doc_id+17*i)%220+16, u=(3*doc_id+29*i)%225+16,
     v=(7*doc_id+41*i)%225+16 — so each frame's per-plane sums are
     fill * plane_size for the oracle."""
+    return _spread_small_scan(documents).select("doc_id").mapInPandas(
+        _y4m_synth_batches, schema=JPEG_SCHEMA)
 
+
+def _y4m_synth_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].tolist()
+        media = []
+        for did in ids:
+            w = did % 6 * 2 + 8
+            h = did % 5 * 2 + 8
+            nf = did % 3 + 1
+            ysz, csz = w * h, (w // 2) * (h // 2)
+            frames = [
+                (bytes([(5 * did + 17 * i) % 220 + 16]) * ysz,
+                 bytes([(3 * did + 29 * i) % 225 + 16]) * csz,
+                 bytes([(7 * did + 41 * i) % 225 + 16]) * csz)
+                for i in range(nf)]
+            media.append(encode_y4m(w, h, frames, fps=(30, 1)))
+        yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                            "media": media})
+
+
+# -- Fused synthesize→decode lane builders (r17 session 2) --------------------
+#
+# The five heavy Python-codec lanes were built as TWO chained
+# mapInPandas (synthesize → decode). Chained MapInPandas nodes are NOT
+# fused by Spark: each task runs one Python worker PER node, so a
+# width-k fan-out holds 2k workers and ships every media payload
+# across the JVM boundary twice (python→JVM→python) for no reason —
+# the bytes exist only to be decoded back into stats. Each fused
+# builder composes the two batch generators inside ONE mapInPandas:
+# half the worker demand, half the per-task boundary setups, and the
+# media column never crosses Arrow at all (guide §4.1: control how
+# many columns cross; here: none). Row-identical by construction —
+# the decode half consumes the synth half's exact pdf batches, only
+# without an Arrow round-trip in between. The un-fused public
+# functions stay for the header/AB/pytest surfaces.
+
+def jpeg_pixel_stats_fused(documents: DataFrame) -> DataFrame:
+    """synthesize_jpeg_table → image_pixel_stats in ONE mapInPandas."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            media = []
-            for did in ids:
-                w = did % 6 * 2 + 8
-                h = did % 5 * 2 + 8
-                nf = did % 3 + 1
-                ysz, csz = w * h, (w // 2) * (h // 2)
-                frames = [
-                    (bytes([(5 * did + 17 * i) % 220 + 16]) * ysz,
-                     bytes([(3 * did + 29 * i) % 225 + 16]) * csz,
-                     bytes([(7 * did + 41 * i) % 225 + 16]) * csz)
-                    for i in range(nf)]
-                media.append(encode_y4m(w, h, frames, fps=(30, 1)))
-            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
-                                "media": media})
+        return _pixel_stats_batches(_jpeg_synth_batches(batches),
+                                    decode_image_pixels)
+    return (_spread_small_scan(documents).select("doc_id")
+            .mapInPandas(run, schema=PIXEL_STATS_SCHEMA))
 
-    return _spread_small_scan(documents).select("doc_id").mapInPandas(run, schema=JPEG_SCHEMA)
+
+def progressive_jpeg_pixel_stats_fused(documents: DataFrame) -> DataFrame:
+    """synthesize_progressive_jpeg_table → image_pixel_stats in ONE
+    mapInPandas."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _pixel_stats_batches(_progressive_synth_batches(batches),
+                                    decode_image_pixels)
+    return (_spread_small_scan(documents).select("doc_id")
+            .mapInPandas(run, schema=PIXEL_STATS_SCHEMA))
+
+
+def flac_sample_stats_fused(documents: DataFrame) -> DataFrame:
+    """synthesize_flac_table → audio_sample_stats in ONE mapInPandas."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _sample_stats_batches(_flac_synth_batches(batches))
+    return _flac_synth_input(documents).mapInPandas(
+        run, schema=SAMPLE_STATS_SCHEMA)
+
+
+def mjpeg_frame_stats_fused(documents: DataFrame,
+                            every_ms: int = 1000) -> DataFrame:
+    """synthesize_mjpeg_avi_table → video_frame_stats in ONE
+    mapInPandas (default sampler/decoder, like the lane)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _frame_stats_batches(
+            _mjpeg_synth_batches(batches),
+            lambda raw, ms: sample_frames(raw, ms, _lenient=True),
+            decode_frame_pixels, every_ms)
+    return (_spread_small_scan(documents).select("doc_id")
+            .mapInPandas(run, schema=FRAME_STATS_SCHEMA))
+
+
+def y4m_frame_stats_fused(documents: DataFrame) -> DataFrame:
+    """synthesize_y4m_table → y4m_frame_stats in ONE mapInPandas."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _y4m_stats_batches(_y4m_synth_batches(batches))
+    return (_spread_small_scan(documents).select("doc_id")
+            .mapInPandas(run, schema=Y4M_FRAME_STATS_SCHEMA))

@@ -1591,7 +1591,7 @@ FROM documents
 def multimodal_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import multimodal as MM
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return MM.image_pixel_stats(MM.synthesize_jpeg_table(docs))
+    return MM.jpeg_pixel_stats_fused(docs)
 
 
 @register(
@@ -1626,7 +1626,7 @@ def multimodal_progressive_jpeg_decode(spark: SparkSession,
                                        sf_dir: str) -> DataFrame:
     from .analytics import multimodal as MM
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return MM.image_pixel_stats(MM.synthesize_progressive_jpeg_table(docs))
+    return MM.progressive_jpeg_pixel_stats_fused(docs)
 
 
 @register(
@@ -1801,7 +1801,7 @@ def multimodal_flac_audio_decode(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     from .analytics import multimodal as MM
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return MM.audio_sample_stats(MM.synthesize_flac_table(docs))
+    return MM.flac_sample_stats_fused(docs)
 
 
 @register(
@@ -1831,8 +1831,7 @@ FROM d, unnest(generate_series(0, nf - 1)) AS t(i)
 def multimodal_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import multimodal as MM
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return MM.video_frame_stats(MM.synthesize_mjpeg_avi_table(docs),
-                                every_ms=100)
+    return MM.mjpeg_frame_stats_fused(docs, every_ms=100)
 
 
 @register(
@@ -1867,7 +1866,7 @@ def multimodal_y4m_pixel_decode(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     from .analytics import multimodal as MM
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return MM.y4m_frame_stats(MM.synthesize_y4m_table(docs))
+    return MM.y4m_frame_stats_fused(docs)
 
 
 @register(
