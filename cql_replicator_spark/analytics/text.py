@@ -386,8 +386,11 @@ def tf_idf(
 
     Two aggregations (per-doc term counts; per-token doc freq) joined on
     token — doc frequency is broadcast-sized (vocabulary ≪ corpus), so
-    the join is a broadcast against the per-doc counts, and N is a
-    scalar literal folded into the expression. Scores are rounded to 6
+    the join is a broadcast against the per-doc counts, and N rides a
+    broadcast single-row frame (same shape as bm25_scores' totals), so
+    the whole score is ONE lazy plan: no eager distinct-count job
+    blocks the driver at build time (at scale that was a full extra
+    corpus pass before the query existed). Scores are rounded to 6
     decimals from exact integer inputs through single correctly-rounded
     ln/div/mul ops, keeping them bit-stable cross-engine."""
     toks = df.select(
@@ -397,12 +400,14 @@ def tf_idf(
     dfreq = (toks.groupBy("token")
              .agg(F.countDistinct(id_col).alias("doc_freq"))
              .filter(F.col("doc_freq") >= min_doc_freq))
-    n_docs = df.select(id_col).distinct().count()
+    n_docs = (df.select(id_col).distinct()
+              .agg(F.count(F.lit(1)).cast("double").alias("__n_docs")))
     return (
         tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col), "token", "tf", "doc_freq",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6)
+            F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("doc_freq")), 6)
             .alias("tfidf"))
     )
 

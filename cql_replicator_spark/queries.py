@@ -1587,6 +1587,10 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "similarity_pq_recall",                # 1 probe collect + dim param
     "similarity_ivfpq_recall",             # 1 probe collect + dim param
     "ivm_stream_refresh",                  # envelope persist in staging
+    # session 2: fused codec maps, lazy RI suite, lazy tf_idf n_docs
+    "validate_constraints",                # lazy referential_integrity
+    "text_tfidf",                          # lazy n_docs broadcast
+    "text_keywords_topk",                  # lazy n_docs broadcast
 ]
 
 
