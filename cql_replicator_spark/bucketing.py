@@ -90,7 +90,18 @@ def write_bucketed_table(
     spark = df.sparkSession
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-    writer = (df.write.format("parquet").mode(mode)
+    # Repartition to the bucket spec before writing (r17, guide §6):
+    # without it every WRITE TASK splits its rows into num_buckets
+    # bucket files — tasks x buckets small files at scale (a wide scan
+    # writing 8 buckets from 2000 tasks leaves 16k files), and a
+    # narrow scan writes all buckets from ONE serial task. repartition
+    # (num_buckets, bucket_cols) is the SAME hash Spark's bucket spec
+    # uses (pmod(murmur3, n)), so each task holds exactly one bucket:
+    # the table lands as num_buckets files, written num_buckets-wide
+    # in parallel, and within-bucket sortBy cost is unchanged. Table
+    # CONTENTS are identical either way — only file layout changes.
+    writer = (df.repartition(num_buckets, *bucket_cols)
+              .write.format("parquet").mode(mode)
               .bucketBy(num_buckets, *bucket_cols))
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
