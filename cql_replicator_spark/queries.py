@@ -1591,6 +1591,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "validate_constraints",                # lazy referential_integrity
     "text_tfidf",                          # lazy n_docs broadcast
     "text_keywords_topk",                  # lazy n_docs broadcast
+    "bucketed_join_colocated",             # bucket-spec repartition write
+    "reconcile_merkle_ranges",             # one-aggregation merkle tree
 ]
 
 

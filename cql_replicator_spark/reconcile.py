@@ -263,26 +263,32 @@ def merkle_tree(
     leaves = (
         spark.range(n_leaves).select(F.col("id").cast("long").alias("node_id"))
         .join(sparse, "node_id", "left")
-        .select(F.lit(0).alias("level"), "node_id",
+        .select("node_id",
                 F.coalesce("digest", F.lit(0).cast("long")).alias("digest"),
                 F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows"))
-        # every parent level and the final union re-read the leaves;
-        # checkpoint the n_leaves-row frame so the table scan behind it
-        # runs exactly once, not once per tree level
-        .localCheckpoint(eager=True)
     )
-    levels = [leaves]
-    cur = leaves
-    for lvl in range(1, depth + 1):
-        cur = (cur.groupBy(F.expr(f"node_id div {fanout}").alias("node_id"))
-               .agg(F.expr("bit_xor(digest)").alias("digest"),
-                    F.sum("n_rows").cast("long").alias("n_rows"))
-               .select(F.lit(lvl).alias("level"), "node_id", "digest", "n_rows"))
-        levels.append(cur)
-    out = levels[0]
-    for frame in levels[1:]:
-        out = out.unionByName(frame)
-    return out
+    # The whole tree in ONE aggregation (r17): bit_xor and sum are
+    # associative, so a level-l node is just the xor/sum of its member
+    # LEAVES grouped directly — each leaf explodes into its ancestor id
+    # at every level (node = node_id div fanout^l, a literal divisor
+    # per level) and one groupBy(level, node_id) folds the full tree.
+    # The previous shape built levels one-by-one and unioned them,
+    # which needed an EAGER localCheckpoint of the leaves so the table
+    # scan wouldn't run once per level — a blocking scan+shuffle job at
+    # query-BUILD time per side (guide §5). Now nothing is eager, the
+    # scan runs once inside the one action, and the per-level Exchange
+    # chain collapses into a single tiny shuffle of
+    # (depth+1) x n_leaves rows.
+    entries = F.array(*[
+        F.struct(F.lit(lvl).cast("int").alias("level"),
+                 F.expr(f"node_id div {fanout ** lvl}").alias("node_id"))
+        for lvl in range(depth + 1)])
+    return (leaves
+            .select(F.explode(entries).alias("e"), "digest", "n_rows")
+            .groupBy(F.col("e.level").alias("level"),
+                     F.col("e.node_id").alias("node_id"))
+            .agg(F.expr("bit_xor(digest)").alias("digest"),
+                 F.sum("n_rows").cast("long").alias("n_rows")))
 
 
 def merkle_diff(tree_src: DataFrame, tree_tgt: DataFrame) -> DataFrame:
