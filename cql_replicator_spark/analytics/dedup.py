@@ -588,15 +588,20 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(F.array_distinct(F.split(normalized(text_col), " "))).alias("tok"),
     ).select(F.col(id_col), md5h32(F.col("tok")).alias("h"))
+    # The bits x (shift/and/mul/sub/sum/alias) Column-op construction
+    # cost ~1 s of driver py4j round-trips PER CALL (measured r17 —
+    # pure query-build overhead, ~200 JVM calls); each aggregate and
+    # the bit-recombine are now single F.expr strings with identical
+    # expression semantics, built in `bits`+1 JVM calls total.
     sums = hashed.groupBy(id_col).agg(*[
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{i}")
+        F.expr(f"sum((shiftright(h, {i}) & 1) * 2 - 1) AS s{i}")
         for i in range(bits)
     ])
-    zero = F.lit(0).cast("long")
-    simhash = zero
-    for i in range(bits):
-        simhash = simhash + F.when(
-            F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(zero)
+    simhash = F.expr(
+        "CAST(" + " + ".join(
+            f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for i in range(bits)) + " AS BIGINT)")
     return sums.select(F.col(id_col), simhash.alias("simhash"))
 
 

@@ -1593,6 +1593,8 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "text_keywords_topk",                  # lazy n_docs broadcast
     "bucketed_join_colocated",             # bucket-spec repartition write
     "reconcile_merkle_ranges",             # one-aggregation merkle tree
+    "dedup_simhash_pairs",                 # expr-string signature build
+    "dedup_simhash",                       # expr-string signature build
 ]
 
 
